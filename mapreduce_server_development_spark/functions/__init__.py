@@ -1,0 +1,17 @@
+"""Text-analysis, dedup, and similarity building blocks (DataFrame-first)."""
+
+from .text import tokens_col, word_shingles, STOPWORDS
+from .dedup import exact_dedup, minhash_band_pairs, ngram_jaccard_pairs, simhash16
+from .similarity import cosine_topk, lsh_plane_weights
+
+__all__ = [
+    "tokens_col",
+    "word_shingles",
+    "STOPWORDS",
+    "exact_dedup",
+    "minhash_band_pairs",
+    "ngram_jaccard_pairs",
+    "simhash16",
+    "cosine_topk",
+    "lsh_plane_weights",
+]

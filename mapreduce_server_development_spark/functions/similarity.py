@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns.
+
+Two tiers (BASELINE.json north star):
+- ``cosine_topk``: brute-force cosine top-k of a small query set against
+  the full corpus. The query side is broadcast; the corpus is scanned
+  once; dot products run through Spark's higher-order array functions
+  (zip_with + aggregate, JVM-side, left-to-right deterministic order).
+- ``lsh_bucket_topk``: random-hyperplane LSH. Signatures are computed
+  per vector (one scan), candidates come from an equi-join on the
+  bucket string — the scale path: no all-pairs comparison ever happens.
+
+Hyperplane weights are +-1 derived from md5 parity so the DuckDB oracle
+reproduces them exactly; sums feeding a sign decision are rounded to
+1e-6 before comparison so cross-engine float-order noise cannot flip a
+bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def lsh_plane_weights(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic +-1 hyperplane weights from md5 parity.
+
+    weight[p][i] = +1 if the first hex digit of md5("{p}-{i}") is odd
+    else -1 — reproducible in any engine with an md5 function.
+    """
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{p}-{i}".encode()).hexdigest()[0], 16) % 2 == 1 else -1.0
+            for i in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def _dot(a, b):
+    """Deterministic (left-to-right) double dot product of two arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def _as_double(col):
+    return F.col(col).cast("array<double>")
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_max_id: int = 5,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: query set (id <= query_max_id) vs all.
+
+    Cosine is rounded to 4 decimals *before* ranking so the ordering is
+    identical across engines; ties break on vec_id.
+    Returns (query_id, vec_id, cosine, rank).
+    """
+    from pyspark.sql.window import Window
+
+    base = emb.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
+    base = base.withColumn("nrm", _norm(F.col("v")))
+    q = base.filter(F.col("vid") <= query_max_id).select(
+        F.col("vid").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    cos = F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")), 4)
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vid"))
+    return (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vid") != F.col("qid"))
+        .select(F.col("qid").alias("query_id"), F.col("vid").alias("vec_id"), cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w.partitionBy("query_id")))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_signature(vec_col, num_planes: int, dim: int):
+    """Bucket string ('0'/'1' per plane) for a double-array column."""
+    planes = lsh_plane_weights(num_planes, dim)
+    bits = [
+        F.when(
+            F.round(_dot(vec_col, F.array(*[F.lit(w) for w in plane])), 6) > 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_bucket_topk(
+    emb: DataFrame,
+    query_max_id: int = 5,
+    k: int = 3,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: candidates share the full LSH bucket with the query.
+
+    One signature pass over the corpus, then an equi-join on the bucket
+    — at 100 TB the bucket join shuffles only (id, bucket, vec), never
+    the cross product. Recall is tunable via num_planes (or multi-probe
+    in a later round). Returns (query_id, vec_id, cosine, rank).
+    """
+    from pyspark.sql.window import Window
+
+    base = emb.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
+    base = base.withColumn("nrm", _norm(F.col("v"))).withColumn(
+        "bucket", lsh_signature(F.col("v"), num_planes, dim)
+    )
+    q = base.filter(F.col("vid") <= query_max_id).select(
+        F.col("vid").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cos = F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")), 4)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        base.join(F.broadcast(q), (F.col("bucket") == F.col("qbucket")))
+        .filter(F.col("vid") != F.col("qid"))
+        .select(F.col("qid").alias("query_id"), F.col("vid").alias("vec_id"), cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,16 @@
+"""Query plans: the engine's declared query library.
+
+``QUERIES`` maps name -> callable(spark, sf_dir) -> DataFrame.
+``ORACLE`` maps name -> equivalent DuckDB SQL over the same parquet
+tables (omitted for non-SQL-expressible operators, which get a
+rows-only check per the driver contract).
+"""
+
+from .registry import ORACLE, QUERIES, query
+
+# Importing the modules populates the registry.
+from . import relational  # noqa: E402,F401
+from . import llm  # noqa: E402,F401
+from . import streaming_queries  # noqa: E402,F401
+
+__all__ = ["QUERIES", "ORACLE", "query"]

@@ -1,0 +1,13 @@
+"""Sources & sinks: parquet star-schema tables, text directories, csv/json."""
+
+from .tables import TABLES, load_table, load_tables, register_views
+from .text import read_text_dir, write_text_numbered
+
+__all__ = [
+    "TABLES",
+    "load_table",
+    "load_tables",
+    "register_views",
+    "read_text_dir",
+    "write_text_numbered",
+]
