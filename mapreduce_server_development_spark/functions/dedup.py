@@ -3,14 +3,26 @@
 Design notes for 100 TB:
 - Exact dedup is a hash-groupBy on md5(text) — one shuffle keyed by the
   hash, which is uniformly distributed (no skew).
+- N-gram Jaccard prunes shingles whose document frequency exceeds a cap
+  before the self-join: without the cap, one ubiquitous shingle makes
+  the candidate join quadratic in its doc-frequency. With it, the join
+  fan-out per shingle is bounded by ``max_doc_freq``. The cap is part of
+  the operator's semantics (Jaccard over the pruned shingle universe)
+  and is mirrored in the oracle.
 - MinHash banding turns near-dup detection into an equi-join on band
   buckets: candidate generation never compares all pairs. The signature
-  computation is a single explode + groupBy (map-side partial min).
-- SimHash blocks on the two 8-bit halves of a 16-bit signature
-  (pigeonhole: hamming distance <= 1 implies one half matches exactly),
-  again an equi-join instead of a cross join.
+  computation is a single explode + groupBy (map-side partial min), and
+  candidates are verified with exact Jaccard before being reported.
+- SimHash is 64-bit (2 bits per md5 hex digit), blocked on its four
+  16-bit bands (pigeonhole: hamming <= 3 implies at least one band
+  matches exactly), so candidate generation is four equi-joins —
+  never a cross join, and band values are uniform enough not to skew.
 - All hashing is md5-based string arithmetic so the DuckDB oracle can
   reproduce values bit-for-bit; integer vote counts avoid any float.
+
+Reference parity note: the reference (a MapReduce framework,
+/root/reference/mapreduce/) has no dedup surface; these operators are
+the additive LLM-pipeline plane mandated by the build brief.
 """
 
 from __future__ import annotations
@@ -19,6 +31,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import tokens_col, word_shingles
+
+#: Hex-digit characters, used to decode md5 nibbles via position lookup.
+HEX = "0123456789abcdef"
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -32,12 +47,34 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """Distinct word-n-gram shingles per document: (id, shingle)."""
+    """Distinct word-n-gram shingles per document: (doc, shingle)."""
     toks = tokens_col(F.lower(F.col(text_col)))
     return (
         df.select(F.col(id_col).alias("doc"), F.explode(word_shingles(toks, n)).alias("shingle"))
         .distinct()
     )
+
+
+def _pruned_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int, max_doc_freq: int | None
+) -> DataFrame:
+    """Distinct (doc, shingle) with ubiquitous shingles dropped.
+
+    A shingle appearing in more than ``max_doc_freq`` documents
+    contributes O(df^2) candidate pairs while carrying almost no
+    signal; pruning bounds the self-join fan-out (the 100 TB guard).
+    """
+    sh = _doc_shingles(df, text_col, id_col, n)
+    if max_doc_freq is None:
+        return sh
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df_"))
+        .filter(F.col("df_") > max_doc_freq)
+        .select("shingle")
+    )
+    # Broadcast anti-join: the hot-shingle list is tiny by construction.
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
 
 
 def ngram_jaccard_pairs(
@@ -46,16 +83,17 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 5,
     threshold: float = 0.2,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard similarity.
 
-    Candidate pairs are documents sharing at least one shingle (an
-    equi-join on the shingle — with n=5 the shingle space is selective
-    enough that unrelated documents almost never collide). Jaccard is
-    exact integer arithmetic: |A∩B| / (|A| + |B| - |A∩B|).
+    Candidate pairs are documents sharing at least one (non-ubiquitous)
+    shingle — an equi-join on the shingle. Jaccard is exact integer
+    arithmetic over the pruned shingle universe:
+    |A∩B| / (|A| + |B| - |A∩B|).
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    sh = _doc_shingles(df, text_col, id_col, n).cache()
+    sh = _pruned_shingles(df, text_col, id_col, n, max_doc_freq)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -79,7 +117,7 @@ def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 8,
+    num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
     """MinHash signatures: for each seed, min over md5(seed '#' shingle).
@@ -105,15 +143,17 @@ def minhash_band_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 8,
+    num_hashes: int = 16,
     rows_per_band: int = 2,
     shingle_n: int = 3,
 ) -> DataFrame:
     """LSH banding over MinHash signatures -> candidate pairs.
 
     Bands hash the ordered concatenation of their signature rows; docs
-    sharing any band bucket become a candidate pair. Returns
-    (doc_a, doc_b, n_bands) with doc_a < doc_b.
+    sharing any band bucket become a candidate pair. With 16 hashes in
+    8 bands of 2, a pair at Jaccard 0.5 is caught with prob
+    1-(1-0.25)^8 ≈ 0.90. Returns (doc_a, doc_b, n_bands) with
+    doc_a < doc_b.
     """
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     band = F.floor(F.col("seed") / rows_per_band).alias("band")
@@ -144,12 +184,63 @@ def minhash_band_pairs(
     )
 
 
-def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """16-bit SimHash over distinct tokens, pure integer arithmetic.
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicates *verified* by exact Jaccard.
 
-    Bit b of token t = (hex digit b of md5(t)) & 1; the document bit is
-    the sign of the sum of (2*bit - 1) votes. Returns (doc, simhash,
-    hi8, lo8) where hi8/lo8 are the blocking halves.
+    LSH proposes candidates (cheap, bounded); the exact word-shingle
+    Jaccard over the candidate pairs only (never all pairs) filters
+    false positives. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    cand = minhash_band_pairs(df, text_col, id_col, num_hashes, rows_per_band, shingle_n).select(
+        "doc_a", "doc_b"
+    )
+    sh = _doc_shingles(df, text_col, id_col, shingle_n)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _nibble(h, d: int):
+    """Value 0..15 of hex digit ``d`` (0-based) of md5-hex column ``h``.
+
+    Decoded by position lookup in the hex alphabet — reproducible with
+    ``strpos`` in DuckDB and ``conv`` here.
+    """
+    return F.conv(F.substring(h, d + 1, 1), 16, 10).cast("int")
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over distinct tokens, pure integer arithmetic.
+
+    Bit b (0..63) of token t = (nibble(b//2) of md5(t)) >> (b%2) & 1;
+    the document bit is the sign of the sum of (2*bit - 1) votes.
+    The signature is returned as four 16-bit band values b0..b3
+    (band k covers bits 16k..16k+15) — kept separate so the banded
+    blocking join needs no 64-bit overflow handling in any engine.
+    Returns (doc, b0, b1, b2, b3).
     """
     toks = (
         df.select(
@@ -160,45 +251,53 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         .withColumn("h", F.md5("tok"))
     )
     votes = [
-        F.sum(
-            F.conv(F.substring("h", b + 1, 1), 16, 10).cast("int") % 2 * 2 - 1
-        ).alias(f"v{b}")
-        for b in range(16)
+        F.sum((F.shiftright(_nibble(F.col("h"), b // 2), b % 2) % 2) * 2 - 1).alias(f"v{b}")
+        for b in range(64)
     ]
     agg = toks.groupBy("doc").agg(*votes)
-    sim = sum(
-        (F.when(F.col(f"v{b}") > 0, 1).otherwise(0) * (1 << b) for b in range(16)),
-        F.lit(0),
-    )
-    return agg.select("doc", sim.alias("simhash")).select(
-        "doc",
-        "simhash",
-        (F.col("simhash") / 256).cast("int").alias("hi8"),
-        (F.col("simhash") % 256).alias("lo8"),
-    )
+    band_cols = []
+    for k in range(4):
+        band = sum(
+            (
+                F.when(F.col(f"v{16 * k + j}") > 0, 1).otherwise(0) * (1 << j)
+                for j in range(16)
+            ),
+            F.lit(0),
+        )
+        band_cols.append(band.alias(f"b{k}"))
+    return agg.select("doc", *band_cols)
 
 
 def simhash_near_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 2
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup candidate pairs via SimHash half-blocking.
+    """Near-dup candidate pairs via SimHash 4-band blocking.
 
-    Joins on either half matching (covers all pairs at hamming <= 1 by
-    pigeonhole; at hamming 2 it is an approximation — documented), then
-    filters by exact hamming distance via bit_count(xor).
-    Returns (doc_a, doc_b, hamming) with doc_a < doc_b, distinct.
+    Joins on any one of the four 16-bit bands matching exactly
+    (pigeonhole: hamming <= 3 over 64 bits implies >= 1 identical
+    band), then filters by exact hamming distance via bit_count(xor)
+    summed over bands. Four hash equi-joins + distinct — never a cross
+    join. Returns (doc_a, doc_b, hamming) with doc_a < doc_b, distinct.
     """
-    s = simhash16(df, text_col, id_col).cache()
-    ham = F.bit_count(
-        F.col("a.simhash").cast("long").bitwiseXOR(F.col("b.simhash").cast("long"))
+    s = simhash64(df, text_col, id_col)
+    ham = sum(
+        (
+            F.bit_count(
+                F.col(f"a.b{k}").cast("long").bitwiseXOR(F.col(f"b.b{k}").cast("long"))
+            )
+            for k in range(4)
+        ),
+        F.lit(0),
     )
 
-    def block(col: str) -> DataFrame:
-        # Equi-join per half (an OR-join would degrade to a nested-loop
-        # cross join — two hash joins + distinct keeps it shuffle-only).
+    def block(k: int) -> DataFrame:
+        # Equi-join per band (an OR-join would degrade to a nested-loop
+        # cross join — four hash joins + distinct keeps it shuffle-only).
         a, b = s.alias("a"), s.alias("b")
         return (
-            a.join(b, (F.col(f"a.{col}") == F.col(f"b.{col}")) & (F.col("a.doc") < F.col("b.doc")))
+            a.join(
+                b, (F.col(f"a.b{k}") == F.col(f"b.b{k}")) & (F.col("a.doc") < F.col("b.doc"))
+            )
             .select(
                 F.col("a.doc").alias("doc_a"),
                 F.col("b.doc").alias("doc_b"),
@@ -206,9 +305,7 @@ def simhash_near_pairs(
             )
         )
 
-    return (
-        block("hi8")
-        .unionAll(block("lo8"))
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
-    )
+    out = block(0)
+    for k in range(1, 4):
+        out = out.unionAll(block(k))
+    return out.filter(F.col("hamming") <= max_hamming).distinct()

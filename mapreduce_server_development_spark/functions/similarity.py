@@ -74,12 +74,12 @@ def cosine_topk(
         F.col("vid").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
     )
     cos = F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")), 4)
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vid"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         base.crossJoin(F.broadcast(q))
         .filter(F.col("vid") != F.col("qid"))
         .select(F.col("qid").alias("query_id"), F.col("vid").alias("vec_id"), cos.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w.partitionBy("query_id")))
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 

@@ -1,0 +1,480 @@
+"""LLM-data-pipeline query library: dedup, similarity, text analysis.
+
+Every operator from ``functions/dedup.py``, ``functions/similarity.py``
+and the text-analysis plane is registered here as a driver-checkable
+query over the ``documents`` / ``embeddings`` tables, with a DuckDB
+oracle reproducing the exact same md5-based integer arithmetic.
+
+Cross-engine parity notes:
+- Tokenization is ``split(lower(text), ' ')`` with empties removed —
+  ``list_filter(string_split(...))`` in DuckDB.
+- All hash material is md5 hex (lowercase in both engines); minhash
+  uses the lexicographic min of md5 strings; simhash decodes nibbles
+  positionally, so no engine-specific hash function is ever involved.
+- Doubles that feed an ordering or a threshold are rounded (4 or 6
+  decimals) before use so float noise cannot flip a comparison.
+- Count-like outputs are cast to BIGINT on both sides.
+
+Reference parity: the reference (/root/reference/mapreduce/) has no
+dedup/similarity surface — this module is the additive LLM-pipeline
+plane the build brief mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.dedup import (
+    exact_dedup,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from ..functions.similarity import cosine_topk, lsh_bucket_topk, lsh_plane_weights
+from ..functions.text import STOPWORDS, tokens_col, word_shingles
+from ..sources.tables import load_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Shared oracle SQL fragments
+# ---------------------------------------------------------------------------
+
+#: Tokens per document, as a DuckDB list column (mirrors tokens_col).
+_TOKS_CTE = """
+toks AS (
+    SELECT doc_id AS doc,
+           list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+    FROM documents
+)"""
+
+
+def _shingle_cte(n: int) -> str:
+    """Distinct word-n-gram shingles per doc (mirrors _doc_shingles)."""
+    return f"""
+sh_all AS (
+    SELECT doc,
+           unnest(list_transform(range(1, len(toks) - {n} + 2),
+                                 i -> array_to_string(toks[i:i + {n - 1}], ' '))) AS shingle
+    FROM toks
+),
+sh AS (SELECT DISTINCT doc, shingle FROM sh_all)"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           MIN(doc_id) AS canonical_doc,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    ORDER BY text_hash
+    """,
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one shuffle keyed by md5(text) (uniform, no skew)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs).orderBy("text_hash")
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    {_shingle_cte(5)},
+    hot AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 1000
+    ),
+    shp AS (
+        SELECT doc, shingle FROM sh
+        WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n_sh FROM shp GROUP BY doc),
+    inter AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+        FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc = i.doc_a
+    JOIN sizes sb ON sb.doc = i.doc_b
+    WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-5-gram Jaccard near-dup pairs (hot-shingle-pruned join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=5, threshold=0.2, max_doc_freq=1000).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@query(
+    "q_minhash_near_dups",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    {_shingle_cte(3)},
+    sig AS (
+        SELECT doc, seed, MIN(md5(seed || '#' || shingle)) AS h
+        FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+        GROUP BY doc, seed
+    ),
+    bands AS (
+        SELECT doc, seed // 2 AS band, md5(string_agg(h, '' ORDER BY seed)) AS bh
+        FROM sig GROUP BY doc, band
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc = c.doc_a
+        JOIN sh b ON b.doc = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc = i.doc_a
+    JOIN sizes sb ON sb.doc = i.doc_b
+    WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(8 bands) candidates verified by exact Jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dups(
+        docs, num_hashes=16, rows_per_band=2, shingle_n=3, threshold=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
+def _simhash_oracle() -> str:
+    """Generate the 64-bit SimHash pair oracle (mirrors simhash64)."""
+
+    def nib(d: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {d + 1}, 1)) - 1)"
+
+    votes = ",\n           ".join(
+        f"SUM(((({nib(b // 2)}) >> {b % 2}) & 1) * 2 - 1) AS v{b}" for b in range(64)
+    )
+    bands = []
+    for k in range(4):
+        terms = " + ".join(
+            f"(CASE WHEN v{16 * k + j} > 0 THEN 1 ELSE 0 END) * {1 << j}" for j in range(16)
+        )
+        bands.append(f"({terms}) AS b{k}")
+    band_sql = ",\n           ".join(bands)
+    ham = " + ".join(f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(4))
+    blocks = "\n        UNION\n".join(
+        f"""        SELECT a.doc AS doc_a, b.doc AS doc_b, CAST({ham} AS BIGINT) AS hamming
+        FROM sig a JOIN sig b ON a.b{k} = b.b{k} AND a.doc < b.doc"""
+        for k in range(4)
+    )
+    return f"""
+    WITH tokrows AS (
+        SELECT DISTINCT doc_id AS doc,
+               unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok
+        FROM documents
+    ),
+    hashed AS (SELECT doc, md5(tok) AS h FROM tokrows),
+    votes AS (
+        SELECT doc,
+           {votes}
+        FROM hashed GROUP BY doc
+    ),
+    sig AS (
+        SELECT doc,
+           {band_sql}
+        FROM votes
+    ),
+    blocked AS (
+{blocks}
+    )
+    SELECT DISTINCT doc_a, doc_b, hamming
+    FROM blocked WHERE hamming <= 3
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("q_simhash_pairs", oracle=_simhash_oracle())
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs via 4x16-bit band blocking."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        simhash_near_pairs(docs, max_hamming=3)
+        .withColumn("hamming", F.col("hamming").cast("long"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+#: Shared oracle prologue: embeddings as DOUBLE lists with L2 norms.
+_VEC_CTE = """
+v AS (
+    SELECT vec_id AS vid,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+    FROM embeddings
+),
+n AS (
+    SELECT vid, vv, sqrt(list_sum(list_transform(vv, x -> x * x))) AS nrm FROM v
+)"""
+
+
+@query(
+    "q_cosine_topk",
+    oracle=f"""
+    WITH {_VEC_CTE},
+    q AS (SELECT vid AS qid, vv AS qv, nrm AS qnrm FROM n WHERE vid <= 5),
+    pairs AS (
+        SELECT q.qid AS query_id, n.vid AS vec_id,
+               round(list_dot_product(n.vv, q.qv) / (n.nrm * q.qnrm), 4) AS cosine
+        FROM n CROSS JOIN q
+        WHERE n.vid <> q.qid
+    )
+    SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rn
+        FROM pairs
+    )
+    WHERE rn <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 of queries (vec_id <= 5) vs the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        cosine_topk(emb, query_max_id=5, k=5)
+        .withColumn("rank", F.col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def _lsh_bucket_sql(planes: list[list[float]]) -> str:
+    """DuckDB bucket expression for inlined hyperplane weights."""
+    bits = []
+    for plane in planes:
+        arr = "[" + ", ".join(str(w) for w in plane) + "]::DOUBLE[]"
+        bits.append(
+            f"CASE WHEN round(list_dot_product(vv, {arr}), 6) > 0 THEN '1' ELSE '0' END"
+        )
+    return "concat(" + ", ".join(bits) + ")"
+
+
+@query(
+    "q_lsh_ann",
+    oracle=f"""
+    WITH {_VEC_CTE},
+    s AS (
+        SELECT vid, vv, nrm, {_lsh_bucket_sql(lsh_plane_weights(8, 64))} AS bucket FROM n
+    ),
+    q AS (
+        SELECT vid AS qid, vv AS qv, nrm AS qnrm, bucket AS qbucket
+        FROM s WHERE vid <= 5
+    ),
+    pairs AS (
+        SELECT q.qid AS query_id, s.vid AS vec_id,
+               round(list_dot_product(s.vv, q.qv) / (s.nrm * q.qnrm), 4) AS cosine
+        FROM s JOIN q ON s.bucket = q.qbucket
+        WHERE s.vid <> q.qid
+    )
+    SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rn
+        FROM pairs
+    )
+    WHERE rn <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN top-3 (bucket equi-join, never all-pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        lsh_bucket_topk(emb, query_max_id=5, k=3, num_planes=8, dim=64)
+        .withColumn("rank", F.col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def _lang_id_oracle() -> str:
+    selects = []
+    for lang in sorted(STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        selects.append(
+            f"""        SELECT doc_id, lang, '{lang}' AS cand,
+               CAST(SUM(CASE WHEN tok IN ({words}) THEN 1 ELSE 0 END) AS BIGINT) AS score
+        FROM tokrows GROUP BY doc_id, lang"""
+        )
+    union = "\n        UNION ALL\n".join(selects)
+    return f"""
+    WITH tokrows AS (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok
+        FROM documents
+    ),
+    scores AS (
+{union}
+    )
+    SELECT doc_id, lang, cand AS lang_pred, score
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, cand) AS rn
+        FROM scores
+    )
+    WHERE rn = 1
+    ORDER BY doc_id
+    """
+
+
+@query("q_lang_id", oracle=_lang_id_oracle())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-id: argmax of stopword hit counts per language.
+
+    One narrow projection + explode of a 5-struct array per doc — all
+    JVM-side; the argmax is a row_number over (doc, 5 rows).
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.lower(F.col("text")))
+    def _hits(words: tuple[str, ...]):
+        # Single-arg lambda: Spark's HOF binding passes (element, index)
+        # to two-arg lambdas, so the word list must be closed over.
+        return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
+
+    entries = [
+        F.struct(F.lit(lang).alias("cand"), _hits(STOPWORDS[lang]).alias("score"))
+        for lang in sorted(STOPWORDS)
+    ]
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand"))
+    return (
+        docs.select("doc_id", "lang", F.explode(F.array(*entries)).alias("e"))
+        .select("doc_id", "lang", F.col("e.cand").alias("cand"), F.col("e.score").alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("cand").alias("lang_pred"), "score")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, text,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_m,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                 / len(toks), 4) AS avg_token_len,
+           round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                      AS DOUBLE) / length(text), 4) AS punct_ratio,
+           round(CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to')))
+                      AS DOUBLE) / len(toks), 4) AS stopword_ratio
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics: lengths, punctuation, stopword ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.lower(F.col("text")))
+    n_tokens = F.size(toks)
+    tok_len_sum = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    punct = F.length("text") - F.length(F.regexp_replace("text", "[.,!?;:]", ""))
+    en = STOPWORDS["en"]
+    stop_cnt = F.size(F.filter(toks, lambda t: t.isin(*en)))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_m"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(tok_len_sum.cast("double") / n_tokens, 4).alias("avg_token_len"),
+        F.round(punct.cast("double") / F.length("text"), 4).alias("punct_ratio"),
+        F.round(stop_cnt.cast("double") / n_tokens, 4).alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+                AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS BIGINT)
+               AS n_re_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens and a BPE-ish regex token count."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.lower(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_ws_tokens"),
+        F.regexp_count(F.lower(F.col("text")), F.lit("[a-z]+|[0-9]+"))
+        .cast("long")
+        .alias("n_re_tokens"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    {_shingle_cte(3)}
+    SELECT doc AS doc_id,
+           MIN(md5(shingle)) AS fingerprint,
+           COUNT(*) AS n_shingles
+    FROM sh
+    GROUP BY doc
+    ORDER BY doc_id
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-lite fingerprint: min md5 over distinct word-3-shingles."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.lower(F.col("text")))
+    sh = (
+        docs.select(
+            F.col("doc_id").alias("doc"), F.explode(word_shingles(toks, 3)).alias("shingle")
+        )
+        .distinct()
+    )
+    return (
+        sh.groupBy("doc")
+        .agg(F.min(F.md5("shingle")).alias("fingerprint"), F.count("*").alias("n_shingles"))
+        .select(F.col("doc").alias("doc_id"), "fingerprint", "n_shingles")
+        .orderBy("doc_id")
+    )

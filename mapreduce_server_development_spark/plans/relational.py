@@ -261,9 +261,11 @@ def q_case_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style: 3-way join -> agg -> top-10.
 
-    customer is the small side and is broadcast (no shuffle of the
-    orders/lineitem fact rows for that join); orders->lineitem joins on
-    the orderkey. The tiebreak on l_orderkey makes LIMIT deterministic.
+    customer grows with SF, so it carries no broadcast hint: Catalyst's
+    size estimate (with AQE) broadcasts the filtered side while it fits
+    and falls back to a shuffle join at scale. orders->lineitem joins
+    on the orderkey. The tiebreak on l_orderkey makes LIMIT
+    deterministic.
     """
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -276,7 +278,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _dec("l_extendedprice") * (one - F.col("l_discount").cast("decimal(8,4)"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .select(
@@ -310,9 +312,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style: 6-table star join -> agg.
 
-    All dimension joins (supplier/nation/region/customer) broadcast;
-    only orders<->lineitem is a shuffle join on the fact keys — at
-    100 TB this is the one unavoidable shuffle, and AQE handles skew.
+    Broadcast decisions follow ``BROADCAST_DIMS`` (sources/tables.py):
+    supplier/nation/region are bounded and broadcast; customer grows
+    with SF (at 100 TB broadcasting it would OOM the driver), so
+    orders<->customer and orders<->lineitem are shuffle joins on their
+    keys — AQE handles skew.
     """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
@@ -324,7 +328,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _dec("l_extendedprice") * (one - F.col("l_discount").cast("decimal(8,4)"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
             F.broadcast(supp),
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),

@@ -1,0 +1,212 @@
+"""Streaming query library over the ``events`` table.
+
+The reference is strictly batch (SURVEY.md §2.3: heartbeats are
+control-plane, not data-plane), so this module is additive surface:
+Structured Streaming versions of the time-windowed aggregations, run
+with ``trigger(availableNow=True)`` so the parquet fixture is consumed
+as a bounded stream and the query function can return the final result
+DataFrame to the driver.
+
+Each streaming query's result equals its batch twin once the stream is
+fully consumed, so the DuckDB oracles are exact — the driver checks
+them at full strength rather than rows-only.
+
+Scale posture: in production the same plans run against an unbounded
+source (Kafka/files) with a watermark bounding state; here complete
+output mode over a bounded fixture keeps results deterministic.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+DEC = "decimal(16,4)"
+
+#: Read schema for the raw events parquet: ``ts`` arrives as raw
+#: nanoseconds (INT64 TIMESTAMP(NANOS) — Spark reads it as long under
+#: spark.sql.legacy.parquet.nanosAsLong).
+_EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet with ns→µs conversion.
+
+    ``pathGlobFilter`` scopes the directory listing to the events file;
+    on a real deployment this would be a growing directory or Kafka
+    topic and nothing downstream changes.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(df: DataFrame, spark: SparkSession, mode: str = "complete") -> DataFrame:
+    """Run a bounded stream to completion into an in-memory table."""
+    name = f"stream_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_HOURLY_ORACLE = """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(16,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+
+@query("q_stream_hourly_tumbling", oracle=_HOURLY_ORACLE)
+def q_stream_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation as a real streaming query.
+
+    Same result set as the batch ``q_events_hourly`` — windows are
+    epoch-aligned and the fixture is fully consumed by availableNow.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_memory(agg, spark).orderBy("hour", "event_type")
+
+
+@query(
+    "q_stream_sliding_counts",
+    oracle="""
+    WITH e AS (
+        SELECT epoch_us(ts) AS us, event_type, value FROM events
+    ),
+    w AS (
+        SELECT unnest([us - (us % 1800000000),
+                       us - (us % 1800000000) - 1800000000]) AS wstart,
+               event_type, value
+        FROM e
+    )
+    SELECT strftime(make_timestamp(wstart), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(16,4))) AS DOUBLE) AS total_value
+    FROM w
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h window / 30 min slide) streaming aggregation.
+
+    Oracle note: every event belongs to exactly two windows whose
+    starts are ``floor30(ts)`` and ``floor30(ts) - 30min`` — the oracle
+    materializes both per event and aggregates.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_memory(agg, spark).orderBy("window_start", "event_type")
+
+
+@query(
+    "q_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` (30-minute gap) aggregation.
+
+    Batch-mode session_window: one shuffle on user_id, sessions merged
+    by the engine; window end = last event + gap, which the oracle
+    reproduces with the lag/flag/cumsum construction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query("q_stream_dedup")
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on event_id within a 1-hour watermark.
+
+    Non-SQL-expressible as a stream (state + watermark semantics);
+    the driver records a rows-only check. Returns the deduplicated
+    event ids with their types.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type")
+    )
+    return _run_to_memory(deduped, spark, mode="append").orderBy("event_id")

@@ -10,6 +10,7 @@ multi-file datasets and nothing here changes.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -31,7 +32,25 @@ BROADCAST_DIMS = ("region", "nation", "supplier")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one table. Plain parquet scan — pushdown-friendly."""
+    """Load one table. Plain parquet scan — pushdown-friendly.
+
+    The ``events`` table's ``ts`` column is parquet
+    ``INT64 TIMESTAMP(NANOS)``, which Spark 4.x refuses to read as a
+    timestamp (``PARQUET_TYPE_ILLEGAL``). We read it as a raw long via
+    the legacy conf (set here so it also applies on a driver-provided
+    session) and convert ns → microsecond timestamp ourselves.
+    """
+    # Timestamp semantics must match the UTC-naive DuckDB oracle no
+    # matter what session the driver hands us.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            # Integer division: ns values (~1.7e18) exceed double's exact
+            # integer range, so a float path would corrupt microseconds.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
