@@ -326,25 +326,35 @@ def _lang_id_oracle() -> str:
     for lang in sorted(STOPWORDS):
         words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
         selects.append(
-            f"""        SELECT doc_id, lang, '{lang}' AS cand,
+            f"""        SELECT doc_id, '{lang}' AS cand,
                CAST(SUM(CASE WHEN tok IN ({words}) THEN 1 ELSE 0 END) AS BIGINT) AS score
-        FROM tokrows GROUP BY doc_id, lang"""
+        FROM tokrows GROUP BY doc_id"""
         )
     union = "\n        UNION ALL\n".join(selects)
+    langs = ", ".join(f"'{lang}'" for lang in sorted(STOPWORDS))
+    # Scores are LEFT JOINed back onto documents so a document whose
+    # text tokenizes to zero tokens (unnest yields no rows) still
+    # appears with all-zero scores, matching the Spark side.
     return f"""
     WITH tokrows AS (
-        SELECT doc_id, lang,
+        SELECT doc_id,
                unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok
         FROM documents
     ),
     scores AS (
 {union}
+    ),
+    full_scores AS (
+        SELECT d.doc_id, d.lang, l.cand, CAST(COALESCE(s.score, 0) AS BIGINT) AS score
+        FROM documents d
+        CROSS JOIN (SELECT unnest([{langs}]) AS cand) l
+        LEFT JOIN scores s ON s.doc_id = d.doc_id AND s.cand = l.cand
     )
     SELECT doc_id, lang, cand AS lang_pred, score
     FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
                                      ORDER BY score DESC, cand) AS rn
-        FROM scores
+        FROM full_scores
     )
     WHERE rn = 1
     ORDER BY doc_id

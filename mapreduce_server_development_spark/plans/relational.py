@@ -207,8 +207,10 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_case_agg",
     oracle="""
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS big_orders,
-           SUM(CASE WHEN o_totalprice <= 200000 THEN 1 ELSE 0 END) AS small_orders,
+           CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS big_orders,
+           CAST(SUM(CASE WHEN o_totalprice <= 200000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS small_orders,
            CAST(SUM(CASE WHEN o_orderstatus = 'F'
                          THEN CAST(o_totalprice AS DECIMAL(16,4))
                          ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE) AS finished_value
@@ -594,7 +596,7 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_extract",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events
     GROUP BY event_type
@@ -651,16 +653,18 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
         SELECT user_id, ts, event_id,
-               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                         > INTERVAL 30 MINUTE
+               CASE WHEN epoch_us(ts)
+                         - LAG(epoch_us(ts))
+                             OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800000000
                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events
     ), sessions AS (
         SELECT user_id, ts, event_id,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS session_id
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
         FROM flagged
     )
     SELECT user_id, session_id,
@@ -677,17 +681,19 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Single shuffle on user_id; both window functions share the same
     partitioning/ordering so Spark evaluates them in one Window node.
+    The gap compares microsecond epochs on both sides (the fixture has
+    sub-second timestamps; second-truncated deltas can flip boundaries).
     """
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     flagged = load_table(spark, sf_dir, "events").select(
         "user_id",
         "ts",
         "event_id",
-        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0).alias("new_session"),
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0).alias("new_session"),
     )
     return (
         flagged.select(

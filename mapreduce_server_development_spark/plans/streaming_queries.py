@@ -18,6 +18,8 @@ output mode over a bounded fixture keeps results deterministic.
 
 from __future__ import annotations
 
+import shutil
+import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,7 +56,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_memory(df: DataFrame, spark: SparkSession, mode: str = "complete") -> DataFrame:
-    """Run a bounded stream to completion into an in-memory table."""
+    """Run a bounded stream to completion into an in-memory table.
+
+    Only for small aggregate outputs (thousands of rows) — the memory
+    sink materializes on the driver. Large row sets go through
+    ``_run_to_files``.
+    """
     name = f"stream_sink_{uuid.uuid4().hex[:12]}"
     q = (
         df.writeStream.format("memory")
@@ -65,6 +72,28 @@ def _run_to_memory(df: DataFrame, spark: SparkSession, mode: str = "complete") -
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def _run_to_files(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Run a bounded append-mode stream to a parquet file sink and read
+    it back — executors write part-files directly; the driver never
+    holds the row set, so output size is unbounded (the production path
+    for large streaming outputs at 100 TB)."""
+    root = tempfile.mkdtemp(prefix="stream_file_sink_")
+    out, ckpt = f"{root}/out", f"{root}/ckpt"
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.read.parquet(out)
+    # Checkpoint state is not needed once the bounded run is complete.
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return result
 
 
 _HOURLY_ORACLE = """
@@ -152,8 +181,10 @@ def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
         SELECT user_id, ts, event_id,
-               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                         > INTERVAL 30 MINUTE
+               CASE WHEN epoch_us(ts)
+                         - LAG(epoch_us(ts))
+                             OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= 1800000000
                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events
@@ -179,7 +210,10 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Batch-mode session_window: one shuffle on user_id, sessions merged
     by the engine; window end = last event + gap, which the oracle
-    reproduces with the lag/flag/cumsum construction.
+    reproduces with the lag/flag/cumsum construction. Session windows
+    are half-open: an event arriving exactly at last_event + gap starts
+    a NEW session, so the oracle splits on gap >= 30 min (compared at
+    microsecond precision on both sides).
     """
     ev = load_table(spark, sf_dir, "events")
     return (
@@ -195,13 +229,24 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_stream_dedup")
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_id, MIN(event_type) AS event_type
+    FROM events
+    GROUP BY event_id
+    ORDER BY event_id
+    """,
+)
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup on event_id within a 1-hour watermark.
 
-    Non-SQL-expressible as a stream (state + watermark semantics);
-    the driver records a rows-only check. Returns the deduplicated
-    event ids with their types.
+    event_id is unique in the fixture, so the watermark-state dedup is
+    exactly reproduced by the keep-one-per-key oracle (MIN(event_type)
+    GROUP BY event_id — robust even if duplicates appear). Output goes
+    through the parquet file sink (``_run_to_files``): the deduplicated
+    row set grows linearly with the data, so the driver must never
+    materialize it.
     """
     ev = read_events_stream(spark, sf_dir)
     deduped = (
@@ -209,4 +254,4 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "event_type")
     )
-    return _run_to_memory(deduped, spark, mode="append").orderBy("event_id")
+    return _run_to_files(deduped, spark).orderBy("event_id")
