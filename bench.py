@@ -1,0 +1,84 @@
+"""Benchmark harness: time every registered query, emit ONE JSON line.
+
+Runs each query from ``__spark_entry__.queries()`` against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints a single JSON line on stdout:
+
+    {"metric": "total_query_seconds", "value": N, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is driven to completion with a count-style action (foreach
+noop) so results are computed but never collected to the driver.
+All Spark chatter goes to stderr; the JSON line is the only stdout.
+
+Usage: python bench.py [query ...]   # subset by name, default all
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    only = set(sys.argv[1:])
+
+    import __spark_entry__ as entrymod
+    from mapreduce_server_development_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    queries = entrymod.queries()
+
+    # JVM/codegen warmup so the first timed query isn't charged for it.
+    first = next(iter(queries.values()))
+    try:
+        first(spark, sf_dir).foreach(lambda _: None)
+    except Exception:  # noqa: BLE001 - warmup is best-effort
+        pass
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            # foreach forces full evaluation on executors; nothing is
+            # shipped to the driver (collect would skew the timing and
+            # break at scale).
+            fn(spark, sf_dir).foreach(lambda _: None)
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(sf_dir),
+            }
+        )
+    )
+    sys.stdout.flush()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
