@@ -1,0 +1,183 @@
+"""MapReduce-compat job API: arbitrary executables as map/reduce ops.
+
+The reference engine's entire query language is "run an executable over
+a directory of text files" (SURVEY.md §2.1-2.2):
+
+- job spec: ``{input_directory, output_directory, mapper_executable,
+  reducer_executable, num_mappers, num_reducers}``
+  (reference: mapreduce/submit.py:68-76);
+- map contract: one subprocess per input file, file contents on stdin,
+  stdout captured (reference: mapreduce/worker/__main__.py:144-168);
+- group contract: all map-output lines sorted lexicographically as
+  newline-terminated strings, then a counter that increments on each
+  DISTINCT line routes the line to reduce file ``count % num_reducers``
+  (reference: mapreduce/manager/__main__.py:587-593 — note the quirk:
+  the grouping unit is the whole ``key\\tvalue`` line, not the key);
+- reduce contract: one subprocess per reduce partition, sorted lines on
+  stdin, stdout captured (reference reuses worker/__main__.py:144-168);
+- sink: output dir overwritten, results named ``outputfile01..NN``
+  (reference: mapreduce/manager/__main__.py:738-761).
+
+Spark mapping: ``rdd.pipe`` is the literal subprocess/stdin/stdout
+analog (one pipe invocation per partition); the group stage is Spark's
+shuffle. Everything the reference's Manager/Worker processes do
+operationally — FIFO job queue, dynamic load balancing, heartbeats,
+task re-execution, straggler handling (SURVEY §2.1 F9-F14) — is the
+Spark scheduler and needs no code here.
+
+Two grouping modes:
+
+- ``compat=True`` (default): byte-exact reference semantics — global
+  lexicographic sort + distinct-line round-robin routing. Costs a
+  distinct + sort + join of the map output; use for golden parity.
+- ``compat=False``: the 100 TB path — hash-partition on the tab-key
+  with ONE shuffle (``repartitionAndSortWithinPartitions``); identical
+  reduce results for key-based reducers (all shipped reference
+  workloads), but line→file assignment differs from the golden splits.
+
+Scale posture: no ``collect`` anywhere; the sort is Spark's
+range-partitioned external sort (spill-backed — the analog of the
+reference's heapq k-way merge under its tested 1 MB bound); the
+per-file subprocess framing in the map stage matches the reference
+exactly and parallelizes per file.
+"""
+
+from __future__ import annotations
+
+import shlex
+import shutil
+from dataclasses import asdict, dataclass
+from pathlib import Path
+
+from pyspark import RDD, SparkContext
+from pyspark.rdd import portable_hash
+from pyspark.sql import SparkSession
+
+
+@dataclass
+class JobSpec:
+    """A MapReduce job, mirroring the reference's new_manager_job dict
+    (mapreduce/submit.py:68-76; defaults from submit.py:24-56)."""
+
+    input_directory: str
+    output_directory: str
+    mapper_executable: str
+    reducer_executable: str
+    num_mappers: int = 4
+    num_reducers: int = 1
+
+
+def round_robin_partition(files: list[str], num_tasks: int) -> list[list[str]]:
+    """F2: sorted file *i* → task ``i % num_tasks``.
+
+    (reference: mapreduce/manager/__main__.py:402-423). Metadata-level
+    parity only — task grouping affects scheduling, never results,
+    because each file is piped through its own subprocess regardless.
+    """
+    tasks: list[list[str]] = [[] for _ in range(max(1, num_tasks))]
+    for i, f in enumerate(sorted(files)):
+        tasks[i % max(1, num_tasks)].append(f)
+    return tasks
+
+
+def _sort_key(line: str) -> str:
+    # The reference sorts newline-TERMINATED strings (readlines() then
+    # sort(); heapq.merge of those runs). "a" vs "a\tb" order flips if
+    # compared bare, so the trailing newline is part of the sort key.
+    return line + "\n"
+
+
+def _pipe_per_file(sc: SparkContext, files: list[str], executable: str) -> RDD:
+    """Map stage: one subprocess per input file (per-file framing).
+
+    ``sc.textFile(f).coalesce(1).pipe(cmd)`` = read the file, feed its
+    lines to the executable's stdin, one element per stdout line —
+    exactly the reference worker's per-file Popen/communicate loop.
+    """
+    cmd = shlex.quote(executable)
+    rdds = [sc.textFile(f, 1).coalesce(1).pipe(cmd) for f in files]
+    if not rdds:
+        return sc.emptyRDD()
+    return sc.union(rdds)
+
+
+def run_job(
+    spark: SparkSession,
+    input_directory: str,
+    output_directory: str,
+    mapper_executable: str,
+    reducer_executable: str,
+    num_mappers: int = 4,
+    num_reducers: int = 1,
+    compat: bool = True,
+) -> list[str]:
+    """Run a full map → group → reduce → sink job; returns output paths.
+
+    Synchronous (the Spark action IS the job); multi-job queueing,
+    load balancing and fault recovery are the Spark scheduler's.
+    """
+    sc = spark.sparkContext
+    files = sorted(str(p) for p in Path(input_directory).glob("*") if p.is_file())
+    # F2 round-robin task lists: computed for parity/observability; the
+    # per-file pipe below subsumes them for execution.
+    round_robin_partition(files, num_mappers)
+
+    mapped = _pipe_per_file(sc, files, mapper_executable)
+
+    n = max(1, num_reducers)
+    if compat:
+        # Global dense rank over distinct lines (sorted), then route
+        # line -> rank % n. distinct+sortBy+zipWithIndex are all
+        # distributed; the join re-attaches ranks to every copy.
+        ranks = mapped.distinct().sortBy(_sort_key).zipWithIndex()
+        routed = (
+            mapped.map(lambda line: (line, None))
+            .join(ranks)
+            .map(lambda kv: ((kv[1][1] % n, _sort_key(kv[0])), kv[0]))
+        )
+    else:
+        # One-shuffle path: hash the tab-separated key. Sorting by the
+        # full line keeps identical keys adjacent (keys contain no tab),
+        # which is all a sort-contract reducer (`uniq -c`) needs.
+        routed = mapped.map(
+            lambda line: (
+                (portable_hash(line.split("\t", 1)[0]) % n, _sort_key(line)),
+                line,
+            )
+        )
+
+    grouped = routed.repartitionAndSortWithinPartitions(
+        numPartitions=n, partitionFunc=lambda k: k[0]
+    )
+    sorted_lines = grouped.map(lambda kv: kv[1], preservesPartitioning=True)
+
+    # F7: one reducer subprocess per reduce partition, sorted lines on
+    # stdin — partition i becomes outputfile(i+1).
+    reduced = sorted_lines.pipe(shlex.quote(reducer_executable))
+
+    return _sink_numbered(reduced, output_directory)
+
+
+def _sink_numbered(rdd: RDD, output_directory: str) -> list[str]:
+    """F8 sink: overwrite the output dir; part-i → outputfile(i+1)."""
+    out = Path(output_directory)
+    if out.exists():
+        shutil.rmtree(out)
+    staging = Path(str(out) + ".__mr_staging__")
+    if staging.exists():
+        shutil.rmtree(staging)
+    rdd.saveAsTextFile(str(staging))
+    out.mkdir(parents=True)
+    outputs: list[str] = []
+    parts = sorted(p for p in staging.glob("part-*") if not p.name.endswith(".crc"))
+    for i, part in enumerate(parts, start=1):
+        dest = out / f"outputfile{i:02d}"
+        shutil.move(str(part), dest)
+        outputs.append(str(dest))
+    shutil.rmtree(staging)
+    return outputs
+
+
+def submit(spark: SparkSession, spec: JobSpec, compat: bool = True) -> list[str]:
+    """F15 job-submission API: run a JobSpec, return the output paths."""
+    return run_job(spark, compat=compat, **asdict(spec))

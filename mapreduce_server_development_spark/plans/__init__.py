@@ -12,5 +12,6 @@ from .registry import ORACLE, QUERIES, query
 from . import relational  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
+from . import mapreduce_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]
