@@ -1,0 +1,81 @@
+"""Unit tests for the functions/ plane (text, dedup, similarity)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_tokens_col_drops_empties(spark):
+    from mapreduce_server_development_spark.functions.text import tokens_col
+
+    df = spark.createDataFrame([("a  b c",), ("",), ("  ",)], ["text"])
+    got = [r[0] for r in df.select(tokens_col("text")).collect()]
+    assert got == [["a", "b", "c"], [], []]
+
+
+def test_word_shingles(spark):
+    from mapreduce_server_development_spark.functions.text import tokens_col, word_shingles
+
+    df = spark.createDataFrame([("a b c d",), ("a b",), ("a",)], ["text"])
+    got = [r[0] for r in df.select(word_shingles(tokens_col("text"), 3)).collect()]
+    assert got == [["a b c", "b c d"], [], []]
+
+
+def test_exact_dedup_counts(spark):
+    from mapreduce_server_development_spark.functions.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")], ["doc_id", "text"]
+    )
+    rows = {r["text_hash"]: r for r in exact_dedup(df).collect()}
+    assert len(rows) == 2
+    dup = [r for r in rows.values() if r["n_copies"] == 2][0]
+    assert dup["canonical_doc"] == 1
+
+
+def test_cosine_topk_self_excluded(spark):
+    from mapreduce_server_development_spark.functions.similarity import cosine_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    rows = cosine_topk(df, query_max_id=1, k=2).collect()
+    ids = [(r["query_id"], r["vec_id"], r["rank"]) for r in rows]
+    assert (1, 1, 1) not in [(q, v, r) for q, v, r in ids]
+    assert ids[0] == (1, 2, 1)  # identical vector ranks first
+
+
+def test_minhash_finds_exact_duplicate(spark):
+    from mapreduce_server_development_spark.functions.dedup import minhash_near_dups
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "completely different words in this one here")],
+        ["doc_id", "text"],
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_near_dups(df).collect()}
+    assert (1, 2) in pairs
+    assert all(p == (1, 2) for p in pairs)
+
+
+def test_session_defaults():
+    from mapreduce_server_development_spark.session import get_spark
+
+    spark = get_spark()
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_write_text_numbered(spark, tmp_path):
+    from mapreduce_server_development_spark.sources.text import write_text_numbered
+
+    df = spark.createDataFrame([("x",), ("y",), ("z",)], ["value"])
+    outs = write_text_numbered(df, str(tmp_path / "out"), num_files=2)
+    assert [o.rsplit("/", 1)[1] for o in outs] == ["outputfile01", "outputfile02"]
+    lines = []
+    for o in outs:
+        with open(o, encoding="utf-8") as f:
+            lines += [line.rstrip("\n") for line in f]
+    assert sorted(lines) == ["x", "y", "z"]

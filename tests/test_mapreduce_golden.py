@@ -1,0 +1,152 @@
+"""Golden-output tests for the MapReduce-compat job API.
+
+Byte-exact comparison against the reference's own correct/*.txt files
+(the reference's integration tests 01-03, SURVEY.md §5.1), run through
+``run_job`` instead of manager/worker processes.
+"""
+
+from __future__ import annotations
+
+import filecmp
+
+import pytest
+
+from .conftest import REF_TESTDATA, needs_reference
+
+INPUT = REF_TESTDATA / "input"
+EXEC = REF_TESTDATA / "exec"
+CORRECT = REF_TESTDATA / "correct"
+
+
+def _run(spark, tmp_path, mapper, reducer, nm, nr, compat=True):
+    from mapreduce_server_development_spark.operators import run_job
+
+    return run_job(
+        spark,
+        str(INPUT),
+        str(tmp_path / "out"),
+        str(EXEC / mapper),
+        str(EXEC / reducer),
+        nm,
+        nr,
+        compat=compat,
+    )
+
+
+@needs_reference
+def test_wordcount_golden(spark, tmp_path):
+    """Reference test_integration_02: wc 2 mappers / 1 reducer."""
+    outs = _run(spark, tmp_path, "wc_map.sh", "wc_reduce.sh", 2, 1)
+    assert len(outs) == 1
+    assert filecmp.cmp(CORRECT / "word_count_correct.txt", outs[0], shallow=False)
+
+
+@needs_reference
+def test_grep_golden(spark, tmp_path):
+    """Reference test_integration_01: grep 2 mappers / 1 reducer."""
+    outs = _run(spark, tmp_path, "grep_map.py", "grep_reduce.py", 2, 1)
+    assert len(outs) == 1
+    assert filecmp.cmp(CORRECT / "grep_correct.txt", outs[0], shallow=False)
+
+
+@needs_reference
+def test_wordcount_multi_reducer(spark, tmp_path):
+    """Reference test_integration_03: wc 4 mappers / 2 reducers — two
+    output files whose sorted concatenation equals the golden bytes."""
+    outs = _run(spark, tmp_path, "wc_map.sh", "wc_reduce.sh", 4, 2)
+    assert len(outs) == 2
+    lines: list[str] = []
+    for o in outs:
+        with open(o, encoding="utf-8") as f:
+            lines += f.readlines()
+    with open(CORRECT / "word_count_correct.txt", encoding="utf-8") as f:
+        golden = f.readlines()
+    assert sorted(lines) == sorted(golden)
+
+
+@needs_reference
+def test_wordcount_empty_token_line(spark, tmp_path):
+    """E1 quirk: `tr` emits empty tokens; golden wc output keeps the
+    bare `\\t9` line (SURVEY §2.2 E1)."""
+    outs = _run(spark, tmp_path, "wc_map.sh", "wc_reduce.sh", 2, 1)
+    with open(outs[0], encoding="utf-8") as f:
+        first = f.readline()
+    assert first == "\t9\n"
+
+
+@needs_reference
+def test_hash_grouping_same_reduce_results(spark, tmp_path):
+    """compat=False (one-shuffle hash grouping) must produce the same
+    multiset of reduce output lines as the golden run."""
+    outs = _run(spark, tmp_path, "wc_map.sh", "wc_reduce.sh", 4, 2, compat=False)
+    lines: list[str] = []
+    for o in outs:
+        with open(o, encoding="utf-8") as f:
+            lines += f.readlines()
+    with open(CORRECT / "word_count_correct.txt", encoding="utf-8") as f:
+        golden = f.readlines()
+    assert sorted(lines) == sorted(golden)
+
+
+@needs_reference
+def test_group_stage_round_robin_splits(spark):
+    """F6 distinct-line round-robin: routing the golden mapper-output
+    through the group stage reproduces the reference's reduce01/02
+    files byte-exactly (reference test_manager_08)."""
+    src = REF_TESTDATA / "test_manager_08/intermediate/job-0/mapper-output"
+    golden_dir = REF_TESTDATA / "test_manager_08/correct/job-0/grouper-output"
+    if not src.exists():
+        pytest.skip("manager_08 fixtures not present")
+
+    sc = spark.sparkContext
+    files = sorted(str(p) for p in src.glob("file*"))
+    mapped = sc.union([sc.textFile(f, 1).coalesce(1) for f in files])
+
+    def sort_key(line):
+        return line + "\n"
+
+    n = 2
+    ranks = mapped.distinct().sortBy(sort_key).zipWithIndex()
+    grouped = (
+        mapped.map(lambda line: (line, None))
+        .join(ranks)
+        .map(lambda kv: ((kv[1][1] % n, sort_key(kv[0])), kv[0]))
+        .repartitionAndSortWithinPartitions(numPartitions=n, partitionFunc=lambda k: k[0])
+    )
+    parts = grouped.map(lambda kv: kv[1], preservesPartitioning=True).glom().collect()
+    for i, name in enumerate(["reduce01", "reduce02"]):
+        with open(golden_dir / name, encoding="utf-8") as f:
+            golden = f.read()
+        assert "".join(line + "\n" for line in parts[i]) == golden, name
+
+
+def test_round_robin_partition():
+    """F2: sorted file i → task i % n (reference manager test 05)."""
+    from mapreduce_server_development_spark.operators import round_robin_partition
+
+    files = [f"f0{i}" for i in range(1, 9)]
+    tasks = round_robin_partition(files, 2)
+    assert tasks[0] == ["f01", "f03", "f05", "f07"]
+    assert tasks[1] == ["f02", "f04", "f06", "f08"]
+    assert round_robin_partition([], 3) == [[], [], []]
+
+
+@needs_reference
+def test_output_overwrite(spark, tmp_path):
+    """F8: re-running a job overwrites the output directory."""
+    out = tmp_path / "out"
+    out.mkdir()
+    (out / "stale_file").write_text("stale")
+    from mapreduce_server_development_spark.operators import run_job
+
+    outs = run_job(
+        spark,
+        str(INPUT),
+        str(out),
+        str(EXEC / "grep_map.py"),
+        str(EXEC / "grep_reduce.py"),
+        2,
+        1,
+    )
+    assert not (out / "stale_file").exists()
+    assert len(outs) == 1
