@@ -119,13 +119,16 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures: for each seed, min over md5(seed '#' shingle).
 
     The lexicographic minimum of md5 hex strings is a valid min-hash
     family and is identical across engines. Returns (doc, seed, h).
+    ``shingles`` lets the caller pass a precomputed (persisted)
+    (doc, shingle) relation so it isn't recomputed.
     """
-    sh = _doc_shingles(df, text_col, id_col, shingle_n)
+    sh = shingles if shingles is not None else _doc_shingles(df, text_col, id_col, shingle_n)
     seeds = F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("seed")
     return (
         sh.select("doc", "shingle", seeds)
@@ -146,6 +149,7 @@ def minhash_band_pairs(
     num_hashes: int = 16,
     rows_per_band: int = 2,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding over MinHash signatures -> candidate pairs.
 
@@ -155,7 +159,7 @@ def minhash_band_pairs(
     1-(1-0.25)^8 ≈ 0.90. Returns (doc_a, doc_b, n_bands) with
     doc_a < doc_b.
     """
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, shingles)
     band = F.floor(F.col("seed") / rows_per_band).alias("band")
     # Order rows inside a band by seed before hashing the concatenation:
     # array_sort on (seed, h) structs is deterministic.
@@ -198,11 +202,22 @@ def minhash_near_dups(
     LSH proposes candidates (cheap, bounded); the exact word-shingle
     Jaccard over the candidate pairs only (never all pairs) filters
     false positives. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    The (doc, shingle) relation feeds BOTH the signature computation
+    and the verification join, so it is computed once and persisted
+    (spill-safe MEMORY_AND_DISK): at 100 TB the tokenize+shingle+
+    distinct pass over the corpus is the dominant cost and must not
+    run twice. The cache is evictable storage memory; it is dropped
+    under pressure or with spark.catalog.clearCache().
     """
-    cand = minhash_band_pairs(df, text_col, id_col, num_hashes, rows_per_band, shingle_n).select(
-        "doc_a", "doc_b"
+    from pyspark import StorageLevel
+
+    sh = _doc_shingles(df, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    sh = _doc_shingles(df, text_col, id_col, shingle_n)
+    cand = minhash_band_pairs(
+        df, text_col, id_col, num_hashes, rows_per_band, shingle_n, shingles=sh
+    ).select("doc_a", "doc_b")
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc").alias("doc_b"), "shingle")
