@@ -13,5 +13,6 @@ from . import relational  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 from . import mapreduce_queries  # noqa: E402,F401
+from . import multimodal_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]

@@ -1,0 +1,121 @@
+"""Multimodal queries: binary metadata, decode/frame-sample stubs,
+tensor stats — registered with exact DuckDB oracles.
+
+The binary payload is synthesized deterministically from the documents
+fixture (see functions/multimodal.py docstring) so both engines build
+identical bytes; the decode and frame-sample queries execute REAL
+Arrow-batched ``mapInPandas`` plumbing on the Spark side while the
+oracle reproduces the deterministic parse arithmetic in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.multimodal import (
+    binary_metadata,
+    decode_media_stub,
+    sample_frames_stub,
+    synth_media_col,
+    tensor_stats,
+)
+from ..sources.tables import load_table
+from .registry import query
+
+#: DuckDB expression for the synthetic media payload (mirrors
+#: synth_media_col byte-for-byte).
+_MEDIA_SQL = """
+    encode(
+        CASE doc_id % 3 WHEN 0 THEN 'IMG1' WHEN 1 THEN 'AUD1' ELSE 'VID1' END
+        || ':' || CAST(16 + doc_id % 48 AS VARCHAR)
+        || 'x' || CAST(16 + (doc_id * 7) % 48 AS VARCHAR)
+        || ':' || text
+    )
+"""
+
+
+def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", synth_media_col(F.col("doc_id"), F.col("text")).alias("media")
+    )
+
+
+@query(
+    "q_multimodal_metadata",
+    oracle=f"""
+    WITH m AS (SELECT doc_id, {_MEDIA_SQL} AS media FROM documents)
+    SELECT doc_id,
+           CAST(octet_length(media) AS BIGINT) AS n_bytes,
+           md5(hex(media)) AS content_hash,
+           substring(decode(media), 1, 4) AS magic,
+           CASE substring(decode(media), 1, 4)
+                WHEN 'IMG1' THEN 'image' WHEN 'AUD1' THEN 'audio'
+                WHEN 'VID1' THEN 'video' ELSE 'unknown' END AS modality
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata: size, content hash, format sniffing —
+    pure JVM expressions over the binary column (no Python)."""
+    return binary_metadata(_media_df(spark, sf_dir)).orderBy("doc_id")
+
+
+@query(
+    "q_media_decode",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'IMG1' WHEN 1 THEN 'AUD1' ELSE 'VID1' END
+               AS modality,
+           CAST(16 + doc_id % 48 AS INTEGER) AS width,
+           CAST(16 + (doc_id * 7) % 48 AS INTEGER) AS height,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_payload_bytes
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header decode through Arrow-batched ``mapInPandas`` (the real
+    production plumbing; codec stubbed deterministically)."""
+    return decode_media_stub(_media_df(spark, sf_dir)).orderBy("doc_id")
+
+
+@query(
+    "q_frame_sample",
+    oracle="""
+    SELECT doc_id, CAST(unnest(range(0, 8 + doc_id % 16, 4)) AS INTEGER) AS frame_idx
+    FROM documents
+    WHERE doc_id % 3 = 2
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N frame sampling over video payloads via ``mapInPandas``."""
+    return sample_frames_stub(_media_df(spark, sf_dir)).orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "q_tensor_stats",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(vv) AS BIGINT) AS n_dims,
+           round(sqrt(list_sum(list_transform(vv, x -> x * x))), 4) AS l2_norm,
+           round(list_sum(vv) / len(vv), 4) AS mean,
+           round(list_min(vv), 4) AS vmin,
+           round(list_max(vv), 4) AS vmax
+    FROM v
+    ORDER BY vec_id
+    """,
+)
+def q_tensor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row tensor stats over array<float> — JVM higher-order
+    functions only (the non-stub half of the multimodal plane)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return tensor_stats(emb).orderBy("vec_id")

@@ -1,0 +1,78 @@
+"""Unit tests for the multimodal plane (binary columns, mapInPandas)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _media(spark):
+    from mapreduce_server_development_spark.functions.multimodal import synth_media_col
+
+    df = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "gamma"), (5, "delta")], ["doc_id", "text"]
+    )
+    return df.select("doc_id", synth_media_col(F.col("doc_id"), F.col("text")).alias("media"))
+
+
+def test_synth_media_bytes(spark):
+    rows = {r["doc_id"]: bytes(r["media"]) for r in _media(spark).collect()}
+    assert rows[0] == b"IMG1:16x16:alpha"
+    assert rows[1] == b"AUD1:17x23:beta"
+    assert rows[2] == b"VID1:18x30:gamma"
+
+
+def test_binary_metadata_modality(spark):
+    from mapreduce_server_development_spark.functions.multimodal import binary_metadata
+
+    rows = {r["doc_id"]: r for r in binary_metadata(_media(spark)).collect()}
+    assert rows[0]["modality"] == "image"
+    assert rows[1]["modality"] == "audio"
+    assert rows[2]["modality"] == "video"
+    assert rows[0]["n_bytes"] == len(b"IMG1:16x16:alpha")
+
+
+def test_decode_media_stub_parses_header(spark):
+    from mapreduce_server_development_spark.functions.multimodal import decode_media_stub
+
+    rows = {r["doc_id"]: r for r in decode_media_stub(_media(spark)).collect()}
+    assert rows[1]["width"] == 17 and rows[1]["height"] == 23
+    assert rows[1]["modality"] == "AUD1"
+    assert rows[1]["n_payload_bytes"] == len(b"beta")
+
+
+def test_sample_frames_only_video(spark):
+    from mapreduce_server_development_spark.functions.multimodal import sample_frames_stub
+
+    rows = sample_frames_stub(_media(spark)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    # Only video docs (doc_id % 3 == 2) emit frames.
+    assert set(by_doc) == {2, 5}
+    assert sorted(by_doc[2]) == [0, 4, 8]  # n_frames = 8 + 2%16 = 10, stride 4
+    assert sorted(by_doc[5]) == [0, 4, 8, 12]  # n_frames = 13
+
+
+def test_decode_real_image_gated(spark):
+    from mapreduce_server_development_spark.functions.multimodal import decode_real_image
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow present; stub gate not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        decode_real_image(_media(spark))
+
+
+def test_tensor_stats_values(spark):
+    from mapreduce_server_development_spark.functions.multimodal import tensor_stats
+
+    df = spark.createDataFrame([(1, [3.0, 4.0])], ["vec_id", "embedding"])
+    r = tensor_stats(df).collect()[0]
+    assert r["n_dims"] == 2
+    assert r["l2_norm"] == 5.0
+    assert r["mean"] == 3.5
+    assert (r["vmin"], r["vmax"]) == (3.0, 4.0)
