@@ -1,5 +1,6 @@
 """Sources & sinks: parquet star-schema tables, text directories, csv/json."""
 
+from .files import read_csv, read_json, write_csv, write_json
 from .tables import TABLES, load_table, load_tables, register_views
 from .text import read_text_dir, write_text_numbered
 
@@ -10,4 +11,8 @@ __all__ = [
     "register_views",
     "read_text_dir",
     "write_text_numbered",
+    "read_csv",
+    "read_json",
+    "write_csv",
+    "write_json",
 ]

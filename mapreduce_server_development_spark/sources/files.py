@@ -1,0 +1,61 @@
+"""CSV / JSON (JSON-Lines) sources and sinks.
+
+The reference's only I/O is newline-delimited text (SURVEY.md §2.3
+"Scans/sources/sinks"); csv/json are additive connectors. Defaults
+follow the reference's permissive-parse posture (SURVEY §1.3: malformed
+records are tolerated and skippable, not fail-fast): ``PERMISSIVE``
+mode with a ``_corrupt_record`` column for json, header+schema options
+for csv. Explicit schemas are preferred at scale — inference costs an
+extra full read of the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV directory/file scan. Pass ``schema`` at scale (no inference
+    pass); without it Spark reads the data once to infer types."""
+    reader = (
+        spark.read.option("header", header)
+        .option("sep", delimiter)
+        .option("mode", "PERMISSIVE")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """JSON-Lines scan, permissive: malformed rows land in
+    ``_corrupt_record`` instead of failing the read."""
+    reader = spark.read.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    """CSV sink (overwrite) — one file per partition."""
+    df.write.mode("overwrite").option("header", header).csv(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    """JSON-Lines sink (overwrite) — one file per partition."""
+    df.write.mode("overwrite").json(path)

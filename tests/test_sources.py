@@ -1,0 +1,53 @@
+"""Round-trip tests for csv/json sources and the text source."""
+
+from __future__ import annotations
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    from mapreduce_server_development_spark.sources import read_csv, write_csv
+
+    df = spark.createDataFrame([(1, "a"), (2, "b,с")], ["k", "v"])
+    path = str(tmp_path / "csv")
+    write_csv(df, path)
+    back = read_csv(spark, path, schema="k int, v string")
+    assert sorted((r.k, r.v) for r in back.collect()) == [(1, "a"), (2, "b,с")]
+
+
+def test_csv_infer_schema(spark, tmp_path):
+    from mapreduce_server_development_spark.sources import read_csv, write_csv
+
+    df = spark.createDataFrame([(1, 2.5)], ["k", "x"])
+    path = str(tmp_path / "csv")
+    write_csv(df, path)
+    back = read_csv(spark, path)
+    assert dict(back.dtypes) == {"k": "int", "x": "double"}
+
+
+def test_json_roundtrip_and_permissive(spark, tmp_path):
+    from mapreduce_server_development_spark.sources import read_json, write_json
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    path = str(tmp_path / "json")
+    write_json(df, path)
+    back = read_json(spark, path, schema="k long, v string")
+    assert sorted((r.k, r.v) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+    # Malformed rows are captured, not fatal (reference permissive-parse
+    # semantic, SURVEY §1.3).
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "data.json").write_text('{"k": 1, "v": "ok"}\nnot json at all\n')
+    got = read_json(
+        spark, str(bad), schema="k long, v string, _corrupt_record string"
+    ).collect()
+    assert len(got) == 2
+    assert sum(1 for r in got if r["_corrupt_record"] is not None) == 1
+
+
+def test_read_text_dir(spark, tmp_path):
+    from mapreduce_server_development_spark.sources import read_text_dir
+
+    (tmp_path / "f1.txt").write_text("one\ntwo\n")
+    (tmp_path / "f2.txt").write_text("three\n")
+    df = read_text_dir(spark, str(tmp_path))
+    assert sorted(r.value for r in df.collect()) == ["one", "three", "two"]
