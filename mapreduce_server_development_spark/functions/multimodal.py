@@ -188,11 +188,14 @@ def tensor_stats(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_i
     total = F.aggregate(vv, F.lit(0.0), lambda a, x: a + x)
     sq = F.aggregate(vv, F.lit(0.0), lambda a, x: a + x * x)
     n = F.size(vv)
+    # "+ 0.0" normalizes IEEE negative zero (round can yield -0.0 for
+    # tiny negatives, and engines disagree on the sign) — mirrored in
+    # the oracle SQL.
     return df.select(
         F.col(id_col),
         n.cast("long").alias("n_dims"),
         F.round(F.sqrt(sq), 4).alias("l2_norm"),
-        F.round(total / n, 4).alias("mean"),
-        F.round(F.array_min(vv), 4).alias("vmin"),
-        F.round(F.array_max(vv), 4).alias("vmax"),
+        (F.round(total / n, 4) + F.lit(0.0)).alias("mean"),
+        (F.round(F.array_min(vv), 4) + F.lit(0.0)).alias("vmin"),
+        (F.round(F.array_max(vv), 4) + F.lit(0.0)).alias("vmax"),
     )

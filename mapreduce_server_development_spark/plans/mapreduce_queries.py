@@ -60,7 +60,7 @@ def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(F.split(F.lower("text"), "[ \t]")).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
-        .orderBy("word")
+        # No trailing global sort — output is vocabulary-linear.
     )
 
 
@@ -84,5 +84,6 @@ def q_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.filter(F.lower(F.col("text")).contains(GREP_QUERY))
         .select("doc_id", F.col("text").alias("line"))
-        .orderBy("doc_id")
+        # No trailing global sort — output is match-linear; the whole
+        # plan is a single scan stage (filter pushed to parquet).
     )

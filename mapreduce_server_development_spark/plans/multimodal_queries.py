@@ -59,8 +59,9 @@ def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary metadata: size, content hash, format sniffing —
-    pure JVM expressions over the binary column (no Python)."""
-    return binary_metadata(_media_df(spark, sf_dir)).orderBy("doc_id")
+    pure JVM expressions over the binary column (no Python, no shuffle,
+    no trailing sort: document-linear output)."""
+    return binary_metadata(_media_df(spark, sf_dir))
 
 
 @query(
@@ -78,8 +79,9 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header decode through Arrow-batched ``mapInPandas`` (the real
-    production plumbing; codec stubbed deterministically)."""
-    return decode_media_stub(_media_df(spark, sf_dir)).orderBy("doc_id")
+    production plumbing; codec stubbed deterministically). No trailing
+    sort — document-linear output."""
+    return decode_media_stub(_media_df(spark, sf_dir))
 
 
 @query(
@@ -92,8 +94,9 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1→N frame sampling over video payloads via ``mapInPandas``."""
-    return sample_frames_stub(_media_df(spark, sf_dir)).orderBy("doc_id", "frame_idx")
+    """1→N frame sampling over video payloads via ``mapInPandas``.
+    No trailing sort — frame-linear output."""
+    return sample_frames_stub(_media_df(spark, sf_dir))
 
 
 @query(
@@ -107,15 +110,16 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            CAST(len(vv) AS BIGINT) AS n_dims,
            round(sqrt(list_sum(list_transform(vv, x -> x * x))), 4) AS l2_norm,
-           round(list_sum(vv) / len(vv), 4) AS mean,
-           round(list_min(vv), 4) AS vmin,
-           round(list_max(vv), 4) AS vmax
+           round(list_sum(vv) / len(vv), 4) + 0.0 AS mean,
+           round(list_min(vv), 4) + 0.0 AS vmin,
+           round(list_max(vv), 4) + 0.0 AS vmax
     FROM v
     ORDER BY vec_id
     """,
 )
 def q_tensor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row tensor stats over array<float> — JVM higher-order
-    functions only (the non-stub half of the multimodal plane)."""
+    functions only (the non-stub half of the multimodal plane).
+    No trailing sort — vector-linear output, zero shuffles."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return tensor_stats(emb).orderBy("vec_id")
+    return tensor_stats(emb)

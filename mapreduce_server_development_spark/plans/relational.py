@@ -397,7 +397,9 @@ def q_outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_spent"),
         )
-        .orderBy("c_custkey")
+        # No trailing global sort: output is customer-linear and the
+        # driver compare is order-insensitive — a full range-partitioned
+        # sort at 100 TB would buy nothing.
     )
 
 
@@ -433,7 +435,7 @@ def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).alias("rn"),
         )
         .filter(F.col("rn") <= 3)
-        .orderBy("c_custkey", "rn")
+        # No trailing global sort — output is customer-linear.
     )
 
 
@@ -466,7 +468,8 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("o_totalprice")).over(frame).cast("double").alias("running_total"),
             F.lag("o_orderkey").over(w).alias("prev_orderkey"),
         )
-        .orderBy("o_custkey", "o_orderkey")
+        # No trailing global sort — output is order-linear; the window's
+        # own partition-local ordering is all the semantics need.
     )
 
 
@@ -519,7 +522,7 @@ def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
     both = building.intersect(rich).select(F.lit("both").alias("tag"), "c_custkey")
     only = building.subtract(rich).select(F.lit("building_only").alias("tag"), "c_custkey")
-    return both.unionAll(only).orderBy("tag", "c_custkey")
+    return both.unionAll(only)  # no trailing sort: customer-linear output
 
 
 # ---------------------------------------------------------------------------
@@ -560,7 +563,8 @@ def q_scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor("p_retailprice").alias("price_floor"),
             F.round(F.sqrt(F.col("p_size").cast("double")), 4).alias("size_sqrt"),
         )
-        .orderBy("p_partkey")
+        # No trailing global sort — output is part-linear, all scalar
+        # expressions stay in one codegen stage with zero shuffles.
     )
 
 
@@ -644,7 +648,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.sum(_dec("value")).cast("double").alias("total_value"),
         )
-        .orderBy("hour", "event_type")
+        # No trailing global sort — output grows with the time range.
     )
 
 
@@ -705,5 +709,5 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
             F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         )
-        .orderBy("user_id", "session_id")
+        # No trailing global sort — output is session-linear.
     )

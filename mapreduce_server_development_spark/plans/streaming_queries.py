@@ -128,7 +128,7 @@ def q_stream_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return _run_to_memory(agg, spark).orderBy("hour", "event_type")
+    return _run_to_memory(agg, spark)  # no trailing sort: time-linear output
 
 
 @query(
@@ -173,7 +173,7 @@ def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return _run_to_memory(agg, spark).orderBy("window_start", "event_type")
+    return _run_to_memory(agg, spark)  # no trailing sort: time-linear output
 
 
 @query(
@@ -225,7 +225,7 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
             "n_events",
         )
-        .orderBy("user_id", "session_start")
+        # No trailing global sort — output is session-linear.
     )
 
 
@@ -254,4 +254,4 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "event_type")
     )
-    return _run_to_files(deduped, spark).orderBy("event_id")
+    return _run_to_files(deduped, spark)  # no trailing sort: event-linear output
