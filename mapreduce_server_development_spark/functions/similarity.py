@@ -96,6 +96,84 @@ def lsh_signature(vec_col, num_planes: int, dim: int):
     return F.concat(*bits)
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    num_bands: int = 8,
+    bits_per_band: int = 4,
+    dim: int = 64,
+    max_bucket_size: int | None = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded sign-LSH.
+
+    Candidates are pairs sharing at least one band bucket (``num_bands``
+    equi-self-joins on the band substring, unioned + distinct — never
+    an all-pairs product); survivors are verified with the exact
+    cosine. Semantics are therefore "shares a band AND cosine >=
+    threshold" — deterministic and oracle-reproducible; band recall is
+    the documented LSH tradeoff (more bits per band → smaller buckets
+    and lower recall; tune per corpus).
+
+    Scale guards: band buckets larger than ``max_bucket_size`` are
+    pruned via a broadcast anti-join before the self-join (a hot bucket
+    contributes O(n²) candidate pairs and carries little signal — same
+    cap pattern as the hot-shingle prune in ngram dedup), and
+    verification runs on distinct candidate ids only.
+    Returns (vec_a, vec_b, cosine) with vec_a < vec_b.
+    """
+    sig_bits = num_bands * bits_per_band
+    base = emb.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
+    base = base.withColumn("nrm", _norm(F.col("v"))).withColumn(
+        "sig", lsh_signature(F.col("v"), sig_bits, dim)
+    )
+    bands = base.select(
+        "vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.substring("sig", k * bits_per_band + 1, bits_per_band).alias(
+                            "bucket"
+                        ),
+                    )
+                    for k in range(num_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("vid", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        hot = (
+            bands.groupBy("band", "bucket")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        bands = bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
+        .distinct()
+    )
+    va = base.select(F.col("vid").alias("vec_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
+    vb = base.select(F.col("vid").alias("vec_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
+    cos = F.round(_dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 4)
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_bucket_topk(
     emb: DataFrame,
     query_max_id: int = 5,

@@ -117,7 +117,13 @@ def run_job(
     load balancing and fault recovery are the Spark scheduler's.
     """
     sc = spark.sparkContext
-    files = sorted(str(p) for p in Path(input_directory).glob("*") if p.is_file())
+    # Skip Hadoop marker/hidden files ('_SUCCESS', '.*.crc') — Hadoop
+    # input formats ignore them, and piping them would corrupt results.
+    files = sorted(
+        str(p)
+        for p in Path(input_directory).glob("*")
+        if p.is_file() and not p.name.startswith((".", "_"))
+    )
     # F2 round-robin task lists: computed for parity/observability; the
     # per-file pipe below subsumes them for execution.
     round_robin_partition(files, num_mappers)

@@ -31,7 +31,12 @@ from ..functions.dedup import (
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
-from ..functions.similarity import cosine_topk, lsh_bucket_topk, lsh_plane_weights
+from ..functions.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_bucket_topk,
+    lsh_plane_weights,
+)
 from ..functions.text import STOPWORDS, tokens_col, word_shingles
 from ..sources.tables import load_table
 from .registry import query
@@ -318,6 +323,53 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.col("rank").cast("long"))
         .orderBy("query_id", "rank")
     )
+
+
+def _embedding_near_dup_oracle(
+    threshold: float = 0.4,
+    num_bands: int = 8,
+    bits_per_band: int = 4,
+    max_bucket_size: int = 1000,
+) -> str:
+    """Oracle for the banded-LSH near-dup pairs (mirrors the Spark plan:
+    same planes, same band slicing, same bucket cap, same verification)."""
+    sig = _lsh_bucket_sql(lsh_plane_weights(num_bands * bits_per_band, 64))
+    return f"""
+    WITH {_VEC_CTE},
+    s AS (SELECT vid, vv, nrm, {sig} AS sig FROM n),
+    bands AS (
+        SELECT vid, band, substring(sig, band * {bits_per_band} + 1, {bits_per_band}) AS bucket
+        FROM s CROSS JOIN (SELECT unnest(range(0, {num_bands})) AS band) k
+    ),
+    ok AS (
+        SELECT band, bucket FROM bands GROUP BY band, bucket
+        HAVING COUNT(*) <= {max_bucket_size}
+    ),
+    kept AS (SELECT b.* FROM bands b JOIN ok USING (band, bucket)),
+    cand AS (
+        SELECT DISTINCT a.vid AS vec_a, b.vid AS vec_b
+        FROM kept a JOIN kept b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.vid < b.vid
+    )
+    SELECT vec_a, vec_b,
+           round(list_dot_product(x.vv, y.vv) / (x.nrm * y.nrm), 4) AS cosine
+    FROM cand
+    JOIN n x ON x.vid = cand.vec_a
+    JOIN n y ON y.vid = cand.vec_b
+    WHERE round(list_dot_product(x.vv, y.vv) / (x.nrm * y.nrm), 4) >= {threshold}
+    ORDER BY vec_a, vec_b
+    """
+
+
+@query("q_embedding_near_dups", oracle=_embedding_near_dup_oracle())
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: banded sign-LSH candidates
+    (8 bands x 4 bits), hot-bucket cap, exact-cosine verification.
+    Threshold 0.4 is fixture-appropriate (the synthetic vectors are
+    near-orthogonal); real dedup corpora would run ~0.9 with wider
+    bands."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.4).orderBy("vec_a", "vec_b")
 
 
 # ---------------------------------------------------------------------------

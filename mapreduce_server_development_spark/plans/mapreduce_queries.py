@@ -23,11 +23,17 @@ scan — same results, Catalyst-owned physical plan.
 
 from __future__ import annotations
 
+import tempfile
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .registry import query
+
+#: Engine-native executable operators (repo-root exec/).
+EXEC_DIR = Path(__file__).resolve().parents[2] / "exec"
 
 #: E3 default query term (the reference default is "product",
 #: grep_map.py:16; the fixture corpus is synthetic so the term is
@@ -87,3 +93,51 @@ def q_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
         # No trailing global sort — output is match-linear; the whole
         # plan is a single scan stage (filter pushed to parquet).
     )
+
+
+@query(
+    "q_pipe_wordcount",
+    oracle="""
+    SELECT tok AS word, COUNT(*) AS cnt
+    FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '[ \t]'),
+                                  t -> t <> '')) AS tok
+        FROM documents
+    )
+    GROUP BY tok
+    ORDER BY word
+    """,
+)
+def q_pipe_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL executable plane under driver check: documents.text is
+    dumped to a text directory, run through ``run_job`` with the
+    engine's own mapper/reducer executables (``rdd.pipe`` subprocesses,
+    F3+F6+F7), and the ``outputfileNN`` results are read back.
+
+    Uses the one-shuffle hash-grouping path (``compat=False``) — the
+    100 TB posture; the byte-exact compat path is golden-tested in
+    tests/. Python-side ``.split()`` (whitespace runs, no empties)
+    matches the oracle's filtered single-char split because document
+    text contains only space separators.
+    """
+    from ..operators.mapreduce import run_job
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="pipe_wc_")
+    in_dir, out_dir = f"{root}/in", f"{root}/out"
+    docs.select("text").write.mode("overwrite").text(in_dir)
+    run_job(
+        spark,
+        in_dir,
+        out_dir,
+        str(EXEC_DIR / "wc_map.py"),
+        str(EXEC_DIR / "wc_reduce.py"),
+        num_mappers=4,
+        num_reducers=4,
+        compat=False,
+    )
+    out = spark.read.text(out_dir)
+    kv = F.split(F.col("value"), "\t", 2)
+    return out.select(
+        kv.getItem(0).alias("word"), kv.getItem(1).cast("long").alias("cnt")
+    ).orderBy("word")
