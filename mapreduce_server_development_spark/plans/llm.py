@@ -516,6 +516,61 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_winnow_fingerprint",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               list_transform(range(1, length(lower(text)) - 3),
+                              i -> md5(substring(lower(text), i, 5))) AS hs
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(hs) - 2),
+                                            j -> list_min(hs[j:j + 3]))) AS fps
+        FROM g
+    )
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fp,
+           md5(array_to_string(list_sort(fps), '')) AS fp_digest
+    FROM w
+    ORDER BY doc_id
+    """,
+)
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint (Schleimer et al.): hash every character
+    5-gram, slide a window of 4 hashes, keep each window's minimum,
+    dedupe — the classic local-fingerprint guarantee (any match of
+    length >= k+w-1 shares a fingerprint).
+
+    All higher-order array functions (sequence/transform/slice/
+    array_min/array_distinct) — one projection, zero shuffles, JVM-side
+    end to end. The md5-per-gram replaces an incremental Rabin-Karp
+    rolling hash: same selection semantics, engine-reproducible.
+    """
+    k, w = 5, 4
+    txt = F.lower(F.col("text"))
+    n = F.length(txt)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    hashes = F.transform(idx, lambda i: F.md5(F.substring(txt, i, F.lit(k))))
+    m = F.size(hashes)
+    widx = F.when(m >= w, F.sequence(F.lit(1), m - (w - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    fps = F.array_distinct(
+        F.transform(widx, lambda j: F.array_min(F.slice(hashes, j, w)))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(fps).cast("long").alias("n_fp"),
+        F.md5(F.array_join(F.array_sort(fps), "")).alias("fp_digest"),
+    )  # no trailing sort: document-linear output, zero shuffles
+
+
+@query(
     "q_doc_fingerprint",
     oracle=f"""
     WITH {_TOKS_CTE},

@@ -230,6 +230,74 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_user_state",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_event,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_event
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running event count + first/last event time, state carried
+    across batches as (count, min_ns, max_ns).
+
+    This is the arbitrary-stateful-logic escape hatch the built-in
+    windowed aggregations can't express (SURVEY §2.3 "Streaming" —
+    purely additive surface). State is partitioned by user_id (one
+    shuffle); timestamps are tracked as int64 nanoseconds so state
+    comparison is exact. The final per-key rows equal the batch
+    aggregate, which the oracle checks exactly; the trailing max/min
+    aggregate collapses multi-batch update rows to the latest state.
+    """
+    import pandas as pd
+
+    def track(key, pdfs, state):
+        (user_id,) = key
+        n, mn, mx = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            ns = pdf["ts"].astype("int64")
+            n += len(pdf)
+            bmn, bmx = int(ns.min()), int(ns.max())
+            mn = bmn if mn is None or bmn < mn else mn
+            mx = bmx if mx is None or bmx > mx else mx
+        state.update((n, mn, mx))
+        fmt = lambda v: pd.Timestamp(v).strftime("%Y-%m-%d %H:%M:%S")  # noqa: E731
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "first_event": [fmt(mn)],
+                "last_event": [fmt(mx)],
+            }
+        )
+
+    ev = read_events_stream(spark, sf_dir)
+    tracked = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType="user_id long, n_events long, "
+            "first_event string, last_event string",
+            stateStructType="n long, mn long, mx long",
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+    out = _run_to_memory(tracked, spark, mode="update")
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.min("first_event").alias("first_event"),
+        F.max("last_event").alias("last_event"),
+    )
+
+
+@query(
     "q_stream_dedup",
     oracle="""
     SELECT event_id, MIN(event_type) AS event_type
