@@ -96,6 +96,76 @@ def lsh_signature(vec_col, num_planes: int, dim: int):
     return F.concat(*bits)
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query_max_id: int = 5,
+    k: int = 3,
+    nlist: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus into
+    ``nlist`` cells, probe the ``nprobe`` nearest cells per query,
+    exact top-k inside the probed cells only.
+
+    The coarse centroids here are the vectors with id <= ``nlist`` — a
+    deterministic seeded quantizer so the oracle can reproduce the
+    partitioning exactly; production swaps in k-means centroids and
+    every join below is unchanged. Scale shape: assignment is a
+    broadcast join vs ``nlist`` bounded centroids (one corpus scan);
+    the probe join touches ~``nprobe/nlist`` of the corpus — never
+    all-pairs. Returns (query_id, vec_id, cosine, rank).
+    """
+    from pyspark.sql.window import Window
+
+    base = emb.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
+    base = base.withColumn("nrm", _norm(F.col("v")))
+    cent = base.filter(F.col("vid") <= nlist).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+    )
+    ccos = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 4)
+    wa = Window.partitionBy("vid").orderBy(F.col("ccos").desc(), F.col("cid"))
+    assign = (
+        base.crossJoin(F.broadcast(cent))
+        .select("vid", "cid", ccos.alias("ccos"))
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vid", "cid")
+    )
+    probe = (
+        base.filter(F.col("vid") <= query_max_id)
+        .crossJoin(F.broadcast(cent))
+        .select(F.col("vid").alias("qid"), "cid", ccos.alias("ccos"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.col("ccos").desc(), F.col("cid"))
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "cid")
+    )
+    cand = (
+        probe.join(assign, "cid")
+        .filter(F.col("vid") != F.col("qid"))
+        .select("qid", "vid")
+        .distinct()
+    )
+    qv = base.select(
+        F.col("vid").alias("qid"), F.col("v").alias("q_v"), F.col("nrm").alias("q_nrm")
+    )
+    cos = F.round(_dot(F.col("v"), F.col("q_v")) / (F.col("nrm") * F.col("q_nrm")), 4)
+    wk = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        cand.join(base, "vid")
+        .join(F.broadcast(qv), "qid")
+        .select(F.col("qid").alias("query_id"), F.col("vid").alias("vec_id"), cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.4,

@@ -34,6 +34,7 @@ from ..functions.dedup import (
 from ..functions.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
+    ivf_topk,
     lsh_bucket_topk,
     lsh_plane_weights,
 )
@@ -320,6 +321,62 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return (
         lsh_bucket_topk(emb, query_max_id=5, k=3, num_planes=8, dim=64)
+        .withColumn("rank", F.col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    )
+
+
+_IVF_ORACLE = f"""
+    WITH {_VEC_CTE},
+    cent AS (SELECT vid AS cid, vv AS cv, nrm AS cnrm FROM n WHERE vid <= 16),
+    assign AS (
+        SELECT vid, cid FROM (
+            SELECT n.vid, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.vid
+                       ORDER BY round(list_dot_product(n.vv, c.cv)
+                                      / (n.nrm * c.cnrm), 4) DESC, c.cid) AS rn
+            FROM n CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT qid, cid FROM (
+            SELECT q.vid AS qid, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vid
+                       ORDER BY round(list_dot_product(q.vv, c.cv)
+                                      / (q.nrm * c.cnrm), 4) DESC, c.cid) AS rn
+            FROM n q CROSS JOIN cent c WHERE q.vid <= 5
+        ) WHERE rn <= 2
+    ),
+    cand AS (
+        SELECT DISTINCT p.qid, a.vid
+        FROM probe p JOIN assign a ON a.cid = p.cid
+        WHERE a.vid <> p.qid
+    )
+    SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+        SELECT c.qid AS query_id, c.vid AS vec_id,
+               round(list_dot_product(x.vv, y.vv) / (x.nrm * y.nrm), 4) AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.qid
+                   ORDER BY round(list_dot_product(x.vv, y.vv)
+                                  / (x.nrm * y.nrm), 4) DESC, c.vid) AS rn
+        FROM cand c
+        JOIN n x ON x.vid = c.qid
+        JOIN n y ON y.vid = c.vid
+    ) WHERE rn <= 3
+    ORDER BY query_id, rank
+    """
+
+
+@query("q_ivf_ann", oracle=_IVF_ORACLE)
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-3: 16-cell seeded coarse quantizer, 2-cell probe,
+    exact re-rank inside probed cells (the scale tier between
+    brute-force cosine and single-bucket LSH)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        ivf_topk(emb, query_max_id=5, k=3, nlist=16, nprobe=2)
         .withColumn("rank", F.col("rank").cast("long"))
         .orderBy("query_id", "rank")
     )

@@ -458,6 +458,87 @@ def q_outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_salted_join_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(16,4))) AS DOUBLE) AS total_price
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant join: lineitem salted on a row-unique column
+    spreads any hot orderkey across 8 sub-partitions; orders is
+    replicated 8x. Result is provably identical to the plain join —
+    the oracle IS the plain join.
+    """
+    from ..functions.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_linenumber", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, on="okey", num_salts=8, salt_src="l_linenumber")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    SELECT a.event_id, a.user_id,
+           strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           b.event_id AS prev_event_id,
+           strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS prev_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+      ON a.user_id = b.user_id AND b.ts < a.ts
+    ORDER BY a.event_id
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the user's most recent strictly
+    prior click (left-outer temporal point lookup).
+
+    Spark has no ASOF JOIN built-in (DuckDB does — the oracle uses it);
+    ``functions.joins.asof_join`` composes it from union + last-
+    non-null window: one shuffle on user_id, O(|L|+|R|) — no range-join
+    explosion.
+    """
+    from ..functions.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    res = asof_join(
+        purchases, clicks, by="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["event_id", "ts"], prefix="prev_",
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        _ts_str("ts").alias("ts"),
+        "prev_event_id",
+        F.date_format("prev_ts", "yyyy-MM-dd HH:mm:ss").alias("prev_ts"),
+    )  # no trailing sort: purchase-linear output
+
+
 # ---------------------------------------------------------------------------
 # Windows, sorts, top-k
 # ---------------------------------------------------------------------------
