@@ -80,11 +80,18 @@ def round_robin_partition(files: list[str], num_tasks: int) -> list[list[str]]:
     return tasks
 
 
-def _sort_key(line: str) -> str:
+def _make_sort_key():
     # The reference sorts newline-TERMINATED strings (readlines() then
     # sort(); heapq.merge of those runs). "a" vs "a\tb" order flips if
     # compared bare, so the trailing newline is part of the sort key.
-    return line + "\n"
+    # Returned as a locally-defined closure so cloudpickle ships it BY
+    # VALUE: a module-level function would be pickled by reference and
+    # executors would need this package importable (it is not, when the
+    # driver runs from outside the repo).
+    def _sort_key(line: str) -> str:
+        return line + "\n"
+
+    return _sort_key
 
 
 def _pipe_per_file(sc: SparkContext, files: list[str], executable: str) -> RDD:
@@ -131,15 +138,16 @@ def run_job(
     mapped = _pipe_per_file(sc, files, mapper_executable)
 
     n = max(1, num_reducers)
+    sort_key = _make_sort_key()
     if compat:
         # Global dense rank over distinct lines (sorted), then route
         # line -> rank % n. distinct+sortBy+zipWithIndex are all
         # distributed; the join re-attaches ranks to every copy.
-        ranks = mapped.distinct().sortBy(_sort_key).zipWithIndex()
+        ranks = mapped.distinct().sortBy(sort_key).zipWithIndex()
         routed = (
             mapped.map(lambda line: (line, None))
             .join(ranks)
-            .map(lambda kv: ((kv[1][1] % n, _sort_key(kv[0])), kv[0]))
+            .map(lambda kv: ((kv[1][1] % n, kv[0] + "\n"), kv[0]))
         )
     else:
         # One-shuffle path: hash the tab-separated key. Sorting by the
@@ -147,7 +155,7 @@ def run_job(
         # which is all a sort-contract reducer (`uniq -c`) needs.
         routed = mapped.map(
             lambda line: (
-                (portable_hash(line.split("\t", 1)[0]) % n, _sort_key(line)),
+                (portable_hash(line.split("\t", 1)[0]) % n, line + "\n"),
                 line,
             )
         )
