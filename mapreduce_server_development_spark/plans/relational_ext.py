@@ -1,0 +1,476 @@
+"""Extended relational surface: TPC-H-style multi-join analytics, range
+(interval) joins, scalar subqueries, time-range window frames, GROUPING
+SETS, and unpivot.
+
+These widen SURVEY.md §2.3's additive categories beyond the first wave in
+``relational.py``. Same cross-engine parity rules apply (see
+``relational.py`` module docstring): decimal-exact money arithmetic,
+deterministic tiebreaks, ``CAST(SUM(int) AS BIGINT)`` in oracles to dodge
+DuckDB's HUGEINT, and gaps compared at microsecond precision.
+
+Scale posture (100 TB): every join here either broadcasts a bounded dim
+(nation/supplier/part at fixed or sub-fact scale) or shuffles on its join
+key; the interval join is the bucketed equi-join form (never a theta
+join); window frames partition by a high-cardinality key (user_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+DEC = "decimal(16,4)"
+
+
+def _dec(c):
+    return F.col(c).cast(DEC)
+
+
+def _rev():
+    """Decimal-exact extended revenue: extprice * (1 - discount)."""
+    one = F.lit(1).cast("decimal(8,4)")
+    return _dec("l_extendedprice") * (one - F.col("l_discount").cast("decimal(8,4)"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style multi-join analytics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q7_nation_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(16,4))
+                    * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE)
+               AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE year(l_shipdate) IN (1996, 1997)
+    GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: shipping volume between nation pairs per year.
+
+    Six-table join. supplier/nation are bounded -> broadcast; the
+    lineitem<->orders<->customer chain shuffles on its keys. The year
+    filter pushes into the parquet scan; nation is joined twice under
+    different aliases (supplier side and customer side).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate").isin(1996, 1997)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q12_priority_by_status",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style: join + conditional aggregation on the joined side.
+
+    The CASE runs on the orders column after a key join on orderkey —
+    unlike q_case_agg this exercises conditional aggregation *across* a
+    join boundary. Both filters push into the lineitem scan.
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS DECIMAL(16,4))
+                         * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+                    ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(16,4))
+                    * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE)
+               AS promo_revenue_pct
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: promo revenue share for one ship month.
+
+    part is a bounded dimension (sub-fact scale) -> broadcast; the
+    month filter pushes into the lineitem scan so the join sees ~1/72
+    of the fact table. Both sums are decimal-exact; the final divide is
+    the only double op, identical in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    zero = F.lit(0).cast(DEC)
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(zero)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(_rev()).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_name, o.o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(16,4))) AS DOUBLE) AS total_qty
+    FROM orders o
+    JOIN customer ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o.o_orderkey
+    GROUP BY c_name, o.o_orderkey, o_orderdate, o_totalprice
+    HAVING SUM(CAST(l_quantity AS DECIMAL(16,4))) > 300
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: large-volume orders (agg -> HAVING -> join).
+
+    Aggregates lineitem by orderkey FIRST (partial agg shrinks the
+    shuffle to one row per order), filters on the decimal-exact sum,
+    then joins the surviving keys to orders and customer — at 100 TB
+    the HAVING keeps the join input tiny, so join order matters and is
+    made explicit here rather than left to the optimizer.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 300)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_join",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(16,4))
+                    * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 25)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 40)
+       OR (p_type = 'PROMO' AND p_size BETWEEN 1 AND 20
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style: disjunctive mixed-table predicate over a join.
+
+    The OR spans both tables, so it cannot be pushed below the join —
+    the plan is an equi-join on partkey with the disjunction as a
+    post-join filter (Catalyst additionally pushes derivable per-table
+    bounds). part broadcasts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 40)
+        )
+        | (
+            (F.col("p_type") == "PROMO")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(_rev()).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join — bucketed equi-join form
+# ---------------------------------------------------------------------------
+
+_RANGE_US = 6 * 3600 * 1_000_000  # 6-hour window, microseconds
+
+
+@query(
+    "q_range_join",
+    oracle=f"""
+    SELECT c.event_id AS click_id, COUNT(*) AS n_purchases
+    FROM events c
+    JOIN events p ON p.user_id = c.user_id
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      AND epoch_us(p.ts) >  epoch_us(c.ts)
+      AND epoch_us(p.ts) <= epoch_us(c.ts) + {_RANGE_US}
+    GROUP BY c.event_id
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: purchases within 6h after each click, per click.
+
+    Scale-safe form: instead of a theta join (quadratic per user), both
+    sides are bucketed into window-sized time bins and equi-joined on
+    (user_id, bin). A purchase in (t, t+W] lands in the click's bin or
+    the next one, so the click side duplicates into exactly two bucket
+    keys — bounded 2x fan-out — and the exact range predicate filters
+    the equi-join output. Never compares events in distant buckets.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", us.alias("c_us"))
+        .withColumn(
+            "bin",
+            F.explode(
+                F.array(
+                    (F.col("c_us") / _RANGE_US).cast("long"),
+                    (F.col("c_us") / _RANGE_US).cast("long") + 1,
+                )
+            ),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        us.alias("p_us"),
+        (us / _RANGE_US).cast("long").alias("p_bin"),
+    )
+    return (
+        clicks.join(
+            purchases,
+            (clicks.user_id == purchases.p_user) & (clicks.bin == purchases.p_bin),
+        )
+        .filter(
+            (F.col("p_us") > F.col("c_us"))
+            & (F.col("p_us") <= F.col("c_us") + _RANGE_US)
+        )
+        .groupBy(F.col("event_id").alias("click_id"))
+        .agg(F.count("*").alias("n_purchases"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar subquery
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_above_avg
+    FROM orders
+    WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(16,4))) AS DOUBLE)
+                                 / COUNT(*)
+                          FROM orders)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (uncorrelated) subquery: orders above the global mean price.
+
+    The single-row aggregate is broadcast into the filter (a 1-row
+    crossJoin is Spark's scalar-subquery shape in the DataFrame API) —
+    two passes over orders, no driver round-trip, no collect. The mean
+    is a decimal-exact sum divided as double so both engines compare
+    against bit-identical thresholds.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    mean = orders.agg(
+        (F.sum(_dec("o_totalprice")).cast("double") / F.count("*")).alias("avg_price")
+    )
+    return (
+        orders.crossJoin(F.broadcast(mean))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_above_avg"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-range window frame (RANGE BETWEEN over event time)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT event_id,
+           COUNT(*) OVER w AS n_last_hour,
+           MAX(value) OVER w AS max_last_hour
+    FROM (SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range window frame: per-user trailing-1h count and max.
+
+    RANGE frame keyed on microsecond event time (never second-truncated
+    ``cast("long")`` — see the sessionize precision rule). COUNT and
+    MAX are exact cross-engine; no floating accumulation enters the
+    hash. Partitioned by user_id, a high-cardinality key, so the
+    window sort shards evenly at scale.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.unix_micros(F.col("ts")).alias("us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.max("value").over(w).alias("max_last_hour"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS + grouping() marker
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(16,4))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (a set rollup/cube can't express) +
+    grouping() null-vs-subtotal disambiguation markers."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(16,4))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide -> long)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS metric_value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS metric_value
+    FROM part
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide->long) via ``stack`` — the inverse of q_pivot.
+
+    stack() is a generator expression evaluated inside codegen: one
+    scan, two output rows per input row, no shuffle at all.
+    """
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'size', CAST(p_size AS DOUBLE),"
+            " 'retailprice', p_retailprice) AS (metric, metric_value)"
+        ),
+    )
