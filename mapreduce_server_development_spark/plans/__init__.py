@@ -15,5 +15,6 @@ from . import llm  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 from . import mapreduce_queries  # noqa: E402,F401
 from . import multimodal_queries  # noqa: E402,F401
+from . import udf_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]

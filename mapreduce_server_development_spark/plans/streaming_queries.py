@@ -323,3 +323,93 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type")
     )
     return _run_to_files(deduped, spark)  # no trailing sort: event-linear output
+
+
+@query(
+    "q_stream_enrich",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(16,4))) AS DOUBLE) AS total_value
+    FROM events
+    JOIN customer ON c_custkey = user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich the event stream with a dimension.
+
+    The static customer side is joined to every micro-batch (broadcast
+    while it fits; AQE decides), then a tumbling-window aggregation by
+    market segment — the canonical streaming-enrichment shape. The
+    static side is re-read per batch, so dimension updates between
+    batches are picked up for free at scale.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "c_mktsegment",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_memory(agg, spark)  # no trailing sort: time-linear output
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c
+    JOIN events p ON p.user_id = c.user_id
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      AND epoch_us(p.ts) >  epoch_us(c.ts)
+      AND epoch_us(p.ts) <= epoch_us(c.ts) + 21600000000
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases within 6 h after a click.
+
+    Both sides are watermarked and the join condition carries the
+    event-time range, so the state store can evict a click once no
+    in-range purchase can still arrive (and vice versa) — bounded state
+    on an unbounded stream, the production-correct form. Results flow
+    through the parquet file sink; the driver never materializes them.
+    """
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 6 HOURS")),
+    ).select("click_id", "purchase_id")
+    return _run_to_files(joined, spark)  # no trailing sort: pair-linear output

@@ -1,0 +1,105 @@
+"""Arrow-vectorized Python UDF surface: ``applyInPandas`` grouped-map
+and scalar ``pandas_udf``.
+
+The reference's defining feature is "arbitrary program as operator" at
+the map and reduce positions (SURVEY.md §2.1 F3/F7, reference
+mapreduce/worker/__main__.py:144-168). ``operators/mapreduce.py`` keeps
+the literal subprocess contract via ``rdd.pipe``; this module is the
+*idiomatic* Spark form of the same extension point:
+
+- ``applyInPandas`` = the reduce contract (a whole group in, arbitrary
+  rows out), with Arrow batch transfer instead of text pipes —
+  ~10-100x less serialization overhead than row-at-a-time Python;
+- scalar ``@pandas_udf`` = a vectorized map-position operator.
+
+Both are the sanctioned slow path: everything else in this repo stays
+JVM-side, and these exist to prove the plumbing for logic Spark
+builtins genuinely cannot express.
+
+Scale posture: grouped-map shuffles once on the grouping key
+(high-cardinality o_custkey shards evenly); the scalar UDF is a
+narrow transformation (no shuffle, one Python worker per partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+
+@query(
+    "q_grouped_zscore",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND((o_totalprice - AVG(o_totalprice) OVER w)
+                 / STDDEV_SAMP(o_totalprice) OVER w, 4) AS z
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey)
+    QUALIFY COUNT(*) OVER w > 1
+    """,
+)
+def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer z-score of order price via ``applyInPandas``.
+
+    The grouped-map UDF receives each customer's orders as one pandas
+    DataFrame (Arrow-batched) and emits arbitrary rows — the idiomatic
+    analog of the reference's per-group executable reduce (F7).
+    Single-order customers are dropped inside the UDF (sample stddev
+    undefined) so no NaN/NULL asymmetry reaches the cross-engine hash.
+    Rounding happens JVM-side (Spark HALF_UP == DuckDB ties-away) on
+    the raw double so both engines round the same value.
+    """
+
+    def zscore(pdf):
+        if len(pdf) < 2:
+            return pdf.iloc[0:0][["o_orderkey", "o_custkey"]].assign(z=0.0)
+        x = pdf["o_totalprice"]
+        return pdf[["o_orderkey", "o_custkey"]].assign(
+            z=(x - x.mean()) / x.std(ddof=1)
+        )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    raw = orders.groupBy("o_custkey").applyInPandas(
+        zscore, schema="o_orderkey long, o_custkey long, z double"
+    )
+    return raw.withColumn("z", F.round("z", 4))
+
+
+@query(
+    "q_embedding_norm",
+    oracle="""
+    SELECT vec_id,
+           ROUND(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def q_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm of each embedding via a scalar Arrow ``@pandas_udf``.
+
+    One Python worker per partition, whole Arrow batches in and out —
+    the vectorized map-position UDF. (The JVM-side equivalent lives in
+    functions/similarity.py via ``F.aggregate``; this variant exists to
+    exercise the pandas_udf path.) Floats are widened to float64 before
+    squaring on both sides; the result is rounded to 6 decimals so
+    summation-order ulps (numpy pairwise vs DuckDB sequential) cannot
+    reach the hash.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def l2(col):
+        import numpy as np
+        import pandas as pd
+
+        return pd.Series(
+            [float(np.sqrt(np.sum(np.asarray(v, dtype=np.float64) ** 2))) for v in col]
+        )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.select("vec_id", F.round(l2("embedding"), 6).alias("l2_norm"))
