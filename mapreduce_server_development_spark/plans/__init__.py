@@ -16,5 +16,6 @@ from . import streaming_queries  # noqa: E402,F401
 from . import mapreduce_queries  # noqa: E402,F401
 from . import multimodal_queries  # noqa: E402,F401
 from . import udf_queries  # noqa: E402,F401
+from . import text_ngram  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]
