@@ -601,30 +601,48 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     length >= k+w-1 shares a fingerprint).
 
     All higher-order array functions (sequence/transform/slice/
-    array_min/array_distinct) — one projection, zero shuffles, JVM-side
-    end to end. The md5-per-gram replaces an incremental Rabin-Karp
-    rolling hash: same selection semantics, engine-reproducible.
+    array_min/array_distinct), JVM-side end to end. The md5-per-gram
+    replaces an incremental Rabin-Karp rolling hash: same selection
+    semantics, engine-reproducible.
+
+    Evaluation-order hazard (the reason for the staged selects): a
+    column referenced inside a ``transform`` lambda is re-evaluated PER
+    ELEMENT in interpreted mode, so nesting "hash array" inside the
+    "window min" lambda re-hashes the whole document for every window —
+    cubic per doc. Materializing ``lt`` and ``hs`` as multi-referenced
+    projection outputs (which CollapseProject refuses to inline) makes
+    each array compute exactly once per row.
     """
     k, w = 5, 4
-    txt = F.lower(F.col("text"))
-    n = F.length(txt)
+    docs = load_table(spark, sf_dir, "documents")
+    # CPU-bound per-row op: spread rows across the cluster even when
+    # the source collapses to one small input split (the exchange moves
+    # only the raw text once, amortized against ~100x per-row compute).
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+
+    lt = docs.select("doc_id", F.lower(F.col("text")).alias("lt"))
+    n = F.length(F.col("lt"))
     idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
         F.array().cast("array<int>")
     )
-    hashes = F.transform(idx, lambda i: F.md5(F.substring(txt, i, F.lit(k))))
-    m = F.size(hashes)
+    hs = lt.select(
+        "doc_id",
+        F.transform(idx, lambda i: F.md5(F.substring(F.col("lt"), i, F.lit(k)))).alias(
+            "hs"
+        ),
+    )
+    m = F.size(F.col("hs"))
     widx = F.when(m >= w, F.sequence(F.lit(1), m - (w - 1))).otherwise(
         F.array().cast("array<int>")
     )
     fps = F.array_distinct(
-        F.transform(widx, lambda j: F.array_min(F.slice(hashes, j, w)))
+        F.transform(widx, lambda j: F.array_min(F.slice(F.col("hs"), j, w)))
     )
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    return hs.select(
         "doc_id",
         F.size(fps).cast("long").alias("n_fp"),
         F.md5(F.array_join(F.array_sort(fps), "")).alias("fp_digest"),
-    )  # no trailing sort: document-linear output, zero shuffles
+    )  # no trailing sort: document-linear output
 
 
 @query(
