@@ -47,10 +47,20 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """Distinct word-n-gram shingles per document: (doc, shingle)."""
-    toks = tokens_col(F.lower(F.col(text_col)))
+    """Distinct word-n-gram shingles per document: (doc, shingle).
+
+    Tokens are materialized as a projection output before the shingle
+    ``transform``: an expression referenced inside a lambda re-evaluates
+    PER ELEMENT in interpreted mode, so shingling directly over
+    ``tokens_col(...)`` would re-tokenize the document once per token —
+    quadratic in document length.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        tokens_col(F.lower(F.col(text_col))).alias("toks"),
+    )
     return (
-        df.select(F.col(id_col).alias("doc"), F.explode(word_shingles(toks, n)).alias("shingle"))
+        toks.select("doc", F.explode(word_shingles(F.col("toks"), n)).alias("shingle"))
         .distinct()
     )
 

@@ -661,11 +661,14 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-lite fingerprint: min md5 over distinct word-3-shingles."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col(F.lower(F.col("text")))
+    # Tokens materialized first — shingling straight over tokens_col()
+    # would re-tokenize per token inside the transform lambda.
+    toks = docs.select(
+        F.col("doc_id").alias("doc"),
+        tokens_col(F.lower(F.col("text"))).alias("toks"),
+    )
     sh = (
-        docs.select(
-            F.col("doc_id").alias("doc"), F.explode(word_shingles(toks, 3)).alias("shingle")
-        )
+        toks.select("doc", F.explode(word_shingles(F.col("toks"), 3)).alias("shingle"))
         .distinct()
     )
     return (

@@ -57,9 +57,11 @@ def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic.
     """
     docs = load_table(spark, sf_dir, "documents")
-    bigrams = word_shingles(tokens_col(F.lower(F.col("text"))), 2)
+    # Tokens materialized first — shingling straight over tokens_col()
+    # would re-tokenize per token inside the transform lambda.
+    toks = docs.select(tokens_col(F.lower(F.col("text"))).alias("toks"))
     return (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        toks.select(F.explode(word_shingles(F.col("toks"), 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram"))
