@@ -66,8 +66,11 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter pushes into the parquet scan; nation is joined twice under
     different aliases (supplier side and customer side).
     """
+    # year(col) IN (...) is not a pushable predicate; the equivalent
+    # range reaches the parquet scan (row-group pruning at scale).
     li = load_table(spark, sf_dir, "lineitem").filter(
-        F.year("l_shipdate").isin(1996, 1997)
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     supp = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders")
