@@ -250,15 +250,19 @@ def lsh_bucket_topk(
     k: int = 3,
     num_planes: int = 8,
     dim: int = 64,
+    probe_hamming: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k: candidates share the full LSH bucket with the query.
+    """ANN top-k: candidates share an LSH bucket with the query.
 
     One signature pass over the corpus, then an equi-join on the bucket
     — at 100 TB the bucket join shuffles only (id, bucket, vec), never
-    the cross product. Recall is tunable via num_planes (or multi-probe
-    in a later round). Returns (query_id, vec_id, cosine, rank).
+    the cross product. ``probe_hamming=1`` enables multi-probe: the
+    query side additionally probes every bucket at Hamming distance 1
+    (each signature bit flipped), a bounded ``num_planes + 1`` fan-out
+    of the tiny query side that substantially lifts recall without
+    touching corpus-side cost. Returns (query_id, vec_id, cosine, rank).
     """
     from pyspark.sql.window import Window
 
@@ -272,12 +276,26 @@ def lsh_bucket_topk(
         F.col("nrm").alias("qnrm"),
         F.col("bucket").alias("qbucket"),
     )
+    probes = [F.col("qbucket")]
+    if probe_hamming >= 1:
+        probes += [
+            F.concat(
+                F.substring("qbucket", 1, i),
+                F.when(F.substring("qbucket", i + 1, 1) == "0", F.lit("1")).otherwise(
+                    F.lit("0")
+                ),
+                F.substring("qbucket", i + 2, num_planes - i - 1),
+            )
+            for i in range(num_planes)
+        ]
+    q = q.withColumn("qprobe", F.explode(F.array(*probes)))
     cos = F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")), 4)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
-        base.join(F.broadcast(q), (F.col("bucket") == F.col("qbucket")))
+        base.join(F.broadcast(q), (F.col("bucket") == F.col("qprobe")))
         .filter(F.col("vid") != F.col("qid"))
         .select(F.col("qid").alias("query_id"), F.col("vid").alias("vec_id"), cos.alias("cosine"))
+        .distinct()  # a pair can match via several probes
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
