@@ -102,6 +102,7 @@ def ivf_topk(
     k: int = 3,
     nlist: int = 16,
     nprobe: int = 2,
+    train_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -109,10 +110,15 @@ def ivf_topk(
     ``nlist`` cells, probe the ``nprobe`` nearest cells per query,
     exact top-k inside the probed cells only.
 
-    The coarse centroids here are the vectors with id <= ``nlist`` — a
-    deterministic seeded quantizer so the oracle can reproduce the
-    partitioning exactly; production swaps in k-means centroids and
-    every join below is unchanged. Scale shape: assignment is a
+    Initial centroids are the vectors with id <= ``nlist`` — a
+    deterministic seed the oracle reproduces exactly. ``train_iters``
+    runs that many Lloyd (k-means) refinement passes: assign every
+    vector to its nearest centroid, replace each centroid with its
+    cell's per-dimension mean. Means are rounded to 6 decimals so both
+    engines train bit-identical centroids (the mean's last-ulp depends
+    on summation order). Each pass is one corpus scan + a
+    (cell, dim)-keyed aggregation — fully distributed, centroids stay
+    a bounded nlist-row broadcast. Scale shape: assignment is a
     broadcast join vs ``nlist`` bounded centroids (one corpus scan);
     the probe join touches ~``nprobe/nlist`` of the corpus — never
     all-pairs. Returns (query_id, vec_id, cosine, rank).
@@ -126,13 +132,35 @@ def ivf_topk(
     )
     ccos = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 4)
     wa = Window.partitionBy("vid").orderBy(F.col("ccos").desc(), F.col("cid"))
-    assign = (
-        base.crossJoin(F.broadcast(cent))
-        .select("vid", "cid", ccos.alias("ccos"))
-        .withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
-        .select("vid", "cid")
-    )
+
+    def _assign(centroids: DataFrame) -> DataFrame:
+        return (
+            base.crossJoin(F.broadcast(centroids))
+            .select("vid", "cid", ccos.alias("ccos"))
+            .withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") == 1)
+            .select("vid", "cid")
+        )
+
+    for _ in range(train_iters):
+        # Lloyd pass: per-dimension cell means (rounded for cross-engine
+        # determinism) become the next centroids; empty cells drop out.
+        members = _assign(cent).join(base.select("vid", "v"), "vid")
+        dim_means = (
+            members.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+        )
+        cent = (
+            dim_means.groupBy("cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+            )
+            .select("cid", F.transform(F.col("pm"), lambda s: s["m"]).alias("cv"))
+            .withColumn("cnrm", _norm(F.col("cv")))
+        )
+
+    assign = _assign(cent)
     probe = (
         base.filter(F.col("vid") <= query_max_id)
         .crossJoin(F.broadcast(cent))

@@ -436,6 +436,86 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_KMEANS_ORACLE = f"""
+    WITH {_VEC_CTE},
+    cent0 AS (SELECT vid AS cid, vv AS cv, nrm AS cnrm FROM n WHERE vid <= 16),
+    assign0 AS (
+        SELECT vid, cid FROM (
+            SELECT n.vid, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.vid
+                       ORDER BY round(list_dot_product(n.vv, c.cv)
+                                      / (n.nrm * c.cnrm), 4) DESC, c.cid) AS rn
+            FROM n CROSS JOIN cent0 c
+        ) WHERE rn = 1
+    ),
+    dimmeans AS (
+        SELECT a.cid, i.i AS pos, round(avg(v.vv[i.i]), 6) AS m
+        FROM assign0 a
+        JOIN n v ON v.vid = a.vid
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY a.cid, i.i
+    ),
+    cent AS (
+        SELECT cid, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm
+        FROM (SELECT cid, list(m ORDER BY pos) AS cv FROM dimmeans GROUP BY cid)
+    ),
+    assign AS (
+        SELECT vid, cid FROM (
+            SELECT n.vid, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.vid
+                       ORDER BY round(list_dot_product(n.vv, c.cv)
+                                      / (n.nrm * c.cnrm), 4) DESC, c.cid) AS rn
+            FROM n CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT qid, cid FROM (
+            SELECT q.vid AS qid, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vid
+                       ORDER BY round(list_dot_product(q.vv, c.cv)
+                                      / (q.nrm * c.cnrm), 4) DESC, c.cid) AS rn
+            FROM n q CROSS JOIN cent c WHERE q.vid <= 5
+        ) WHERE rn <= 2
+    ),
+    cand AS (
+        SELECT DISTINCT p.qid, a.vid
+        FROM probe p JOIN assign a ON a.cid = p.cid
+        WHERE a.vid <> p.qid
+    )
+    SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+        SELECT c.qid AS query_id, c.vid AS vec_id,
+               round(list_dot_product(x.vv, y.vv) / (x.nrm * y.nrm), 4) AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.qid
+                   ORDER BY round(list_dot_product(x.vv, y.vv)
+                                  / (x.nrm * y.nrm), 4) DESC, c.vid) AS rn
+        FROM cand c
+        JOIN n x ON x.vid = c.qid
+        JOIN n y ON y.vid = c.vid
+    ) WHERE rn <= 3
+    ORDER BY query_id, rank
+    """
+
+
+@query("q_ivf_kmeans_ann", oracle=_IVF_KMEANS_ORACLE)
+def q_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a k-means-trained quantizer: one Lloyd pass refines
+    the 16 seeded centroids (per-dimension cell means, rounded to 6
+    decimals so both engines train bit-identical centroids), then
+    2-cell probe + exact re-rank. Training is one corpus scan plus a
+    (cell, dim)-keyed aggregation per pass — centroids stay a bounded
+    broadcast."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        ivf_topk(emb, query_max_id=5, k=3, nlist=16, nprobe=2, train_iters=1)
+        .withColumn("rank", F.col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    )
+
+
 def _embedding_near_dup_oracle(
     threshold: float = 0.4,
     num_bands: int = 8,
