@@ -79,3 +79,27 @@ def test_write_text_numbered(spark, tmp_path):
         with open(o, encoding="utf-8") as f:
             lines += [line.rstrip("\n") for line in f]
     assert sorted(lines) == ["x", "y", "z"]
+
+
+def test_multiprobe_lsh_recall_dominates_single_probe(spark):
+    """Multi-probe candidates are a superset of single-probe candidates
+    (the identity bucket is always probed), so recall can only go up.
+    k is effectively unbounded: a finite k ranks the two candidate sets
+    independently and the cut can drop single-probe pairs from the
+    larger multi-probe set."""
+    from mapreduce_server_development_spark.functions.similarity import lsh_bucket_topk
+    from mapreduce_server_development_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    single = {
+        (r.query_id, r.vec_id)
+        for r in lsh_bucket_topk(emb, num_planes=4, probe_hamming=0, k=10**6).collect()
+    }
+    multi = {
+        (r.query_id, r.vec_id)
+        for r in lsh_bucket_topk(emb, num_planes=4, probe_hamming=1, k=10**6).collect()
+    }
+    assert single <= multi
+    assert len(multi) >= len(single)

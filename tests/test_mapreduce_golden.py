@@ -150,3 +150,38 @@ def test_output_overwrite(spark, tmp_path):
     )
     assert not (out / "stale_file").exists()
     assert len(outs) == 1
+
+
+@needs_reference
+def test_run_job_from_external_cwd(tmp_path):
+    """Regression: closures shipped by run_job must serialize by value.
+
+    A driver launched outside the repo root (cwd != /root/repo) has no
+    way to import this package on its Python workers; module-level
+    functions pickled by reference then fail with ModuleNotFoundError.
+    Run the wc golden job in a subprocess whose cwd is the temp dir.
+    """
+    import subprocess
+    import sys as _sys
+
+    code = f"""
+import sys
+sys.path.insert(0, {str(REF_TESTDATA.parent.parent.parent / 'repo')!r})
+sys.path.insert(0, '/root/repo')
+import filecmp
+from pyspark.sql import SparkSession
+from mapreduce_server_development_spark.operators import run_job
+spark = SparkSession.builder.master('local[4]').getOrCreate()
+outs = run_job(spark, {str(INPUT)!r}, {str(tmp_path / 'out')!r},
+               {str(EXEC / 'wc_map.sh')!r}, {str(EXEC / 'wc_reduce.sh')!r}, 2, 1)
+assert filecmp.cmp({str(CORRECT / 'word_count_correct.txt')!r}, outs[0], shallow=False)
+print('EXTERNAL_CWD_OK')
+"""
+    res = subprocess.run(
+        [_sys.executable, "-c", code],
+        cwd=tmp_path,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "EXTERNAL_CWD_OK" in res.stdout, res.stderr[-2000:]
