@@ -51,3 +51,29 @@ def test_read_text_dir(spark, tmp_path):
     (tmp_path / "f2.txt").write_text("three\n")
     df = read_text_dir(spark, str(tmp_path))
     assert sorted(r.value for r in df.collect()) == ["one", "three", "two"]
+
+
+def test_compact_parquet(spark, tmp_path):
+    """Compaction merges a many-small-files directory, preserves rows,
+    and hits the planned file count."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_server_development_spark.sources.compact import (
+        compact_parquet,
+        dir_bytes,
+        plan_num_files,
+    )
+
+    src = str(tmp_path / "frag")
+    # 40 tiny files.
+    spark.range(0, 20_000).withColumn("v", F.col("id") * 2).repartition(40).write.parquet(src)
+    n_before = len([p for p in __import__("pathlib").Path(src).glob("part-*")])
+    assert n_before == 40
+
+    out = str(tmp_path / "compact")
+    df = compact_parquet(spark, src, out, target_mb=1024)
+    assert plan_num_files(dir_bytes(src), 1024) == 1
+    n_after = len([p for p in __import__("pathlib").Path(out).glob("part-*") if not p.name.endswith(".crc")])
+    assert n_after == 1
+    assert df.count() == 20_000
+    assert df.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(20_000))
