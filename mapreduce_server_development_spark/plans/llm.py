@@ -811,3 +811,43 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc").alias("doc_id"), "fingerprint", "n_shingles")
         # No trailing global sort — output is document-linear.
     )
+
+
+@query(
+    "q_corpus_clean",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, text,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    q AS (SELECT * FROM t WHERE n_tokens >= 30),
+    d AS (SELECT md5(text) AS h, MIN(doc_id) AS keep FROM q GROUP BY 1)
+    SELECT q.doc_id, q.n_tokens
+    FROM q JOIN d ON md5(q.text) = d.h AND q.doc_id = d.keep
+    WHERE q.lang = 'en'
+    """,
+)
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning pass: quality filter
+    (token-count floor) -> exact-dedup (keep the lowest doc_id per
+    content hash) -> language filter.
+
+    The composition matters more than any stage: filters are plain
+    pushdown-friendly predicates, the dedup is one shuffle on a uniform
+    md5 key, and the whole pipeline is a single Spark plan — no
+    materialization between stages. At 100 TB this is the shape of the
+    first pass over a crawled corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.lower(F.col("text")))
+    q = docs.select(
+        "doc_id", "lang", "text", F.size(toks).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 30)
+    keep = q.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("keep"))
+    return (
+        q.join(keep, (F.md5(q.text) == keep.h) & (q.doc_id == keep.keep))
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "n_tokens")
+    )  # no trailing sort: document-linear output
