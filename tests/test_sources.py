@@ -77,3 +77,46 @@ def test_compact_parquet(spark, tmp_path):
     assert n_after == 1
     assert df.count() == 20_000
     assert df.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(20_000))
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """A filter on the partition column must become a PartitionFilter
+    (directory-level pruning), not a data filter over every file."""
+    from mapreduce_server_development_spark.sources.partitioned import (
+        read_day,
+        write_partitioned_by_day,
+    )
+    from mapreduce_server_development_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "events_by_day")
+    write_partitioned_by_day(ev, path)
+
+    one_day = read_day(spark, path, "2024-01-07")
+    plan = one_day._sc._jvm.PythonSQLUtils.explainString(
+        one_day._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    assert "day" in plan.split("PartitionFilters")[1].splitlines()[0]
+
+    # Row parity with a plain timestamp-range filter over the raw table.
+    from pyspark.sql import functions as F
+
+    expect = ev.filter(F.date_format("ts", "yyyy-MM-dd") == "2024-01-07").count()
+    assert one_day.count() == expect > 0
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """Schema evolution: files written with a newer, wider schema read
+    back unioned under mergeSchema, old files null-filling new columns."""
+    path = str(tmp_path / "evolving")
+    spark.range(0, 10).selectExpr("id", "id * 2 AS v").write.parquet(path + "/batch=1")
+    spark.range(10, 20).selectExpr(
+        "id", "id * 2 AS v", "'new' AS extra"
+    ).write.parquet(path + "/batch=2")
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(df.columns) == {"id", "v", "extra", "batch"}
+    assert df.count() == 20
+    assert df.filter("extra IS NULL").count() == 10
