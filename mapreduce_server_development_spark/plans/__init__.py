@@ -11,6 +11,7 @@ from .registry import ORACLE, QUERIES, query
 # Importing the modules populates the registry.
 from . import relational  # noqa: E402,F401
 from . import relational_ext  # noqa: E402,F401
+from . import relational_tpch2  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 from . import mapreduce_queries  # noqa: E402,F401
