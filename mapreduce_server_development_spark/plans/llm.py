@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.dedup import (
+    connected_components,
     exact_dedup,
     minhash_near_dups,
     ngram_jaccard_pairs,
@@ -851,3 +852,65 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lang") == "en")
         .select("doc_id", "n_tokens")
     )  # no trailing sort: document-linear output
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster assignment (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_TOKS_CTE},
+    {_shingle_cte(5)},
+    hot AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 1000
+    ),
+    shp AS (
+        SELECT doc, shingle FROM sh
+        WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n_sh FROM shp GROUP BY doc),
+    inter AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+        FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc = i.doc_a
+        JOIN sizes sb ON sb.doc = i.doc_b
+        WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4)
+              >= 0.2
+    ),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.node
+    )
+    SELECT node AS doc_id, MIN(r) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: 5-gram Jaccard pairs (>= 0.2) become
+    edges; every document gets the min doc_id of its connected
+    component (singletons label themselves). keep-one-per-cluster is
+    then a trivial ``cluster_id = doc_id`` filter.
+
+    Spark side iterates min-label propagation
+    (``functions/dedup.py connected_components``); the oracle computes
+    the same fixpoint as a DuckDB recursive CTE over the identical pair
+    relation — two independent formulations of transitive closure.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.2, max_doc_freq=1000)
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return connected_components(nodes, edges).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )

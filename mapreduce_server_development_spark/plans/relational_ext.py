@@ -780,3 +780,79 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event funnel (ordered step matching per user)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_event_funnel",
+    oracle="""
+    WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+    s1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM ev
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts_us) AS t2 FROM ev e
+           JOIN s1 ON s1.user_id = e.user_id AND e.ts_us > s1.t1
+           WHERE e.event_type = 'click' GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts_us) AS t3 FROM ev e
+           JOIN s2 ON s2.user_id = e.user_id AND e.ts_us > s2.t2
+           WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT 1 AS step, 'view' AS step_name,
+           (SELECT COUNT(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel view -> click -> purchase: how many users
+    completed each prefix of the step sequence IN ORDER (each step
+    strictly after the user's first qualifying instant of the previous
+    one).
+
+    Each stage is a per-user aggregate joined to the previous stage's
+    one-row-per-user relation — the relation shrinks monotonically, so
+    stage k's join input is bounded by stage k-1's survivors. All
+    timestamps compared as unix micros on both engines (the events
+    parquet is nanos; Spark truncates to micros at load, so the oracle
+    must compare at micros too). Step counts are driver-bounded (3
+    rows).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts_us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+
+    def _count(df: DataFrame, step: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(step).alias("step"),
+            F.lit(name).alias("step_name"),
+            F.count("*").alias("n_users"),
+        )
+
+    return (
+        _count(s1, 1, "view")
+        .unionAll(_count(s2, 2, "click"))
+        .unionAll(_count(s3, 3, "purchase"))
+    )

@@ -103,3 +103,13 @@ def test_multiprobe_lsh_recall_dominates_single_probe(spark):
     }
     assert single <= multi
     assert len(multi) >= len(single)
+
+
+def test_connected_components_chain_and_singleton(spark):
+    from mapreduce_server_development_spark.functions.dedup import connected_components
+
+    # chain 1-2-3 (no direct 1-3 edge), pair 10-11, singleton 20
+    nodes = spark.createDataFrame([(n,) for n in [1, 2, 3, 10, 11, 20]], ["node"])
+    edges = spark.createDataFrame([(2, 1), (2, 3), (10, 11)], ["a", "b"])
+    got = {r["node"]: r["component"] for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
