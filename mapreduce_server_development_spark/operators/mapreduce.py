@@ -100,9 +100,13 @@ def _pipe_per_file(sc: SparkContext, files: list[str], executable: str) -> RDD:
     ``sc.textFile(f).coalesce(1).pipe(cmd)`` = read the file, feed its
     lines to the executable's stdin, one element per stdout line —
     exactly the reference worker's per-file Popen/communicate loop.
+
+    ``checkCode=True`` so a nonzero exit FAILS the task (instead of
+    silently truncating its output) and Spark's task re-execution —
+    F13, the reference manager's dead-worker reassignment — kicks in.
     """
     cmd = shlex.quote(executable)
-    rdds = [sc.textFile(f, 1).coalesce(1).pipe(cmd) for f in files]
+    rdds = [sc.textFile(f, 1).coalesce(1).pipe(cmd, checkCode=True) for f in files]
     if not rdds:
         return sc.emptyRDD()
     return sc.union(rdds)
@@ -167,7 +171,7 @@ def run_job(
 
     # F7: one reducer subprocess per reduce partition, sorted lines on
     # stdin — partition i becomes outputfile(i+1).
-    reduced = sorted_lines.pipe(shlex.quote(reducer_executable))
+    reduced = sorted_lines.pipe(shlex.quote(reducer_executable), checkCode=True)
 
     return _sink_numbered(reduced, output_directory)
 

@@ -185,3 +185,74 @@ print('EXTERNAL_CWD_OK')
         timeout=300,
     )
     assert "EXTERNAL_CWD_OK" in res.stdout, res.stderr[-2000:]
+
+
+@needs_reference
+def test_task_retry_on_mapper_failure(tmp_path):
+    """F13: a mapper that crashes on its first attempt is re-executed.
+
+    The reference golden-tests dead-worker reassignment
+    (test_manager_05); the Spark analog is task re-execution. The
+    flaky mapper wins an atomic mkdir exactly once and exits 1 that
+    time; with ``local[4,2]`` (2 task attempts) the retried attempt
+    sees the marker, runs the real wc map, and the job completes
+    byte-exact. Needs its own session (maxFailures is fixed at session
+    creation), so it runs in a subprocess like the external-cwd test.
+    Also guards checkCode=True: without it, the failed pipe would
+    SILENTLY truncate output instead of failing the task.
+    """
+    import subprocess
+    import sys as _sys
+
+    marker = tmp_path / "failed_once"
+    flaky = tmp_path / "flaky_wc_map.sh"
+    flaky.write_text(
+        "#!/bin/bash\n"
+        "set -Eeuo pipefail\n"
+        f"if mkdir {marker} 2>/dev/null; then\n"
+        "  echo 'simulated worker death' >&2; exit 1\n"
+        "fi\n"
+        f"exec {EXEC / 'wc_map.sh'}\n"
+    )
+    flaky.chmod(0o755)
+    code = f"""
+import sys
+sys.path.insert(0, '/root/repo')
+import filecmp
+from pyspark.sql import SparkSession
+from mapreduce_server_development_spark.operators import run_job
+spark = SparkSession.builder.master('local[4,2]').getOrCreate()
+outs = run_job(spark, {str(INPUT)!r}, {str(tmp_path / 'out')!r},
+               {str(flaky)!r}, {str(EXEC / 'wc_reduce.sh')!r}, 2, 1)
+assert filecmp.cmp({str(CORRECT / 'word_count_correct.txt')!r}, outs[0], shallow=False)
+print('RETRY_OK')
+"""
+    res = subprocess.run(
+        [_sys.executable, "-c", code],
+        cwd=tmp_path,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "RETRY_OK" in res.stdout, res.stderr[-2000:]
+    assert marker.exists()  # the failure really happened
+
+
+@needs_reference
+def test_mapper_failure_fails_job_not_truncates(spark, tmp_path):
+    """A permanently-failing mapper must FAIL the job (checkCode=True),
+    never silently produce partial output — the reference worker
+    reports task failure to the manager rather than writing bad data."""
+    bad = tmp_path / "bad_map.sh"
+    bad.write_text("#!/bin/bash\nexit 3\n")
+    bad.chmod(0o755)
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Py4JJavaError):
+        _run_with(spark, tmp_path, str(bad), str(EXEC / "wc_reduce.sh"))
+
+
+def _run_with(spark, tmp_path, mapper, reducer):
+    from mapreduce_server_development_spark.operators import run_job
+
+    return run_job(spark, str(INPUT), str(tmp_path / "out"), mapper, reducer, 2, 1)
