@@ -18,5 +18,6 @@ from . import mapreduce_queries  # noqa: E402,F401
 from . import multimodal_queries  # noqa: E402,F401
 from . import udf_queries  # noqa: E402,F401
 from . import text_ngram  # noqa: E402,F401
+from . import sampling  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]

@@ -1,0 +1,158 @@
+"""Reproducible sampling for training-data pipelines: hash-Bernoulli
+sampling, train/val/test splits, and weighted per-source dataset mixing.
+
+Random sampling (``df.sample``) is NOT reproducible across engines,
+runs, or repartitions — the standard pipeline practice at scale is
+*deterministic hash bucketing*: a document's fate is a pure function of
+a salt and its key, so every engine, rerun, and incremental batch
+agrees on membership. All three operators here are stateless
+scan→filter/project plans — **zero shuffles** (the mix report adds one
+bounded per-source agg), which is exactly the 100 TB posture: sampling
+100 TB costs one pass and prunes columns at the parquet scan.
+
+The bucket is the first 16 bits of ``md5(salt || ':' || key)`` taken
+mod 1000 — decoded nibble-by-nibble with the same hex-alphabet idiom as
+simhash (``functions/dedup.py _nibble``), so DuckDB reproduces it
+bit-for-bit (no engine-specific hash ever involved).
+
+Reference parity: the reference has no sampling surface; this is part
+of the additive LLM-pipeline plane mandated by the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+
+def hash_bucket(salt: str, key: Column, buckets: int = 1000) -> Column:
+    """Deterministic bucket 0..buckets-1 from md5(salt ':' key).
+
+    Uses the first 4 hex nibbles (16 bits) — plenty of entropy for
+    permille rates — decoded positionally so any engine with md5 + a
+    hex alphabet reproduces it.
+    """
+    h = F.md5(F.concat(F.lit(salt + ":"), key.cast("string")))
+
+    def nib(d: int) -> Column:
+        return F.conv(F.substring(h, d + 1, 1), 16, 10).cast("long")
+
+    return (nib(0) * 4096 + nib(1) * 256 + nib(2) * 16 + nib(3)) % buckets
+
+
+def _bucket_sql(salt: str, key_expr: str, buckets: int = 1000) -> str:
+    """DuckDB rendering of :func:`hash_bucket` (same value, same bits)."""
+    h = f"md5('{salt}:' || CAST({key_expr} AS VARCHAR))"
+
+    def nib(d: int) -> str:
+        return f"(strpos('0123456789abcdef', substr({h}, {d + 1}, 1)) - 1)"
+
+    return f"(({nib(0)}*4096 + {nib(1)}*256 + {nib(2)}*16 + {nib(3)}) % {buckets})"
+
+
+@query(
+    "q_hash_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_bucket_sql('sample', 'doc_id')} < 100
+    """,
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% reproducible Bernoulli sample of the corpus.
+
+    Membership is ``bucket(salt, doc_id) < 100`` — a pure projection
+    filter: no shuffle, no state, stable under repartitioning and
+    incremental reruns (a doc sampled today is sampled tomorrow).
+    Changing the salt draws an independent sample.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(hash_bucket("sample", F.col("doc_id")) < 100).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "q_train_test_split",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT lang,
+               CASE WHEN {_bucket_sql('split', 'doc_id')} < 800 THEN 'train'
+                    WHEN {_bucket_sql('split', 'doc_id')} < 900 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT lang, split, COUNT(*) AS n_docs
+    FROM tagged GROUP BY lang, split
+    """,
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment, reported per language.
+
+    The split column is a deterministic function of doc_id — no
+    leakage across reruns, engines, or shards; near-dup-safe splitting
+    composes by keying the bucket on ``q_dup_clusters``' cluster_id
+    instead of doc_id. The only shuffle is the bounded
+    (lang x split) count report.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket("split", F.col("doc_id"))
+    return (
+        docs.select(
+            "lang",
+            F.when(b < 800, "train").when(b < 900, "val").otherwise("test").alias(
+                "split"
+            ),
+        )
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "q_dataset_mix",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT source,
+               200 + 50 * (CAST(substr(source, 4) AS INTEGER) % 10)
+                   AS rate_permille,
+               {_bucket_sql('mix', 'doc_id')} AS b
+        FROM documents
+    )
+    SELECT source, rate_permille,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN b < rate_permille THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+    FROM tagged GROUP BY source, rate_permille
+    """,
+)
+def q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixing: each source is downsampled at its own
+    target rate (here derived arithmetically from the source id:
+    200-650 permille), in one pass.
+
+    This is the "recipe" step of corpus assembly — web 20%, books 65%,
+    etc. — done as a per-row hash filter, so the mix is reproducible
+    and incremental. Reported as per-source kept/total counts; the
+    keep-filter itself (``b < rate_permille``) is shuffle-free.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rate = 200 + 50 * (F.substring("source", 4, 10).cast("int") % 10)
+    b = hash_bucket("mix", F.col("doc_id"))
+    return (
+        docs.select(
+            "source",
+            rate.alias("rate_permille"),
+            b.alias("b"),
+        )
+        .groupBy("source", "rate_permille")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("b") < F.col("rate_permille"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )

@@ -90,3 +90,29 @@ def test_no_cartesian_products_outside_documented_paths(spark):
         "q_range_join",
     ):
         assert "CartesianProduct" not in _plan(spark, name), name
+
+
+def test_hash_sample_is_shuffle_free(spark):
+    """Deterministic sampling must stay a scan->filter->project plan —
+    no Exchange anywhere (SCALE.md: sampling 100 TB costs one pass)."""
+    plan = _plan(spark, "q_hash_sample")
+    assert "Exchange" not in plan
+
+
+def test_hash_bucket_engine_stable(spark):
+    """The bucket is a pure function of (salt, key) — pin a few values
+    so a refactor (different hash, different nibble order) cannot
+    silently resample every corpus."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_server_development_spark.plans.sampling import hash_bucket
+
+    import hashlib
+
+    df = spark.range(5).select(
+        "id", hash_bucket("sample", F.col("id")).alias("b")
+    )
+    got = {r["id"]: r["b"] for r in df.collect()}
+    for k in range(5):
+        h = hashlib.md5(f"sample:{k}".encode()).hexdigest()
+        assert got[k] == int(h[:4], 16) % 1000
