@@ -256,3 +256,39 @@ def _run_with(spark, tmp_path, mapper, reducer):
     from mapreduce_server_development_spark.operators import run_job
 
     return run_job(spark, str(INPUT), str(tmp_path / "out"), mapper, reducer, 2, 1)
+
+
+@needs_reference
+def test_concurrent_job_submission(spark, tmp_path):
+    """F9 multi-job queueing (reference test_manager_04): two jobs
+    submitted to the same engine at once both run to byte-exact
+    completion. Spark's scheduler interleaves their stages across the
+    shared executor pool — each thread's action is an independent job
+    in the FIFO queue, no cross-talk in outputs."""
+    import threading
+
+    results: dict[str, list[str]] = {}
+    errors: list[BaseException] = []
+
+    def submit(tag, mapper, reducer):
+        try:
+            results[tag] = _run(
+                spark, tmp_path / tag, mapper, reducer, 2, 1
+            )
+        except BaseException as e:  # noqa: BLE001 — surfaced below
+            errors.append(e)
+
+    t1 = threading.Thread(
+        target=submit, args=("wc", "wc_map.sh", "wc_reduce.sh")
+    )
+    t2 = threading.Thread(
+        target=submit, args=("grep", "grep_map.py", "grep_reduce.py")
+    )
+    t1.start(); t2.start(); t1.join(120); t2.join(120)
+    assert not errors, errors
+    assert filecmp.cmp(
+        CORRECT / "word_count_correct.txt", results["wc"][0], shallow=False
+    )
+    assert filecmp.cmp(
+        CORRECT / "grep_correct.txt", results["grep"][0], shallow=False
+    )
