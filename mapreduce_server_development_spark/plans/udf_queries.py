@@ -112,3 +112,54 @@ def q_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return emb.select("vec_id", F.round(l2("embedding"), 6).alias("l2_norm"))
+
+
+@query(
+    "q_udtf_chunk",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_id,
+           CAST(least(32, len(toks) - i * 32) AS INTEGER) AS chunk_len,
+           toks[i * 32 + 1] AS first_token
+    FROM toks,
+         unnest(range(0, CAST(ceil(len(toks) / 32.0) AS BIGINT))) AS r(i)
+    """,
+)
+def q_udtf_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking via a Python UDTF (1 -> N rows).
+
+    The reference's whole query language is "arbitrary executable as
+    UDTF" (stdin lines -> stdout lines, SURVEY §2.3); ``rdd.pipe``
+    keeps that literal contract, and this is the idiomatic
+    table-function form: a ``@udtf`` class whose ``eval`` yields one
+    row per 32-token chunk — the standard corpus-prep step that splits
+    documents into model-context-sized pieces.
+
+    Scale posture: the UDTF is a narrow 1->N flatMap — no shuffle; the
+    Python boundary is the documented cost (chunking is genuinely
+    imperative: ragged slicing + per-chunk metadata). Zero-token
+    documents yield no rows on both engines.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_id int, chunk_len int, first_token string")
+    class ChunkDoc:
+        def eval(self, doc_id, toks):  # noqa: D102 — UDTF contract
+            for i in range(0, len(toks), 32):
+                chunk = toks[i : i + 32]
+                yield doc_id, i // 32, len(chunk), chunk[0]
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.text import tokens_col
+
+    view = "docs_toks_udtf"
+    docs.select("doc_id", tokens_col(F.lower(F.col("text"))).alias("toks")).createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT c.* FROM {view}, LATERAL chunk_doc(doc_id, toks) c"
+    )

@@ -59,3 +59,17 @@ def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
 def write_json(df: DataFrame, path: str) -> None:
     """JSON-Lines sink (overwrite) — one file per partition."""
     df.write.mode("overwrite").json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — columnar like parquet, schema embedded.
+
+    ORC is Spark-native (vectorized reader, predicate pushdown, column
+    pruning — same scan properties as the parquet plane).
+    """
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (overwrite) — one file per partition."""
+    df.write.mode("overwrite").orc(path)

@@ -120,3 +120,28 @@ def test_merge_schema_evolution(spark, tmp_path):
     assert set(df.columns) == {"id", "v", "extra", "batch"}
     assert df.count() == 20
     assert df.filter("extra IS NULL").count() == 10
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from mapreduce_server_development_spark.sources import read_orc, write_orc
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    path = str(tmp_path / "orc")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert sorted((r.k, r.v) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_orc_predicate_pushdown(spark, tmp_path):
+    """ORC scans must keep the same pushdown properties as parquet."""
+    from mapreduce_server_development_spark.sources import read_orc, write_orc
+
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    path = str(tmp_path / "orc")
+    write_orc(df, path)
+    q = read_orc(spark, path).filter("k > 990")
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [IsNotNull(k), GreaterThan(k,990)]" in plan
+    assert q.count() == 9
