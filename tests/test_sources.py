@@ -145,3 +145,33 @@ def test_orc_predicate_pushdown(spark, tmp_path):
     )
     assert "PushedFilters: [IsNotNull(k), GreaterThan(k,990)]" in plan
     assert q.count() == 9
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A join against a FILTERED dim must prune fact partitions at
+    RUNTIME (DPP): the fact scan's PartitionFilters gains a
+    dynamicpruning subquery fed by the dim side — at 100 TB this is
+    the difference between scanning 3 years and scanning the joined
+    days only."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_server_development_spark.sources.partitioned import (
+        write_partitioned_by_day,
+    )
+
+    ev = spark.range(2000).select(
+        F.col("id"),
+        F.timestamp_seconds(F.lit(1704600000) + F.col("id") * 900).alias("ts"),
+    )
+    path = str(tmp_path / "fact")
+    write_partitioned_by_day(ev, path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("2024-01-07", "keep"), ("2024-01-08", "keep"), ("2024-02-01", "drop")],
+        ["day", "tag"],
+    )
+    q = fact.join(F.broadcast(dim.filter("tag = 'keep'")), "day")
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruning" in plan.lower()
