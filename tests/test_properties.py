@@ -87,3 +87,46 @@ def test_tokens_and_shingles_match_python_reference(spark, texts):
         psh = [" ".join(ptoks[j : j + 2]) for j in range(len(ptoks) - 1)]
         assert out[i][0] == ptoks, (t, out[i][0])
         assert out[i][1] == psh, (t, out[i][1])
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)), max_size=20
+    )
+)
+def test_connected_components_match_union_find(spark, edges):
+    """The iterative min-label propagation must agree with a pure-Python
+    union-find on arbitrary small graphs (self-loops, parallel edges,
+    long chains, isolated nodes)."""
+    from mapreduce_server_development_spark.functions.dedup import (
+        connected_components,
+    )
+
+    nodes = list(range(15))
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    # canonical label = min node id in the set
+    expected = {}
+    for n in nodes:
+        r = find(n)
+        expected.setdefault(r, []).append(n)
+    want = {n: min(mem) for mem in expected.values() for n in mem}
+
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node long")
+    edf = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "a long, b long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(ndf, edf).collect()
+    }
+    assert got == want
