@@ -35,7 +35,7 @@ from .registry import query
     oracle="""
     SELECT o_orderkey, o_custkey,
            ROUND((o_totalprice - AVG(o_totalprice) OVER w)
-                 / STDDEV_SAMP(o_totalprice) OVER w, 4) AS z
+                 / STDDEV_SAMP(o_totalprice) OVER w, 4) + 0.0 AS z
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey)
     QUALIFY COUNT(*) OVER w > 1
@@ -76,7 +76,9 @@ def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .applyInPandas(zscore, schema="o_orderkey long, o_custkey long, z double")
     )
-    return raw.withColumn("z", F.round("z", 4))
+    # "+ 0.0" normalizes IEEE negative zero (round can yield -0.0 and
+    # the engines disagree on its string form — bites first at sf0.1).
+    return raw.withColumn("z", F.round("z", 4) + F.lit(0.0))
 
 
 @query(
