@@ -386,3 +386,63 @@ def connected_components(
         if improved == 0:
             break
     return labels
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    max_dist: int = 16,
+    bucket_chars: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Character-level near-dup pairs: levenshtein(a, b) <= max_dist.
+
+    The character-edit family catches what token/bit-level dedup
+    (jaccard/minhash/simhash) misses: small in-word typos and
+    OCR-style corruption. All-pairs levenshtein is O(n^2 * len^2) —
+    never viable — so candidates are blocked on (lang, floor(n_chars /
+    bucket_chars)), with the ADJACENT length bucket probed too (two
+    equi-joins, like simhash's pigeonhole bands) so a pair straddling
+    a bucket boundary is not lost; a true pair more than one bucket
+    apart is impossible once ``bucket_chars > max_dist`` (edit distance
+    >= length difference). Spark's banded ``levenshtein(l, r,
+    threshold)`` abandons the DP early above the threshold.
+
+    Same-bucket pairs are ordered by ``id_a < id_b``; cross-bucket
+    pairs are emitted once (lower bucket on the left) and id-normalized
+    with least/greatest — no distinct needed, no duplicate generation.
+    A length-gap prefilter (``|len_a - len_b| <= max_dist``, valid
+    because edit distance >= length difference) prunes most candidates
+    before any DP cell is computed.
+    """
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.col(lang_col).alias("lg"),
+        F.col(text_col).alias("txt"),
+        F.col("n_chars").alias("len"),
+        F.floor(F.col("n_chars") / bucket_chars).alias("bkt"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    close = F.abs(F.col("a.len") - F.col("b.len")) <= max_dist
+    dist = F.levenshtein(F.col("a.txt"), F.col("b.txt"), max_dist).cast("int")
+    same = a.join(
+        b,
+        (F.col("a.lg") == F.col("b.lg"))
+        & (F.col("a.bkt") == F.col("b.bkt"))
+        & (F.col("a.id") < F.col("b.id"))
+        & close,
+    ).select(
+        F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"), dist.alias("dist")
+    )
+    adj = a.join(
+        b,
+        (F.col("a.lg") == F.col("b.lg"))
+        & (F.col("a.bkt") + 1 == F.col("b.bkt"))
+        & close,
+    ).select(
+        F.least(F.col("a.id"), F.col("b.id")).alias("doc_a"),
+        F.greatest(F.col("a.id"), F.col("b.id")).alias("doc_b"),
+        dist.alias("dist"),
+    )
+    return same.unionAll(adj).filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))

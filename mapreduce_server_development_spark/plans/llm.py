@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.dedup import (
     connected_components,
+    edit_distance_pairs,
     exact_dedup,
     minhash_near_dups,
     ngram_jaccard_pairs,
@@ -914,3 +915,37 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(nodes, edges).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+@query(
+    "q_edit_distance_pairs",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang, text, n_chars, n_chars // 64 AS bkt FROM documents
+    ),
+    c1 AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+         AND abs(a.n_chars - b.n_chars) <= 16
+    ),
+    c2 AS (
+        SELECT least(a.doc_id, b.doc_id) AS doc_a,
+               greatest(a.doc_id, b.doc_id) AS doc_b,
+               CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.bkt + 1 = b.bkt
+         AND abs(a.n_chars - b.n_chars) <= 16
+    )
+    SELECT doc_a, doc_b, dist
+    FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+    WHERE dist <= 16
+    """,
+)
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level (typo/OCR) near-dup pairs: blocked levenshtein
+    join, distance <= 16 (see ``functions/dedup.py
+    edit_distance_pairs`` for the blocking argument)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return edit_distance_pairs(docs, max_dist=16, bucket_chars=64)
