@@ -149,7 +149,10 @@ def q_udtf_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="doc_id bigint, chunk_id int, chunk_len int, first_token string")
+    @udtf(
+        returnType="doc_id bigint, chunk_id int, chunk_len int, first_token string",
+        useArrow=True,
+    )
     class ChunkDoc:
         def eval(self, doc_id, toks):  # noqa: D102 — UDTF contract
             for i in range(0, len(toks), 32):
