@@ -44,6 +44,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.driver.maxResultSize", "2g")
+        # Local mode runs the whole engine in the driver JVM; the 1g
+        # default heap GC-thrashes once ~32 shuffle tasks run hot.
+        # Upper bound, not an allocation; on a cluster use
+        # executor-memory sizing instead.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
