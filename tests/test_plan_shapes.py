@@ -116,3 +116,23 @@ def test_hash_bucket_engine_stable(spark):
     for k in range(5):
         h = hashlib.md5(f"sample:{k}".encode()).hexdigest()
         assert got[k] == int(h[:4], 16) % 1000
+
+
+def test_q2_broadcasts_bounded_dims_only(spark):
+    """Q2's supplier/nation/region/part are broadcast; the
+    (partkey, suppkey) cost agg is the only fact-side shuffle."""
+    plan = _plan(spark, "q2_min_cost_supplier")
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the min-cost join-back must NOT be a broadcast of the fact side
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_q21_single_fact_pass(spark):
+    """Q21 computes EXISTS/NOT-EXISTS via per-order stats — lineitem
+    must be scanned at most twice (lines + stats reuse), never the
+    textbook triple self-join."""
+    plan = _plan(spark, "q21_waiting_supplier")
+    # formatted explain lists each node in the tree ("Scan parquet  (n)")
+    # and again in the details section — count tree nodes only.
+    assert plan.count("Scan parquet  (") <= 5  # 2x lineitem, 2x orders, supplier
+    assert "CartesianProduct" not in plan
