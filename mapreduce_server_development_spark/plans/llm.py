@@ -949,3 +949,79 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     edit_distance_pairs`` for the blocking argument)."""
     docs = load_table(spark, sf_dir, "documents")
     return edit_distance_pairs(docs, max_dist=16, bucket_chars=64)
+
+
+@query(
+    "q_unigram_logprob",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    tokrows AS (SELECT doc, unnest(toks) AS tok FROM toks),
+    uni AS (SELECT tok, COUNT(*) AS c FROM tokrows GROUP BY tok),
+    tot AS (SELECT SUM(c) AS t FROM uni),
+    scored AS (
+        SELECT r.doc,
+               CAST(round(ln(CAST(u.c AS DOUBLE) / CAST(t.t AS DOUBLE)) * 10000)
+                    AS BIGINT) AS lp
+        FROM tokrows r JOIN uni u ON u.tok = r.tok CROSS JOIN tot t
+    ),
+    per_doc AS (
+        SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(lp) AS BIGINT) AS logprob_tenk
+        FROM scored GROUP BY doc
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_tokens, 0) AS n_tokens,
+           COALESCE(p.logprob_tenk, 0) AS logprob_tenk
+    FROM documents d LEFT JOIN per_doc p ON p.doc = d.doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram log-probability per document (perplexity proxy): sum of
+    ln(corpus_freq(tok) / corpus_tokens) over the doc's tokens — the
+    standard cheap LM-quality signal for corpus filtering.
+
+    Cross-engine float discipline: a SUM of raw doubles is
+    order-sensitive (Spark's partial aggregation vs DuckDB's sequential
+    sum drift by ulps), so each term is fixed-pointed FIRST —
+    ``round(ln(p) * 1e4) -> BIGINT`` — and the sum is exact integer
+    arithmetic on both engines. Empty documents are LEFT-JOINed back
+    (zero tokens, zero logprob) so row counts match.
+
+    Scale: unigram table is a (token) shuffle of the exploded corpus;
+    the scoring join re-shuffles on token (vocab is Zipf-bounded, far
+    smaller than the corpus); per-doc sum shuffles on doc_id. Three
+    key-partitioned shuffles, no driver materialization, no UDF.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(tokens_col(F.lower(F.col("text")))).alias("tok"),
+    )
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = uni.agg(F.sum("c").alias("t"))
+    lp = (
+        F.round(
+            F.log(F.col("c").cast("double") / F.col("t").cast("double")) * 10000
+        )
+        .cast("long")
+        .alias("lp")
+    )
+    per_doc = (
+        toks.join(uni, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select("doc", lp)
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("lp").cast("long").alias("logprob_tenk"),
+        )
+    )
+    return docs.select("doc_id").join(
+        per_doc, docs.doc_id == per_doc.doc, "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
+        F.coalesce(F.col("logprob_tenk"), F.lit(0).cast("long")).alias(
+            "logprob_tenk"
+        ),
+    )
