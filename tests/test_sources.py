@@ -175,3 +175,23 @@ def test_dynamic_partition_pruning(spark, tmp_path):
         q._jdf.queryExecution(), "formatted"
     )
     assert "dynamicpruning" in plan.lower()
+
+
+def test_dynamic_partition_overwrite_backfill(spark, tmp_path):
+    """Incremental backfill: rewriting ONE day must leave every other
+    partition byte-identical (partitionOverwriteMode=dynamic) — full
+    overwrite of a 3-year table to fix one day is not a 100 TB option."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("2024-01-07", 1), ("2024-01-07", 2), ("2024-01-08", 3)], ["day", "v"]
+    )
+    base.write.partitionBy("day").parquet(path)
+    fix = spark.createDataFrame([("2024-01-07", 99)], ["day", "v"])
+    (fix.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day").parquet(path))
+    # partition columns are type-inferred on read: day comes back as a date
+    got = sorted((str(r.day), r.v) for r in spark.read.parquet(path).collect())
+    assert got == [("2024-01-07", 99), ("2024-01-08", 3)]
