@@ -22,7 +22,7 @@ plane the build brief mandates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.dedup import (
@@ -1024,4 +1024,98 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("logprob_tenk"), F.lit(0).cast("long")).alias(
             "logprob_tenk"
         ),
+    )
+
+
+@query(
+    "q_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_TOKS_CTE},
+    {_shingle_cte(5)},
+    hot AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 1000
+    ),
+    shp AS (
+        SELECT doc, shingle FROM sh
+        WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n_sh FROM shp GROUP BY doc),
+    inter AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+        FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc = i.doc_a
+        JOIN sizes sb ON sb.doc = i.doc_b
+        WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4)
+              >= 0.2
+    ),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.node
+    ),
+    clusters AS (
+        SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    ),
+    scored AS (
+        SELECT c.cluster_id, d.doc_id, d.n_chars,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY d.n_chars DESC, d.doc_id) AS rk
+        FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT cluster_id,
+           MAX(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc_id,
+           CAST(MAX(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT) AS kept_n_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM scored
+    GROUP BY cluster_id
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware dedup that KEEPS the best representative: near-dup
+    clusters (5-gram Jaccard >= 0.2 -> connected components, exactly
+    q_dup_clusters' edge relation) reduced to one survivor each, chosen
+    as the longest document (``n_chars`` DESC, doc_id ASC tiebreak).
+
+    This is the canonical LLM-corpus dedup step ("drop near-dups, keep
+    the highest-quality copy") as a pure composition of existing
+    operators: pair generation -> transitive closure -> per-cluster
+    argmax via ROW_NUMBER. Output is one row per cluster with the
+    survivor and member count, so downstream filtering is a semi-join
+    against kept_doc_id.
+
+    Scale: pairs + components are the audited scale paths; the argmax
+    adds one shuffle on cluster_id (same key as the component groupBy)
+    and the per-cluster window never sees more rows than the cluster
+    size. Reference parity: the reference has no dedup plane; this is
+    brief-mandated additive surface.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.2, max_doc_freq=1000)
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    clusters = connected_components(nodes, edges).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    scored = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = (
+        Window.partitionBy("cluster_id")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("kept_doc_id"),
+            F.max(F.when(F.col("rk") == 1, F.col("n_chars")))
+            .cast("long")
+            .alias("kept_n_chars"),
+            F.count("*").cast("long").alias("n_members"),
+        )
     )

@@ -856,3 +856,98 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_count(s2, 2, "click"))
         .unionAll(_count(s3, 3, "purchase"))
     )
+
+
+@query(
+    "q_events_gapfill",
+    oracle="""
+    WITH RECURSIVE bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    hours(h) AS (
+        SELECT lo FROM bounds
+        UNION ALL
+        SELECT h + INTERVAL 1 HOUR FROM hours, bounds WHERE h < hi
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    filled AS (
+        SELECT s.h, s.event_type,
+               COALESCE(hr.n, 0) AS n_events,
+               CASE WHEN hr.n IS NULL THEN 1 ELSE 0 END AS gap
+        FROM (SELECT h, event_type FROM hours, types) s
+        LEFT JOIN hourly hr ON hr.h = s.h AND hr.event_type = s.event_type
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(gap AS INTEGER) AS gap,
+           CAST(COALESCE(
+               last_value(CASE WHEN gap = 0 THEN n_events END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY h
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               0) AS BIGINT) AS locf_events
+    FROM filled
+    """,
+)
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill (hypertable-style densified rollup): hourly
+    event counts per type over a DENSE hour spine — missing buckets
+    appear with n_events = 0, flagged ``gap = 1``, plus a
+    last-observation-carried-forward column (``locf_events``) so
+    downstream charting/feature code never special-cases holes.
+
+    Spark plan: the spine is ``sequence(min_hour, max_hour, 1 hour)``
+    exploded from a single aggregated row, cross-joined (broadcast
+    nested loop over a bounded side) with the distinct event types,
+    then left-joined to the hourly aggregate. LOCF is
+    ``last(value, ignorenulls=True)`` over an explicit ROWS frame.
+
+    Scale: the spine is |hours| x |types| — a function of the TIME
+    RANGE and type cardinality, not the row count, so it stays tiny at
+    100 TB; the only data-sized operation is the hourly pre-aggregation
+    (one shuffle, map-side combine). The LOCF window partitions by
+    event_type over the spine, not the raw events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    spine_h = (
+        ev.agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("h")
+        )
+    )
+    spine = ev.select("event_type").distinct().crossJoin(F.broadcast(spine_h))
+    filled = spine.join(hourly, ["h", "event_type"], "left").select(
+        "h",
+        "event_type",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.when(F.col("n").isNull(), 1).otherwise(0).alias("gap"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    locf = F.last(
+        F.when(F.col("gap") == 0, F.col("n_events")), ignorenulls=True
+    ).over(w)
+    return filled.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        "n_events",
+        "gap",
+        F.coalesce(locf, F.lit(0)).cast("long").alias("locf_events"),
+    )
