@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.dedup import (
+    _pruned_shingles,
     connected_components,
     edit_distance_pairs,
     exact_dedup,
@@ -33,6 +34,7 @@ from ..functions.dedup import (
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
+from .sampling import _bucket_sql as _sampling_bucket_sql
 from ..functions.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
@@ -1117,5 +1119,84 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("kept_n_chars"),
             F.count("*").cast("long").alias("n_members"),
+        )
+    )
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    {_shingle_cte(8)},
+    hot AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 1000
+    ),
+    shp AS (
+        SELECT doc, shingle FROM sh
+        WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ),
+    tagged AS (
+        SELECT doc_id,
+               CASE WHEN {{bucket}} < 800 THEN 'train'
+                    WHEN {{bucket}} < 900 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    tr AS (
+        SELECT s.doc, s.shingle FROM shp s
+        JOIN tagged t ON t.doc_id = s.doc WHERE t.split = 'train'
+    ),
+    te AS (
+        SELECT s.doc, s.shingle FROM shp s
+        JOIN tagged t ON t.doc_id = s.doc WHERE t.split = 'test'
+    )
+    SELECT tr.doc AS doc_id,
+           CAST(COUNT(DISTINCT tr.shingle) AS BIGINT) AS n_shared_shingles,
+           CAST(COUNT(DISTINCT te.doc) AS BIGINT) AS n_test_docs
+    FROM tr JOIN te ON te.shingle = tr.shingle
+    GROUP BY tr.doc
+    """.format(bucket=_sampling_bucket_sql("split", "doc_id")),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test n-gram decontamination: flag TRAIN documents that
+    share any 8-word shingle with a TEST document, with the overlap
+    volume (distinct shared shingles, distinct test docs hit).
+
+    Composition of two existing planes: the deterministic hash split
+    (``sampling.hash_bucket`` — so both engines agree on membership)
+    and the pruned shingle relation used by the Jaccard/minhash dedup
+    family (boilerplate shingles in > 1000 docs dropped before the
+    join, bounding fan-out exactly as argued there).
+
+    Scale: shingle the corpus once, split by a pure hash filter, then
+    one equi-join on shingle — the test side is a small fraction (10%)
+    and only its shingles participate, so the join's build side stays
+    proportional to the eval set. This is the standard pre-training
+    decontamination step (remove eval overlap from train).
+    """
+    from .sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket("split", F.col("doc_id"))
+    split = (
+        F.when(b < 800, "train").when(b < 900, "val").otherwise("test")
+    ).alias("split")
+    tagged = docs.select(F.col("doc_id").alias("doc2"), split)
+    sh = _pruned_shingles(docs, "text", "doc_id", 8, 1000).join(
+        tagged, F.col("doc") == F.col("doc2")
+    )
+    tr = sh.filter(F.col("split") == "train").select("doc", "shingle")
+    te = sh.filter(F.col("split") == "test").select(
+        F.col("doc").alias("test_doc"), "shingle"
+    )
+    return (
+        tr.join(te, "shingle")
+        .groupBy("doc")
+        .agg(
+            F.count_distinct("shingle").cast("long").alias("n_shared_shingles"),
+            F.count_distinct("test_doc").cast("long").alias("n_test_docs"),
+        )
+        .select(
+            F.col("doc").alias("doc_id"), "n_shared_shingles", "n_test_docs"
         )
     )
