@@ -951,3 +951,52 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gap",
         F.coalesce(locf, F.lit(0)).cast("long").alias("locf_events"),
     )
+
+
+@query(
+    "q_value_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               CAST(FLOOR(CAST(value AS DECIMAL(16,4)) / 25) AS INTEGER) AS bucket,
+               CAST(value AS DECIMAL(16,4)) AS v
+        FROM events
+    )
+    SELECT event_type, bucket,
+           bucket * 25 AS lo,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS total_value
+    FROM b GROUP BY 1, 2
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values (width 25) per event type.
+
+    Bucketing is done in DECIMAL arithmetic — ``floor(dec(16,4) / 25)``
+    is mathematically exact in both engines, so bucket edges can never
+    flip on float noise (the repo-wide decimal-money idiom applied to
+    binning). One shuffle on the bounded (type x bucket) key with
+    map-side combine; output is |types| x |buckets| rows regardless of
+    event count — the distributed-histogram shape that works at 100 TB.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(16,4)")
+    return (
+        ev.select(
+            "event_type",
+            F.floor(vdec / 25).cast("int").alias("bucket"),
+            vdec.alias("v"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("v").cast("double").alias("total_value"),
+        )
+        .select(
+            "event_type",
+            "bucket",
+            (F.col("bucket") * 25).alias("lo"),
+            "n_events",
+            "total_value",
+        )
+    )
