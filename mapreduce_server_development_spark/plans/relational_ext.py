@@ -1000,3 +1000,52 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "q_window_ntile",
+    oracle="""
+    WITH per_user AS (
+        SELECT event_type, user_id,
+               SUM(CAST(value AS DECIMAL(16,4))) AS total_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, user_id,
+           CAST(total_value AS DOUBLE) AS total_value,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           round(CUME_DIST() OVER w, 6) AS cume
+    FROM per_user
+    WINDOW w AS (PARTITION BY event_type
+                 ORDER BY total_value DESC, user_id)
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank windows: per event type, rank users by total
+    spend and attach quartile (NTILE), PERCENT_RANK and CUME_DIST.
+
+    The ORDER BY carries a user_id tiebreak so the total order — and
+    therefore every positional function — is deterministic across
+    engines; the decimal pre-aggregate keeps the sort key exact, and
+    the two ratio outputs are rounded at 6 decimals on both sides.
+    One shuffle for the (type, user) aggregate, one for the per-type
+    window; partitions are per-type — bounded skew at scale since the
+    window input is user-cardinality, not event-cardinality.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(16,4)")).alias("tv")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("tv").desc(), F.col("user_id")
+    )
+    return per_user.select(
+        "event_type",
+        "user_id",
+        F.col("tv").cast("double").alias("total_value"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
