@@ -1,0 +1,134 @@
+"""Edge-case unit tests for the gap-fill / keep-best / histogram /
+distribution-rank operators on hand-built micro-fixtures (the oracle
+smoke tests cover them end-to-end; these pin the tricky boundaries).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def _gapfill(ev):
+    """The q_events_gapfill core, lifted to run on any events frame."""
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    spine_h = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    ).select(F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"))
+    spine = ev.select("event_type").distinct().crossJoin(F.broadcast(spine_h))
+    filled = spine.join(hourly, ["h", "event_type"], "left").select(
+        "h",
+        "event_type",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.when(F.col("n").isNull(), 1).otherwise(0).alias("gap"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    locf = F.last(F.when(F.col("gap") == 0, F.col("n_events")), ignorenulls=True).over(w)
+    return filled.withColumn("locf_events", F.coalesce(locf, F.lit(0)).cast("long"))
+
+
+def test_gapfill_dense_spine_and_locf(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+
+    def at(h):
+        return t0 + dt.timedelta(hours=h)
+
+    # Type "a" fires at hours 0, 3 (twice); type "b" only at hour 2 —
+    # so "b" has a LEADING gap (LOCF must be 0, not null) and "a" has
+    # interior gaps carrying 1 forward.
+    rows = [(at(0), "a"), (at(3), "a"), (at(3), "a"), (at(2), "b")]
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = {
+        (r["event_type"], r["h"].hour): (r["n_events"], r["gap"], r["locf_events"])
+        for r in _gapfill(ev).collect()
+    }
+    # Dense: 2 types x 4 hours, no holes.
+    assert len(out) == 8
+    assert out[("a", 0)] == (1, 0, 1)
+    assert out[("a", 1)] == (0, 1, 1)  # interior gap carries 1 forward
+    assert out[("a", 2)] == (0, 1, 1)
+    assert out[("a", 3)] == (2, 0, 2)
+    assert out[("b", 0)] == (0, 1, 0)  # leading gap: LOCF defaults to 0
+    assert out[("b", 1)] == (0, 1, 0)
+    assert out[("b", 2)] == (1, 0, 1)
+    assert out[("b", 3)] == (0, 1, 1)
+
+
+def test_keep_best_argmax_and_tiebreak(spark):
+    from mapreduce_server_development_spark.functions.dedup import (
+        connected_components,
+    )
+
+    # Cluster {1,2,3} (chain 1-2, 2-3) and singleton {9}; doc 2 and 3
+    # tie on n_chars -> lower doc_id wins.
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (9, 4)], "doc_id long, n_chars long"
+    )
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    clusters = connected_components(nodes, edges).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    kept = (
+        clusters.join(docs, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    got = {r["cluster_id"]: r["doc_id"] for r in kept.collect()}
+    assert got == {1: 2, 9: 9}
+
+
+def test_histogram_bucket_edges_are_decimal_exact(spark):
+    # 24.99 -> bucket 0; 25.00 lands exactly on the edge -> bucket 1.
+    ev = spark.createDataFrame(
+        [("x", 24.99), ("x", 25.00), ("x", 0.01), ("x", 49.99), ("x", 50.0)],
+        "event_type string, value double",
+    )
+    vdec = F.col("value").cast("decimal(16,4)")
+    got = sorted(
+        (r["bucket"], r["n"])
+        for r in ev.select(F.floor(vdec / 25).cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert got == [(0, 2), (1, 2), (2, 1)]
+
+
+def test_ntile_and_percent_rank_determinism(spark):
+    # 5 users, one type; ties on total broken by user_id so every
+    # positional output is pinned.
+    per = spark.createDataFrame(
+        [("t", 1, 10.0), ("t", 2, 10.0), ("t", 3, 8.0), ("t", 4, 6.0), ("t", 5, 4.0)],
+        "event_type string, user_id long, tv double",
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("tv").desc(), F.col("user_id"))
+    rows = per.select(
+        "user_id",
+        F.rank().over(w).alias("rnk"),
+        F.ntile(4).over(w).alias("q"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    ).collect()
+    got = {r["user_id"]: (r["rnk"], r["q"], r["pr"]) for r in rows}
+    # The user_id tiebreak makes every ORDER BY key distinct, so the
+    # 10.0-total "tie" still yields unique ranks 1..5 — exactly why the
+    # query's outputs can never flip between engines.
+    # NTILE(4) over 5 rows: the extra row lands in the FIRST bucket
+    # (sizes 2,1,1,1) — the SQL-standard allocation both engines share.
+    assert got[1] == (1, 1, 0.0)
+    assert got[2] == (2, 1, 0.25)
+    assert got[3] == (3, 2, 0.5)
+    assert got[4] == (4, 3, 0.75)
+    assert got[5] == (5, 4, 1.0)
