@@ -1049,3 +1049,77 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "q_cdc_merge",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(16,4)) AS price
+        FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    changes AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+               o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(16,4)) * CAST(1.1 AS DECIMAL(4,2))
+                    AS DECIMAL(16,4)) AS price
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    merged AS (
+        SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+               COALESCE(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+               COALESCE(c.price, b.price) AS price,
+               CASE WHEN c.o_orderkey IS NULL THEN 'kept'
+                    WHEN b.o_orderkey IS NULL THEN 'inserted'
+                    ELSE 'updated' END AS change
+        FROM base b FULL OUTER JOIN changes c ON c.o_orderkey = b.o_orderkey
+        WHERE c.op IS NULL OR c.op <> 'D'
+    )
+    SELECT o_orderkey, o_orderstatus,
+           CAST(price AS DOUBLE) AS price, change
+    FROM merged
+    """,
+)
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge (MERGE INTO semantics as a batch plan): apply a
+    changeset of upserts and deletes onto a base snapshot via ONE
+    full-outer join on the key — unmatched base rows are kept,
+    matched 'U' rows take the change's values, 'D' rows are dropped,
+    and change-only keys are inserts. The changeset here is derived
+    deterministically from the fixture (even keys are upserts with a
+    10% price bump in exact DECIMAL arithmetic; every 10th key is a
+    delete) so both engines construct identical inputs.
+
+    Scale: one shuffle on the merge key for each side (or zero with
+    bucketed base + changes, see sources/bucketed.py); the WHERE
+    prunes deletes before the project. This is the standard
+    incremental-snapshot maintenance pattern (no row-wise driver loop,
+    no per-key lookups).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(16,4)")
+    base = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_orderstatus", price.alias("price")
+    )
+    changes = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("c_orderkey"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U").alias("op"),
+        F.col("o_orderstatus").alias("c_status"),
+        (price * F.lit(1.1).cast("decimal(4,2)"))
+        .cast("decimal(16,4)")
+        .alias("c_price"),
+    )
+    merged = base.join(
+        changes, base.o_orderkey == changes.c_orderkey, "full_outer"
+    ).filter(F.col("op").isNull() | (F.col("op") != "D"))
+    return merged.select(
+        F.coalesce("c_orderkey", "o_orderkey").alias("o_orderkey"),
+        F.coalesce("c_status", "o_orderstatus").alias("o_orderstatus"),
+        F.coalesce("c_price", "price").cast("double").alias("price"),
+        F.when(F.col("c_orderkey").isNull(), "kept")
+        .when(F.col("o_orderkey").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("change"),
+    )
