@@ -1,0 +1,206 @@
+"""Corpus-statistics queries: repetition profiling and inverted index.
+
+Training-data pipelines filter documents whose text is dominated by a
+few repeated tokens/bigrams (the Gopher/MassiveText-style repetition
+rules) and build token→document statistics for retrieval and corpus
+introspection. Both operators here are pure built-in-function plans:
+explode → hash aggregate, no Python in the hot path.
+
+Cross-engine parity: fractions are ratios of exact integers rounded to
+6 decimals; threshold flags are computed in *integer* arithmetic
+(``5*top_n > n_tokens`` instead of ``top_n/n_tokens > 0.2``) so a
+float ulp can never flip a flag between engines. Count-like outputs
+are cast to BIGINT on both sides (DuckDB's SUM(int) is HUGEINT).
+
+Reference parity: the reference (/root/reference/mapreduce/) has no
+corpus-analytics surface — this is part of the additive LLM-pipeline
+plane the build brief mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_col, word_shingles
+from ..sources.tables import load_table
+from .registry import query
+
+#: Tokens per document in DuckDB (mirrors tokens_col).
+_TOKS_CTE = """
+toks AS (
+    SELECT doc_id AS doc,
+           list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+    FROM documents
+)"""
+
+#: Bigrams per document (mirrors word_shingles(toks, 2)).
+_BIGRAM_EXPR = (
+    "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])"
+)
+
+
+@query(
+    "q_repetition_stats",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    tok_rows AS (SELECT doc, unnest(toks) AS tok FROM toks),
+    tok_counts AS (SELECT doc, tok, COUNT(*) AS c FROM tok_rows GROUP BY doc, tok),
+    tok_agg AS (
+        SELECT doc,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(MAX(c) AS BIGINT) AS top_tok_n
+        FROM tok_counts GROUP BY doc
+    ),
+    bg_rows AS (SELECT doc, unnest({_BIGRAM_EXPR}) AS bg FROM toks),
+    bg_counts AS (SELECT doc, bg, COUNT(*) AS c FROM bg_rows GROUP BY doc, bg),
+    bg_agg AS (
+        SELECT doc,
+               CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               CAST(MAX(c) AS BIGINT) AS top_bigram_n
+        FROM bg_counts GROUP BY doc
+    )
+    SELECT d.doc_id,
+           COALESCE(t.n_tokens, 0) AS n_tokens,
+           COALESCE(t.n_distinct, 0) AS n_distinct,
+           COALESCE(t.top_tok_n, 0) AS top_tok_n,
+           COALESCE(b.n_bigrams, 0) AS n_bigrams,
+           COALESCE(b.top_bigram_n, 0) AS top_bigram_n,
+           CASE WHEN t.n_tokens > 0
+                THEN round(CAST(t.top_tok_n AS DOUBLE) / t.n_tokens, 6) END
+               AS top_tok_frac,
+           CASE WHEN b.n_bigrams > 0
+                THEN round(CAST(b.top_bigram_n AS DOUBLE) / b.n_bigrams, 6) END
+               AS top_bigram_frac,
+           CASE WHEN t.n_tokens > 0
+                THEN round(CAST(t.n_distinct AS DOUBLE) / t.n_tokens, 6) END
+               AS type_token_ratio,
+           CAST(CASE WHEN 5 * COALESCE(t.top_tok_n, 0) > COALESCE(t.n_tokens, 0)
+                       OR 5 * COALESCE(b.top_bigram_n, 0) > COALESCE(b.n_bigrams, 0)
+                     THEN 1 ELSE 0 END AS BIGINT) AS flag_repetitive
+    FROM documents d
+    LEFT JOIN tok_agg t ON t.doc = d.doc_id
+    LEFT JOIN bg_agg b ON b.doc = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition profile (Gopher-style quality rules).
+
+    Most-frequent-token fraction, most-frequent-bigram fraction and
+    type-token ratio, plus an integer-arithmetic ``flag_repetitive``
+    (top token >20% of tokens, or top bigram >20% of bigrams).
+
+    Plan: two explode→(doc,gram) hash-agg→(doc) hash-agg pyramids (one
+    for unigrams, one for bigrams) joined back to the documents base so
+    token-less documents still get a row. Both pyramids shuffle on
+    doc_id-dominated keys — uniformly distributed, no skew — and the
+    final joins co-partition on doc_id. At 100 TB the explode is the
+    dominant cost and is unavoidable for exact counts; the partial
+    (map-side) aggregation bounds shuffle volume to distinct
+    (doc, gram) pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col(F.lower(F.col("text"))).alias("toks"))
+
+    tok_agg = (
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.max("c").cast("long").alias("top_tok_n"),
+        )
+    )
+    bg_agg = (
+        toks.select(
+            "doc_id", F.explode(word_shingles(F.col("toks"), 2)).alias("bg")
+        )
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.max("c").cast("long").alias("top_bigram_n"),
+        )
+    )
+    n_tok = F.coalesce(F.col("n_tokens"), F.lit(0).cast("long"))
+    n_dis = F.coalesce(F.col("n_distinct"), F.lit(0).cast("long"))
+    top_t = F.coalesce(F.col("top_tok_n"), F.lit(0).cast("long"))
+    n_bg = F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long"))
+    top_b = F.coalesce(F.col("top_bigram_n"), F.lit(0).cast("long"))
+    return (
+        docs.select("doc_id")
+        .join(tok_agg, "doc_id", "left")
+        .join(bg_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            n_dis.alias("n_distinct"),
+            top_t.alias("top_tok_n"),
+            n_bg.alias("n_bigrams"),
+            top_b.alias("top_bigram_n"),
+            F.when(
+                n_tok > 0, F.round(top_t.cast("double") / n_tok, 6)
+            ).alias("top_tok_frac"),
+            F.when(
+                n_bg > 0, F.round(top_b.cast("double") / n_bg, 6)
+            ).alias("top_bigram_frac"),
+            F.when(
+                n_tok > 0, F.round(n_dis.cast("double") / n_tok, 6)
+            ).alias("type_token_ratio"),
+            ((5 * top_t > n_tok) | (5 * top_b > n_bg))
+            .cast("long")
+            .alias("flag_repetitive"),
+        )
+    )
+
+
+@query(
+    "q_inverted_index",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    tok_rows AS (SELECT doc, unnest(toks) AS tok FROM toks),
+    tok_counts AS (SELECT doc, tok, COUNT(*) AS tf FROM tok_rows GROUP BY doc, tok)
+    SELECT tok AS token,
+           CAST(COUNT(*) AS BIGINT) AS doc_freq,
+           CAST(SUM(tf) AS BIGINT) AS total_tf,
+           CAST(MIN(doc) AS BIGINT) AS first_doc
+    FROM tok_counts
+    GROUP BY tok
+    ORDER BY doc_freq DESC, token
+    LIMIT 50
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index head: top-50 tokens by document frequency.
+
+    The posting-list statistics a search/retrieval layer needs:
+    document frequency, total term frequency, and the smallest doc id
+    holding the token. Plan: explode → (doc, tok) partial+final hash
+    agg → (tok) hash agg → ``TakeOrderedAndProject`` (per-partition
+    top-k heaps; no global sort). Token keys follow a Zipf
+    distribution, but the (doc, tok) pre-aggregation collapses each
+    document's repeats first, so the hot-token skew reaching the final
+    token-keyed shuffle is bounded by corpus document count, and AQE
+    skew handling covers the rest. Deterministic cut: ties broken on
+    the token string.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col(F.lower(F.col("text"))).alias("toks"))
+    return (
+        toks.select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .groupBy("token")
+        .agg(
+            F.count("*").cast("long").alias("doc_freq"),
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .orderBy(F.col("doc_freq").desc(), "token")
+        .limit(50)
+    )

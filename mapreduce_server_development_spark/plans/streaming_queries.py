@@ -30,29 +30,31 @@ from .registry import query
 
 DEC = "decimal(16,4)"
 
-#: Read schema for the raw events parquet: ``ts`` arrives as raw
-#: nanoseconds (INT64 TIMESTAMP(NANOS) — Spark reads it as long under
-#: spark.sql.legacy.parquet.nanosAsLong).
+#: Read schema for the raw events parquet: ``ts`` is INT64
+#: TIMESTAMP(NANOS); asking for ``timestamp_ntz`` makes the parquet
+#: reader truncate to microseconds deterministically (Spark 4.1+),
+#: independent of the legacy nanosAsLong conf.
 _EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, value double, props string"
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
 )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``readStream`` over the events parquet with ns→µs conversion.
+    """``readStream`` over the events parquet, ``ts`` normalized to a
+    session-zone timestamp (UTC pinned, so wall-clock preserving).
 
     ``pathGlobFilter`` scopes the directory listing to the events file;
     on a real deployment this would be a growing directory or Kafka
     topic and nothing downstream changes.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = (
         spark.readStream.schema(_EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_memory(df: DataFrame, spark: SparkSession, mode: str = "complete") -> DataFrame:

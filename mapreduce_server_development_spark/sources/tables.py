@@ -35,10 +35,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Plain parquet scan — pushdown-friendly.
 
     The ``events`` table's ``ts`` column is parquet
-    ``INT64 TIMESTAMP(NANOS)``, which Spark 4.x refuses to read as a
-    timestamp (``PARQUET_TYPE_ILLEGAL``). We read it as a raw long via
-    the legacy conf (set here so it also applies on a driver-provided
-    session) and convert ns → microsecond timestamp ourselves.
+    ``INT64 TIMESTAMP(NANOS)``. How Spark surfaces it varies by
+    version: 4.0 under ``spark.sql.legacy.parquet.nanosAsLong`` reads
+    it as a raw nanosecond long; 4.1 reads it natively as
+    ``timestamp_ntz`` truncated to microseconds. Normalize both to a
+    session-zone ``timestamp`` so every downstream query (and
+    ``unix_micros``) sees one canonical type.
     """
     # Timestamp semantics must match the UTC-naive DuckDB oracle no
     # matter what session the driver hands us.
@@ -46,10 +48,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # Integer division: ns values (~1.7e18) exceed double's exact
             # integer range, so a float path would corrupt microseconds.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Wall-clock-preserving under the UTC session zone pinned above.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
