@@ -59,21 +59,43 @@ def main() -> int:
             # shipped to the driver (collect would skew the timing and
             # break at scale).
             fn(spark, sf_dir).foreach(lambda _: None)
-            timings[name] = round(time.time() - t0, 3)
+            timings[name] = round(time.time() - t0, 2)
         except Exception as e:  # noqa: BLE001
             print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
             timings[name] = -1.0
 
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    total = round(sum(t for t in timings.values() if t >= 0), 2)
+    sf = _sf_of(sf_dir)
+    compact = {"separators": (",", ":")}
+    detail = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Full per-query detail: one compact line (may exceed the driver's
+    # stdout-tail capture) plus a file copy that always survives.
+    (REPO / "BENCH_DETAIL.json").write_text(json.dumps(detail, **compact) + "\n")
+    print(json.dumps(detail, **compact))
+    # Final SHORT summary line: the driver captures only the last ~2000
+    # chars of stdout, so the parseable line must come last and stay
+    # small — top-20 slowest queries only, full detail in the file above.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:20]
+    )
     print(
         json.dumps(
             {
                 "metric": "total_query_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": _sf_of(sf_dir),
-            }
+                "queries": slowest,
+                "n_queries": len(timings),
+                "queries_detail": "BENCH_DETAIL.json",
+                "sf": sf,
+            },
+            **compact,
         )
     )
     sys.stdout.flush()

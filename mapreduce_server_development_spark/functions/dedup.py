@@ -294,7 +294,11 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 
 def simhash_near_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-dup candidate pairs via SimHash 4-band blocking.
 
@@ -303,6 +307,17 @@ def simhash_near_pairs(
     band), then filters by exact hamming distance via bit_count(xor)
     summed over bands. Four hash equi-joins + distinct — never a cross
     join. Returns (doc_a, doc_b, hamming) with doc_a < doc_b, distinct.
+
+    100 TB guard: a 16-bit band has 65,536 values, so at corpus scale
+    each band bucket holds ~n/65,536 docs and the intra-bucket join is
+    quadratic in that population. Band values whose population exceeds
+    ``max_bucket_size`` are pruned from THAT band's join (broadcast
+    anti-join, same pattern as the hot-shingle prune). Recall tradeoff:
+    a true pair is lost only if EVERY band that matches between the two
+    docs is hot — with 4 bands and hamming <= 3 at least one band
+    matches exactly, so the pair survives unless all its matching bands
+    exceed the cap (hot band values are dominated by boilerplate
+    signatures where near-dup pairs carry little signal anyway).
     """
     s = simhash64(df, text_col, id_col)
     ham = sum(
@@ -318,7 +333,17 @@ def simhash_near_pairs(
     def block(k: int) -> DataFrame:
         # Equi-join per band (an OR-join would degrade to a nested-loop
         # cross join — four hash joins + distinct keeps it shuffle-only).
-        a, b = s.alias("a"), s.alias("b")
+        sk = s
+        if max_bucket_size is not None:
+            hot = (
+                s.groupBy(f"b{k}")
+                .agg(F.count("*").alias("n_"))
+                .filter(F.col("n_") > max_bucket_size)
+                .select(f"b{k}")
+            )
+            # Hot-value list is <= 65,536 rows by construction: broadcast.
+            sk = s.join(F.broadcast(hot), [f"b{k}"], "left_anti")
+        a, b = sk.alias("a"), sk.alias("b")
         return (
             a.join(
                 b, (F.col(f"a.b{k}") == F.col(f"b.b{k}")) & (F.col("a.doc") < F.col("b.doc"))
@@ -395,6 +420,7 @@ def edit_distance_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     lang_col: str = "lang",
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Character-level near-dup pairs: levenshtein(a, b) <= max_dist.
 
@@ -415,6 +441,18 @@ def edit_distance_pairs(
     A length-gap prefilter (``|len_a - len_b| <= max_dist``, valid
     because edit distance >= length difference) prunes most candidates
     before any DP cell is computed.
+
+    100 TB guard: bucket population grows linearly with the corpus and
+    the intra-bucket join is quadratic in it, so (lang, len-bucket)
+    groups whose population exceeds ``max_bucket_size`` are dropped
+    entirely (broadcast anti-join on the hot-bucket list — same pattern
+    as the hot-shingle prune). Recall tradeoff: docs in hot buckets get
+    no edit-distance pairs at all; at corpus scale hot length buckets
+    are dominated by templated/boilerplate text that token-level dedup
+    (jaccard/minhash) already covers. The exact-recall upgrade path is
+    PassJoin-style segment blocking (partition each string into
+    max_dist+1 segments; pigeonhole guarantees a shared segment), which
+    replaces the length bucket with a content-derived equi-join key.
     """
     d = df.select(
         F.col(id_col).alias("id"),
@@ -423,6 +461,15 @@ def edit_distance_pairs(
         F.col("n_chars").alias("len"),
         F.floor(F.col("n_chars") / bucket_chars).alias("bkt"),
     )
+    if max_bucket_size is not None:
+        hot = (
+            d.groupBy("lg", "bkt")
+            .agg(F.count("*").alias("n_"))
+            .filter(F.col("n_") > max_bucket_size)
+            .select("lg", "bkt")
+        )
+        # Hot buckets are few by construction (each holds > cap docs).
+        d = d.join(F.broadcast(hot), ["lg", "bkt"], "left_anti")
     a, b = d.alias("a"), d.alias("b")
     close = F.abs(F.col("a.len") - F.col("b.len")) <= max_dist
     dist = F.levenshtein(F.col("a.txt"), F.col("b.txt"), max_dist).cast("int")

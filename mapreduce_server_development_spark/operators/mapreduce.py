@@ -57,14 +57,35 @@ from pyspark.sql import SparkSession
 @dataclass
 class JobSpec:
     """A MapReduce job, mirroring the reference's new_manager_job dict
-    (mapreduce/submit.py:68-76; defaults from submit.py:24-56)."""
+    (mapreduce/submit.py:68-76; defaults from submit.py:24-56).
+
+    Executables may carry arguments — the reference's grep mapper takes
+    an optional query term (tests/testdata/exec/grep_map.py:13-18) —
+    either as an argv list (``["grep_map.py", "apple"]``, unambiguous)
+    or as a shell-style string (``"grep_map.py apple"``, split with
+    shlex)."""
 
     input_directory: str
     output_directory: str
-    mapper_executable: str
-    reducer_executable: str
+    mapper_executable: str | list[str]
+    reducer_executable: str | list[str]
     num_mappers: int = 4
     num_reducers: int = 1
+
+
+def _cmd(executable: str | list[str] | tuple[str, ...]) -> str:
+    """Build the shell command for an executable spec.
+
+    A list/tuple is treated as argv tokens (each quoted); a string is
+    shlex-split first, so ``"grep_map.py apple pie"`` runs the mapper
+    with two arguments. Paths containing spaces must use the list form.
+    """
+    parts = (
+        list(executable)
+        if isinstance(executable, (list, tuple))
+        else shlex.split(str(executable))
+    )
+    return " ".join(shlex.quote(p) for p in parts)
 
 
 def round_robin_partition(files: list[str], num_tasks: int) -> list[list[str]]:
@@ -94,7 +115,7 @@ def _make_sort_key():
     return _sort_key
 
 
-def _pipe_per_file(sc: SparkContext, files: list[str], executable: str) -> RDD:
+def _pipe_per_file(sc: SparkContext, files: list[str], executable: str | list[str]) -> RDD:
     """Map stage: one subprocess per input file (per-file framing).
 
     ``sc.textFile(f).coalesce(1).pipe(cmd)`` = read the file, feed its
@@ -105,7 +126,7 @@ def _pipe_per_file(sc: SparkContext, files: list[str], executable: str) -> RDD:
     silently truncating its output) and Spark's task re-execution —
     F13, the reference manager's dead-worker reassignment — kicks in.
     """
-    cmd = shlex.quote(executable)
+    cmd = _cmd(executable)
     rdds = [sc.textFile(f, 1).coalesce(1).pipe(cmd, checkCode=True) for f in files]
     if not rdds:
         return sc.emptyRDD()
@@ -116,8 +137,8 @@ def run_job(
     spark: SparkSession,
     input_directory: str,
     output_directory: str,
-    mapper_executable: str,
-    reducer_executable: str,
+    mapper_executable: str | list[str],
+    reducer_executable: str | list[str],
     num_mappers: int = 4,
     num_reducers: int = 1,
     compat: bool = True,
@@ -171,7 +192,7 @@ def run_job(
 
     # F7: one reducer subprocess per reduce partition, sorted lines on
     # stdin — partition i becomes outputfile(i+1).
-    reduced = sorted_lines.pipe(shlex.quote(reducer_executable), checkCode=True)
+    reduced = sorted_lines.pipe(_cmd(reducer_executable), checkCode=True)
 
     return _sink_numbered(reduced, output_directory)
 

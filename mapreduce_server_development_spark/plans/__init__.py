@@ -19,5 +19,6 @@ from . import multimodal_queries  # noqa: E402,F401
 from . import udf_queries  # noqa: E402,F401
 from . import text_ngram  # noqa: E402,F401
 from . import sampling  # noqa: E402,F401
+from . import corpus_stats  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]

@@ -193,9 +193,17 @@ def _simhash_oracle() -> str:
         bands.append(f"({terms}) AS b{k}")
     band_sql = ",\n           ".join(bands)
     ham = " + ".join(f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(4))
+    # Mirror the per-band hot-bucket cap (max_bucket_size=1000): band
+    # values whose population exceeds the cap are excluded from that
+    # band's blocking join (the doc still blocks via its other bands).
+    hots = ",\n    ".join(
+        f"hot{k} AS (SELECT b{k} AS v FROM sig GROUP BY b{k} HAVING COUNT(*) > 1000)"
+        for k in range(4)
+    )
     blocks = "\n        UNION\n".join(
         f"""        SELECT a.doc AS doc_a, b.doc AS doc_b, CAST({ham} AS BIGINT) AS hamming
-        FROM sig a JOIN sig b ON a.b{k} = b.b{k} AND a.doc < b.doc"""
+        FROM sig a JOIN sig b ON a.b{k} = b.b{k} AND a.doc < b.doc
+        WHERE a.b{k} NOT IN (SELECT v FROM hot{k})"""
         for k in range(4)
     )
     return f"""
@@ -215,6 +223,7 @@ def _simhash_oracle() -> str:
            {band_sql}
         FROM votes
     ),
+    {hots},
     blocked AS (
 {blocks}
     )
@@ -922,8 +931,16 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_edit_distance_pairs",
     oracle="""
-    WITH d AS (
+    WITH d0 AS (
         SELECT doc_id, lang, text, n_chars, n_chars // 64 AS bkt FROM documents
+    ),
+    hot AS (
+        SELECT lang, bkt FROM d0 GROUP BY lang, bkt HAVING COUNT(*) > 1000
+    ),
+    d AS (
+        SELECT d0.* FROM d0
+        LEFT JOIN hot ON d0.lang = hot.lang AND d0.bkt = hot.bkt
+        WHERE hot.lang IS NULL
     ),
     c1 AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

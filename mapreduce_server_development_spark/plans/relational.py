@@ -258,6 +258,14 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(F.count(F.lit(1)))
         .na.fill(0)
+        # Lowercase aliases: the driver's value-hash is case-sensitive on
+        # column names, and the oracle emits f/o/p.
+        .select(
+            "o_orderpriority",
+            F.col("F").alias("f"),
+            F.col("O").alias("o"),
+            F.col("P").alias("p"),
+        )
         .orderBy("o_orderpriority")
     )
 

@@ -39,6 +39,23 @@ _EVENTS_SCHEMA = (
     "value double, props string"
 )
 
+#: Spark 4.0 fallback schema: under ``nanosAsLong`` the NANOS column
+#: surfaces as a raw nanosecond BIGINT (mirrors sources/tables.py).
+_EVENTS_SCHEMA_40 = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _nanos_native(spark: SparkSession) -> bool:
+    """True when the parquet reader surfaces INT64 TIMESTAMP(NANOS) as
+    ``timestamp_ntz`` natively (Spark 4.1+); 4.0 needs the legacy
+    nanosAsLong long read. A streaming source must declare its schema
+    up front, so unlike ``load_table`` (which sniffs the batch dtype)
+    this gates on the runtime version."""
+    major, minor = (int(x) for x in spark.version.split(".")[:2])
+    return (major, minor) >= (4, 1)
+
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events parquet, ``ts`` normalized to a
@@ -46,15 +63,27 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``pathGlobFilter`` scopes the directory listing to the events file;
     on a real deployment this would be a growing directory or Kafka
-    topic and nothing downstream changes.
+    topic and nothing downstream changes. Both Spark 4.1 (native
+    timestamp_ntz NANOS read) and 4.0 (legacy nanosAsLong bigint) paths
+    are supported, matching ``sources/tables.py load_table``.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if _nanos_native(spark):
+        raw = (
+            spark.readStream.schema(_EVENTS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
+        spark.readStream.schema(_EVENTS_SCHEMA_40)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    # Integer division: ns values (~1.7e18) exceed double's exact
+    # integer range, so a float path would corrupt microseconds.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def _run_to_memory(df: DataFrame, spark: SparkSession, mode: str = "complete") -> DataFrame:
@@ -252,9 +281,13 @@ def q_stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed aggregations can't express (SURVEY §2.3 "Streaming" —
     purely additive surface). State is partitioned by user_id (one
     shuffle); timestamps are tracked as int64 nanoseconds so state
-    comparison is exact. The final per-key rows equal the batch
-    aggregate, which the oracle checks exactly; the trailing max/min
-    aggregate collapses multi-batch update rows to the latest state.
+    comparison is exact. The operator emits its per-key running state
+    each batch in APPEND mode through the parquet file sink
+    (``_run_to_files``) — executors write part-files directly and the
+    driver never holds a per-user row set (at 100 TB user cardinality
+    a driver-side memory sink would OOM). The trailing max/min
+    aggregate collapses multi-batch rows to the latest (cumulative)
+    state, which equals the batch aggregate the oracle checks.
     """
     import pandas as pd
 
@@ -287,11 +320,11 @@ def q_stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputStructType="user_id long, n_events long, "
             "first_event string, last_event string",
             stateStructType="n long, mn long, mx long",
-            outputMode="update",
+            outputMode="append",
             timeoutConf="NoTimeout",
         )
     )
-    out = _run_to_memory(tracked, spark, mode="update")
+    out = _run_to_files(tracked, spark)
     return out.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.min("first_event").alias("first_event"),

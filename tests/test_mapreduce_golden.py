@@ -49,6 +49,65 @@ def test_grep_golden(spark, tmp_path):
     assert filecmp.cmp(CORRECT / "grep_correct.txt", outs[0], shallow=False)
 
 
+def _grep_expected(query: str) -> str:
+    """Reference grep semantics computed in-process: map emits
+    ``1\\t<line>`` for stripped non-empty lines containing ``query``
+    (case-insensitive, grep_map.py:13-27), the group stage sorts all
+    lines, grep_reduce.py prints the value column."""
+    mapped: list[str] = []
+    for f in sorted(INPUT.glob("*")):
+        if f.name.startswith((".", "_")) or not f.is_file():
+            continue
+        for line in f.read_text(encoding="utf-8").splitlines():
+            line = line.strip()
+            if line and query in line.lower():
+                mapped.append("1\t" + line)
+    mapped.sort(key=lambda line: line + "\n")
+    return "".join(line.split("\t", 1)[1] + "\n" for line in mapped)
+
+
+@needs_reference
+def test_grep_with_argument_list(spark, tmp_path):
+    """Executable arguments, argv-list form: the reference's grep
+    mapper takes an optional query term (grep_map.py:13-18) and
+    submit.py accepts arbitrary executables — run_job must pass
+    arguments through to the subprocess."""
+    from mapreduce_server_development_spark.operators import run_job
+
+    outs = run_job(
+        spark,
+        str(INPUT),
+        str(tmp_path / "out"),
+        [str(EXEC / "grep_map.py"), "money"],
+        str(EXEC / "grep_reduce.py"),
+        2,
+        1,
+    )
+    assert len(outs) == 1
+    with open(outs[0], encoding="utf-8") as f:
+        assert f.read() == _grep_expected("money")
+
+
+@needs_reference
+def test_grep_with_argument_string(spark, tmp_path):
+    """Executable arguments, shell-string form: ``"grep_map.py root"``
+    is shlex-split into executable + argument."""
+    from mapreduce_server_development_spark.operators import run_job
+
+    outs = run_job(
+        spark,
+        str(INPUT),
+        str(tmp_path / "out"),
+        f"{EXEC / 'grep_map.py'} root",
+        str(EXEC / "grep_reduce.py"),
+        2,
+        1,
+    )
+    assert len(outs) == 1
+    with open(outs[0], encoding="utf-8") as f:
+        assert f.read() == _grep_expected("root")
+
+
 @needs_reference
 def test_wordcount_multi_reducer(spark, tmp_path):
     """Reference test_integration_03: wc 4 mappers / 2 reducers — two
