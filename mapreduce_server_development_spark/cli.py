@@ -1,38 +1,73 @@
-"""Command-line interface: job submission + engine status (F15/F16).
+"""Command-line interface: job submission + daemon lifecycle (F15/F16).
 
 Mirrors the reference's two operational surfaces:
 
 - ``mapreduce-submit`` (reference: mapreduce/submit.py:23-96) becomes
-  ``python -m mapreduce_server_development_spark.cli submit`` with the
-  same option names and defaults (4 mappers, 1 reducer, wc
-  executables). The reference submit is fire-and-forget over TCP to a
-  manager daemon; here the Spark action IS the job, so submit runs it
-  synchronously and prints the output files — strictly more
-  informative than the reference's "poll the output directory".
-- ``bin/mapreduce start|stop|status`` (reference: bin/mapreduce:47-94)
-  managed manager/worker daemons. Spark has no long-lived daemons in
-  local mode — ``status`` reports the engine/session equivalent; start
-  and stop are the SparkSession lifecycle inside ``submit`` itself.
+  ``mapreduce-spark submit`` with the same option names and defaults
+  (4 mappers, 1 reducer, wc executables). Default mode runs the job
+  synchronously in-process and prints the output files — strictly
+  more informative than the reference's "poll the output directory".
+  With ``--remote``, submit is the reference's exact fire-and-forget:
+  a ``new_manager_job`` JSON message over TCP to the daemon.
+- ``bin/mapreduce start|stop|status|restart`` (reference:
+  bin/mapreduce:36-94) managed manager/worker daemons; here the same
+  verbs manage the engine daemon (``daemon.py``) — a warm SparkSession
+  behind the reference's TCP message protocol. ``stop`` sends the
+  ``shutdown`` JSON message first (exactly bin/mapreduce:22's netcat
+  line), then escalates to SIGTERM/SIGKILL like the reference's
+  pkill fallback (bin/mapreduce:26-33).
 """
 
 from __future__ import annotations
 
 import argparse
+import json
+import os
+import signal
+import subprocess
 import sys
+import time
+from pathlib import Path
+
+from . import daemon as daemonmod
 
 
 def _cmd_submit(args: argparse.Namespace) -> int:
-    from .operators.mapreduce import run_job
-    from .session import get_spark
+    if args.remote:
+        # Reference fire-and-forget semantics (submit.py:68-91).
+        info = daemonmod.read_pidfile(args.pidfile)
+        port = info["port"] if info else args.port
+        ok = daemonmod.send_message(
+            port,
+            {
+                "message_type": "new_manager_job",
+                "input_directory": args.input_directory,
+                "output_directory": args.output_directory,
+                "mapper_executable": args.mapper_executable,
+                "reducer_executable": args.reducer_executable,
+                "num_mappers": args.num_mappers,
+                "num_reducers": args.num_reducers,
+                "compat": not args.no_compat,
+            },
+        )
+        if not ok:
+            print("Failed to send job to manager.", file=sys.stderr)
+            return 1
+        print(f"Submitted job to manager 127.0.0.1:{port}")
+    else:
+        from .operators.mapreduce import run_job
+        from .session import get_spark
 
-    spark = get_spark(app_name="mapreduce-submit")
-    print(f"Submitted job to Spark {spark.version} ({spark.sparkContext.master})")
+        spark = get_spark(app_name="mapreduce-submit")
+        print(f"Submitted job to Spark {spark.version} ({spark.sparkContext.master})")
     print("input directory     ", args.input_directory)
     print("output directory    ", args.output_directory)
     print("mapper executable   ", args.mapper_executable)
     print("reducer executable  ", args.reducer_executable)
     print("num mappers         ", args.num_mappers)
     print("num reducers        ", args.num_reducers)
+    if args.remote:
+        return 0
     outputs = run_job(
         spark,
         args.input_directory,
@@ -48,14 +83,94 @@ def _cmd_submit(args: argparse.Namespace) -> int:
     return 0
 
 
-def _cmd_status(_args: argparse.Namespace) -> int:
-    from .session import get_spark
-
-    spark = get_spark(app_name="mapreduce-status")
-    sc = spark.sparkContext
-    print(f"spark version={spark.version} master={sc.master} "
-          f"parallelism={sc.defaultParallelism} appId={sc.applicationId}")
+def _cmd_status(args: argparse.Namespace) -> int:
+    info = daemonmod.read_pidfile(args.pidfile)
+    if info:
+        print(f"manager running (pid={info['pid']} port={info['port']})")
+    else:
+        print("manager not running")
     return 0
+
+
+def _cmd_start(args: argparse.Namespace) -> int:
+    if daemonmod.read_pidfile(args.pidfile):
+        # Reference: "Error: mapreduce-manager is already running".
+        print("Error: mapreduce-spark daemon is already running", file=sys.stderr)
+        return 1
+    print("starting mapreduce ...")
+    log = Path(args.pidfile).with_suffix(".log")
+    with open(log, "ab") as logf:
+        subprocess.Popen(
+            [
+                sys.executable,
+                "-m",
+                "mapreduce_server_development_spark.cli",
+                "_daemon",
+                "--port",
+                str(args.port),
+                "--pidfile",
+                args.pidfile,
+            ],
+            stdin=subprocess.DEVNULL,
+            stdout=logf,
+            stderr=logf,
+            start_new_session=True,  # survives the CLI process exiting
+            cwd=os.getcwd(),
+        )
+    # The daemon writes the pidfile only once its socket is listening.
+    deadline = time.time() + args.timeout
+    while time.time() < deadline:
+        if daemonmod.read_pidfile(args.pidfile):
+            print(f"daemon ready (log: {log})")
+            return 0
+        time.sleep(0.2)
+    print(f"Error: daemon did not come up within {args.timeout}s "
+          f"(see {log})", file=sys.stderr)
+    return 1
+
+
+def _cmd_stop(args: argparse.Namespace) -> int:
+    print("stopping mapreduce ...")
+    info = daemonmod.read_pidfile(args.pidfile)
+    if not info:
+        return 0
+    pid, port = int(info["pid"]), int(info["port"])
+    # Cooperative first (the reference's netcat shutdown message), then
+    # the pkill escalation path (bin/mapreduce:26-44).
+    daemonmod.send_message(port, {"message_type": "shutdown"})
+    for sig in (None, signal.SIGTERM, signal.SIGKILL):
+        deadline = time.time() + args.timeout / 3
+        while time.time() < deadline:
+            if not daemonmod.read_pidfile(args.pidfile):
+                return 0
+            time.sleep(0.2)
+        if sig is not None:
+            try:
+                os.kill(pid, sig)
+            except ProcessLookupError:
+                Path(args.pidfile).unlink(missing_ok=True)
+                return 0
+    if daemonmod.read_pidfile(args.pidfile):
+        print("Error: daemon did not stop", file=sys.stderr)
+        return 1
+    return 0
+
+
+def _cmd_restart(args: argparse.Namespace) -> int:
+    rc = _cmd_stop(args)
+    return rc if rc else _cmd_start(args)
+
+
+def _cmd_daemon(args: argparse.Namespace) -> int:
+    return daemonmod.serve(port=args.port, pidfile=args.pidfile)
+
+
+def _add_daemon_opts(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--port", type=int, default=daemonmod.DEFAULT_PORT,
+                   help="daemon TCP port (reference manager default 6000)")
+    p.add_argument("--pidfile", default=daemonmod.DEFAULT_PIDFILE)
+    p.add_argument("--timeout", type=float, default=60.0,
+                   help="seconds to wait for start/stop")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -63,7 +178,7 @@ def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="mapreduce-spark")
     sub = parser.add_subparsers(dest="verb", required=True)
 
-    p = sub.add_parser("submit", help="run a MapReduce job (synchronous)")
+    p = sub.add_parser("submit", help="run a MapReduce job")
     p.add_argument("-i", "--input", dest="input_directory",
                    default="tests/testdata/input")
     p.add_argument("-o", "--output", dest="output_directory", default="output")
@@ -76,10 +191,31 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-compat", action="store_true",
                    help="hash grouping (one shuffle) instead of byte-exact "
                         "distinct-line round-robin")
+    p.add_argument("--remote", action="store_true",
+                   help="fire-and-forget to the running daemon (reference "
+                        "submit semantics) instead of running in-process")
+    _add_daemon_opts(p)
     p.set_defaults(func=_cmd_submit)
 
-    p = sub.add_parser("status", help="print engine/session status")
+    p = sub.add_parser("status", help="print daemon status")
+    _add_daemon_opts(p)
     p.set_defaults(func=_cmd_status)
+
+    p = sub.add_parser("start", help="start the engine daemon")
+    _add_daemon_opts(p)
+    p.set_defaults(func=_cmd_start)
+
+    p = sub.add_parser("stop", help="stop the engine daemon")
+    _add_daemon_opts(p)
+    p.set_defaults(func=_cmd_stop)
+
+    p = sub.add_parser("restart", help="restart the engine daemon")
+    _add_daemon_opts(p)
+    p.set_defaults(func=_cmd_restart)
+
+    p = sub.add_parser("_daemon", help=argparse.SUPPRESS)
+    _add_daemon_opts(p)
+    p.set_defaults(func=_cmd_daemon)
 
     args = parser.parse_args(argv)
     return args.func(args)

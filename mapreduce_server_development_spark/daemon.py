@@ -1,0 +1,166 @@
+"""Long-lived engine daemon: TCP job listener over a warm SparkSession.
+
+Operational parity with the reference's manager process
+(mapreduce/manager/__main__.py):
+
+- message plane: JSON messages on a localhost TCP socket, one message
+  per connection, read to EOF — exactly the reference's
+  ``_handle_message`` dispatch (manager/__main__.py:368-373). Two
+  message types are honored: ``new_manager_job`` (enqueue a job,
+  fields as in mapreduce/submit.py:68-76) and ``shutdown`` (drain and
+  exit — the reference's ``bin/mapreduce stop`` sends the same bytes
+  via netcat, bin/mapreduce:22).
+- F9 FIFO queue: jobs run strictly one at a time in submission order
+  on a single worker thread (the reference manager also runs one job
+  at a time off its queue).
+- F14 cooperative shutdown: ``shutdown`` finishes nothing mid-flight —
+  the worker drains the queue sentinel, then ``spark.stop()`` is
+  called before the process exits. SIGTERM is handled the same way.
+- keeping the SparkSession (JVM, executor pool, codegen cache) warm
+  across jobs is the actual point: repeat submissions skip the ~10 s
+  JVM spin-up the synchronous CLI pays per invocation.
+
+The pidfile is JSON ``{"pid": ..., "port": ...}`` so the CLI can find
+both the process and the socket; it is written only after the socket
+is listening, so ``start`` can poll it to mean "ready".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import signal
+import socket
+import sys
+import threading
+from pathlib import Path
+
+#: Default rendezvous (reference manager default port, submit.py:25).
+DEFAULT_PORT = 6000
+DEFAULT_PIDFILE = os.path.join(
+    os.environ.get("TMPDIR", "/tmp"), f"mapreduce-spark-{os.getuid()}.pid"
+)
+
+_RECV_LIMIT = 1 << 20  # 1 MiB: job specs are tiny; bound hostile input
+
+
+def read_pidfile(pidfile: str) -> dict | None:
+    """Parse the pidfile; None if absent/corrupt or the pid is dead."""
+    try:
+        info = json.loads(Path(pidfile).read_text())
+        pid = int(info["pid"])
+    except (OSError, ValueError, KeyError):
+        return None
+    try:
+        os.kill(pid, 0)  # liveness probe only
+    except (ProcessLookupError, PermissionError):
+        return None
+    return info
+
+
+def send_message(port: int, message: dict, timeout: float = 5.0) -> bool:
+    """Fire one JSON message at the daemon (reference submit.py:79-86:
+    connect, sendall, close — no reply channel)."""
+    try:
+        with socket.create_connection(("127.0.0.1", port), timeout=timeout) as sock:
+            sock.sendall(json.dumps(message).encode("utf-8"))
+        return True
+    except OSError:
+        return False
+
+
+def _recv_json(conn: socket.socket) -> dict | None:
+    """Read one JSON message: all bytes until the peer closes."""
+    chunks: list[bytes] = []
+    size = 0
+    while True:
+        chunk = conn.recv(65536)
+        if not chunk:
+            break
+        size += len(chunk)
+        if size > _RECV_LIMIT:
+            return None
+        chunks.append(chunk)
+    if not chunks:
+        return None
+    try:
+        msg = json.loads(b"".join(chunks).decode("utf-8"))
+    except (UnicodeDecodeError, ValueError):
+        return None
+    return msg if isinstance(msg, dict) else None
+
+
+def serve(port: int = DEFAULT_PORT, pidfile: str = DEFAULT_PIDFILE) -> int:
+    """Run the daemon loop until a shutdown message or SIGTERM/SIGINT."""
+    from .operators.mapreduce import run_job
+    from .session import get_spark
+
+    spark = get_spark(app_name="mapreduce-spark-daemon")
+    jobs: queue.Queue[dict | None] = queue.Queue()
+
+    def worker() -> None:
+        while True:
+            job = jobs.get()
+            if job is None:
+                return
+            try:
+                outs = run_job(
+                    spark,
+                    job["input_directory"],
+                    job["output_directory"],
+                    job["mapper_executable"],
+                    job["reducer_executable"],
+                    int(job.get("num_mappers", 4)),
+                    int(job.get("num_reducers", 1)),
+                    compat=bool(job.get("compat", True)),
+                )
+                print(f"job complete: {len(outs)} output files "
+                      f"in {job['output_directory']}", flush=True)
+            except Exception as e:  # noqa: BLE001 — daemon must survive bad jobs
+                print(f"job failed: {type(e).__name__}: {e}",
+                      file=sys.stderr, flush=True)
+
+    runner = threading.Thread(target=worker, name="job-runner")
+    runner.start()
+
+    stop_evt = threading.Event()
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, lambda *_: stop_evt.set())
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", port))
+    srv.listen(8)
+    srv.settimeout(0.5)  # poll stop_evt between accepts
+
+    Path(pidfile).write_text(json.dumps({"pid": os.getpid(), "port": port}))
+    print(f"mapreduce-spark daemon listening on 127.0.0.1:{port} "
+          f"(spark {spark.version}, pidfile {pidfile})", flush=True)
+    try:
+        while not stop_evt.is_set():
+            try:
+                conn, _ = srv.accept()
+            except socket.timeout:
+                continue
+            with conn:
+                msg = _recv_json(conn)
+            if not msg:
+                continue
+            mtype = msg.get("message_type")
+            if mtype == "shutdown":
+                print("shutdown message received", flush=True)
+                stop_evt.set()
+            elif mtype == "new_manager_job":
+                jobs.put(msg)
+            else:
+                print(f"ignoring message_type={mtype!r}",
+                      file=sys.stderr, flush=True)
+    finally:
+        srv.close()
+        jobs.put(None)  # drain: queued jobs still run before the sentinel
+        runner.join()
+        spark.stop()
+        Path(pidfile).unlink(missing_ok=True)
+        print("mapreduce-spark daemon stopped", flush=True)
+    return 0

@@ -1,0 +1,125 @@
+"""F16 CLI daemon lifecycle + E5 straggler (speculation) tests.
+
+The daemon plane mirrors the reference's manager process: the CLI's
+start/stop/restart/status verbs (reference bin/mapreduce:36-94) manage
+a warm-SparkSession process that accepts the reference's own TCP JSON
+messages — ``new_manager_job`` (mapreduce/submit.py:68-76) and
+``shutdown`` (bin/mapreduce:22).
+"""
+
+from __future__ import annotations
+
+import filecmp
+import socket
+import subprocess
+import sys
+import time
+
+from .conftest import REF_TESTDATA, needs_reference
+
+INPUT = REF_TESTDATA / "input"
+EXEC = REF_TESTDATA / "exec"
+CORRECT = REF_TESTDATA / "correct"
+
+
+def _cli(*args: str, timeout: float = 120.0) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, "-m", "mapreduce_server_development_spark.cli", *args],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        cwd="/root/repo",
+    )
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@needs_reference
+def test_daemon_lifecycle_and_remote_submit(tmp_path):
+    """start → status → double-start error → two fire-and-forget submits
+    (FIFO) → byte-exact golden outputs → stop → status."""
+    port = _free_port()
+    pidfile = str(tmp_path / "daemon.pid")
+    opts = ["--port", str(port), "--pidfile", pidfile]
+
+    res = _cli("start", *opts)
+    assert res.returncode == 0, res.stderr[-2000:]
+    try:
+        res = _cli("status", *opts)
+        assert "manager running" in res.stdout
+
+        # Reference parity: starting twice is an error (bin/mapreduce:48-55).
+        res = _cli("start", *opts)
+        assert res.returncode == 1
+        assert "already running" in res.stderr
+
+        # Two jobs, fire-and-forget: the daemon runs them FIFO (F9).
+        for tag, mapper, reducer, golden in [
+            ("wc", "wc_map.sh", "wc_reduce.sh", "word_count_correct.txt"),
+            ("grep", "grep_map.py", "grep_reduce.py", "grep_correct.txt"),
+        ]:
+            res = _cli(
+                "submit", "--remote", *opts,
+                "-i", str(INPUT),
+                "-o", str(tmp_path / tag),
+                "-m", str(EXEC / mapper),
+                "-r", str(EXEC / reducer),
+                "--nmappers", "2", "--nreducers", "1",
+            )
+            assert res.returncode == 0, res.stderr[-2000:]
+            assert "Submitted job to manager" in res.stdout
+
+        deadline = time.time() + 120
+        outs = {tag: tmp_path / tag / "outputfile01" for tag in ("wc", "grep")}
+        while time.time() < deadline and not all(p.exists() for p in outs.values()):
+            time.sleep(0.5)
+        time.sleep(1.0)  # let the final rename settle
+        assert filecmp.cmp(CORRECT / "word_count_correct.txt", outs["wc"], shallow=False)
+        assert filecmp.cmp(CORRECT / "grep_correct.txt", outs["grep"], shallow=False)
+    finally:
+        res = _cli("stop", *opts)
+    assert res.returncode == 0, res.stderr[-2000:]
+    res = _cli("status", *opts)
+    assert "manager not running" in res.stdout
+
+
+@needs_reference
+def test_slow_executables_with_speculation(tmp_path):
+    """E5: the reference ships wc_map_slow.sh/wc_reduce_slow.sh purely
+    to exercise straggler handling; Spark's analog is speculative
+    execution. Run the slow variants under ``spark.speculation=true``
+    (quantile/multiplier floored so stragglers actually trigger
+    speculative attempts) — results must stay byte-exact: duplicate
+    speculative attempts are discarded by the scheduler, never doubled
+    into output. Needs its own session (speculation is fixed at session
+    creation), so it runs in a subprocess."""
+    code = f"""
+import sys
+sys.path.insert(0, '/root/repo')
+import filecmp
+from pyspark.sql import SparkSession
+from mapreduce_server_development_spark.operators import run_job
+spark = (SparkSession.builder.master('local[8]')
+         .config('spark.speculation', 'true')
+         .config('spark.speculation.interval', '1s')
+         .config('spark.speculation.quantile', '0.25')
+         .config('spark.speculation.multiplier', '1.1')
+         .getOrCreate())
+outs = run_job(spark, {str(INPUT)!r}, {str(tmp_path / 'out')!r},
+               {str(EXEC / 'wc_map_slow.sh')!r},
+               {str(EXEC / 'wc_reduce_slow.sh')!r}, 4, 1)
+assert filecmp.cmp({str(CORRECT / 'word_count_correct.txt')!r}, outs[0], shallow=False)
+print('SPECULATION_OK')
+"""
+    res = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=tmp_path,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "SPECULATION_OK" in res.stdout, res.stderr[-2000:]

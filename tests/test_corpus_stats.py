@@ -1,0 +1,56 @@
+"""Micro-fixture unit tests for the corpus-statistics queries
+(q_repetition_stats, q_inverted_index) — the oracle sweep covers them
+end-to-end at sf*; these pin the integer-arithmetic flag boundaries and
+the tokenless-document row."""
+
+from __future__ import annotations
+
+from mapreduce_server_development_spark.plans import QUERIES
+
+DOCS = [
+    (1, "a a a a b"),      # top token 4/5 -> repetitive (5*4 > 5)
+    (2, "a b c d e f"),    # all distinct: 5*1 > 6 false, 5*1 > 5 false
+    (3, ""),               # tokenless: zero counts, null fracs, flag 0
+]
+
+
+def _docs_dir(spark, tmp_path):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_repetition_stats_flags_and_tokenless_row(spark, tmp_path):
+    sf_dir = _docs_dir(spark, tmp_path)
+    rows = {r["doc_id"]: r for r in QUERIES["q_repetition_stats"](spark, sf_dir).collect()}
+    assert set(rows) == {1, 2, 3}
+
+    r1 = rows[1]
+    assert (r1["n_tokens"], r1["n_distinct"], r1["top_tok_n"]) == (5, 2, 4)
+    # bigrams: "a a" x3 + "a b" -> 4 total, top 3
+    assert (r1["n_bigrams"], r1["top_bigram_n"]) == (4, 3)
+    assert r1["top_tok_frac"] == 0.8
+    assert r1["flag_repetitive"] == 1
+
+    r2 = rows[2]
+    assert (r2["n_tokens"], r2["n_distinct"], r2["top_tok_n"]) == (6, 6, 1)
+    assert (r2["n_bigrams"], r2["top_bigram_n"]) == (5, 1)
+    # Integer-arithmetic boundary: 5*1 > 6 and 5*1 > 5 are both false —
+    # exactly-20% is NOT repetitive (a float path could flip this).
+    assert r2["flag_repetitive"] == 0
+
+    r3 = rows[3]
+    assert (r3["n_tokens"], r3["n_bigrams"]) == (0, 0)
+    assert r3["top_tok_frac"] is None and r3["type_token_ratio"] is None
+    assert r3["flag_repetitive"] == 0
+
+
+def test_inverted_index_head_ordering(spark, tmp_path):
+    sf_dir = _docs_dir(spark, tmp_path)
+    rows = QUERIES["q_inverted_index"](spark, sf_dir).collect()
+    # doc_freq DESC, token ASC: a(df2) then b(df2) then c,d,e,f (df1)
+    assert [r["token"] for r in rows] == ["a", "b", "c", "d", "e", "f"]
+    a = rows[0]
+    assert (a["doc_freq"], a["total_tf"], a["first_doc"]) == (2, 5, 1)
+    b = rows[1]
+    assert (b["doc_freq"], b["total_tf"], b["first_doc"]) == (2, 2, 1)
