@@ -25,7 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.dedup import (
+from ..functions.dedup import (  # noqa: F401 — re-exported query deps
+    connected_components_star,
     _pruned_shingles,
     connected_components,
     edit_distance_pairs,
@@ -871,9 +872,10 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "q_dup_clusters",
-    oracle=f"""
+#: Shared by q_dup_clusters (min-label propagation) and
+#: q_dup_clusters_star (large-star/small-star) — same fixpoint, two
+#: independent distributed algorithms, one DuckDB transitive closure.
+_DUP_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE {_TOKS_CTE},
     {_shingle_cte(5)},
     hot AS (
@@ -906,8 +908,10 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT node AS doc_id, MIN(r) AS cluster_id
     FROM reach GROUP BY node
-    """,
-)
+    """
+
+
+@query("q_dup_clusters", oracle=_DUP_CLUSTERS_ORACLE)
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster assignment: 5-gram Jaccard pairs (>= 0.2) become
     edges; every document gets the min doc_id of its connected
@@ -924,6 +928,23 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     nodes = docs.select(F.col("doc_id").alias("node"))
     return connected_components(nodes, edges).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+@query("q_dup_clusters_star", oracle=_DUP_CLUSTERS_ORACLE)
+def q_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment via large-star/small-star contraction
+    (``functions/dedup.py connected_components_star``) — identical
+    result to q_dup_clusters, O(log n) rounds instead of O(diameter):
+    the scale path for adversarial long-chain duplicate graphs (e.g.
+    chained template revisions) where label propagation's round count
+    equals the chain length."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.2, max_doc_freq=1000)
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return connected_components_star(nodes, edges).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
 

@@ -127,6 +127,25 @@ def test_q2_broadcasts_bounded_dims_only(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
+def test_edit_distance_hot_bucket_prune_in_plan(spark):
+    """The 100 TB guard on the pair-generation family: hot (lang,
+    len-bucket) groups are removed via a broadcast anti-join BEFORE the
+    quadratic intra-bucket join — the prune must be visible in the
+    physical plan (VERDICT r03 fix)."""
+    plan = _plan(spark, "q_edit_distance_pairs")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_simhash_hot_band_prune_in_plan(spark):
+    """Same guard for simhash band blocking: each band's hot values are
+    anti-joined out before that band's self-join (4 bands -> 4 anti
+    joins)."""
+    plan = _plan(spark, "q_simhash_pairs")
+    assert plan.count("LeftAnti") >= 4
+    assert "CartesianProduct" not in plan
+
+
 def test_q21_single_fact_pass(spark):
     """Q21 computes EXISTS/NOT-EXISTS via per-order stats — lineitem
     must be scanned at most twice (lines + stats reuse), never the

@@ -130,3 +130,46 @@ def test_connected_components_match_union_find(spark, edges):
         for r in connected_components(ndf, edf).collect()
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)), max_size=20
+    )
+)
+def test_connected_components_star_match_union_find(spark, edges):
+    """Large-star/small-star contraction must compute the same
+    components as union-find on arbitrary small graphs — including the
+    shapes that stress it specifically (self-loops, parallel edges,
+    stars that must not collapse to empty edge sets)."""
+    from mapreduce_server_development_spark.functions.dedup import (
+        connected_components_star,
+    )
+
+    nodes = list(range(15))
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    expected = {}
+    for n in nodes:
+        r = find(n)
+        expected.setdefault(r, []).append(n)
+    want = {n: min(mem) for mem in expected.values() for n in mem}
+
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node long")
+    edf = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "a long, b long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(ndf, edf).collect()
+    }
+    assert got == want
