@@ -204,3 +204,106 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("doc_freq").desc(), "token")
         .limit(50)
     )
+
+
+#: BM25 free parameters (standard Robertson/Lucene defaults).
+_BM25_TERMS = ("filter", "window", "stream")
+_K1, _B = 1.2, 0.75
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id AS doc,
+               unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+                   AS tok
+        FROM documents
+    ),
+    dl AS (
+        SELECT doc_id AS doc,
+               CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+                    AS BIGINT) AS dl
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE tok IN ({_TERMS_SQL}) GROUP BY doc, tok
+    ),
+    dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    g AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    contrib AS (
+        SELECT tf.doc,
+               CAST(round(
+                   ln((g.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / g.avgdl))
+                   * 1000000) AS BIGINT) AS c
+        FROM tf
+        JOIN dfreq d USING (tok)
+        JOIN dl ON dl.doc = tf.doc
+        CROSS JOIN g
+    )
+    SELECT doc AS doc_id,
+           round(CAST(SUM(c) AS BIGINT) / 1000000.0, 4) AS bm25
+    FROM contrib
+    GROUP BY doc
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-100 for a fixed conjunctive term set — the retrieval
+    scorer over the inverted-index statistics (Robertson BM25, Lucene
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1)).
+
+    Cross-engine determinism: each term's contribution is rounded to
+    integer MICRO-units and summed as BIGINT (the unigram-logprob
+    fixed-point pattern), so float addition order can never flip the
+    4-decimal score or the (score, doc_id) ranking. Plan: tf is one
+    explode→filter→hash-agg (the IN-filter prunes before the shuffle);
+    df (3 rows) and the N/avgdl scalars are broadcast; final ranking is
+    TakeOrderedAndProject. One corpus pass for tf + one for doc
+    lengths; no per-query-term scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks_arr = tokens_col(F.lower(F.col("text")))
+    dl = docs.select(
+        F.col("doc_id").alias("doc"), F.size(toks_arr).cast("long").alias("dl")
+    )
+    tf = (
+        docs.select(F.col("doc_id").alias("doc"), F.explode(toks_arr).alias("tok"))
+        .filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc", "tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    g = dl.agg(
+        F.count("*").cast("long").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + _K1 * (0.25 + _B * F.col("dl") / F.col("avgdl"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "doc",
+            F.round(idf * F.col("tf") * 2.2 / denom * 1000000)
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc")
+        .agg(F.round(F.sum("c") / F.lit(1000000.0), 4).alias("bm25"))
+        .select(F.col("doc").alias("doc_id"), "bm25")
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(100)
+    )

@@ -1123,3 +1123,51 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("updated")
         .alias("change"),
     )
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH f AS (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id),
+    a AS (
+        SELECT e.user_id,
+               strftime(date_trunc('week', f.first_ts), '%Y-%m-%d') AS cohort_week,
+               CAST(datediff('day',
+                             CAST(date_trunc('week', f.first_ts) AS DATE),
+                             CAST(e.ts AS DATE)) // 7 AS BIGINT) AS week_n
+        FROM events e JOIN f USING (user_id)
+    )
+    SELECT cohort_week, week_n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM a
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by the ISO week of their
+    FIRST event; n_active = distinct users from that cohort active in
+    week_n (weeks since cohort start, day-exact integer arithmetic).
+
+    Plan: one user-keyed agg for first-event timestamps, a user-keyed
+    join back to the fact stream (co-partitioned — both sides shuffle
+    on user_id once), then a (cohort, week) distinct-count. The cohort
+    key space is tiny (weeks x weeks), so the final agg never skews;
+    the distinct-count shuffle carries (cohort, week, user) triples —
+    already deduplicated map-side by the partial aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohort = F.date_trunc("week", F.col("first_ts"))
+    act = ev.join(firsts, "user_id").select(
+        "user_id",
+        F.date_format(cohort, "yyyy-MM-dd").alias("cohort_week"),
+        F.floor(
+            F.datediff(F.to_date("ts"), F.to_date(cohort)) / 7
+        ).cast("long").alias("week_n"),
+    )
+    return (
+        act.groupBy("cohort_week", "week_n")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+        .orderBy("cohort_week", "week_n")
+    )

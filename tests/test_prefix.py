@@ -1,0 +1,47 @@
+"""Unit tests for the two-phase distributed global prefix sum."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from mapreduce_server_development_spark.functions.prefix import global_running_sum
+
+
+def test_matches_sequential_cumsum(spark):
+    random.seed(11)
+    rows = [(i, random.randrange(0, 50)) for i in range(500)]
+    random.shuffle(rows)  # input order must not matter
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r["k"]: r["running_sum"]
+        for r in global_running_sum(df, "k", "v", num_partitions=13).collect()
+    }
+    acc = 0
+    for k, v in sorted(rows):
+        acc += v
+        assert got[k] == acc, k
+
+
+def test_is_distributed_not_single_window(spark):
+    """The point of the operator: the heavy window must be partitioned
+    (by the range-partition id), never a global single-task window."""
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    out = global_running_sum(df, "k", "v", num_partitions=8)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "__prefix_pid" in plan  # window partitioned by pid...
+    assert "partitionBy=[]" not in plan.replace(" ", "")  # ...never global
+    # internal columns must not leak into the output schema
+    assert "__prefix" not in str(out.columns)
+
+
+def test_empty_and_single_row(spark):
+    empty = spark.createDataFrame([], "k long, v long")
+    assert global_running_sum(empty, "k", "v").count() == 0
+    one = spark.createDataFrame([(5, 42)], "k long, v long")
+    assert global_running_sum(one, "k", "v").collect()[0]["running_sum"] == 42
