@@ -1171,3 +1171,73 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
         .orderBy("cohort_week", "week_n")
     )
+
+
+@query(
+    "q_scd2_history",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts
+        FROM ordered
+        WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    versioned AS (
+        SELECT user_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               strftime(LEAD(ts) OVER w2, '%Y-%m-%d %H:%M:%S') AS valid_to,
+               CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version_n
+        FROM changes
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT user_id, version_n, event_type, valid_from, valid_to,
+           CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS is_current
+    FROM versioned
+    ORDER BY user_id, version_n
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history: each run of identical
+    event_type per user becomes one version row with
+    [valid_from, valid_to) validity and an is_current flag on the open
+    version — the standard warehouse history-table build, derived from
+    an event stream in two window passes (change-point detection via
+    lag, interval close via lead).
+
+    Both windows partition on user_id — the natural event-data key, so
+    one shuffle total; change rows are a small fraction of events, so
+    the second window runs on the collapsed relation. Complements
+    q_cdc_merge (which maintains the CURRENT snapshot; this maintains
+    full history). Second-resolution string timestamps keep the oracle
+    comparison exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select("user_id", "event_type", "ts")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    versioned = changes.select(
+        "user_id",
+        F.row_number().over(w2).cast("long").alias("version_n"),
+        "event_type",
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.date_format(F.lead("ts").over(w2), fmt).alias("valid_to"),
+    )
+    return versioned.select(
+        "user_id",
+        "version_n",
+        "event_type",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().cast("long").alias("is_current"),
+    ).orderBy("user_id", "version_n")

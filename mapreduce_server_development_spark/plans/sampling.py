@@ -156,3 +156,60 @@ def q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept"),
         )
     )
+
+
+@query(
+    "q_stratified_sample",
+    oracle=f"""
+    WITH sized AS (
+        SELECT lang, CAST(CEIL(0.1 * COUNT(*)) AS BIGINT) AS quota
+        FROM documents GROUP BY lang
+    ),
+    ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_bucket_sql('strat', 'doc_id')}, doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT r.doc_id, r.lang, CAST(r.rk AS BIGINT) AS rk
+    FROM ranked r JOIN sized s USING (lang)
+    WHERE r.rk <= s.quota
+    ORDER BY r.lang, r.rk
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sample: exactly ceil(10% of n_docs) per
+    language, deterministically.
+
+    Bernoulli hash sampling (q_hash_sample) gives each stratum only its
+    EXPECTED share; when the contract is an exact per-stratum count
+    (eval set construction, per-language budget caps), rank documents
+    within each stratum by their hash bucket (doc_id tiebreak — a total
+    order) and keep rank <= quota. The quota side is a tiny per-lang
+    aggregate, broadcast back. Plan: one shuffle to partition by lang
+    for the rank window plus the broadcast quota join. Stratum
+    populations are corpus-scale, so the per-stratum sort is the
+    honest cost of exactness; at 100 TB prefer q_hash_sample unless
+    the exact-count contract is required, or bound the sort by
+    pre-filtering to ~2x the target rate with the hash bucket first.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    quota = docs.groupBy("lang").agg(
+        F.ceil(0.1 * F.count("*")).cast("long").alias("quota")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        hash_bucket("strat", F.col("doc_id")), "doc_id"
+    )
+    ranked = docs.select(
+        "doc_id", "lang", F.row_number().over(w).cast("long").alias("rk")
+    )
+    return (
+        ranked.join(F.broadcast(quota), "lang")
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("doc_id", "lang", "rk")
+        .orderBy("lang", "rk")
+    )
