@@ -413,6 +413,77 @@ def connected_components(
     return labels
 
 
+def deletion_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Exact-recall near-dup pairs at edit distance <= 1 via
+    deletion-neighborhood blocking (the SymSpell scheme, public
+    knowledge; no reference counterpart).
+
+    Signatures of a string s are md5(s) plus md5 of each single-char
+    deletion of s. Completeness (no false dismissal): if ed(a, b) <= 1
+    then a = b (full-string sigs match), b is a deletion of a (b's
+    full-string sig ∈ a's deletion sigs), the symmetric insertion
+    case, or a and b differ by one substitution (deleting the
+    substituted position from each yields the same string). Candidates
+    therefore share >= 1 signature; exact banded levenshtein verifies.
+
+    Scale posture: |s|+1 signatures per document — the signature
+    relation is O(total corpus chars), same order as the shingle
+    relations, and the join key (md5) is uniform. Exact-duplicate
+    clusters share their full-string signature, so pair output is
+    quadratic in copy-group size — run exact dedup first (the standard
+    composition) when copy groups can be large. Unlike the
+    (lang, len-bucket) blocking of ``edit_distance_pairs``, recall
+    here is exact with NO hot-bucket prune needed: a signature bucket
+    is a set of strings one deletion apart, bounded by near-dup
+    density, not corpus size.
+
+    Returns (doc_a, doc_b, dist) with doc_a < doc_b, dist in {0, 1}.
+    """
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("txt"),
+        F.col(len_col).alias("l"),
+    )
+    # md5(s) plus md5(s with char i+1 deleted) for i in 0..l-1.
+    one = F.lit(1)
+    dels = F.transform(
+        F.sequence(F.lit(0), F.col("l") - one),
+        lambda i: F.md5(
+            F.concat(
+                F.substr(F.col("txt"), one, i),
+                F.substr(F.col("txt"), i + F.lit(2)),
+            )
+        ),
+    )
+    # Spark's sequence(0, -1) would DESCEND for an empty string — guard.
+    dels = F.when(F.col("l") > 0, dels).otherwise(
+        F.array().cast("array<string>")
+    )
+    sigs = d.select(
+        "id", F.explode(F.array_prepend(dels, F.md5("txt"))).alias("h")
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+    ta = d.select(F.col("id").alias("doc_a"), F.col("txt").alias("txt_a"))
+    tb = d.select(F.col("id").alias("doc_b"), F.col("txt").alias("txt_b"))
+    dist = F.levenshtein(F.col("txt_a"), F.col("txt_b"), 1).cast("int")
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", dist.alias("dist"))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= 1))
+    )
+
+
 def connected_components_star(
     nodes: DataFrame, edges: DataFrame, max_iter: int = 30
 ) -> DataFrame:

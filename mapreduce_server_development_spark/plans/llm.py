@@ -29,6 +29,7 @@ from ..functions.dedup import (  # noqa: F401 — re-exported query deps
     connected_components_star,
     _pruned_shingles,
     connected_components,
+    deletion_neighborhood_pairs,
     edit_distance_pairs,
     exact_dedup,
     minhash_near_dups,
@@ -947,6 +948,43 @@ def q_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(nodes, edges).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+@query(
+    "q_typo_pairs",
+    oracle="""
+    WITH d AS (SELECT doc_id AS id, text AS s, n_chars AS l FROM documents),
+    sigs AS (
+        SELECT id,
+               unnest(list_prepend(
+                   md5(s),
+                   list_transform(range(0, l),
+                                  i -> md5(substr(s, 1, i) || substr(s, i + 2)))
+               )) AS h
+        FROM d
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+        FROM sigs a JOIN sigs b ON a.h = b.h AND a.id < b.id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(da.s, db.s) AS INTEGER) AS dist
+    FROM cand c
+    JOIN d da ON da.id = c.doc_a
+    JOIN d db ON db.id = c.doc_b
+    WHERE levenshtein(da.s, db.s) <= 1
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance <= 1 pairs with EXACT recall via SymSpell
+    deletion-neighborhood blocking (``functions/dedup.py
+    deletion_neighborhood_pairs``) — no length buckets, no hot-bucket
+    prune, no recall tradeoff: the blocking scheme itself guarantees a
+    shared signature for every true pair. Complements
+    q_edit_distance_pairs (wider threshold, pruned blocking)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return deletion_neighborhood_pairs(docs).orderBy("doc_a", "doc_b")
 
 
 @query(
