@@ -57,6 +57,18 @@ def test_daemon_lifecycle_and_remote_submit(tmp_path):
         assert res.returncode == 1
         assert "already running" in res.stderr
 
+        # restart = stop + start (bin/mapreduce:86-89): new pid, still up.
+        import json as _json
+        from pathlib import Path as _Path
+
+        old_pid = _json.loads(_Path(pidfile).read_text())["pid"]
+        res = _cli("restart", *opts, timeout=180.0)
+        assert res.returncode == 0, res.stderr[-2000:]
+        new_pid = _json.loads(_Path(pidfile).read_text())["pid"]
+        assert new_pid != old_pid
+        res = _cli("status", *opts)
+        assert "manager running" in res.stdout
+
         # Two jobs, fire-and-forget: the daemon runs them FIFO (F9).
         for tag, mapper, reducer, golden in [
             ("wc", "wc_map.sh", "wc_reduce.sh", "word_count_correct.txt"),

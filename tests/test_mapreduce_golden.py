@@ -351,3 +351,28 @@ def test_concurrent_job_submission(spark, tmp_path):
     assert filecmp.cmp(
         CORRECT / "grep_correct.txt", results["grep"][0], shallow=False
     )
+
+
+@needs_reference
+def test_empty_input_directory(spark, tmp_path):
+    """A job over an empty input directory still runs the reduce stage
+    (the reference's reducers execute regardless of mapper output) and
+    produces one EMPTY output file per reducer — no crash, no stale
+    output dir."""
+    from mapreduce_server_development_spark.operators import run_job
+
+    empty_in = tmp_path / "empty"
+    empty_in.mkdir()
+    out = tmp_path / "out"
+    outs = run_job(
+        spark,
+        str(empty_in),
+        str(out),
+        str(EXEC / "wc_map.sh"),
+        str(EXEC / "wc_reduce.sh"),
+        2,
+        1,
+    )
+    assert [o.rsplit("/", 1)[1] for o in outs] == ["outputfile01"]
+    with open(outs[0], encoding="utf-8") as f:
+        assert f.read() == ""

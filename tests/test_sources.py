@@ -195,3 +195,20 @@ def test_dynamic_partition_overwrite_backfill(spark, tmp_path):
     # partition columns are type-inferred on read: day comes back as a date
     got = sorted((str(r.day), r.v) for r in spark.read.parquet(path).collect())
     assert got == [("2024-01-07", 99), ("2024-01-08", 3)]
+
+
+def test_gzip_text_read(spark, tmp_path):
+    """Compressed text inputs decompress transparently in the text
+    scan (Hadoop codec layer) — the common shape of raw web-corpus
+    drops at scale. Note gzip files are not splittable: one task per
+    file, so 100 TB ingestion wants many files (or zstd/bzip2)."""
+    import gzip
+
+    d = tmp_path / "in"
+    d.mkdir()
+    with gzip.open(d / "part1.txt.gz", "wt", encoding="utf-8") as f:
+        f.write("alpha\nbeta\n")
+    with gzip.open(d / "part2.txt.gz", "wt", encoding="utf-8") as f:
+        f.write("gamma\n")
+    got = sorted(r["value"] for r in spark.read.text(str(d)).collect())
+    assert got == ["alpha", "beta", "gamma"]
