@@ -1276,3 +1276,154 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc").alias("doc_id"), "n_shared_shingles", "n_test_docs"
         )
     )
+
+
+def _pagerank_oracle(iters: int = 10) -> str:
+    """Unrolled fixed-point PageRank oracle over the 5-gram Jaccard
+    edge relation (same pair CTEs as q_dup_clusters). Recursive CTEs
+    cannot aggregate over the recursive reference, so the ``iters``
+    rounds are generated as chained CTEs — mechanical, exact."""
+    rounds = []
+    for k in range(1, iters + 1):
+        rounds.append(f"""r{k} AS (
+        SELECT n.doc_id AS node,
+               CAST(150000 + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT) AS r
+        FROM documents n LEFT JOIN (
+            SELECT e.b AS node, SUM(p.r // d.deg) AS s
+            FROM e
+            JOIN deg d ON d.node = e.a
+            JOIN r{k - 1} p ON p.node = e.a
+            GROUP BY e.b
+        ) i ON i.node = n.doc_id
+    )""")
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH {_TOKS_CTE},
+    {_shingle_cte(5)},
+    hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 1000),
+    shp AS (SELECT doc, shingle FROM sh
+            WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    sizes AS (SELECT doc, COUNT(*) AS n_sh FROM shp GROUP BY doc),
+    inter AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+        FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc = i.doc_a
+        JOIN sizes sb ON sb.doc = i.doc_b
+        WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4)
+              >= 0.2
+    ),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+    deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY a),
+    r0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS r FROM documents),
+    {chain}
+    SELECT node AS doc_id, r AS rank_micro
+    FROM r{iters}
+    ORDER BY doc_id
+    """
+
+
+@query("q_pagerank", oracle=_pagerank_oracle(10))
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the near-dup graph (10 rounds,
+    damping 85%): graph-structural quality weights for corpus
+    curation — heavily-duplicated template families accumulate rank,
+    singletons stay at the base mass. Integer micro-unit arithmetic
+    end-to-end (``functions/graph.py pagerank_micro``), so the oracle
+    reproduces every rank bit-for-bit via 10 unrolled CTE rounds."""
+    from ..functions.graph import pagerank_micro
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.2, max_doc_freq=1000)
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return pagerank_micro(nodes, edges, iters=10, damping_pct=85).select(
+        F.col("node").alias("doc_id"), "rank_micro"
+    )
+
+
+def _stopword_case_sql() -> str:
+    """Per-language stopword count as a DuckDB CASE over ``toks``."""
+    whens = "\n                   ".join(
+        f"WHEN '{lg}' THEN len(list_filter(toks, x -> x IN "
+        f"({', '.join(repr(w) for w in words)})))"
+        for lg, words in STOPWORDS.items()
+    )
+    return f"CASE lang\n                   {whens}\n                   ELSE 0 END"
+
+
+@query(
+    "q_quality_floor",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               CAST({_stopword_case_sql()} AS DOUBLE) / len(toks) AS ratio
+        FROM t WHERE len(toks) > 0
+    ),
+    ranked AS (
+        SELECT doc_id, lang, ratio,
+               PERCENT_RANK() OVER (PARTITION BY lang ORDER BY ratio, doc_id)
+                   AS pr
+        FROM scored
+    )
+    SELECT doc_id, lang, round(ratio, 4) AS stopword_ratio, round(pr, 4) AS pr
+    FROM ranked
+    WHERE pr >= 0.25
+    ORDER BY doc_id
+    """,
+)
+def q_quality_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality floor: drop the bottom quartile of each
+    language by stopword ratio (the Gopher-style per-language quality
+    cutoff — fixed thresholds misfire across languages, so the floor is
+    a PER-STRATUM percentile, and each language is scored against its
+    OWN stopword list).
+
+    percent_rank over (ratio, doc_id) is a total order, so the cut is
+    deterministic; the ratio is a single integer/integer division —
+    bit-identical across engines. One shuffle (partition by lang for
+    the window); token-less documents are excluded on both sides
+    before ranking (engines disagree on NULL ordering).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.lower(F.col("text")))
+
+    def is_stop(x):
+        expr = F.lit(False)
+        for lg, words in STOPWORDS.items():
+            expr = F.when(F.col("lang") == lg, x.isin(*words)).otherwise(expr)
+        return expr
+
+    scored = (
+        docs.select("doc_id", "lang", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.size(F.filter("toks", is_stop)).cast("double") / F.size("toks")
+            ).alias("ratio"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("ratio", "doc_id")
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.25)
+        .select(
+            "doc_id",
+            "lang",
+            F.round("ratio", 4).alias("stopword_ratio"),
+            F.round("pr", 4).alias("pr"),
+        )
+        .orderBy("doc_id")
+    )

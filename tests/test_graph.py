@@ -1,0 +1,61 @@
+"""Unit tests for fixed-point PageRank (functions/graph.py)."""
+
+from __future__ import annotations
+
+from mapreduce_server_development_spark.functions.graph import (
+    RANK_SCALE,
+    pagerank_micro,
+)
+
+
+def _py_pagerank(n_nodes, edges, iters=10, damping=85):
+    """Literal python model of the integer recurrence."""
+    nbrs: dict[int, set[int]] = {v: set() for v in range(n_nodes)}
+    for a, b in edges:
+        if a != b:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    base = (100 - damping) * RANK_SCALE // 100
+    r = {v: RANK_SCALE for v in range(n_nodes)}
+    for _ in range(iters):
+        inflow = {v: 0 for v in range(n_nodes)}
+        for u, vs in nbrs.items():
+            if vs:
+                share = r[u] // len(vs)
+                for v in vs:
+                    inflow[v] += share
+        r = {v: base + damping * inflow[v] // 100 for v in range(n_nodes)}
+    return r
+
+
+def test_pagerank_matches_python_model(spark):
+    """Star + chain + singleton: spark ranks must equal the literal
+    integer model bit-for-bit (that exactness is what makes the DuckDB
+    oracle possible)."""
+    edges = [(0, 1), (0, 2), (0, 3), (4, 5), (5, 6)]  # star(0), chain, 7 isolated
+    n = 8
+    ndf = spark.createDataFrame([(v,) for v in range(n)], "node long")
+    edf = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_micro(ndf, edf, iters=10).collect()
+    }
+    want = _py_pagerank(n, edges, iters=10)
+    assert got == want
+    # structural sanity: hub outranks leaves; singleton sits at base mass
+    assert got[0] > got[1] == got[2] == got[3]
+    assert got[7] == (100 - 85) * RANK_SCALE // 100
+
+
+def test_pagerank_regular_graph_fixed_point(spark):
+    """On a regular graph every node keeps exactly RANK_SCALE: inflow
+    = deg * (r div deg) = r, so r' = 15% + 85% of r = r. Pins the
+    arithmetic (a scaling bug would drift over 10 rounds)."""
+    edges = [(0, 1), (1, 2), (2, 0)]  # triangle: 2-regular
+    ndf = spark.createDataFrame([(v,) for v in range(3)], "node long")
+    edf = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_micro(ndf, edf, iters=10).collect()
+    }
+    assert got == {0: RANK_SCALE, 1: RANK_SCALE, 2: RANK_SCALE}
