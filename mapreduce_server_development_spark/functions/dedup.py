@@ -484,6 +484,77 @@ def deletion_neighborhood_pairs(
     )
 
 
+def prefix_suffix_typo_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Exact-recall pairs at edit distance <= 1 via the PassJoin
+    pigeonhole at tau=1: a single edit leaves either the first
+    k = floor(l/2) characters or the last k characters of both strings
+    untouched AS STRINGS (an insert/delete shifts positions, but the
+    tail window reads unshifted characters whenever the edit lies
+    before it, and k + k <= min(l, l') guarantees every edit position
+    falls in one case). Blocking therefore joins on
+    ``md5(prefix_k)`` / ``md5(suffix_k)``.
+
+    Each doc emits signatures for k in {l div 2, (l-1) div 2} — two
+    parities, so a pair whose lengths differ by one still shares an
+    announced k — plus a single 'tiny' bucket for l <= 3 (where k
+    would be 0 and an empty-prefix hash would bucket the whole
+    corpus). O(len) bytes hashed per doc, vs O(len^2) for the
+    SymSpell deletion neighborhood (``deletion_neighborhood_pairs``,
+    which remains the right tool at word granularity where lengths
+    are tiny). Signature buckets are sets of docs sharing a
+    half-document — bounded by near-dup density, not corpus size;
+    exact-duplicate groups are quadratic as usual (dedup-first).
+
+    Returns (doc_a, doc_b, dist) with doc_a < doc_b, dist in {0, 1}.
+    """
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("txt"),
+        F.col(len_col).alias("l"),
+    )
+    entries = []
+    for k in (F.expr("l div 2"), F.expr("(l - 1) div 2")):
+        pref = F.md5(F.substr(F.col("txt"), F.lit(1), k))
+        suf = F.md5(F.substr(F.col("txt"), F.col("l") - k + 1, k))
+        entries.append(
+            F.when(k >= 1, F.concat(F.lit("p:"), k.cast("string"), F.lit(":"), pref))
+        )
+        entries.append(
+            F.when(k >= 1, F.concat(F.lit("s:"), k.cast("string"), F.lit(":"), suf))
+        )
+    entries.append(F.when(F.col("l") <= 3, F.lit("t")))
+    sigs = (
+        d.select("id", F.explode(F.array(*entries)).alias("h"))
+        .filter(F.col("h").isNotNull())
+        .distinct()
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+    ta = d.select(
+        F.col("id").alias("doc_a"), F.col("txt").alias("txt_a"), F.col("l").alias("l_a")
+    )
+    tb = d.select(
+        F.col("id").alias("doc_b"), F.col("txt").alias("txt_b"), F.col("l").alias("l_b")
+    )
+    dist = F.levenshtein(F.col("txt_a"), F.col("txt_b"), 1).cast("int")
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(F.abs(F.col("l_a") - F.col("l_b")) <= 1)  # cheap pre-DP gate
+        .select("doc_a", "doc_b", dist.alias("dist"))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= 1))
+    )
+
+
 def connected_components_star(
     nodes: DataFrame, edges: DataFrame, max_iter: int = 30
 ) -> DataFrame:

@@ -31,6 +31,7 @@ from ..functions.dedup import (  # noqa: F401 — re-exported query deps
     connected_components,
     deletion_neighborhood_pairs,
     edit_distance_pairs,
+    prefix_suffix_typo_pairs,
     exact_dedup,
     minhash_near_dups,
     ngram_jaccard_pairs,
@@ -955,12 +956,19 @@ def q_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (SELECT doc_id AS id, text AS s, n_chars AS l FROM documents),
     sigs AS (
-        SELECT id,
-               unnest(list_prepend(
-                   md5(s),
-                   list_transform(range(0, l),
-                                  i -> md5(substr(s, 1, i) || substr(s, i + 2)))
-               )) AS h
+        SELECT DISTINCT id, unnest(list_filter([
+            CASE WHEN l // 2 >= 1 THEN
+                'p:' || (l // 2) || ':' || md5(substr(s, 1, l // 2)) END,
+            CASE WHEN l // 2 >= 1 THEN
+                's:' || (l // 2) || ':' || md5(substr(s, l - l // 2 + 1, l // 2)) END,
+            CASE WHEN (l - 1) // 2 >= 1 THEN
+                'p:' || ((l - 1) // 2) || ':'
+                    || md5(substr(s, 1, (l - 1) // 2)) END,
+            CASE WHEN (l - 1) // 2 >= 1 THEN
+                's:' || ((l - 1) // 2) || ':'
+                    || md5(substr(s, l - (l - 1) // 2 + 1, (l - 1) // 2)) END,
+            CASE WHEN l <= 3 THEN 't' END
+        ], x -> x IS NOT NULL)) AS h
         FROM d
     ),
     cand AS (
@@ -972,19 +980,23 @@ def q_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cand c
     JOIN d da ON da.id = c.doc_a
     JOIN d db ON db.id = c.doc_b
-    WHERE levenshtein(da.s, db.s) <= 1
+    WHERE abs(da.l - db.l) <= 1 AND levenshtein(da.s, db.s) <= 1
     ORDER BY doc_a, doc_b
     """,
 )
 def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance <= 1 pairs with EXACT recall via SymSpell
-    deletion-neighborhood blocking (``functions/dedup.py
-    deletion_neighborhood_pairs``) — no length buckets, no hot-bucket
-    prune, no recall tradeoff: the blocking scheme itself guarantees a
-    shared signature for every true pair. Complements
-    q_edit_distance_pairs (wider threshold, pruned blocking)."""
+    """Edit-distance <= 1 pairs with EXACT recall via the PassJoin
+    pigeonhole at tau=1 (``functions/dedup.py
+    prefix_suffix_typo_pairs``): a single edit leaves the first or the
+    last half of the document untouched, so prefix/suffix-hash
+    blocking guarantees a shared signature for every true pair — no
+    length buckets, no prune, no recall tradeoff, O(len) hashing per
+    doc. Complements q_edit_distance_pairs (wider threshold, pruned
+    blocking); the SymSpell deletion neighborhood
+    (``deletion_neighborhood_pairs``) remains the word-granularity
+    tool."""
     docs = load_table(spark, sf_dir, "documents")
-    return deletion_neighborhood_pairs(docs).orderBy("doc_a", "doc_b")
+    return prefix_suffix_typo_pairs(docs).orderBy("doc_a", "doc_b")
 
 
 @query(

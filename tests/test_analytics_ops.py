@@ -134,31 +134,41 @@ def test_ntile_and_percent_rank_determinism(spark):
     assert got[5] == (5, 4, 1.0)
 
 
-def test_deletion_neighborhood_every_edit_type(spark):
-    """SymSpell blocking must catch each single-edit class — exact dup
-    (dist 0), substitution, insertion, deletion — and reject a 2-edit
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("opname", ["deletion", "prefix_suffix"])
+def test_typo_blocking_every_edit_type(spark, opname):
+    """Both exact-recall ed<=1 blocking schemes (SymSpell deletion
+    neighborhood; PassJoin tau=1 prefix/suffix pigeonhole) must catch
+    each single-edit class — exact dup (dist 0), substitution at the
+    start / middle / end, insertion, deletion — and reject a 2-edit
     pair; the fixture corpus has no ed<=1 pairs, so this micro-fixture
     is the positive-path evidence for q_typo_pairs."""
-    from mapreduce_server_development_spark.functions.dedup import (
-        deletion_neighborhood_pairs,
-    )
+    from mapreduce_server_development_spark.functions import dedup as dd
 
+    op = (
+        dd.deletion_neighborhood_pairs
+        if opname == "deletion"
+        else dd.prefix_suffix_typo_pairs
+    )
     docs = [
-        (1, "hello world"),       # base
+        (1, "hello world"),       # base (len 11, odd)
         (2, "hello world"),       # exact dup          -> dist 0
         (3, "hellp world"),       # substitution       -> dist 1
-        (4, "helloo world"),      # insertion          -> dist 1
-        (5, "hell world"),        # deletion           -> dist 1
+        (4, "helloo world"),      # insertion (len 12) -> dist 1
+        (5, "hell world"),        # deletion (len 10)  -> dist 1
         (6, "hxllp world"),       # two edits          -> excluded
         (7, ""),                  # empty string edge
         (8, "x"),                 # one char; ed("", "x") = 1
+        (9, "xello world"),       # substitution at position 0
+        (10, "hello worlx"),      # substitution at the last char
     ]
     df = spark.createDataFrame(
         [(i, t, len(t)) for i, t in docs], "doc_id long, text string, n_chars long"
     )
     got = {
-        (r["doc_a"], r["doc_b"]): r["dist"]
-        for r in deletion_neighborhood_pairs(df).collect()
+        (r["doc_a"], r["doc_b"]): r["dist"] for r in op(df).collect()
     }
     assert got[(1, 2)] == 0
     assert got[(1, 3)] == 1
@@ -166,5 +176,6 @@ def test_deletion_neighborhood_every_edit_type(spark):
     assert got[(1, 5)] == 1
     assert (1, 6) not in got
     assert got[(7, 8)] == 1      # insertion into empty string
-    # substitution pair among the variants: "hellp" vs "hell " etc.
     assert got[(3, 6)] == 1      # hellp -> hxllp is one substitution
+    assert got[(1, 9)] == 1      # edit at the very first char
+    assert got[(1, 10)] == 1     # edit at the very last char
