@@ -1241,3 +1241,52 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         F.col("valid_to").isNull().cast("long").alias("is_current"),
     ).orderBy("user_id", "version_n")
+
+
+@query(
+    "q_mv_incremental",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(16,4))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh: the standing aggregate
+    over the OLD partition range merges with the partial aggregate of
+    the NEW batch by combining mergeable states (counts add, decimal
+    sums add) — union of two partial-state relations + one re-agg,
+    never a rescan of the base data. The oracle is the full recompute,
+    proving merged == recomputed.
+
+    This is the maintenance loop every large rollup table runs at
+    100 TB: the expensive input is only the delta; the standing state
+    is one row per group. COUNT merges as SUM of partial counts; AVG
+    and friends decompose the same way (sum, count); sketches
+    (hll_union_agg) extend it to distinct counts.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = "1996-01-01"
+    dec = F.col("o_totalprice").cast("decimal(16,4)")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("pn"),
+            F.sum(dec).alias("ps"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < cutoff))     # standing MV
+    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))   # new batch
+    return (
+        base.unionAll(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("pn").cast("long").alias("n_orders"),
+            F.sum("ps").cast("double").alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
