@@ -77,3 +77,80 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(cum - n_tokens) div {SEQ_CAPACITY}").alias("seq_bin"),
         F.expr(f"(cum - n_tokens) % {SEQ_CAPACITY}").alias("bin_offset"),
     )  # no trailing sort: document-linear output
+
+
+def _pipeline_oracle() -> str:
+    from .sampling import _bucket_sql
+
+    b = _bucket_sql("split", "doc_id")
+    return f"""
+    WITH keep AS (
+        SELECT md5(text) AS h, MIN(doc_id) AS k FROM documents GROUP BY 1
+    ),
+    clean AS (
+        SELECT d.doc_id, d.text
+        FROM documents d JOIN keep ON md5(d.text) = keep.h AND d.doc_id = keep.k
+    ),
+    tagged AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                    AS BIGINT) AS n_tokens,
+               CASE WHEN {b} < 800 THEN 'train'
+                    WHEN {b} < 900 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM clean
+    ),
+    packed AS (
+        SELECT doc_id,
+               (SUM(n_tokens) OVER (ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) - n_tokens)
+                   // {SEQ_CAPACITY} AS seq_bin
+        FROM tagged WHERE split = 'train'
+    )
+    SELECT t.doc_id, t.split, t.n_tokens, CAST(p.seq_bin AS BIGINT) AS seq_bin
+    FROM tagged t LEFT JOIN packed p USING (doc_id)
+    ORDER BY t.doc_id
+    """
+
+
+@query("q_pipeline_e2e", oracle=_pipeline_oracle())
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline in ONE composed plan:
+    exact-dedup (keep the min-id copy) → reproducible 80/10/10 split →
+    token counting → sequence packing of the train split. Each stage
+    is the already-audited operator; the query exists to prove they
+    COMPOSE — the canonical corpus-assembly flow a pipeline user runs
+    end to end, with one full-recompute oracle over the whole chain.
+
+    Plan: dedup is one md5-keyed agg + join; the split is a zero-
+    shuffle hash filter; packing is the two-phase prefix scan on the
+    train subset only. Non-train docs carry a NULL seq_bin.
+    """
+    from ..functions.prefix import global_running_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = docs.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("k"))
+    clean = docs.join(
+        keep, (F.md5(docs.text) == keep.h) & (docs.doc_id == keep.k)
+    ).select("doc_id", "text")
+
+    from .sampling import hash_bucket
+
+    b = hash_bucket("split", F.col("doc_id"))
+    tagged = clean.select(
+        "doc_id",
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+        F.when(b < 800, "train").when(b < 900, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    train = tagged.filter(F.col("split") == "train").select("doc_id", "n_tokens")
+    packed = global_running_sum(train, "doc_id", "n_tokens", out_col="cum").select(
+        "doc_id", F.expr(f"(cum - n_tokens) div {SEQ_CAPACITY}").alias("seq_bin")
+    )
+    return (
+        tagged.join(packed, "doc_id", "left")
+        .select("doc_id", "split", "n_tokens", "seq_bin")
+        .orderBy("doc_id")
+    )
