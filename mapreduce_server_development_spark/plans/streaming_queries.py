@@ -448,3 +448,62 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 6 HOURS")),
     ).select("click_id", "purchase_id")
     return _run_to_files(joined, spark)  # no trailing sort: pair-linear output
+
+
+@query(
+    "q_stream_mv",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(16,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_stream_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-view maintenance via ``foreachBatch``:
+    each micro-batch's PARTIAL aggregate (count + decimal sum per
+    event_type — mergeable states) merges into a versioned parquet
+    state table, so the standing rollup is updated with per-batch
+    input cost and the final state equals the full batch aggregate
+    (the oracle). This is the streaming twin of q_mv_incremental and
+    the production shape for continuously-maintained warehouse
+    rollups: the state table is one row per group, versioned by batch
+    id so a replayed batch overwrites its own version (idempotent
+    restart) instead of double-counting.
+    """
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="stream_mv_")
+    state: dict[str, str | None] = {"path": None}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).alias("sum_dec"),
+        )
+        if state["path"] is not None:
+            prev = batch_df.sparkSession.read.parquet(state["path"])
+            partial = prev.unionByName(partial).groupBy("event_type").agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_dec").cast(DEC).alias("sum_dec"),
+            )
+        out = f"{root}/v{batch_id}"
+        partial.write.mode("overwrite").parquet(out)
+        state["path"] = out
+
+    ev = read_events_stream(spark, sf_dir)
+    q = (
+        ev.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(state["path"])
+    return final.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_dec").cast("double").alias("total_value"),
+    ).orderBy("event_type")
