@@ -140,6 +140,50 @@ def sample_frames_stub(
     return df.select(id_col, bin_col).mapInPandas(_sample, schema=FRAME_SCHEMA)
 
 
+#: Output schema of the patch tiler.
+PATCH_SCHEMA = "doc_id long, patch_row int, patch_col int, x0 int, y0 int"
+
+
+def tile_patches_stub(
+    df: DataFrame,
+    bin_col: str = "media",
+    id_col: str = "doc_id",
+    patch: int = 16,
+) -> DataFrame:
+    """ViT-style patch tiling over image payloads via ``mapInPandas``:
+    each image explodes into its ceil(h/patch) x ceil(w/patch) grid of
+    patch coordinates — the exact 1→N batch shape of a real
+    patch-embed preprocessor (decode replaced by deterministic header
+    parsing; a real tiler would additionally slice pixel buffers into
+    the output batch). Non-image modalities emit nothing.
+    """
+
+    def _tile(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "patch_row": [], "patch_col": [],
+                   "x0": [], "y0": []}
+            for doc_id, raw in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(raw)
+                if not b.startswith(b"IMG1"):
+                    continue
+                _, dims, _ = b.split(b":", 2)
+                w, h = (int(v) for v in dims.split(b"x"))
+                n_rows = -(-h // patch)
+                n_cols = -(-w // patch)
+                for r in range(n_rows):
+                    for c in range(n_cols):
+                        out["doc_id"].append(doc_id)
+                        out["patch_row"].append(r)
+                        out["patch_col"].append(c)
+                        out["x0"].append(c * patch)
+                        out["y0"].append(r * patch)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bin_col).mapInPandas(_tile, schema=PATCH_SCHEMA)
+
+
 def decode_real_image(df: DataFrame, bin_col: str = "media", id_col: str = "doc_id") -> DataFrame:
     """Real image decode — requires Pillow, which is NOT in this
     container. Clearly-marked stub gate: raises unless PIL imports.

@@ -19,6 +19,7 @@ from ..functions.multimodal import (
     sample_frames_stub,
     synth_media_col,
     tensor_stats,
+    tile_patches_stub,
 )
 from ..sources.tables import load_table
 from .registry import query
@@ -97,6 +98,37 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1→N frame sampling over video payloads via ``mapInPandas``.
     No trailing sort — frame-linear output."""
     return sample_frames_stub(_media_df(spark, sf_dir))
+
+
+@query(
+    "q_image_patches",
+    oracle="""
+    WITH img AS (
+        SELECT doc_id,
+               16 + doc_id % 48 AS w,
+               16 + (doc_id * 7) % 48 AS h
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    grid AS (
+        SELECT doc_id,
+               CAST(ceil(h / 16.0) AS BIGINT) AS nr,
+               CAST(ceil(w / 16.0) AS BIGINT) AS nc
+        FROM img
+    )
+    SELECT doc_id,
+           CAST(p // nc AS INTEGER) AS patch_row,
+           CAST(p % nc AS INTEGER) AS patch_col,
+           CAST((p % nc) * 16 AS INTEGER) AS x0,
+           CAST((p // nc) * 16 AS INTEGER) AS y0
+    FROM (SELECT doc_id, nr, nc, unnest(range(0, nr * nc)) AS p FROM grid)
+    ORDER BY doc_id, patch_row, patch_col
+    """,
+)
+def q_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style 16x16 patch grid per image via ``mapInPandas`` —
+    the 1→N tiling batch shape a patch-embed preprocessor uses.
+    No trailing sort — patch-linear output."""
+    return tile_patches_stub(_media_df(spark, sf_dir))
 
 
 @query(
