@@ -307,3 +307,95 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(100)
     )
+
+
+@query(
+    "q_normalize_text",
+    oracle="""
+    WITH n AS (
+        SELECT doc_id,
+               lower(trim(regexp_replace(
+                   regexp_replace(text, '[.,!?;:]', '', 'g'), ' +', ' ', 'g')))
+                   AS norm
+        FROM documents
+    )
+    SELECT doc_id,
+           md5(norm) AS norm_hash,
+           CAST(length(norm) AS BIGINT) AS n_chars_norm,
+           CAST(len(list_filter(string_split(norm, ' '), x -> x <> ''))
+                AS BIGINT) AS n_tokens_norm
+    FROM n
+    ORDER BY doc_id
+    """,
+)
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (clean step of the pipeline): strip
+    punctuation, collapse whitespace runs, trim, lowercase — pure JVM
+    regexp/string expressions, zero shuffles, one pass. The normalized
+    text is reported as (md5, char count, token count) so the oracle
+    compares content exactly without hauling full texts through the
+    result hash.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), "[.,!?;:]", ""), " +", " "
+            )
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        F.size(tokens_col(norm)).cast("long").alias("n_tokens_norm"),
+    )  # no trailing sort: document-linear output
+
+
+@query(
+    "q_dataset_card",
+    oracle="""
+    WITH t AS (
+        SELECT source, lang, text,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 4) AS avg_tokens
+    FROM t
+    GROUP BY source, lang
+    ORDER BY source, lang
+    """,
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup: per (source, lang) document counts, exact
+    distinct-content counts, and token totals — the release-notes
+    table every curated corpus ships with. One hash-agg over
+    (source, lang); the distinct-text count rides the same shuffle as
+    a partial distinct on md5(text). At 100 TB swap the exact distinct
+    for hll_sketch_agg (mergeable, one pass) when +-2% error is
+    acceptable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            "lang",
+            F.md5("text").alias("h"),
+            F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("h").cast("long").alias("n_distinct_texts"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.sum("n_tokens").cast("double") / F.count("*"), 4).alias(
+                "avg_tokens"
+            ),
+        )
+        .orderBy("source", "lang")
+    )
