@@ -35,19 +35,23 @@ from . import daemon as daemonmod
 def _cmd_submit(args: argparse.Namespace) -> int:
     if args.remote:
         # Reference fire-and-forget semantics (submit.py:68-91).
+        # Paths resolve against the CALLER's cwd before shipping —
+        # the daemon's cwd is unrelated, and fire-and-forget means a
+        # silently misresolved relative path would never surface.
         info = daemonmod.read_pidfile(args.pidfile)
         port = info["port"] if info else args.port
         ok = daemonmod.send_message(
             port,
             {
                 "message_type": "new_manager_job",
-                "input_directory": args.input_directory,
-                "output_directory": args.output_directory,
+                "input_directory": os.path.abspath(args.input_directory),
+                "output_directory": os.path.abspath(args.output_directory),
                 "mapper_executable": args.mapper_executable,
                 "reducer_executable": args.reducer_executable,
                 "num_mappers": args.num_mappers,
                 "num_reducers": args.num_reducers,
                 "compat": not args.no_compat,
+                "auth": info.get("auth") if info else None,
             },
         )
         if not ok:
@@ -135,25 +139,39 @@ def _cmd_stop(args: argparse.Namespace) -> int:
     if not info:
         return 0
     pid, port = int(info["pid"]), int(info["port"])
-    # Cooperative first (the reference's netcat shutdown message), then
-    # the pkill escalation path (bin/mapreduce:26-44).
-    daemonmod.send_message(port, {"message_type": "shutdown"})
-    for sig in (None, signal.SIGTERM, signal.SIGKILL):
-        deadline = time.time() + args.timeout / 3
+
+    def _wait_dead(seconds: float) -> bool:
+        deadline = time.time() + seconds
         while time.time() < deadline:
-            if not daemonmod.read_pidfile(args.pidfile):
-                return 0
+            try:
+                os.kill(pid, 0)
+            except ProcessLookupError:
+                # Process gone. A pidfile left behind (SIGKILL skips the
+                # daemon's cleanup) is removed here so a recycled pid can
+                # never be mistaken for the daemon later.
+                Path(args.pidfile).unlink(missing_ok=True)
+                return True
             time.sleep(0.2)
+        return False
+
+    # Cooperative first (the reference's netcat shutdown message), then
+    # the pkill escalation path (bin/mapreduce:26-44). Each signal gets
+    # its own wait — including the last one, so a SIGKILL that lands is
+    # never misreported as failure.
+    daemonmod.send_message(
+        port, {"message_type": "shutdown", "auth": info.get("auth")}
+    )
+    for sig in (signal.SIGTERM, signal.SIGKILL, None):
+        if _wait_dead(args.timeout / 3):
+            return 0
         if sig is not None:
             try:
                 os.kill(pid, sig)
             except ProcessLookupError:
                 Path(args.pidfile).unlink(missing_ok=True)
                 return 0
-    if daemonmod.read_pidfile(args.pidfile):
-        print("Error: daemon did not stop", file=sys.stderr)
-        return 1
-    return 0
+    print("Error: daemon did not stop", file=sys.stderr)
+    return 1
 
 
 def _cmd_restart(args: argparse.Namespace) -> int:

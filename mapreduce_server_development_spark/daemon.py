@@ -4,12 +4,14 @@ Operational parity with the reference's manager process
 (mapreduce/manager/__main__.py):
 
 - message plane: JSON messages on a localhost TCP socket, one message
-  per connection, read to EOF — exactly the reference's
-  ``_handle_message`` dispatch (manager/__main__.py:368-373). Two
-  message types are honored: ``new_manager_job`` (enqueue a job,
-  fields as in mapreduce/submit.py:68-76) and ``shutdown`` (drain and
-  exit — the reference's ``bin/mapreduce stop`` sends the same bytes
-  via netcat, bin/mapreduce:22).
+  per connection, read to EOF — the reference's ``_handle_message``
+  dispatch (manager/__main__.py:368-373). Two message types are
+  honored: ``new_manager_job`` (enqueue a job, fields as in
+  mapreduce/submit.py:68-76) and ``shutdown`` (drain and exit — the
+  reference's ``bin/mapreduce stop`` message, bin/mapreduce:22). One
+  deliberate deviation: every message must carry the per-run ``auth``
+  token from the owner-only pidfile — a tokenless localhost port
+  would let any local user run executables as the daemon's owner.
 - F9 FIFO queue: jobs run strictly one at a time in submission order
   on a single worker thread (the reference manager also runs one job
   at a time off its queue).
@@ -30,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import queue
+import secrets
 import signal
 import socket
 import sys
@@ -46,11 +49,17 @@ _RECV_LIMIT = 1 << 20  # 1 MiB: job specs are tiny; bound hostile input
 
 
 def read_pidfile(pidfile: str) -> dict | None:
-    """Parse the pidfile; None if absent/corrupt or the pid is dead."""
+    """Parse the pidfile; None if absent/corrupt or the pid is dead.
+
+    Corrupt means ANY malformed content — non-JSON, JSON that is not an
+    object, or missing/non-integer pid/port (a torn write or an
+    unrelated tool's file must never crash a CLI verb).
+    """
     try:
         info = json.loads(Path(pidfile).read_text())
         pid = int(info["pid"])
-    except (OSError, ValueError, KeyError):
+        int(info["port"])
+    except (OSError, ValueError, KeyError, TypeError):
         return None
     try:
         os.kill(pid, 0)  # liveness probe only
@@ -134,7 +143,16 @@ def serve(port: int = DEFAULT_PORT, pidfile: str = DEFAULT_PIDFILE) -> int:
     srv.listen(8)
     srv.settimeout(0.5)  # poll stop_evt between accepts
 
-    Path(pidfile).write_text(json.dumps({"pid": os.getpid(), "port": port}))
+    # Auth: a random per-run token, distributed via the owner-only
+    # pidfile. TCP gives no portable peer-uid check, and a tokenless
+    # localhost port would let ANY local user run arbitrary executables
+    # as the daemon's owner — strict reference wire parity (bare
+    # netcat) loses to that; the CLI attaches the token automatically.
+    token = secrets.token_hex(16)
+    Path(pidfile).write_text(
+        json.dumps({"pid": os.getpid(), "port": port, "auth": token})
+    )
+    os.chmod(pidfile, 0o600)
     print(f"mapreduce-spark daemon listening on 127.0.0.1:{port} "
           f"(spark {spark.version}, pidfile {pidfile})", flush=True)
     try:
@@ -146,6 +164,10 @@ def serve(port: int = DEFAULT_PORT, pidfile: str = DEFAULT_PIDFILE) -> int:
             with conn:
                 msg = _recv_json(conn)
             if not msg:
+                continue
+            if msg.get("auth") != token:
+                print("rejecting message with missing/invalid auth token",
+                      file=sys.stderr, flush=True)
                 continue
             mtype = msg.get("message_type")
             if mtype == "shutdown":

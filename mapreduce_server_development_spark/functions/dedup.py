@@ -318,8 +318,15 @@ def simhash_near_pairs(
     matches exactly, so the pair survives unless all its matching bands
     exceed the cap (hot band values are dominated by boilerplate
     signatures where near-dup pairs carry little signal anyway).
+
+    The signature relation feeds 4 bands x (hot aggregate + two join
+    sides), so it is persisted (spill-safe MEMORY_AND_DISK — the same
+    policy as the minhash shingle relation): the tokenize + 64-vote
+    aggregation must not run ~12 times.
     """
-    s = simhash64(df, text_col, id_col)
+    from pyspark import StorageLevel
+
+    s = simhash64(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     ham = sum(
         (
             F.bit_count(

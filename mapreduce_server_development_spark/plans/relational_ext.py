@@ -1183,7 +1183,7 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     changes AS (
-        SELECT user_id, event_type, ts
+        SELECT user_id, event_type, ts, event_id
         FROM ordered
         WHERE prev_type IS NULL OR event_type <> prev_type
     ),
@@ -1193,7 +1193,7 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                strftime(LEAD(ts) OVER w2, '%Y-%m-%d %H:%M:%S') AS valid_to,
                CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version_n
         FROM changes
-        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id, version_n, event_type, valid_from, valid_to,
            CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
@@ -1222,9 +1222,12 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = (
         ev.withColumn("prev_type", F.lag("event_type").over(w))
         .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
-        .select("user_id", "event_type", "ts")
+        .select("user_id", "event_type", "ts", "event_id")
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts")
+    # Same (ts, event_id) tiebreak as w: two change rows can share a
+    # user's timestamp, and an ambiguous order would make version_n /
+    # valid_to nondeterministic across runs and engines.
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     fmt = "yyyy-MM-dd HH:mm:ss"
     versioned = changes.select(
         "user_id",

@@ -470,28 +470,37 @@ def q_stream_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the oracle). This is the streaming twin of q_mv_incremental and
     the production shape for continuously-maintained warehouse
     rollups: the state table is one row per group, versioned by batch
-    id so a replayed batch overwrites its own version (idempotent
-    restart) instead of double-counting.
+    id. A replayed batch (sink write committed, checkpoint commit
+    lost) re-merges from the latest version STRICTLY BELOW its own
+    batch id — discovered from the filesystem, not driver memory — so
+    it deterministically overwrites its own version instead of
+    double-counting or reading the path it is writing.
     """
+    import os
     import tempfile
 
     root = tempfile.mkdtemp(prefix="stream_mv_")
-    state: dict[str, str | None] = {"path": None}
+
+    def _versions() -> list[int]:
+        return sorted(
+            int(name[1:])
+            for name in os.listdir(root)
+            if name.startswith("v") and name[1:].isdigit()
+        )
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         partial = batch_df.groupBy("event_type").agg(
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast(DEC)).alias("sum_dec"),
         )
-        if state["path"] is not None:
-            prev = batch_df.sparkSession.read.parquet(state["path"])
+        prev_ids = [v for v in _versions() if v < batch_id]
+        if prev_ids:
+            prev = batch_df.sparkSession.read.parquet(f"{root}/v{prev_ids[-1]}")
             partial = prev.unionByName(partial).groupBy("event_type").agg(
                 F.sum("n_events").alias("n_events"),
                 F.sum("sum_dec").cast(DEC).alias("sum_dec"),
             )
-        out = f"{root}/v{batch_id}"
-        partial.write.mode("overwrite").parquet(out)
-        state["path"] = out
+        partial.write.mode("overwrite").parquet(f"{root}/v{batch_id}")
 
     ev = read_events_stream(spark, sf_dir)
     q = (
@@ -501,7 +510,7 @@ def q_stream_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    final = spark.read.parquet(state["path"])
+    final = spark.read.parquet(f"{root}/v{_versions()[-1]}")
     return final.select(
         "event_type",
         F.col("n_events").cast("long").alias("n_events"),

@@ -129,11 +129,12 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..functions.prefix import global_running_sum
 
+    from ..functions.dedup import exact_dedup
+
     docs = load_table(spark, sf_dir, "documents")
-    keep = docs.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("k"))
-    clean = docs.join(
-        keep, (F.md5(docs.text) == keep.h) & (docs.doc_id == keep.k)
-    ).select("doc_id", "text")
+    # Reuse the audited operator (one canonical-copy rule in the repo).
+    keep = exact_dedup(docs).select(F.col("canonical_doc").alias("doc_id"))
+    clean = docs.join(keep, "doc_id", "left_semi").select("doc_id", "text")
 
     from .sampling import hash_bucket
 

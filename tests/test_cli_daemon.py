@@ -57,9 +57,20 @@ def test_daemon_lifecycle_and_remote_submit(tmp_path):
         assert res.returncode == 1
         assert "already running" in res.stderr
 
-        # restart = stop + start (bin/mapreduce:86-89): new pid, still up.
+        # An unauthenticated message must be ignored (no token from the
+        # owner-only pidfile -> any local user could otherwise run
+        # executables as the daemon owner). Daemon must survive it.
         import json as _json
+        import socket as _socket
         from pathlib import Path as _Path
+
+        with _socket.create_connection(("127.0.0.1", port), timeout=5) as s:
+            s.sendall(_json.dumps({"message_type": "shutdown"}).encode())
+        time.sleep(1.0)
+        res = _cli("status", *opts)
+        assert "manager running" in res.stdout
+
+        # restart = stop + start (bin/mapreduce:86-89): new pid, still up.
 
         old_pid = _json.loads(_Path(pidfile).read_text())["pid"]
         res = _cli("restart", *opts, timeout=180.0)
