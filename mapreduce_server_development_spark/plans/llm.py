@@ -1290,6 +1290,95 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_ann_recall",
+    oracle=f"""
+    WITH {_VEC_CTE},
+    q AS (SELECT vid AS qid, qv, qnrm, qbucket FROM (
+        SELECT vid, vv AS qv, nrm AS qnrm,
+               {_lsh_bucket_sql(lsh_plane_weights(4, 64))} AS qbucket
+        FROM n) WHERE vid <= 5
+    ),
+    exact_pairs AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.qid AS query_id, n.vid AS vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY round(list_dot_product(n.vv, q.qv)
+                                      / (n.nrm * q.qnrm), 4) DESC, n.vid) AS rn
+            FROM n CROSS JOIN q WHERE n.vid <> q.qid
+        ) WHERE rn <= 3
+    ),
+    s AS (
+        SELECT vid, vv, nrm, {_lsh_bucket_sql(lsh_plane_weights(4, 64))} AS bucket
+        FROM n
+    ),
+    probes AS (
+        SELECT qid, qv, qnrm,
+               unnest(list_concat([qbucket],
+                   list_transform(range(1, 5), i ->
+                       substring(qbucket, 1, i - 1)
+                       || (CASE WHEN substring(qbucket, i, 1) = '0'
+                                THEN '1' ELSE '0' END)
+                       || substring(qbucket, i + 1, 4 - i)))) AS probe
+        FROM q
+    ),
+    lsh_pairs AS (
+        SELECT query_id, vec_id FROM (
+            SELECT p.query_id, p.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY p.query_id
+                                      ORDER BY p.cosine DESC, p.vec_id) AS rn
+            FROM (
+                SELECT DISTINCT q.qid AS query_id, s.vid AS vec_id,
+                       round(list_dot_product(s.vv, q.qv)
+                             / (s.nrm * q.qnrm), 4) AS cosine
+                FROM s JOIN probes q ON s.bucket = q.probe
+                WHERE s.vid <> q.qid
+            ) p
+        ) WHERE rn <= 3
+    )
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(l.vec_id) AS BIGINT) AS n_hits,
+           round(COUNT(l.vec_id) / 3.0, 4) AS recall_at_3
+    FROM exact_pairs e
+    LEFT JOIN lsh_pairs l
+           ON l.query_id = e.query_id AND l.vec_id = e.vec_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """,
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@3 of the multi-probe LSH tier
+    against the exact cosine top-3 — the measurement every ANN
+    deployment tracks before trading exactness for cost. Both result
+    sets use the deterministic (rounded cosine DESC, vec_id) rank, so
+    the recall numbers are engine-exact. Plan: the exact side is the
+    bounded broadcast crossJoin tier; the LSH side is a bucket
+    equi-join; the comparison itself is a 15-row join.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, query_max_id=5, k=3).select("query_id", "vec_id")
+    lsh = lsh_bucket_topk(
+        emb, query_max_id=5, k=3, num_planes=4, dim=64, probe_hamming=1
+    ).select("query_id", F.col("vec_id").alias("l_vec"))
+    return (
+        exact.join(
+            lsh,
+            (exact.query_id == lsh.query_id) & (exact.vec_id == lsh.l_vec),
+            "left",
+        )
+        .drop(lsh.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.count("l_vec").cast("long").alias("n_hits"),
+            F.round(F.count("l_vec") / 3.0, 4).alias("recall_at_3"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def _pagerank_oracle(iters: int = 10) -> str:
     """Unrolled fixed-point PageRank oracle over the 5-gram Jaccard
     edge relation (same pair CTEs as q_dup_clusters). Recursive CTEs
