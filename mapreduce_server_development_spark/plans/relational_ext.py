@@ -1293,3 +1293,81 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q_concurrent_sessions",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts)
+                         - LAG(epoch_us(ts))
+                             OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= 1800000000
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS session_id
+        FROM flagged
+    ),
+    sessions AS (
+        SELECT user_id, session_id,
+               date_trunc('hour', MIN(ts)) AS h_start,
+               date_trunc('hour', MAX(ts) + INTERVAL 30 MINUTE) AS h_end
+        FROM numbered GROUP BY user_id, session_id
+    ),
+    spans AS (
+        SELECT unnest(generate_series(h_start, h_end, INTERVAL 1 HOUR)) AS h
+        FROM sessions
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_active_sessions
+    FROM spans
+    GROUP BY h
+    ORDER BY hour
+    """,
+)
+def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap aggregation: per hour, how many sessions were
+    ACTIVE (span overlaps the hour) — capacity-planning's concurrency
+    curve, a different beast from event counts (q_events_hourly counts
+    points; this counts SPANS, so an idle-but-open session still
+    occupies capacity).
+
+    Sessions are the same 30-minute-gap session_window relation as
+    q_session_window (window end = last event + gap). Each session
+    explodes into the hours it touches — bounded fan-out (sessions are
+    minutes-to-hours long) — then one hash agg on the hour. The same
+    shape handles any interval fact table (meetings, rentals, locks)
+    at 100 TB: explode-by-span-unit beats a spine interval-join when
+    spans are short relative to the spine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sessions = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(
+        F.date_trunc("hour", F.min("ts")).alias("h_start"),
+        F.date_trunc("hour", F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias(
+            "h_end"
+        ),
+    )
+    spans = sessions.select(
+        F.explode(
+            F.sequence("h_start", "h_end", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    return (
+        spans.groupBy("h")
+        .agg(F.count("*").cast("long").alias("n_active_sessions"))
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n_active_sessions",
+        )
+        .orderBy("hour")
+    )
