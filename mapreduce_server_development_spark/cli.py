@@ -32,26 +32,51 @@ from pathlib import Path
 from . import daemon as daemonmod
 
 
+def _abs_executable(executable: str | list) -> str | list:
+    """Resolve an executable spec's program path against the caller's
+    cwd (arguments untouched) — same reasoning as the input/output
+    dirs: the daemon's cwd is unrelated and fire-and-forget hides a
+    misresolution."""
+    import shlex
+
+    if isinstance(executable, (list, tuple)):
+        parts = list(executable)
+    else:
+        parts = shlex.split(str(executable))
+    if parts:
+        parts[0] = os.path.abspath(parts[0])
+    return parts
+
+
 def _cmd_submit(args: argparse.Namespace) -> int:
     if args.remote:
         # Reference fire-and-forget semantics (submit.py:68-91).
         # Paths resolve against the CALLER's cwd before shipping —
         # the daemon's cwd is unrelated, and fire-and-forget means a
         # silently misresolved relative path would never surface.
+        # Without the daemon's auth token the job would be silently
+        # dropped server-side, so fail fast here instead.
         info = daemonmod.read_pidfile(args.pidfile)
-        port = info["port"] if info else args.port
+        if not info or not info.get("auth"):
+            print(
+                f"Failed to send job to manager: no running daemon found via "
+                f"pidfile {args.pidfile} (needed for the auth token).",
+                file=sys.stderr,
+            )
+            return 1
+        port = info["port"]
         ok = daemonmod.send_message(
             port,
             {
                 "message_type": "new_manager_job",
                 "input_directory": os.path.abspath(args.input_directory),
                 "output_directory": os.path.abspath(args.output_directory),
-                "mapper_executable": args.mapper_executable,
-                "reducer_executable": args.reducer_executable,
+                "mapper_executable": _abs_executable(args.mapper_executable),
+                "reducer_executable": _abs_executable(args.reducer_executable),
                 "num_mappers": args.num_mappers,
                 "num_reducers": args.num_reducers,
                 "compat": not args.no_compat,
-                "auth": info.get("auth") if info else None,
+                "auth": info["auth"],
             },
         )
         if not ok:
@@ -149,6 +174,12 @@ def _cmd_stop(args: argparse.Namespace) -> int:
                 # Process gone. A pidfile left behind (SIGKILL skips the
                 # daemon's cleanup) is removed here so a recycled pid can
                 # never be mistaken for the daemon later.
+                Path(args.pidfile).unlink(missing_ok=True)
+                return True
+            except PermissionError:
+                # Pid recycled to another user's process mid-wait: the
+                # daemon is dead (same EPERM-means-not-ours rule as
+                # read_pidfile).
                 Path(args.pidfile).unlink(missing_ok=True)
                 return True
             time.sleep(0.2)

@@ -149,10 +149,12 @@ def serve(port: int = DEFAULT_PORT, pidfile: str = DEFAULT_PIDFILE) -> int:
     # as the daemon's owner — strict reference wire parity (bare
     # netcat) loses to that; the CLI attaches the token automatically.
     token = secrets.token_hex(16)
-    Path(pidfile).write_text(
-        json.dumps({"pid": os.getpid(), "port": port, "auth": token})
-    )
-    os.chmod(pidfile, 0o600)
+    # 0600 from the first byte: create-then-chmod would leave a window
+    # in which another local user reads the token from the well-known
+    # per-uid path.
+    fd = os.open(pidfile, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
+    with os.fdopen(fd, "w") as f:
+        f.write(json.dumps({"pid": os.getpid(), "port": port, "auth": token}))
     print(f"mapreduce-spark daemon listening on 127.0.0.1:{port} "
           f"(spark {spark.version}, pidfile {pidfile})", flush=True)
     try:

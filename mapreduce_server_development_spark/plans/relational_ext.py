@@ -1295,27 +1295,13 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .streaming_queries import SESSION_ID_CTES  # noqa: E402 — shared oracle CTE
+
+
 @query(
     "q_concurrent_sessions",
-    oracle="""
-    WITH flagged AS (
-        SELECT user_id, ts, event_id,
-               CASE WHEN epoch_us(ts)
-                         - LAG(epoch_us(ts))
-                             OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                         >= 1800000000
-                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       IS NULL
-                    THEN 1 ELSE 0 END AS new_session
-        FROM events
-    ),
-    numbered AS (
-        SELECT user_id, ts,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS BETWEEN UNBOUNDED PRECEDING
-                                      AND CURRENT ROW) AS session_id
-        FROM flagged
-    ),
+    oracle=f"""
+    WITH {SESSION_ID_CTES},
     sessions AS (
         SELECT user_id, session_id,
                date_trunc('hour', MIN(ts)) AS h_start,

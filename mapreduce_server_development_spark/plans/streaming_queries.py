@@ -18,6 +18,7 @@ output mode over a bounded fixture keeps results deterministic.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 import uuid
@@ -207,10 +208,12 @@ def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, spark)  # no trailing sort: time-linear output
 
 
-@query(
-    "q_session_window",
-    oracle="""
-    WITH flagged AS (
+#: Shared 30-minute-gap session-id assignment (LAG gap flag + cumsum),
+#: interpolated by every oracle that needs the session relation
+#: (q_session_window here, q_concurrent_sessions in relational_ext) —
+#: ONE definition, so a gap-rule or tiebreak change cannot silently
+#: diverge between queries. Yields ``numbered(user_id, ts, session_id)``.
+SESSION_ID_CTES = """flagged AS (
         SELECT user_id, ts, event_id,
                CASE WHEN epoch_us(ts)
                          - LAG(epoch_us(ts))
@@ -220,18 +223,24 @@ def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 1 ELSE 0 END AS new_session
         FROM events
     ),
-    sessions AS (
+    numbered AS (
         SELECT user_id, ts,
                SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS session_id
         FROM flagged
-    )
+    )"""
+
+
+@query(
+    "q_session_window",
+    oracle=f"""
+    WITH {SESSION_ID_CTES}
     SELECT user_id,
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
            COUNT(*) AS n_events
-    FROM sessions
+    FROM numbered
     GROUP BY user_id, session_id
     ORDER BY user_id, session_start
     """,
@@ -476,9 +485,6 @@ def q_stream_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     it deterministically overwrites its own version instead of
     double-counting or reading the path it is writing.
     """
-    import os
-    import tempfile
-
     root = tempfile.mkdtemp(prefix="stream_mv_")
 
     def _versions() -> list[int]:
@@ -496,9 +502,13 @@ def q_stream_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_ids = [v for v in _versions() if v < batch_id]
         if prev_ids:
             prev = batch_df.sparkSession.read.parquet(f"{root}/v{prev_ids[-1]}")
+            # No narrowing cast: batch 0 writes sum_dec as the widened
+            # sum type (decimal(26,4)); casting the running total back
+            # to decimal(16,4) would overflow once the cumulative sum
+            # passes ~10^12 — exactly the regime the MV is for.
             partial = prev.unionByName(partial).groupBy("event_type").agg(
                 F.sum("n_events").alias("n_events"),
-                F.sum("sum_dec").cast(DEC).alias("sum_dec"),
+                F.sum("sum_dec").cast("decimal(26,4)").alias("sum_dec"),
             )
         partial.write.mode("overwrite").parquet(f"{root}/v{batch_id}")
 

@@ -109,6 +109,14 @@ def test_daemon_lifecycle_and_remote_submit(tmp_path):
     res = _cli("status", *opts)
     assert "manager not running" in res.stdout
 
+    # With the daemon down there is no auth token: remote submit must
+    # fail FAST and loudly, not fire a job the daemon would silently
+    # reject.
+    res = _cli("submit", "--remote", *opts, "-i", str(INPUT),
+               "-o", str(tmp_path / "late"))
+    assert res.returncode == 1
+    assert "no running daemon" in res.stderr
+
 
 @needs_reference
 def test_slow_executables_with_speculation(tmp_path):
