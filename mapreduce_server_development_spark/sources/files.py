@@ -73,3 +73,43 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 def write_orc(df: DataFrame, path: str) -> None:
     """ORC sink (overwrite) — one file per partition."""
     df.write.mode("overwrite").orc(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """XML scan (Spark 4 built-in data source): one row per ``row_tag``
+    element, attributes as ``_attr`` columns, nested elements as
+    structs. PERMISSIVE like the json path — malformed elements land in
+    ``_corrupt_record`` rather than failing the read. Pass ``schema``
+    at scale (inference reads the data once)."""
+    reader = (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+) -> DataFrame:
+    """Whole-file binary ingestion (``binaryFile`` source): one row per
+    file with (path, modificationTime, length, content binary) — the
+    ingestion front door of the multimodal plane (images/audio/video
+    drop as opaque blobs; see functions/multimodal.py for what runs on
+    the ``content`` column). ``pathGlobFilter`` prunes at the listing,
+    and large corpora should bound per-task memory with
+    ``spark.sql.files.maxPartitionBytes`` since each file is one row."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

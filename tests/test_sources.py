@@ -212,3 +212,42 @@ def test_gzip_text_read(spark, tmp_path):
         f.write("gamma\n")
     got = sorted(r["value"] for r in spark.read.text(str(d)).collect())
     assert got == ["alpha", "beta", "gamma"]
+
+
+def test_xml_roundtrip_rowtag(spark, tmp_path):
+    """XML source (Spark 4 built-in): rowTag extraction with attribute
+    and nested-element columns."""
+    from mapreduce_server_development_spark.sources.files import read_xml
+
+    f = tmp_path / "books.xml"
+    f.write_text(
+        "<catalog>"
+        '<book id="1"><title>Spark</title><price>10.5</price></book>'
+        '<book id="2"><title>Duck</title><price>7.25</price></book>'
+        "</catalog>"
+    )
+    df = read_xml(spark, str(f), row_tag="book")
+    rows = {r["_id"]: (r["title"], float(r["price"])) for r in df.collect()}
+    assert rows == {1: ("Spark", 10.5), 2: ("Duck", 7.25)}
+
+
+def test_binary_file_ingestion(spark, tmp_path):
+    """binaryFile source: one row per file, exact bytes in ``content``,
+    glob pruning at the listing — the multimodal ingestion front door."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_server_development_spark.sources.files import read_binary_files
+
+    (tmp_path / "a.img").write_bytes(b"IMG1:4x4:\x00\xffpayload")
+    (tmp_path / "b.img").write_bytes(b"IMG1:2x2:x")
+    (tmp_path / "skip.txt").write_text("not media")
+    df = read_binary_files(spark, str(tmp_path), glob="*.img")
+    rows = {r["path"].rsplit("/", 1)[1]: bytes(r["content"]) for r in df.collect()}
+    assert rows == {
+        "a.img": b"IMG1:4x4:\x00\xffpayload",
+        "b.img": b"IMG1:2x2:x",
+    }
+    # length column matches the bytes without reading content again
+    lens = {r["path"].rsplit("/", 1)[1]: r["length"] for r in
+            df.select("path", "length").collect()}
+    assert lens == {"a.img": 18, "b.img": 10}
