@@ -526,3 +526,44 @@ def q_stream_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         F.col("sum_dec").cast("double").alias("total_value"),
     ).orderBy("event_type")
+
+
+@query(
+    "q_stream_session_window",
+    oracle=f"""
+    WITH {SESSION_ID_CTES}
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows as a REAL streaming aggregation (the streaming
+    twin of the batch q_session_window, same oracle): 30-minute-gap
+    ``session_window`` over the event stream, complete output mode so
+    the bounded availableNow run emits every session including the
+    trailing ones a watermarked append run would hold back. On an
+    unbounded production stream the same plan runs with a watermark in
+    append mode, emitting each session once the watermark passes its
+    close — state per open session, merged by the engine on arrival.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, spark)  # no trailing sort: session-linear
