@@ -213,3 +213,57 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "rk")
         .orderBy("lang", "rk")
     )
+
+
+def _u32_sql(hash_expr: str) -> str:
+    """DuckDB: first 8 md5 hex digits as an integer 0..2^32-1."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({hash_expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"({terms})"
+
+
+@query(
+    "q_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               CAST(round(
+                   -ln(({_u32_sql("md5('wrs:' || CAST(doc_id AS VARCHAR))")} + 1)
+                       / 4294967297.0)
+                   / GREATEST(n_chars, 1) * 1000000000) AS BIGINT) AS ikey
+        FROM documents
+    )
+    SELECT doc_id, n_chars, ikey
+    FROM keyed
+    ORDER BY ikey, doc_id
+    LIMIT 100
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, top-100 by the
+    Efraimidis-Spirakis exponential key: item i is selected with
+    probability proportional to its weight (here ``n_chars`` — a
+    token-budget-weighted corpus draw) by ranking on
+    ``-ln(u_i) / w_i`` with u_i uniform. Determinism: u_i derives from
+    md5(salt:doc_id) (32 bits is plenty for ranking), and the key is
+    rounded to integer NANO-units (the unigram-logprob fixed-point
+    pattern) so a last-ulp ``ln`` difference between engines cannot
+    reorder the sample. Plan: scan → project → TakeOrderedAndProject
+    (per-partition top-k heaps) — one pass, no full sort, no shuffle
+    beyond the k-row gather; at 100 TB this is the cheapest exact
+    weighted draw there is.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("wrs:"), F.col("doc_id").cast("string")))
+    u32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+    u = (u32 + F.lit(1.0)) / F.lit(4294967297.0)
+    w = F.greatest(F.col("n_chars"), F.lit(1))
+    ikey = F.round(-F.log(u) / w * 1000000000).cast("long")
+    return (
+        docs.select("doc_id", "n_chars", ikey.alias("ikey"))
+        .orderBy("ikey", "doc_id")
+        .limit(100)
+    )

@@ -173,3 +173,45 @@ def test_connected_components_star_match_union_find(spark, edges):
         for r in connected_components_star(ndf, edf).collect()
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vals=st.lists(st.integers(0, 1000), min_size=1, max_size=60),
+    nparts=st.integers(1, 9),
+)
+def test_global_running_sum_matches_cumsum(spark, vals, nparts):
+    """Two-phase prefix sum == sequential cumsum for any values and any
+    partition count (offsets must chain correctly across partitions)."""
+    from mapreduce_server_development_spark.functions.prefix import (
+        global_running_sum,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r["k"]: r["running_sum"]
+        for r in global_running_sum(df, "k", "v", num_partitions=nparts).collect()
+    }
+    acc = 0
+    for k, v in rows:
+        acc += v
+        assert got[k] == acc
+
+
+@given(
+    args=st.lists(
+        st.text(st.sampled_from("ab c/.'\"-_$"), min_size=1, max_size=8),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_cmd_quotes_argv_lists_safely(args):
+    """_cmd must quote every argv token so shell metacharacters in
+    arguments (quotes, spaces, $) survive the pipe round-trip."""
+    import shlex
+
+    from mapreduce_server_development_spark.operators.mapreduce import _cmd
+
+    rendered = _cmd(args)
+    assert shlex.split(rendered) == args
