@@ -1357,3 +1357,137 @@ def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+@query(
+    "q_event_cooccurrence",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n_users AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM events),
+    singles AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t FROM ut GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           round(CAST(p.n_both AS DOUBLE) / u.n, 4) AS support,
+           round(CAST(p.n_both AS DOUBLE) / sa.n_t, 4) AS confidence_a_to_b,
+           round(CAST(p.n_both AS DOUBLE) * u.n / (sa.n_t * sb.n_t), 4) AS lift
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.type_a
+    JOIN singles sb ON sb.event_type = p.type_b
+    CROSS JOIN n_users u
+    ORDER BY type_a, type_b
+    """,
+)
+def q_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association analysis over user behavior: for every event-type
+    pair, how many users did BOTH, with support / confidence / lift —
+    the market-basket triple on the (user, event_type) basket relation.
+
+    Plan: distinct (user, type) — one shuffle keyed by user — then a
+    user-keyed self-join whose fan-out is bounded by the TYPE
+    cardinality squared per user (tiny), then a pair-keyed agg over a
+    key space of |types|^2. The ratios are single divisions of exact
+    integers. This is the engine-friendly form of frequent-itemset
+    mining at k=2; higher k composes the same distinct-basket relation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ev.agg(F.countDistinct("user_id").cast("long").alias("n"))
+    singles = ut.groupBy("event_type").agg(F.count("*").cast("long").alias("n_t"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("na"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(F.col("n_both").cast("double") / F.col("n"), 4).alias("support"),
+            F.round(F.col("n_both").cast("double") / F.col("na"), 4).alias(
+                "confidence_a_to_b"
+            ),
+            F.round(
+                F.col("n_both").cast("double") * F.col("n")
+                / (F.col("na") * F.col("nb")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    trans AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    outs AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_out
+             FROM trans GROUP BY 1)
+    SELECT t.from_type, t.to_type, t.n,
+           round(CAST(t.n AS DOUBLE) / o.n_out, 4) AS p_transition
+    FROM trans t JOIN outs o USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior transition matrix: counts and probabilities
+    of consecutive (from -> to) event types within each user's
+    timeline — the Markov-chain view of user journeys (sequence mining
+    at order 1; funnels are the special case of one fixed path).
+
+    Plan: one lead window partitioned on user_id (the natural event
+    key, one shuffle) and two tiny aggs over the |types|^2 key space.
+    Deterministic (ts, event_id) ordering matches every other
+    event-sequence query in the repo.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    outs = trans.groupBy("from_type").agg(F.sum("n").cast("long").alias("n_out"))
+    return (
+        trans.join(F.broadcast(outs), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_out"), 4).alias(
+                "p_transition"
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
