@@ -1491,3 +1491,64 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@query(
+    "q_user_journeys",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    j AS (
+        SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS journey
+        FROM r WHERE rn <= 5 GROUP BY user_id
+    )
+    SELECT journey, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM j
+    GROUP BY journey
+    ORDER BY n_users DESC, journey
+    LIMIT 20
+    """,
+)
+def q_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 five-step user-journey prefixes: each user's first five
+    event types in time order become a path string, counted across
+    users — the product-analytics path view (funnels check ONE path;
+    this surfaces which paths exist).
+
+    Plan: rank window on user_id (one shuffle on the natural event
+    key), per-user ordered assembly via ``array_sort(collect_list(
+    struct(rn, type)))`` — sorting five structs per user, never a
+    second window — then a journey-keyed agg over a tiny key space and
+    TakeOrderedAndProject for the cut. Deterministic (ts, event_id)
+    ordering throughout.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    journeys = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s.event_type,
+                ),
+                ">",
+            ).alias("journey")
+        )
+    )
+    return (
+        journeys.groupBy("journey")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "journey")
+        .limit(20)
+    )
