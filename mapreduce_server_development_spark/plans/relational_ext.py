@@ -1552,3 +1552,84 @@ def q_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), "journey")
         .limit(20)
     )
+
+
+@query(
+    "q_dq_checks",
+    oracle="""
+    SELECT 'lineitem_orphans' AS check_name,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'orders_orphans',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_nonpositive_price',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_null_keys',
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderkey IS NULL OR o_custkey IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_dup_pk',
+           CAST((SELECT COALESCE(SUM(c - 1), 0) FROM
+                 (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+                 WHERE c > 1) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+    ORDER BY check_name
+    """,
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint sweep: referential integrity
+    (lineitem→orders, orders→customer as broadcast-friendly
+    anti-joins), domain ranges, null keys, and primary-key duplicate
+    counts — reported as one (check_name, n_violations) summary, the
+    shape a warehouse DQ monitor emits per load.
+
+    Plan: each check is an independent aggregate; the anti-joins
+    shuffle on their natural keys, the rest are scan+filter counts.
+    All checks report 0 on the driver fixture — the point is the
+    harness (a violated constraint shows up as a nonzero row), and the
+    oracle cross-checks the zero is real, not a silently-empty join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").cast("long").alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    dup_pk = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).cast("long").alias("n_violations"))
+        .select(F.lit("orders_dup_pk").alias("check_name"), "n_violations")
+    )
+    checks = [
+        one("lineitem_orphans", li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")),
+        one("orders_orphans", orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")),
+        one("orders_nonpositive_price", orders.filter(F.col("o_totalprice") <= 0)),
+        one(
+            "orders_null_keys",
+            orders.filter(F.col("o_orderkey").isNull() | F.col("o_custkey").isNull()),
+        ),
+        dup_pk,
+        one(
+            "lineitem_qty_range",
+            li.filter((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out.orderBy("check_name")
