@@ -22,6 +22,7 @@ import os
 import shutil
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -87,6 +88,32 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+@contextmanager
+def _stream_partitions(spark: SparkSession):
+    """Pin ``spark.sql.shuffle.partitions`` (= streaming state-partition
+    count, fixed at first checkpoint) for the duration of a streaming
+    run, restoring the batch setting afterwards.
+
+    Every stateful micro-batch pays a fixed commit cost PER state-store
+    instance, so the state partition count is a first-order knob: A/B at
+    sf0.1/local[32] (round 5), q_stream_stream_join went 9.35s @ 32
+    partitions -> 3.37s @ 8, with q_stream_user_state/q_stream_dedup
+    seeing the same ~2x. Default 8 locally; on a cluster raise
+    SPARK_GRAFT_STREAM_STATE_PARTITIONS so per-partition state fits one
+    executor (state partitioning is by key hash, so correctness is
+    unaffected — this is purely a parallelism/overhead tradeoff).
+    """
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(
+        key, os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
 def _run_to_memory(df: DataFrame, spark: SparkSession, mode: str = "complete") -> DataFrame:
     """Run a bounded stream to completion into an in-memory table.
 
@@ -95,14 +122,15 @@ def _run_to_memory(df: DataFrame, spark: SparkSession, mode: str = "complete") -
     ``_run_to_files``.
     """
     name = f"stream_sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_partitions(spark):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -113,15 +141,16 @@ def _run_to_files(df: DataFrame, spark: SparkSession) -> DataFrame:
     for large streaming outputs at 100 TB)."""
     root = tempfile.mkdtemp(prefix="stream_file_sink_")
     out, ckpt = f"{root}/out", f"{root}/ckpt"
-    q = (
-        df.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_partitions(spark):
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     result = spark.read.parquet(out)
     # Checkpoint state is not needed once the bounded run is complete.
     shutil.rmtree(ckpt, ignore_errors=True)
@@ -513,13 +542,14 @@ def q_stream_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         partial.write.mode("overwrite").parquet(f"{root}/v{batch_id}")
 
     ev = read_events_stream(spark, sf_dir)
-    q = (
-        ev.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", f"{root}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_partitions(spark):
+        q = (
+            ev.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     final = spark.read.parquet(f"{root}/v{_versions()[-1]}")
     return final.select(
         "event_type",

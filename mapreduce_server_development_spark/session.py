@@ -17,6 +17,31 @@ def _default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def state_store_confs() -> dict[str, str]:
+    """Streaming state-store configs, env-gated.
+
+    A/B at sf0.1/local[32] (round 5, BENCH_DETAIL.json "state_store_ab"):
+    the default HDFS-backed in-memory provider wins on every stateful
+    query at fixture scale (q_stream_stream_join 9.35s vs 11.93s at 32
+    state partitions, 3.37s vs 3.49s at 8) because per-micro-batch
+    native open/commit overhead across many tiny RocksDB instances
+    dominates when state is small. At 100 TB state exceeds executor
+    heap and RocksDB (with changelog checkpointing, public Spark >= 3.4)
+    is the correct provider — flip with SPARK_GRAFT_STATE_STORE=rocksdb;
+    the RocksDB JNI jar ships with pyspark so this is config-only.
+    """
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() != "rocksdb":
+        return {}
+    return {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled": "true",
+    }
+
+
 def get_spark(
     app_name: str = "mapreduce-server-development-spark",
     master: str | None = None,
@@ -53,4 +78,6 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
     )
+    for k, v in state_store_confs().items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -38,3 +38,58 @@ def test_foreach_batch_sink(spark, tmp_path):
     got = spark.read.parquet(f"{out_dir}/epoch=*")
     total = got.agg(F.sum("n")).collect()[0][0]
     assert total == ev.count()
+
+
+def test_stream_partitions_knob_sets_and_restores(spark, monkeypatch):
+    """The streaming state-partition context manager pins
+    spark.sql.shuffle.partitions for the run and restores the batch
+    value afterwards (including on error), honoring the env override."""
+    from mapreduce_server_development_spark.plans.streaming_queries import (
+        _stream_partitions,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with _stream_partitions(spark):
+        assert spark.conf.get(key) == "8"
+    assert spark.conf.get(key) == before
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "17")
+    with _stream_partitions(spark):
+        assert spark.conf.get(key) == "17"
+    assert spark.conf.get(key) == before
+
+    try:
+        with _stream_partitions(spark):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(key) == before
+
+
+def test_rocksdb_state_store_env_gate(monkeypatch):
+    """SPARK_GRAFT_STATE_STORE=rocksdb selects the built-in RocksDB
+    provider with changelog checkpointing; default stays on the
+    (A/B-measured faster at fixture scale) HDFS-backed provider. The
+    RocksDB class and its JNI jar ship with pyspark, so the flip is
+    config-only — asserted end-to-end by the oracle runs; here assert
+    the env gate itself."""
+    from mapreduce_server_development_spark.session import state_store_confs
+
+    monkeypatch.delenv("SPARK_GRAFT_STATE_STORE", raising=False)
+    assert state_store_confs() == {}
+
+    monkeypatch.setenv("SPARK_GRAFT_STATE_STORE", "rocksdb")
+    confs = state_store_confs()
+    assert (
+        confs["spark.sql.streaming.stateStore.providerClass"]
+        == "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    assert (
+        confs[
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled"
+        ]
+        == "true"
+    )
