@@ -29,23 +29,67 @@ is listening, so ``start`` can poll it to mean "ready".
 
 from __future__ import annotations
 
+import hmac
 import json
 import os
 import queue
 import secrets
 import signal
 import socket
+import stat as statmod
 import sys
 import threading
 from pathlib import Path
 
 #: Default rendezvous (reference manager default port, submit.py:25).
 DEFAULT_PORT = 6000
-DEFAULT_PIDFILE = os.path.join(
-    os.environ.get("TMPDIR", "/tmp"), f"mapreduce-spark-{os.getuid()}.pid"
-)
+
+
+def _runtime_dir() -> str:
+    """Directory for the pidfile: XDG_RUNTIME_DIR when available (a
+    kernel-guaranteed 0700 per-user tmpfs), else a 0700 per-user
+    subdirectory of TMPDIR — never a bare world-writable /tmp path,
+    where a planted symlink at the predictable name could redirect the
+    daemon's pidfile write (and the auth token) to an arbitrary file."""
+    xdg = os.environ.get("XDG_RUNTIME_DIR")
+    if xdg and os.path.isdir(xdg):
+        return xdg
+    d = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"mapreduce-spark-{os.getuid()}"
+    )
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    st = os.lstat(d)  # lstat: a planted symlink must not pass as our dir
+    if not statmod.S_ISDIR(st.st_mode) or st.st_uid != os.getuid():
+        raise RuntimeError(f"refusing unsafe runtime dir {d!r}")
+    os.chmod(d, 0o700)  # pre-existing dir: enforce, don't trust
+    return d
+
+
+DEFAULT_PIDFILE = os.path.join(_runtime_dir(), "mapreduce-spark.pid")
 
 _RECV_LIMIT = 1 << 20  # 1 MiB: job specs are tiny; bound hostile input
+
+
+def _looks_like_daemon(pid: int) -> bool:
+    """Process-identity probe: is ``pid`` actually this daemon?
+
+    ``os.kill(pid, 0)`` alone says only "some process has this pid" — a
+    SIGKILL'd daemon leaves the pidfile behind, and the recycled pid
+    may belong to an unrelated same-uid process, making ``status``
+    report running and ``start`` refuse to launch. On Linux,
+    /proc/<pid>/cmdline disambiguates; where /proc is unavailable the
+    probe stays permissive (pid-alive only), matching the prior
+    behavior rather than misreporting a live daemon as dead.
+    """
+    try:
+        cmdline = Path(f"/proc/{pid}/cmdline").read_bytes()
+    except OSError:
+        return True  # no /proc: cannot disambiguate; trust pid-alive
+    # The daemon is always a python interpreter running this package
+    # (cli.py launches `python -m mapreduce_server_development_spark
+    # _daemon ...`; console scripts embed the package path too), so
+    # "mapreduce" appears in argv either way.
+    return b"mapreduce" in cmdline
 
 
 def read_pidfile(pidfile: str) -> dict | None:
@@ -62,8 +106,10 @@ def read_pidfile(pidfile: str) -> dict | None:
     except (OSError, ValueError, KeyError, TypeError):
         return None
     try:
-        os.kill(pid, 0)  # liveness probe only
+        os.kill(pid, 0)  # liveness probe
     except (ProcessLookupError, PermissionError):
+        return None
+    if not _looks_like_daemon(pid):
         return None
     return info
 
@@ -151,8 +197,16 @@ def serve(port: int = DEFAULT_PORT, pidfile: str = DEFAULT_PIDFILE) -> int:
     token = secrets.token_hex(16)
     # 0600 from the first byte: create-then-chmod would leave a window
     # in which another local user reads the token from the well-known
-    # per-uid path.
-    fd = os.open(pidfile, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
+    # per-uid path. O_EXCL + O_NOFOLLOW after unlinking any stale file:
+    # a planted symlink (or a daemon racing this one past the CLI's
+    # double-start check) fails the open instead of truncating an
+    # attacker-chosen target / tearing a live daemon's pidfile.
+    Path(pidfile).unlink(missing_ok=True)  # stale file from a SIGKILL
+    fd = os.open(
+        pidfile,
+        os.O_WRONLY | os.O_CREAT | os.O_EXCL | os.O_NOFOLLOW,
+        0o600,
+    )
     with os.fdopen(fd, "w") as f:
         f.write(json.dumps({"pid": os.getpid(), "port": port, "auth": token}))
     print(f"mapreduce-spark daemon listening on 127.0.0.1:{port} "
@@ -167,7 +221,9 @@ def serve(port: int = DEFAULT_PORT, pidfile: str = DEFAULT_PIDFILE) -> int:
                 msg = _recv_json(conn)
             if not msg:
                 continue
-            if msg.get("auth") != token:
+            # Constant-time compare: a plain != leaks a timing oracle on
+            # the token that gates arbitrary-executable job submission.
+            if not hmac.compare_digest(str(msg.get("auth") or ""), token):
                 print("rejecting message with missing/invalid auth token",
                       file=sys.stderr, flush=True)
                 continue

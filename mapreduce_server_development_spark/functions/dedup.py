@@ -298,7 +298,7 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    max_bucket_size: int | None = 1000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via SimHash 4-band blocking.
 
@@ -312,7 +312,10 @@ def simhash_near_pairs(
     each band bucket holds ~n/65,536 docs and the intra-bucket join is
     quadratic in that population. Band values whose population exceeds
     ``max_bucket_size`` are pruned from THAT band's join (broadcast
-    anti-join, same pattern as the hot-shingle prune). Recall tradeoff:
+    anti-join, same pattern as the hot-shingle prune). The library
+    default is ``None`` (exhaustive — no silent recall change for
+    direct callers); the registered queries pass 1000 explicitly, the
+    value to use at corpus scale. Recall tradeoff:
     a true pair is lost only if EVERY band that matches between the two
     docs is hot — with 4 bands and hamming <= 3 at least one band
     matches exactly, so the pair survives unless all its matching bands
@@ -657,7 +660,7 @@ def edit_distance_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     lang_col: str = "lang",
-    max_bucket_size: int | None = 1000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Character-level near-dup pairs: levenshtein(a, b) <= max_dist.
 
@@ -683,7 +686,10 @@ def edit_distance_pairs(
     the intra-bucket join is quadratic in it, so (lang, len-bucket)
     groups whose population exceeds ``max_bucket_size`` are dropped
     entirely (broadcast anti-join on the hot-bucket list — same pattern
-    as the hot-shingle prune). Recall tradeoff: docs in hot buckets get
+    as the hot-shingle prune). The library default is ``None``
+    (exhaustive — no silent recall change for direct callers); the
+    registered queries pass 1000 explicitly, the value to use at
+    corpus scale. Recall tradeoff: docs in hot buckets get
     no edit-distance pairs at all; at corpus scale hot length buckets
     are dominated by templated/boilerplate text that token-level dedup
     (jaccard/minhash) already covers. The exact-recall upgrade path is

@@ -93,12 +93,19 @@ def decode_media_stub(df: DataFrame, bin_col: str = "media", id_col: str = "doc_
             out = {"doc_id": [], "modality": [], "width": [], "height": [],
                    "n_payload_bytes": []}
             for doc_id, raw in zip(pdf[id_col], pdf[bin_col]):
-                magic, dims, payload = bytes(raw).split(b":", 2)
-                w, h = dims.split(b"x")
+                # PERMISSIVE posture: malformed payloads skip the row
+                # instead of failing the whole stage from inside
+                # mapInPandas.
+                try:
+                    magic, dims, payload = bytes(raw).split(b":", 2)
+                    w, h = (int(v) for v in dims.split(b"x"))
+                    modality = magic.decode("utf-8")
+                except (ValueError, UnicodeDecodeError):
+                    continue
                 out["doc_id"].append(doc_id)
-                out["modality"].append(magic.decode("utf-8"))
-                out["width"].append(int(w))
-                out["height"].append(int(h))
+                out["modality"].append(modality)
+                out["width"].append(w)
+                out["height"].append(h)
                 out["n_payload_bytes"].append(len(payload))
             yield pd.DataFrame(out)
 
@@ -168,8 +175,14 @@ def tile_patches_stub(
                 b = bytes(raw)
                 if not b.startswith(b"IMG1"):
                     continue
-                _, dims, _ = b.split(b":", 2)
-                w, h = (int(v) for v in dims.split(b"x"))
+                # PERMISSIVE posture (same as the csv/json sources): a
+                # malformed IMG1 header skips the row instead of failing
+                # the whole Spark stage from inside mapInPandas.
+                try:
+                    _, dims, _ = b.split(b":", 2)
+                    w, h = (int(v) for v in dims.split(b"x"))
+                except ValueError:
+                    continue
                 n_rows = -(-h // patch)
                 n_cols = -(-w // patch)
                 for r in range(n_rows):

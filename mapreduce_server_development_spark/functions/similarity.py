@@ -200,7 +200,7 @@ def embedding_near_dup_pairs(
     num_bands: int = 8,
     bits_per_band: int = 4,
     dim: int = 64,
-    max_bucket_size: int | None = 1000,
+    max_bucket_size: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -218,7 +218,9 @@ def embedding_near_dup_pairs(
     pruned via a broadcast anti-join before the self-join (a hot bucket
     contributes O(n²) candidate pairs and carries little signal — same
     cap pattern as the hot-shingle prune in ngram dedup), and
-    verification runs on distinct candidate ids only.
+    verification runs on distinct candidate ids only. The library
+    default is ``None`` (exhaustive — no silent recall change for
+    direct callers); the registered queries pass 1000 explicitly.
     Returns (vec_a, vec_b, cosine) with vec_a < vec_b.
     """
     sig_bits = num_bands * bits_per_band

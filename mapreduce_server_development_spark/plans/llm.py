@@ -241,7 +241,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash near-dup pairs via 4x16-bit band blocking."""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        simhash_near_pairs(docs, max_hamming=3)
+        simhash_near_pairs(docs, max_hamming=3, max_bucket_size=1000)
         .withColumn("hamming", F.col("hamming").cast("long"))
         .orderBy("doc_a", "doc_b")
     )
@@ -576,7 +576,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-orthogonal); real dedup corpora would run ~0.9 with wider
     bands."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.4).orderBy("vec_a", "vec_b")
+    return embedding_near_dup_pairs(emb, threshold=0.4, max_bucket_size=1000).orderBy("vec_a", "vec_b")
 
 
 # ---------------------------------------------------------------------------
@@ -1038,7 +1038,9 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, distance <= 16 (see ``functions/dedup.py
     edit_distance_pairs`` for the blocking argument)."""
     docs = load_table(spark, sf_dir, "documents")
-    return edit_distance_pairs(docs, max_dist=16, bucket_chars=64)
+    return edit_distance_pairs(
+        docs, max_dist=16, bucket_chars=64, max_bucket_size=1000
+    )
 
 
 @query(

@@ -154,3 +154,42 @@ print('SPECULATION_OK')
         timeout=300,
     )
     assert "SPECULATION_OK" in res.stdout, res.stderr[-2000:]
+
+
+def test_pidfile_identity_probe(tmp_path):
+    """A live pid whose /proc cmdline is NOT this package (pid recycled
+    after a SIGKILL'd daemon) must read as 'not running' so status and
+    start do not act on a stranger process."""
+    import json
+    import subprocess
+    import sys
+
+    from mapreduce_server_development_spark import daemon as daemonmod
+
+    proc = subprocess.Popen(
+        [sys.executable, "-c", "import time; time.sleep(30)"]
+    )
+    try:
+        pf = tmp_path / "stale.pid"
+        pf.write_text(json.dumps({"pid": proc.pid, "port": 1}))
+        assert daemonmod.read_pidfile(str(pf)) is None
+        assert not daemonmod._looks_like_daemon(proc.pid)
+    finally:
+        proc.kill()
+        proc.wait()
+
+
+def test_runtime_dir_is_private(monkeypatch, tmp_path):
+    """The pidfile fallback directory is per-user 0700 under TMPDIR
+    (never a bare world-writable /tmp path)."""
+    import os
+    import stat
+
+    from mapreduce_server_development_spark import daemon as daemonmod
+
+    monkeypatch.delenv("XDG_RUNTIME_DIR", raising=False)
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    d = daemonmod._runtime_dir()
+    assert d.startswith(str(tmp_path))
+    mode = stat.S_IMODE(os.lstat(d).st_mode)
+    assert mode == 0o700

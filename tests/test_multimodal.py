@@ -76,3 +76,28 @@ def test_tensor_stats_values(spark):
     assert r["l2_norm"] == 5.0
     assert r["mean"] == 3.5
     assert (r["vmin"], r["vmax"]) == (3.0, 4.0)
+
+
+def test_malformed_headers_skip_rows_not_stage(spark):
+    """PERMISSIVE posture: malformed IMG1 payloads (missing separators,
+    non-numeric dims) skip the row inside mapInPandas instead of
+    raising and failing the whole stage."""
+    from mapreduce_server_development_spark.functions.multimodal import (
+        decode_media_stub,
+        tile_patches_stub,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(b"IMG1:16x16:ok")),        # well-formed
+            (1, bytearray(b"IMG1 no separators")),   # missing ':'
+            (2, bytearray(b"IMG1:WxH:payload")),     # non-numeric dims
+            (3, bytearray(b"IMG1:16:payload")),      # missing 'x'
+            (4, bytearray(b"\x00\x01\x02")),         # not media at all
+        ],
+        "doc_id long, media binary",
+    )
+    tiles = tile_patches_stub(df).collect()
+    assert {r["doc_id"] for r in tiles} == {0}
+    decoded = decode_media_stub(df).collect()
+    assert {r["doc_id"] for r in decoded} == {0}
