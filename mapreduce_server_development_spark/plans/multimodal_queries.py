@@ -132,6 +132,54 @@ def q_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_media_decode_real",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               4 + doc_id % 9 AS w,
+               4 + (doc_id * 7) % 7 AS h,
+               CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                    ELSE 'ppm' END AS fmt,
+               CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS channels
+        FROM documents
+    ),
+    gx AS (SELECT doc_id, h, unnest(range(0, w)) AS x FROM dims),
+    gxy AS (SELECT doc_id, x, unnest(range(0, h)) AS y FROM gx),
+    sums AS (
+        SELECT doc_id, SUM((doc_id + 3 * x + 7 * y) % 256) AS gsum
+        FROM gxy GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.fmt,
+           CAST(d.w AS INTEGER) AS width,
+           CAST(d.h AS INTEGER) AS height,
+           CAST(d.channels AS INTEGER) AS channels,
+           CAST(d.channels * s.gsum AS BIGINT) AS pixel_sum
+    FROM dims d JOIN sums s USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode in pure stdlib — no Pillow, no stubs.
+
+    Each document becomes a genuine PNG / BMP / PPM file (format
+    cycling by doc_id, pixels from a deterministic function), then a
+    second ``mapInPandas`` stage decodes the actual bytes: PNG via
+    chunk-walk + CRC check + zlib inflate + scanline unfiltering, BMP
+    via header parse + bottom-up un-padding, PPM via header tokenize.
+    ``pixel_sum`` sums every decoded channel byte, so the result is
+    wrong unless the full bytes→pixels path reconstructs exactly; the
+    oracle recomputes the pixel arithmetic analytically in SQL.
+    Encode and decode are independent code paths over a public format
+    spec — this is the honest no-dependency counterpart of the
+    Pillow-gated ``decode_real_image``. No shuffle, document-linear.
+    """
+    from ..functions.stdlib_codec import decode_images_stdlib, encode_images_stdlib
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_images_stdlib(encode_images_stdlib(docs))
+
+
+@query(
     "q_tensor_stats",
     oracle="""
     WITH v AS (
