@@ -11,6 +11,7 @@ from .dedup import (
     minhash_band_pairs,
     minhash_near_dups,
     ngram_jaccard_pairs,
+    passjoin_pairs,
     prefix_suffix_typo_pairs,
     simhash64,
     simhash_near_pairs,
@@ -31,6 +32,7 @@ __all__ = [
     "minhash_band_pairs",
     "minhash_near_dups",
     "ngram_jaccard_pairs",
+    "passjoin_pairs",
     "prefix_suffix_typo_pairs",
     "simhash64",
     "simhash_near_pairs",

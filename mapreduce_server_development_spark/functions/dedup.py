@@ -565,6 +565,108 @@ def prefix_suffix_typo_pairs(
     )
 
 
+def passjoin_pairs(
+    df: DataFrame,
+    tau: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Exact-recall near-dup pairs at edit distance <= tau via PassJoin
+    segment blocking (Li/Deng/Feng, "PassJoin: A Partition-based Method
+    for Similarity Joins", public knowledge; generalizes the tau=1
+    pigeonhole of ``prefix_suffix_typo_pairs`` to arbitrary tau).
+
+    Index side: each string of length l is evenly partitioned into
+    tau+1 segments; pigeonhole guarantees that if ed(r, s) <= tau then
+    at least one segment of s matches a substring of r exactly. Probe
+    side: for each candidate index length l2 in [l - tau, l + tau] and
+    segment i, r emits md5 of its substrings at the multi-match-aware
+    window of start positions
+
+        q in [max(p_i - i, p_i + delta - (tau - i)),
+              min(p_i + i, p_i + delta + (tau - i))],  delta = |r| - l2
+
+    (at most i edits can precede segment i and at most tau - i follow,
+    bounding the front- and end-anchored shifts). Candidates sharing a
+    (segment, length, hash) signature are verified with bounded
+    levenshtein — recall is EXACT: no length-bucket prune, no hot-cap
+    recall loss, which makes this the upgrade path over
+    ``edit_distance_pairs`` when the corpus outgrows its capped
+    (lang, len-bucket) blocking (SCALE.md).
+
+    Cost: tau+1 index signatures and O(tau^2) probe signatures per doc
+    per candidate length — O(len)-bytes hashed like the tau=1 path,
+    signatures multiply by ~(2tau+1)(tau+1) so keep tau small (<= 4);
+    the banded ``edit_distance_pairs`` remains the tool for wide
+    thresholds like tau=16. Segment buckets are docs sharing an exact
+    substring at a pinned position — bounded by near-dup density, not
+    corpus size (exact-duplicate groups quadratic as usual: dedup
+    first).
+
+    Returns (doc_a, doc_b, dist) with doc_a < doc_b, dist in [0, tau].
+    """
+    k = tau + 1
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("txt"),
+        F.col(len_col).alias("l"),
+    )
+    # -- index side: the tau+1 segments of this string ------------------
+    ibase, irem = f"(l div {k})", f"(l % {k})"
+    ili = f"({ibase} + if(i >= {k} - {irem}, 1, 0))"
+    ipi = f"(i * {ibase} + greatest(0, i - ({k} - {irem})))"
+    index_sigs = (
+        f"transform(sequence(0, {tau}), i -> concat("
+        f"cast(i as string), ':', cast(l as string), ':', "
+        f"md5(substring(txt, {ipi} + 1, {ili}))))"
+    )
+    # -- probe side: substrings matching any segment of any length l2
+    #    within tau of |r|, at the multi-match-aware positions ----------
+    base, rem = f"(l2 div {k})", f"(l2 % {k})"
+    li = f"({base} + if(i >= {k} - {rem}, 1, 0))"
+    pi = f"(i * {base} + greatest(0, i - ({k} - {rem})))"
+    delta = "(l - l2)"
+    lo = f"greatest(0, {pi} - i, {pi} + {delta} - ({tau} - i))"
+    hi = f"least(l - {li}, {pi} + i, {pi} + {delta} + ({tau} - i))"
+    # sequence() DESCENDS when hi < lo (same gotcha as the deletion
+    # neighborhood) — guard with an empty array.
+    pos = f"if({hi} >= {lo}, sequence({lo}, {hi}), array())"
+    probe_sigs = (
+        f"array_distinct(flatten(transform("
+        f"sequence(greatest(l - {tau}, 0), l + {tau}), l2 -> "
+        f"flatten(transform(sequence(0, {tau}), i -> "
+        f"transform({pos}, q -> concat("
+        f"cast(i as string), ':', cast(l2 as string), ':', "
+        f"md5(substring(txt, q + 1, {li})))))))))"
+    )
+    idx = d.select("id", F.explode(F.expr(index_sigs)).alias("h")).distinct()
+    prb = d.select("id", F.explode(F.expr(probe_sigs)).alias("h")).distinct()
+    cand = (
+        prb.alias("a")
+        .join(idx.alias("b"), (F.col("a.h") == F.col("b.h")) & (F.col("a.id") != F.col("b.id")))
+        .select(
+            F.least("a.id", "b.id").alias("doc_a"),
+            F.greatest("a.id", "b.id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ta = d.select(
+        F.col("id").alias("doc_a"), F.col("txt").alias("txt_a"), F.col("l").alias("l_a")
+    )
+    tb = d.select(
+        F.col("id").alias("doc_b"), F.col("txt").alias("txt_b"), F.col("l").alias("l_b")
+    )
+    dist = F.levenshtein(F.col("txt_a"), F.col("txt_b"), tau).cast("int")
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(F.abs(F.col("l_a") - F.col("l_b")) <= tau)  # cheap pre-DP gate
+        .select("doc_a", "doc_b", dist.alias("dist"))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= tau))
+    )
+
+
 def connected_components_star(
     nodes: DataFrame, edges: DataFrame, max_iter: int = 30
 ) -> DataFrame:
@@ -693,9 +795,11 @@ def edit_distance_pairs(
     no edit-distance pairs at all; at corpus scale hot length buckets
     are dominated by templated/boilerplate text that token-level dedup
     (jaccard/minhash) already covers. The exact-recall upgrade path is
-    PassJoin-style segment blocking (partition each string into
-    max_dist+1 segments; pigeonhole guarantees a shared segment), which
-    replaces the length bucket with a content-derived equi-join key.
+    ``passjoin_pairs`` (implemented below): PassJoin segment blocking
+    replaces the length bucket with a content-derived equi-join key,
+    with NO recall loss — use it for small tau (<= 4); this banded
+    path remains the tool for wide thresholds where tau+1 segments
+    would be too many/short.
     """
     d = df.select(
         F.col(id_col).alias("id"),

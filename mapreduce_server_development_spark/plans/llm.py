@@ -31,6 +31,7 @@ from ..functions.dedup import (  # noqa: F401 — re-exported query deps
     connected_components,
     deletion_neighborhood_pairs,
     edit_distance_pairs,
+    passjoin_pairs,
     prefix_suffix_typo_pairs,
     exact_dedup,
     minhash_near_dups,
@@ -997,6 +998,32 @@ def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tool."""
     docs = load_table(spark, sf_dir, "documents")
     return prefix_suffix_typo_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "q_passjoin_tau2",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
+    FROM documents a JOIN documents b
+      ON a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= 2
+    WHERE levenshtein(a.text, b.text) <= 2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_passjoin_tau2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance <= 2 pairs with EXACT recall via PassJoin segment
+    blocking (``functions/dedup.py passjoin_pairs``): each doc is
+    partitioned into tau+1 segments and probed at the multi-match-aware
+    substring windows, so every true pair shares an exact-substring
+    signature — the tau >= 2 generalization of q_typo_pairs and the
+    no-recall-loss upgrade path over q_edit_distance_pairs' capped
+    length-bucket blocking at corpus scale. The oracle is the honest
+    brute force (all length-compatible pairs), which the blocking must
+    reproduce exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return passjoin_pairs(docs, tau=2).orderBy("doc_a", "doc_b")
 
 
 @query(

@@ -179,3 +179,56 @@ def test_typo_blocking_every_edit_type(spark, opname):
     assert got[(3, 6)] == 1      # hellp -> hxllp is one substitution
     assert got[(1, 9)] == 1      # edit at the very first char
     assert got[(1, 10)] == 1     # edit at the very last char
+
+
+def test_passjoin_exact_recall_tau2(spark):
+    """PassJoin tau=2 must reproduce brute-force levenshtein <= 2
+    EXACTLY (the recall claim is exact, not approximate) on an
+    adversarial synthetic set: tiny strings, edits at random positions,
+    length differences 0..2, segment-boundary edits."""
+    import itertools
+    import random
+
+    from mapreduce_server_development_spark.functions.dedup import passjoin_pairs
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return dp[n]
+
+    rng = random.Random(7)
+    alpha = "abcdef"
+    docs = []
+    for base_len in [1, 2, 3, 5, 7, 9, 12, 20]:
+        s = "".join(rng.choice(alpha) for _ in range(base_len))
+        docs.append(s)
+        for n_edits in range(4):
+            t = list(s)
+            for _ in range(n_edits):
+                op = rng.choice(["ins", "del", "sub"]) if t else "ins"
+                p = rng.randrange(len(t) + 1 if op == "ins" else len(t))
+                if op == "ins":
+                    t.insert(p, rng.choice(alpha))
+                elif op == "del":
+                    t.pop(p)
+                else:
+                    t[p] = rng.choice(alpha)
+            docs.append("".join(t))
+    docs = list(dict.fromkeys(docs))
+    rows = [(i, s, len(s)) for i, s in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+
+    got = {(r.doc_a, r.doc_b, r.dist) for r in passjoin_pairs(df, tau=2).collect()}
+    want = {
+        (i, j, lev(a, b))
+        for (i, a, _), (j, b, _) in itertools.combinations(rows, 2)
+        if lev(a, b) <= 2
+    }
+    assert got == want
+    assert want, "fixture must exercise the positive path"
