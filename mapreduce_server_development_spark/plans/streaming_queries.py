@@ -558,6 +558,88 @@ def q_stream_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+#: Stable schema of the streaming metrics query (values are runtime
+#: measurements — the driver's check is rows-only, like the other
+#: non-SQL-expressible ops).
+_METRICS_SCHEMA = (
+    "batch_id long, num_input_rows long, trigger_duration_ms long, "
+    "state_rows_total long, state_rows_updated long, watermark string"
+)
+
+
+@query("q_stream_metrics")  # driver-side observability: no SQL oracle
+def q_stream_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming observability via ``StreamingQueryListener``: one row
+    per micro-batch with input rows, trigger duration, state-store row
+    counts, and the event-time watermark.
+
+    This is the data-plane twin of the reference's operational
+    ``status`` verb (bin/mapreduce:63-74 reports process liveness; a
+    100 TB streaming operator instead reads per-batch progress:
+    throughput, state growth, watermark lag — exactly what this
+    emits). The listener collects ``QueryProgressEvent``s from a
+    watermarked stateful aggregation run end-to-end; progress
+    delivery is asynchronous on the listener bus, so the collector
+    polls until the terminated query's events have drained. Metrics
+    VALUES are runtime-dependent (durations, rows/sec), so the
+    correctness bar is the stable schema + non-empty progress rows —
+    asserted in tests — not a value oracle.
+    """
+    import time as _time
+
+    from pyspark.sql.streaming.listener import StreamingQueryListener
+
+    progresses: list = []
+
+    class _Collect(StreamingQueryListener):
+        def onQueryStarted(self, event):  # noqa: N802 (Spark API names)
+            pass
+
+        def onQueryProgress(self, event):  # noqa: N802
+            progresses.append(event.progress)
+
+        def onQueryIdle(self, event):  # noqa: N802
+            pass
+
+        def onQueryTerminated(self, event):  # noqa: N802
+            pass
+
+    listener = _Collect()
+    spark.streams.addListener(listener)
+    try:
+        ev = read_events_stream(spark, sf_dir)
+        agg = (
+            ev.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+        )
+        # Append mode + file sink: watermark-driven finalization, so the
+        # progress events carry real state-operator and watermark fields.
+        _run_to_files(agg, spark)
+        # Listener bus is async: wait for at least one progress event
+        # (bounded; availableNow runs emit within the run's lifetime).
+        deadline = _time.time() + 30
+        while not progresses and _time.time() < deadline:
+            _time.sleep(0.1)
+    finally:
+        spark.streams.removeListener(listener)
+
+    rows = []
+    for p in progresses:
+        state = p.stateOperators[0] if p.stateOperators else None
+        rows.append(
+            (
+                int(p.batchId),
+                int(p.numInputRows),
+                int((p.durationMs or {}).get("triggerExecution", 0)),
+                int(state.numRowsTotal) if state else 0,
+                int(state.numRowsUpdated) if state else 0,
+                (p.eventTime or {}).get("watermark"),
+            )
+        )
+    return spark.createDataFrame(rows, schema=_METRICS_SCHEMA)
+
+
 @query(
     "q_stream_session_window",
     oracle=f"""

@@ -93,3 +93,23 @@ def test_rocksdb_state_store_env_gate(monkeypatch):
         ]
         == "true"
     )
+
+
+def test_stream_metrics_progress_rows(spark):
+    """q_stream_metrics yields >= 1 per-batch progress row with the
+    documented stable schema; the data batch reports its input rows and
+    a populated state operator (the watermarked agg keeps state)."""
+    from mapreduce_server_development_spark.plans.registry import QUERIES
+
+    df = QUERIES["q_stream_metrics"](spark, "/root/testdata/sf0.001")
+    assert df.schema.simpleString() == (
+        "struct<batch_id:bigint,num_input_rows:bigint,"
+        "trigger_duration_ms:bigint,state_rows_total:bigint,"
+        "state_rows_updated:bigint,watermark:string>"
+    )
+    rows = df.collect()
+    assert rows, "listener captured no progress events"
+    data_batches = [r for r in rows if r.num_input_rows > 0]
+    assert data_batches, "no batch reported input rows"
+    assert any(r.state_rows_total > 0 for r in rows), "state never populated"
+    assert all(r.trigger_duration_ms >= 0 for r in rows)
