@@ -270,5 +270,42 @@ def main(argv: list[str] | None = None) -> int:
     return args.func(args)
 
 
+# -- reference console-script parity (setup.py:24-29) -----------------------
+# The reference installs mapreduce-manager / mapreduce-worker /
+# mapreduce-submit; these aliases map each onto the engine's verbs so
+# existing ops scripts keep working after `pip install` of this package.
+
+
+def manager_main(argv: list[str] | None = None) -> int:
+    """``mapreduce-manager``: run the manager process in the foreground
+    (reference manager/__main__.py) — here, the warm-session daemon."""
+    return main(["_daemon", *(sys.argv[1:] if argv is None else argv)])
+
+
+def worker_main(argv: list[str] | None = None) -> int:
+    """``mapreduce-worker``: the reference launches a separate worker
+    process per host; Spark's executor pool plays that role (worker
+    registration/heartbeat/re-execution are F10-F13, subsumed by the
+    scheduler), so there is no per-host process to start. The alias
+    performs the operational check a worker launcher would gate on —
+    daemon liveness — and exits 0 only when the data plane is up
+    (the ``status`` verb itself keeps the reference's always-0 exit,
+    bin/mapreduce:63-74)."""
+    argv = sys.argv[1:] if argv is None else argv
+    rc = main(["status", *argv])
+    if rc:
+        return rc
+    probe = argparse.ArgumentParser()
+    _add_daemon_opts(probe)
+    known, _ = probe.parse_known_args(argv)
+    return 0 if daemonmod.read_pidfile(known.pidfile) else 1
+
+
+def submit_main(argv: list[str] | None = None) -> int:
+    """``mapreduce-submit``: fire-and-forget a job message to the
+    running manager daemon (reference submit.py semantics)."""
+    return main(["submit", "--remote", *(sys.argv[1:] if argv is None else argv)])
+
+
 if __name__ == "__main__":
     sys.exit(main())

@@ -103,6 +103,13 @@ def ngram_jaccard_pairs(
     |A∩B| / (|A| + |B| - |A∩B|).
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
+    # Deliberately NOT persisted: the pruned-shingle subtree feeds the
+    # hot-list aggregate, both self-join sides, and the sizes aggregate,
+    # but all four consume the SAME exchange and ReuseExchange shares it.
+    # A/B at sf0.1 (round 5, BENCH_DETAIL.json "shingle_persist_ab"): an
+    # explicit MEMORY_AND_DISK persist was equal-or-slower on every
+    # consumer query (q_dup_clusters_star +10%, q_dedup_keep_best +8%)
+    # — same conclusion as the round-4 simhash persist revert.
     sh = _pruned_shingles(df, text_col, id_col, n, max_doc_freq)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")

@@ -925,6 +925,12 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``functions/dedup.py connected_components``); the oracle computes
     the same fixpoint as a DuckDB recursive CTE over the identical pair
     relation — two independent formulations of transitive closure.
+
+    Scale note: label propagation runs O(component diameter) rounds —
+    fine for real near-dup graphs (tiny diameters), kept as the A/B
+    twin of ``q_dup_clusters_star``; at adversarial diameters (chained
+    template revisions) use the star variant, whose O(log n) round
+    bound is shape-independent (SCALE.md "Iterative graph clustering").
     """
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.2, max_doc_freq=1000)

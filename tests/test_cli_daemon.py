@@ -193,3 +193,25 @@ def test_runtime_dir_is_private(monkeypatch, tmp_path):
     assert d.startswith(str(tmp_path))
     mode = stat.S_IMODE(os.lstat(d).st_mode)
     assert mode == 0o700
+
+
+def test_console_script_trio(tmp_path):
+    """Reference-parity aliases: mapreduce-worker (status check) exits
+    nonzero with no daemon; mapreduce-submit requires the daemon (the
+    reference's fire-and-forget needs a manager to hit); all three are
+    declared as console scripts in pyproject."""
+    import tomllib
+
+    from mapreduce_server_development_spark.cli import submit_main, worker_main
+
+    pidfile = str(tmp_path / "none.pid")
+    assert worker_main(["--pidfile", pidfile]) != 0
+    assert submit_main(["--pidfile", pidfile]) != 0
+
+    with open("pyproject.toml", "rb") as f:
+        scripts = tomllib.load(f)["project"]["scripts"]
+    for name in ("mapreduce-manager", "mapreduce-worker", "mapreduce-submit"):
+        mod, func = scripts[name].split(":")
+        import importlib
+
+        assert callable(getattr(importlib.import_module(mod), func))
