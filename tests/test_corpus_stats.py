@@ -54,3 +54,35 @@ def test_inverted_index_head_ordering(spark, tmp_path):
     assert (a["doc_freq"], a["total_tf"], a["first_doc"]) == (2, 5, 1)
     b = rows[1]
     assert (b["doc_freq"], b["total_tf"], b["first_doc"]) == (2, 2, 1)
+
+
+def test_dup_ngram_spans_invariants(spark):
+    """Merged spans can never cover more tokens than the document has,
+    every span is at least one 8-gram long, and the synthetic corpus
+    (tiny shared vocabulary) must surface at least one duplicated span."""
+    from mapreduce_server_development_spark.plans import QUERIES
+    from .conftest import SF_SMOKE
+
+    rows = QUERIES["q_dup_ngram_spans"](spark, SF_SMOKE).collect()
+    assert rows
+    assert any(r.dup_tokens > 0 for r in rows)
+    for r in rows:
+        assert 0 <= r.dup_tokens <= r.n_tokens, r
+        # maximal spans are disjoint and each covers a full 8-gram
+        assert r.dup_tokens >= 8 * r.n_spans, r
+        if r.n_spans == 0:
+            assert r.dup_tokens == 0, r
+
+
+def test_pmi_bigrams_support_and_order(spark):
+    from mapreduce_server_development_spark.plans import QUERIES
+    from .conftest import SF_SMOKE
+
+    rows = QUERIES["q_pmi_bigrams"](spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 30
+    assert all(r.c_xy >= 5 for r in rows)
+    scores = [r.pmi for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        # a bigram cannot occur more often than either unigram
+        assert r.c_xy <= min(r.c_x, r.c_y), r
