@@ -18,7 +18,12 @@ from .dedup import (
 )
 from .graph import pagerank_micro
 from .prefix import global_running_sum
-from .similarity import cosine_topk, lsh_bucket_topk, lsh_plane_weights
+from .similarity import (
+    cosine_topk,
+    lsh_bucket_topk,
+    lsh_plane_weights,
+    semantic_dedup_flags,
+)
 
 __all__ = [
     "tokens_col",

@@ -329,3 +329,79 @@ def lsh_bucket_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def semantic_dedup_flags(
+    emb: DataFrame,
+    nlist: int = 16,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication flags (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embedding space, then mark as
+    duplicate any vector whose cosine to a LOWER-id member of the SAME
+    cluster reaches ``threshold`` (one-step min-id survivor rule — the
+    deterministic, engine-exact variant of the paper's iterative
+    keep-one-per-neighborhood).
+
+    Scale shape: cluster assignment is one corpus scan against a
+    broadcast ``nlist``-row centroid table (seeded deterministically
+    from the first ``nlist`` ids; swap in the trained centroids from
+    ``ivf_topk(train_iters=...)`` for production quality). The
+    pairwise stage is an equi-join on the cluster id — quadratic only
+    WITHIN a cell, never across the corpus. At 100 TB, cell population
+    is held bounded by growing nlist ~ sqrt(n) (FAISS practice), and a
+    hot-cell cap (same broadcast anti-join as dedup.py's hot-bucket
+    prunes) bounds the worst cell.
+
+    Returns one row per vector: (vec_id, cid, is_dup 0/1).
+    """
+    from pyspark.sql.window import Window
+
+    base = emb.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
+    base = base.withColumn("nrm", _norm(F.col("v")))
+    cent = base.filter(F.col("vid") <= nlist).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+    )
+    ccos = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 4)
+    assign = (
+        base.crossJoin(F.broadcast(cent))
+        .select("vid", "cid", ccos.alias("ccos"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vid").orderBy(F.col("ccos").desc(), F.col("cid"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vid", "cid")
+        .join(base, "vid")
+    )
+    a = assign.select(
+        F.col("cid"), F.col("vid").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = assign.select(
+        F.col("cid"), F.col("vid").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+    dups = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("id_b").alias("vid"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        assign.select("vid", "cid")
+        .join(dups, "vid", "left")
+        .select(
+            F.col("vid").alias("vec_id"),
+            F.col("cid").cast("long").alias("cid"),
+            F.coalesce(F.col("is_dup"), F.lit(0)).cast("long").alias("is_dup"),
+        )
+    )

@@ -45,6 +45,7 @@ from ..functions.similarity import (
     ivf_topk,
     lsh_bucket_topk,
     lsh_plane_weights,
+    semantic_dedup_flags,
 )
 from ..functions.text import STOPWORDS, tokens_col, word_shingles
 from ..sources.tables import load_table
@@ -1563,3 +1564,41 @@ def q_quality_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_semantic_dedup",
+    oracle=f"""
+    WITH {_VEC_CTE},
+    cent AS (SELECT vid AS cid, vv AS cv, nrm AS cnrm FROM n WHERE vid <= 16),
+    assign AS (
+        SELECT vid, cid FROM (
+            SELECT n.vid, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.vid
+                       ORDER BY round(list_dot_product(n.vv, c.cv)
+                                      / (n.nrm * c.cnrm), 4) DESC, c.cid) AS rn
+            FROM n CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    m AS (SELECT a.vid, a.cid, n.vv, n.nrm FROM assign a JOIN n USING (vid)),
+    dups AS (
+        SELECT DISTINCT b.vid AS vid
+        FROM m a JOIN m b ON a.cid = b.cid AND a.vid < b.vid
+        WHERE round(list_dot_product(a.vv, b.vv) / (a.nrm * b.nrm), 4) >= 0.4
+    )
+    SELECT m.vid AS vec_id, CAST(m.cid AS BIGINT) AS cid,
+           CAST(CASE WHEN d.vid IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+    FROM m LEFT JOIN dups d ON m.vid = d.vid
+    ORDER BY vec_id
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (cluster-then-pairwise): every
+    vector flagged if a lower-id member of its coarse cluster sits
+    within cosine >= 0.4. Assignment is one scan vs 16 broadcast
+    centroids; the pairwise stage is cluster-local (see
+    functions/similarity.py:semantic_dedup_flags for the 100 TB cell
+    bounding rationale)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_flags(emb, nlist=16, threshold=0.4).orderBy("vec_id")

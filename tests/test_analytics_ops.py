@@ -232,3 +232,22 @@ def test_passjoin_exact_recall_tau2(spark):
     }
     assert got == want
     assert want, "fixture must exercise the positive path"
+
+
+def test_semantic_dedup_flags_min_id_survivor(spark):
+    """Within every cluster the lowest id can never be a dup (there is
+    no lower-id neighbor), flags are 0/1, and every vector is assigned
+    to exactly one of the 16 seed clusters."""
+    from mapreduce_server_development_spark.plans import QUERIES
+    from .conftest import SF_SMOKE
+
+    rows = QUERIES["q_semantic_dedup"](spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r.is_dup in (0, 1) for r in rows)
+    assert all(0 <= r.cid <= 16 for r in rows)
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cid, []).append(r)
+    for members in by_cluster.values():
+        lowest = min(members, key=lambda r: r.vec_id)
+        assert lowest.is_dup == 0, lowest
