@@ -1633,3 +1633,56 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionAll(c)
     return out.orderBy("check_name")
+
+
+def _zorder_oracle() -> str:
+    from ..sources.zorder import morton_zvalue_sql
+
+    minute = "CAST(floor(epoch(ts) / 60) AS BIGINT) - 28401120"
+    z = morton_zvalue_sql("user_id", f"({minute})", 16)
+    return f"""
+    WITH z AS (
+        SELECT user_id, ({minute}) AS m, {z} AS zval FROM events
+    )
+    SELECT zval >> 18 AS zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(user_id) AS BIGINT) AS min_user,
+           CAST(MAX(user_id) AS BIGINT) AS max_user,
+           CAST(MIN(m) AS BIGINT) AS min_minute,
+           CAST(MAX(m) AS BIGINT) AS max_minute
+    FROM z
+    GROUP BY zbucket
+    ORDER BY zbucket
+    """
+
+
+@query("q_zorder_locality", oracle=_zorder_oracle())
+def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering profile of the events table:
+    interleave user_id with minutes-since-2024-01-01 and aggregate per
+    z-range bucket. The per-bucket min/max of BOTH dimensions is the
+    locality evidence: after `sources/zorder.py:write_zordered` lays a
+    100 TB table out in z ranges, these are exactly the parquet
+    row-group stats a scan prunes with, so predicates on either
+    dimension (user or time) skip most files. Pure bit-op expression
+    (shift/AND), one hash aggregate — no Python, one shuffle.
+    """
+    from ..sources.zorder import morton_zvalue
+
+    ev = load_table(spark, sf_dir, "events")
+    minute = (F.expr("unix_timestamp(ts) div 60") - F.lit(28401120)).alias("m")
+    z = ev.select(
+        F.col("user_id"),
+        minute,
+    ).withColumn("zval", morton_zvalue(F.col("user_id"), F.col("m"), 16))
+    return (
+        z.groupBy(F.shiftright(F.col("zval"), 18).alias("zbucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("user_id").cast("long").alias("min_user"),
+            F.max("user_id").cast("long").alias("max_user"),
+            F.min("m").cast("long").alias("min_minute"),
+            F.max("m").cast("long").alias("max_minute"),
+        )
+        .orderBy("zbucket")
+    )
