@@ -679,3 +679,105 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, spark)  # no trailing sort: session-linear
+
+
+def _stream_cms_oracle() -> str:
+    from .sketches import _hexval_sql
+
+    cell = (
+        _hexval_sql("md5(CAST(r.r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR))", 8)
+        + " % 512"
+    )
+    probe_cell = (
+        _hexval_sql(
+            "md5(CAST(h.r AS VARCHAR) || ':' || CAST(p.user_id AS VARCHAR))", 8
+        )
+        + " % 512"
+    )
+    return f"""
+    WITH cells AS (
+        SELECT r.r AS r, {cell} AS col, COUNT(*) AS cnt
+        FROM events CROSS JOIN (SELECT unnest(range(4)) AS r) r
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY user_id
+    ),
+    probe AS (
+        SELECT user_id, exact_cnt,
+               row_number() OVER (ORDER BY exact_cnt DESC, user_id) AS rk
+        FROM exact QUALIFY rk <= 20
+    ),
+    est AS (
+        SELECT p.user_id, p.exact_cnt, MIN(c.cnt) AS cms_est
+        FROM probe p
+        CROSS JOIN (SELECT unnest(range(4)) AS r) h
+        JOIN cells c ON c.r = h.r AND c.col = {probe_cell}
+        GROUP BY p.user_id, p.exact_cnt
+    )
+    SELECT user_id, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - exact_cnt AS BIGINT) AS overcount
+    FROM est
+    ORDER BY exact_cnt DESC, user_id
+    """
+
+
+@query("q_stream_cms_users", oracle=_stream_cms_oracle())
+def q_stream_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch maintained BY the stream: each micro-batch's
+    (row, cell) partial counts merge into the running sketch with SUM —
+    the mergeability that makes sketches the streaming answer at 100 TB
+    (state is <= 2048 counters regardless of stream length, vs a
+    per-key running count whose state grows with the key domain).
+    Complete-mode output is the final cell table; it equals the batch
+    sketch exactly because SUM is associative and batch-order-free, so
+    the DuckDB oracle verifies the whole streaming path value-exact.
+    The probe (exact top-20 users, the verification branch) runs on the
+    batch side against the streamed sketch.
+    """
+    from .sketches import _hexval_col
+
+    def cms_col(r, key):
+        return (
+            _hexval_col(
+                F.md5(F.concat(r.cast("string"), F.lit(":"), key.cast("string"))), 8
+            )
+            % 512
+        )
+
+    rows = F.array(*[F.lit(i) for i in range(4)])
+    stream = read_events_stream(spark, sf_dir)
+    cells_stream = (
+        stream.select(F.col("user_id"), F.explode(rows).alias("r"))
+        .select("r", cms_col(F.col("r"), F.col("user_id")).alias("col"))
+        .groupBy("r", "col")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cells = _run_to_memory(cells_stream, spark, mode="complete")
+
+    ev = load_table(spark, sf_dir, "events")
+    probe = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "user_id")
+        .limit(20)
+        .select("user_id", "exact_cnt", F.explode(rows).alias("r"))
+        .select(
+            "user_id",
+            "exact_cnt",
+            "r",
+            cms_col(F.col("r"), F.col("user_id")).alias("col"),
+        )
+    )
+    est = (
+        probe.join(F.broadcast(cells), ["r", "col"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.select(
+        "user_id",
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+    ).orderBy(F.col("exact_cnt").desc(), "user_id")
