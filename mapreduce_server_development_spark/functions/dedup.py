@@ -847,3 +847,94 @@ def edit_distance_pairs(
         dist.alias("dist"),
     )
     return same.unionAll(adj).filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+
+
+def incremental_jaccard_dedup(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    n: int = 5,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental ingestion dedup: for each NEW document, the best
+    near-duplicate (word-n-gram Jaccard >= ``threshold``) among the
+    OLD corpus — the production dedup mode at 100 TB, where a daily
+    batch must check against the existing corpus WITHOUT ever
+    re-pairing old x old (that quadratic work was already paid when
+    each old batch landed).
+
+    Shape: the new batch's shingles (tiny) equi-join the old corpus's
+    shingle relation — at scale that old side is a pre-built, bucketed
+    shingle index reused across ingests, so the daily cost is
+    O(new x avg_doc_freq), independent of corpus size. Hot shingles
+    are pruned by OLD-side document frequency (the index knows its own
+    hot keys before the batch arrives); Jaccard is computed over the
+    pruned shingle sets, matching ngram_jaccard_pairs semantics.
+
+    Returns one row per new document: (doc_id, is_dup 0/1,
+    best_match = old doc id or NULL, best_jaccard or NULL); best match
+    maximizes jaccard with ties broken by the lower old id.
+    """
+    from pyspark.sql.window import Window
+
+    old_sh = _doc_shingles(old_df, text_col, id_col, n)
+    if max_doc_freq is not None:
+        hot = (
+            old_sh.groupBy("shingle")
+            .agg(F.count("*").alias("df_"))
+            .filter(F.col("df_") > max_doc_freq)
+            .select("shingle")
+        )
+        old_sh = old_sh.join(F.broadcast(hot), "shingle", "left_anti")
+        new_sh = _doc_shingles(new_df, text_col, id_col, n).join(
+            F.broadcast(hot), "shingle", "left_anti"
+        )
+    else:
+        new_sh = _doc_shingles(new_df, text_col, id_col, n)
+
+    new_sizes = new_sh.groupBy("doc").agg(F.count("*").alias("n_new"))
+    old_sizes = old_sh.groupBy("doc").agg(F.count("*").alias("n_old"))
+    inter = (
+        new_sh.select(F.col("doc").alias("nd"), "shingle")
+        .join(old_sh.select(F.col("doc").alias("od"), "shingle"), "shingle")
+        .groupBy("nd", "od")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = (
+        inter.join(new_sizes.withColumnRenamed("doc", "nd"), "nd")
+        .join(old_sizes.withColumnRenamed("doc", "od"), "od")
+        .select(
+            "nd",
+            "od",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_new") + F.col("n_old") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    best = (
+        jac.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("nd").orderBy(F.col("jaccard").desc(), F.col("od"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("nd", F.col("od").alias("best_match"), F.col("jaccard").alias("best_jaccard"))
+    )
+    return (
+        new_df.select(F.col(id_col).alias("doc_id"))
+        .join(best.withColumnRenamed("nd", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("best_match").isNotNull(), 1).otherwise(0)
+            .cast("long")
+            .alias("is_dup"),
+            F.col("best_match").cast("long").alias("best_match"),
+            "best_jaccard",
+        )
+    )

@@ -1602,3 +1602,81 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounding rationale)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup_flags(emb, nlist=16, threshold=0.4).orderBy("vec_id")
+
+
+def _incremental_dedup_oracle() -> str:
+    from .sampling import _bucket_sql
+
+    is_old = f"{_bucket_sql('inc', 'doc')} % 10 < 8"
+    return f"""
+    WITH {_TOKS_CTE},
+    {_shingle_cte(5)},
+    old_sh0 AS (SELECT doc, shingle FROM sh WHERE {is_old}),
+    new_sh0 AS (SELECT doc, shingle FROM sh WHERE NOT ({is_old})),
+    hot AS (
+        SELECT shingle FROM old_sh0 GROUP BY shingle HAVING COUNT(*) > 1000
+    ),
+    old_sh AS (
+        SELECT doc, shingle FROM old_sh0
+        WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ),
+    new_sh AS (
+        SELECT doc, shingle FROM new_sh0
+        WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ),
+    new_sizes AS (SELECT doc, COUNT(*) AS n_new FROM new_sh GROUP BY doc),
+    old_sizes AS (SELECT doc, COUNT(*) AS n_old FROM old_sh GROUP BY doc),
+    inter AS (
+        SELECT n.doc AS nd, o.doc AS od, COUNT(*) AS n_inter
+        FROM new_sh n JOIN old_sh o ON n.shingle = o.shingle
+        GROUP BY 1, 2
+    ),
+    jac AS (
+        SELECT i.nd, i.od,
+               round(CAST(n_inter AS DOUBLE)
+                     / (ns.n_new + os.n_old - n_inter), 4) AS jaccard
+        FROM inter i
+        JOIN new_sizes ns ON ns.doc = i.nd
+        JOIN old_sizes os ON os.doc = i.od
+        WHERE round(CAST(n_inter AS DOUBLE)
+                    / (ns.n_new + os.n_old - n_inter), 4) >= 0.5
+    ),
+    best AS (
+        SELECT nd, od AS best_match, jaccard AS best_jaccard
+        FROM (
+            SELECT nd, od, jaccard,
+                   row_number() OVER (PARTITION BY nd
+                                      ORDER BY jaccard DESC, od) AS rn
+            FROM jac
+        ) WHERE rn = 1
+    ),
+    newdocs AS (SELECT doc_id FROM documents WHERE NOT ({_bucket_sql('inc', 'doc_id')} % 10 < 8))
+    SELECT d.doc_id,
+           CAST(CASE WHEN b.best_match IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS is_dup,
+           CAST(b.best_match AS BIGINT) AS best_match,
+           b.best_jaccard
+    FROM newdocs d LEFT JOIN best b ON d.doc_id = b.nd
+    ORDER BY doc_id
+    """
+
+
+@query("q_incremental_dedup", oracle=_incremental_dedup_oracle())
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: an 80/20 hash split plays the
+    existing corpus vs today's batch; each new document reports its
+    best old-corpus near-duplicate (5-gram Jaccard >= 0.5). The new
+    side's shingles join the (pre-built, hot-pruned) old shingle
+    index — old x old is never re-paired, so daily cost is independent
+    of corpus size (see functions/dedup.py:incremental_jaccard_dedup).
+    """
+    from ..functions.dedup import incremental_jaccard_dedup
+    from .sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_old = (hash_bucket("inc", F.col("doc_id")) % 10) < 8
+    old_df = docs.filter(is_old)
+    new_df = docs.filter(~is_old)
+    return incremental_jaccard_dedup(
+        new_df, old_df, n=5, threshold=0.5, max_doc_freq=1000
+    ).orderBy("doc_id")

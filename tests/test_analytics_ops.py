@@ -251,3 +251,35 @@ def test_semantic_dedup_flags_min_id_survivor(spark):
     for members in by_cluster.values():
         lowest = min(members, key=lambda r: r.vec_id)
         assert lowest.is_dup == 0, lowest
+
+
+def test_incremental_dedup_positive_and_novel(spark):
+    """A new doc identical to an old doc flags is_dup with jaccard 1.0
+    and points at that old doc; an unrelated new doc stays novel."""
+    from mapreduce_server_development_spark.functions.dedup import (
+        incremental_jaccard_dedup,
+    )
+
+    old = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta"),
+            (11, "completely different words with no overlap at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: r
+        for r in incremental_jaccard_dedup(new, old, n=5, threshold=0.5).collect()
+    }
+    assert rows[10].is_dup == 1
+    assert rows[10].best_match == 1
+    assert rows[10].best_jaccard == 1.0
+    assert rows[11].is_dup == 0
+    assert rows[11].best_match is None
