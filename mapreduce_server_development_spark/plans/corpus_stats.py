@@ -399,3 +399,253 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+@query(
+    "q_source_drift",
+    oracle="""
+    WITH tokrows AS (
+        SELECT source,
+               unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+                   AS tok
+        FROM documents
+    ),
+    sc AS (SELECT source, tok, COUNT(*) AS c_st FROM tokrows GROUP BY 1, 2),
+    stot AS (SELECT source, SUM(c_st) AS n_s FROM sc GROUP BY source),
+    cc AS (SELECT tok, SUM(c_st) AS c_ct FROM sc GROUP BY tok),
+    ctot AS (SELECT SUM(c_st) AS n_c FROM sc),
+    terms AS (
+        SELECT s.source,
+               CAST(round((CAST(s.c_st AS DOUBLE) / st.n_s)
+                          * ln(CAST(s.c_st AS DOUBLE) * ct.n_c
+                               / (CAST(st.n_s AS DOUBLE) * c.c_ct))
+                          * 1000000000000) AS BIGINT) AS kl_term
+        FROM sc s
+        JOIN stot st ON st.source = s.source
+        JOIN cc c ON c.tok = s.tok
+        CROSS JOIN ctot ct
+    ),
+    agg AS (
+        SELECT source, CAST(SUM(kl_term) AS BIGINT) AS kl_e12,
+               CAST(COUNT(*) AS BIGINT) AS n_vocab
+        FROM terms GROUP BY source
+    )
+    SELECT a.source,
+           CAST(st.n_s AS BIGINT) AS n_tokens,
+           a.n_vocab,
+           a.kl_e12,
+           round(a.kl_e12 / 1000000000000.0, 6) AS kl
+    FROM agg a JOIN stot st ON st.source = a.source
+    ORDER BY a.source
+    """,
+)
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift per source: KL(P_source || P_corpus) over the
+    token distribution — the dataset-monitoring signal that flags a
+    source whose language shifted vs the corpus mix (new crawl snapshot,
+    changed boilerplate, contamination).
+
+    Cross-engine float discipline (same as q_unigram_logprob): each KL
+    term is fixed-pointed to integer picounits BEFORE the sum, so the
+    order-sensitive double SUM becomes exact BIGINT arithmetic. KL >= 0
+    up to per-term rounding; source vocab is a subset of corpus vocab
+    by construction so no zero-denominator branch exists.
+
+    Scale: (source, token) agg -> token-level corpus agg (vocab-scale)
+    -> join back on token; totals are a per-source row and a 1-row
+    broadcast. No driver materialization, no UDF.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tokrows = docs.select(
+        "source", F.explode(tokens_col(F.lower(F.col("text")))).alias("tok")
+    )
+    sc = tokrows.groupBy("source", "tok").agg(F.count("*").alias("c_st"))
+    stot = sc.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    cc = sc.groupBy("tok").agg(F.sum("c_st").alias("c_ct"))
+    ctot = sc.agg(F.sum("c_st").alias("n_c"))
+    kl_term = (
+        F.round(
+            (F.col("c_st").cast("double") / F.col("n_s"))
+            * F.log(
+                F.col("c_st").cast("double")
+                * F.col("n_c")
+                / (F.col("n_s").cast("double") * F.col("c_ct"))
+            )
+            * F.lit(1000000000000)
+        )
+        .cast("long")
+        .alias("kl_term")
+    )
+    agg = (
+        sc.join(F.broadcast(stot), "source")
+        .join(cc, "tok")
+        .crossJoin(F.broadcast(ctot))
+        .select("source", kl_term)
+        .groupBy("source")
+        .agg(
+            F.sum("kl_term").cast("long").alias("kl_e12"),
+            F.count("*").cast("long").alias("n_vocab"),
+        )
+    )
+    return (
+        agg.join(F.broadcast(stot), "source")
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_tokens"),
+            "n_vocab",
+            "kl_e12",
+            F.round(F.col("kl_e12") / F.lit(1000000000000.0), 6).alias("kl"),
+        )
+        .orderBy("source")
+    )
+
+
+def _backoff_oracle() -> str:
+    from .sampling import _bucket_sql
+
+    is_old = f"({_bucket_sql('inc', 'doc_id')} % 10 < 8)"
+    return f"""
+    WITH tokd AS (
+        SELECT doc_id AS doc, {is_old} AS is_old,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+        FROM documents
+    ),
+    train_uni AS (
+        SELECT tok, COUNT(*) AS c FROM (
+            SELECT unnest(toks) AS tok FROM tokd WHERE is_old
+        ) GROUP BY tok
+    ),
+    train_n AS (SELECT SUM(c) AS n FROM train_uni),
+    train_bi AS (
+        SELECT w1, w2, COUNT(*) AS c12 FROM (
+            SELECT string_split(bg, ' ')[1] AS w1,
+                   string_split(bg, ' ')[2] AS w2
+            FROM (
+                SELECT unnest(list_transform(range(1, len(toks)),
+                                             i -> toks[i] || ' ' || toks[i + 1]))
+                           AS bg
+                FROM tokd WHERE is_old
+            )
+        ) GROUP BY w1, w2
+    ),
+    docbi AS (
+        SELECT doc,
+               string_split(bg, ' ')[1] AS w1,
+               string_split(bg, ' ')[2] AS w2
+        FROM (
+            SELECT doc,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i + 1])) AS bg
+            FROM tokd
+        )
+    ),
+    scored AS (
+        SELECT d.doc,
+               CAST(round(ln(
+                   CASE WHEN b.c12 IS NOT NULL
+                            THEN CAST(b.c12 AS DOUBLE) / u1.c
+                        WHEN u2.c IS NOT NULL
+                            THEN 0.4 * CAST(u2.c AS DOUBLE) / n.n
+                        ELSE 0.4 / CAST(n.n AS DOUBLE) END) * 10000)
+                    AS BIGINT) AS lp
+        FROM docbi d
+        LEFT JOIN train_bi b ON b.w1 = d.w1 AND b.w2 = d.w2
+        LEFT JOIN train_uni u1 ON u1.tok = d.w1
+        LEFT JOIN train_uni u2 ON u2.tok = d.w2
+        CROSS JOIN train_n n
+    ),
+    per_doc AS (
+        SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(lp) AS BIGINT) AS score_tenk
+        FROM scored GROUP BY doc
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           COALESCE(p.score_tenk, 0) AS score_tenk
+    FROM documents d LEFT JOIN per_doc p ON p.doc = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@query("q_backoff_lm_score", oracle=_backoff_oracle())
+def q_backoff_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-Backoff bigram LM scoring (Brants et al. 2007): train
+    counts on the 80% hash split, score EVERY document — the held-out
+    20% exercises the genuine backoff branches (unseen bigram -> 0.4 *
+    unigram; unseen unigram -> 0.4/N floor). This is the CCNet-style
+    fluency signal used to rank crawl text for training-data selection,
+    without an external LM artifact.
+
+    Float discipline: each bigram's log-score is fixed-pointed
+    (round(ln(S) * 1e4) -> BIGINT) before the per-doc SUM, so the
+    result is exact integer arithmetic cross-engine. Scale: the
+    bigram/unigram count tables are vocab-scale; scoring is two
+    key-partitioned joins plus a 1-row broadcast total; per-doc sum
+    shuffles on doc_id. No UDF anywhere.
+    """
+    from .sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokd = docs.select(
+        F.col("doc_id").alias("doc"),
+        ((hash_bucket("inc", F.col("doc_id")) % 10) < 8).alias("is_old"),
+        tokens_col(F.lower(F.col("text"))).alias("toks"),
+    )
+    bigrams = lambda d: d.select(  # noqa: E731 - local plan shorthand
+        "doc",
+        "is_old",
+        F.explode(word_shingles(F.col("toks"), 2)).alias("bg"),
+    ).select(
+        "doc",
+        "is_old",
+        F.split("bg", " ")[0].alias("w1"),
+        F.split("bg", " ")[1].alias("w2"),
+    )
+    allbi = bigrams(tokd)
+    train_bi = (
+        allbi.filter("is_old").groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    )
+    train_uni = (
+        tokd.filter("is_old")
+        .select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    train_n = train_uni.agg(F.sum("c").alias("n"))
+    u1 = train_uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = train_uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    sb = (
+        F.when(
+            F.col("c12").isNotNull(), F.col("c12").cast("double") / F.col("c1")
+        )
+        .when(
+            F.col("c2").isNotNull(),
+            F.lit(0.4) * F.col("c2").cast("double") / F.col("n"),
+        )
+        .otherwise(F.lit(0.4) / F.col("n").cast("double"))
+    )
+    lp = F.round(F.log(sb) * 10000).cast("long").alias("lp")
+    per_doc = (
+        allbi.join(train_bi, ["w1", "w2"], "left")
+        .join(u1, "w1", "left")
+        .join(u2, "w2", "left")
+        .crossJoin(F.broadcast(train_n))
+        .select("doc", lp)
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("lp").cast("long").alias("score_tenk"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, docs.doc_id == per_doc.doc, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias("n_bigrams"),
+            F.coalesce(F.col("score_tenk"), F.lit(0).cast("long")).alias(
+                "score_tenk"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -86,3 +86,16 @@ def test_pmi_bigrams_support_and_order(spark):
     for r in rows:
         # a bigram cannot occur more often than either unigram
         assert r.c_xy <= min(r.c_x, r.c_y), r
+
+
+def test_source_drift_kl_nonnegative(spark):
+    """KL divergence is >= 0 (up to per-term picounit rounding) and a
+    source's vocab can never exceed its token count."""
+    from mapreduce_server_development_spark.plans import QUERIES
+    from .conftest import SF_SMOKE
+
+    rows = QUERIES["q_source_drift"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.kl_e12 >= -len(rows), r  # rounding slack: 1 picounit/term
+        assert 0 < r.n_vocab <= r.n_tokens, r
