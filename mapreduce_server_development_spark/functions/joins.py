@@ -66,3 +66,75 @@ def asof_join(
         .filter(F.col("__side") == 0)
         .drop("__ts", "__side", *[f"__r_{c}" for c in right_cols])
     )
+
+
+def packed_bloom_semijoin(
+    build: DataFrame,
+    probe: DataFrame,
+    build_key: str,
+    probe_key: str,
+    bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom-filter semi-join with the filter packed into 64-bit lanes —
+    the production shape of plans/sketches.py's q_bloom_semijoin
+    (which keeps the readable explode-per-hash form for the oracle).
+
+    Build: every key sets k md5-derived bit positions; positions
+    aggregate into ``bits/64`` BIGINT words via bit-OR — a map-side
+    combinable aggregate whose output is at most ``bits/64`` rows
+    regardless of build cardinality. The words are collected (bounded:
+    64 values for the default 4096 bits — same documented exception as
+    functions/prefix.py's one-row-per-partition collect) and embedded
+    as a LITERAL array in the probe predicate, so the probe side is a
+    pure filter inside its own scan stage: zero shuffle, zero row
+    fan-out, no join at all. Identical hash family to q_bloom_semijoin,
+    so both admit exactly the same key set (asserted in
+    tests/test_functions_unit.py).
+
+    May admit false positives (size ``bits`` ~ 10x build keys for ~1%);
+    never drops a true member. Returns passing probe rows unchanged.
+    """
+    n_words = bits // 64
+
+    def positions(key_col):
+        return [
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{i}:"), key_col.cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % bits
+            )
+            for i in range(k)
+        ]
+
+    contrib = None
+    for pos in positions(F.col(build_key)):
+        part = build.select(
+            F.shiftright(pos, 6).alias("w"), (pos % 64).alias("b")
+        ).select("w", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))").alias("m"))
+        contrib = part if contrib is None else contrib.unionAll(part)
+    word_rows = contrib.groupBy("w").agg(F.bit_or("m").alias("bits")).collect()
+    words = [0] * n_words
+    for r in word_rows:
+        words[r.w] = r.bits
+    lit_words = F.array(*[F.lit(int(w)).cast("long") for w in words])
+
+    cond = None
+    for pos in positions(F.col(probe_key)):
+        word = F.element_at(lit_words, F.shiftright(pos, 6).cast("int") + 1)
+        # (word >> (pos % 64)) & 1 — shift amount is a column, so use
+        # the SQL shiftright via call_function (the Python wrapper only
+        # accepts literal shifts).
+        bit = F.call_function(
+            "shiftright", word, (pos % 64).cast("int")
+        ).bitwiseAND(F.lit(1).cast("long"))
+        this = bit == 1
+        cond = this if cond is None else (cond & this)
+    return probe.filter(cond)

@@ -113,3 +113,76 @@ def test_connected_components_chain_and_singleton(spark):
     edges = spark.createDataFrame([(2, 1), (2, 3), (10, 11)], ["a", "b"])
     got = {r["node"]: r["component"] for r in connected_components(nodes, edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_packed_bloom_matches_fanout_bloom_and_is_shuffle_free(spark):
+    """The packed-lane Bloom must admit EXACTLY the key set the
+    explode-per-hash q_bloom_semijoin form admits (identical md5 hash
+    family), and its probe side must be a pure scan-stage filter —
+    no Exchange in the probe plan."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_server_development_spark.functions.joins import (
+        packed_bloom_semijoin,
+    )
+    from mapreduce_server_development_spark.sources.tables import load_table
+    from .conftest import SF_SMOKE
+
+    cust = (
+        load_table(spark, SF_SMOKE, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, SF_SMOKE, "orders")
+    passed = packed_bloom_semijoin(cust, orders, "c_custkey", "o_custkey")
+
+    # Reference: the readable explode-per-hash membership (same hashes).
+    bits_df = (
+        cust.select(F.explode(F.array(*[F.lit(i) for i in range(3)])).alias("kk"), "c_custkey")
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("kk").cast("string"), F.lit(":"), F.col("c_custkey").cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 4096
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    probe = orders.select(
+        "o_orderkey", F.explode(F.array(*[F.lit(i) for i in range(3)])).alias("kk"), "o_custkey"
+    ).select(
+        "o_orderkey",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("kk").cast("string"), F.lit(":"), F.col("o_custkey").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 4096
+        ).alias("bit"),
+    )
+    fanout_pass = (
+        probe.join(F.broadcast(bits_df), "bit")
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("hits"))
+        .filter(F.col("hits") == 3)
+    )
+    got = {r.o_orderkey for r in passed.select("o_orderkey").collect()}
+    want = {r.o_orderkey for r in fanout_pass.collect()}
+    assert got == want
+
+    plan = passed._sc._jvm.PythonSQLUtils.explainString(
+        passed._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, plan
