@@ -1680,3 +1680,92 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_jaccard_dedup(
         new_df, old_df, n=5, threshold=0.5, max_doc_freq=1000
     ).orderBy("doc_id")
+
+
+@query(
+    "q_dup_triangles",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    {_shingle_cte(5)},
+    hot AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 1000
+    ),
+    shp AS (
+        SELECT doc, shingle FROM sh
+        WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n_sh FROM shp GROUP BY doc),
+    inter AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+        FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT i.doc_a AS a, i.doc_b AS b
+        FROM inter i
+        JOIN sizes sa ON sa.doc = i.doc_a
+        JOIN sizes sb ON sb.doc = i.doc_b
+        WHERE round(CAST(n_inter AS DOUBLE)
+                    / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.2
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM pairs e1
+        JOIN pairs e2 ON e2.a = e1.b
+        JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    nodes AS (
+        SELECT x AS doc FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    )
+    SELECT doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY doc
+    ORDER BY doc_id
+    """,
+)
+def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation counts on the near-duplicate graph (edges
+    = 5-gram Jaccard >= 0.2, a < b): a dedup-quality diagnostic — high
+    triangle density means duplicate CLUSTERS (template families),
+    sparse triangles mean chains/accidental pairs, which changes
+    whether keep-best-per-cluster or pairwise removal is appropriate.
+
+    Node-iterator triangle counting (the standard MR formulation):
+    wedges join on the middle vertex, then a closing-edge equi-join;
+    with edges ordered a < b every triangle x<y<z is found exactly
+    once. Both joins are key-partitioned equi-joins — never all-pairs —
+    and the wedge fan-out is bounded by the max node degree, which the
+    dedup family's hot-shingle prune already caps. At web-graph scale
+    the further refinement is degree-orientation (point each edge at
+    the higher-degree endpoint), which bounds wedge count by arboricity.
+    """
+    from ..functions.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, n=5, threshold=0.2, max_doc_freq=1000
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e1 = pairs.alias("e1")
+    e2 = pairs.alias("e2")
+    e3 = pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+        )
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("x")) & (F.col("e3.b") == F.col("z")),
+            "semi",
+        )
+    )
+    nodes = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("doc"))
+    )
+    return (
+        nodes.groupBy("doc")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+        .select(F.col("doc").alias("doc_id"), "n_triangles")
+        .orderBy("doc_id")
+    )

@@ -59,3 +59,31 @@ def test_pagerank_regular_graph_fixed_point(spark):
         for r in pagerank_micro(ndf, edf, iters=10).collect()
     }
     assert got == {0: RANK_SCALE, 1: RANK_SCALE, 2: RANK_SCALE}
+
+
+def test_dup_triangles_on_synthetic_clique_and_chain(spark, tmp_path):
+    """Three identical docs form one triangle (each participating
+    once); a chain pair attached to nothing closes no triangle."""
+    from mapreduce_server_development_spark.plans import QUERIES
+
+    same = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, same, "en", "s", len(same)),
+        (2, same, "en", "s", len(same)),
+        (3, same, "en", "s", len(same)),
+        (4, other, "en", "s", len(other)),
+        (5, other + " extra", "en", "s", len(other) + 6),
+        (6, "totally unrelated words that share nothing with the rest ok", "en", "s", 60),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: r.n_triangles
+        for r in QUERIES["q_dup_triangles"](spark, str(tmp_path)).collect()
+    }
+    # docs 1,2,3 form exactly one triangle; 4-5 are a pair (no third),
+    # 6 is isolated — neither appears in the output.
+    assert got == {1: 1, 2: 1, 3: 1}
