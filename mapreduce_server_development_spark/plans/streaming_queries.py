@@ -781,3 +781,88 @@ def q_stream_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cms_est").cast("long").alias("cms_est"),
         (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
     ).orderBy(F.col("exact_cnt").desc(), "user_id")
+
+
+def _stream_hll_oracle() -> str:
+    from .sketches import _hexval_sql
+
+    h48 = _hexval_sql("md5('hll:' || CAST(user_id AS VARCHAR))", 12)
+    return f"""
+    WITH hashed AS (
+        SELECT event_type, {h48} AS h48 FROM events
+    ),
+    regs AS (
+        SELECT event_type,
+               h48 // {1 << 38} AS reg,
+               MAX(CASE WHEN h48 % {1 << 38} = 0 THEN 39
+                        ELSE 39 - length(bin(h48 % {1 << 38})) END) AS m
+        FROM hashed
+        GROUP BY event_type, reg
+    ),
+    summed AS (
+        SELECT event_type,
+               CAST(SUM(1::BIGINT << (39 - m)) AS BIGINT)
+                   + (1024 - COUNT(*)) * {1 << 39} AS s_scaled,
+               1024 - COUNT(*) AS empty_regs
+        FROM regs
+        GROUP BY event_type
+    ),
+    exact AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+        FROM events GROUP BY event_type
+    )
+    SELECT s.event_type,
+           s.s_scaled,
+           CAST(s.empty_regs AS BIGINT) AS empty_regs,
+           CAST(e.exact_users AS BIGINT) AS exact_users
+    FROM summed s JOIN exact e ON s.event_type = e.event_type
+    ORDER BY s.event_type
+    """
+
+
+@query("q_stream_hll_users", oracle=_stream_hll_oracle())
+def q_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user HyperLogLog maintained BY the
+    stream: registers merge across micro-batches with MAX (the other
+    mergeable-sketch monoid, complementing q_stream_cms_users's SUM),
+    so state is <= 1024 registers per event type no matter how long
+    the stream runs — vs a streaming COUNT(DISTINCT) whose state grows
+    with the user domain and which Spark disallows in streaming for
+    exactly that reason. Complete-mode register output equals the
+    batch sketch exactly (MAX is associative/commutative), so the
+    DuckDB oracle verifies the full streaming path value-exact; the
+    exact count is joined batch-side as the honest-measurement column.
+    """
+    from .sketches import _hexval_col
+
+    stream = read_events_stream(spark, sf_dir)
+    h48 = _hexval_col(
+        F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))), 12
+    )
+    w = F.col("h48") % (1 << 38)
+    rho = F.when(w == 0, F.lit(39)).otherwise(F.lit(39) - F.length(F.bin(w)))
+    regs_stream = (
+        stream.select("event_type", h48.alias("h48"))
+        .select("event_type", F.shiftright(F.col("h48"), 38).alias("reg"), rho.alias("rho"))
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("m"))
+    )
+    regs = _run_to_memory(regs_stream, spark, mode="complete")
+    summed = regs.groupBy("event_type").agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 39 - m)"))
+            + (F.lit(1024) - F.count("*")) * (1 << 39)
+        )
+        .cast("long")
+        .alias("s_scaled"),
+        (F.lit(1024) - F.count("*")).cast("long").alias("empty_regs"),
+    )
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return (
+        summed.join(exact, "event_type")
+        .select("event_type", "s_scaled", "empty_regs", "exact_users")
+        .orderBy("event_type")
+    )
