@@ -256,3 +256,50 @@ def tensor_stats(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_i
         (F.round(F.array_min(vv), 4) + F.lit(0.0)).alias("vmin"),
         (F.round(F.array_max(vv), 4) + F.lit(0.0)).alias("vmax"),
     )
+
+
+#: Output schema of the perceptual hasher: four 16-bit hash bands.
+AHASH_SCHEMA = "doc_id long, b0 int, b1 int, b2 int, b3 int"
+
+
+def ahash_images(
+    df: DataFrame, bin_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Perceptual average-hash (aHash) over image payloads via
+    Arrow-batched ``mapInPandas`` — the multimodal-dedup front half:
+    decode runs in the Python worker (here: 64 evenly-spaced payload
+    bytes stand in for an 8x8 luma downsample; a real decoder would
+    resize actual pixels), threshold at the integer mean, emit the
+    64-bit hash as FOUR 16-bit bands so the engine-side pair join can
+    use the same pigeonhole banding as simhash (a near-identical image
+    differs in few bits, so some band collides). Non-image and empty
+    payloads are skipped (PERMISSIVE posture). All arithmetic is
+    integer, so the hash is bit-identical in any engine that can read
+    the same bytes.
+    """
+
+    def _hash(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+            for doc_id, raw in zip(pdf[id_col], pdf[bin_col]):
+                try:
+                    magic, _dims, payload = bytes(raw).split(b":", 2)
+                except ValueError:
+                    continue
+                if magic != b"IMG1" or not payload:
+                    continue
+                n = len(payload)
+                samples = [payload[(j * n) // 64] for j in range(64)]
+                mean = sum(samples) // 64
+                bands = [0, 0, 0, 0]
+                for j, s in enumerate(samples):
+                    if s > mean:
+                        bands[j // 16] |= 1 << (j % 16)
+                out["doc_id"].append(doc_id)
+                for k in range(4):
+                    out[f"b{k}"].append(bands[k])
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bin_col).mapInPandas(_hash, schema=AHASH_SCHEMA)

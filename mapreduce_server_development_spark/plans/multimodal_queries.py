@@ -203,3 +203,99 @@ def q_tensor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     No trailing sort — vector-linear output, zero shuffles."""
     emb = load_table(spark, sf_dir, "embeddings")
     return tensor_stats(emb)
+
+
+def _ahash_oracle() -> str:
+    """aHash pair oracle: recompute the 4x16-bit perceptual hash from
+    the text bytes (the synthetic payload IS the utf8 text, and the
+    fixture is pure ASCII so ascii(substr(..)) equals the payload
+    byte), then mirror the band-equi-join candidate generation and
+    hamming verify exactly."""
+    samples = (
+        "list_transform(range(0, 64), "
+        "j -> ascii(substr(text, CAST((j * length(text)) // 64 AS INT) + 1, 1)))"
+    )
+    band_exprs = []
+    for k in range(4):
+        terms = " + ".join(
+            f"(CASE WHEN s[{16 * k + j + 1}] > mean THEN 1 ELSE 0 END) * {1 << j}"
+            for j in range(16)
+        )
+        band_exprs.append(f"({terms}) AS b{k}")
+    bands_sql = ",\n               ".join(band_exprs)
+    ham = " + ".join(f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(4))
+    cands = "\n        UNION\n        ".join(
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM h a "
+        f"JOIN h b ON a.b{k} = b.b{k} AND a.doc_id < b.doc_id"
+        for k in range(4)
+    )
+    return f"""
+    WITH s AS (
+        SELECT doc_id, {samples} AS s
+        FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0
+    ),
+    m AS (SELECT doc_id, s, list_sum(s) // 64 AS mean FROM s),
+    h AS (
+        SELECT doc_id,
+               {bands_sql}
+        FROM m
+    ),
+    cand AS (
+        {cands}
+    )
+    SELECT c.doc_a, c.doc_b, CAST({ham} AS BIGINT) AS hamming
+    FROM cand c
+    JOIN h a ON a.doc_id = c.doc_a
+    JOIN h b ON b.doc_id = c.doc_b
+    WHERE {ham} <= 8
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("q_image_ahash_dedup", oracle=_ahash_oracle())
+def q_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs by perceptual average-hash: the Python
+    worker half (decode + hash, `functions/multimodal.py:ahash_images`)
+    feeds an engine-side pigeonhole band join (same shape as simhash),
+    hamming-verified <= 8 over the 64-bit hash. The hash relation is
+    one row per image — at 100 TB the pair join runs on that compact
+    relation, never on pixels; band hot-bucket capping applies as in
+    the text family if a degenerate corpus (monochrome images) floods
+    a band.
+    """
+    from ..functions.multimodal import ahash_images
+
+    h = ahash_images(_media_df(spark, sf_dir))
+    a, b = h.alias("a"), h.alias("b")
+    cand = None
+    for k in range(4):
+        c = (
+            a.join(
+                b,
+                (F.col(f"a.b{k}") == F.col(f"b.b{k}"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+        )
+        cand = c if cand is None else cand.unionAll(c)
+    cand = cand.distinct()
+    ha = h.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)],
+    )
+    hb = h.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{k}").alias(f"bb{k}") for k in range(4)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"bb{k}"))) for k in range(4)
+    )
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= 8)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -101,3 +101,31 @@ def test_malformed_headers_skip_rows_not_stage(spark):
     assert {r["doc_id"] for r in tiles} == {0}
     decoded = decode_media_stub(df).collect()
     assert {r["doc_id"] for r in decoded} == {0}
+
+
+def test_image_ahash_finds_near_identical_images(spark, tmp_path):
+    """Two images whose payloads differ by one character must collide
+    on most hash bands and pair with a small hamming distance; a
+    structurally different image must not pair with them at <= 8.
+    Only IMG1-modality docs (doc_id % 3 == 0) participate."""
+    from mapreduce_server_development_spark.plans import QUERIES
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [
+        (0, base, "en", "s", len(base)),
+        (3, base[:-1] + "x", "en", "s", len(base)),
+        (6, "ZZZZ aaaa ZZZZ aaaa ZZZZ aaaa ZZZZ aaaa ZZZZ aaaa ZZZZ aaaa okay", "en", "s", 64),
+        (1, base, "en", "s", len(base)),  # AUD1 modality -> excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in QUERIES["q_image_ahash_dedup"](spark, str(tmp_path)).collect()
+    }
+    assert (0, 3) in got
+    assert got[(0, 3)] <= 8
+    assert all(6 not in pair for pair in got)
+    assert all(1 not in pair for pair in got)
