@@ -1,0 +1,151 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016).
+
+BPE learns a merge table by repeatedly fusing the most frequent
+adjacent symbol pair. The classical trick that makes this distributable
+is that training runs on the WORD-FREQUENCY table, not the raw corpus:
+a 100 TB corpus collapses to a vocabulary-scale (Zipf-bounded) relation
+of (word, count) after one explode + hash-agg shuffle, and every merge
+round after that touches only that compact relation. Each round is:
+
+  adjacent-pair explode -> weighted count (map-side combinable)
+  -> arg-max pair (TakeOrderedAndProject, deterministic tie-break)
+  -> 1-row broadcast -> literal string replace on the symbol sequence.
+
+No driver collect anywhere: the winning pair stays a lazily-joined
+1-row broadcast, so the whole k-round training is ONE Spark plan (the
+same unrolled-iteration shape as functions/graph.py's PageRank).
+
+Cross-engine parity: symbol sequences are space-joined with sentinel
+padding, pair counts are exact integers, ties break on the pair string,
+and `replace` is greedy-left non-overlapping in both Spark (F.replace,
+literal) and DuckDB — verified equivalent (' a a a ' -> ' aa a ').
+
+Reference parity: the reference has no tokenizer surface; this is
+additive LLM-pipeline depth per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_col, word_shingles
+from ..sources.tables import load_table
+from .registry import query
+
+_ROUNDS = 6
+
+
+def _bpe_oracle(rounds: int = _ROUNDS) -> str:
+    ctes = [
+        """wfreq AS (
+        SELECT tok AS word, COUNT(*) AS cnt FROM (
+            SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                      t -> t <> '')) AS tok
+            FROM documents
+        ) GROUP BY tok
+    )""",
+        """w0 AS (
+        SELECT word, cnt,
+               ' ' || array_to_string(
+                   list_transform(range(1, length(word) + 1),
+                                  i -> substr(word, i, 1)), ' ')
+                   || ' </w> ' AS seq
+        FROM wfreq
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""s{r} AS (
+        SELECT cnt, list_filter(string_split(seq, ' '), x -> x <> '') AS ss
+        FROM w{r - 1}
+    )""")
+        ctes.append(f"""p{r} AS (
+        SELECT unnest(list_transform(range(1, len(ss)),
+                                     i -> ss[i] || ' ' || ss[i + 1])) AS pair,
+               cnt
+        FROM s{r}
+    )""")
+        ctes.append(f"""c{r} AS (
+        SELECT pair, CAST(SUM(cnt) AS BIGINT) AS total FROM p{r} GROUP BY pair
+    )""")
+        ctes.append(f"""b{r} AS (
+        SELECT {r} AS round, pair, total FROM c{r}
+        ORDER BY total DESC, pair LIMIT 1
+    )""")
+        ctes.append(f"""w{r} AS (
+        SELECT word, cnt,
+               replace(seq, ' ' || (SELECT pair FROM b{r}) || ' ',
+                       ' ' || (SELECT replace(pair, ' ', '') FROM b{r}) || ' ')
+                   AS seq
+        FROM w{r - 1}
+    )""")
+    union = "\n        UNION ALL ".join(
+        f"SELECT * FROM b{r}" for r in range(1, rounds + 1)
+    )
+    cte_block = ",\n    ".join(ctes)
+    return f"""
+    WITH {cte_block}
+    SELECT CAST(round AS BIGINT) AS round, pair,
+           replace(pair, ' ', '') AS merged, total AS pair_count
+    FROM ({union})
+    ORDER BY round
+    """
+
+
+@query("q_bpe_train", oracle=_bpe_oracle())
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 6 BPE merges of the corpus — the tokenizer-
+    training operator of the pipeline. See the module docstring for
+    the scale argument (training runs on the Zipf-bounded word table,
+    each round a pair-count aggregate + 1-row broadcast replace, all
+    in one lazy plan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wfreq = (
+        docs.select(F.explode(tokens_col(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    chars = F.expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))")
+    w = wfreq.select(
+        "word",
+        "cnt",
+        F.concat(
+            F.lit(" "), F.concat_ws(" ", chars), F.lit(" </w> ")
+        ).alias("seq"),
+    )
+    merges = []
+    for r in range(1, _ROUNDS + 1):
+        syms = F.filter(F.split(F.col("seq"), " "), lambda s: s != "")
+        pairs = w.select(
+            "cnt", F.explode(word_shingles(syms, 2)).alias("pair")
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("cnt").cast("long").alias("total"))
+            .orderBy(F.col("total").desc(), F.col("pair"))
+            .limit(1)
+            .select(F.lit(r).cast("long").alias("round"), "pair", "total")
+        )
+        merges.append(top)
+        best = top.select(
+            F.col("pair").alias("_pat"),
+            F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("_rep"),
+        )
+        w = w.crossJoin(F.broadcast(best)).select(
+            "word",
+            "cnt",
+            F.replace(
+                F.col("seq"),
+                F.concat(F.lit(" "), F.col("_pat"), F.lit(" ")),
+                F.concat(F.lit(" "), F.col("_rep"), F.lit(" ")),
+            ).alias("seq"),
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out.select(
+        "round",
+        "pair",
+        F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+        F.col("total").alias("pair_count"),
+    ).orderBy("round")

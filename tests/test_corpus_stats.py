@@ -99,3 +99,29 @@ def test_source_drift_kl_nonnegative(spark):
     for r in rows:
         assert r.kl_e12 >= -len(rows), r  # rounding slack: 1 picounit/term
         assert 0 < r.n_vocab <= r.n_tokens, r
+
+
+def test_bpe_train_learns_textbook_merges(spark, tmp_path):
+    """On the classic Sennrich corpus (low x5, lower x2, newest x6,
+    widest x3) the first merges must be es, est, est</w>, lo, low —
+    including the deterministic tie-breaks (es/st/t</w> all count 9;
+    the lexicographically smallest pair wins)."""
+    from mapreduce_server_development_spark.plans import QUERIES
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = QUERIES["q_bpe_train"](spark, str(tmp_path)).collect()
+    got = [(r.round, r.merged, r.pair_count) for r in rows]
+    assert got[:5] == [
+        (1, "es", 9),
+        (2, "est", 9),
+        (3, "est</w>", 9),
+        (4, "lo", 7),
+        (5, "low", 7),
+    ], got
+    for r in rows:
+        assert r.merged == r.pair.replace(" ", "")
