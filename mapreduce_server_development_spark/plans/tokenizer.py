@@ -149,3 +149,111 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
         F.col("total").alias("pair_count"),
     ).orderBy("round")
+
+
+def _bpe_encode_oracle(rounds: int = _ROUNDS) -> str:
+    # Reuse the training CTE chain; the tail tokenizes every document
+    # with the final merge state w{rounds} instead of dumping merges.
+    train = _bpe_oracle(rounds)
+    cte_block = train[train.index("WITH ") + 5 : train.index("\n    SELECT CAST(round")]
+    return f"""
+    WITH {cte_block},
+    wlen AS (
+        SELECT word,
+               len(list_filter(string_split(seq, ' '), x -> x <> '')) - 1
+                   AS n_sub
+        FROM w{rounds}
+    ),
+    doctoks AS (
+        SELECT doc_id AS doc,
+               unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+                   AS word
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT d.doc, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(w.n_sub) AS BIGINT) AS n_subwords
+        FROM doctoks d JOIN wlen w ON w.word = d.word
+        GROUP BY d.doc
+    )
+    SELECT doc.doc_id,
+           COALESCE(p.n_words, 0) AS n_words,
+           COALESCE(p.n_subwords, 0) AS n_subwords
+    FROM documents doc LEFT JOIN per_doc p ON p.doc = doc.doc_id
+    ORDER BY doc.doc_id
+    """
+
+
+@query("q_bpe_encode", oracle=_bpe_encode_oracle())
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges: per-document subword count under
+    the 6-merge tokenizer — the fertility / training-cost metric
+    (n_subwords is what a token budget actually pays for). Encoding
+    runs on the word table (each word segmented once, however often it
+    occurs) and documents join the result by word — the same
+    vocabulary-scale trick as training.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wfreq = (
+        docs.select(F.explode(tokens_col(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    chars = F.expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))")
+    w = wfreq.select(
+        "word",
+        "cnt",
+        F.concat(F.lit(" "), F.concat_ws(" ", chars), F.lit(" </w> ")).alias("seq"),
+    )
+    for r in range(1, _ROUNDS + 1):
+        syms = F.filter(F.split(F.col("seq"), " "), lambda s: s != "")
+        pairs = w.select("cnt", F.explode(word_shingles(syms, 2)).alias("pair"))
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("cnt").cast("long").alias("total"))
+            .orderBy(F.col("total").desc(), F.col("pair"))
+            .limit(1)
+        )
+        best = top.select(
+            F.col("pair").alias("_pat"),
+            F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("_rep"),
+        )
+        w = w.crossJoin(F.broadcast(best)).select(
+            "word",
+            "cnt",
+            F.replace(
+                F.col("seq"),
+                F.concat(F.lit(" "), F.col("_pat"), F.lit(" ")),
+                F.concat(F.lit(" "), F.col("_rep"), F.lit(" ")),
+            ).alias("seq"),
+        )
+    wlen = w.select(
+        "word",
+        (
+            F.size(F.filter(F.split(F.col("seq"), " "), lambda s: s != "")) - 1
+        ).alias("n_sub"),
+    )
+    doctoks = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(tokens_col(F.lower(F.col("text")))).alias("word"),
+    )
+    per_doc = (
+        doctoks.join(wlen, "word")
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_subwords"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, docs.doc_id == per_doc.doc, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_words"), F.lit(0).cast("long")).alias("n_words"),
+            F.coalesce(F.col("n_subwords"), F.lit(0).cast("long")).alias(
+                "n_subwords"
+            ),
+        )
+        .orderBy("doc_id")
+    )
