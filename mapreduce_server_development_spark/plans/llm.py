@@ -1769,3 +1769,111 @@ def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc").alias("doc_id"), "n_triangles")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_minhash_estimate_audit",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    {_shingle_cte(3)},
+    sig AS (
+        SELECT doc, seed, MIN(md5(seed || '#' || shingle)) AS h
+        FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+        GROUP BY doc, seed
+    ),
+    bands AS (
+        SELECT doc, seed // 2 AS band, md5(string_agg(h, '' ORDER BY seed)) AS bh
+        FROM sig GROUP BY doc, band
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
+    ),
+    matches AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_match
+        FROM cand c
+        JOIN sig s1 ON s1.doc = c.doc_a
+        JOIN sig s2 ON s2.doc = c.doc_b AND s2.seed = s1.seed AND s2.h = s1.h
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc = c.doc_a
+        JOIN sh b ON b.doc = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+           CAST(COALESCE(m.n_match, 0) AS BIGINT) AS n_match,
+           round(CAST(COALESCE(m.n_match, 0) AS DOUBLE) / 16, 4) AS est_jaccard,
+           round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0)), 4) AS jaccard,
+           round(abs(round(CAST(COALESCE(m.n_match, 0) AS DOUBLE) / 16, 4)
+                     - round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                             / (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0)), 4)),
+                 4) AS est_error
+    FROM cand c
+    LEFT JOIN matches m ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes sa ON sa.doc = c.doc_a
+    JOIN sizes sb ON sb.doc = c.doc_b
+    ORDER BY c.doc_a, c.doc_b
+    """,
+)
+def q_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Honest-measurement audit of the MinHash estimator: for every LSH
+    candidate pair, the signature-agreement Jaccard estimate
+    (n_match/16) next to the exact shingle Jaccard and the absolute
+    error — the q_ann_recall pattern applied to the dedup plane. At
+    100 TB one runs this on a sample to pick num_hashes: the error
+    column IS the measured estimator std-dev (~sqrt(j(1-j)/16)).
+    """
+    from ..functions.dedup import _doc_shingles, minhash_band_pairs, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs, "text", "doc_id", 3)
+    sig = minhash_signatures(docs, num_hashes=16, shingle_n=3, shingles=sh)
+    cand = minhash_band_pairs(docs, num_hashes=16, rows_per_band=2, shingle_n=3, shingles=sh).select(
+        "doc_a", "doc_b"
+    )
+    s1 = sig.select(F.col("doc").alias("doc_a"), "seed", F.col("h").alias("h1"))
+    s2 = sig.select(F.col("doc").alias("doc_b"), "seed", F.col("h").alias("h2"))
+    matches = (
+        cand.join(s1, "doc_a")
+        .join(s2, ["doc_b", "seed"])
+        .filter(F.col("h1") == F.col("h2"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_match"))
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    est = F.round(F.coalesce(F.col("n_match"), F.lit(0)).cast("double") / 16, 4)
+    jac = F.round(
+        F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0))),
+        4,
+    )
+    return (
+        cand.join(matches, ["doc_a", "doc_b"], "left")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce(F.col("n_match"), F.lit(0)).cast("long").alias("n_match"),
+            est.alias("est_jaccard"),
+            jac.alias("jaccard"),
+            F.round(F.abs(est - jac), 4).alias("est_error"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
