@@ -866,3 +866,85 @@ def q_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "s_scaled", "empty_regs", "exact_users")
         .orderBy("event_type")
     )
+
+
+def _stream_hourly_hll_oracle() -> str:
+    from .sketches import _hexval_sql
+
+    h48 = _hexval_sql("md5('hll:' || CAST(user_id AS VARCHAR))", 12)
+    return f"""
+    WITH hashed AS (
+        SELECT date_trunc('hour', ts) AS h, {h48} AS h48 FROM events
+    ),
+    regs AS (
+        SELECT h,
+               h48 // {1 << 42} AS reg,
+               MAX(CASE WHEN h48 % {1 << 42} = 0 THEN 43
+                        ELSE 43 - length(bin(h48 % {1 << 42})) END) AS m
+        FROM hashed
+        GROUP BY h, reg
+    ),
+    summed AS (
+        SELECT h,
+               CAST(SUM(1::BIGINT << (43 - m)) AS BIGINT)
+                   + (64 - COUNT(*)) * {1 << 43} AS s_scaled,
+               64 - COUNT(*) AS empty_regs
+        FROM regs
+        GROUP BY h
+    ),
+    exact AS (
+        SELECT date_trunc('hour', ts) AS h, COUNT(DISTINCT user_id) AS exact_users
+        FROM events GROUP BY h
+    )
+    SELECT s.h, s.s_scaled, CAST(s.empty_regs AS BIGINT) AS empty_regs,
+           CAST(e.exact_users AS BIGINT) AS exact_users
+    FROM summed s JOIN exact e ON s.h = e.h
+    ORDER BY s.h
+    """
+
+
+@query("q_stream_hourly_hll", oracle=_stream_hourly_hll_oracle())
+def q_stream_hourly_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users PER HOUR from the stream via windowed HLL — the
+    production 'unique visitors' dashboard at 100 TB: event-time
+    tumbling window x 64 MAX-merged registers, so per-window state is
+    64 small integers instead of the user set (which streaming
+    COUNT(DISTINCT) would need and Spark therefore disallows). A
+    watermark bounds how long each window's registers stay resident;
+    the register output equals the batch sketch exactly, so the whole
+    windowed streaming path is oracle-verified value-exact.
+    """
+    from .sketches import _hexval_col
+
+    stream = read_events_stream(spark, sf_dir)
+    h48 = _hexval_col(
+        F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))), 12
+    )
+    w = F.col("h48") % (1 << 42)
+    rho = F.when(w == 0, F.lit(43)).otherwise(F.lit(43) - F.length(F.bin(w)))
+    regs_stream = (
+        stream.withWatermark("ts", "2 hours")
+        .select(F.window("ts", "1 hour").alias("win"), h48.alias("h48"))
+        .select("win", F.shiftright(F.col("h48"), 42).alias("reg"), rho.alias("rho"))
+        .groupBy("win", "reg")
+        .agg(F.max("rho").alias("m"))
+    )
+    regs = _run_to_memory(regs_stream, spark, mode="complete")
+    summed = regs.groupBy(F.col("win.start").alias("h")).agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 43 - m)"))
+            + (F.lit(64) - F.count("*")) * (1 << 43)
+        )
+        .cast("long")
+        .alias("s_scaled"),
+        (F.lit(64) - F.count("*")).cast("long").alias("empty_regs"),
+    )
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return (
+        summed.join(exact, "h")
+        .select("h", "s_scaled", "empty_regs", "exact_users")
+        .orderBy("h")
+    )
