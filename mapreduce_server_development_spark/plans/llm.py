@@ -1877,3 +1877,84 @@ def q_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+def _novelty_oracle() -> str:
+    from .sampling import _bucket_sql
+
+    is_old = f"({_bucket_sql('inc', 'doc')} % 10 < 8)"
+    return f"""
+    WITH {_TOKS_CTE},
+    grams AS (
+        SELECT doc, {is_old} AS is_old,
+               unnest(list_transform(range(1, len(toks) - 8 + 2),
+                                     i -> array_to_string(toks[i:i+7], ' ')))
+                   AS gram
+        FROM toks
+    ),
+    seen AS (
+        SELECT DISTINCT substr(md5(gram), 1, 16) AS gh FROM grams WHERE is_old
+    ),
+    newg AS (
+        SELECT doc, substr(md5(gram), 1, 16) AS gh FROM grams WHERE NOT is_old
+    ),
+    per_doc AS (
+        SELECT n.doc,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN s.gh IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_novel
+        FROM newg n LEFT JOIN seen s ON s.gh = n.gh
+        GROUP BY n.doc
+    )
+    SELECT doc AS doc_id, n_grams, n_novel,
+           round(CAST(n_novel AS DOUBLE) / greatest(n_grams, 1), 6) AS novelty
+    FROM per_doc
+    ORDER BY doc_id
+    """
+
+
+@query("q_ngram_novelty", oracle=_novelty_oracle())
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty of held-out documents vs the training corpus:
+    the fraction of a doc's word 8-grams never seen in the 80% hash
+    split — the memorization / contamination-risk metric for eval-set
+    curation (a 'new' doc whose grams all exist in training data is
+    either a duplicate or will be memorized, not generalized to).
+    Grams travel as 64-bit md5 prefixes (16 bytes on the shuffle);
+    the seen-gram relation is vocabulary-scale and the join is a
+    key-partitioned left join — no all-pairs anywhere.
+    """
+    from .sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").alias("doc"),
+        ((hash_bucket("inc", F.col("doc_id")) % 10) < 8).alias("is_old"),
+        tokens_col(F.lower(F.col("text"))).alias("toks"),
+    )
+    grams = toks.select(
+        "doc",
+        "is_old",
+        F.explode(word_shingles(F.col("toks"), 8)).alias("gram"),
+    ).select("doc", "is_old", F.substring(F.md5("gram"), 1, 16).alias("gh"))
+    seen = grams.filter("is_old").select("gh").distinct().withColumn("seen", F.lit(1))
+    per_doc = (
+        grams.filter(~F.col("is_old"))
+        .join(seen, "gh", "left")
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        F.col("doc").alias("doc_id"),
+        "n_grams",
+        "n_novel",
+        F.round(
+            F.col("n_novel").cast("double") / F.greatest(F.col("n_grams"), F.lit(1)),
+            6,
+        ).alias("novelty"),
+    ).orderBy("doc_id")
