@@ -155,3 +155,48 @@ def test_q21_single_fact_pass(spark):
     # and again in the details section — count tree nodes only.
     assert plan.count("Scan parquet  (") <= 5  # 2x lineitem, 2x orders, supplier
     assert "CartesianProduct" not in plan
+
+
+def test_hll_sketch_has_partial_aggregation(spark):
+    """The HLL register build must be a two-level hash aggregate
+    (map-side partial MAX per scan task -> final MAX after a
+    register-keyed shuffle) — the property that keeps the shuffle
+    kilobyte-scale at any corpus size."""
+    plan = _plan(spark, "q_hll_vocab")
+    assert "partial_max" in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_cms_probe_joins_broadcast_cells(spark):
+    """The CMS probe side must join the (<= 2048-row) cell table as a
+    broadcast — probing must never shuffle the sketch."""
+    plan = _plan(spark, "q_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_bloom_bits_join_is_broadcast(spark):
+    """The 4096-bit relation broadcasts to the probe scan; the probe
+    table itself must not be exchanged before the bit join."""
+    plan = _plan(spark, "q_bloom_semijoin")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_zorder_locality_single_aggregate_no_python(spark):
+    """The z-value is a pure bit-op expression: one hash aggregate,
+    nothing Python, nothing exploded."""
+    plan = _plan(spark, "q_zorder_locality")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Generate" not in plan  # no explode in the z-value path
+
+
+def test_semantic_dedup_pairwise_is_cluster_keyed(spark):
+    """The SemDeDup pairwise stage joins on the cluster id (cid) —
+    quadratic only within a cell, never a cartesian across the
+    corpus."""
+    plan = _plan(spark, "q_semantic_dedup")
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins are the bounded 16-row centroid
+    # broadcasts; the member-member join must be a hash join on cid
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
