@@ -1958,3 +1958,131 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("novelty"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_label_purity",
+    oracle=f"""
+    WITH {_VEC_CTE},
+    cent AS (SELECT vid AS cid, vv AS cv, nrm AS cnrm FROM n WHERE vid <= 16),
+    assign AS (
+        SELECT vid, cid FROM (
+            SELECT n.vid, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.vid
+                       ORDER BY round(list_dot_product(n.vv, c.cv)
+                                      / (n.nrm * c.cnrm), 4) DESC, c.cid) AS rn
+            FROM n CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    m AS (
+        SELECT a.vid, a.cid, n.vv, n.nrm, e.label
+        FROM assign a JOIN n USING (vid)
+        JOIN embeddings e ON e.vec_id = a.vid
+    ),
+    nn AS (
+        SELECT vid, nbr_label FROM (
+            SELECT a.vid, b.label AS nbr_label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vid
+                       ORDER BY round(list_dot_product(a.vv, b.vv)
+                                      / (a.nrm * b.nrm), 4) DESC, b.vid) AS rn
+            FROM m a JOIN m b ON a.cid = b.cid AND a.vid <> b.vid
+        ) WHERE rn = 1
+    )
+    SELECT m.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN nn.nbr_label = m.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pure,
+           round(CAST(SUM(CASE WHEN nn.nbr_label = m.label THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 4) AS purity
+    FROM m JOIN nn ON nn.vid = m.vid
+    GROUP BY m.label
+    ORDER BY m.label
+    """,
+)
+def q_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality evaluation: nearest-neighbor label purity@1 —
+    for each vector, does its top-1 cosine neighbor (searched within
+    its IVF cell, the same scale boundary as the ANN tier) share its
+    label? Per-label purity is THE standard intrinsic metric for
+    deciding whether an embedding column is good enough to drive
+    semantic dedup / clustering at corpus scale. Cell-local pairwise
+    only; vectors whose cell has no other member drop out (no
+    neighbor), matched by the oracle's inner join.
+    """
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+        "label",
+    ).withColumn(
+        "nrm",
+        F.sqrt(F.aggregate(F.transform(F.col("v"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
+    )
+    cent = base.filter(F.col("vid") <= 16).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    assign = (
+        base.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", F.round(dot / (F.col("nrm") * F.col("cnrm")), 4))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vid").orderBy(F.col("ccos").desc(), F.col("cid"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vid", "cid", "v", "nrm", "label")
+    )
+    a = assign.select(
+        "cid", F.col("vid").alias("vid"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), F.col("label").alias("la"),
+    )
+    b = assign.select(
+        "cid", F.col("vid").alias("bvid"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), F.col("label").alias("lb"),
+    )
+    pcos = F.round(
+        F.aggregate(
+            F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (F.col("na") * F.col("nb")),
+        4,
+    )
+    nn = (
+        a.join(b, "cid")
+        .filter(F.col("vid") != F.col("bvid"))
+        .withColumn("pcos", pcos)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vid").orderBy(F.col("pcos").desc(), F.col("bvid"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vid", F.col("la").alias("label"), F.col("lb").alias("nbr_label"))
+    )
+    return (
+        nn.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum(F.when(F.col("nbr_label") == F.col("label"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pure"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "n_pure",
+            F.round(F.col("n_pure").cast("double") / F.col("n_vecs"), 4).alias("purity"),
+        )
+        .orderBy("label")
+    )
