@@ -948,3 +948,106 @@ def q_stream_hourly_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("h", "s_scaled", "empty_regs", "exact_users")
         .orderBy("h")
     )
+
+
+def _stream_bloom_oracle() -> str:
+    from .sketches import _hexval_sql
+
+    def pos(key: str, k: str) -> str:
+        return (
+            _hexval_sql(
+                f"md5(CAST({k} AS VARCHAR) || ':' || CAST({key} AS VARCHAR))", 8
+            )
+            + " % 4096"
+        )
+
+    return f"""
+    WITH ks AS (SELECT unnest(range(3)) AS k),
+    bits AS (
+        SELECT DISTINCT {pos("user_id", "k")} AS bit
+        FROM events CROSS JOIN ks
+    ),
+    probe AS (
+        SELECT r.range AS uid, {pos("r.range", "k")} AS bit
+        FROM range(0, 4096) r CROSS JOIN ks
+    ),
+    passed AS (
+        SELECT uid FROM probe JOIN bits USING (bit)
+        GROUP BY uid HAVING COUNT(*) = 3
+    ),
+    truth AS (
+        SELECT DISTINCT user_id AS uid FROM events WHERE user_id < 4096
+    )
+    SELECT CAST((SELECT COUNT(*) FROM passed) AS BIGINT) AS n_pass,
+           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+           CAST((SELECT COUNT(*) FROM passed) AS BIGINT)
+               - CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_false_pos
+    """
+
+
+@query("q_stream_bloom_members", oracle=_stream_bloom_oracle())
+def q_stream_bloom_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership Bloom filter maintained BY the stream — the OR-merge
+    monoid completing the streaming-sketch trilogy (HLL registers
+    merge with MAX, count-min cells with SUM, Bloom words with
+    bit-OR). Each micro-batch ORs its users' bit positions into at
+    most 64 BIGINT words of state — the 'have we seen this key'
+    structure (already-contacted users, already-crawled URLs) whose
+    exact form would need the full key set. The final word table
+    equals the batch filter exactly (OR is associative/commutative/
+    idempotent — duplicate arrivals are even free), so the whole path
+    is oracle-verified: a 4096-id probe sweep reports pass / true /
+    false-positive counts.
+    """
+    from .sketches import _hexval_col
+
+    def bloom_bit(k, key):
+        return (
+            _hexval_col(
+                F.md5(F.concat(k.cast("string"), F.lit(":"), key.cast("string"))), 8
+            )
+            % 4096
+        )
+
+    ks = F.array(*[F.lit(i) for i in range(3)])
+    stream = read_events_stream(spark, sf_dir)
+    words_stream = (
+        stream.select(F.col("user_id"), F.explode(ks).alias("k"))
+        .select(bloom_bit(F.col("k"), F.col("user_id")).alias("bit"))
+        .select(
+            F.shiftright(F.col("bit"), 6).alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    words = _run_to_memory(words_stream, spark, mode="complete")
+    probe = (
+        spark.range(0, 4096)
+        .select(F.col("id").alias("uid"), F.explode(ks).alias("k"))
+        .select("uid", bloom_bit(F.col("k"), F.col("uid")).alias("bit"))
+        .select(
+            "uid",
+            F.shiftright(F.col("bit"), 6).alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))").alias("m"),
+        )
+    )
+    passed = (
+        probe.join(F.broadcast(words), "w")
+        .filter((F.col("bits").bitwiseAND(F.col("m"))) == F.col("m"))
+        .groupBy("uid")
+        .agg(F.count("*").alias("hits"))
+        .filter(F.col("hits") == 3)
+    )
+    ev = load_table(spark, sf_dir, "events")
+    truth = ev.filter(F.col("user_id") < 4096).select("user_id").distinct()
+    n_pass = passed.agg(F.count("*").cast("long").alias("n_pass"))
+    n_true = truth.agg(F.count("*").cast("long").alias("n_true"))
+    return (
+        n_pass.crossJoin(n_true)
+        .select(
+            "n_pass",
+            "n_true",
+            (F.col("n_pass") - F.col("n_true")).alias("n_false_pos"),
+        )
+    )
