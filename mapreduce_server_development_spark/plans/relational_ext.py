@@ -1686,3 +1686,87 @@ def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+@query(
+    "q_value_anomaly",
+    oracle="""
+    WITH v AS (
+        SELECT event_id, event_type, ts,
+               CAST(value AS DECIMAL(16,4)) AS vdec
+        FROM events
+    ),
+    stats AS (
+        SELECT event_id, event_type, vdec,
+               COUNT(vdec) OVER w AS n,
+               SUM(vdec) OVER w AS s1,
+               SUM(vdec * vdec) OVER w AS s2
+        FROM v
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+        SELECT event_id, event_type,
+               CAST(vdec AS DOUBLE) AS value,
+               round((CAST(vdec AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+                     / sqrt((CAST(s2 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n),
+                     4) AS z
+        FROM stats
+        WHERE n >= 30
+          AND sqrt((CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n) > 0.000001
+    )
+    SELECT event_id, event_type, value, z
+    FROM scored
+    WHERE abs(z) > 3
+    ORDER BY event_type, event_id
+    """,
+)
+def q_value_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: events whose value sits more
+    than 3 sigma from the mean of the 100 preceding same-type events —
+    the standard streaming-adjacent monitoring rule, expressed as one
+    per-type window pass.
+
+    Cross-engine float discipline: the rolling sums run on
+    DECIMAL(16,4) (exact — a double SUM over a window is
+    order-sensitive only across engines, but decimal is exact in
+    both), and mean/std/z are derived from those exact sums with
+    identically-associated double arithmetic, rounded before compare.
+    Scale: one window shuffle on event_type; per-partition state is
+    the 100-row frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(16,4)")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-100, -1)
+    )
+    stats = ev.select(
+        "event_id",
+        "event_type",
+        vdec.alias("vdec"),
+        F.count(vdec).over(w).alias("n"),
+        F.sum(vdec).over(w).alias("s1"),
+        F.sum(vdec * vdec).over(w).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
+    ) / F.col("n")
+    std = F.sqrt(var)
+    z = F.round((F.col("vdec").cast("double") - mean) / std, 4)
+    return (
+        stats.filter((F.col("n") >= 30) & (std > 0.000001))
+        .select(
+            "event_id",
+            "event_type",
+            F.col("vdec").cast("double").alias("value"),
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > 3)
+        .orderBy("event_type", "event_id")
+    )
