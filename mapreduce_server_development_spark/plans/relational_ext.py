@@ -1770,3 +1770,112 @@ def q_value_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("z")) > 3)
         .orderBy("event_type", "event_id")
     )
+
+
+@query(
+    "q_skew_profile",
+    oracle="""
+    WITH pk AS (
+        SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY o_custkey
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(MAX(c) AS BIGINT) AS max_c,
+               CAST(MIN(c) AS BIGINT) AS min_c
+        FROM pk
+    ),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, k) AS rk FROM pk
+    ),
+    top AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS top10_rows FROM ranked WHERE rk <= 10
+    )
+    SELECT s.n_keys, s.n_rows, s.max_c, s.min_c, t.top10_rows,
+           round(CAST(s.max_c AS DOUBLE) * s.n_keys / s.n_rows, 4)
+               AS max_skew_ratio,
+           round(CAST(t.top10_rows AS DOUBLE) / s.n_rows, 4) AS top10_share
+    FROM stats s CROSS JOIN top t
+    """,
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis for orders.o_custkey: max/min per-key
+    rows, the top-10-key row share, and the max-to-mean ratio — the
+    numbers that decide whether a join needs salting (functions/
+    skew.py) or AQE skew splitting before it runs at 100 TB. One
+    key-count aggregate (map-side combinable) + tiny rollups.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    pk = orders.groupBy(F.col("o_custkey").alias("k")).agg(F.count("*").alias("c"))
+    stats = pk.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.max("c").cast("long").alias("max_c"),
+        F.min("c").cast("long").alias("min_c"),
+    )
+    top = (
+        pk.orderBy(F.col("c").desc(), F.col("k"))
+        .limit(10)
+        .agg(F.sum("c").cast("long").alias("top10_rows"))
+    )
+    return stats.crossJoin(top).select(
+        "n_keys",
+        "n_rows",
+        "max_c",
+        "min_c",
+        "top10_rows",
+        F.round(F.col("max_c").cast("double") * F.col("n_keys") / F.col("n_rows"), 4)
+        .alias("max_skew_ratio"),
+        F.round(F.col("top10_rows").cast("double") / F.col("n_rows"), 4)
+        .alias("top10_share"),
+    )
+
+
+@query(
+    "q_join_cardinality_estimate",
+    oracle="""
+    WITH co AS (SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+    cc AS (SELECT c_custkey AS k, COUNT(*) AS c FROM customer GROUP BY 1),
+    est AS (
+        SELECT CAST(SUM(co.c * cc.c) AS BIGINT) AS est_rows
+        FROM co JOIN cc USING (k)
+    ),
+    actual AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT e.est_rows, a.actual_rows,
+           CAST(e.est_rows - a.actual_rows AS BIGINT) AS est_error
+    FROM est e CROSS JOIN actual a
+    """,
+)
+def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from per-key histograms: |A join B| =
+    sum over shared keys of c_A(k) * c_B(k), computed on the two
+    vocabulary-scale count relations instead of materializing the
+    join — what a cost-based planner does before picking a strategy,
+    exposed as a query so a pipeline can budget a join at 100 TB
+    first. The actual join count runs alongside as the audit column
+    (exact equality here, since the histogram method is exact for
+    equi-joins; for a sketched planner the count tables would be
+    count-min approximations).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    co = orders.groupBy(F.col("o_custkey").alias("k")).agg(F.count("*").alias("c_o"))
+    cc = customer.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count("*").alias("c_c")
+    )
+    est = (
+        co.join(cc, "k")
+        .agg(F.sum(F.col("c_o") * F.col("c_c")).cast("long").alias("est_rows"))
+    )
+    actual = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .agg(F.count("*").cast("long").alias("actual_rows"))
+    )
+    return est.crossJoin(actual).select(
+        "est_rows",
+        "actual_rows",
+        (F.col("est_rows") - F.col("actual_rows")).cast("long").alias("est_error"),
+    )
