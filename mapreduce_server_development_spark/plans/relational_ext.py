@@ -1879,3 +1879,76 @@ def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "actual_rows",
         (F.col("est_rows") - F.col("actual_rows")).cast("long").alias("est_error"),
     )
+
+
+@query(
+    "q_bounce_rate",
+    oracle=f"""
+    WITH {SESSION_ID_CTES},
+    sessions AS (
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               strftime(date_trunc('day', MIN(ts)), '%Y-%m-%d') AS day
+        FROM numbered
+        GROUP BY user_id, session_id
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           round(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS bounce_rate
+    FROM sessions
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of sessions (30-min inactivity gap)
+    containing exactly one event — the standard engagement metric,
+    built on the same gap-based sessionization as q_events_sessionize
+    (one per-user window pass + two hash aggregates; sessions never
+    leave their user partition until the tiny daily rollup).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.lag(F.col("ts")).over(w)
+    new_session = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) >= 1800000000),
+        1,
+    ).otherwise(0)
+    sessions = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.date_trunc("day", F.min("ts")), "yyyy-MM-dd").alias(
+                "day"
+            ),
+        )
+    )
+    return (
+        sessions.groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_bounces"),
+        )
+        .select(
+            "day",
+            "n_sessions",
+            "n_bounces",
+            F.round(
+                F.col("n_bounces").cast("double") / F.col("n_sessions"), 4
+            ).alias("bounce_rate"),
+        )
+        .orderBy("day")
+    )
