@@ -1952,3 +1952,91 @@ def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q_rfm_segments",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS corpus_max FROM events),
+    per_user AS (
+        SELECT user_id,
+               date_diff('day', MAX(ts), (SELECT corpus_max FROM mx))
+                   AS recency_days,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS frequency,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(value AS DECIMAL(16,4)) END)
+                    AS DECIMAL(20,4)) AS monetary
+        FROM events
+        GROUP BY user_id
+    ),
+    scored AS (
+        SELECT user_id,
+               ntile(4) OVER (ORDER BY recency_days ASC, user_id) AS r,
+               ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f,
+               ntile(4) OVER (ORDER BY monetary DESC NULLS LAST, user_id) AS m
+        FROM per_user
+    )
+    SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+           CAST(m AS BIGINT) AS m,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM scored
+    GROUP BY r, f, m
+    ORDER BY r, f, m
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) user segmentation: quartile
+    each dimension with deterministic user_id tie-breaks, count users
+    per (r, f, m) cell — the classic growth-analytics rollup. Monetary
+    sums run on DECIMAL so quartile boundaries cannot drift between
+    engines; NULL monetary (never purchased) sorts last in both.
+    Scale: one user-level aggregate, three windows over the (much
+    smaller) per-user relation, one final rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    corpus_max = ev.agg(F.max("ts").alias("corpus_max"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("frequency"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(16,4)"),
+                )
+            )
+            .cast("decimal(20,4)")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(corpus_max))
+        .select(
+            "user_id",
+            F.datediff(F.col("corpus_max"), F.col("last_ts")).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = per_user.select(
+        "user_id",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("recency_days").asc(), F.col("user_id")))
+        .alias("r"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("user_id")))
+        .alias("f"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc_nulls_last(), F.col("user_id")))
+        .alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .select(
+            F.col("r").cast("long").alias("r"),
+            F.col("f").cast("long").alias("f"),
+            F.col("m").cast("long").alias("m"),
+            "n_users",
+        )
+        .orderBy("r", "f", "m")
+    )
