@@ -2040,3 +2040,62 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r", "f", "m")
     )
+
+
+@query(
+    "q_conversion_lag",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS signup_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS first_purchase
+        FROM events e JOIN s ON s.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s.signup_ts
+        GROUP BY e.user_id
+    ),
+    lags AS (
+        SELECT p.user_id,
+               epoch_us(p.first_purchase) - epoch_us(s.signup_ts) AS lag_us
+        FROM p JOIN s ON s.user_id = p.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(lag_us, 0.5) / 3600000000.0, 4) AS p50_hours,
+           round(quantile_cont(lag_us, 0.9) / 3600000000.0, 4) AS p90_hours
+    FROM lags
+    """,
+)
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-to-first-purchase conversion lag: exact p50/p90 hours
+    over converting users — the activation-speed metric. Lags are
+    exact integer microseconds (epoch diffs), so the interpolated
+    percentile is the same double in both engines before rounding.
+    Scale: two per-user aggregates + a user-keyed join; the percentile
+    runs over the (users-scale) lag relation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    lags = p.join(s, "user_id").select(
+        (F.unix_micros("first_purchase") - F.unix_micros("signup_ts")).alias("lag_us")
+    )
+    return lags.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(lag_us, 0.5)") / 3600000000.0, 4).alias(
+            "p50_hours"
+        ),
+        F.round(F.expr("percentile(lag_us, 0.9)") / 3600000000.0, 4).alias(
+            "p90_hours"
+        ),
+    )
