@@ -1,0 +1,621 @@
+"""Statistical / ML-adjacent analytics over the star schema.
+
+The reference engine's additive surface stops at relational operators;
+a training-data platform also needs the statistics that gate and audit
+a corpus: feature correlation, independence tests, regression fits,
+forecast accuracy, frozen-model scoring, experiment analysis. Each
+query here follows the house cross-engine-exact pattern:
+
+- all aggregation happens on exact integers (scaled cents / counts)
+  summed as DECIMAL(38,0) Spark-side and HUGEINT DuckDB-side;
+- every floating-point formula is a SINGLE shared SQL text evaluated
+  by both engines over those exact sums (identical IEEE expression
+  tree -> identical doubles), rounded before output;
+- per-group float terms are rounded to fixed-point micro-units and
+  summed as integers, never summed as doubles (distributed double
+  summation order is nondeterministic).
+
+Scale: every query is one or two fact-table aggregates whose output is
+feature-pair / cell / single-row sized — the reduce side is tiny at any
+SF, and the shared formulas run on that tiny relation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# q_feature_corr — Pearson correlation matrix from exact sums
+# ---------------------------------------------------------------------------
+
+#: Feature name -> exact-integer SQL expression (shared text; Spark and
+#: DuckDB both truncate on CAST(double AS BIGINT) and round half away
+#: from zero on positive round()).
+_CORR_FEATS = {
+    "disc_c": "cast(round(l_discount * 100) as bigint)",
+    "price_c": "cast(round(l_extendedprice * 100) as bigint)",
+    "qty": "cast(l_quantity as bigint)",
+    "tax_c": "cast(round(l_tax * 100) as bigint)",
+}
+
+_CORR_PAIRS = [
+    ("disc_c", "price_c"),
+    ("disc_c", "qty"),
+    ("disc_c", "tax_c"),
+    ("price_c", "qty"),
+    ("price_c", "tax_c"),
+    ("qty", "tax_c"),
+]
+
+
+def _corr_formula(a: str, b: str) -> str:
+    """Shared corr text over the exact-sum columns (all already DOUBLE)."""
+    return (
+        f"round((n * s_{a}_{b} - s_{a} * s_{b}) / "
+        f"sqrt((n * s_{a}_{a} - s_{a} * s_{a}) * "
+        f"(n * s_{b}_{b} - s_{b} * s_{b})), 6)"
+    )
+
+
+def _corr_oracle() -> str:
+    feats = ", ".join(f"{e} AS {k}" for k, e in _CORR_FEATS.items())
+    sums = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for a in _CORR_FEATS:
+        sums.append(f"CAST(SUM({a}) AS DOUBLE) AS s_{a}")
+        sums.append(f"CAST(SUM({a} * {a}) AS DOUBLE) AS s_{a}_{a}")
+    for a, b in _CORR_PAIRS:
+        sums.append(f"CAST(SUM({a} * {b}) AS DOUBLE) AS s_{a}_{b}")
+    rows = "\n    UNION ALL ".join(
+        f"SELECT '{a}' AS feat_a, '{b}' AS feat_b, "
+        f"{_corr_formula(a, b)} AS corr FROM s"
+        for a, b in _CORR_PAIRS
+    )
+    return f"""
+    WITH b AS (SELECT {feats} FROM lineitem),
+    s AS (SELECT {", ".join(sums)} FROM b)
+    SELECT * FROM ({rows}) ORDER BY feat_a, feat_b
+    """
+
+
+@query("q_feature_corr", oracle=_corr_oracle())
+def q_feature_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over lineitem's numeric features.
+
+    One fact-table pass computes N plus the 4 sums, 4 sums-of-squares
+    and 6 cross-sums as exact integers (per-row products stay under
+    2^63; the running sums are DECIMAL(38,0) / HUGEINT so nothing
+    overflows at any SF); corr is then a shared closed-form expression
+    over those sums, so both engines evaluate the identical IEEE
+    expression tree. Never calls the engines' native corr(), whose
+    distributed double accumulation is order-dependent.
+
+    Scale: a single partial-aggregable scan; the matrix math runs on
+    one row.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        *[F.expr(e).alias(k) for k, e in _CORR_FEATS.items()]
+    )
+    aggs = [F.count("*").cast("double").alias("n")]
+    for a in _CORR_FEATS:
+        aggs.append(
+            F.sum(F.col(a).cast("decimal(38,0)")).cast("double").alias(f"s_{a}")
+        )
+        aggs.append(
+            F.sum((F.col(a) * F.col(a)).cast("decimal(38,0)"))
+            .cast("double")
+            .alias(f"s_{a}_{a}")
+        )
+    for a, b in _CORR_PAIRS:
+        aggs.append(
+            F.sum((F.col(a) * F.col(b)).cast("decimal(38,0)"))
+            .cast("double")
+            .alias(f"s_{a}_{b}")
+        )
+    sums = base.agg(*aggs)
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("feat_a"),
+                F.lit(b).alias("feat_b"),
+                F.expr(_corr_formula(a, b)).alias("corr"),
+            )
+            for a, b in _CORR_PAIRS
+        ]
+    )
+    return (
+        sums.select(F.explode(pair_structs).alias("p"))
+        .select("p.feat_a", "p.feat_b", "p.corr")
+        .orderBy("feat_a", "feat_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_chi_square — lang x source independence test
+# ---------------------------------------------------------------------------
+
+#: Per-cell chi-square term in micro-units. `ev` (expected count) is
+#: spelled out so both engines build the same expression tree; the
+#: micro-rounding makes the subsequent SUM an exact integer reduce.
+_CHI_TERM = (
+    "cast(round((cast(o as double) - cast(rt as double) * cast(ct as double)"
+    " / cast(g as double)) * (cast(o as double) - cast(rt as double) *"
+    " cast(ct as double) / cast(g as double)) / (cast(rt as double) *"
+    " cast(ct as double) / cast(g as double)) * 1000000) as bigint)"
+)
+
+_CHI_FINAL = (
+    "round(cast(chi2_micro as double) / 1000000.0, 6) as chi2",
+    "cast((n_langs - 1) * (n_sources - 1) as bigint) as dof",
+    "round(sqrt((cast(chi2_micro as double) / 1000000.0) / "
+    "(cast(g as double) * cast(least(n_langs - 1, n_sources - 1) as double))"
+    "), 6) as cramers_v",
+)
+
+
+@query(
+    "q_chi_square",
+    oracle=f"""
+    WITH cells AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+        FROM documents GROUP BY lang, source
+    ),
+    rtot AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY lang),
+    ctot AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY source),
+    gtot AS (SELECT CAST(SUM(o) AS BIGINT) AS g FROM cells),
+    terms AS (
+        SELECT {_CHI_TERM} AS term_micro
+        FROM cells JOIN rtot USING (lang) JOIN ctot USING (source) CROSS JOIN gtot
+    ),
+    sums AS (
+        SELECT CAST(SUM(term_micro) AS BIGINT) AS chi2_micro,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM rtot) AS n_langs,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ctot) AS n_sources,
+               (SELECT g FROM gtot) AS g
+        FROM terms
+    )
+    SELECT {", ".join(_CHI_FINAL)} FROM sums
+    """,
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between document language and
+    source (is the corpus's language mix uniform across sources?),
+    plus Cramer's V effect size.
+
+    Observed / expected counts are exact integers; each cell's term is
+    rounded to micro-units BEFORE the sum so the reduce is integer-
+    exact, then chi2 / V come from one shared closed-form text.
+
+    Scale: one documents aggregate to lang x source cells (tiny), two
+    broadcast margin joins, one-row output.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("o")
+    )
+    rtot = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("rt"))
+    ctot = cells.groupBy("source").agg(F.sum("o").cast("long").alias("ct"))
+    gtot = cells.agg(F.sum("o").cast("long").alias("g"))
+    terms = (
+        cells.join(F.broadcast(rtot), "lang")
+        .join(F.broadcast(ctot), "source")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            F.expr(_CHI_TERM).alias("term_micro"),
+            "g",
+        )
+    )
+    sums = terms.agg(
+        F.sum("term_micro").cast("long").alias("chi2_micro"),
+        F.max("g").alias("g"),
+    ).crossJoin(
+        F.broadcast(
+            cells.agg(
+                F.countDistinct("lang").cast("long").alias("n_langs"),
+                F.countDistinct("source").cast("long").alias("n_sources"),
+            )
+        )
+    )
+    return sums.selectExpr(*_CHI_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_ols_regression — closed-form 2-feature least squares (Cramer's rule)
+# ---------------------------------------------------------------------------
+
+
+def _det3(r1: tuple[str, str, str], r2: tuple[str, str, str], r3: tuple[str, str, str]) -> str:
+    """Shared 3x3 determinant text (cofactor expansion, fixed order)."""
+    a, b, c = r1
+    d, e, f_ = r2
+    g, h, i = r3
+    return (
+        f"({a} * ({e} * {i} - {f_} * {h}) - {b} * ({d} * {i} - {f_} * {g})"
+        f" + {c} * ({d} * {h} - {e} * {g}))"
+    )
+
+
+# Normal-equation matrix for y ~ b0 + b1*x1 + b2*x2 over exact sums.
+_M = (("n", "sx1", "sx2"), ("sx1", "sx11", "sx12"), ("sx2", "sx12", "sx22"))
+_RHS = ("sy", "sx1y", "sx2y")
+_DET = _det3(*_M)
+_DET_B0 = _det3((_RHS[0], "sx1", "sx2"), (_RHS[1], "sx11", "sx12"), (_RHS[2], "sx12", "sx22"))
+_DET_B1 = _det3(("n", _RHS[0], "sx2"), ("sx1", _RHS[1], "sx12"), ("sx2", _RHS[2], "sx22"))
+_DET_B2 = _det3(("n", "sx1", _RHS[0]), ("sx1", "sx11", _RHS[1]), ("sx2", "sx12", _RHS[2]))
+
+#: Unrounded coefficients (shared sub-expressions, inlined verbatim so
+#: both engines see one expression tree).
+_B0 = f"({_DET_B0} / {_DET})"
+_B1 = f"({_DET_B1} / {_DET})"
+_B2 = f"({_DET_B2} / {_DET})"
+
+#: R^2 from sums only: SSE = syy - b0*sy - b1*sx1y - b2*sx2y,
+#: SST = syy - sy*sy/n (uses the UNROUNDED coefficients). A constant
+#: response (SST = 0) is perfectly fit by its intercept — define R^2
+#: as 1 there rather than divide by zero (Spark runs ANSI mode).
+_R2 = (
+    f"(case when syy - sy * sy / n = 0.0 then 1.0"
+    f" else 1.0 - (syy - {_B0} * sy - {_B1} * sx1y - {_B2} * sx2y)"
+    f" / (syy - sy * sy / n) end)"
+)
+
+_OLS_FINAL = (
+    "cast(n as bigint) as n_rows",
+    f"round({_B0}, 6) as b0",
+    f"round({_B1}, 6) as b1",
+    f"round({_B2}, 6) as b2",
+    f"round({_R2}, 6) as r2",
+)
+
+
+@query(
+    "q_ols_regression",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x1,
+               CAST(round(l_discount * 100) AS BIGINT) AS x2,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x1) AS DOUBLE) AS sx1,
+               CAST(SUM(x2) AS DOUBLE) AS sx2,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x1 * x1) AS DOUBLE) AS sx11,
+               CAST(SUM(x2 * x2) AS DOUBLE) AS sx22,
+               CAST(SUM(x1 * x2) AS DOUBLE) AS sx12,
+               CAST(SUM(x1 * y) AS DOUBLE) AS sx1y,
+               CAST(SUM(x2 * y) AS DOUBLE) AS sx2y,
+               CAST(SUM(y * y) AS DOUBLE) AS syy
+        FROM b
+    )
+    SELECT {", ".join(_OLS_FINAL)} FROM s
+    """,
+)
+def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ordinary least squares: fit
+    extended-price-cents ~ quantity + discount-cents over lineitem by
+    solving the 3x3 normal equations with Cramer's rule.
+
+    The training "loop" is one partial-aggregable scan producing ten
+    exact sums; the solve is a shared determinant formula on a single
+    row — the distributed-ML shape where the data pass is pure
+    aggregation and the model fit costs nothing. R^2 comes from the
+    same sums (no second residual pass).
+
+    Scale: one scan, one row out, regardless of SF.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.expr("cast(l_quantity as bigint)").alias("x1"),
+        F.expr("cast(round(l_discount * 100) as bigint)").alias("x2"),
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("y"),
+    )
+
+    def dsum(e):  # exact integer sum surfaced as double
+        return F.sum(e.cast("decimal(38,0)")).cast("double")
+
+    s = b.agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(F.col("x1")).alias("sx1"),
+        dsum(F.col("x2")).alias("sx2"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x1") * F.col("x1")).alias("sx11"),
+        dsum(F.col("x2") * F.col("x2")).alias("sx22"),
+        dsum(F.col("x1") * F.col("x2")).alias("sx12"),
+        dsum(F.col("x1") * F.col("y")).alias("sx1y"),
+        dsum(F.col("x2") * F.col("y")).alias("sx2y"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return s.selectExpr(*_OLS_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_forecast_eval — seasonal-naive forecast + MAPE / bias scoring
+# ---------------------------------------------------------------------------
+
+_MAPE_FINAL = (
+    "cast(n_days as bigint) as n_days",
+    "round(cast(sum_ape_micro as double) / cast(n_days as double)"
+    " / 10000.0, 6) as mape_pct",
+    "round(cast(sum_err_c as double) / cast(sum_actual_c as double)"
+    " * 100.0, 6) as bias_pct",
+)
+
+
+@query(
+    "q_forecast_eval",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_c
+        FROM orders GROUP BY 1
+    ),
+    scored AS (
+        SELECT a.day,
+               a.rev_c AS actual_c,
+               f.rev_c AS forecast_c,
+               CAST(round(abs(CAST(a.rev_c - f.rev_c AS DOUBLE))
+                    / CAST(a.rev_c AS DOUBLE) * 1000000) AS BIGINT) AS ape_micro
+        FROM daily a JOIN daily f ON f.day = a.day - INTERVAL 7 DAY
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(ape_micro) AS BIGINT) AS sum_ape_micro,
+               CAST(SUM(forecast_c - actual_c) AS BIGINT) AS sum_err_c,
+               CAST(SUM(actual_c) AS BIGINT) AS sum_actual_c
+        FROM scored
+    )
+    SELECT {", ".join(_MAPE_FINAL)} FROM s
+    """,
+)
+def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast evaluation: predict each day's order
+    revenue with the value seven days earlier, score with MAPE and
+    signed bias — the baseline every demand-forecast model must beat.
+
+    Daily revenue is exact integer cents; each day's absolute
+    percentage error is micro-rounded before the integer sum, and the
+    two headline metrics are shared closed-form texts. The 7-day lag is
+    a self-join on day arithmetic (not lag(7) over row position, which
+    would silently mis-forecast across missing days).
+
+    Scale: one orders aggregate to days, a day-keyed self-join of the
+    tiny daily relation, one row out.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+        .cast("long")
+        .alias("rev_c")
+    )
+    f_ = daily.select(
+        F.expr("day + interval 7 day").cast("date").alias("day"),
+        F.col("rev_c").alias("forecast_c"),
+    )
+    scored = (
+        daily.withColumnRenamed("rev_c", "actual_c")
+        .join(f_, "day")
+        .select(
+            F.expr(
+                "cast(round(abs(cast(actual_c - forecast_c as double))"
+                " / cast(actual_c as double) * 1000000) as bigint)"
+            ).alias("ape_micro"),
+            "actual_c",
+            "forecast_c",
+        )
+    )
+    s = scored.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("ape_micro").cast("long").alias("sum_ape_micro"),
+        F.sum(F.col("forecast_c") - F.col("actual_c"))
+        .cast("long")
+        .alias("sum_err_c"),
+        F.sum("actual_c").cast("long").alias("sum_actual_c"),
+    )
+    return s.selectExpr(*_MAPE_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_quality_classifier — frozen-weight linear document scorer
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = "'the','and','of','to','in','is','for','on','with','as'"
+
+#: Integer score per doc: frozen weights x integer features, length-
+#: normalized to milli-units. Deterministic end to end — the "model" is
+#: a distilled linear classifier shipped as constants, the Spark job is
+#: pure inference.
+_QC_SCORE = (
+    "cast(round((40.0 * n_ws + 25.0 * n_alpha - 30.0 * n_num + 10.0 * n_stop)"
+    " * 1000.0 / cast(n_chars as double)) as bigint)"
+)
+
+
+@query(
+    "q_quality_classifier",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id, source, n_chars,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                                    x -> x <> '')) AS BIGINT) AS n_ws,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+                   AS n_alpha,
+               CAST(len(regexp_extract_all(lower(text), '[0-9]+')) AS BIGINT)
+                   AS n_num,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                                    x -> list_contains([{_STOPWORDS}], x)))
+                    AS BIGINT) AS n_stop
+        FROM documents
+    ),
+    scored AS (
+        SELECT source,
+               {_QC_SCORE} AS score_milli
+        FROM feats
+    ),
+    labeled AS (
+        SELECT source,
+               CASE WHEN score_milli >= 9000 THEN 'high'
+                    WHEN score_milli >= 7000 THEN 'medium'
+                    ELSE 'low' END AS quality_class,
+               score_milli
+        FROM scored
+    )
+    SELECT source, quality_class,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(CAST(SUM(score_milli) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                 4) AS avg_score_milli
+    FROM labeled
+    GROUP BY source, quality_class
+    ORDER BY source, quality_class
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: score every document with a
+    frozen linear classifier (integer features x constant weights,
+    length-normalized), bucket into high/medium/low, roll up per
+    source — the fastText-style distilled-classifier gate of a
+    pretraining pipeline, reduced to its Spark-native inference shape.
+
+    Features (whitespace tokens, alpha runs, digit runs, stopword
+    hits) are exact integers from JVM string functions; the score is
+    milli-rounded so classes and averages are integer-exact in both
+    engines. Weights live in one shared constant expression.
+
+    Scale: document-linear scoring with zero Python, one tiny rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    toks = F.filter(F.split(low, " "), lambda x: x != "")
+    feats = docs.select(
+        "source",
+        "n_chars",
+        F.size(toks).cast("long").alias("n_ws"),
+        F.regexp_count(low, F.lit("[a-z]+")).cast("long").alias("n_alpha"),
+        F.regexp_count(low, F.lit("[0-9]+")).cast("long").alias("n_num"),
+        F.size(
+            F.filter(
+                toks,
+                lambda x: x.isin(*[w.strip("'") for w in _STOPWORDS.split(",")]),
+            )
+        )
+        .cast("long")
+        .alias("n_stop"),
+    )
+    scored = feats.select("source", F.expr(_QC_SCORE).alias("score_milli"))
+    labeled = scored.select(
+        "source",
+        F.when(F.col("score_milli") >= 9000, "high")
+        .when(F.col("score_milli") >= 7000, "medium")
+        .otherwise("low")
+        .alias("quality_class"),
+        "score_milli",
+    )
+    return (
+        labeled.groupBy("source", "quality_class")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(
+                F.sum("score_milli").cast("double")
+                / F.count("*").cast("double"),
+                4,
+            ).alias("avg_score_milli"),
+        )
+        .orderBy("source", "quality_class")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_ab_test — two-proportion z-test on a deterministic user split
+# ---------------------------------------------------------------------------
+
+_AB_FINAL = (
+    "cast(n_a as bigint) as n_a",
+    "cast(n_b as bigint) as n_b",
+    "round(cast(c_a as double) / cast(n_a as double) * 100.0, 6) as conv_a_pct",
+    "round(cast(c_b as double) / cast(n_b as double) * 100.0, 6) as conv_b_pct",
+    "round((cast(c_a as double) / cast(n_a as double)"
+    " - cast(c_b as double) / cast(n_b as double))"
+    " / sqrt((cast(c_a + c_b as double) / cast(n_a + n_b as double))"
+    " * (1.0 - cast(c_a + c_b as double) / cast(n_a + n_b as double))"
+    " * (1.0 / cast(n_a as double) + 1.0 / cast(n_b as double))), 6)"
+    " as z_score",
+)
+
+
+@query(
+    "q_ab_test",
+    oracle=f"""
+    WITH fe AS (SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id),
+    per_user AS (
+        SELECT e.user_id,
+               e.user_id % 2 AS variant,
+               MAX(CASE WHEN e.event_type = 'purchase'
+                        AND e.ts <= fe.t0 + INTERVAL 24 HOUR
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events e JOIN fe ON fe.user_id = e.user_id
+        GROUP BY e.user_id
+    ),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b,
+               CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+                    AS BIGINT) AS c_a,
+               CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+                    AS BIGINT) AS c_b
+        FROM per_user
+    )
+    SELECT {", ".join(_AB_FINAL)} FROM s
+    """,
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test: split users deterministically by
+    user_id parity, compare 24-hour purchase-activation rates (did the
+    user buy within a day of their first event?) — the experiment
+    readout every event pipeline ends in. Counts are exact integers;
+    the pooled-variance z statistic is one shared closed-form text.
+
+    Scale: two per-user aggregates joined on the (small) user key, one
+    four-counter rollup, one row out.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    fe = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    per_user = (
+        ev.join(fe, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") <= F.col("t0") + F.expr("interval 24 hour")),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .select((F.col("user_id") % 2).alias("variant"), "converted")
+    )
+    s = per_user.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c_b"),
+    )
+    return s.selectExpr(*_AB_FINAL)
