@@ -2099,3 +2099,155 @@ def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_hours"
         ),
     )
+
+
+@query(
+    "q_attribution",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, value,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS touch
+        FROM events
+    )
+    SELECT COALESCE(touch, 'direct') AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           round(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 2) AS revenue
+    FROM ordered
+    WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: credit each purchase to the
+    user's most recent PRIOR non-purchase event type (purchases with
+    no prior touch are 'direct'), roll revenue up per touch channel —
+    the marketing-attribution readout over the event stream.
+
+    One window per user (ordered by ts with event_id tiebreak, frame
+    ending at the previous row) finds the touch; revenue sums run on
+    exact cents. Scale: a single user-partitioned window over the fact
+    table plus a channel-sized rollup — no self-join of events to
+    events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select("event_type", "value", touch.alias("touch"))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("direct")).alias("touch_type"))
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.round(
+                F.sum(F.expr("cast(round(value * 100) as bigint)")).cast(
+                    "double"
+                )
+                / 100.0,
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+@query(
+    "q_copurchase_bfs",
+    oracle="""
+    WITH RECURSIVE po AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    e AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM po a JOIN po b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+    ),
+    seed AS (SELECT MIN(l_partkey) AS part FROM po),
+    reach(part, hop) AS (
+        SELECT part, 0 FROM seed
+        UNION
+        SELECT e.dst, reach.hop + 1
+        FROM reach JOIN e ON e.src = reach.part
+        WHERE reach.hop < 3
+    ),
+    best AS (SELECT part, MIN(hop) AS hop FROM reach GROUP BY part)
+    SELECT CAST(hop AS BIGINT) AS hop,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(part) AS BIGINT) AS checksum
+    FROM best GROUP BY hop ORDER BY hop
+    """,
+)
+def q_copurchase_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded BFS over the part co-purchase graph: parts are
+    connected when some order contains both; starting from the minimum
+    partkey, count parts first reached at hop 0..3 (with an exact
+    partkey checksum per frontier) — the graph-traversal primitive
+    behind related-item and recommendation candidate generation.
+
+    Spark side runs textbook distributed BFS: an equi-join frontier
+    expansion per hop plus an anti-join against the visited set —
+    never a transitive closure materialization. The oracle is a
+    DuckDB recursive CTE over the identical edge relation taking
+    MIN(hop) per node; BFS's first-discovery hop equals that minimum,
+    so the two formulations agree exactly.
+
+    Scale: edges come from an order-keyed self-join (orders bound the
+    fan-out), each hop is two key-partitioned joins, and the hop bound
+    caps the iteration — at larger graphs add localCheckpoint per hop
+    exactly as connected_components does (SCALE.md).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select("l_orderkey", "l_partkey").distinct()
+    # Eager localCheckpoint (the functions/graph.py convention): each
+    # hop's frontier feeds two downstream joins and the next round —
+    # truncating lineage stops the per-hop DAG from re-deriving the
+    # edge self-join hop-times over.
+    edges = (
+        po.alias("a")
+        .join(po.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seed = po.agg(F.min("l_partkey").alias("part"))
+    visited = seed.select("part", F.lit(0).alias("hop")).localCheckpoint(
+        eager=True
+    )
+    frontier = visited.select("part")
+    for hop in range(1, 4):
+        nxt = (
+            frontier.join(edges, frontier["part"] == edges["src"])
+            .select(F.col("dst").alias("part"))
+            .distinct()
+            .join(visited.select("part"), "part", "left_anti")
+            .select("part", F.lit(hop).alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.union(nxt)
+        frontier = nxt.select("part")
+    out = (
+        visited.groupBy("hop")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("part").cast("long").alias("checksum"),
+        )
+        .select(F.col("hop").cast("long").alias("hop"), "n_parts", "checksum")
+        .orderBy("hop")
+    )
+    return out

@@ -283,3 +283,50 @@ def test_incremental_dedup_positive_and_novel(spark):
     assert rows[10].best_jaccard == 1.0
     assert rows[11].is_dup == 0
     assert rows[11].best_match is None
+
+
+def test_attribution_last_touch_and_direct(spark, monkeypatch):
+    import mapreduce_server_development_spark.plans.relational_ext as m
+
+    t = dt.datetime(2024, 1, 1)
+
+    def at(minutes):
+        return t + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: click, purchase(10), purchase(5), view, purchase(2)
+        (1, at(0), 1, "click", 0.0),
+        (2, at(1), 1, "purchase", 10.0),
+        (3, at(2), 1, "purchase", 5.0),
+        (4, at(3), 1, "view", 0.0),
+        (5, at(4), 1, "purchase", 2.0),
+        # user 2: purchase with no prior touch -> direct
+        (6, at(0), 2, "purchase", 7.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    monkeypatch.setattr(m, "load_table", lambda s, sf, name: ev)
+    got = {
+        r.touch_type: (r.n_purchases, r.revenue)
+        for r in m.q_attribution(spark, "unused").collect()
+    }
+    # both purchases after the click (even the one after another
+    # purchase) credit the click; the last one credits the view
+    assert got == {"click": (2, 15.0), "view": (1, 2.0), "direct": (1, 7.0)}
+
+
+def test_copurchase_bfs_hop_frontiers(spark, monkeypatch):
+    import mapreduce_server_development_spark.plans.relational_ext as m
+
+    # chain 1-2-3-4-5 via overlapping orders + disconnected {10,11}:
+    # hop bound 3 must stop before part 5, never reach 10/11.
+    orders = [(1, [1, 2]), (2, [2, 3]), (3, [3, 4]), (4, [4, 5]), (5, [10, 11])]
+    rows = [(ok, pk) for ok, parts in orders for pk in parts]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    monkeypatch.setattr(m, "load_table", lambda s, sf, name: li)
+    got = [
+        (r.hop, r.n_parts, r.checksum)
+        for r in m.q_copurchase_bfs(spark, "unused").collect()
+    ]
+    assert got == [(0, 1, 1), (1, 1, 2), (2, 1, 3), (3, 1, 4)]
