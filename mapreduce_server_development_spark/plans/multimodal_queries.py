@@ -180,6 +180,58 @@ def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_audio_decode_real",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                    ELSE 44100 END AS rate,
+               1 + doc_id % 2 AS channels,
+               64 + doc_id % 64 AS n_frames
+        FROM documents
+    ),
+    gc AS (SELECT doc_id, n_frames, unnest(range(0, channels)) AS ch FROM p),
+    gci AS (SELECT doc_id, ch, unnest(range(0, n_frames)) AS i FROM gc),
+    s AS (
+        SELECT doc_id,
+               SUM(abs(((doc_id * 13 + ch * 5 + i * 11) % 4096) - 2048)) AS amp_sum,
+               MAX(abs(((doc_id * 13 + ch * 5 + i * 11) % 4096) - 2048)) AS amp_max
+        FROM gci GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(rate AS INTEGER) AS sample_rate,
+           CAST(channels AS INTEGER) AS channels,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(n_frames * 1000 // rate AS BIGINT) AS duration_ms,
+           CAST(amp_sum AS BIGINT) AS amp_sum,
+           CAST(amp_max AS INTEGER) AS amp_max
+    FROM p JOIN s USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_audio_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV audio decode in pure stdlib — the audio counterpart of
+    ``q_media_decode_real``.
+
+    Each document becomes a genuine RIFF/WAVE file (PCM 16-bit,
+    mono/stereo cycling, a junk LIST chunk forcing an honest chunk
+    walk), then a second ``mapInPandas`` stage decodes the actual
+    bytes: chunk walk with 2-byte alignment, ``fmt `` parse, int16
+    frame de-interleave. ``amp_sum``/``amp_max`` are exact integer
+    sample statistics — wrong unless bytes→samples reconstructs
+    bit-for-bit; the oracle recomputes the sample arithmetic
+    analytically in SQL. Unit tests additionally cross-validate both
+    codec halves against Python's own ``wave`` module (a third,
+    independent implementation of the spec). No shuffle,
+    document-linear.
+    """
+    from ..functions.audio_codec import decode_audio_stdlib, encode_audio_stdlib
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_audio_stdlib(encode_audio_stdlib(docs))
+
+
+@query(
     "q_tensor_stats",
     oracle="""
     WITH v AS (
