@@ -649,3 +649,50 @@ def q_backoff_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_char_entropy",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ),
+    hist AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch),
+    tot AS (SELECT doc_id, SUM(c) AS n FROM hist GROUP BY doc_id)
+    SELECT h.doc_id,
+           CAST(t.n AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           round(-SUM((c / t.n) * log2(c / t.n)), 4) + 0.0 AS entropy_bits
+    FROM hist h JOIN tot t ON h.doc_id = t.doc_id
+    GROUP BY h.doc_id, t.n
+    ORDER BY h.doc_id
+    """,
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per document — the compression-style
+    quality signal (low entropy ~ repetitive/boilerplate text, the
+    cheap stand-in for a zlib-ratio filter in Gopher-style cleaning).
+
+    Zero-shuffle by design: the histogram is built per row with JVM
+    higher-order functions (array_distinct + filter counts) instead of
+    an explode → groupBy — entropy is a per-document map, so at 100 TB
+    this stays a map-only pass (the oracle uses the explode form only
+    because DuckDB lacks bound outer refs in list lambdas).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.split(F.col("text"), "")
+    n = F.size(chars).cast("double")
+    dist = F.array_distinct(chars)
+    hist = F.transform(dist, lambda d: F.size(F.filter(chars, lambda c: c == d)))
+    entropy = -F.aggregate(
+        hist,
+        F.lit(0.0),
+        lambda acc, c: acc
+        + (c.cast("double") / n) * F.log2(c.cast("double") / n),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(chars).cast("long").alias("n_chars"),
+        F.size(dist).cast("long").alias("n_distinct"),
+        (F.round(entropy, 4) + 0.0).alias("entropy_bits"),
+    )  # no trailing sort: document-linear output, zero shuffles
