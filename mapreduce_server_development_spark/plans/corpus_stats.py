@@ -673,26 +673,119 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality signal (low entropy ~ repetitive/boilerplate text, the
     cheap stand-in for a zlib-ratio filter in Gopher-style cleaning).
 
-    Zero-shuffle by design: the histogram is built per row with JVM
-    higher-order functions (array_distinct + filter counts) instead of
-    an explode → groupBy — entropy is a per-document map, so at 100 TB
-    this stays a map-only pass (the oracle uses the explode form only
-    because DuckDB lacks bound outer refs in list lambdas).
+    Shape: explode chars → two-level hash aggregate, using the
+    identity H = log2(n) - (Σ c·log2 c)/n so the per-(doc,char)
+    histogram and the per-doc reduction are both partial-aggregable.
+    Map-side combine collapses the exploded chars to ~alphabet-size
+    rows per document before the shuffle, so shuffle volume is
+    docs × distinct-chars, not docs × length. A/B note: the
+    "zero-shuffle" per-row higher-order-function variant
+    (array_distinct + filter counts) measured 27× SLOWER at sf0.1
+    (5.2s vs 0.19s) — HOF lambdas run interpreted, while the explode
+    form rides whole-stage codegen; the shuffle it buys is tiny.
     """
     docs = load_table(spark, sf_dir, "documents")
     chars = F.split(F.col("text"), "")
-    n = F.size(chars).cast("double")
-    dist = F.array_distinct(chars)
-    hist = F.transform(dist, lambda d: F.size(F.filter(chars, lambda c: c == d)))
-    entropy = -F.aggregate(
-        hist,
-        F.lit(0.0),
-        lambda acc, c: acc
-        + (c.cast("double") / n) * F.log2(c.cast("double") / n),
+    ex = docs.select("doc_id", F.explode(chars).alias("ch"))
+    hist = ex.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    c_d = F.col("c").cast("double")
+    per_doc = hist.groupBy("doc_id").agg(
+        F.sum("c").cast("double").alias("n"),
+        F.count("*").alias("d"),
+        F.sum(c_d * F.log2(c_d)).alias("s"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_chars"),
+        F.col("d").cast("long").alias("n_distinct"),
+        (F.round(F.log2("n") - F.col("s") / F.col("n"), 4) + 0.0).alias(
+            "entropy_bits"
+        ),
+    )  # no trailing sort: the oracle compare is order-insensitive
+
+
+# ---------------------------------------------------------------------------
+# q_pii_redact — PII detection + redaction (corpus-governance pass)
+# ---------------------------------------------------------------------------
+
+#: Shared regex texts — valid in both Java regex (Spark) and RE2
+#: (DuckDB): no lookarounds, no backrefs, POSIX-safe classes.
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+_PHONE_RE = "555-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+
+
+@query(
+    "q_pii_redact",
+    oracle=f"""
+    WITH inj AS (
+        SELECT doc_id,
+               CASE doc_id % 3
+                    WHEN 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                                || '@mail.example.com now'
+                    WHEN 1 THEN text || ' call 555-'
+                                || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                                || '-'
+                                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                                || ' today'
+                    ELSE text END AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           CAST(length(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                      '{_PHONE_RE}', '<PHONE>', 'g')) AS BIGINT)
+               AS clean_len,
+           md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS clean_hash
+    FROM inj
+    ORDER BY doc_id
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the governance pass every
+    training-data pipeline runs before anything else ships.
+
+    The fixture is synthetic word soup with no organic PII, so the
+    query first injects deterministic emails/phone numbers by doc_id
+    arithmetic (same posture as the multimodal synth payload: both
+    engines build identical bytes), then REALLY detects and redacts
+    them with shared Java-regex/RE2-compatible patterns. ``clean_hash``
+    (md5 of the redacted text) makes any redaction divergence a hash
+    mismatch. Zero-shuffle map-only pass — at 100 TB this runs at scan
+    speed with no Python.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    inj = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" today"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(inj, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
     )
     return docs.select(
         "doc_id",
-        F.size(chars).cast("long").alias("n_chars"),
-        F.size(dist).cast("long").alias("n_distinct"),
-        (F.round(entropy, 4) + 0.0).alias("entropy_bits"),
+        F.regexp_count(inj, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(inj, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.length(clean).cast("long").alias("clean_len"),
+        F.md5(clean).alias("clean_hash"),
     )  # no trailing sort: document-linear output, zero shuffles
