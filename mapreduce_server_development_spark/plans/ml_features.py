@@ -152,3 +152,202 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").alias("tf"))
     )  # no trailing sort: the oracle compare is order-insensitive
+
+
+# ---------------------------------------------------------------------------
+# q_dbscan — grid-bucketed density clustering on the 2-D projection
+# ---------------------------------------------------------------------------
+
+_EPS = 0.05
+_MINPTS = 4
+
+
+def _dbscan_oracle() -> str:
+    s0, s1 = _SIGNS[0], _SIGNS[1]
+    return f"""
+    WITH RECURSIVE v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        FROM embeddings
+    ),
+    p AS (
+        SELECT vec_id,
+               round(list_sum(list_transform(range(1, 65),
+                   j -> vv[CAST(j AS INT)] * ({s0})[CAST(j AS INT)]))
+                   / sqrt(8.0), 4) AS px,
+               round(list_sum(list_transform(range(1, 65),
+                   j -> vv[CAST(j AS INT)] * ({s1})[CAST(j AS INT)]))
+                   / sqrt(8.0), 4) AS py
+        FROM v
+    ),
+    g AS (
+        SELECT vec_id, px, py,
+               CAST(floor(px / {_EPS}) AS BIGINT) AS cx,
+               CAST(floor(py / {_EPS}) AS BIGINT) AS cy
+        FROM p
+    ),
+    neigh AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib
+        FROM g a JOIN g b
+          ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+         AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+        WHERE (a.px-b.px)*(a.px-b.px) + (a.py-b.py)*(a.py-b.py)
+              <= {_EPS}*{_EPS}
+    ),
+    core AS (
+        SELECT ia AS node FROM neigh GROUP BY ia HAVING COUNT(*) >= {_MINPTS}
+    ),
+    ce AS (
+        SELECT n.ia AS a, n.ib AS b FROM neigh n
+        JOIN core c1 ON c1.node = n.ia
+        JOIN core c2 ON c2.node = n.ib
+        WHERE n.ia <> n.ib
+    ),
+    reach(node, r) AS (
+        SELECT node, node FROM core
+        UNION
+        SELECT ce.b, reach.r FROM reach JOIN ce ON ce.a = reach.node
+    ),
+    comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+    border AS (
+        SELECT n.ia AS vec_id, MIN(comp.cluster_id) AS cluster_id
+        FROM neigh n JOIN comp ON comp.node = n.ib
+        WHERE n.ia NOT IN (SELECT node FROM core)
+        GROUP BY n.ia
+    )
+    SELECT p.vec_id,
+           CASE WHEN comp.node IS NOT NULL THEN 'core'
+                WHEN border.vec_id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           CAST(COALESCE(comp.cluster_id, border.cluster_id, -1) AS BIGINT)
+               AS cluster_id
+    FROM p
+    LEFT JOIN comp ON comp.node = p.vec_id
+    LEFT JOIN border ON border.vec_id = p.vec_id
+    ORDER BY p.vec_id
+    """
+
+
+@query("q_dbscan", oracle=_dbscan_oracle())
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN (eps=0.05, minPts=4) over the 2-D JL projection of the
+    embedding column — density clustering composed entirely of
+    scalable relational pieces:
+
+    1. project 64→2 dims (zero-shuffle, literal sign matrix — the
+       q_random_projection trick, which is WHY a grid index works:
+       density joins are hopeless in 64-dim);
+    2. quantize to an eps-sized grid; neighbor candidates come from an
+       EQUI-join on cell id (the probe side fans each point out to its
+       3×3 neighborhood — 9 rows per point, never all-pairs), then an
+       exact distance verify;
+    3. core points = grid-join degree ≥ minPts; core-core edges feed
+       the shared ``connected_components`` operator (min-label
+       propagation, localCheckpoint'ed rounds);
+    4. border points take the MIN cluster id among their core
+       neighbors (deterministic, unlike textbook first-come DBSCAN);
+       everything else is noise (-1).
+
+    Coordinates are rounded to 4 decimals BEFORE any comparison so
+    both engines threshold identical doubles — the same determinism
+    discipline as q_random_projection. Scale: the quadratic step is
+    confined to single grid cells (area eps² each); a pathological
+    hot cell is bounded by the same broadcast-anti-join cap pattern as
+    the dedup plane if ever needed, and the oracle's recursive CTE is
+    the independent transitive-closure formulation.
+    """
+    from ..functions.dedup import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def proj(k: int):
+        return F.round(
+            F.aggregate(
+                F.zip_with(
+                    vv,
+                    F.array(*[F.lit(s) for s in _SIGNS[k]]),
+                    lambda x, s: x * s,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.sqrt(F.lit(8.0)),
+            4,
+        )
+
+    pts = emb.select(
+        "vec_id",
+        proj(0).alias("px"),
+        proj(1).alias("py"),
+    ).select(
+        "vec_id", "px", "py",
+        F.floor(F.col("px") / _EPS).cast("long").alias("cx"),
+        F.floor(F.col("py") / _EPS).cast("long").alias("cy"),
+    )
+    probe_cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    (F.col("cx") + dx).alias("gcx"),
+                    (F.col("cy") + dy).alias("gcy"),
+                )
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    )
+    b = (
+        pts.select(
+            F.col("vec_id").alias("ib"),
+            F.col("px").alias("bx"),
+            F.col("py").alias("by"),
+            probe_cells.alias("cell"),
+        )
+        .select("ib", "bx", "by", F.col("cell.gcx").alias("gcx"), F.col("cell.gcy").alias("gcy"))
+    )
+    d2 = (F.col("px") - F.col("bx")) ** 2 + (F.col("py") - F.col("by")) ** 2
+    neigh = (
+        pts.withColumnRenamed("vec_id", "ia")
+        .join(b, (F.col("cx") == F.col("gcx")) & (F.col("cy") == F.col("gcy")))
+        .filter(d2 <= F.lit(_EPS * _EPS))
+        .select("ia", "ib")
+    )
+    core = (
+        neigh.groupBy("ia")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= _MINPTS)
+        .select(F.col("ia").alias("node"))
+    )
+    ce = (
+        neigh.filter(F.col("ia") != F.col("ib"))
+        .join(core.withColumnRenamed("node", "ia"), "ia", "leftsemi")
+        .join(core.withColumnRenamed("node", "ib"), "ib", "leftsemi")
+        .select(F.col("ia").alias("a"), F.col("ib").alias("b"))
+    )
+    comp = connected_components(core, ce).select(
+        F.col("node"), F.col("component").alias("cluster_id")
+    )
+    border = (
+        neigh.join(core.withColumnRenamed("node", "ia"), "ia", "leftanti")
+        .join(
+            comp.select(F.col("node").alias("ib"), "cluster_id"), "ib"
+        )
+        .groupBy("ia")
+        .agg(F.min("cluster_id").alias("b_cluster"))
+        .select(F.col("ia").alias("vec_id"), "b_cluster")
+    )
+    return (
+        pts.select("vec_id")
+        .join(comp.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .join(border, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.col("cluster_id").isNotNull(), "core")
+            .when(F.col("b_cluster").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+            F.coalesce(F.col("cluster_id"), F.col("b_cluster"), F.lit(-1))
+            .cast("long")
+            .alias("cluster_id"),
+        )
+    )  # no trailing sort: the oracle compare is order-insensitive
