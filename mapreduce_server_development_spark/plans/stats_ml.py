@@ -757,3 +757,101 @@ def q_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_correct",
         "n_rows",
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ks_test — two-sample Kolmogorov–Smirnov (continuous distributions)
+# ---------------------------------------------------------------------------
+
+#: Shared final-formula text (evaluated by BOTH engines over the exact
+#: integer inputs n1, n2, dn — identical IEEE expression trees).
+_KS_FINAL = [
+    "CAST(n1 AS BIGINT) AS n1",
+    "CAST(n2 AS BIGINT) AS n2",
+    "round(CAST(dn AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)"
+    " + 0.0 AS d_stat",
+    "round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE)"
+    " / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))), 6) + 0.0 AS crit_05",
+    "CAST(dn AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+    " > 1.358 * sqrt(CAST(n1 + n2 AS DOUBLE)"
+    " / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) AS reject_05",
+]
+
+
+@query(
+    "q_ks_test",
+    oracle=f"""
+    WITH f AS (
+        SELECT CAST(value AS DECIMAL(16,4)) AS v, event_type AS t
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    h AS (
+        SELECT v,
+               SUM(CASE WHEN t = 'click' THEN 1 ELSE 0 END) AS c1,
+               SUM(CASE WHEN t = 'view' THEN 1 ELSE 0 END) AS c2
+        FROM f GROUP BY v
+    ),
+    n AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM h),
+    c AS (
+        SELECT SUM(c1) OVER (ORDER BY v) AS cum1,
+               SUM(c2) OVER (ORDER BY v) AS cum2
+        FROM h
+    ),
+    d AS (
+        SELECT MAX(abs(CAST(cum1 AS BIGINT) * (SELECT n2 FROM n)
+                       - CAST(cum2 AS BIGINT) * (SELECT n1 FROM n))) AS dn
+        FROM c
+    )
+    SELECT {", ".join(_KS_FINAL)}
+    FROM n, d
+    """,
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test: does the `value`
+    distribution of click events differ from view events? The
+    continuous complement of q_chi_square (categorical independence).
+
+    Exactness: D = max|F1 − F2| is computed as the INTEGER
+    max|cum1·n2 − cum2·n1| — exact rational arithmetic until one final
+    shared-text division; the α=0.05 asymptotic decision evaluates the
+    identical IEEE expression in both engines.
+
+    Scale: the ECDFs ride the two-phase distributed prefix sum
+    (``functions/prefix.py``) — a bare ``SUM() OVER (ORDER BY v)``
+    with no PARTITION BY would collapse the whole value domain into
+    one task, the single-task scan this engine bans; here every heavy
+    step is range-partitioned and the driver only sees one scalar per
+    partition.
+    """
+    from ..functions.prefix import global_running_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .select(
+            F.col("value").cast("decimal(16,4)").alias("v"),
+            F.col("event_type").alias("t"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("t") == "click", 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("t") == "view", 1).otherwise(0)).alias("c2"),
+        )
+    )
+    c = global_running_sum(h, "v", "c1", "cum1")
+    c = global_running_sum(c, "v", "c2", "cum2")
+    n = h.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    d = (
+        c.crossJoin(F.broadcast(n))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum1").cast("long") * F.col("n2")
+                    - F.col("cum2").cast("long") * F.col("n1")
+                )
+            ).alias("dn")
+        )
+    )
+    return n.crossJoin(F.broadcast(d)).selectExpr(*_KS_FINAL)
