@@ -19,7 +19,7 @@ plane the build brief mandates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_col, word_shingles
@@ -789,3 +789,182 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(clean).cast("long").alias("clean_len"),
         F.md5(clean).alias("clean_hash"),
     )  # no trailing sort: document-linear output, zero shuffles
+
+
+# ---------------------------------------------------------------------------
+# q_naive_bayes — multinomial NB source classifier (train/score split)
+# ---------------------------------------------------------------------------
+
+
+def _nb_oracle() -> str:
+    from .sampling import _bucket_sql
+
+    is_train = f"({_bucket_sql('nb', 'doc_id', 10)} < 8)"
+    return f"""
+    WITH split AS (
+        SELECT doc_id, source, {is_train} AS is_train,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, source, is_train, unnest(toks) AS tok FROM split
+    ),
+    cls AS (SELECT DISTINCT source FROM split WHERE is_train),
+    counts AS (
+        SELECT source, tok, COUNT(*) AS c FROM toks WHERE is_train
+        GROUP BY source, tok
+    ),
+    totals AS (SELECT source, SUM(c) AS tot FROM counts GROUP BY source),
+    vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM counts),
+    lp AS (
+        SELECT c.source, c.tok,
+               CAST(round(ln((c.c + 1.0) / (t.tot + v.v)) * 1000000)
+                    AS BIGINT) AS lp
+        FROM counts c JOIN totals t ON t.source = c.source, vocab v
+    ),
+    dflt AS (
+        SELECT t.source,
+               CAST(round(ln(1.0 / (t.tot + v.v)) * 1000000) AS BIGINT) AS dlp
+        FROM totals t, vocab v
+    ),
+    prior AS (
+        SELECT source,
+               CAST(round(ln(CAST(COUNT(*) AS DOUBLE)
+                             / (SELECT COUNT(*) FROM split WHERE is_train))
+                          * 1000000) AS BIGINT) AS plp
+        FROM split WHERE is_train GROUP BY source
+    ),
+    scored AS (
+        SELECT t.doc_id, c.source AS cand,
+               SUM(COALESCE(l.lp, d.dlp)) AS tok_lp
+        FROM toks t
+        CROSS JOIN cls c
+        LEFT JOIN lp l ON l.tok = t.tok AND l.source = c.source
+        JOIN dflt d ON d.source = c.source
+        WHERE NOT t.is_train
+        GROUP BY t.doc_id, c.source
+    ),
+    ranked AS (
+        SELECT s.doc_id, s.cand,
+               ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                                  ORDER BY s.tok_lp + p.plp DESC, s.cand)
+                   AS rk
+        FROM scored s JOIN prior p ON p.source = s.cand
+    ),
+    pred AS (SELECT doc_id, cand AS predicted FROM ranked WHERE rk = 1)
+    SELECT sp.source AS actual, pr.predicted, COUNT(*) AS n
+    FROM split sp JOIN pred pr ON pr.doc_id = sp.doc_id
+    WHERE NOT sp.is_train
+    GROUP BY actual, predicted
+    ORDER BY actual, predicted
+    """
+
+
+@query("q_naive_bayes", oracle=_nb_oracle())
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained ON the corpus (80/20 md5 hash
+    split), predicting each held-out document's ``source`` from its
+    tokens; output is the confusion matrix. Complements the
+    frozen-weight q_quality_classifier (inference-only) with the full
+    train-then-score loop.
+
+    Exactness: every log term is fixed-pointed
+    (round(ln(p)·1e6) → BIGINT) before any distributed SUM — the
+    backoff-LM discipline — so scores are exact integers and the
+    argmax (ties broken by class name) is deterministic cross-engine.
+
+    Scale: training is one token-count aggregate (map-side combined);
+    scoring joins test tokens against the model on the token key —
+    model size is vocab × classes, shuffled not broadcast, so an
+    unbounded vocabulary never hits the driver; the per-doc argmax is
+    a tiny window over |classes| rows per doc.
+    """
+    from .sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = docs.select(
+        "doc_id",
+        "source",
+        (hash_bucket("nb", F.col("doc_id"), 10) < 8).alias("is_train"),
+        F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "").alias(
+            "toks"
+        ),
+    )
+    toks = split.select(
+        "doc_id", "source", "is_train", F.explode("toks").alias("tok")
+    )
+    train_toks = toks.filter("is_train")
+    counts = train_toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("source").agg(F.sum("c").alias("tot"))
+    vocab = counts.agg(F.countDistinct("tok").alias("v"))
+    lp = (
+        counts.join(totals, "source")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "source",
+            "tok",
+            F.round(
+                F.log((F.col("c") + 1.0) / (F.col("tot") + F.col("v"))) * 1000000
+            )
+            .cast("long")
+            .alias("lp"),
+        )
+    )
+    dflt = (
+        totals.crossJoin(F.broadcast(vocab))
+        .select(
+            "source",
+            F.round(F.log(1.0 / (F.col("tot") + F.col("v"))) * 1000000)
+            .cast("long")
+            .alias("dlp"),
+        )
+    )
+    n_train = split.filter("is_train").agg(
+        F.count("*").cast("double").alias("nt")
+    )
+    prior = (
+        split.filter("is_train")
+        .groupBy("source")
+        .agg(F.count("*").cast("double").alias("nd"))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "source",
+            F.round(F.log(F.col("nd") / F.col("nt")) * 1000000)
+            .cast("long")
+            .alias("plp"),
+        )
+    )
+    cls = split.filter("is_train").select("source").distinct().select(
+        F.col("source").alias("cand")
+    )
+    test_toks = toks.filter(~F.col("is_train")).select("doc_id", "tok")
+    scored = (
+        test_toks.crossJoin(F.broadcast(cls))
+        .join(
+            lp.select(F.col("tok"), F.col("source").alias("cand"), "lp"),
+            ["tok", "cand"],
+            "left",
+        )
+        .join(
+            F.broadcast(dflt.select(F.col("source").alias("cand"), "dlp")),
+            "cand",
+        )
+        .groupBy("doc_id", "cand")
+        .agg(F.sum(F.coalesce("lp", "dlp")).alias("tok_lp"))
+        .join(F.broadcast(prior.select(F.col("source").alias("cand"), "plp")), "cand")
+        .select("doc_id", "cand", (F.col("tok_lp") + F.col("plp")).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand"))
+    pred = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select("doc_id", F.col("cand").alias("predicted"))
+    )
+    return (
+        split.filter(~F.col("is_train"))
+        .select("doc_id", F.col("source").alias("actual"))
+        .join(pred, "doc_id")
+        .groupBy("actual", "predicted")
+        .agg(F.count("*").alias("n"))
+        .orderBy("actual", "predicted")
+    )
