@@ -22,7 +22,7 @@ SF, and the shared formulas run on that tiny relation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -855,3 +855,123 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return n.crossJoin(F.broadcast(d)).selectExpr(*_KS_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_bootstrap_ci — deterministic Poisson bootstrap for the mean
+# ---------------------------------------------------------------------------
+
+_BS_REPS = 50
+
+
+@query(
+    "q_bootstrap_ci",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    reps AS (SELECT unnest(range(0, {_BS_REPS})) AS rep),
+    w AS (
+        SELECT rep, cents,
+               CASE WHEN d < 6 THEN 0 WHEN d < 12 THEN 1
+                    WHEN d < 15 THEN 2 ELSE 3 END AS wt
+        FROM (SELECT rep, cents,
+                     strpos('0123456789abcdef',
+                            substr(md5('bs:' || rep || ':' || k), 1, 1)) - 1 AS d
+              FROM o, reps)
+    ),
+    per_rep AS (SELECT rep, SUM(wt * cents) AS s, SUM(wt) AS n FROM w GROUP BY rep),
+    means AS (SELECT rep, CAST(s * 100 // n AS BIGINT) AS mean_c2 FROM per_rep),
+    ranked AS (SELECT mean_c2, ROW_NUMBER() OVER (ORDER BY mean_c2) AS rk FROM means)
+    SELECT
+        CAST({_BS_REPS} AS BIGINT) AS n_reps,
+        (SELECT round(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100, 2) FROM o)
+            AS mean_est,
+        (SELECT round(mean_c2 / 10000.0, 2) FROM ranked WHERE rk = 2) AS ci_lo,
+        (SELECT round(mean_c2 / 10000.0, 2) FROM ranked WHERE rk = {_BS_REPS - 1})
+            AS ci_hi
+    """,
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for the mean order value,
+    with a DETERMINISTIC Poisson bootstrap: each (rep, order) draws a
+    quantized-Poisson(1) weight {0,1,2,3} with probabilities
+    {6,6,3,1}/16 from one md5 nibble — the resample that never needs
+    an RNG, so any engine reproduces the exact interval.
+
+    Scale shape: the Poisson bootstrap is THE distributed bootstrap
+    (no resample materialization): one scan fans each row out to
+    n_reps weighted copies that partial-aggregate immediately, so the
+    shuffle carries n_reps rows total. Rep means stay in exact integer
+    arithmetic (hundredths of a cent, floor-div) and the order
+    statistics run on the n_reps-row relation — the only window in the
+    plan is over 50 rows. CI endpoints are percentile_disc-style exact
+    order statistics (ranks 2 and 49 of 50).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    d = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("bs:"),
+                        F.col("rep").cast("string"),
+                        F.lit(":"),
+                        F.col("k").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        )
+        .cast("int")
+        .alias("d")
+    )
+    wt = (
+        F.when(F.col("d") < 6, 0)
+        .when(F.col("d") < 12, 1)
+        .when(F.col("d") < 15, 2)
+        .otherwise(3)
+    )
+    per_rep = (
+        o.select("k", "cents", F.explode(F.sequence(F.lit(0), F.lit(_BS_REPS - 1))).alias("rep"))
+        .select("rep", "cents", d)
+        .select("rep", "cents", wt.alias("wt"))
+        .groupBy("rep")
+        .agg(
+            F.sum(F.col("wt") * F.col("cents")).alias("s"),
+            F.sum("wt").alias("n"),
+        )
+    )
+    means = per_rep.select(F.expr("CAST(s * 100 DIV n AS BIGINT)").alias("mean_c2"))
+    ranked = means.withColumn(
+        "rk", F.row_number().over(Window.orderBy("mean_c2"))
+    )
+    lo = ranked.filter(F.col("rk") == 2).select(
+        F.round(F.col("mean_c2") / 10000.0, 2).alias("ci_lo")
+    )
+    hi = ranked.filter(F.col("rk") == _BS_REPS - 1).select(
+        F.round(F.col("mean_c2") / 10000.0, 2).alias("ci_hi")
+    )
+    est = o.agg(
+        F.round(F.sum("cents").cast("double") / F.count("*") / 100, 2).alias(
+            "mean_est"
+        )
+    )
+    return (
+        est.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.lit(_BS_REPS).cast("long").alias("n_reps"),
+            "mean_est",
+            "ci_lo",
+            "ci_hi",
+        )
+    )
