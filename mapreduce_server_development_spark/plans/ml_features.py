@@ -158,7 +158,7 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_dbscan — grid-bucketed density clustering on the 2-D projection
 # ---------------------------------------------------------------------------
 
-_EPS = 0.05
+_EPS = 0.03
 _MINPTS = 4
 
 
@@ -229,7 +229,7 @@ def _dbscan_oracle() -> str:
 
 @query("q_dbscan", oracle=_dbscan_oracle())
 def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DBSCAN (eps=0.05, minPts=4) over the 2-D JL projection of the
+    """DBSCAN (eps=0.03, minPts=4) over the 2-D JL projection of the
     embedding column — density clustering composed entirely of
     scalable relational pieces:
 
@@ -241,8 +241,10 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
        3×3 neighborhood — 9 rows per point, never all-pairs), then an
        exact distance verify;
     3. core points = grid-join degree ≥ minPts; core-core edges feed
-       the shared ``connected_components`` operator (min-label
-       propagation, localCheckpoint'ed rounds);
+       the shared ``connected_components_star`` operator (large-star/
+       small-star contraction, O(log n) rounds — an eps-grid
+       percolation graph has adversarially long chain diameters, so
+       plain label propagation measured ~9x slower here);
     4. border points take the MIN cluster id among their core
        neighbors (deterministic, unlike textbook first-come DBSCAN);
        everything else is noise (-1).
@@ -255,7 +257,7 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dedup plane if ever needed, and the oracle's recursive CTE is
     the independent transitive-closure formulation.
     """
-    from ..functions.dedup import connected_components
+    from ..functions.dedup import connected_components_star
 
     emb = load_table(spark, sf_dir, "embeddings")
     vv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -324,7 +326,7 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(core.withColumnRenamed("node", "ib"), "ib", "leftsemi")
         .select(F.col("ia").alias("a"), F.col("ib").alias("b"))
     )
-    comp = connected_components(core, ce).select(
+    comp = connected_components_star(core, ce).select(
         F.col("node"), F.col("component").alias("cluster_id")
     )
     border = (
