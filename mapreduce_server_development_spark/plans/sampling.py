@@ -267,3 +267,116 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ikey", "doc_id")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_mix_planner — greedy token-budget allocation across sources
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_mix_planner",
+    oracle="""
+    WITH t AS (
+        SELECT source,
+               len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+                   AS n_tok,
+               len(list_distinct(list_filter(string_split(lower(text), ' '),
+                                             x -> x <> ''))) AS n_dis
+        FROM documents
+    ),
+    s AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS avail_tokens,
+               CAST(SUM(n_dis) AS BIGINT) AS dis_tokens
+        FROM t GROUP BY source
+    ),
+    ranked AS (
+        SELECT *,
+               1000000 * dis_tokens // avail_tokens AS quality_e6,
+               ROW_NUMBER() OVER (
+                   ORDER BY 1000000 * dis_tokens // avail_tokens
+                       DESC, source) AS rk
+        FROM s
+    ),
+    tot AS (SELECT SUM(avail_tokens) // 2 AS budget FROM s),
+    alloc AS (
+        SELECT r.*, t.budget,
+               COALESCE(SUM(avail_tokens) OVER (
+                   ORDER BY rk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM ranked r, tot t
+    )
+    SELECT source, CAST(rk AS BIGINT) AS rank, n_docs, avail_tokens,
+           CAST(quality_e6 AS BIGINT) AS quality_e6,
+           CAST(GREATEST(0, LEAST(avail_tokens, budget - cum_before))
+                AS BIGINT) AS alloc_tokens
+    FROM alloc ORDER BY rank
+    """,
+)
+def q_mix_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix planner: rank sources by lexical-diversity quality
+    (mean type-token mass, an exact integer ratio) and greedily fill a
+    token budget (half the corpus) in quality order — the waterfilling
+    step that decides per-source sampling rates BEFORE q_dataset_mix
+    applies them.
+
+    One corpus scan reduces to a sources-sized relation (map-side
+    combined); ranking, the prefix sum and the greedy allocation are
+    windows over that tiny relation — at 100 TB the planner costs one
+    aggregate, and the plan itself (tokens per source, quality, greedy
+    cut-off) is the query output, fully deterministic.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    s = (
+        docs.select(
+            "source",
+            F.size(toks).alias("n_tok"),
+            F.size(F.array_distinct(toks)).alias("n_dis"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("avail_tokens"),
+            F.sum("n_dis").cast("long").alias("dis_tokens"),
+        )
+    )
+    quality = F.expr(
+        "1000000 * dis_tokens DIV avail_tokens"
+    ).alias("quality_e6")
+    ranked = s.select("*", quality).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("quality_e6").desc(), F.col("source"))
+        ),
+    )
+    budget = s.agg(F.expr("SUM(avail_tokens) DIV 2").alias("budget"))
+    cum_w = (
+        Window.orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    alloc = (
+        ranked.crossJoin(F.broadcast(budget))
+        .withColumn(
+            "cum_before",
+            F.coalesce(F.sum("avail_tokens").over(cum_w), F.lit(0)),
+        )
+    )
+    return alloc.select(
+        "source",
+        F.col("rk").cast("long").alias("rank"),
+        "n_docs",
+        "avail_tokens",
+        "quality_e6",
+        F.greatest(
+            F.lit(0),
+            F.least(F.col("avail_tokens"), F.col("budget") - F.col("cum_before")),
+        )
+        .cast("long")
+        .alias("alloc_tokens"),
+    ).orderBy("rank")

@@ -975,3 +975,60 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_weighted_median — exact weighted median on the distributed prefix sum
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_weighted_median",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(round(l_quantity) AS BIGINT) AS w
+        FROM lineitem
+    ),
+    g AS (SELECT cents, SUM(w) AS w FROM v GROUP BY cents),
+    c AS (SELECT cents, SUM(w) OVER (ORDER BY cents) AS cum FROM g),
+    t AS (SELECT SUM(w) AS tot FROM g)
+    SELECT CAST((SELECT tot FROM t) AS BIGINT) AS total_weight,
+           round((SELECT MIN(cents) FROM c
+                  WHERE 2 * cum >= (SELECT tot FROM t)) / 100.0, 2)
+               AS weighted_median
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median of extended price — the order
+    statistic Spark has no built-in for (percentile() is unweighted).
+
+    Definition: smallest value whose cumulative weight reaches half
+    the total (all arithmetic in exact integer cents/units). The
+    cumulative weights ride the two-phase distributed prefix sum over
+    the value-grouped relation — same discipline as q_ks_test: no
+    single-task global window, the driver sees one scalar per
+    partition, and the answer is bit-identical at any partitioning.
+    """
+    from ..functions.prefix import global_running_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    g = (
+        li.select(
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+            F.round(F.col("l_quantity")).cast("long").alias("w"),
+        )
+        .groupBy("cents")
+        .agg(F.sum("w").alias("w"))
+    )
+    c = global_running_sum(g, "cents", "w", "cum")
+    t = g.agg(F.sum("w").cast("long").alias("tot"))
+    med = (
+        c.crossJoin(F.broadcast(t))
+        .filter(2 * F.col("cum") >= F.col("tot"))
+        .agg(F.min("cents").alias("mc"))
+    )
+    return t.crossJoin(F.broadcast(med)).select(
+        F.col("tot").alias("total_weight"),
+        F.round(F.col("mc") / 100.0, 2).alias("weighted_median"),
+    )
