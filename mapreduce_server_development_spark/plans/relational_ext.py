@@ -2251,3 +2251,160 @@ def q_copurchase_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hop")
     )
     return out
+
+
+@query(
+    "q_attribution_position",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, event_type, event_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS jid
+        FROM events
+    ),
+    purch AS (
+        SELECT user_id, jid, cents FROM base WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT user_id, jid, event_type, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, jid
+                                  ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id, jid) AS k
+        FROM base WHERE event_type <> 'purchase'
+    ),
+    cred AS (
+        SELECT t.user_id, t.jid, t.event_type, t.rn, t.k, p.cents,
+               CASE WHEN t.k = 1 THEN p.cents
+                    WHEN t.k = 2 THEN p.cents * 500000 // 1000000
+                    WHEN t.rn = 1 OR t.rn = t.k
+                         THEN p.cents * 400000 // 1000000
+                    ELSE p.cents * (200000 // (t.k - 2)) // 1000000 END
+                   AS base_credit
+        FROM touch t JOIN purch p ON p.user_id = t.user_id AND p.jid = t.jid
+    ),
+    adj AS (
+        SELECT event_type,
+               CASE WHEN rn = k
+                    THEN cents - (SUM(base_credit) OVER (PARTITION BY user_id, jid)
+                                  - base_credit)
+                    ELSE base_credit END AS credit
+        FROM cred
+    ),
+    chan AS (
+        SELECT event_type AS touch_type, SUM(credit) AS cr,
+               COUNT(*) AS n_touches
+        FROM adj GROUP BY 1
+    ),
+    direct AS (
+        SELECT 'direct' AS touch_type, SUM(p.cents) AS cr,
+               COUNT(*) AS n_touches
+        FROM purch p LEFT JOIN (SELECT DISTINCT user_id, jid FROM touch) t
+          ON t.user_id = p.user_id AND t.jid = p.jid
+        WHERE t.user_id IS NULL
+    )
+    SELECT touch_type, CAST(n_touches AS BIGINT) AS n_touches,
+           round(CAST(cr AS DOUBLE) / 100.0, 2) AS credited_revenue
+    FROM (SELECT * FROM chan UNION ALL SELECT * FROM direct WHERE n_touches > 0)
+    ORDER BY touch_type
+    """,
+)
+def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution — the
+    40/20/40 counterpart of last-touch ``q_attribution``: each
+    purchase's revenue splits across every touch in its journey
+    (the events since the user's previous purchase), 40% to first and
+    last touch, 20% spread over the middles; 1-touch journeys take
+    100%, 2-touch journeys 50/50, no-touch purchases are 'direct'.
+
+    Credit conservation is EXACT: shares are integer ppm floors and
+    the last touch absorbs the rounding remainder, so credited cents
+    sum to purchase cents bit-for-bit (the oracle proves it).
+
+    Scale: journeys come from one user-partitioned running count (no
+    events-to-events theta join); touch ranking and the remainder
+    adjustment are windows over (user, journey) — frames the size of
+    one journey — and the credit join is an equi-join on
+    (user, journey). Channel rollup is map-side combined.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(
+                w_prev
+            ),
+            F.lit(0),
+        ).alias("jid"),
+    )
+    purch = base.filter("event_type = 'purchase'").select(
+        "user_id", "jid", "cents"
+    )
+    w_j = Window.partitionBy("user_id", "jid").orderBy("ts", "event_id")
+    w_jf = Window.partitionBy("user_id", "jid")
+    touch = base.filter("event_type <> 'purchase'").select(
+        "user_id",
+        "jid",
+        "event_type",
+        F.row_number().over(w_j).alias("rn"),
+        F.count("*").over(w_jf).alias("k"),
+    )
+    cred = touch.join(purch, ["user_id", "jid"]).select(
+        "user_id",
+        "jid",
+        "event_type",
+        "rn",
+        "k",
+        "cents",
+        F.expr(
+            """CASE WHEN k = 1 THEN cents
+                    WHEN k = 2 THEN cents * 500000 DIV 1000000
+                    WHEN rn = 1 OR rn = k THEN cents * 400000 DIV 1000000
+                    ELSE cents * (200000 DIV (k - 2)) DIV 1000000 END"""
+        ).alias("base_credit"),
+    )
+    adj = cred.select(
+        "event_type",
+        F.when(
+            F.col("rn") == F.col("k"),
+            F.col("cents")
+            - (F.sum("base_credit").over(w_jf) - F.col("base_credit")),
+        )
+        .otherwise(F.col("base_credit"))
+        .alias("credit"),
+    )
+    chan = adj.groupBy(F.col("event_type").alias("touch_type")).agg(
+        F.sum("credit").alias("cr"), F.count("*").alias("n_touches")
+    )
+    direct = (
+        purch.join(
+            touch.select("user_id", "jid").distinct(),
+            ["user_id", "jid"],
+            "leftanti",
+        )
+        .agg(F.sum("cents").alias("cr"), F.count("*").alias("n_touches"))
+        .select(F.lit("direct").alias("touch_type"), "cr", "n_touches")
+        .filter(F.col("n_touches") > 0)
+    )
+    return (
+        chan.unionByName(direct)
+        .select(
+            "touch_type",
+            F.col("n_touches").cast("long").alias("n_touches"),
+            F.round(F.col("cr").cast("double") / 100.0, 2).alias(
+                "credited_revenue"
+            ),
+        )
+        .orderBy("touch_type")
+    )
