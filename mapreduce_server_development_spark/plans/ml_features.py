@@ -353,3 +353,127 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cluster_id"),
         )
     )  # no trailing sort: the oracle compare is order-insensitive
+
+
+# ---------------------------------------------------------------------------
+# q_mahalanobis_outliers — covariance-aware outliers on the projection
+# ---------------------------------------------------------------------------
+
+#: Shared final-formula text: covariance from exact e4 fixed-point
+#: sums, closed-form 2x2 inverse, squared Mahalanobis distance, and
+#: the chi-square(2, 0.999) = 13.816 cut — identical IEEE trees in
+#: both engines. mx/my etc. are in e4 units; d2 is unit-free.
+_MAHA_D2 = (
+    "((CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / n) * (CAST(vy AS DOUBLE))"
+    " - (CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / n) * CAST(vxy AS DOUBLE))"
+    " * (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / n) / det"
+    " + ((CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / n) * CAST(vx AS DOUBLE)"
+    " - (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / n) * CAST(vxy AS DOUBLE))"
+    " * (CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / n) / det"
+)
+
+
+def _maha_oracle() -> str:
+    s0, s1 = _SIGNS[0], _SIGNS[1]
+    return f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        FROM embeddings
+    ),
+    p AS (
+        SELECT vec_id,
+               CAST(round(round(list_sum(list_transform(range(1, 65),
+                   j -> vv[CAST(j AS INT)] * ({s0})[CAST(j AS INT)]))
+                   / sqrt(8.0), 4) * 10000) AS BIGINT) AS x,
+               CAST(round(round(list_sum(list_transform(range(1, 65),
+                   j -> vv[CAST(j AS INT)] * ({s1})[CAST(j AS INT)]))
+                   / sqrt(8.0), 4) * 10000) AS BIGINT) AS y
+        FROM v
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x*x) AS BIGINT) AS sxx,
+               CAST(SUM(x*y) AS BIGINT) AS sxy,
+               CAST(SUM(y*y) AS BIGINT) AS syy
+        FROM p
+    ),
+    cov AS (
+        SELECT n, sx, sy,
+               CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS vx,
+               CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS vxy,
+               CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS vy
+        FROM s
+    ),
+    covd AS (SELECT *, vx * vy - vxy * vxy AS det FROM cov),
+    scored AS (
+        SELECT p.vec_id, round({_MAHA_D2}, 4) + 0.0 AS d2
+        FROM p, covd
+    )
+    SELECT vec_id, d2 FROM scored WHERE d2 > 13.816 ORDER BY vec_id
+    """
+
+
+@query("q_mahalanobis_outliers", oracle=_maha_oracle())
+def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance-aware outliers: squared Mahalanobis distance of each
+    2-D-projected embedding from the corpus centroid, flagged at the
+    chi-square(2, 0.999) cut (13.816) — the multivariate upgrade of
+    per-feature z-scores (q_value_anomaly), catching points that are
+    normal per-axis but abnormal jointly.
+
+    Exactness: coordinates are e4 fixed-point integers, so the
+    sufficient statistics (sums, squares, cross) are exact; the
+    covariance, its closed-form 2x2 inverse and every distance come
+    from ONE shared formula text — identical doubles in both engines,
+    rounded before the threshold-independent output (the cut compares
+    the rounded value, so the flag set is deterministic too).
+
+    Scale: one pass for the five sufficient statistics (map-side
+    combined), broadcast back for a zero-shuffle scoring pass — the
+    same sufficient-statistics shape as q_feature_corr.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def proj_e4(k: int):
+        return F.round(
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        vv,
+                        F.array(*[F.lit(s) for s in _SIGNS[k]]),
+                        lambda x, s: x * s,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.sqrt(F.lit(8.0)),
+                4,
+            )
+            * 10000
+        ).cast("long")
+
+    p = emb.select("vec_id", proj_e4(0).alias("x"), proj_e4(1).alias("y"))
+    s = p.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    covd = s.selectExpr(
+        "n",
+        "sx",
+        "sy",
+        "CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS vx",
+        "CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS vxy",
+        "CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS vy",
+    ).selectExpr("*", "vx * vy - vxy * vxy AS det")
+    return (
+        p.crossJoin(F.broadcast(covd))
+        .selectExpr("vec_id", f"round({_MAHA_D2}, 4) + 0.0 AS d2")
+        .filter("d2 > 13.816")
+        .orderBy("vec_id")
+    )
