@@ -2408,3 +2408,63 @@ def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch_type")
     )
+
+
+@query(
+    "q_skyline",
+    oracle="""
+    WITH f AS (
+        SELECT p_partkey, p_size,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS price_c
+        FROM part
+    )
+    SELECT a.p_partkey, CAST(a.p_size AS INTEGER) AS p_size,
+           round(a.price_c / 100.0, 2) AS retail_price
+    FROM f a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM f b
+        WHERE b.p_size <= a.p_size AND b.price_c <= a.price_c
+          AND (b.p_size < a.p_size OR b.price_c < a.price_c)
+    )
+    ORDER BY p_size, a.p_partkey
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of parts minimizing (size, price) —
+    the classic preference operator, WITHOUT the naive O(n²)
+    dominance self-join the oracle uses.
+
+    Plan: the skyline of a 2-D minimize/minimize set only ever
+    contains per-size price minima, so one map-side-combined
+    aggregate collapses n parts to |distinct sizes| rows (bounded by
+    the DIMENSION's cardinality — 50 here, never data-scale); a
+    running strict-min sweep over that tiny relation keeps the sizes
+    whose minimum beats every smaller size, and an equi-join back
+    recovers the skyline rows (ties on the frontier all qualify,
+    matching NOT-EXISTS dominance exactly). At 100 TB: one aggregate +
+    one broadcast join; the window runs on ≤|sizes| rows.
+    """
+    f = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        F.expr("CAST(round(p_retailprice * 100) AS BIGINT)").alias("price_c"),
+    )
+    per_size = f.groupBy("p_size").agg(F.min("price_c").alias("minp"))
+    w = (
+        Window.orderBy("p_size")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        per_size.withColumn("rm", F.min("minp").over(w))
+        .filter(F.col("rm").isNull() | (F.col("minp") < F.col("rm")))
+        .select("p_size", F.col("minp").alias("price_c"))
+    )
+    return (
+        f.join(F.broadcast(frontier), ["p_size", "price_c"])
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("int").alias("p_size"),
+            F.round(F.col("price_c") / 100.0, 2).alias("retail_price"),
+        )
+        .orderBy("p_size", "p_partkey")
+    )
