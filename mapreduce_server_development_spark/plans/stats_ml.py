@@ -1032,3 +1032,75 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tot").alias("total_weight"),
         F.round(F.col("mc") / 100.0, 2).alias("weighted_median"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_gini — revenue-concentration Gini coefficient on distributed ranks
+# ---------------------------------------------------------------------------
+
+_GINI_FINAL = [
+    "n AS n_customers",
+    "round(CAST(tot AS DOUBLE) / 100.0, 2) AS total_revenue",
+    "round(2.0 * CAST(wsum AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))"
+    " - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini",
+]
+
+
+@query(
+    "q_gini",
+    oracle=f"""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rk
+        FROM rev
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS tot,
+               CAST(SUM(rk * cents) AS BIGINT) AS wsum
+        FROM ranked
+    )
+    SELECT {", ".join(_GINI_FINAL)} FROM s
+    """,
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the concentration
+    readout (0 = equal spend, →1 = one whale) a marketplace watches.
+
+    Needs every customer's GLOBAL rank by revenue: ranks come from the
+    two-phase distributed prefix sum (running count over the
+    range-partitioned revenue order), never a single-task global
+    window. Tie order between equal revenues is arbitrary AND
+    harmless — Σ rank·x is invariant under permuting ranks among equal
+    x — so the distributed tie-break matches the oracle's
+    deterministic one exactly. All sums are exact integers; the final
+    formula is one shared text.
+    """
+    from ..functions.prefix import global_running_sum
+
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    ranked = global_running_sum(
+        rev.select("o_custkey", "cents", F.lit(1).alias("one")),
+        "cents",
+        "one",
+        "rk",
+    )
+    s = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("tot"),
+        F.sum(F.col("rk") * F.col("cents")).cast("long").alias("wsum"),
+    )
+    return s.selectExpr(*_GINI_FINAL)
