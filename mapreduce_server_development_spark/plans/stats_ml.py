@@ -1104,3 +1104,183 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("rk") * F.col("cents")).cast("long").alias("wsum"),
     )
     return s.selectExpr(*_GINI_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_benford — first-digit distribution vs Benford's law
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_benford",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INTEGER) AS dig
+        FROM lineitem WHERE l_extendedprice > 0
+    ),
+    o AS (SELECT dig, CAST(COUNT(*) AS BIGINT) AS obs FROM d GROUP BY dig),
+    n AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o),
+    e AS (
+        SELECT dig, obs,
+               CAST(n.n AS DOUBLE) * (ln(1.0 + 1.0 / dig) / ln(10.0)) AS exp_n
+        FROM o, n
+    )
+    SELECT CAST(dig AS INTEGER) AS digit, obs,
+           round(exp_n, 2) AS expected,
+           CAST(round((obs - exp_n) * (obs - exp_n) / exp_n * 1000000)
+                AS BIGINT) AS chi_term_micro
+    FROM e ORDER BY digit
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of extended prices — the
+    classic synthetic-data / fraud alarm (TPC-H's uniform price
+    generator flunks it spectacularly, which is exactly what the
+    audit should report on synthetic data).
+
+    First digits come from exact integer cents; expected counts and
+    each chi-square term are one shared ln-based formula over those
+    exact integers, micro-rounded per digit so the output is integer-
+    stable. One partial-aggregated scan to 9 rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.filter("l_extendedprice > 0").select(
+        F.expr(
+            "CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " AS STRING), 1, 1) AS INT)"
+        ).alias("dig")
+    )
+    o = d.groupBy("dig").agg(F.count("*").cast("long").alias("obs"))
+    n = o.agg(F.sum("obs").cast("long").alias("n"))
+    return (
+        o.crossJoin(F.broadcast(n))
+        .selectExpr(
+            "CAST(dig AS INT) AS digit",
+            "obs",
+            "CAST(n AS DOUBLE) * (ln(1.0 + 1.0 / dig) / ln(10.0)) AS exp_n",
+        )
+        .selectExpr(
+            "digit",
+            "obs",
+            "round(exp_n, 2) AS expected",
+            "CAST(round((obs - exp_n) * (obs - exp_n) / exp_n * 1000000)"
+            " AS BIGINT) AS chi_term_micro",
+        )
+        .orderBy("digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_changepoint — CUSUM mean-shift detection per event type
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_changepoint",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, event_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    c AS (
+        SELECT event_type, event_id,
+               ROW_NUMBER() OVER w AS k,
+               SUM(cents) OVER w AS cum
+        FROM v WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    t AS (
+        SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(cents) AS HUGEINT) AS tot
+        FROM v GROUP BY event_type
+    ),
+    d AS (
+        SELECT c.event_type, c.event_id, c.k,
+               abs(CAST(t.n AS HUGEINT) * CAST(c.cum AS HUGEINT)
+                   - CAST(c.k AS HUGEINT) * t.tot) AS dev,
+               t.n, t.tot
+        FROM c JOIN t USING (event_type)
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY dev DESC, event_id) AS rk
+        FROM d
+    )
+    SELECT event_type, event_id AS cp_event_id,
+           CAST(k AS BIGINT) AS cp_position,
+           round(CAST(dev AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)), 6)
+               AS max_rel_dev
+    FROM r WHERE rk = 1 ORDER BY event_type
+    """,
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection: for each event type, the point
+    where the cumulative value series deviates most from its overall
+    linear trend — the offline mean-shift detector behind monitoring
+    alerts.
+
+    The deviation statistic n·cum_k − k·total is EXACT integer
+    arithmetic (DECIMAL(38,0) / HUGEINT products — a cents×count
+    product overflows int64 at large SF), so the argmax row (ties →
+    smallest event_id) is deterministic cross-engine; only the final
+    normalized readout divides as shared-text doubles.
+
+    Scale: one per-type window pass (running sum + position) over the
+    fact table, a broadcast join of per-type totals, and a per-type
+    top-1 — no self-joins; per-partition window state is O(1).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = v.select(
+        "event_type",
+        "event_id",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("ts", "event_id")
+        ).alias("k"),
+        F.sum("cents").over(w).alias("cum"),
+    )
+    t = v.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("tot"),
+    )
+    d = c.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "event_id",
+        "k",
+        F.abs(
+            F.col("n") * F.col("cum").cast("decimal(38,0)")
+            - F.col("k").cast("decimal(38,0)") * F.col("tot")
+        ).alias("dev"),
+        "n",
+        "tot",
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.col("dev").desc(), F.col("event_id")
+        )
+    )
+    return (
+        d.withColumn("rk", rk)
+        .filter("rk = 1")
+        .selectExpr(
+            "event_type",
+            "event_id AS cp_event_id",
+            "CAST(k AS BIGINT) AS cp_position",
+            "round(CAST(dev AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS max_rel_dev",
+        )
+        .orderBy("event_type")
+    )
