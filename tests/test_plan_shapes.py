@@ -200,3 +200,65 @@ def test_semantic_dedup_pairwise_is_cluster_keyed(spark):
     # the only nested-loop joins are the bounded 16-row centroid
     # broadcasts; the member-member join must be a hash join on cid
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# --- round-5 depth additions -------------------------------------------------
+
+
+def test_skyline_no_self_join(spark):
+    """The skyline plan must be aggregate + broadcast equi-join back —
+    never the O(n^2) dominance self-join the oracle uses."""
+    plan = _plan(spark, "q_skyline")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_random_projection_zero_shuffle(spark):
+    """The JL projection is a map-only pass: no Exchange anywhere."""
+    plan = _plan(spark, "q_random_projection")
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan  # JVM higher-order fns only
+
+
+def test_pii_redact_zero_shuffle(spark):
+    plan = _plan(spark, "q_pii_redact")
+    assert "Exchange" not in plan
+
+
+def test_feature_hashing_partial_agg(spark):
+    """Map-side combine before the (doc_id, bucket) shuffle."""
+    plan = _plan(spark, "q_feature_hashing")
+    assert "partial_count" in plan or "Partial" in plan
+
+
+def test_char_entropy_partial_agg(spark):
+    plan = _plan(spark, "q_char_entropy")
+    assert "partial_count" in plan or "Partial" in plan
+
+
+def test_mahalanobis_broadcast_stats(spark):
+    """Sufficient statistics broadcast back for a zero-shuffle scoring
+    pass — the scoring side must not shuffle the vectors."""
+    plan = _plan(spark, "q_mahalanobis_outliers")
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats crossJoin
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_weighted_median_no_single_task_window(spark):
+    """The ECDF must ride the range-partitioned two-phase prefix sum:
+    any Window node present must be partitioned (no empty PARTITION
+    BY over the whole relation)."""
+    plan = _plan(spark, "q_weighted_median")
+    # The prefix-sum module range-partitions then localCheckpoints, so
+    # the final plan shows the checkpointed frame + its pid column.
+    assert "Scan ExistingRDD" in plan
+    assert "__prefix_pid" in plan
+
+
+def test_audio_decode_arrow_batched(spark):
+    """Both codec halves run as Arrow mapInPandas stages, never
+    row-at-a-time Python."""
+    plan = _plan(spark, "q_audio_decode_real")
+    assert plan.count("MapInPandas") >= 2  # encode + decode stages
+    assert "BatchEvalPython" not in plan
