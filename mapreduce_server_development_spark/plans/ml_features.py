@@ -373,7 +373,14 @@ _MAHA_D2 = (
 )
 
 
-def _maha_oracle() -> str:
+#: Degeneracy guard: a (near-)singular covariance (collinear projections)
+#: would make the closed-form inverse divide by ~0 and spray inf/NaN
+#: distances. Below this determinant (e8 fixed-point units²) the query
+#: emits no outliers — in BOTH engines, so the guard is oracle-checked.
+_MAHA_DET_EPS = "0.000001"
+
+
+def _maha_oracle(cut: float = 13.816) -> str:
     s0, s1 = _SIGNS[0], _SIGNS[1]
     return f"""
     WITH v AS (
@@ -409,30 +416,16 @@ def _maha_oracle() -> str:
     scored AS (
         SELECT p.vec_id, round({_MAHA_D2}, 4) + 0.0 AS d2
         FROM p, covd
+        WHERE det > {_MAHA_DET_EPS}
     )
-    SELECT vec_id, d2 FROM scored WHERE d2 > 13.816 ORDER BY vec_id
+    SELECT vec_id, d2 FROM scored WHERE d2 > {cut} ORDER BY vec_id
     """
 
 
-@query("q_mahalanobis_outliers", oracle=_maha_oracle())
-def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Covariance-aware outliers: squared Mahalanobis distance of each
-    2-D-projected embedding from the corpus centroid, flagged at the
-    chi-square(2, 0.999) cut (13.816) — the multivariate upgrade of
-    per-feature z-scores (q_value_anomaly), catching points that are
-    normal per-axis but abnormal jointly.
-
-    Exactness: coordinates are e4 fixed-point integers, so the
-    sufficient statistics (sums, squares, cross) are exact; the
-    covariance, its closed-form 2x2 inverse and every distance come
-    from ONE shared formula text — identical doubles in both engines,
-    rounded before the threshold-independent output (the cut compares
-    the rounded value, so the flag set is deterministic too).
-
-    Scale: one pass for the five sufficient statistics (map-side
-    combined), broadcast back for a zero-shuffle scoring pass — the
-    same sufficient-statistics shape as q_feature_corr.
-    """
+def _maha_scored(spark: SparkSession, sf_dir: str, cut: float) -> DataFrame:
+    """Shared scoring body for q_mahalanobis_outliers; ``cut`` is the
+    chi-square threshold on the rounded d2 (tests lower it to exercise
+    a non-trivial outlier set at small SF)."""
     emb = load_table(spark, sf_dir, "embeddings")
     vv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
 
@@ -473,7 +466,31 @@ def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr("*", "vx * vy - vxy * vxy AS det")
     return (
         p.crossJoin(F.broadcast(covd))
+        .filter(f"det > {_MAHA_DET_EPS}")
         .selectExpr("vec_id", f"round({_MAHA_D2}, 4) + 0.0 AS d2")
-        .filter("d2 > 13.816")
+        .filter(f"d2 > {cut}")
         .orderBy("vec_id")
     )
+
+
+@query("q_mahalanobis_outliers", oracle=_maha_oracle())
+def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance-aware outliers: squared Mahalanobis distance of each
+    2-D-projected embedding from the corpus centroid, flagged at the
+    chi-square(2, 0.999) cut (13.816) — the multivariate upgrade of
+    per-feature z-scores (q_value_anomaly), catching points that are
+    normal per-axis but abnormal jointly.
+
+    Exactness: coordinates are e4 fixed-point integers, so the
+    sufficient statistics (sums, squares, cross) are exact; the
+    covariance, its closed-form 2x2 inverse and every distance come
+    from ONE shared formula text — identical doubles in both engines,
+    rounded before the threshold-independent output. A det > eps guard
+    (also shared) returns no outliers under a degenerate covariance
+    instead of inf/NaN distances.
+
+    Scale: one pass for the five sufficient statistics (map-side
+    combined), broadcast back for a zero-shuffle scoring pass — the
+    same sufficient-statistics shape as q_feature_corr.
+    """
+    return _maha_scored(spark, sf_dir, 13.816)

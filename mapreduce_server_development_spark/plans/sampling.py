@@ -299,6 +299,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY 1000000 * dis_tokens // avail_tokens
                        DESC, source) AS rk
         FROM s
+        WHERE avail_tokens > 0
     ),
     tot AS (SELECT SUM(avail_tokens) // 2 AS budget FROM s),
     alloc AS (
@@ -346,10 +347,14 @@ def q_mix_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_dis").cast("long").alias("dis_tokens"),
         )
     )
+    # A source whose documents are all empty has avail_tokens = 0: the
+    # quality ratio would be NULL and sort nondeterministically between
+    # Spark's and DuckDB's NULLS defaults — drop such sources from the
+    # ranking (they could never receive an allocation anyway).
     quality = F.expr(
         "1000000 * dis_tokens DIV avail_tokens"
     ).alias("quality_e6")
-    ranked = s.select("*", quality).withColumn(
+    ranked = s.filter(F.col("avail_tokens") > 0).select("*", quality).withColumn(
         "rk",
         F.row_number().over(
             Window.orderBy(F.col("quality_e6").desc(), F.col("source"))

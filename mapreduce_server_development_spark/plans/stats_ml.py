@@ -658,12 +658,14 @@ def _logreg_oracle() -> str:
     cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM d),
     w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
     {steps},
+    wr AS (SELECT round(w0, 4) AS w0, round(w1, 4) AS w1,
+                  round(w2, 4) AS w2, round(w3, 4) AS w3 FROM w{_LR_ITERS}),
     acc AS (
       SELECT SUM(CASE WHEN (CASE WHEN 1/(1+exp(-(w0 + w1*x1 + w2*x2 + w3*x3)))
                                  >= 0.5 THEN 1.0 ELSE 0.0 END) = y
                       THEN 1 ELSE 0 END) AS n_right,
              COUNT(*) AS n_rows
-      FROM d, w{_LR_ITERS}
+      FROM d, wr
     )
     SELECT round(w0, 4) + 0.0 AS bias, round(w1, 4) + 0.0 AS c1,
            round(w2, 4) + 0.0 AS c2, round(w3, 4) + 0.0 AS c3,
@@ -736,8 +738,14 @@ def q_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)  # 1 row: keeps the lineage flat
         )
+    # Accuracy pass runs on the SAME 1e-4-rounded weights that the query
+    # outputs: the unrounded weights are distributed double sums whose
+    # last-ulp value can drift with partitioning, and a sigmoid landing
+    # within ~1e-11 of 0.5 would then flip the exact-integer n_correct.
+    # Rounding first makes n_correct a function of the protected outputs.
+    wr = w.select(*[F.round(c, 4).alias(c) for c in ("w0", "w1", "w2", "w3")])
     acc = (
-        d.crossJoin(F.broadcast(w))
+        d.crossJoin(F.broadcast(wr))
         .agg(
             F.sum(
                 F.when(

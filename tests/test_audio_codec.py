@@ -108,7 +108,9 @@ def test_spark_query_shape(spark):
         q_audio_decode_real,
     )
 
-    rows = {r.doc_id: r for r in q_audio_decode_real(spark, "/root/testdata/sf0.001").collect()}
+    from .conftest import SF_SMOKE
+
+    rows = {r.doc_id: r for r in q_audio_decode_real(spark, SF_SMOKE).collect()}
     assert rows
     for doc_id, r in rows.items():
         rate, channels, n_frames = a.fixture_audio_params(doc_id)

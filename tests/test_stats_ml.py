@@ -120,3 +120,24 @@ def test_ab_z_antisymmetric(spark):
     assert hi.z_score > 0 > lo.z_score
     assert hi.z_score == -lo.z_score
     assert hi.conv_a_pct == 60.0 and hi.conv_b_pct == 40.0
+
+
+def test_mahalanobis_nontrivial_outlier_set(spark, duck):
+    """The chi-square(2, 0.999) production cut yields ~0 rows at small
+    SF, making the oracle row nearly vacuous — this variant lowers the
+    cut to 2.0 (expect ~e^-1 of the corpus) so the d2 formula, the det
+    guard and the threshold are exercised on a non-trivial set in BOTH
+    engines."""
+    from mapreduce_server_development_spark.plans.ml_features import (
+        _maha_oracle,
+        _maha_scored,
+    )
+
+    from .conftest import SF_SMOKE
+
+    srows = sorted(
+        (r.vec_id, round(r.d2, 4)) for r in _maha_scored(spark, SF_SMOKE, 2.0).collect()
+    )
+    orows = sorted((v, round(d, 4)) for v, d in duck.sql(_maha_oracle(2.0)).fetchall())
+    assert len(srows) > 10
+    assert srows == orows
