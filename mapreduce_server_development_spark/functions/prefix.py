@@ -23,7 +23,7 @@ surface); public-knowledge algorithm (textbook parallel scan).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Internal column names — prefixed to avoid user-column collisions.
@@ -76,5 +76,52 @@ def global_running_sum(
     return (
         part.join(F.broadcast(off_df), _PID)
         .withColumn(out_col, F.sum(value_col).over(w) + F.col(_OFF))
+        .drop(_PID, _OFF)
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = 1-based global ``row_number()`` over the total
+    order given by ``order_cols`` (names or sort expressions such as
+    ``F.col("x").desc_nulls_last()``) — WITHOUT the single-task global
+    sort that ``row_number().over(Window.orderBy(...))`` compiles to.
+
+    Same two-phase scan as :func:`global_running_sum`: range-partition
+    on the order expressions (globally ordered across partitions,
+    sorted within), count rows per partition (one scalar each),
+    cumulate those bounded counts into per-partition offsets on the
+    driver, broadcast back, and add each partition's offset to its
+    local ``row_number``. Rows whose full order tuple ties are numbered
+    arbitrarily among themselves (range partitioning keeps equal tuples
+    in one partition, so the numbering is still a valid total order);
+    pass a unique tie-break column for full determinism.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    part = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # Tiny: one row per partition.
+    counts = part.groupBy(_PID).count().collect()
+    by_pid = {r[_PID]: r["count"] for r in counts}
+    offsets, acc = {}, 0
+    for pid in sorted(by_pid):
+        offsets[pid] = acc
+        acc += by_pid[pid]
+    off_df = df.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], f"{_PID} int, {_OFF} long"
+    )
+    w = Window.partitionBy(_PID).orderBy(*cols)
+    return (
+        part.join(F.broadcast(off_df), _PID)
+        .withColumn(out_col, F.row_number().over(w).cast("long") + F.col(_OFF))
         .drop(_PID, _OFF)
     )

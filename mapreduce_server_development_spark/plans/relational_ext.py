@@ -1734,23 +1734,71 @@ def q_value_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-sensitive only across engines, but decimal is exact in
     both), and mean/std/z are derived from those exact sums with
     identically-associated double arithmetic, rounded before compare.
-    Scale: one window shuffle on event_type; per-partition state is
-    the 100-row frame.
+
+    Scale: a window partitioned by event_type alone caps parallelism
+    at the key cardinality (~10) — each task would sort N/10 of all
+    events no matter how large the cluster. Instead the per-type row
+    sequence is chunked: a distributed row_number per (event_type)
+    (two-phase scan, ``functions/prefix.py``) assigns each event its
+    position, rows are grouped into fixed-size chunks, and each
+    chunk's partition also receives a copy of the PREVIOUS chunk's
+    last 100 rows (the frame depth) so every trailing-100 frame is
+    complete inside its own partition — the standard chunked-window
+    overlap carry. Parallelism is now O(rows / chunk), the window
+    state per task is one chunk + 100 rows, and the decimal sums make
+    the chunked association bit-identical to the monolithic window.
     """
+    from ..functions.prefix import global_row_number
+
+    chunk_rows, frame = 1000, 100
     ev = load_table(spark, sf_dir, "events")
     vdec = F.col("value").cast("decimal(16,4)")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-100, -1)
+    base = ev.select("event_id", "event_type", "ts", vdec.alias("vdec"))
+    # Global row_number over (event_type, ts, event_id); subtracting the
+    # per-type minimum (a |event_type|-row broadcast) yields the 1-based
+    # per-type sequence position without any per-type global sort.
+    g = global_row_number(base, ["event_type", "ts", "event_id"], "grn")
+    t0 = g.groupBy("event_type").agg(F.min("grn").alias("t0"))
+    seq = (
+        g.join(F.broadcast(t0), "event_type")
+        .withColumn("rn", F.col("grn") - F.col("t0") + 1)
+        .drop("grn", "t0")
     )
-    stats = ev.select(
+    cur = seq.select(
         "event_id",
         "event_type",
-        vdec.alias("vdec"),
-        F.count(vdec).over(w).alias("n"),
-        F.sum(vdec).over(w).alias("s1"),
-        F.sum(vdec * vdec).over(w).alias("s2"),
+        "vdec",
+        "rn",
+        F.expr(f"(rn - 1) DIV {chunk_rows}").alias("chunk"),
+        F.lit(True).alias("is_cur"),
+    )
+    carry = seq.filter(
+        F.expr(f"(rn - 1) % {chunk_rows} >= {chunk_rows - frame}")
+    ).select(
+        "event_id",
+        "event_type",
+        "vdec",
+        "rn",
+        F.expr(f"(rn - 1) DIV {chunk_rows} + 1").alias("chunk"),
+        F.lit(False).alias("is_cur"),
+    )
+    w = (
+        Window.partitionBy("event_type", "chunk")
+        .orderBy("rn")
+        .rowsBetween(-frame, -1)
+    )
+    stats = (
+        cur.unionByName(carry)
+        .select(
+            "event_id",
+            "event_type",
+            "vdec",
+            "is_cur",
+            F.count("vdec").over(w).alias("n"),
+            F.sum("vdec").over(w).alias("s1"),
+            F.sum(F.col("vdec") * F.col("vdec")).over(w).alias("s2"),
+        )
+        .filter("is_cur")
     )
     mean = F.col("s1").cast("double") / F.col("n")
     var = (
@@ -1990,9 +2038,19 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     per (r, f, m) cell — the classic growth-analytics rollup. Monetary
     sums run on DECIMAL so quartile boundaries cannot drift between
     engines; NULL monetary (never purchased) sorts last in both.
-    Scale: one user-level aggregate, three windows over the (much
-    smaller) per-user relation, one final rollup.
+
+    Scale: ``ntile(4) OVER (ORDER BY ...)`` compiles to a single-task
+    global sort — three of them here, over the whole per-user relation,
+    which is the textbook driver-adjacent bottleneck at 100 TB. Instead
+    each dimension's global rank rides the two-phase distributed
+    row_number (``functions/prefix.py``: range-partition + bounded
+    per-partition counts), and the quartile is the closed-form function
+    of (rank, N) that ntile defines: the first N%4 buckets take
+    ceil(N/4) rows, the rest floor(N/4). Identical output to the
+    oracle's ntile, no single-partition window anywhere in the plan
+    (asserted in test_plan_shapes.py).
     """
+    from ..functions.prefix import global_row_number
     ev = load_table(spark, sf_dir, "events")
     corpus_max = ev.agg(F.max("ts").alias("corpus_max"))
     per_user = (
@@ -2017,17 +2075,31 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    scored = per_user.select(
-        "user_id",
-        F.ntile(4)
-        .over(Window.orderBy(F.col("recency_days").asc(), F.col("user_id")))
-        .alias("r"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("frequency").desc(), F.col("user_id")))
-        .alias("f"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("monetary").desc_nulls_last(), F.col("user_id")))
-        .alias("m"),
+    d = global_row_number(
+        per_user, [F.col("recency_days").asc(), F.col("user_id")], "rk_r"
+    )
+    d = global_row_number(d, [F.col("frequency").desc(), F.col("user_id")], "rk_f")
+    d = global_row_number(
+        d, [F.col("monetary").desc_nulls_last(), F.col("user_id")], "rk_m"
+    )
+    cnt = d.agg(F.count("*").cast("long").alias("n_all"))
+
+    def ntile4(rk: str) -> str:
+        # ntile(4) closed form on the 1-based rank: buckets 1..(N%4)
+        # hold N DIV 4 + 1 rows, the rest N DIV 4 (greatest() guards
+        # the unreachable else-branch when N < 4).
+        base, rem = "(n_all DIV 4)", "(n_all % 4)"
+        return (
+            f"CASE WHEN {rk} <= {rem} * ({base} + 1)"
+            f" THEN ({rk} - 1) DIV ({base} + 1) + 1"
+            f" ELSE {rem} + ({rk} - {rem} * ({base} + 1) - 1)"
+            f" DIV greatest({base}, 1) + 1 END"
+        )
+
+    scored = d.crossJoin(F.broadcast(cnt)).selectExpr(
+        f"{ntile4('rk_r')} AS r",
+        f"{ntile4('rk_f')} AS f",
+        f"{ntile4('rk_m')} AS m",
     )
     return (
         scored.groupBy("r", "f", "m")
@@ -2042,9 +2114,39 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _convlag_interp(lo: str, hi: str, q: str) -> str:
+    """Shared interpolated-percentile formula text (both engines): the
+    continuous percentile at fraction q over sorted values v[1..n] is
+    v[k] + (v[k+1] - v[k]) * frac with k = floor((n-1)*q) + 1 — the
+    exact association Spark's percentile() and DuckDB's quantile_cont
+    use, rebuilt here from the two order statistics."""
+    pos = f"(CAST(n AS DOUBLE) - 1) * {q}"
+    frac = f"({pos} - floor({pos}))"
+    return (
+        f"round((CAST({lo} AS DOUBLE)"
+        f" + (CAST(COALESCE({hi}, {lo}) AS DOUBLE) - CAST({lo} AS DOUBLE))"
+        f" * {frac}) / 3600000000.0, 4)"
+    )
+
+
+#: Shared final projection (identical IEEE trees in both engines).
+_CONVLAG_FINAL = [
+    "CAST(COALESCE(n, 0) AS BIGINT) AS n_converted",
+    f"{_convlag_interp('lo50', 'hi50', '0.5')} AS p50_hours",
+    f"{_convlag_interp('lo90', 'hi90', '0.9')} AS p90_hours",
+]
+
+#: Shared order-statistic indices: k = floor((n-1)*q) + 1, 1-based.
+_CONVLAG_KS = [
+    "n",
+    "CAST(floor((CAST(n AS DOUBLE) - 1) * 0.5) AS BIGINT) + 1 AS k50",
+    "CAST(floor((CAST(n AS DOUBLE) - 1) * 0.9) AS BIGINT) + 1 AS k90",
+]
+
+
 @query(
     "q_conversion_lag",
-    oracle="""
+    oracle=f"""
     WITH s AS (
         SELECT user_id, MIN(ts) AS signup_ts FROM events
         WHERE event_type = 'signup' GROUP BY user_id
@@ -2059,21 +2161,44 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT p.user_id,
                epoch_us(p.first_purchase) - epoch_us(s.signup_ts) AS lag_us
         FROM p JOIN s ON s.user_id = p.user_id
+    ),
+    r AS (
+        SELECT lag_us, ROW_NUMBER() OVER (ORDER BY lag_us, user_id) AS rk
+        FROM lags
+    ),
+    ks AS (
+        SELECT {", ".join(_CONVLAG_KS)}
+        FROM (SELECT COUNT(*) AS n FROM lags)
+    ),
+    pick AS (
+        SELECT ANY_VALUE(n) AS n,
+               MAX(CASE WHEN rk = k50 THEN lag_us END) AS lo50,
+               MAX(CASE WHEN rk = k50 + 1 THEN lag_us END) AS hi50,
+               MAX(CASE WHEN rk = k90 THEN lag_us END) AS lo90,
+               MAX(CASE WHEN rk = k90 + 1 THEN lag_us END) AS hi90
+        FROM r, ks
     )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
-           round(quantile_cont(lag_us, 0.5) / 3600000000.0, 4) AS p50_hours,
-           round(quantile_cont(lag_us, 0.9) / 3600000000.0, 4) AS p90_hours
-    FROM lags
+    SELECT {", ".join(_CONVLAG_FINAL)} FROM pick
     """,
 )
 def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signup-to-first-purchase conversion lag: exact p50/p90 hours
     over converting users — the activation-speed metric. Lags are
-    exact integer microseconds (epoch diffs), so the interpolated
-    percentile is the same double in both engines before rounding.
-    Scale: two per-user aggregates + a user-keyed join; the percentile
-    runs over the (users-scale) lag relation.
+    exact integer microseconds (epoch diffs); both engines rebuild the
+    interpolated percentile from the SAME two order statistics with
+    the SAME formula text, so the doubles agree before rounding.
+
+    Scale: Spark's exact ``percentile()`` is an ImperativeAggregate
+    that buffers every value in one final aggregation buffer — a
+    users-scale array on one executor at 100×. Here the k-th and
+    (k+1)-th order statistics come off the two-phase distributed
+    row_number (``functions/prefix.py``) + a broadcast of the two
+    bounded indices: every heavy step is partitioned, the driver only
+    ever sees per-partition counts (same discipline as
+    q_weighted_median / q_ks_test).
     """
+    from ..functions.prefix import global_row_number
+
     ev = load_table(spark, sf_dir, "events")
     s = (
         ev.filter(F.col("event_type") == "signup")
@@ -2088,17 +2213,35 @@ def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("first_purchase"))
     )
     lags = p.join(s, "user_id").select(
-        (F.unix_micros("first_purchase") - F.unix_micros("signup_ts")).alias("lag_us")
-    )
-    return lags.agg(
-        F.count("*").cast("long").alias("n_converted"),
-        F.round(F.expr("percentile(lag_us, 0.5)") / 3600000000.0, 4).alias(
-            "p50_hours"
-        ),
-        F.round(F.expr("percentile(lag_us, 0.9)") / 3600000000.0, 4).alias(
-            "p90_hours"
+        "user_id",
+        (F.unix_micros("first_purchase") - F.unix_micros("signup_ts")).alias(
+            "lag_us"
         ),
     )
+    r = global_row_number(lags, ["lag_us", "user_id"], "rk")
+    ks = (
+        lags.agg(F.count("*").alias("n"))
+        .selectExpr(*_CONVLAG_KS)
+    )
+    pick = (
+        r.crossJoin(F.broadcast(ks))
+        .agg(
+            F.first("n").alias("n"),
+            F.max(F.when(F.col("rk") == F.col("k50"), F.col("lag_us"))).alias(
+                "lo50"
+            ),
+            F.max(
+                F.when(F.col("rk") == F.col("k50") + 1, F.col("lag_us"))
+            ).alias("hi50"),
+            F.max(F.when(F.col("rk") == F.col("k90"), F.col("lag_us"))).alias(
+                "lo90"
+            ),
+            F.max(
+                F.when(F.col("rk") == F.col("k90") + 1, F.col("lag_us"))
+            ).alias("hi90"),
+        )
+    )
+    return pick.selectExpr(*_CONVLAG_FINAL)
 
 
 @query(

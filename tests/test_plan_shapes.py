@@ -262,3 +262,37 @@ def test_audio_decode_arrow_batched(spark):
     plan = _plan(spark, "q_audio_decode_real")
     assert plan.count("MapInPandas") >= 2  # encode + decode stages
     assert "BatchEvalPython" not in plan
+
+
+def test_rfm_no_single_task_window(spark):
+    """Round-5 defect class: the three quartile dimensions must ride
+    the distributed row_number (range-partition + pid-keyed window),
+    never ntile's single-task global sort."""
+    from .test_no_antipatterns import single_partition_windows
+
+    plan = _plan(spark, "q_rfm_segments")
+    assert not single_partition_windows(plan)
+    assert "__prefix_pid" in plan  # ranks come from the two-phase scan
+    assert "ntile" not in plan
+
+
+def test_conversion_lag_no_global_percentile_buffer(spark):
+    """percentile() buffers the whole relation in ONE aggregation
+    buffer; the rewrite picks order statistics off the distributed
+    row_number instead."""
+    from .test_no_antipatterns import single_partition_windows
+
+    plan = _plan(spark, "q_conversion_lag")
+    assert not single_partition_windows(plan)
+    assert "percentile(" not in plan
+    assert "__prefix_pid" in plan
+
+
+def test_value_anomaly_window_is_chunked(spark):
+    """The trailing-100 window must partition by (event_type, chunk) —
+    parallelism scales with rows, not with |event_type|."""
+    from .test_no_antipatterns import single_partition_windows
+
+    plan = _plan(spark, "q_value_anomaly")
+    assert not single_partition_windows(plan)
+    assert "chunk" in plan  # the window key includes the chunk id

@@ -45,3 +45,47 @@ def test_empty_and_single_row(spark):
     assert global_running_sum(empty, "k", "v").count() == 0
     one = spark.createDataFrame([(5, 42)], "k long, v long")
     assert global_running_sum(one, "k", "v").collect()[0]["running_sum"] == 42
+
+
+def test_row_number_matches_sequential(spark):
+    from mapreduce_server_development_spark.functions.prefix import global_row_number
+
+    random.seed(23)
+    rows = [(i, random.randrange(0, 40), f"u{i:04d}") for i in range(400)]
+    random.shuffle(rows)
+    df = spark.createDataFrame(rows, "id long, v long, u string")
+    got = {
+        r["id"]: r["rn"]
+        for r in global_row_number(
+            df, [F.col("v").desc(), F.col("u")], num_partitions=9
+        ).collect()
+    }
+    expect = sorted(rows, key=lambda t: (-t[1], t[2]))
+    for rk, (i, _, _) in enumerate(expect, start=1):
+        assert got[i] == rk, i
+
+
+def test_row_number_is_distributed(spark):
+    from mapreduce_server_development_spark.functions.prefix import global_row_number
+
+    df = spark.range(100).select(F.col("id").alias("k"))
+    out = global_row_number(df, ["k"], num_partitions=8)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "__prefix_pid" in plan
+    assert "partitionBy=[]" not in plan.replace(" ", "")
+    assert "__prefix" not in str(out.columns)
+
+
+def test_row_number_empty_and_nulls(spark):
+    from mapreduce_server_development_spark.functions.prefix import global_row_number
+
+    empty = spark.createDataFrame([], "k long")
+    assert global_row_number(empty, ["k"]).count() == 0
+    df = spark.createDataFrame([(None,), (3,), (1,)], "k long")
+    got = {
+        r["k"]: r["rn"]
+        for r in global_row_number(df, [F.col("k").desc_nulls_last()]).collect()
+    }
+    assert got == {3: 1, 1: 2, None: 3}
