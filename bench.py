@@ -95,6 +95,14 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
     }
+    # Solo-rerun A/B book (tools/regression_ab.py) — embedded so the
+    # per-round BENCH_DETAIL snapshot carries the triage evidence.
+    ab_path = REPO / "BENCH_AB.json"
+    if ab_path.exists():
+        try:
+            detail["regression_ab"] = json.loads(ab_path.read_text())
+        except ValueError:
+            pass
     # Full per-query detail: one compact line (may exceed the driver's
     # stdout-tail capture) plus a file copy that always survives.
     (REPO / "BENCH_DETAIL.json").write_text(json.dumps(detail, **compact) + "\n")

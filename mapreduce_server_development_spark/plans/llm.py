@@ -1010,9 +1010,17 @@ def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_passjoin_tau2",
     oracle="""
+    WITH aug AS (
+        SELECT doc_id, text, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000,
+               substr(text, 1, CAST(n_chars - 2 AS INT)),
+               n_chars - 2
+        FROM documents WHERE doc_id % 101 = 0
+    )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
-    FROM documents a JOIN documents b
+    FROM aug a JOIN aug b
       ON a.doc_id < b.doc_id
      AND abs(a.n_chars - b.n_chars) <= 2
     WHERE levenshtein(a.text, b.text) <= 2
@@ -1028,9 +1036,22 @@ def q_passjoin_tau2(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-recall-loss upgrade path over q_edit_distance_pairs' capped
     length-bucket blocking at corpus scale. The oracle is the honest
     brute force (all length-compatible pairs), which the blocking must
-    reproduce exactly."""
+    reproduce exactly.
+
+    The synthetic corpus has no natural ed<=2 pairs at test SFs, which
+    would leave this row a vacuous 0=0 match — so the relation is
+    augmented with a deterministic truncated twin (last two chars
+    dropped, ed exactly 2) of every 101st doc, IDENTICALLY in both
+    engines: the blocking join must find every seeded pair or the row
+    goes red."""
     docs = load_table(spark, sf_dir, "documents")
-    return passjoin_pairs(docs, tau=2).orderBy("doc_a", "doc_b")
+    seeds = docs.filter(F.col("doc_id") % 101 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.expr("substring(text, 1, cast(n_chars - 2 as int))").alias("text"),
+        (F.col("n_chars") - 2).alias("n_chars"),
+    )
+    aug = docs.select("doc_id", "text", "n_chars").unionByName(seeds)
+    return passjoin_pairs(aug, tau=2).orderBy("doc_a", "doc_b")
 
 
 @query(
@@ -1070,7 +1091,15 @@ def q_passjoin_tau2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level (typo/OCR) near-dup pairs: blocked levenshtein
     join, distance <= 16 (see ``functions/dedup.py
-    edit_distance_pairs`` for the blocking argument)."""
+    edit_distance_pairs`` for the blocking argument).
+
+    Engine A/B (BENCH_AB.json, sf0.1 solo): PassJoin at tau=16 removes
+    the hot-bucket recall loss (256 vs 79 pairs) but costs 80.8s vs
+    15.1s — 17 segments x 33 candidate lengths x multi-match windows
+    is ~5k md5 signatures per doc, which dominates. The banded engine
+    stays for this wide threshold; ``q_passjoin_tau2`` is the
+    exact-recall path where small tau fits.
+    """
     docs = load_table(spark, sf_dir, "documents")
     return edit_distance_pairs(
         docs, max_dist=16, bucket_chars=64, max_bucket_size=1000
