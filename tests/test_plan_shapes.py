@@ -296,3 +296,49 @@ def test_value_anomaly_window_is_chunked(spark):
     plan = _plan(spark, "q_value_anomaly")
     assert not single_partition_windows(plan)
     assert "chunk" in plan  # the window key includes the chunk id
+
+
+def test_ks_test_ecdf_rides_prefix_sum(spark):
+    """Both sample ECDFs must come from the two-phase distributed
+    prefix sum (pid-partitioned window over the checkpointed
+    range-partitioned frame) — red if someone swaps back to a global
+    cumulative window."""
+    from .test_no_antipatterns import single_partition_windows
+
+    plan = _plan(spark, "q_ks_test")
+    assert "__prefix_pid" in plan
+    assert not single_partition_windows(plan)
+
+
+def test_naive_bayes_partial_aggregation(spark):
+    """The class-conditional token counts must partial-aggregate
+    map-side (partial_sum/partial_count before every exchange) — the
+    shape that bounds the shuffle at corpus scale."""
+    plan = _plan(spark, "q_naive_bayes")
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dbscan_neighbors_are_grid_equijoin(spark):
+    """DBSCAN's neighbor step must stay a (cell, probe-cell) equi-join
+    — 9 cells per point, never an all-pairs product. Red if the grid
+    key is dropped and the join degenerates to a nested-loop or
+    cartesian plan."""
+    plan = _plan(spark, "q_dbscan")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_copurchase_bfs_frontier_is_checkpointed(spark):
+    """Each BFS round must expand from a localCheckpoint()ed frontier
+    (Scan ExistingRDD in the final plan) so lineage doesn't re-derive
+    all prior rounds; the final plan stays a bounded union + aggregate,
+    not a round-count-deep join tree."""
+    plan = _plan(spark, "q_copurchase_bfs")
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    # The whole-query tree must stay shallow: every expansion round ran
+    # eagerly at checkpoint time, so at most a handful of exchanges
+    # survive into the final plan.
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 4
