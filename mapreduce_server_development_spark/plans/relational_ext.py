@@ -2611,3 +2611,292 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_size", "p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_retention_cohorts — signup-cohort weekly retention matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_date
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    cohorts AS (
+        SELECT user_id,
+               cohort_date - CAST(date_diff('day', DATE '2024-01-01',
+                   cohort_date) % 7 AS INTEGER) AS cohort_week
+        FROM s
+    ),
+    active AS (
+        SELECT DISTINCT c.cohort_week, e.user_id,
+               date_diff('day', c.cohort_week, CAST(e.ts AS DATE)) // 7
+                   AS week_n
+        FROM events e JOIN cohorts c ON c.user_id = e.user_id
+        WHERE CAST(e.ts AS DATE) >= c.cohort_week
+    ),
+    sizes AS (
+        SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM cohorts GROUP BY cohort_week
+    )
+    SELECT a.cohort_week,
+           CAST(a.week_n AS BIGINT) AS week_n,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           ANY_VALUE(z.cohort_size) AS cohort_size,
+           CAST(10000 * COUNT(*) // ANY_VALUE(z.cohort_size) AS BIGINT)
+               AS retention_e4
+    FROM active a JOIN sizes z ON z.cohort_week = a.cohort_week
+    GROUP BY a.cohort_week, a.week_n
+    ORDER BY a.cohort_week, a.week_n
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention matrix: users grouped by signup week
+    (weeks anchored at 2024-01-01 so both engines bucket identically
+    regardless of locale week-start), counted as active in week N if
+    any event falls N weeks after their cohort week began. Retention
+    is an exact e4 integer ratio (floor-div) — no float drift.
+
+    Scale: one user-level aggregate (signups), one user-keyed
+    equi-join events->cohorts (shuffle on user_id, partial-agg'd
+    distinct), and a final (cohort, week) rollup over a bounded
+    matrix — every heavy step shuffles on a high-cardinality key and
+    map-side combines; nothing is broadcast except the |cohorts|-row
+    size table inside the final join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    anchor = F.lit("2024-01-01").cast("date")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").cast("date").alias("cohort_date"))
+    )
+    cohorts = s.select(
+        "user_id",
+        F.date_sub(
+            F.col("cohort_date"),
+            (F.datediff(F.col("cohort_date"), anchor) % 7).cast("int"),
+        ).alias("cohort_week"),
+    )
+    active = (
+        ev.join(cohorts, "user_id")
+        .withColumn("d", F.col("ts").cast("date"))
+        .filter(F.col("d") >= F.col("cohort_week"))
+        .select(
+            "cohort_week",
+            "user_id",
+            F.expr("datediff(d, cohort_week) DIV 7").alias("week_n"),
+        )
+        .distinct()
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    return (
+        active.groupBy("cohort_week", "week_n")
+        .agg(F.count("*").cast("long").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            F.col("week_n").cast("long").alias("week_n"),
+            "n_active",
+            "cohort_size",
+            F.expr("CAST(10000 * n_active DIV cohort_size AS BIGINT)").alias(
+                "retention_e4"
+            ),
+        )
+        .orderBy("cohort_week", "week_n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_mad_outliers — median-absolute-deviation robust outliers
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_mad_outliers",
+    oracle="""
+    WITH b AS (
+        SELECT event_id, CAST(round(value * 10000) AS BIGINT) AS v FROM events
+    ),
+    g AS (SELECT v, COUNT(*) AS w FROM b GROUP BY v),
+    c AS (SELECT v, SUM(w) OVER (ORDER BY v) AS cum FROM g),
+    t AS (SELECT COUNT(*) AS tot FROM b),
+    med AS (SELECT MIN(v) AS med FROM c, t WHERE 2 * cum >= tot),
+    d AS (SELECT event_id, v, abs(v - med) AS dev FROM b, med),
+    gd AS (SELECT dev, COUNT(*) AS w FROM d GROUP BY dev),
+    cd AS (SELECT dev, SUM(w) OVER (ORDER BY dev) AS cum FROM gd),
+    mad AS (SELECT MIN(dev) AS mad FROM cd, t WHERE 2 * cum >= tot)
+    SELECT event_id, round(v / 10000.0, 4) AS value,
+           CAST(dev AS BIGINT) AS deviation_e4
+    FROM d, mad WHERE dev > 3 * mad ORDER BY event_id
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outliers by median absolute deviation: flag events whose
+    value sits more than 3 MADs from the corpus median — the
+    breakdown-resistant alternative to z-scores (q_value_anomaly),
+    immune to the outliers it hunts. Median and MAD are the LOWER
+    order statistic (smallest value whose cumulative count reaches
+    half the total), all in exact e4 fixed-point integers, so the
+    flag set is bit-deterministic in both engines.
+
+    Scale: two passes of the q_weighted_median discipline — value
+    histogram (one shuffle on the value key), distributed prefix-sum
+    ECDF (``functions/prefix.py``, driver sees one scalar per
+    partition), broadcast the scalar median, repeat on deviations,
+    broadcast the scalar MAD, one zero-shuffle scoring scan. Spark's
+    single-buffer percentile()/median() never appears.
+    """
+    from ..functions.prefix import global_running_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_id", F.expr("CAST(round(value * 10000) AS BIGINT)").alias("v")
+    )
+    tot = b.agg(F.count("*").alias("tot"))
+
+    def lower_median(vals: DataFrame, col: str) -> DataFrame:
+        g = vals.groupBy(col).agg(F.count("*").alias("w"))
+        c = global_running_sum(g, col, "w", "cum")
+        return (
+            c.crossJoin(F.broadcast(tot))
+            .filter(2 * F.col("cum") >= F.col("tot"))
+            .agg(F.min(col).alias(f"med_{col}"))
+        )
+
+    med = lower_median(b, "v")
+    d = b.crossJoin(F.broadcast(med)).select(
+        "event_id", "v", F.abs(F.col("v") - F.col("med_v")).alias("dev")
+    )
+    mad = lower_median(d, "dev")
+    return (
+        d.crossJoin(F.broadcast(mad))
+        .filter(F.col("dev") > 3 * F.col("med_dev"))
+        .select(
+            "event_id",
+            F.round(F.col("v") / 10000.0, 4).alias("value"),
+            F.col("dev").cast("long").alias("deviation_e4"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_group_percentiles — exact per-group percentiles, buffer-free
+# ---------------------------------------------------------------------------
+
+
+def _gp_interp(lo: str, hi: str, q: str) -> str:
+    """Shared per-group interpolated-percentile text (same association
+    as q_conversion_lag's scalar version): v[k] + (v[k+1]-v[k])*frac
+    with k = floor((n-1)*q) + 1 on the group's n."""
+    pos = f"(CAST(n AS DOUBLE) - 1) * {q}"
+    frac = f"({pos} - floor({pos}))"
+    return (
+        f"round((CAST({lo} AS DOUBLE)"
+        f" + (CAST(COALESCE({hi}, {lo}) AS DOUBLE) - CAST({lo} AS DOUBLE))"
+        f" * {frac}) / 10000.0, 4)"
+    )
+
+
+_GP_KS = [
+    "event_type",
+    "n",
+    "CAST(floor((CAST(n AS DOUBLE) - 1) * 0.5) AS BIGINT) + 1 AS k50",
+    "CAST(floor((CAST(n AS DOUBLE) - 1) * 0.9) AS BIGINT) + 1 AS k90",
+]
+
+_GP_FINAL = [
+    "event_type",
+    "CAST(n AS BIGINT) AS n_events",
+    f"{_gp_interp('lo50', 'hi50', '0.5')} AS p50",
+    f"{_gp_interp('lo90', 'hi90', '0.9')} AS p90",
+]
+
+
+@query(
+    "q_group_percentiles",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_id, event_type, CAST(round(value * 10000) AS BIGINT) AS v
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY v, event_id) AS rk
+        FROM b
+    ),
+    ks AS (
+        SELECT {", ".join(_GP_KS)}
+        FROM (SELECT event_type, COUNT(*) AS n FROM b GROUP BY event_type)
+    ),
+    pick AS (
+        SELECT r.event_type, ANY_VALUE(ks.n) AS n,
+               MAX(CASE WHEN rk = k50 THEN v END) AS lo50,
+               MAX(CASE WHEN rk = k50 + 1 THEN v END) AS hi50,
+               MAX(CASE WHEN rk = k90 THEN v END) AS lo90,
+               MAX(CASE WHEN rk = k90 + 1 THEN v END) AS hi90
+        FROM r JOIN ks ON ks.event_type = r.event_type
+        GROUP BY r.event_type
+    )
+    SELECT {", ".join(_GP_FINAL)} FROM pick ORDER BY event_type
+    """,
+)
+def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated p50/p90 of event value per event_type — the
+    grouped upgrade of q_conversion_lag's scalar order statistics and
+    the scale-safe answer to ``percentile(v, q) GROUP BY type``
+    (Spark's exact percentile buffers every group member in one
+    aggregation buffer; a hot group at 100 TB is a driver-sized
+    array). Values ride e4 fixed-point integers; both engines share
+    the interpolation formula text, so the doubles agree before
+    rounding.
+
+    Scale: per-group ranks come from ONE global distributed row_number
+    over (event_type, v, event_id) (``functions/prefix.py`` — range
+    partition + bounded counts) minus the per-type minimum rank, a
+    |event_type|-row broadcast. The order-statistic pick is a plain
+    partial-agg'd groupBy; no per-group sort task, no group-sized
+    buffer anywhere. Parallelism follows rows, not group count.
+    """
+    from ..functions.prefix import global_row_number
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(round(value * 10000) AS BIGINT)").alias("v"),
+    )
+    g = global_row_number(b, ["event_type", "v", "event_id"], "grn")
+    ks = (
+        b.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .selectExpr(*_GP_KS)
+    )
+    t0 = g.groupBy("event_type").agg(F.min("grn").alias("t0"))
+    r = (
+        g.join(F.broadcast(t0), "event_type")
+        .withColumn("rk", F.col("grn") - F.col("t0") + 1)
+    )
+    pick = (
+        r.join(F.broadcast(ks), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n").alias("n"),
+            F.max(F.when(F.col("rk") == F.col("k50"), F.col("v"))).alias("lo50"),
+            F.max(F.when(F.col("rk") == F.col("k50") + 1, F.col("v"))).alias(
+                "hi50"
+            ),
+            F.max(F.when(F.col("rk") == F.col("k90"), F.col("v"))).alias("lo90"),
+            F.max(F.when(F.col("rk") == F.col("k90") + 1, F.col("v"))).alias(
+                "hi90"
+            ),
+        )
+    )
+    return pick.selectExpr(*_GP_FINAL).orderBy("event_type")
