@@ -16,6 +16,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query (and optionally its DuckDB oracle SQL)."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            # A duplicate registration silently SHADOWS the earlier
+            # query (dict overwrite) — the earlier operator would keep
+            # its tests but vanish from the driver's surface. Fail at
+            # import time instead.
+            raise ValueError(f"duplicate query registration: {name}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle

@@ -285,8 +285,12 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact continuous percentiles per group (Spark ``percentile`` =
     DuckDB ``quantile_cont``, both linear-interpolation). Exact
-    percentile buffers per group; for sketchy 100 TB pipelines the
-    drop-in is ``percentile_approx`` (t-digest, mergeable)."""
+    percentile buffers per group — tolerable here (3 bounded groups),
+    a hot-group hazard at 100 TB. Two scale drop-ins exist:
+    ``percentile_approx`` (t-digest, mergeable) for sketchy pipelines,
+    and ``q_group_percentiles`` (relational_ext.py) for EXACT
+    interpolated percentiles with no group-sized buffer — order
+    statistics off the distributed row_number."""
     return (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")

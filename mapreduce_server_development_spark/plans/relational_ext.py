@@ -2614,12 +2614,12 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q_retention_cohorts — signup-cohort weekly retention matrix
+# q_signup_retention — signup-cohort weekly retention matrix
 # ---------------------------------------------------------------------------
 
 
 @query(
-    "q_retention_cohorts",
+    "q_signup_retention",
     oracle="""
     WITH s AS (
         SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_date
@@ -2653,12 +2653,15 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY a.cohort_week, a.week_n
     """,
 )
-def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Classic cohort-retention matrix: users grouped by signup week
+def q_signup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-cohort retention matrix: users grouped by signup week
     (weeks anchored at 2024-01-01 so both engines bucket identically
     regardless of locale week-start), counted as active in week N if
     any event falls N weeks after their cohort week began. Retention
     is an exact e4 integer ratio (floor-div) — no float drift.
+    Complements q_retention_cohorts (first-event cohorts, raw active
+    counts): this one keys on the signup EVENT and reports each cell
+    as a share of its cohort's size.
 
     Scale: one user-level aggregate (signups), one user-keyed
     equi-join events->cohorts (shuffle on user_id, partial-agg'd
