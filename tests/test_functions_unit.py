@@ -186,3 +186,93 @@ def test_packed_bloom_matches_fanout_bloom_and_is_shuffle_free(spark):
         passed._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in plan, plan
+
+
+def test_closed_form_ntile_matches_builtin(spark):
+    """The q_rfm_segments rewrite replaces ntile(4) with a closed-form
+    function of (rank, N); pin the equivalence against Spark's own
+    ntile for every relation size around the bucket boundaries."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    for n in (1, 2, 3, 4, 5, 7, 8, 9, 100, 101, 102, 103):
+        df = spark.range(1, n + 1).select(F.col("id").alias("rk"))
+        builtin = {
+            r["rk"]: r["t"]
+            for r in df.select(
+                "rk", F.ntile(4).over(Window.orderBy("rk")).alias("t")
+            ).collect()
+        }
+        base, rem = f"({n} DIV 4)", f"({n} % 4)"
+        closed = {
+            r["rk"]: r["t"]
+            for r in df.selectExpr(
+                "rk",
+                f"CASE WHEN rk <= {rem} * ({base} + 1)"
+                f" THEN (rk - 1) DIV ({base} + 1) + 1"
+                f" ELSE {rem} + (rk - {rem} * ({base} + 1) - 1)"
+                f" DIV greatest({base}, 1) + 1 END AS t",
+            ).collect()
+        }
+        assert closed == builtin, n
+
+
+def test_chunked_trailing_window_matches_monolithic(spark):
+    """The q_value_anomaly rewrite computes ROWS BETWEEN 100 PRECEDING
+    AND 1 PRECEDING inside (key, chunk) partitions with a 100-row
+    overlap carry; pin bit-equality against the monolithic per-key
+    window on a relation spanning several chunk boundaries."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    random.seed(7)
+    chunk, frame = 40, 10  # scaled-down chunk geometry, same shape
+    rows = [
+        (i, f"k{i % 3}", random.randrange(0, 1000)) for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, key string, v long")
+
+    mono_w = (
+        Window.partitionBy("key").orderBy("event_id").rowsBetween(-frame, -1)
+    )
+    mono = {
+        (r["key"], r["event_id"]): (r["n"], r["s"])
+        for r in df.select(
+            "key",
+            "event_id",
+            F.count("v").over(mono_w).alias("n"),
+            F.sum("v").over(mono_w).alias("s"),
+        ).collect()
+    }
+
+    seq_w = Window.partitionBy("key").orderBy("event_id")
+    seq = df.withColumn("rn", F.row_number().over(seq_w))
+    cur = seq.select(
+        "key", "event_id", "v", "rn",
+        F.expr(f"(rn - 1) DIV {chunk}").alias("chunk"),
+        F.lit(True).alias("is_cur"),
+    )
+    carry = seq.filter(
+        F.expr(f"(rn - 1) % {chunk} >= {chunk - frame}")
+    ).select(
+        "key", "event_id", "v", "rn",
+        F.expr(f"(rn - 1) DIV {chunk} + 1").alias("chunk"),
+        F.lit(False).alias("is_cur"),
+    )
+    ch_w = (
+        Window.partitionBy("key", "chunk").orderBy("rn").rowsBetween(-frame, -1)
+    )
+    chunked = {
+        (r["key"], r["event_id"]): (r["n"], r["s"])
+        for r in cur.unionByName(carry)
+        .select(
+            "key", "event_id", "is_cur",
+            F.count("v").over(ch_w).alias("n"),
+            F.sum("v").over(ch_w).alias("s"),
+        )
+        .filter("is_cur")
+        .collect()
+    }
+    assert chunked == mono
