@@ -2903,3 +2903,120 @@ def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pick.selectExpr(*_GP_FINAL).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q_triangle_count — degree-oriented triangle counting on co-purchases
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_triangle_count",
+    oracle="""
+    WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT a.l_partkey AS a, b.l_partkey AS b
+        FROM po a JOIN po b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    sym AS (SELECT a AS x FROM e UNION ALL SELECT b FROM e),
+    deg AS (SELECT x, COUNT(*) AS d FROM sym GROUP BY x),
+    tri AS (
+        SELECT COUNT(*) AS t
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS wedges
+        FROM deg
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+    SELECT s.n_nodes, m.n_edges,
+           CAST(tri.t AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN s.wedges > 0
+                     THEN 1000000 * 3 * tri.t // s.wedges ELSE 0 END
+                AS BIGINT) AS transitivity_e6
+    FROM s, m, tri
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global transitivity of the part co-purchase
+    graph (parts linked when some order contains both) — the
+    clustering-structure primitive behind community detection and
+    recommendation quality metrics.
+
+    Scale: the naive triangle join is cubic-ish in hot vertices. This
+    runs the textbook DEGREE ORIENTATION (Schank/Wagner; the
+    MapReduce form is Suri & Vassilvitskii's): orient every edge from
+    its (degree, id)-smaller endpoint to the larger, so each vertex's
+    OUT-degree is O(sqrt(m)) and the wedge self-join — the quadratic
+    step — is bounded per vertex regardless of how hot the raw degree
+    is; each triangle then has exactly one source vertex with two
+    out-edges and is counted once by one equi-join against the
+    oriented edge list. Everything is equi-joins on vertex keys plus
+    partial-agg'd counts; transitivity = 3*triangles / wedges stays in
+    exact integers (e6 floor-div).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select("l_orderkey", "l_partkey").distinct()
+    e = (
+        po.alias("a")
+        .join(po.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = e.select(F.col("a").alias("x")).unionAll(e.select(F.col("b").alias("x")))
+    deg = sym.groupBy("x").agg(F.count("*").alias("d"))
+    # Orientation key: (degree, id) packed into one long — ids are
+    # bounded (partkey), so d * 2^40 + x is collision-free and orders
+    # lexicographically.
+    ke = (
+        e.join(deg.select(F.col("x").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("x").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            "a",
+            "b",
+            (F.col("da") * (1 << 40) + F.col("a")).alias("ka"),
+            (F.col("db") * (1 << 40) + F.col("b")).alias("kb"),
+        )
+    )
+    oriented = ke.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.least("ka", "kb").alias("ku"),
+        F.greatest("ka", "kb").alias("kv"),
+    ).localCheckpoint(eager=True)
+    wedges = (
+        oriented.alias("o1")
+        .join(oriented.alias("o2"), "u")
+        .filter(F.col("o1.kv") < F.col("o2.kv"))
+        .select(F.col("o1.v").alias("wa"), F.col("o2.v").alias("wb"))
+    )
+    tri = wedges.join(
+        oriented.select(F.col("u").alias("wa"), F.col("v").alias("wb")),
+        ["wa", "wb"],
+    ).agg(F.count("*").alias("t"))
+    s = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) DIV 2")).cast("long").alias("wedges"),
+    )
+    m = e.agg(F.count("*").cast("long").alias("n_edges"))
+    return (
+        s.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(tri))
+        .selectExpr(
+            "n_nodes",
+            "n_edges",
+            "CAST(t AS BIGINT) AS n_triangles",
+            "CAST(CASE WHEN wedges > 0"
+            " THEN 1000000 * 3 * t DIV wedges ELSE 0 END AS BIGINT)"
+            " AS transitivity_e6",
+        )
+    )
