@@ -87,3 +87,67 @@ def test_dup_triangles_on_synthetic_clique_and_chain(spark, tmp_path):
     # docs 1,2,3 form exactly one triangle; 4-5 are a pair (no third),
     # 6 is isolated — neither appears in the output.
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_degree_oriented_triangles_match_brute_force(spark):
+    """The q_triangle_count orientation (each triangle counted once
+    from its (degree, id)-smallest source vertex) must agree with the
+    canonical a<b<c triple join on random graphs."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    random.seed(5)
+    for trial in range(3):
+        n = 30
+        edges = sorted(
+            {
+                (a, b)
+                for a in range(n)
+                for b in range(a + 1, n)
+                if random.random() < 0.2
+            }
+        )
+        eset = set(edges)
+        brute = sum(
+            1
+            for a, b, c in itertools.combinations(range(n), 3)
+            if (a, b) in eset and (a, c) in eset and (b, c) in eset
+        )
+        e = spark.createDataFrame(edges, "a long, b long")
+        sym = e.select(F.col("a").alias("x")).unionAll(
+            e.select(F.col("b").alias("x"))
+        )
+        deg = sym.groupBy("x").agg(F.count("*").alias("d"))
+        ke = (
+            e.join(deg.select(F.col("x").alias("a"), F.col("d").alias("da")), "a")
+            .join(deg.select(F.col("x").alias("b"), F.col("d").alias("db")), "b")
+            .select(
+                "a",
+                "b",
+                (F.col("da") * (1 << 40) + F.col("a")).alias("ka"),
+                (F.col("db") * (1 << 40) + F.col("b")).alias("kb"),
+            )
+        )
+        oriented = ke.select(
+            F.when(F.col("ka") < F.col("kb"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("u"),
+            F.when(F.col("ka") < F.col("kb"), F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("v"),
+            F.least("ka", "kb").alias("ku"),
+            F.greatest("ka", "kb").alias("kv"),
+        )
+        wedges = (
+            oriented.alias("o1")
+            .join(oriented.alias("o2"), "u")
+            .filter(F.col("o1.kv") < F.col("o2.kv"))
+            .select(F.col("o1.v").alias("wa"), F.col("o2.v").alias("wb"))
+        )
+        tri = wedges.join(
+            oriented.select(F.col("u").alias("wa"), F.col("v").alias("wb")),
+            ["wa", "wb"],
+        ).count()
+        assert tri == brute, (trial, tri, brute)
