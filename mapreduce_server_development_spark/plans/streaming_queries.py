@@ -1051,3 +1051,133 @@ def q_stream_bloom_members(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_pass") - F.col("n_true")).alias("n_false_pos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_anomaly — stateful trailing z-score (streaming twin of
+# q_value_anomaly)
+# ---------------------------------------------------------------------------
+
+#: Shared final-formula text over the exact integer window sums
+#: (v4 = value in e4 fixed-point; s1 = sum(v4), s2 = sum(v4*v4) over
+#: the 100 preceding same-type events). Identical text in BOTH engines,
+#: so even the >2^53 s2 -> double conversion rounds identically.
+_SA_Z = (
+    "(CAST(v4 AS DOUBLE) - CAST(s1 AS DOUBLE) / n)"
+    " / sqrt((CAST(s2 AS DOUBLE)"
+    " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n)"
+)
+_SA_STD4 = (
+    "sqrt((CAST(s2 AS DOUBLE)"
+    " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n)"
+)
+_SA_FINAL = [
+    "event_id",
+    "event_type",
+    "round(CAST(v4 AS DOUBLE) / 10000.0, 4) AS value",
+    f"round({_SA_Z}, 4) AS z",
+]
+_SA_GUARDS = f"n >= 30 AND {_SA_STD4} > 0.01"
+
+
+def _stream_anomaly_oracle() -> str:
+    return f"""
+    WITH v AS (
+        SELECT event_id, event_type, ts,
+               CAST(round(CAST(value AS DECIMAL(16,4)) * 10000) AS BIGINT) AS v4
+        FROM events
+    ),
+    stats AS (
+        SELECT event_id, event_type, v4,
+               COUNT(v4) OVER w AS n,
+               SUM(v4) OVER w AS s1,
+               SUM(v4 * v4) OVER w AS s2
+        FROM v
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+        SELECT {", ".join(_SA_FINAL)} FROM stats WHERE {_SA_GUARDS}
+    )
+    SELECT event_id, event_type, value, z
+    FROM scored WHERE abs(z) > 3
+    ORDER BY event_type, event_id
+    """
+
+
+@query("q_stream_anomaly", oracle=_stream_anomaly_oracle())
+def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_value_anomaly: per-type trailing-100
+    z-score as a CUSTOM STATEFUL operator (``applyInPandasWithState``)
+    — the monitoring rule actually deployed as a stream, where the
+    batch query's window-over-history is impossible and the state must
+    be bounded by design.
+
+    State per event_type is exactly the 100-value ring buffer plus its
+    running sums (``buf array<long>, s1 long, s2 long`` — e4
+    fixed-point int64, O(1) per-row update: push/evict adjusts the
+    sums, no per-row rescan). Rows inside each micro-batch are sorted
+    by (ts, event_id) before folding so the fold order — and therefore
+    every emitted (n, s1, s2) triple — is the deterministic event-time
+    order, batch-boundary independent; integer sums make the result
+    independent of fold associativity too. The operator emits the
+    exact integer sufficient statistics; the z formula itself runs
+    JVM-side in ONE shared expression text with the DuckDB oracle, so
+    the flagged set matches bit-for-bit.
+
+    100 TB posture: state is O(|event_type| x 100) int64s — constant;
+    throughput is one shuffle on the state key; output flows through
+    the parquet file sink (never the driver). See q_value_anomaly for
+    the batch formulation and its chunked-window scale shape.
+    """
+    import pandas as pd
+
+    def track(key, pdfs, state):
+        (event_type,) = key
+        if state.exists:
+            buf, s1, s2 = state.get
+            buf = list(buf)
+        else:
+            buf, s1, s2 = [], 0, 0
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        out_rows = []
+        for eid, v4 in zip(pdf["event_id"].to_list(), pdf["v4"].to_list()):
+            n = len(buf)
+            if n >= 30:
+                out_rows.append((eid, event_type, v4, n, s1, s2))
+            buf.append(v4)
+            s1 += v4
+            s2 += v4 * v4
+            if len(buf) > 100:
+                old = buf.pop(0)
+                s1 -= old
+                s2 -= old * old
+        state.update((buf, s1, s2))
+        yield pd.DataFrame(
+            out_rows,
+            columns=["event_id", "event_type", "v4", "n", "s1", "s2"],
+        )
+
+    ev = read_events_stream(spark, sf_dir)
+    v4 = F.expr("CAST(round(CAST(value AS DECIMAL(16,4)) * 10000) AS BIGINT)")
+    tracked = (
+        ev.select("event_id", "ts", "event_type", v4.alias("v4"))
+        .withWatermark("ts", "1 hour")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            track,
+            outputStructType="event_id long, event_type string, v4 long, "
+            "n long, s1 long, s2 long",
+            stateStructType="buf array<long>, s1 long, s2 long",
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+    out = _run_to_files(tracked, spark)
+    return (
+        out.filter(_SA_GUARDS)
+        .selectExpr(*_SA_FINAL)
+        .filter("abs(z) > 3")
+        .orderBy("event_type", "event_id")
+    )
