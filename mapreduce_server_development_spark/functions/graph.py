@@ -83,3 +83,59 @@ def pagerank_micro(
         if (k + 1) % checkpoint_every == 0 or k == iters - 1:
             r = r.localCheckpoint(eager=True)
     return r.select("node", F.col("r").alias("rank_micro"))
+
+
+def orient_edges_by_degree(e: DataFrame) -> DataFrame:
+    """Orient each undirected canonical edge (a < b) from its
+    (degree, id)-smaller endpoint to the larger — the classic
+    preparation for triangle counting (Schank/Wagner; MapReduce form
+    in Suri & Vassilvitskii, "Counting Triangles and the Curse of the
+    Last Reducer", WWW'11 — public knowledge): after orientation every
+    vertex's OUT-degree is O(sqrt(m)), bounding the wedge self-join
+    regardless of raw hub degrees.
+
+    Returns (u, v, dv): edge oriented u -> v with dv = degree(v).
+    The (degree, id) order is compared column-wise — never packed into
+    one integer, which would overflow once degree * id_range passes
+    2^63 (a hub with 2^23 neighbors at 40-bit ids would wrap).
+    """
+    sym = e.select(F.col("a").alias("x")).unionAll(
+        e.select(F.col("b").alias("x"))
+    )
+    deg = sym.groupBy("x").agg(F.count("*").alias("d"))
+    ke = e.join(
+        deg.select(F.col("x").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("x").alias("b"), F.col("d").alias("db")), "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    return ke.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+
+
+def count_triangles(e: DataFrame) -> DataFrame:
+    """Exact triangle count of the undirected graph given as canonical
+    edges (a < b, deduplicated): 1-row DataFrame with column ``t``.
+
+    Each triangle has exactly one vertex with out-edges to the other
+    two under the degree orientation, and its third edge appears in
+    the oriented list in exactly one direction — so wedges (two
+    out-edges of one vertex, ordered by the oriented (degree, id)
+    order to avoid double counting) equi-joined against the oriented
+    edges count every triangle once.
+    """
+    oriented = orient_edges_by_degree(e).localCheckpoint(eager=True)
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    lex = (F.col("o1.dv") < F.col("o2.dv")) | (
+        (F.col("o1.dv") == F.col("o2.dv")) & (F.col("o1.v") < F.col("o2.v"))
+    )
+    wedges = (
+        o1.join(o2, "u")
+        .filter(lex)
+        .select(F.col("o1.v").alias("wa"), F.col("o2.v").alias("wb"))
+    )
+    closing = oriented.select(F.col("u").alias("wa"), F.col("v").alias("wb"))
+    return wedges.join(closing, ["wa", "wb"]).agg(F.count("*").alias("t"))

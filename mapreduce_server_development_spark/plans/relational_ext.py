@@ -1748,9 +1748,9 @@ def q_value_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     state per task is one chunk + 100 rows, and the decimal sums make
     the chunked association bit-identical to the monolithic window.
     """
+    from ..functions.chunked import chunked_trailing_window
     from ..functions.prefix import global_row_number
 
-    chunk_rows, frame = 1000, 100
     ev = load_table(spark, sf_dir, "events")
     vdec = F.col("value").cast("decimal(16,4)")
     base = ev.select("event_id", "event_type", "ts", vdec.alias("vdec"))
@@ -1762,43 +1762,19 @@ def q_value_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = (
         g.join(F.broadcast(t0), "event_type")
         .withColumn("rn", F.col("grn") - F.col("t0") + 1)
-        .drop("grn", "t0")
+        .select("event_id", "event_type", "vdec", "rn")
     )
-    cur = seq.select(
-        "event_id",
+    stats = chunked_trailing_window(
+        seq,
         "event_type",
-        "vdec",
         "rn",
-        F.expr(f"(rn - 1) DIV {chunk_rows}").alias("chunk"),
-        F.lit(True).alias("is_cur"),
-    )
-    carry = seq.filter(
-        F.expr(f"(rn - 1) % {chunk_rows} >= {chunk_rows - frame}")
-    ).select(
-        "event_id",
-        "event_type",
-        "vdec",
-        "rn",
-        F.expr(f"(rn - 1) DIV {chunk_rows} + 1").alias("chunk"),
-        F.lit(False).alias("is_cur"),
-    )
-    w = (
-        Window.partitionBy("event_type", "chunk")
-        .orderBy("rn")
-        .rowsBetween(-frame, -1)
-    )
-    stats = (
-        cur.unionByName(carry)
-        .select(
-            "event_id",
-            "event_type",
-            "vdec",
-            "is_cur",
+        frame=100,
+        chunk_rows=1000,
+        aggs=lambda w: [
             F.count("vdec").over(w).alias("n"),
             F.sum("vdec").over(w).alias("s1"),
             F.sum(F.col("vdec") * F.col("vdec")).over(w).alias("s2"),
-        )
-        .filter("is_cur")
+        ],
     )
     mean = F.col("s1").cast("double") / F.col("n")
     var = (
@@ -2114,34 +2090,24 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _convlag_interp(lo: str, hi: str, q: str) -> str:
-    """Shared interpolated-percentile formula text (both engines): the
-    continuous percentile at fraction q over sorted values v[1..n] is
-    v[k] + (v[k+1] - v[k]) * frac with k = floor((n-1)*q) + 1 — the
-    exact association Spark's percentile() and DuckDB's quantile_cont
-    use, rebuilt here from the two order statistics."""
-    pos = f"(CAST(n AS DOUBLE) - 1) * {q}"
-    frac = f"({pos} - floor({pos}))"
-    return (
-        f"round((CAST({lo} AS DOUBLE)"
-        f" + (CAST(COALESCE({hi}, {lo}) AS DOUBLE) - CAST({lo} AS DOUBLE))"
-        f" * {frac}) / 3600000000.0, 4)"
-    )
+from ..functions.order_stats import (  # noqa: E402 - shared formula texts
+    P50_P90,
+    interp_text,
+    k_index_text,
+    pick_aggs,
+    pick_sql,
+)
 
-
-#: Shared final projection (identical IEEE trees in both engines).
+#: Shared final projection (identical IEEE trees in both engines):
+#: microseconds -> hours via the 3.6e9 divisor.
 _CONVLAG_FINAL = [
     "CAST(COALESCE(n, 0) AS BIGINT) AS n_converted",
-    f"{_convlag_interp('lo50', 'hi50', '0.5')} AS p50_hours",
-    f"{_convlag_interp('lo90', 'hi90', '0.9')} AS p90_hours",
+    f"{interp_text('50', '0.5', '3600000000.0')} AS p50_hours",
+    f"{interp_text('90', '0.9', '3600000000.0')} AS p90_hours",
 ]
 
 #: Shared order-statistic indices: k = floor((n-1)*q) + 1, 1-based.
-_CONVLAG_KS = [
-    "n",
-    "CAST(floor((CAST(n AS DOUBLE) - 1) * 0.5) AS BIGINT) + 1 AS k50",
-    "CAST(floor((CAST(n AS DOUBLE) - 1) * 0.9) AS BIGINT) + 1 AS k90",
-]
+_CONVLAG_KS = ["n"] + [k_index_text(q, tag) for tag, q in P50_P90]
 
 
 @query(
@@ -2171,11 +2137,7 @@ _CONVLAG_KS = [
         FROM (SELECT COUNT(*) AS n FROM lags)
     ),
     pick AS (
-        SELECT ANY_VALUE(n) AS n,
-               MAX(CASE WHEN rk = k50 THEN lag_us END) AS lo50,
-               MAX(CASE WHEN rk = k50 + 1 THEN lag_us END) AS hi50,
-               MAX(CASE WHEN rk = k90 THEN lag_us END) AS lo90,
-               MAX(CASE WHEN rk = k90 + 1 THEN lag_us END) AS hi90
+        SELECT ANY_VALUE(n) AS n, {pick_sql("lag_us")}
         FROM r, ks
     )
     SELECT {", ".join(_CONVLAG_FINAL)} FROM pick
@@ -2219,27 +2181,11 @@ def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     r = global_row_number(lags, ["lag_us", "user_id"], "rk")
-    ks = (
-        lags.agg(F.count("*").alias("n"))
-        .selectExpr(*_CONVLAG_KS)
-    )
-    pick = (
-        r.crossJoin(F.broadcast(ks))
-        .agg(
-            F.first("n").alias("n"),
-            F.max(F.when(F.col("rk") == F.col("k50"), F.col("lag_us"))).alias(
-                "lo50"
-            ),
-            F.max(
-                F.when(F.col("rk") == F.col("k50") + 1, F.col("lag_us"))
-            ).alias("hi50"),
-            F.max(F.when(F.col("rk") == F.col("k90"), F.col("lag_us"))).alias(
-                "lo90"
-            ),
-            F.max(
-                F.when(F.col("rk") == F.col("k90") + 1, F.col("lag_us"))
-            ).alias("hi90"),
-        )
+    # Count off the checkpointed rank relation — counting `lags` would
+    # re-execute the events scan + both per-user aggregates + join.
+    ks = r.agg(F.count("*").alias("n")).selectExpr(*_CONVLAG_KS)
+    pick = r.crossJoin(F.broadcast(ks)).agg(
+        F.first("n").alias("n"), *pick_aggs("lag_us")
     )
     return pick.selectExpr(*_CONVLAG_FINAL)
 
@@ -2794,31 +2740,15 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _gp_interp(lo: str, hi: str, q: str) -> str:
-    """Shared per-group interpolated-percentile text (same association
-    as q_conversion_lag's scalar version): v[k] + (v[k+1]-v[k])*frac
-    with k = floor((n-1)*q) + 1 on the group's n."""
-    pos = f"(CAST(n AS DOUBLE) - 1) * {q}"
-    frac = f"({pos} - floor({pos}))"
-    return (
-        f"round((CAST({lo} AS DOUBLE)"
-        f" + (CAST(COALESCE({hi}, {lo}) AS DOUBLE) - CAST({lo} AS DOUBLE))"
-        f" * {frac}) / 10000.0, 4)"
-    )
-
-
-_GP_KS = [
-    "event_type",
-    "n",
-    "CAST(floor((CAST(n AS DOUBLE) - 1) * 0.5) AS BIGINT) + 1 AS k50",
-    "CAST(floor((CAST(n AS DOUBLE) - 1) * 0.9) AS BIGINT) + 1 AS k90",
-]
+#: Shared texts from functions/order_stats.py — same machinery as
+#: q_conversion_lag, e4 fixed-point divisor.
+_GP_KS = ["event_type", "n"] + [k_index_text(q, tag) for tag, q in P50_P90]
 
 _GP_FINAL = [
     "event_type",
     "CAST(n AS BIGINT) AS n_events",
-    f"{_gp_interp('lo50', 'hi50', '0.5')} AS p50",
-    f"{_gp_interp('lo90', 'hi90', '0.9')} AS p90",
+    f"{interp_text('50', '0.5', '10000.0')} AS p50",
+    f"{interp_text('90', '0.9', '10000.0')} AS p90",
 ]
 
 
@@ -2840,11 +2770,7 @@ _GP_FINAL = [
         FROM (SELECT event_type, COUNT(*) AS n FROM b GROUP BY event_type)
     ),
     pick AS (
-        SELECT r.event_type, ANY_VALUE(ks.n) AS n,
-               MAX(CASE WHEN rk = k50 THEN v END) AS lo50,
-               MAX(CASE WHEN rk = k50 + 1 THEN v END) AS hi50,
-               MAX(CASE WHEN rk = k90 THEN v END) AS lo90,
-               MAX(CASE WHEN rk = k90 + 1 THEN v END) AS hi90
+        SELECT r.event_type, ANY_VALUE(ks.n) AS n, MAX(CASE WHEN rk = k50 THEN v END) AS lo50, MAX(CASE WHEN rk = k50 + 1 THEN v END) AS hi50, MAX(CASE WHEN rk = k90 THEN v END) AS lo90, MAX(CASE WHEN rk = k90 + 1 THEN v END) AS hi90
         FROM r JOIN ks ON ks.event_type = r.event_type
         GROUP BY r.event_type
     )
@@ -2877,30 +2803,20 @@ def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(round(value * 10000) AS BIGINT)").alias("v"),
     )
     g = global_row_number(b, ["event_type", "v", "event_id"], "grn")
+    # One pass off the checkpointed rank relation yields BOTH broadcast
+    # tables (per-type min rank and count) — aggregating `b` again
+    # would re-execute the events scan.
     ks = (
-        b.groupBy("event_type")
-        .agg(F.count("*").alias("n"))
-        .selectExpr(*_GP_KS)
+        g.groupBy("event_type")
+        .agg(F.min("grn").alias("t0"), F.count("*").alias("n"))
+        .selectExpr("t0", *_GP_KS)
     )
-    t0 = g.groupBy("event_type").agg(F.min("grn").alias("t0"))
     r = (
-        g.join(F.broadcast(t0), "event_type")
+        g.join(F.broadcast(ks), "event_type")
         .withColumn("rk", F.col("grn") - F.col("t0") + 1)
     )
-    pick = (
-        r.join(F.broadcast(ks), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.first("n").alias("n"),
-            F.max(F.when(F.col("rk") == F.col("k50"), F.col("v"))).alias("lo50"),
-            F.max(F.when(F.col("rk") == F.col("k50") + 1, F.col("v"))).alias(
-                "hi50"
-            ),
-            F.max(F.when(F.col("rk") == F.col("k90"), F.col("v"))).alias("lo90"),
-            F.max(F.when(F.col("rk") == F.col("k90") + 1, F.col("v"))).alias(
-                "hi90"
-            ),
-        )
+    pick = r.groupBy("event_type").agg(
+        F.first("n").alias("n"), *pick_aggs("v")
     )
     return pick.selectExpr(*_GP_FINAL).orderBy("event_type")
 
@@ -2948,18 +2864,22 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering-structure primitive behind community detection and
     recommendation quality metrics.
 
-    Scale: the naive triangle join is cubic-ish in hot vertices. This
-    runs the textbook DEGREE ORIENTATION (Schank/Wagner; the
-    MapReduce form is Suri & Vassilvitskii's): orient every edge from
-    its (degree, id)-smaller endpoint to the larger, so each vertex's
-    OUT-degree is O(sqrt(m)) and the wedge self-join — the quadratic
-    step — is bounded per vertex regardless of how hot the raw degree
-    is; each triangle then has exactly one source vertex with two
-    out-edges and is counted once by one equi-join against the
-    oriented edge list. Everything is equi-joins on vertex keys plus
+    Scale: the naive triangle join is cubic-ish in hot vertices. The
+    engine is ``functions/graph.py count_triangles`` — textbook DEGREE
+    ORIENTATION: every edge oriented from its (degree, id)-smaller
+    endpoint to the larger, so each vertex's OUT-degree is O(sqrt(m))
+    and the wedge self-join — the quadratic step — is bounded per
+    vertex regardless of how hot the raw degree is; each triangle has
+    exactly one source vertex with two out-edges and is counted once
+    by one equi-join against the oriented edge list. The (degree, id)
+    order is compared column-wise, never packed into one integer (a
+    packed key overflows int64 once a hub's degree reaches 2^23 at
+    40-bit ids). Everything is equi-joins on vertex keys plus
     partial-agg'd counts; transitivity = 3*triangles / wedges stays in
     exact integers (e6 floor-div).
     """
+    from ..functions.graph import count_triangles
+
     li = load_table(spark, sf_dir, "lineitem")
     po = li.select("l_orderkey", "l_partkey").distinct()
     e = (
@@ -2974,35 +2894,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sym = e.select(F.col("a").alias("x")).unionAll(e.select(F.col("b").alias("x")))
     deg = sym.groupBy("x").agg(F.count("*").alias("d"))
-    # Orientation key: (degree, id) packed into one long — ids are
-    # bounded (partkey), so d * 2^40 + x is collision-free and orders
-    # lexicographically.
-    ke = (
-        e.join(deg.select(F.col("x").alias("a"), F.col("d").alias("da")), "a")
-        .join(deg.select(F.col("x").alias("b"), F.col("d").alias("db")), "b")
-        .select(
-            "a",
-            "b",
-            (F.col("da") * (1 << 40) + F.col("a")).alias("ka"),
-            (F.col("db") * (1 << 40) + F.col("b")).alias("kb"),
-        )
-    )
-    oriented = ke.select(
-        F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("v"),
-        F.least("ka", "kb").alias("ku"),
-        F.greatest("ka", "kb").alias("kv"),
-    ).localCheckpoint(eager=True)
-    wedges = (
-        oriented.alias("o1")
-        .join(oriented.alias("o2"), "u")
-        .filter(F.col("o1.kv") < F.col("o2.kv"))
-        .select(F.col("o1.v").alias("wa"), F.col("o2.v").alias("wb"))
-    )
-    tri = wedges.join(
-        oriented.select(F.col("u").alias("wa"), F.col("v").alias("wb")),
-        ["wa", "wb"],
-    ).agg(F.count("*").alias("t"))
+    tri = count_triangles(e)
     s = deg.agg(
         F.count("*").cast("long").alias("n_nodes"),
         F.sum(F.expr("d * (d - 1) DIV 2")).cast("long").alias("wedges"),

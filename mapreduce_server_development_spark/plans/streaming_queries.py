@@ -1086,6 +1086,7 @@ def _stream_anomaly_oracle() -> str:
         SELECT event_id, event_type, ts,
                CAST(round(CAST(value AS DECIMAL(16,4)) * 10000) AS BIGINT) AS v4
         FROM events
+        WHERE value IS NOT NULL
     ),
     stats AS (
         SELECT event_id, event_type, v4,
@@ -1116,14 +1117,21 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     State per event_type is exactly the 100-value ring buffer plus its
     running sums (``buf array<long>, s1 long, s2 long`` — e4
     fixed-point int64, O(1) per-row update: push/evict adjusts the
-    sums, no per-row rescan). Rows inside each micro-batch are sorted
-    by (ts, event_id) before folding so the fold order — and therefore
-    every emitted (n, s1, s2) triple — is the deterministic event-time
-    order, batch-boundary independent; integer sums make the result
-    independent of fold associativity too. The operator emits the
-    exact integer sufficient statistics; the z formula itself runs
-    JVM-side in ONE shared expression text with the DuckDB oracle, so
-    the flagged set matches bit-for-bit.
+    sums, no per-row rescan). NULL values are filtered upstream in
+    BOTH engines (a NaN would silently poison the integer sums for
+    that key forever). Rows inside each micro-batch are sorted by
+    (ts, event_id) before folding, so the fold order is the
+    deterministic event-time order WITHIN a batch; an event arriving
+    in a later micro-batch than a newer one (out-of-order across
+    batch boundaries) is folded in arrival order — the standard
+    streaming approximation for trailing monitors (exact event-time
+    order across batches would need a watermark-deep holdback
+    buffer). On the bounded availableNow run the source delivers one
+    batch, so the result equals the batch twin exactly — which is
+    what the oracle asserts. The operator emits the exact integer
+    sufficient statistics; the z formula itself runs JVM-side in ONE
+    shared expression text with the DuckDB oracle, so the flagged set
+    matches bit-for-bit.
 
     100 TB posture: state is O(|event_type| x 100) int64s — constant;
     throughput is one shuffle on the state key; output flows through
@@ -1162,7 +1170,8 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     v4 = F.expr("CAST(round(CAST(value AS DECIMAL(16,4)) * 10000) AS BIGINT)")
     tracked = (
-        ev.select("event_id", "ts", "event_type", v4.alias("v4"))
+        ev.filter(F.col("value").isNotNull())
+        .select("event_id", "ts", "event_type", v4.alias("v4"))
         .withWatermark("ts", "1 hour")
         .groupBy("event_type")
         .applyInPandasWithState(

@@ -218,14 +218,18 @@ def test_closed_form_ntile_matches_builtin(spark):
 
 
 def test_chunked_trailing_window_matches_monolithic(spark):
-    """The q_value_anomaly rewrite computes ROWS BETWEEN 100 PRECEDING
-    AND 1 PRECEDING inside (key, chunk) partitions with a 100-row
-    overlap carry; pin bit-equality against the monolithic per-key
-    window on a relation spanning several chunk boundaries."""
+    """functions/chunked.py chunked_trailing_window (the
+    q_value_anomaly engine) must be bit-equal to the monolithic
+    per-key window on a relation spanning several chunk boundaries."""
     import random
 
+    import pytest
     from pyspark.sql import Window
     from pyspark.sql import functions as F
+
+    from mapreduce_server_development_spark.functions.chunked import (
+        chunked_trailing_window,
+    )
 
     random.seed(7)
     chunk, frame = 40, 10  # scaled-down chunk geometry, same shape
@@ -247,32 +251,26 @@ def test_chunked_trailing_window_matches_monolithic(spark):
         ).collect()
     }
 
-    seq_w = Window.partitionBy("key").orderBy("event_id")
-    seq = df.withColumn("rn", F.row_number().over(seq_w))
-    cur = seq.select(
-        "key", "event_id", "v", "rn",
-        F.expr(f"(rn - 1) DIV {chunk}").alias("chunk"),
-        F.lit(True).alias("is_cur"),
-    )
-    carry = seq.filter(
-        F.expr(f"(rn - 1) % {chunk} >= {chunk - frame}")
-    ).select(
-        "key", "event_id", "v", "rn",
-        F.expr(f"(rn - 1) DIV {chunk} + 1").alias("chunk"),
-        F.lit(False).alias("is_cur"),
-    )
-    ch_w = (
-        Window.partitionBy("key", "chunk").orderBy("rn").rowsBetween(-frame, -1)
+    seq = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("key").orderBy("event_id"))
     )
     chunked = {
         (r["key"], r["event_id"]): (r["n"], r["s"])
-        for r in cur.unionByName(carry)
-        .select(
-            "key", "event_id", "is_cur",
-            F.count("v").over(ch_w).alias("n"),
-            F.sum("v").over(ch_w).alias("s"),
-        )
-        .filter("is_cur")
-        .collect()
+        for r in chunked_trailing_window(
+            seq,
+            "key",
+            "rn",
+            frame=frame,
+            chunk_rows=chunk,
+            aggs=lambda w: [
+                F.count("v").over(w).alias("n"),
+                F.sum("v").over(w).alias("s"),
+            ],
+        ).collect()
     }
     assert chunked == mono
+
+    with pytest.raises(ValueError):
+        chunked_trailing_window(
+            seq, "key", "rn", frame=50, chunk_rows=10, aggs=lambda w: []
+        )

@@ -90,13 +90,12 @@ def test_dup_triangles_on_synthetic_clique_and_chain(spark, tmp_path):
 
 
 def test_degree_oriented_triangles_match_brute_force(spark):
-    """The q_triangle_count orientation (each triangle counted once
-    from its (degree, id)-smallest source vertex) must agree with the
-    canonical a<b<c triple join on random graphs."""
+    """functions/graph.py count_triangles (the q_triangle_count engine)
+    must agree with the canonical a<b<c triple scan on random graphs."""
     import itertools
     import random
 
-    from pyspark.sql import functions as F
+    from mapreduce_server_development_spark.functions.graph import count_triangles
 
     random.seed(5)
     for trial in range(3):
@@ -116,38 +115,5 @@ def test_degree_oriented_triangles_match_brute_force(spark):
             if (a, b) in eset and (a, c) in eset and (b, c) in eset
         )
         e = spark.createDataFrame(edges, "a long, b long")
-        sym = e.select(F.col("a").alias("x")).unionAll(
-            e.select(F.col("b").alias("x"))
-        )
-        deg = sym.groupBy("x").agg(F.count("*").alias("d"))
-        ke = (
-            e.join(deg.select(F.col("x").alias("a"), F.col("d").alias("da")), "a")
-            .join(deg.select(F.col("x").alias("b"), F.col("d").alias("db")), "b")
-            .select(
-                "a",
-                "b",
-                (F.col("da") * (1 << 40) + F.col("a")).alias("ka"),
-                (F.col("db") * (1 << 40) + F.col("b")).alias("kb"),
-            )
-        )
-        oriented = ke.select(
-            F.when(F.col("ka") < F.col("kb"), F.col("a"))
-            .otherwise(F.col("b"))
-            .alias("u"),
-            F.when(F.col("ka") < F.col("kb"), F.col("b"))
-            .otherwise(F.col("a"))
-            .alias("v"),
-            F.least("ka", "kb").alias("ku"),
-            F.greatest("ka", "kb").alias("kv"),
-        )
-        wedges = (
-            oriented.alias("o1")
-            .join(oriented.alias("o2"), "u")
-            .filter(F.col("o1.kv") < F.col("o2.kv"))
-            .select(F.col("o1.v").alias("wa"), F.col("o2.v").alias("wb"))
-        )
-        tri = wedges.join(
-            oriented.select(F.col("u").alias("wa"), F.col("v").alias("wb")),
-            ["wa", "wb"],
-        ).count()
+        tri = count_triangles(e).collect()[0]["t"]
         assert tri == brute, (trial, tri, brute)

@@ -47,22 +47,31 @@ def single_partition_windows(plan: str) -> list[str]:
     """Return the ids of Window/WindowInPandas nodes in a *formatted*
     explain string whose enforcing exchange is ``SinglePartition``.
 
-    The formatted output is a numbered operator tree followed by a
-    per-node detail section. For each Window node we walk its subtree
-    in pre-order and take the FIRST Exchange encountered — that is the
-    exchange satisfying the window's required child distribution (an
-    unpartitioned window requires AllTuples = SinglePartition; a
+    The formatted output is one numbered operator tree per plan section
+    (main plan plus every subquery under "===== Subqueries ====="),
+    followed by per-node details. For each Window node we walk its
+    subtree in pre-order and take the FIRST exchange encountered — that
+    is the exchange satisfying the window's required child distribution
+    (an unpartitioned window requires AllTuples = SinglePartition; a
     partitioned one hashpartitioning). An already-suitably-partitioned
     child contributes its own (non-SinglePartition) exchange first, so
-    the walk is exact for the defect class it guards.
+    the walk is exact for the defect class it guards. ReusedExchange
+    nodes are resolved to their reuse target, and subquery trees are
+    scanned like the main tree — a single-partition window cannot hide
+    in either.
     """
-    tree: list[tuple[int, str, str]] = []  # (depth, name, id)
+    node_re = re.compile(r"^([-+*: ]*)(\S[^(]*)\((\d+)\)\s*$")
+    trees: list[list[tuple[int, str, str]]] = []
+    run: list[tuple[int, str, str]] = []
     for ln in plan.splitlines():
-        m = re.match(r"^([-+*: ]*)(\S[^(]*)\((\d+)\)\s*$", ln)
+        m = node_re.match(ln)
         if m:
-            tree.append((len(m.group(1)), m.group(2).strip(), m.group(3)))
-        elif tree:
-            break  # end of the tree section
+            run.append((len(m.group(1)), m.group(2).strip(), m.group(3)))
+        elif run:
+            trees.append(run)
+            run = []
+    if run:
+        trees.append(run)
     single_exchanges = {
         m.group(1)
         for m in re.finditer(
@@ -70,17 +79,28 @@ def single_partition_windows(plan: str) -> list[str]:
             plan,
         )
     }
+    reuse_target = {
+        m.group(1): m.group(2)
+        for m in re.finditer(
+            r"\((\d+)\) ReusedExchange[^\n]*\[Reuses operator id: (\d+)\]", plan
+        )
+    }
     bad = []
-    for i, (depth, name, nid) in enumerate(tree):
-        if not name.startswith(("Window", "WindowInPandas")):
-            continue
-        for d2, n2, id2 in tree[i + 1 :]:
-            if d2 <= depth:
-                break
-            if n2.startswith("Exchange"):
-                if id2 in single_exchanges:
-                    bad.append(nid)
-                break
+    for tree in trees:
+        for i, (depth, name, nid) in enumerate(tree):
+            if not name.startswith(("Window", "WindowInPandas")):
+                continue
+            for d2, n2, id2 in tree[i + 1 :]:
+                if d2 <= depth:
+                    break
+                if n2.startswith("ReusedExchange"):
+                    if reuse_target.get(id2) in single_exchanges:
+                        bad.append(nid)
+                    break
+                if n2.startswith("Exchange"):
+                    if id2 in single_exchanges:
+                        bad.append(nid)
+                    break
     return bad
 
 
@@ -129,3 +149,15 @@ def test_detector_flags_global_window(spark):
         ok._jdf.queryExecution(), "formatted"
     )
     assert not single_partition_windows(plan_ok)
+
+    # A global window hiding inside a scalar SUBQUERY must also trip —
+    # subquery plans print as separate trees in the formatted output.
+    sub = spark.sql(
+        "SELECT id FROM range(1000) WHERE id > ("
+        "  SELECT max(rn) - 50 FROM ("
+        "    SELECT row_number() OVER (ORDER BY id) AS rn FROM range(1000)))"
+    )
+    plan_sub = sub._sc._jvm.PythonSQLUtils.explainString(
+        sub._jdf.queryExecution(), "formatted"
+    )
+    assert single_partition_windows(plan_sub)

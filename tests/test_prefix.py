@@ -26,7 +26,10 @@ def test_matches_sequential_cumsum(spark):
 
 def test_is_distributed_not_single_window(spark):
     """The point of the operator: the heavy window must be partitioned
-    (by the range-partition id), never a global single-task window."""
+    (by the range-partition id), never a global single-task window —
+    asserted with the engine-wide single-partition-Window detector."""
+    from .test_no_antipatterns import single_partition_windows
+
     df = spark.range(100).select(
         F.col("id").alias("k"), (F.col("id") % 7).alias("v")
     )
@@ -35,7 +38,7 @@ def test_is_distributed_not_single_window(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "__prefix_pid" in plan  # window partitioned by pid...
-    assert "partitionBy=[]" not in plan.replace(" ", "")  # ...never global
+    assert not single_partition_windows(plan)  # ...never global
     # internal columns must not leak into the output schema
     assert "__prefix" not in str(out.columns)
 
@@ -68,13 +71,15 @@ def test_row_number_matches_sequential(spark):
 def test_row_number_is_distributed(spark):
     from mapreduce_server_development_spark.functions.prefix import global_row_number
 
+    from .test_no_antipatterns import single_partition_windows
+
     df = spark.range(100).select(F.col("id").alias("k"))
     out = global_row_number(df, ["k"], num_partitions=8)
     plan = out._sc._jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "formatted"
     )
     assert "__prefix_pid" in plan
-    assert "partitionBy=[]" not in plan.replace(" ", "")
+    assert not single_partition_windows(plan)
     assert "__prefix" not in str(out.columns)
 
 

@@ -60,6 +60,9 @@ def main() -> int:
     args = sys.argv[1:]
     label = ""
     if args and args[0] == "--label":
+        if len(args) < 2:
+            print("usage: regression_ab.py [--label note] query [query ...]")
+            return 2
         label = args[1]
         args = args[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
