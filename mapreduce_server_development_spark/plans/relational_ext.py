@@ -2912,3 +2912,219 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS transitivity_e6",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_kcore — iterative k-core peeling on the support-2 co-purchase graph
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ORACLE_ROUNDS = 20  # covers the 11 rounds observed at sf0.01
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peeling (the logreg/pagerank unrolled-CTE pattern):
+    each round keeps nodes with current degree >= k and the edges
+    between them. The unroll depth must reach the fixpoint at oracle
+    SF — 11 rounds at sf0.01, 1 at sf0.001; 20 gives margin (extra
+    rounds are no-ops at the fixpoint)."""
+    # MATERIALIZED is load-bearing: inlined CTEs would re-expand each
+    # e{r} reference recursively (~4^rounds scans of the parquet file).
+    steps = []
+    for r in range(_KCORE_ORACLE_ROUNDS):
+        steps.append(
+            f"""
+    k{r} AS MATERIALIZED (
+        SELECT x FROM (
+            SELECT x, COUNT(*) AS d
+            FROM (SELECT a AS x FROM e{r} UNION ALL SELECT b AS x FROM e{r})
+            GROUP BY x
+        ) WHERE d >= {_KCORE_K}
+    ),
+    e{r + 1} AS MATERIALIZED (
+        SELECT e.a, e.b FROM e{r} e
+        JOIN k{r} ka ON ka.x = e.a
+        JOIN k{r} kb ON kb.x = e.b
+    )"""
+        )
+    last = f"e{_KCORE_ORACLE_ROUNDS}"
+    return f"""
+    WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS MATERIALIZED (
+        SELECT a.l_partkey AS a, b.l_partkey AS b
+        FROM po a JOIN po b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    {",".join(steps)},
+    core_nodes AS (
+        SELECT DISTINCT x FROM
+        (SELECT a AS x FROM {last} UNION ALL SELECT b AS x FROM {last})
+    )
+    SELECT CAST((SELECT COUNT(*) FROM core_nodes) AS BIGINT) AS n_core_nodes,
+           CAST((SELECT COUNT(*) FROM {last}) AS BIGINT) AS n_core_edges,
+           CAST(COALESCE((SELECT SUM(x) FROM core_nodes), 0) AS BIGINT)
+               AS checksum
+    """
+
+
+@query("q_kcore", oracle=_kcore_oracle())
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the support-2 co-purchase graph (parts co-bought in
+    >= 2 orders): the maximal subgraph where every part keeps >= 3
+    such neighbors — the classic density filter that separates a
+    connected backbone from tendrils before community detection.
+
+    Spark side runs honest iterative peeling to the FIXPOINT: each
+    round is one degree aggregate + two semi-joins, edges
+    localCheckpoint()ed per round (the connected-components lineage
+    discipline) with a driver-side scalar edge count as the
+    convergence probe. Rounds are data-dependent (11 at sf0.01) but
+    each costs two key-partitioned shuffles — the same per-round shape
+    as connected_components_star; degeneracy-ordered peeling would
+    collapse rounds further if ever needed. The oracle unrolls 20
+    rounds of the identical peel as CTEs; the fixpoint makes the extra
+    rounds no-ops, so both engines agree exactly.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select("l_orderkey", "l_partkey").distinct()
+    e = (
+        po.alias("x")
+        .join(po.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    for _ in range(30):
+        sym = e.select(F.col("a").alias("x")).unionAll(
+            e.select(F.col("b").alias("x"))
+        )
+        keep = (
+            sym.groupBy("x")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select("x")
+        )
+        e = (
+            e.join(keep.select(F.col("x").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("x").alias("b")), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n_now = e.count()
+        if n_now == n_edges:
+            break
+        n_edges = n_now
+    core_nodes = (
+        e.select(F.col("a").alias("x"))
+        .unionAll(e.select(F.col("b").alias("x")))
+        .distinct()
+    )
+    stats = core_nodes.agg(
+        F.count("*").cast("long").alias("n_core_nodes"),
+        F.coalesce(F.sum("x"), F.lit(0)).cast("long").alias("checksum"),
+    )
+    m = e.agg(F.count("*").cast("long").alias("n_core_edges"))
+    return stats.crossJoin(F.broadcast(m)).select(
+        "n_core_nodes", "n_core_edges", "checksum"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_assortativity — degree assortativity of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+#: Shared formula: Pearson correlation of the degree pairs at the two
+#: ends of every edge (both directions, the standard symmetrized form),
+#: from exact integer sufficient statistics — one text, both engines.
+_ASSORT_FINAL = [
+    "CAST(m AS BIGINT) AS n_edge_ends",
+    "round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)"
+    " AS assortativity",
+]
+
+
+@query(
+    "q_assortativity",
+    oracle=f"""
+    WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT a.l_partkey AS a, b.l_partkey AS b
+        FROM po a JOIN po b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    sym AS (SELECT a AS x FROM e UNION ALL SELECT b FROM e),
+    deg AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY x),
+    ends AS (
+        SELECT da.d AS dx, db.d AS dy
+        FROM e JOIN deg da ON da.x = e.a JOIN deg db ON db.x = e.b
+        UNION ALL
+        SELECT db.d, da.d
+        FROM e JOIN deg da ON da.x = e.a JOIN deg db ON db.x = e.b
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+               CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+               CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+               CAST(SUM(dy * dy) AS BIGINT) AS syy
+        FROM ends
+    )
+    SELECT {", ".join(_ASSORT_FINAL)} FROM s
+    """,
+)
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph: the Pearson
+    correlation of the degrees at the two ends of every edge
+    (symmetrized) — positive means hubs buy with hubs, negative means
+    hub-and-spoke structure; the one-number summary behind mixing
+    analysis (Newman, "Assortative mixing in networks", public
+    knowledge).
+
+    Exactness: degrees are integers, so the five sufficient statistics
+    are exact int64 sums (degrees <= ~10^4 here keep dx*dy sums far
+    from overflow at any realistic graph); the correlation is ONE
+    shared formula text over those integers — identical doubles in
+    both engines, rounded before compare. Scale: degree aggregate, two
+    broadcast-or-shuffle equi-joins to attach end degrees, one
+    map-side-combined sum pass — no quadratic step anywhere.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select("l_orderkey", "l_partkey").distinct()
+    e = (
+        po.alias("x")
+        .join(po.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    sym = e.select(F.col("a").alias("x")).unionAll(
+        e.select(F.col("b").alias("x"))
+    )
+    deg = sym.groupBy("x").agg(F.count("*").cast("long").alias("d"))
+    joined = e.join(
+        deg.select(F.col("x").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("x").alias("b"), F.col("d").alias("db")), "b")
+    ends = joined.select(
+        F.col("da").alias("dx"), F.col("db").alias("dy")
+    ).unionAll(joined.select(F.col("db").alias("dx"), F.col("da").alias("dy")))
+    s = ends.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+    )
+    return s.selectExpr(*_ASSORT_FINAL)
