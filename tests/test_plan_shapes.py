@@ -342,3 +342,14 @@ def test_copurchase_bfs_frontier_is_checkpointed(spark):
     # survive into the final plan.
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") <= 4
+
+
+def test_kcore_final_plan_is_checkpoint_shallow(spark):
+    """Every peel round ran eagerly at checkpoint time, so the final
+    plan must read checkpointed RDDs and stay shallow — not a
+    rounds-deep join tree."""
+    plan = _plan(spark, "q_kcore")
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 6
