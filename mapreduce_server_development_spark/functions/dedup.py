@@ -309,6 +309,11 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-dup candidate pairs via SimHash 4-band blocking.
 
+    ``max_hamming`` must be <= 3: with 4 bands over 64 bits the
+    pigeonhole only guarantees a shared band for hamming <= 3, so a
+    larger threshold would silently lose recall (rejected below
+    instead).
+
     Joins on any one of the four 16-bit bands matching exactly
     (pigeonhole: hamming <= 3 over 64 bits implies >= 1 identical
     band), then filters by exact hamming distance via bit_count(xor)
@@ -339,6 +344,11 @@ def simhash_near_pairs(
     16 bytes of key + the 4 band columns — cheaper than three extra
     join stages.
     """
+    if max_hamming > 3:
+        raise ValueError(
+            "simhash_near_pairs: 4-band blocking only guarantees recall "
+            "for max_hamming <= 3 (pigeonhole over 64 bits)"
+        )
     s = simhash64(df, text_col, id_col)
     bands = F.array(
         *[

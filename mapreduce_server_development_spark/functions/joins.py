@@ -32,13 +32,20 @@ def asof_join(
     right row exists). Tag ordering makes the comparison strict: at
     equal timestamps the left row sorts BEFORE the right row, so a
     same-instant right row is never matched.
+
+    The right columns travel as ONE struct so the attached values all
+    come from the SAME right row — per-column ``last(ignorenulls)``
+    would stitch a composite row together whenever the most recent
+    right row holds a NULL in one of its columns.
     """
-    rtypes = dict(right.dtypes)
+    from pyspark.sql import types as T
+
+    stype = T.StructType([right.schema[c] for c in right_cols])
     l2 = left.select(
         "*",
         F.col(left_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.lit(None).cast(rtypes[c]).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(stype).alias("__r"),
     )
     r2 = right.select(
         # Right rows keep their OWN key (it is the partition column);
@@ -49,22 +56,24 @@ def asof_join(
         ],
         F.col(right_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.struct(*[F.col(c).alias(c) for c in right_cols])
+        .cast(stype)
+        .alias("__r"),
     )
     u = l2.unionByName(r2)
     w = (
         Window.partitionBy(by)
-        .orderBy("__ts", "__side", f"__r_{right_cols[0]}")
+        .orderBy("__ts", "__side", "__r")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    last_r = F.last("__r", ignorenulls=True).over(w)
     matched = [
-        F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
-        for c in right_cols
+        last_r.getField(c).alias(f"{prefix}{c}") for c in right_cols
     ]
     return (
         u.select("*", *matched)
         .filter(F.col("__side") == 0)
-        .drop("__ts", "__side", *[f"__r_{c}" for c in right_cols])
+        .drop("__ts", "__side", "__r")
     )
 
 
@@ -95,6 +104,10 @@ def packed_bloom_semijoin(
     May admit false positives (size ``bits`` ~ 10x build keys for ~1%);
     never drops a true member. Returns passing probe rows unchanged.
     """
+    if bits % 64 != 0 or bits <= 0:
+        raise ValueError("bits must be a positive multiple of 64")
+    if k < 1:
+        raise ValueError("k must be >= 1")
     n_words = bits // 64
 
     def positions(key_col):

@@ -47,6 +47,10 @@ def global_running_sum(
     same physical one (range boundaries come from sampling and must not
     be recomputed between passes).
     """
+    import decimal
+
+    from pyspark.sql import types as T
+
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     part = (
         df.repartitionByRange(n, F.col(order_col))
@@ -54,19 +58,31 @@ def global_running_sum(
         .withColumn(_PID, F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    # Tiny: one row per partition.
-    totals = (
-        part.groupBy(_PID)
-        .agg(F.sum(value_col).alias("t"))
-        .collect()
-    )
-    by_pid = {r[_PID]: r["t"] or 0 for r in totals}
-    offsets, acc = {}, 0
+    # Tiny: one row per partition. The offset column takes the SUM's
+    # own result type (long sums stay long, double double, decimal the
+    # widened decimal) so non-integer value columns work too.
+    totals_df = part.groupBy(_PID).agg(F.sum(value_col).alias("t"))
+    sum_type = totals_df.schema["t"].dataType
+    if isinstance(sum_type, T.DecimalType):
+        zero: object = decimal.Decimal(0)
+    elif isinstance(sum_type, (T.DoubleType, T.FloatType)):
+        zero = 0.0
+    else:
+        zero = 0
+    totals = totals_df.collect()
+    by_pid = {r[_PID]: (r["t"] if r["t"] is not None else zero) for r in totals}
+    offsets, acc = {}, zero
     for pid in sorted(by_pid):
         offsets[pid] = acc
         acc += by_pid[pid]
     off_df = df.sparkSession.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], f"{_PID} int, {_OFF} long"
+        [(pid, off) for pid, off in offsets.items()],
+        T.StructType(
+            [
+                T.StructField(_PID, T.IntegerType()),
+                T.StructField(_OFF, sum_type),
+            ]
+        ),
     )
     w = (
         Window.partitionBy(_PID)

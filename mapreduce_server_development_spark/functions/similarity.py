@@ -180,7 +180,10 @@ def ivf_topk(
         .select("qid", "vid")
         .distinct()
     )
-    qv = base.select(
+    # Broadcast only the QUERY vectors — the unfiltered corpus would be
+    # an all-to-one broadcast of every embedding row (the exact pattern
+    # this module exists to avoid).
+    qv = base.filter(F.col("vid") <= query_max_id).select(
         F.col("vid").alias("qid"), F.col("v").alias("q_v"), F.col("nrm").alias("q_nrm")
     )
     cos = F.round(_dot(F.col("v"), F.col("q_v")) / (F.col("nrm") * F.col("q_nrm")), 4)
@@ -337,6 +340,7 @@ def semantic_dedup_flags(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication flags (Abbas et al. 2023,
     arXiv:2303.09540): coarse-cluster the embedding space, then mark as
@@ -351,9 +355,12 @@ def semantic_dedup_flags(
     ``ivf_topk(train_iters=...)`` for production quality). The
     pairwise stage is an equi-join on the cluster id — quadratic only
     WITHIN a cell, never across the corpus. At 100 TB, cell population
-    is held bounded by growing nlist ~ sqrt(n) (FAISS practice), and a
-    hot-cell cap (same broadcast anti-join as dedup.py's hot-bucket
-    prunes) bounds the worst cell.
+    is held bounded by growing nlist ~ sqrt(n) (FAISS practice), and
+    ``max_cell_size`` adds the hot-cell cap (same broadcast anti-join
+    as dedup.py's hot-bucket prunes): cells above the cap skip the
+    pairwise stage entirely (their members are never flagged — the
+    documented recall tradeoff of every hot-bucket prune here).
+    Library default ``None`` = exhaustive, no silent recall change.
 
     Returns one row per vector: (vec_id, cid, is_dup 0/1).
     """
@@ -378,11 +385,20 @@ def semantic_dedup_flags(
         .select("vid", "cid")
         .join(base, "vid")
     )
-    a = assign.select(
+    pairwise_src = assign
+    if max_cell_size is not None:
+        hot = (
+            assign.groupBy("cid")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_cell_size)
+            .select("cid")
+        )
+        pairwise_src = assign.join(F.broadcast(hot), "cid", "left_anti")
+    a = pairwise_src.select(
         F.col("cid"), F.col("vid").alias("id_a"), F.col("v").alias("va"),
         F.col("nrm").alias("na"),
     )
-    b = assign.select(
+    b = pairwise_src.select(
         F.col("cid"), F.col("vid").alias("id_b"), F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
     )

@@ -30,8 +30,25 @@ def salted_join(
     only helps if values within the hot key differ — pass a row-unique
     column like the fact table's primary key for real skew).
     The build side is exploded once per salt value; result equals
-    ``probe.join(build, on, how)`` exactly.
+    ``probe.join(build, on, how)`` exactly for probe-preserving joins.
+    ``right``/``full``/``right_semi``/``right_anti`` are rejected: an
+    unmatched build row exists once per salt replica, so those joins
+    would emit it ``num_salts`` times instead of once.
     """
+    if how.replace("_", "").lower() not in {
+        "inner",
+        "left",
+        "leftouter",
+        "cross",
+        "leftsemi",
+        "semi",
+        "leftanti",
+        "anti",
+    }:
+        raise ValueError(
+            f"salted_join cannot preserve {how!r} semantics: the "
+            "replicated build side would duplicate unmatched build rows"
+        )
     salt = F.pmod(F.hash(F.col(salt_src or on)), F.lit(num_salts))
     p = probe.withColumn("__salt", salt)
     b = build.withColumn(

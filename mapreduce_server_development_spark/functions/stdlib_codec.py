@@ -21,7 +21,7 @@ bytes→pixels work while staying exactly reproducible in the DuckDB
 oracle (which recomputes the pixel arithmetic in SQL).
 
 Deterministic fixture (mirrored by the oracle):
-``width = 4 + doc_id % 9``, ``height = 4 + (doc_id * 7) % 7``,
+``width = 4 + doc_id % 9``, ``height = 4 + (doc_id * 3) % 7``,
 ``pixel(x, y) = (doc_id + 3*x + 7*y) % 256`` — PNG stores it as
 grayscale (1 channel), BMP and PPM replicate it across RGB
 (3 channels). Formats cycle png/bmp/ppm by ``doc_id % 3``.
@@ -47,7 +47,11 @@ from pyspark.sql import DataFrame
 
 def fixture_dims(doc_id: int) -> tuple[int, int]:
     """(width, height) of the synthetic image for a document."""
-    return 4 + doc_id % 9, 4 + (doc_id * 7) % 7
+    # (doc_id * 3) % 7 cycles through every residue — an earlier
+    # (doc_id * 7) % 7 was identically zero, collapsing every
+    # fixture image to height 4 and never exercising varying
+    # scanline counts.
+    return 4 + doc_id % 9, 4 + (doc_id * 3) % 7
 
 
 def fixture_rows(doc_id: int, w: int, h: int) -> list[bytes]:

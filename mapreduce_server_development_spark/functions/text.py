@@ -23,9 +23,14 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 
 
 def tokens_col(text: Column | str, delimiter: str = " ") -> Column:
-    """Whitespace tokens with empties removed (array<string>)."""
+    """Tokens split on the LITERAL ``delimiter`` with empties removed
+    (array<string>). The delimiter is regex-escaped before reaching
+    ``split`` — a raw ``.`` or ``|`` would otherwise be interpreted as
+    a Java regex and split on everything/nothing."""
+    import re
+
     c = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(c, delimiter), lambda t: t != "")
+    return F.filter(F.split(c, re.escape(delimiter)), lambda t: t != "")
 
 
 def word_shingles(tokens: Column, n: int) -> Column:

@@ -137,7 +137,7 @@ def q_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH dims AS (
         SELECT doc_id,
                4 + doc_id % 9 AS w,
-               4 + (doc_id * 7) % 7 AS h,
+               4 + (doc_id * 3) % 7 AS h,
                CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
                     ELSE 'ppm' END AS fmt,
                CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS channels

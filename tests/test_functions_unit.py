@@ -274,3 +274,111 @@ def test_chunked_trailing_window_matches_monolithic(spark):
         chunked_trailing_window(
             seq, "key", "rn", frame=50, chunk_rows=10, aggs=lambda w: []
         )
+
+
+def test_asof_join_attaches_one_right_row_even_with_nulls(spark):
+    """The attached columns must all come from the SAME (most recent)
+    right row — per-column last(ignorenulls) would stitch a composite
+    row whenever the latest right row holds a NULL."""
+    from mapreduce_server_development_spark.functions.joins import asof_join
+
+    right = spark.createDataFrame(
+        [("u", 1, 10, 5), ("u", 2, None, 7)],
+        "k string, ts long, price long, qty long",
+    )
+    left = spark.createDataFrame([("u", 3)], "k string, ts long")
+    row = asof_join(left, right, "k", "ts", "ts", ["price", "qty"]).collect()[0]
+    assert row.asof_price is None and row.asof_qty == 7
+
+
+def test_salted_join_rejects_build_preserving_modes(spark):
+    import pytest
+
+    from mapreduce_server_development_spark.functions.skew import salted_join
+
+    p = spark.createDataFrame([(1, "x")], "k long, a string")
+    b = spark.createDataFrame([(1, "y")], "k long, b string")
+    assert salted_join(p, b, "k").count() == 1
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError):
+            salted_join(p, b, "k", how=how)
+
+
+def test_global_running_sum_non_long_values(spark):
+    """Offsets must take the sum's own type — double and decimal value
+    columns, not just long."""
+    from decimal import Decimal
+
+    from mapreduce_server_development_spark.functions.prefix import (
+        global_running_sum,
+    )
+
+    d = spark.createDataFrame(
+        [(i, float(i) / 4) for i in range(40)], "k long, v double"
+    )
+    got = {
+        r["k"]: r["running_sum"]
+        for r in global_running_sum(d, "k", "v", num_partitions=5).collect()
+    }
+    assert abs(got[39] - sum(i / 4 for i in range(40))) < 1e-9
+
+    dd = spark.createDataFrame(
+        [(i, Decimal(i)) for i in range(40)], "k long, v decimal(10,2)"
+    )
+    got2 = {
+        r["k"]: r["running_sum"]
+        for r in global_running_sum(dd, "k", "v", num_partitions=5).collect()
+    }
+    assert got2[39] == Decimal(sum(range(40)))
+
+
+def test_simhash_rejects_wide_hamming(spark):
+    import pytest
+
+    from mapreduce_server_development_spark.functions.dedup import (
+        simhash_near_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        simhash_near_pairs(df, max_hamming=4)
+
+
+def test_packed_bloom_validates_geometry(spark):
+    import pytest
+
+    from mapreduce_server_development_spark.functions.joins import (
+        packed_bloom_semijoin,
+    )
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        packed_bloom_semijoin(df, df, "k", "k", bits=1000)
+    with pytest.raises(ValueError):
+        packed_bloom_semijoin(df, df, "k", "k", k=0)
+
+
+def test_tokens_col_delimiter_is_literal(spark):
+    from mapreduce_server_development_spark.functions.text import tokens_col
+
+    df = spark.createDataFrame([("a.b.c",)], "s string")
+    assert df.select(tokens_col("s", ".").alias("t")).collect()[0]["t"] == [
+        "a",
+        "b",
+        "c",
+    ]
+
+
+def test_semantic_dedup_hot_cell_cap(spark):
+    """Cells above max_cell_size skip the pairwise stage — their
+    members are never flagged (the documented prune tradeoff)."""
+    from mapreduce_server_development_spark.functions.similarity import (
+        semantic_dedup_flags,
+    )
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(1, 9)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    flagged = semantic_dedup_flags(emb, nlist=1, threshold=0.9)
+    assert sum(r.is_dup for r in flagged.collect()) == 7  # all but min id
+    capped = semantic_dedup_flags(emb, nlist=1, threshold=0.9, max_cell_size=3)
+    assert sum(r.is_dup for r in capped.collect()) == 0
