@@ -36,15 +36,25 @@ def _abs_executable(executable: str | list) -> str | list:
     """Resolve an executable spec's program path against the caller's
     cwd (arguments untouched) — same reasoning as the input/output
     dirs: the daemon's cwd is unrelated and fire-and-forget hides a
-    misresolution."""
+    misresolution. Bare command names that resolve via PATH (``sort``,
+    ``cat``) are left alone: abspath would turn them into nonexistent
+    cwd-relative paths that only fail server-side."""
     import shlex
+    import shutil
 
     if isinstance(executable, (list, tuple)):
         parts = list(executable)
     else:
         parts = shlex.split(str(executable))
     if parts:
-        parts[0] = os.path.abspath(parts[0])
+        prog = str(parts[0])
+        if os.sep in prog or os.path.exists(prog):
+            parts[0] = os.path.abspath(prog)
+        elif shutil.which(prog) is None:
+            # Neither a cwd-relative path nor on PATH: fail fast here
+            # rather than letting the daemon log a FileNotFoundError
+            # the fire-and-forget client never sees.
+            raise FileNotFoundError(f"executable not found: {prog!r}")
     return parts
 
 
@@ -65,14 +75,27 @@ def _cmd_submit(args: argparse.Namespace) -> int:
             )
             return 1
         port = info["port"]
+        if args.port != daemonmod.DEFAULT_PORT and args.port != port:
+            # An EXPLICIT --port wins over the pidfile (reference
+            # submit.py sends to the port the user gave — e.g. a second
+            # daemon or the reference manager itself); silently
+            # redirecting to the pidfile's port would run the job on
+            # the wrong engine with exit 0.
+            port = args.port
+        try:
+            mapper = _abs_executable(args.mapper_executable)
+            reducer = _abs_executable(args.reducer_executable)
+        except FileNotFoundError as e:
+            print(f"Failed to send job to manager: {e}", file=sys.stderr)
+            return 1
         ok = daemonmod.send_message(
             port,
             {
                 "message_type": "new_manager_job",
                 "input_directory": os.path.abspath(args.input_directory),
                 "output_directory": os.path.abspath(args.output_directory),
-                "mapper_executable": _abs_executable(args.mapper_executable),
-                "reducer_executable": _abs_executable(args.reducer_executable),
+                "mapper_executable": mapper,
+                "reducer_executable": reducer,
                 "num_mappers": args.num_mappers,
                 "num_reducers": args.num_reducers,
                 "compat": not args.no_compat,

@@ -87,9 +87,20 @@ def _looks_like_daemon(pid: int) -> bool:
         return True  # no /proc: cannot disambiguate; trust pid-alive
     # The daemon is always a python interpreter running this package
     # (cli.py launches `python -m mapreduce_server_development_spark
-    # _daemon ...`; console scripts embed the package path too), so
-    # "mapreduce" appears in argv either way.
-    return b"mapreduce" in cmdline
+    # _daemon ...`) or one of its console scripts. Match those
+    # precisely — a bare "mapreduce" substring would also match an
+    # innocent `vim mapreduce.py` on a recycled pid, which _cmd_stop
+    # would then SIGKILL.
+    args = cmdline.split(b"\0")
+    scripts = {
+        b"mapreduce-spark",
+        b"mapreduce-manager",
+        b"mapreduce-worker",
+        b"mapreduce-submit",
+    }
+    if any(b"mapreduce_server_development_spark" in a for a in args):
+        return True
+    return bool(args) and os.path.basename(args[0]) in scripts
 
 
 def read_pidfile(pidfile: str) -> dict | None:
@@ -177,53 +188,82 @@ def serve(port: int = DEFAULT_PORT, pidfile: str = DEFAULT_PIDFILE) -> int:
                       file=sys.stderr, flush=True)
 
     runner = threading.Thread(target=worker, name="job-runner")
-    runner.start()
-
     stop_evt = threading.Event()
-    for sig in (signal.SIGTERM, signal.SIGINT):
-        signal.signal(sig, lambda *_: stop_evt.set())
-
-    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
-    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-    srv.bind(("127.0.0.1", port))
-    srv.listen(8)
-    srv.settimeout(0.5)  # poll stop_evt between accepts
-
-    # Auth: a random per-run token, distributed via the owner-only
-    # pidfile. TCP gives no portable peer-uid check, and a tokenless
-    # localhost port would let ANY local user run arbitrary executables
-    # as the daemon's owner — strict reference wire parity (bare
-    # netcat) loses to that; the CLI attaches the token automatically.
-    token = secrets.token_hex(16)
-    # 0600 from the first byte: create-then-chmod would leave a window
-    # in which another local user reads the token from the well-known
-    # per-uid path. O_EXCL + O_NOFOLLOW after unlinking any stale file:
-    # a planted symlink (or a daemon racing this one past the CLI's
-    # double-start check) fails the open instead of truncating an
-    # attacker-chosen target / tearing a live daemon's pidfile.
-    Path(pidfile).unlink(missing_ok=True)  # stale file from a SIGKILL
-    fd = os.open(
-        pidfile,
-        os.O_WRONLY | os.O_CREAT | os.O_EXCL | os.O_NOFOLLOW,
-        0o600,
-    )
-    with os.fdopen(fd, "w") as f:
-        f.write(json.dumps({"pid": os.getpid(), "port": port, "auth": token}))
-    print(f"mapreduce-spark daemon listening on 127.0.0.1:{port} "
-          f"(spark {spark.version}, pidfile {pidfile})", flush=True)
+    srv: socket.socket | None = None
+    pidfile_written = False
+    # EVERYTHING that can fail (bind EADDRINUSE, pidfile O_EXCL) sits
+    # inside the try: the finally must always feed the runner its
+    # sentinel and stop Spark, else a non-daemon thread blocked on
+    # jobs.get() keeps the process (and its JVM) alive forever.
     try:
+        runner.start()
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            signal.signal(sig, lambda *_: stop_evt.set())
+
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind(("127.0.0.1", port))
+        srv.listen(8)
+        srv.settimeout(0.5)  # poll stop_evt between accepts
+
+        # Auth: a random per-run token, distributed via the owner-only
+        # pidfile. TCP gives no portable peer-uid check, and a tokenless
+        # localhost port would let ANY local user run arbitrary
+        # executables as the daemon's owner — strict reference wire
+        # parity (bare netcat) loses to that; the CLI attaches the
+        # token automatically.
+        token = secrets.token_hex(16)
+        # 0600 from the first byte: create-then-chmod would leave a
+        # window in which another local user reads the token from the
+        # well-known per-uid path. O_EXCL + O_NOFOLLOW: a planted
+        # symlink (or a racing daemon) fails the open instead of
+        # truncating an attacker-chosen target. A pre-existing pidfile
+        # is removed ONLY when its owner is dead (read_pidfile probes
+        # liveness) — unconditionally unlinking would orphan a LIVE
+        # daemon that won the start race.
+        if os.path.exists(pidfile):
+            if read_pidfile(pidfile) is not None:
+                raise RuntimeError(
+                    f"another daemon already owns {pidfile}; "
+                    "stop it first or use a different --pidfile"
+                )
+            Path(pidfile).unlink(missing_ok=True)  # stale: owner is dead
+        fd = os.open(
+            pidfile,
+            os.O_WRONLY | os.O_CREAT | os.O_EXCL | os.O_NOFOLLOW,
+            0o600,
+        )
+        pidfile_written = True
+        with os.fdopen(fd, "w") as f:
+            f.write(
+                json.dumps({"pid": os.getpid(), "port": port, "auth": token})
+            )
+        print(f"mapreduce-spark daemon listening on 127.0.0.1:{port} "
+              f"(spark {spark.version}, pidfile {pidfile})", flush=True)
         while not stop_evt.is_set():
             try:
                 conn, _ = srv.accept()
             except socket.timeout:
                 continue
-            with conn:
-                msg = _recv_json(conn)
+            # Per-connection fault isolation: a hostile or broken client
+            # (RST mid-read, never-closing socket, non-ASCII auth) must
+            # cost one connection, never the daemon. accept() returns a
+            # BLOCKING socket regardless of the listener timeout, so an
+            # explicit per-connection deadline bounds a client that
+            # connects and goes silent.
+            try:
+                with conn:
+                    conn.settimeout(5.0)
+                    msg = _recv_json(conn)
+            except OSError:
+                continue
             if not msg:
                 continue
-            # Constant-time compare: a plain != leaks a timing oracle on
-            # the token that gates arbitrary-executable job submission.
-            if not hmac.compare_digest(str(msg.get("auth") or ""), token):
+            # Constant-time compare on BYTES: a plain != leaks a timing
+            # oracle on the token, and compare_digest on str raises for
+            # non-ASCII input (a crash a tokenless client could force).
+            supplied = str(msg.get("auth") or "").encode("utf-8", "replace")
+            if not hmac.compare_digest(supplied, token.encode("utf-8")):
                 print("rejecting message with missing/invalid auth token",
                       file=sys.stderr, flush=True)
                 continue
@@ -237,10 +277,13 @@ def serve(port: int = DEFAULT_PORT, pidfile: str = DEFAULT_PIDFILE) -> int:
                 print(f"ignoring message_type={mtype!r}",
                       file=sys.stderr, flush=True)
     finally:
-        srv.close()
+        if srv is not None:
+            srv.close()
         jobs.put(None)  # drain: queued jobs still run before the sentinel
-        runner.join()
+        if runner.is_alive():
+            runner.join()
         spark.stop()
-        Path(pidfile).unlink(missing_ok=True)
+        if pidfile_written:
+            Path(pidfile).unlink(missing_ok=True)
         print("mapreduce-spark daemon stopped", flush=True)
     return 0

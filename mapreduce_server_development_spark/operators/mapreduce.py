@@ -44,6 +44,7 @@ exactly and parallelizes per file.
 
 from __future__ import annotations
 
+import os
 import shlex
 import shutil
 from dataclasses import asdict, dataclass
@@ -133,6 +134,38 @@ def _pipe_per_file(sc: SparkContext, files: list[str], executable: str | list[st
     return sc.union(rdds)
 
 
+#: Characters Hadoop's path resolution treats specially: textFile's
+#: path string is comma-split into multiple paths, then each is a glob.
+_HADOOP_PATH_SPECIALS = ",{}[]*?"
+
+
+def _safe_input_paths(files: list[str]) -> tuple[list[str], str | None]:
+    """Route file paths containing Hadoop glob/comma metacharacters
+    through temp symlinks with safe names.
+
+    ``sc.textFile("a,b.txt")`` reads two nonexistent paths, and
+    ``log[1].txt`` is a character-class glob — the reference worker
+    opens files directly and handles any name, so parity requires the
+    detour. Returns (paths, tempdir-to-clean or None); the symlinks
+    must outlive the job's action, so the caller cleans up after the
+    sink completes.
+    """
+    import tempfile
+
+    safe: list[str] = []
+    tmpdir: str | None = None
+    for f in files:
+        if any(ch in f for ch in _HADOOP_PATH_SPECIALS):
+            if tmpdir is None:
+                tmpdir = tempfile.mkdtemp(prefix="mr_safe_inputs_")
+            link = os.path.join(tmpdir, f"input{len(safe):05d}")
+            os.symlink(os.path.abspath(f), link)
+            safe.append(link)
+        else:
+            safe.append(f)
+    return safe, tmpdir
+
+
 def run_job(
     spark: SparkSession,
     input_directory: str,
@@ -156,10 +189,33 @@ def run_job(
         for p in Path(input_directory).glob("*")
         if p.is_file() and not p.name.startswith((".", "_"))
     )
-    # F2 round-robin task lists: computed for parity/observability; the
-    # per-file pipe below subsumes them for execution.
-    round_robin_partition(files, num_mappers)
+    files, tmpdir = _safe_input_paths(files)
+    try:
+        return _run_job_stages(
+            sc,
+            files,
+            output_directory,
+            mapper_executable,
+            reducer_executable,
+            num_reducers,
+            compat,
+        )
+    finally:
+        # The symlink detour (Hadoop-metachar file names) lives until
+        # the sink's action has consumed every input.
+        if tmpdir is not None:
+            shutil.rmtree(tmpdir, ignore_errors=True)
 
+
+def _run_job_stages(
+    sc: SparkContext,
+    files: list[str],
+    output_directory: str,
+    mapper_executable: str | list[str],
+    reducer_executable: str | list[str],
+    num_reducers: int,
+    compat: bool,
+) -> list[str]:
     mapped = _pipe_per_file(sc, files, mapper_executable)
 
     n = max(1, num_reducers)
@@ -198,23 +254,14 @@ def run_job(
 
 
 def _sink_numbered(rdd: RDD, output_directory: str) -> list[str]:
-    """F8 sink: overwrite the output dir; part-i → outputfile(i+1)."""
-    out = Path(output_directory)
-    if out.exists():
-        shutil.rmtree(out)
-    staging = Path(str(out) + ".__mr_staging__")
-    if staging.exists():
-        shutil.rmtree(staging)
+    """F8 sink: overwrite the output dir; part-i → outputfile(i+1).
+    Shares the prepare/rename sequence with the DataFrame sink
+    (sources/text.py) so the naming semantics can't drift."""
+    from ..sources.text import collect_numbered_outputs, prepare_numbered_sink
+
+    out, staging = prepare_numbered_sink(output_directory)
     rdd.saveAsTextFile(str(staging))
-    out.mkdir(parents=True)
-    outputs: list[str] = []
-    parts = sorted(p for p in staging.glob("part-*") if not p.name.endswith(".crc"))
-    for i, part in enumerate(parts, start=1):
-        dest = out / f"outputfile{i:02d}"
-        shutil.move(str(part), dest)
-        outputs.append(str(dest))
-    shutil.rmtree(staging)
-    return outputs
+    return collect_numbered_outputs(out, staging)
 
 
 def submit(spark: SparkSession, spec: JobSpec, compat: bool = True) -> list[str]:

@@ -22,6 +22,36 @@ def read_text_dir(spark: SparkSession, input_dir: str) -> DataFrame:
     return spark.read.text(input_dir)
 
 
+def prepare_numbered_sink(output_dir: str) -> tuple[Path, Path]:
+    """F8 sink setup shared by the DataFrame and RDD writers: delete +
+    recreate the output dir (reference overwrite semantics) and return
+    (out, empty staging path) for the writer to fill."""
+    out = Path(output_dir)
+    if out.exists():
+        shutil.rmtree(out)
+    staging = out.parent / (out.name + ".__staging__")
+    if staging.exists():
+        shutil.rmtree(staging)
+    return out, staging
+
+
+def collect_numbered_outputs(out: Path, staging: Path) -> list[str]:
+    """F8 sink finish shared by the DataFrame and RDD writers: rename
+    staged ``part-*`` files (sorted, .crc excluded) to
+    ``outputfile01..NN`` and drop the staging dir."""
+    out.mkdir(parents=True)
+    parts = sorted(
+        p for p in staging.glob("part-*") if not p.name.endswith(".crc")
+    )
+    renamed: list[str] = []
+    for i, part in enumerate(parts, start=1):
+        dest = out / f"outputfile{i:02d}"
+        shutil.move(str(part), dest)
+        renamed.append(str(dest))
+    shutil.rmtree(staging)
+    return renamed
+
+
 def write_text_numbered(df: DataFrame, output_dir: str, num_files: int | None = None) -> list[str]:
     """Write a single-string-column DataFrame as ``outputfile01..NN``.
 
@@ -33,23 +63,8 @@ def write_text_numbered(df: DataFrame, output_dir: str, num_files: int | None = 
     AQE coalescing must not change them (repartition after the shuffle
     boundary keeps the count stable).
     """
-    out = Path(output_dir)
-    if out.exists():
-        shutil.rmtree(out)
-    staging = out.parent / (out.name + ".__staging__")
-    if staging.exists():
-        shutil.rmtree(staging)
-
+    out, staging = prepare_numbered_sink(output_dir)
     if num_files is not None:
         df = df.repartition(num_files)
     df.write.mode("overwrite").text(str(staging))
-
-    out.mkdir(parents=True)
-    parts = sorted(p for p in staging.glob("part-*") if not p.name.endswith(".crc"))
-    renamed: list[str] = []
-    for i, part in enumerate(parts, start=1):
-        dest = out / f"outputfile{i:02d}"
-        shutil.move(str(part), dest)
-        renamed.append(str(dest))
-    shutil.rmtree(staging)
-    return renamed
+    return collect_numbered_outputs(out, staging)

@@ -70,6 +70,27 @@ def test_daemon_lifecycle_and_remote_submit(tmp_path):
         res = _cli("status", *opts)
         assert "manager running" in res.stdout
 
+        # Hostile clients must cost one connection, never the daemon:
+        # a NON-ASCII auth string (hmac.compare_digest on str raises
+        # TypeError for those) and an abortive RST close mid-exchange.
+        with _socket.create_connection(("127.0.0.1", port), timeout=5) as s:
+            s.sendall(
+                _json.dumps(
+                    {"message_type": "shutdown", "auth": "über"}
+                ).encode("utf-8")
+            )
+        s2 = _socket.create_connection(("127.0.0.1", port), timeout=5)
+        s2.setsockopt(
+            _socket.SOL_SOCKET,
+            _socket.SO_LINGER,
+            __import__("struct").pack("ii", 1, 0),  # RST on close
+        )
+        s2.sendall(b'{"half')
+        s2.close()
+        time.sleep(1.0)
+        res = _cli("status", *opts)
+        assert "manager running" in res.stdout
+
         # restart = stop + start (bin/mapreduce:86-89): new pid, still up.
 
         old_pid = _json.loads(_Path(pidfile).read_text())["pid"]

@@ -376,3 +376,34 @@ def test_empty_input_directory(spark, tmp_path):
     assert [o.rsplit("/", 1)[1] for o in outs] == ["outputfile01"]
     with open(outs[0], encoding="utf-8") as f:
         assert f.read() == ""
+
+
+@needs_reference
+def test_input_files_with_hadoop_metachars(spark, tmp_path):
+    """sc.textFile comma-splits and glob-expands its path string; file
+    names containing , * ? [ ] { } must still be read byte-exactly
+    (the reference worker opens files directly and accepts any name)."""
+    from mapreduce_server_development_spark.operators import run_job
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    (indir / "a,b.txt").write_text("hello world\n")
+    (indir / "log[1].txt").write_text("hello again\n")
+    (indir / "plain.txt").write_text("world again\n")
+    outs = run_job(
+        spark,
+        str(indir),
+        str(tmp_path / "out"),
+        str(EXEC / "wc_map.sh"),
+        str(EXEC / "wc_reduce.sh"),
+        num_reducers=1,
+    )
+    from pathlib import Path
+
+    text = Path(outs[0]).read_text()
+    counts = dict(
+        line.split("\t") for line in text.strip().split("\n") if line
+    )
+    assert counts["hello"] == "2"
+    assert counts["world"] == "2"
+    assert counts["again"] == "2"
