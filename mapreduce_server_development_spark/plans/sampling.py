@@ -236,7 +236,7 @@ def _u32_sql(hash_expr: str) -> str:
                    / GREATEST(n_chars, 1) * 1000000000) AS BIGINT) AS ikey
         FROM documents
     )
-    SELECT doc_id, n_chars, ikey
+    SELECT doc_id, n_chars
     FROM keyed
     ORDER BY ikey, doc_id
     LIMIT 100
@@ -251,10 +251,14 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5(salt:doc_id) (32 bits is plenty for ranking), and the key is
     rounded to integer NANO-units (the unigram-logprob fixed-point
     pattern) so a last-ulp ``ln`` difference between engines cannot
-    reorder the sample. Plan: scan → project → TakeOrderedAndProject
-    (per-partition top-k heaps) — one pass, no full sort, no shuffle
-    beyond the k-row gather; at 100 TB this is the cheapest exact
-    weighted draw there is.
+    reorder the sample except when two keys land within 1e-9 of each
+    other AND of a rounding boundary. The raw key is NOT emitted:
+    ``ln`` is not IEEE-correctly-rounded, so the integer key itself
+    can differ by 1 between libm implementations at a .5 boundary —
+    the SELECTED ids are ulp-stable, the key value is not. Plan: scan
+    → project → TakeOrderedAndProject (per-partition top-k heaps) —
+    one pass, no full sort, no shuffle beyond the k-row gather; at
+    100 TB this is the cheapest exact weighted draw there is.
     """
     docs = load_table(spark, sf_dir, "documents")
     h = F.md5(F.concat(F.lit("wrs:"), F.col("doc_id").cast("string")))
@@ -266,6 +270,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "n_chars", ikey.alias("ikey"))
         .orderBy("ikey", "doc_id")
         .limit(100)
+        .select("doc_id", "n_chars")
     )
 
 

@@ -88,6 +88,29 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+#: One-outstanding sink GC: every streaming run leaves behind either a
+#: driver-resident memory-sink table or an on-disk parquet/checkpoint
+#: tmpdir that the RETURNED DataFrame still references — so they cannot
+#: be dropped at return time, but a long-lived session (daemon, bench,
+#: the 180-query oracle sweep) would otherwise accumulate them without
+#: bound. Each new run releases the PREVIOUS run's sinks: callers
+#: consume a streaming query's result before invoking the next one
+#: (sequential harnesses), so at most one generation stays live.
+_prev_memory_sinks: list[str] = []
+_prev_sink_roots: list[str] = []
+
+
+def _gc_previous_sinks(spark: SparkSession) -> None:
+    while _prev_memory_sinks:
+        name = _prev_memory_sinks.pop()
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:  # noqa: BLE001 - best-effort GC
+            pass
+    while _prev_sink_roots:
+        shutil.rmtree(_prev_sink_roots.pop(), ignore_errors=True)
+
+
 @contextmanager
 def _stream_partitions(spark: SparkSession):
     """Pin ``spark.sql.shuffle.partitions`` (= streaming state-partition
@@ -121,7 +144,9 @@ def _run_to_memory(df: DataFrame, spark: SparkSession, mode: str = "complete") -
     sink materializes on the driver. Large row sets go through
     ``_run_to_files``.
     """
+    _gc_previous_sinks(spark)
     name = f"stream_sink_{uuid.uuid4().hex[:12]}"
+    _prev_memory_sinks.append(name)
     with _stream_partitions(spark):
         q = (
             df.writeStream.format("memory")
@@ -134,12 +159,16 @@ def _run_to_memory(df: DataFrame, spark: SparkSession, mode: str = "complete") -
     return spark.table(name)
 
 
-def _run_to_files(df: DataFrame, spark: SparkSession) -> DataFrame:
+def _run_to_files(df: DataFrame, spark: SparkSession, on_start=None) -> DataFrame:
     """Run a bounded append-mode stream to a parquet file sink and read
     it back — executors write part-files directly; the driver never
     holds the row set, so output size is unbounded (the production path
-    for large streaming outputs at 100 TB)."""
+    for large streaming outputs at 100 TB). ``on_start`` (if given)
+    receives the StreamingQuery right after start — observability
+    callers use it to capture the runId."""
+    _gc_previous_sinks(spark)
     root = tempfile.mkdtemp(prefix="stream_file_sink_")
+    _prev_sink_roots.append(root)
     out, ckpt = f"{root}/out", f"{root}/ckpt"
     with _stream_partitions(spark):
         q = (
@@ -150,6 +179,8 @@ def _run_to_files(df: DataFrame, spark: SparkSession) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
+        if on_start is not None:
+            on_start(q)
         q.awaitTermination()
     result = spark.read.parquet(out)
     # Checkpoint state is not needed once the bounded run is complete.
@@ -384,7 +415,12 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     event_id is unique in the fixture, so the watermark-state dedup is
     exactly reproduced by the keep-one-per-key oracle (MIN(event_type)
-    GROUP BY event_id — robust even if duplicates appear). Output goes
+    GROUP BY event_id). Note the oracle equivalence needs that
+    uniqueness: dropDuplicatesWithinWatermark keeps the FIRST-ARRIVED
+    row per key, so same-id rows with DIFFERENT payloads would make
+    the stream's survivor arrival-order-dependent while the oracle
+    picks the MIN — full-row-identical duplicates are the only kind
+    both sides collapse identically. Output goes
     through the parquet file sink (``_run_to_files``): the deduplicated
     row set grows linearly with the data, so the driver must never
     materialize it.
@@ -514,7 +550,9 @@ def q_stream_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     it deterministically overwrites its own version instead of
     double-counting or reading the path it is writing.
     """
+    _gc_previous_sinks(spark)
     root = tempfile.mkdtemp(prefix="stream_mv_")
+    _prev_sink_roots.append(root)
 
     def _versions() -> list[int]:
         return sorted(
@@ -615,15 +653,23 @@ def q_stream_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # Append mode + file sink: watermark-driven finalization, so the
         # progress events carry real state-operator and watermark fields.
-        _run_to_files(agg, spark)
+        run_ids: set[str] = set()
+        _run_to_files(agg, spark, on_start=lambda q: run_ids.add(str(q.runId)))
         # Listener bus is async: wait for at least one progress event
         # (bounded; availableNow runs emit within the run's lifetime).
         deadline = _time.time() + 30
-        while not progresses and _time.time() < deadline:
+        while (
+            not any(str(p.runId) in run_ids for p in progresses)
+            and _time.time() < deadline
+        ):
             _time.sleep(0.1)
     finally:
         spark.streams.removeListener(listener)
 
+    # The listener bus is SHARED: a long-lived session (daemon, bench,
+    # oracle sweep) may still be draining progress events from a prior
+    # streaming query when this one registers — keep only THIS run's.
+    progresses = [p for p in progresses if str(p.runId) in run_ids]
     rows = []
     for p in progresses:
         state = p.stateOperators[0] if p.stateOperators else None
@@ -896,10 +942,11 @@ def _stream_hourly_hll_oracle() -> str:
         SELECT date_trunc('hour', ts) AS h, COUNT(DISTINCT user_id) AS exact_users
         FROM events GROUP BY h
     )
-    SELECT s.h, s.s_scaled, CAST(s.empty_regs AS BIGINT) AS empty_regs,
+    SELECT strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour, s.s_scaled,
+           CAST(s.empty_regs AS BIGINT) AS empty_regs,
            CAST(e.exact_users AS BIGINT) AS exact_users
     FROM summed s JOIN exact e ON s.h = e.h
-    ORDER BY s.h
+    ORDER BY hour
     """
 
 
@@ -943,10 +990,18 @@ def q_stream_hourly_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
         F.countDistinct("user_id").cast("long").alias("exact_users")
     )
+    # Formatted at the output boundary like every sibling query: a raw
+    # TIMESTAMP column collects through the driver's OS timezone and
+    # would shift off-UTC machines.
     return (
         summed.join(exact, "h")
-        .select("h", "s_scaled", "empty_regs", "exact_users")
-        .orderBy("h")
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "s_scaled",
+            "empty_regs",
+            "exact_users",
+        )
+        .orderBy("hour")
     )
 
 
