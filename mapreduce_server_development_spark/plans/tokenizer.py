@@ -9,16 +9,28 @@ round after that touches only that compact relation. Each round is:
 
   adjacent-pair explode -> weighted count (map-side combinable)
   -> arg-max pair (TakeOrderedAndProject, deterministic tie-break)
-  -> 1-row broadcast -> literal string replace on the symbol sequence.
+  -> 1-row broadcast -> GREEDY-LEFT pair merge over the symbol array.
+
+The merge is a left fold with a string accumulator (both engines run
+the IDENTICAL fold): walking the symbols left to right, when the
+accumulator's last token equals the pair's first symbol and the
+current symbol equals the second, append without a separator —
+exactly Sennrich's greedy non-overlapping merge. A plain string
+``replace`` is NOT that operator: its matches consume the shared
+separator space, so every second consecutive occurrence survives
+(' a n a n ' -> ' an a n ', while BPE yields [an, an]) — the round-6
+review caught the repo using replace here, wrong in both engines at
+once and therefore invisible to the oracle.
 
 No driver collect anywhere: the winning pair stays a lazily-joined
 1-row broadcast, so the whole k-round training is ONE Spark plan (the
 same unrolled-iteration shape as functions/graph.py's PageRank).
 
-Cross-engine parity: symbol sequences are space-joined with sentinel
-padding, pair counts are exact integers, ties break on the pair string,
-and `replace` is greedy-left non-overlapping in both Spark (F.replace,
-literal) and DuckDB — verified equivalent (' a a a ' -> ' aa a ').
+Cross-engine parity: symbol sequences are space-joined with a leading
+sentinel space, pair counts are exact integers, ties break on the pair
+string, and the fold is expressed with the same ends_with/append
+semantics in Spark (``F.aggregate``) and DuckDB (``list_reduce`` over
+a ''-prepended list).
 
 Reference parity: the reference has no tokenizer surface; this is
 additive LLM-pipeline depth per the build brief.
@@ -27,7 +39,7 @@ additive LLM-pipeline depth per the build brief.
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_col, word_shingles
@@ -36,22 +48,114 @@ from .registry import query
 
 _ROUNDS = 6
 
+#: One-outstanding persist GC (same pattern as the streaming sink GC):
+#: each invocation persists one vocab-scale DataFrame per merge round
+#: (a measured 3.6x win — the state is consumed by both the next pair
+#: count and the next fold); they cannot be unpersisted at return time
+#: (the returned plan still reads them), so the NEXT invocation
+#: releases the previous one's.
+_prev_persists: list[DataFrame] = []
 
-def _bpe_oracle(rounds: int = _ROUNDS) -> str:
+
+def _gc_previous_persists() -> None:
+    while _prev_persists:
+        try:
+            _prev_persists.pop().unpersist()
+        except Exception:  # noqa: BLE001 - best-effort GC
+            pass
+
+
+def _word_state(docs: DataFrame) -> DataFrame:
+    """(word, cnt, seq): the vocabulary-scale training state; seq is
+    the space-joined character sequence with a leading space and the
+    </w> end-of-word marker."""
+    wfreq = (
+        docs.select(F.explode(tokens_col(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    chars = F.expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))")
+    return wfreq.select(
+        "word",
+        "cnt",
+        F.concat(F.lit(" "), F.concat_ws(" ", chars), F.lit(" </w>")).alias("seq"),
+    )
+
+
+def _syms() -> Column:
+    return F.filter(F.split(F.col("seq"), " "), lambda s: s != "")
+
+
+def _greedy_merge_fold() -> Column:
+    """Greedy-left BPE merge of the winning pair (_x, _y) over the
+    symbol array: fold with a string accumulator; when the last token
+    is _x and the current symbol is _y, append without a separator
+    (the merged token can never re-trigger: it differs from _x)."""
+    return F.aggregate(
+        _syms(),
+        F.lit(""),
+        lambda acc, t: F.when(
+            F.endswith(acc, F.concat(F.lit(" "), F.col("_x")))
+            & (t == F.col("_y")),
+            F.concat(acc, t),
+        ).otherwise(F.concat(acc, F.lit(" "), t)),
+    )
+
+
+def _merge_rounds(
+    w: DataFrame, rounds: int = _ROUNDS
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Run ``rounds`` BPE merge rounds on the word state; returns the
+    final state and the per-round 1-row winner DataFrames."""
+    merges: list[DataFrame] = []
+    for r in range(1, rounds + 1):
+        pairs = w.select("cnt", F.explode(word_shingles(_syms(), 2)).alias("pair"))
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("cnt").cast("long").alias("total"))
+            .orderBy(F.col("total").desc(), F.col("pair"))
+            .limit(1)
+            .select(F.lit(r).cast("long").alias("round"), "pair", "total")
+        )
+        merges.append(top)
+        best = top.select(
+            F.split(F.col("pair"), " ")[0].alias("_x"),
+            F.split(F.col("pair"), " ")[1].alias("_y"),
+        )
+        w = w.crossJoin(F.broadcast(best)).select(
+            "word", "cnt", _greedy_merge_fold().alias("seq")
+        )
+        # Each round's state is consumed twice (next round's pair agg +
+        # next fold) and the merge chain is a narrow projection
+        # ReuseExchange cannot share, so the recompute compounds per
+        # round. Persisting the vocab-scale state is a measured 3.6x
+        # win (7.7s -> 2.2s at sf0.1, round 5 A/B); released by the
+        # next invocation's _gc_previous_persists.
+        w = w.persist(StorageLevel.MEMORY_AND_DISK)
+        _prev_persists.append(w)
+    return w, merges
+
+
+def _bpe_cte_chain(rounds: int) -> str:
+    """Oracle CTE chain shared by train and encode: wfreq -> w0 ->
+    (pair count, winner, greedy fold) per round. MATERIALIZED is
+    load-bearing: each w{r} is referenced by both the next round's
+    pair count and the next fold, so inlined CTEs would re-expand the
+    corpus scan ~3^rounds times."""
     ctes = [
-        """wfreq AS (
+        """wfreq AS MATERIALIZED (
         SELECT tok AS word, COUNT(*) AS cnt FROM (
             SELECT unnest(list_filter(string_split(lower(text), ' '),
                                       t -> t <> '')) AS tok
             FROM documents
         ) GROUP BY tok
     )""",
-        """w0 AS (
+        """w0 AS MATERIALIZED (
         SELECT word, cnt,
                ' ' || array_to_string(
                    list_transform(range(1, length(word) + 1),
                                   i -> substr(word, i, 1)), ' ')
-                   || ' </w> ' AS seq
+                   || ' </w>' AS seq
         FROM wfreq
     )""",
     ]
@@ -69,23 +173,31 @@ def _bpe_oracle(rounds: int = _ROUNDS) -> str:
         ctes.append(f"""c{r} AS (
         SELECT pair, CAST(SUM(cnt) AS BIGINT) AS total FROM p{r} GROUP BY pair
     )""")
-        ctes.append(f"""b{r} AS (
+        ctes.append(f"""b{r} AS MATERIALIZED (
         SELECT {r} AS round, pair, total FROM c{r}
         ORDER BY total DESC, pair LIMIT 1
     )""")
-        ctes.append(f"""w{r} AS (
+        ctes.append(f"""w{r} AS MATERIALIZED (
         SELECT word, cnt,
-               replace(seq, ' ' || (SELECT pair FROM b{r}) || ' ',
-                       ' ' || (SELECT replace(pair, ' ', '') FROM b{r}) || ' ')
-                   AS seq
-        FROM w{r - 1}
+               list_reduce(
+                   list_prepend('', list_filter(string_split(seq, ' '),
+                                                x -> x <> '')),
+                   (acc, t) -> CASE
+                       WHEN ends_with(acc,
+                                      ' ' || split_part(b{r}.pair, ' ', 1))
+                            AND t = split_part(b{r}.pair, ' ', 2)
+                       THEN acc || t ELSE acc || ' ' || t END) AS seq
+        FROM w{r - 1}, b{r}
     )""")
+    return ",\n    ".join(ctes)
+
+
+def _bpe_oracle(rounds: int = _ROUNDS) -> str:
     union = "\n        UNION ALL ".join(
         f"SELECT * FROM b{r}" for r in range(1, rounds + 1)
     )
-    cte_block = ",\n    ".join(ctes)
     return f"""
-    WITH {cte_block}
+    WITH {_bpe_cte_chain(rounds)}
     SELECT CAST(round AS BIGINT) AS round, pair,
            replace(pair, ' ', '') AS merged, total AS pair_count
     FROM ({union})
@@ -98,55 +210,11 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn the first 6 BPE merges of the corpus — the tokenizer-
     training operator of the pipeline. See the module docstring for
     the scale argument (training runs on the Zipf-bounded word table,
-    each round a pair-count aggregate + 1-row broadcast replace, all
-    in one lazy plan)."""
+    each round a pair-count aggregate + 1-row broadcast greedy fold,
+    all in one lazy plan)."""
+    _gc_previous_persists()
     docs = load_table(spark, sf_dir, "documents")
-    wfreq = (
-        docs.select(F.explode(tokens_col(F.lower(F.col("text")))).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("cnt"))
-    )
-    chars = F.expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))")
-    w = wfreq.select(
-        "word",
-        "cnt",
-        F.concat(
-            F.lit(" "), F.concat_ws(" ", chars), F.lit(" </w> ")
-        ).alias("seq"),
-    )
-    merges = []
-    for r in range(1, _ROUNDS + 1):
-        syms = F.filter(F.split(F.col("seq"), " "), lambda s: s != "")
-        pairs = w.select(
-            "cnt", F.explode(word_shingles(syms, 2)).alias("pair")
-        )
-        top = (
-            pairs.groupBy("pair")
-            .agg(F.sum("cnt").cast("long").alias("total"))
-            .orderBy(F.col("total").desc(), F.col("pair"))
-            .limit(1)
-            .select(F.lit(r).cast("long").alias("round"), "pair", "total")
-        )
-        merges.append(top)
-        best = top.select(
-            F.col("pair").alias("_pat"),
-            F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("_rep"),
-        )
-        w = w.crossJoin(F.broadcast(best)).select(
-            "word",
-            "cnt",
-            F.replace(
-                F.col("seq"),
-                F.concat(F.lit(" "), F.col("_pat"), F.lit(" ")),
-                F.concat(F.lit(" "), F.col("_rep"), F.lit(" ")),
-            ).alias("seq"),
-        )
-        # Each round's state is consumed twice (next round's pair agg +
-        # next replace) and the replace chain is a narrow projection
-        # ReuseExchange cannot share, so the recompute compounds per
-        # round. Persisting the vocab-scale state is a measured 3.6x
-        # win (7.7s -> 2.2s at sf0.1, round 5 A/B).
-        w = w.persist(StorageLevel.MEMORY_AND_DISK)
+    _, merges = _merge_rounds(_word_state(docs))
     out = merges[0]
     for m in merges[1:]:
         out = out.unionAll(m)
@@ -159,12 +227,8 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_encode_oracle(rounds: int = _ROUNDS) -> str:
-    # Reuse the training CTE chain; the tail tokenizes every document
-    # with the final merge state w{rounds} instead of dumping merges.
-    train = _bpe_oracle(rounds)
-    cte_block = train[train.index("WITH ") + 5 : train.index("\n    SELECT CAST(round")]
     return f"""
-    WITH {cte_block},
+    WITH {_bpe_cte_chain(rounds)},
     wlen AS (
         SELECT word,
                len(list_filter(string_split(seq, ' '), x -> x <> '')) - 1
@@ -198,54 +262,13 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_subwords is what a token budget actually pays for). Encoding
     runs on the word table (each word segmented once, however often it
     occurs) and documents join the result by word — the same
-    vocabulary-scale trick as training.
+    vocabulary-scale trick as training. The merge loop is the SAME
+    helper q_bpe_train runs (one implementation to fix, not two).
     """
+    _gc_previous_persists()
     docs = load_table(spark, sf_dir, "documents")
-    wfreq = (
-        docs.select(F.explode(tokens_col(F.lower(F.col("text")))).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("cnt"))
-    )
-    chars = F.expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))")
-    w = wfreq.select(
-        "word",
-        "cnt",
-        F.concat(F.lit(" "), F.concat_ws(" ", chars), F.lit(" </w> ")).alias("seq"),
-    )
-    for r in range(1, _ROUNDS + 1):
-        syms = F.filter(F.split(F.col("seq"), " "), lambda s: s != "")
-        pairs = w.select("cnt", F.explode(word_shingles(syms, 2)).alias("pair"))
-        top = (
-            pairs.groupBy("pair")
-            .agg(F.sum("cnt").cast("long").alias("total"))
-            .orderBy(F.col("total").desc(), F.col("pair"))
-            .limit(1)
-        )
-        best = top.select(
-            F.col("pair").alias("_pat"),
-            F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("_rep"),
-        )
-        w = w.crossJoin(F.broadcast(best)).select(
-            "word",
-            "cnt",
-            F.replace(
-                F.col("seq"),
-                F.concat(F.lit(" "), F.col("_pat"), F.lit(" ")),
-                F.concat(F.lit(" "), F.col("_rep"), F.lit(" ")),
-            ).alias("seq"),
-        )
-        # Each round's state is consumed twice (next round's pair agg +
-        # next replace) and the replace chain is a narrow projection
-        # ReuseExchange cannot share, so the recompute compounds per
-        # round. Persisting the vocab-scale state is a measured 3.6x
-        # win (7.7s -> 2.2s at sf0.1, round 5 A/B).
-        w = w.persist(StorageLevel.MEMORY_AND_DISK)
-    wlen = w.select(
-        "word",
-        (
-            F.size(F.filter(F.split(F.col("seq"), " "), lambda s: s != "")) - 1
-        ).alias("n_sub"),
-    )
+    w, _ = _merge_rounds(_word_state(docs))
+    wlen = w.select("word", (F.size(_syms()) - 1).alias("n_sub"))
     doctoks = docs.select(
         F.col("doc_id").alias("doc"),
         F.explode(tokens_col(F.lower(F.col("text")))).alias("word"),

@@ -330,3 +330,25 @@ def test_copurchase_bfs_hop_frontiers(spark, monkeypatch):
         for r in m.q_copurchase_bfs(spark, "unused").collect()
     ]
     assert got == [(0, 1, 1), (1, 1, 2), (2, 1, 3), (3, 1, 4)]
+
+
+def test_bpe_merge_is_greedy_not_replace(spark, monkeypatch):
+    """'banana' under merge (a,n) must become [b, an, an, a, </w>]:
+    string replace misses every second consecutive occurrence (its
+    match consumes the shared separator), which is how a non-BPE merge
+    survived both engines agreeing. The greedy fold must also match
+    Sennrich greedy-left on runs: 'aaaa' + (a,a) -> [aa, aa]."""
+    import mapreduce_server_development_spark.plans.tokenizer as tok
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([(1, "anan anan")], "doc_id long, text string")
+    monkeypatch.setattr(tok, "load_table", lambda s, sf, name: docs)
+    rows = {r.round: r for r in tok.q_bpe_train(spark, "unused").collect()}
+    # 'anan' -> [a,n,a,n,</w>]: top pair (a,n), weight 2 occurrences
+    # x2 word count.
+    assert rows[1].pair == "a n" and rows[1].pair_count == 4
+    # Greedy merges BOTH occurrences -> [an, an, </w>], so round 2's
+    # candidates are {an an, an </w>} and the tie-break picks
+    # 'an </w>'. Replace-based merging leaves [an, a, n, </w>] (its
+    # match consumed the separator) and would pick 'a n' again.
+    assert rows[2].pair == "an </w>"
