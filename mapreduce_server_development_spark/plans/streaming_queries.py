@@ -728,22 +728,24 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stream_cms_oracle() -> str:
-    from .sketches import _hexval_sql
+    # Geometry imported from the batch sketch so the "streaming twin of
+    # the batch CMS" claim survives a resize of _CMS_D/_CMS_W.
+    from .sketches import _CMS_D, _CMS_W, _hexval_sql
 
     cell = (
         _hexval_sql("md5(CAST(r.r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR))", 8)
-        + " % 512"
+        + f" % {_CMS_W}"
     )
     probe_cell = (
         _hexval_sql(
             "md5(CAST(h.r AS VARCHAR) || ':' || CAST(p.user_id AS VARCHAR))", 8
         )
-        + " % 512"
+        + f" % {_CMS_W}"
     )
     return f"""
     WITH cells AS (
         SELECT r.r AS r, {cell} AS col, COUNT(*) AS cnt
-        FROM events CROSS JOIN (SELECT unnest(range(4)) AS r) r
+        FROM events CROSS JOIN (SELECT unnest(range({_CMS_D})) AS r) r
         GROUP BY 1, 2
     ),
     exact AS (
@@ -757,7 +759,7 @@ def _stream_cms_oracle() -> str:
     est AS (
         SELECT p.user_id, p.exact_cnt, MIN(c.cnt) AS cms_est
         FROM probe p
-        CROSS JOIN (SELECT unnest(range(4)) AS r) h
+        CROSS JOIN (SELECT unnest(range({_CMS_D})) AS r) h
         JOIN cells c ON c.r = h.r AND c.col = {probe_cell}
         GROUP BY p.user_id, p.exact_cnt
     )
@@ -782,17 +784,17 @@ def q_stream_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     The probe (exact top-20 users, the verification branch) runs on the
     batch side against the streamed sketch.
     """
-    from .sketches import _hexval_col
+    from .sketches import _CMS_D, _CMS_W, _hexval_col
 
     def cms_col(r, key):
         return (
             _hexval_col(
                 F.md5(F.concat(r.cast("string"), F.lit(":"), key.cast("string"))), 8
             )
-            % 512
+            % _CMS_W
         )
 
-    rows = F.array(*[F.lit(i) for i in range(4)])
+    rows = F.array(*[F.lit(i) for i in range(_CMS_D)])
     stream = read_events_stream(spark, sf_dir)
     cells_stream = (
         stream.select(F.col("user_id"), F.explode(rows).alias("r"))
@@ -830,7 +832,9 @@ def q_stream_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stream_hll_oracle() -> str:
-    from .sketches import _hexval_sql
+    # Geometry imported from the batch sketch (q_hll_vocab family) so a
+    # register-count resize there cannot silently fork this twin.
+    from .sketches import _HLL_M, _HLL_WBITS, _hexval_sql
 
     h48 = _hexval_sql("md5('hll:' || CAST(user_id AS VARCHAR))", 12)
     return f"""
@@ -839,17 +843,18 @@ def _stream_hll_oracle() -> str:
     ),
     regs AS (
         SELECT event_type,
-               h48 // {1 << 38} AS reg,
-               MAX(CASE WHEN h48 % {1 << 38} = 0 THEN 39
-                        ELSE 39 - length(bin(h48 % {1 << 38})) END) AS m
+               h48 // {1 << _HLL_WBITS} AS reg,
+               MAX(CASE WHEN h48 % {1 << _HLL_WBITS} = 0 THEN {_HLL_WBITS + 1}
+                        ELSE {_HLL_WBITS + 1}
+                             - length(bin(h48 % {1 << _HLL_WBITS})) END) AS m
         FROM hashed
         GROUP BY event_type, reg
     ),
     summed AS (
         SELECT event_type,
-               CAST(SUM(1::BIGINT << (39 - m)) AS BIGINT)
-                   + (1024 - COUNT(*)) * {1 << 39} AS s_scaled,
-               1024 - COUNT(*) AS empty_regs
+               CAST(SUM(1::BIGINT << ({_HLL_WBITS + 1} - m)) AS BIGINT)
+                   + ({_HLL_M} - COUNT(*)) * {1 << (_HLL_WBITS + 1)} AS s_scaled,
+               {_HLL_M} - COUNT(*) AS empty_regs
         FROM regs
         GROUP BY event_type
     ),
@@ -879,29 +884,35 @@ def q_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle verifies the full streaming path value-exact; the
     exact count is joined batch-side as the honest-measurement column.
     """
-    from .sketches import _hexval_col
+    from .sketches import _HLL_M, _HLL_WBITS, _hexval_col
 
     stream = read_events_stream(spark, sf_dir)
     h48 = _hexval_col(
         F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))), 12
     )
-    w = F.col("h48") % (1 << 38)
-    rho = F.when(w == 0, F.lit(39)).otherwise(F.lit(39) - F.length(F.bin(w)))
+    w = F.col("h48") % (1 << _HLL_WBITS)
+    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
+    )
     regs_stream = (
         stream.select("event_type", h48.alias("h48"))
-        .select("event_type", F.shiftright(F.col("h48"), 38).alias("reg"), rho.alias("rho"))
+        .select(
+            "event_type",
+            F.shiftright(F.col("h48"), _HLL_WBITS).alias("reg"),
+            rho.alias("rho"),
+        )
         .groupBy("event_type", "reg")
         .agg(F.max("rho").alias("m"))
     )
     regs = _run_to_memory(regs_stream, spark, mode="complete")
     summed = regs.groupBy("event_type").agg(
         (
-            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 39 - m)"))
-            + (F.lit(1024) - F.count("*")) * (1 << 39)
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_WBITS + 1} - m)"))
+            + (F.lit(_HLL_M) - F.count("*")) * (1 << (_HLL_WBITS + 1))
         )
         .cast("long")
         .alias("s_scaled"),
-        (F.lit(1024) - F.count("*")).cast("long").alias("empty_regs"),
+        (F.lit(_HLL_M) - F.count("*")).cast("long").alias("empty_regs"),
     )
     ev = load_table(spark, sf_dir, "events")
     exact = ev.groupBy("event_type").agg(
@@ -956,7 +967,11 @@ def q_stream_hourly_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     production 'unique visitors' dashboard at 100 TB: event-time
     tumbling window x 64 MAX-merged registers, so per-window state is
     64 small integers instead of the user set (which streaming
-    COUNT(DISTINCT) would need and Spark therefore disallows). A
+    COUNT(DISTINCT) would need and Spark therefore disallows). The
+    64-register geometry is DELIBERATELY smaller than the batch
+    sketch's 1024 (hourly windows hold ~100x fewer distinct users, and
+    per-window state multiplies by the open-window count) — a local
+    choice, not a drifted copy of the batch constants. A
     watermark bounds how long each window's registers stay resident;
     the register output equals the batch sketch exactly, so the whole
     windowed streaming path is oracle-verified value-exact.
@@ -1006,18 +1021,20 @@ def q_stream_hourly_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stream_bloom_oracle() -> str:
-    from .sketches import _hexval_sql
+    # Geometry imported from the batch sketch so the streaming twin
+    # cannot silently fork on a resize.
+    from .sketches import _BLOOM_BITS, _BLOOM_K, _hexval_sql
 
     def pos(key: str, k: str) -> str:
         return (
             _hexval_sql(
                 f"md5(CAST({k} AS VARCHAR) || ':' || CAST({key} AS VARCHAR))", 8
             )
-            + " % 4096"
+            + f" % {_BLOOM_BITS}"
         )
 
     return f"""
-    WITH ks AS (SELECT unnest(range(3)) AS k),
+    WITH ks AS (SELECT unnest(range({_BLOOM_K})) AS k),
     bits AS (
         SELECT DISTINCT {pos("user_id", "k")} AS bit
         FROM events CROSS JOIN ks
@@ -1028,7 +1045,7 @@ def _stream_bloom_oracle() -> str:
     ),
     passed AS (
         SELECT uid FROM probe JOIN bits USING (bit)
-        GROUP BY uid HAVING COUNT(*) = 3
+        GROUP BY uid HAVING COUNT(*) = {_BLOOM_K}
     ),
     truth AS (
         SELECT DISTINCT user_id AS uid FROM events WHERE user_id < 4096
@@ -1054,17 +1071,17 @@ def q_stream_bloom_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     is oracle-verified: a 4096-id probe sweep reports pass / true /
     false-positive counts.
     """
-    from .sketches import _hexval_col
+    from .sketches import _BLOOM_BITS, _BLOOM_K, _hexval_col
 
     def bloom_bit(k, key):
         return (
             _hexval_col(
                 F.md5(F.concat(k.cast("string"), F.lit(":"), key.cast("string"))), 8
             )
-            % 4096
+            % _BLOOM_BITS
         )
 
-    ks = F.array(*[F.lit(i) for i in range(3)])
+    ks = F.array(*[F.lit(i) for i in range(_BLOOM_K)])
     stream = read_events_stream(spark, sf_dir)
     words_stream = (
         stream.select(F.col("user_id"), F.explode(ks).alias("k"))
@@ -1092,7 +1109,7 @@ def q_stream_bloom_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("bits").bitwiseAND(F.col("m"))) == F.col("m"))
         .groupBy("uid")
         .agg(F.count("*").alias("hits"))
-        .filter(F.col("hits") == 3)
+        .filter(F.col("hits") == _BLOOM_K)
     )
     ev = load_table(spark, sf_dir, "events")
     truth = ev.filter(F.col("user_id") < 4096).select("user_id").distinct()
