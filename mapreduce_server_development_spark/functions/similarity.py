@@ -73,7 +73,7 @@ def cosine_topk(
     q = base.filter(F.col("vid") <= query_max_id).select(
         F.col("vid").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
     )
-    cos = F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")), 4)
+    cos = F.lit(0.0) + F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")), 4)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         base.crossJoin(F.broadcast(q))
@@ -130,7 +130,7 @@ def ivf_topk(
     cent = base.filter(F.col("vid") <= nlist).select(
         F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
     )
-    ccos = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 4)
+    ccos = F.lit(0.0) + F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 4)
     wa = Window.partitionBy("vid").orderBy(F.col("ccos").desc(), F.col("cid"))
 
     def _assign(centroids: DataFrame) -> DataFrame:
@@ -186,7 +186,7 @@ def ivf_topk(
     qv = base.filter(F.col("vid") <= query_max_id).select(
         F.col("vid").alias("qid"), F.col("v").alias("q_v"), F.col("nrm").alias("q_nrm")
     )
-    cos = F.round(_dot(F.col("v"), F.col("q_v")) / (F.col("nrm") * F.col("q_nrm")), 4)
+    cos = F.lit(0.0) + F.round(_dot(F.col("v"), F.col("q_v")) / (F.col("nrm") * F.col("q_nrm")), 4)
     wk = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         cand.join(base, "vid")
@@ -268,7 +268,7 @@ def embedding_near_dup_pairs(
     )
     va = base.select(F.col("vid").alias("vec_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
     vb = base.select(F.col("vid").alias("vec_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
-    cos = F.round(_dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 4)
+    cos = F.lit(0.0) + F.round(_dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 4)
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
@@ -322,7 +322,7 @@ def lsh_bucket_topk(
             for i in range(num_planes)
         ]
     q = q.withColumn("qprobe", F.explode(F.array(*probes)))
-    cos = F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")), 4)
+    cos = F.lit(0.0) + F.round(_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")), 4)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         base.join(F.broadcast(q), (F.col("bucket") == F.col("qprobe")))
@@ -371,7 +371,7 @@ def semantic_dedup_flags(
     cent = base.filter(F.col("vid") <= nlist).select(
         F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
     )
-    ccos = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 4)
+    ccos = F.lit(0.0) + F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 4)
     assign = (
         base.crossJoin(F.broadcast(cent))
         .select("vid", "cid", ccos.alias("ccos"))
@@ -402,7 +402,7 @@ def semantic_dedup_flags(
         F.col("cid"), F.col("vid").alias("id_b"), F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
     )
-    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+    cos = F.lit(0.0) + F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
     dups = (
         a.join(b, "cid")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -434,7 +434,7 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(st.n_s AS BIGINT) AS n_tokens,
            a.n_vocab,
            a.kl_e12,
-           round(a.kl_e12 / 1000000000000.0, 6) AS kl
+           round(a.kl_e12 / 1000000000000.0, 6) + 0.0 AS kl
     FROM agg a JOIN stot st ON st.source = a.source
     ORDER BY a.source
     """,
@@ -494,7 +494,7 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_s").cast("long").alias("n_tokens"),
             "n_vocab",
             "kl_e12",
-            F.round(F.col("kl_e12") / F.lit(1000000000000.0), 6).alias("kl"),
+            (F.round(F.col("kl_e12") / F.lit(1000000000000.0), 6) + F.lit(0.0)).alias("kl"),
         )
         .orderBy("source")
     )
@@ -651,21 +651,36 @@ def q_backoff_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Shared per-character entropy term: c*log2(c) rounded to e6 units —
+#: the only float step, identical text in both engines, before the
+#: exact integer per-doc SUM.
+_ENTROPY_TERM = "CAST(round(c * log2(c) * 1000000) AS BIGINT)"
+_ENTROPY_FINAL = (
+    "round(log2(CAST(n AS DOUBLE))"
+    " - (CAST(s_e6 AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE), 4) + 0.0"
+)
+
+
 @query(
     "q_char_entropy",
-    oracle="""
+    oracle=f"""
     WITH chars AS (
         SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
     ),
     hist AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch),
-    tot AS (SELECT doc_id, SUM(c) AS n FROM hist GROUP BY doc_id)
-    SELECT h.doc_id,
-           CAST(t.n AS BIGINT) AS n_chars,
-           CAST(COUNT(*) AS BIGINT) AS n_distinct,
-           round(-SUM((c / t.n) * log2(c / t.n)), 4) + 0.0 AS entropy_bits
-    FROM hist h JOIN tot t ON h.doc_id = t.doc_id
-    GROUP BY h.doc_id, t.n
-    ORDER BY h.doc_id
+    terms AS (
+        SELECT doc_id, c, {_ENTROPY_TERM} AS t_e6 FROM hist
+    ),
+    agg AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS d,
+               CAST(SUM(t_e6) AS BIGINT) AS s_e6
+        FROM terms GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_chars, d AS n_distinct,
+           {_ENTROPY_FINAL} AS entropy_bits
+    FROM agg
+    ORDER BY doc_id
     """,
 )
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -676,6 +691,13 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: explode chars → two-level hash aggregate, using the
     identity H = log2(n) - (Σ c·log2 c)/n so the per-(doc,char)
     histogram and the per-doc reduction are both partial-aggregable.
+    Float discipline (the house fixed-point-before-sum rule): each
+    per-character term c·log2(c) is rounded to e6 integer units from
+    ONE shared expression text, the per-doc reduction is an exact
+    integer SUM (order-free under any partitioning), and the final
+    entropy is one shared formula over (n, s_e6) — a raw double SUM
+    here would drift both cross-engine (different association) and
+    run-to-run (partition-order-dependent partial aggregation).
     Map-side combine collapses the exploded chars to ~alphabet-size
     rows per document before the shuffle, so shuffle volume is
     docs × distinct-chars, not docs × length. A/B note: the
@@ -688,19 +710,18 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     chars = F.split(F.col("text"), "")
     ex = docs.select("doc_id", F.explode(chars).alias("ch"))
     hist = ex.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
-    c_d = F.col("c").cast("double")
-    per_doc = hist.groupBy("doc_id").agg(
-        F.sum("c").cast("double").alias("n"),
-        F.count("*").alias("d"),
-        F.sum(c_d * F.log2(c_d)).alias("s"),
+    per_doc = hist.select("doc_id", "c", F.expr(_ENTROPY_TERM).alias("t_e6")).groupBy(
+        "doc_id"
+    ).agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("d"),
+        F.sum("t_e6").cast("long").alias("s_e6"),
     )
-    return per_doc.select(
+    return per_doc.selectExpr(
         "doc_id",
-        F.col("n").cast("long").alias("n_chars"),
-        F.col("d").cast("long").alias("n_distinct"),
-        (F.round(F.log2("n") - F.col("s") / F.col("n"), 4) + 0.0).alias(
-            "entropy_bits"
-        ),
+        "n AS n_chars",
+        "d AS n_distinct",
+        f"{_ENTROPY_FINAL} AS entropy_bits",
     )  # no trailing sort: the oracle compare is order-insensitive
 
 

@@ -272,7 +272,7 @@ n AS (
     q AS (SELECT vid AS qid, vv AS qv, nrm AS qnrm FROM n WHERE vid <= 5),
     pairs AS (
         SELECT q.qid AS query_id, n.vid AS vec_id,
-               round(list_dot_product(n.vv, q.qv) / (n.nrm * q.qnrm), 4) AS cosine
+               round(list_dot_product(n.vv, q.qv) / (n.nrm * q.qnrm), 4) + 0.0 AS cosine
         FROM n CROSS JOIN q
         WHERE n.vid <> q.qid
     )
@@ -320,7 +320,7 @@ def _lsh_bucket_sql(planes: list[list[float]]) -> str:
     ),
     pairs AS (
         SELECT q.qid AS query_id, s.vid AS vec_id,
-               round(list_dot_product(s.vv, q.qv) / (s.nrm * q.qnrm), 4) AS cosine
+               round(list_dot_product(s.vv, q.qv) / (s.nrm * q.qnrm), 4) + 0.0 AS cosine
         FROM s JOIN q ON s.bucket = q.qbucket
         WHERE s.vid <> q.qid
     )
@@ -367,7 +367,7 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     pairs AS (
         SELECT DISTINCT q.qid AS query_id, s.vid AS vec_id,
-               round(list_dot_product(s.vv, q.qv) / (s.nrm * q.qnrm), 4) AS cosine
+               round(list_dot_product(s.vv, q.qv) / (s.nrm * q.qnrm), 4) + 0.0 AS cosine
         FROM s JOIN probes q ON s.bucket = q.probe
         WHERE s.vid <> q.qid
     )
@@ -428,7 +428,7 @@ _IVF_ORACLE = f"""
     )
     SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
         SELECT c.qid AS query_id, c.vid AS vec_id,
-               round(list_dot_product(x.vv, y.vv) / (x.nrm * y.nrm), 4) AS cosine,
+               round(list_dot_product(x.vv, y.vv) / (x.nrm * y.nrm), 4) + 0.0 AS cosine,
                ROW_NUMBER() OVER (
                    PARTITION BY c.qid
                    ORDER BY round(list_dot_product(x.vv, y.vv)
@@ -505,7 +505,7 @@ _IVF_KMEANS_ORACLE = f"""
     )
     SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
         SELECT c.qid AS query_id, c.vid AS vec_id,
-               round(list_dot_product(x.vv, y.vv) / (x.nrm * y.nrm), 4) AS cosine,
+               round(list_dot_product(x.vv, y.vv) / (x.nrm * y.nrm), 4) + 0.0 AS cosine,
                ROW_NUMBER() OVER (
                    PARTITION BY c.qid
                    ORDER BY round(list_dot_product(x.vv, y.vv)
@@ -561,7 +561,7 @@ def _embedding_near_dup_oracle(
           ON a.band = b.band AND a.bucket = b.bucket AND a.vid < b.vid
     )
     SELECT vec_a, vec_b,
-           round(list_dot_product(x.vv, y.vv) / (x.nrm * y.nrm), 4) AS cosine
+           round(list_dot_product(x.vv, y.vv) / (x.nrm * y.nrm), 4) + 0.0 AS cosine
     FROM cand
     JOIN n x ON x.vid = cand.vec_a
     JOIN n y ON y.vid = cand.vec_b
@@ -669,11 +669,11 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(text) AS BIGINT) AS n_chars_m,
            CAST(len(toks) AS BIGINT) AS n_tokens,
            round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
-                 / len(toks), 4) AS avg_token_len,
+                 / NULLIF(len(toks), 0), 4) AS avg_token_len,
            round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
-                      AS DOUBLE) / length(text), 4) AS punct_ratio,
+                      AS DOUBLE) / NULLIF(length(text), 0), 4) AS punct_ratio,
            round(CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to')))
-                      AS DOUBLE) / len(toks), 4) AS stopword_ratio
+                      AS DOUBLE) / NULLIF(len(toks), 0), 4) AS stopword_ratio
     FROM t
     ORDER BY doc_id
     """,
@@ -689,13 +689,19 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     punct = F.length("text") - F.length(F.regexp_replace("text", "[.,!?;:]", ""))
     en = STOPWORDS["en"]
     stop_cnt = F.size(F.filter(toks, lambda t: t.isin(*en)))
+    # NULLIF guards: under the session's ANSI mode an integer zero
+    # denominator (empty/whitespace-only document) would THROW in Spark
+    # while DuckDB yields NULL — NULLIF makes both engines emit the
+    # NULL row.
+    nz_tokens = F.nullif(n_tokens, F.lit(0))
+    nz_chars = F.nullif(F.length("text"), F.lit(0))
     return docs.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars_m"),
         n_tokens.cast("long").alias("n_tokens"),
-        F.round(tok_len_sum.cast("double") / n_tokens, 4).alias("avg_token_len"),
-        F.round(punct.cast("double") / F.length("text"), 4).alias("punct_ratio"),
-        F.round(stop_cnt.cast("double") / n_tokens, 4).alias("stopword_ratio"),
+        F.round(tok_len_sum.cast("double") / nz_tokens, 4).alias("avg_token_len"),
+        F.round(punct.cast("double") / nz_chars, 4).alias("punct_ratio"),
+        F.round(stop_cnt.cast("double") / nz_tokens, 4).alias("stopword_ratio"),
     )  # no trailing sort: document-linear output, zero shuffles
 
 
@@ -879,10 +885,14 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Shared by q_dup_clusters (min-label propagation) and
 #: q_dup_clusters_star (large-star/small-star) — same fixpoint, two
 #: independent distributed algorithms, one DuckDB transitive closure.
-_DUP_CLUSTERS_ORACLE = f"""
-    WITH RECURSIVE {_TOKS_CTE},
-    {_shingle_cte(5)},
-    hot AS (
+def _jaccard_pairs_cte(pair_cols: str = "i.doc_a, i.doc_b") -> str:
+    """Shared oracle CTE chain hot -> shp -> sizes -> inter -> pairs:
+    5-gram Jaccard >= 0.2 pairs (doc_a < doc_b) under the 1000-doc
+    hot-shingle cap — ONE text for the four dedup-graph oracles
+    (q_dup_clusters/_star, q_dedup_keep_best, q_pagerank,
+    q_dup_triangles), kept bit-identical to functions/dedup.py
+    ngram_jaccard_pairs. ``pair_cols`` renames the projection."""
+    return f"""hot AS (
         SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 1000
     ),
     shp AS (
@@ -896,13 +906,19 @@ _DUP_CLUSTERS_ORACLE = f"""
         GROUP BY 1, 2
     ),
     pairs AS (
-        SELECT i.doc_a, i.doc_b
+        SELECT {pair_cols}
         FROM inter i
         JOIN sizes sa ON sa.doc = i.doc_a
         JOIN sizes sb ON sb.doc = i.doc_b
         WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4)
               >= 0.2
-    ),
+    )"""
+
+
+_DUP_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE {_TOKS_CTE},
+    {_shingle_cte(5)},
+    {_jaccard_pairs_cte()},
     e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
           UNION SELECT doc_b, doc_a FROM pairs),
     reach(node, r) AS (
@@ -1187,27 +1203,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE {_TOKS_CTE},
     {_shingle_cte(5)},
-    hot AS (
-        SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 1000
-    ),
-    shp AS (
-        SELECT doc, shingle FROM sh
-        WHERE shingle NOT IN (SELECT shingle FROM hot)
-    ),
-    sizes AS (SELECT doc, COUNT(*) AS n_sh FROM shp GROUP BY doc),
-    inter AS (
-        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
-        FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc < b.doc
-        GROUP BY 1, 2
-    ),
-    pairs AS (
-        SELECT i.doc_a, i.doc_b
-        FROM inter i
-        JOIN sizes sa ON sa.doc = i.doc_a
-        JOIN sizes sb ON sb.doc = i.doc_b
-        WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4)
-              >= 0.2
-    ),
+    {_jaccard_pairs_cte()},
     e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
           UNION SELECT doc_b, doc_a FROM pairs),
     reach(node, r) AS (
@@ -1396,7 +1392,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM (
                 SELECT DISTINCT q.qid AS query_id, s.vid AS vec_id,
                        round(list_dot_product(s.vv, q.qv)
-                             / (s.nrm * q.qnrm), 4) AS cosine
+                             / (s.nrm * q.qnrm), 4) + 0.0 AS cosine
                 FROM s JOIN probes q ON s.bucket = q.probe
                 WHERE s.vid <> q.qid
             ) p
@@ -1466,23 +1462,7 @@ def _pagerank_oracle(iters: int = 10) -> str:
     return f"""
     WITH {_TOKS_CTE},
     {_shingle_cte(5)},
-    hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 1000),
-    shp AS (SELECT doc, shingle FROM sh
-            WHERE shingle NOT IN (SELECT shingle FROM hot)),
-    sizes AS (SELECT doc, COUNT(*) AS n_sh FROM shp GROUP BY doc),
-    inter AS (
-        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
-        FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc < b.doc
-        GROUP BY 1, 2
-    ),
-    pairs AS (
-        SELECT i.doc_a, i.doc_b
-        FROM inter i
-        JOIN sizes sa ON sa.doc = i.doc_a
-        JOIN sizes sb ON sb.doc = i.doc_b
-        WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4)
-              >= 0.2
-    ),
+    {_jaccard_pairs_cte()},
     e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
           UNION SELECT doc_b, doc_a FROM pairs),
     deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY a),
@@ -1716,27 +1696,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_TOKS_CTE},
     {_shingle_cte(5)},
-    hot AS (
-        SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 1000
-    ),
-    shp AS (
-        SELECT doc, shingle FROM sh
-        WHERE shingle NOT IN (SELECT shingle FROM hot)
-    ),
-    sizes AS (SELECT doc, COUNT(*) AS n_sh FROM shp GROUP BY doc),
-    inter AS (
-        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
-        FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc < b.doc
-        GROUP BY 1, 2
-    ),
-    pairs AS (
-        SELECT i.doc_a AS a, i.doc_b AS b
-        FROM inter i
-        JOIN sizes sa ON sa.doc = i.doc_a
-        JOIN sizes sb ON sb.doc = i.doc_b
-        WHERE round(CAST(n_inter AS DOUBLE)
-                    / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.2
-    ),
+    {_jaccard_pairs_cte("i.doc_a AS a, i.doc_b AS b")},
     tri AS (
         SELECT e1.a AS x, e1.b AS y, e2.b AS z
         FROM pairs e1
@@ -1769,8 +1729,6 @@ def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the further refinement is degree-orientation (point each edge at
     the higher-degree endpoint), which bounds wedge count by arboricity.
     """
-    from ..functions.dedup import ngram_jaccard_pairs
-
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
         docs, n=5, threshold=0.2, max_doc_freq=1000

@@ -400,9 +400,9 @@ def _maha_oracle(cut: float = 13.816) -> str:
     s AS (
         SELECT CAST(COUNT(*) AS DOUBLE) AS n,
                CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-               CAST(SUM(x*x) AS BIGINT) AS sxx,
-               CAST(SUM(x*y) AS BIGINT) AS sxy,
-               CAST(SUM(y*y) AS BIGINT) AS syy
+               SUM(x*x) AS sxx,
+               SUM(x*y) AS sxy,
+               SUM(y*y) AS syy
         FROM p
     ),
     cov AS (
@@ -452,9 +452,13 @@ def _maha_scored(spark: SparkSession, sf_dir: str, cut: float) -> DataFrame:
         F.count("*").cast("double").alias("n"),
         F.sum("x").cast("long").alias("sx"),
         F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        # DECIMAL(38,0) accumulators (the module-family overflow rule):
+        # an e4-units square times corpus count passes 2^63 at large SF,
+        # where an ANSI long SUM would throw; the shared formula casts
+        # to DOUBLE from the exact decimal.
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
     )
     covd = s.selectExpr(
         "n",

@@ -53,11 +53,15 @@ _CORR_PAIRS = [
 
 
 def _corr_formula(a: str, b: str) -> str:
-    """Shared corr text over the exact-sum columns (all already DOUBLE)."""
+    """Shared corr text over the exact-sum columns (all already DOUBLE).
+    NULLIF guards the degenerate constant-feature case (both engines
+    yield NULL instead of Spark-NaN-vs-DuckDB-inf); + 0.0 normalizes
+    negative zero, which the engines FORMAT differently ('0' vs '-0')
+    when a correlation rounds to -0.000000."""
     return (
         f"round((n * s_{a}_{b} - s_{a} * s_{b}) / "
-        f"sqrt((n * s_{a}_{a} - s_{a} * s_{a}) * "
-        f"(n * s_{b}_{b} - s_{b} * s_{b})), 6)"
+        f"NULLIF(sqrt((n * s_{a}_{a} - s_{a} * s_{a}) * "
+        f"(n * s_{b}_{b} - s_{b} * s_{b})), 0.0), 6) + 0.0"
     )
 
 
@@ -343,8 +347,10 @@ _MAPE_FINAL = (
     "cast(n_days as bigint) as n_days",
     "round(cast(sum_ape_micro as double) / cast(n_days as double)"
     " / 10000.0, 6) as mape_pct",
+    # + 0.0: a bias rounding to -0.000000 formats as '-0' in DuckDB
+    # but '0' in Spark.
     "round(cast(sum_err_c as double) / cast(sum_actual_c as double)"
-    " * 100.0, 6) as bias_pct",
+    " * 100.0, 6) + 0.0 as bias_pct",
 )
 
 
@@ -544,9 +550,9 @@ _AB_FINAL = (
     "round(cast(c_b as double) / cast(n_b as double) * 100.0, 6) as conv_b_pct",
     "round((cast(c_a as double) / cast(n_a as double)"
     " - cast(c_b as double) / cast(n_b as double))"
-    " / sqrt((cast(c_a + c_b as double) / cast(n_a + n_b as double))"
+    " / NULLIF(sqrt((cast(c_a + c_b as double) / cast(n_a + n_b as double))"
     " * (1.0 - cast(c_a + c_b as double) / cast(n_a + n_b as double))"
-    " * (1.0 / cast(n_a as double) + 1.0 / cast(n_b as double))), 6)"
+    " * (1.0 / cast(n_a as double) + 1.0 / cast(n_b as double))), 0.0), 6) + 0.0"
     " as z_score",
 )
 
@@ -806,8 +812,8 @@ _KS_FINAL = [
         FROM h
     ),
     d AS (
-        SELECT MAX(abs(CAST(cum1 AS BIGINT) * (SELECT n2 FROM n)
-                       - CAST(cum2 AS BIGINT) * (SELECT n1 FROM n))) AS dn
+        SELECT MAX(abs(CAST(cum1 AS DECIMAL(38,0)) * (SELECT n2 FROM n)
+                       - CAST(cum2 AS DECIMAL(38,0)) * (SELECT n1 FROM n))) AS dn
         FROM c
     )
     SELECT {", ".join(_KS_FINAL)}
@@ -854,10 +860,12 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         c.crossJoin(F.broadcast(n))
         .agg(
+            # DECIMAL products: cum*n is count-squared-scale and passes
+            # 2^63 long before 100 TB does (ANSI long mult would throw).
             F.max(
                 F.abs(
-                    F.col("cum1").cast("long") * F.col("n2")
-                    - F.col("cum2").cast("long") * F.col("n1")
+                    F.col("cum1").cast("decimal(38,0)") * F.col("n2")
+                    - F.col("cum2").cast("decimal(38,0)") * F.col("n1")
                 )
             ).alias("dn")
         )
@@ -895,7 +903,9 @@ _BS_REPS = 50
               FROM hashed, js WHERE blk * 32 + j < {_BS_REPS})
     ),
     per_rep AS (SELECT rep, SUM(wt * cents) AS s, SUM(wt) AS n FROM w GROUP BY rep),
-    means AS (SELECT rep, CAST(s * 100 // n AS BIGINT) AS mean_c2 FROM per_rep),
+    means AS (SELECT rep,
+                     CAST(CAST(s AS DECIMAL(38,0)) * 100 // n AS BIGINT)
+                         AS mean_c2 FROM per_rep),
     ranked AS (SELECT mean_c2, ROW_NUMBER() OVER (ORDER BY mean_c2) AS rk FROM means)
     SELECT
         CAST({_BS_REPS} AS BIGINT) AS n_reps,
@@ -965,7 +975,13 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("wt").alias("n"),
         )
     )
-    means = per_rep.select(F.expr("CAST(s * 100 DIV n AS BIGINT)").alias("mean_c2"))
+    means = per_rep.select(
+        # DECIMAL product before the floor-div: s*100 is cents x weight
+        # scale and would overflow an ANSI long multiply at large SF.
+        F.expr(
+            "CAST(FLOOR(CAST(s AS DECIMAL(38,0)) * 100 / n) AS BIGINT)"
+        ).alias("mean_c2")
+    )
     ranked = means.withColumn(
         "rk", F.row_number().over(Window.orderBy("mean_c2"))
     )
