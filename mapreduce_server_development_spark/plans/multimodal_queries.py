@@ -317,7 +317,10 @@ def q_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..functions.multimodal import ahash_images
 
-    h = ahash_images(_media_df(spark, sf_dir))
+    # Checkpointed: the hash relation feeds 4 band self-joins (x2
+    # sides) plus the two verify joins — uncheckpointed, the PYTHON
+    # synth+decode+hash stage would re-execute ~10x per run.
+    h = ahash_images(_media_df(spark, sf_dir)).localCheckpoint(eager=True)
     a, b = h.alias("a"), h.alias("b")
     cand = None
     for k in range(4):

@@ -28,15 +28,7 @@ from pyspark.sql import functions as F
 from ..sources.tables import load_table
 from .registry import query
 
-DEC = "decimal(16,4)"
-
-
-def _dec(c):
-    return F.col(c).cast(DEC)
-
-
-def _ts_str(c):
-    return F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss")
+from .money import DEC, _dec, _ts_str  # noqa: F401 - shared money idiom
 
 
 # ---------------------------------------------------------------------------
@@ -483,20 +475,26 @@ def q_outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-resistant join: lineitem salted on a row-unique column
-    spreads any hot orderkey across 8 sub-partitions; orders is
-    replicated 8x. Result is provably identical to the plain join —
-    the oracle IS the plain join.
+    """Skew-resistant join: lineitem salted on a ROW-UNIQUE derived key
+    (orderkey*8 + linenumber — linenumber alone has only 7 values, so
+    a hot orderkey could reach at most 7 of the 8 salt buckets) spreads
+    any hot orderkey across all 8 sub-partitions; orders is replicated
+    8x. Result is provably identical to the plain join — the oracle IS
+    the plain join.
     """
     from ..functions.skew import salted_join
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("okey"), "l_linenumber", "l_extendedprice"
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("okey"), "l_linenumber", "l_extendedprice"
+        )
+        .withColumn("rid", F.col("okey") * 8 + F.col("l_linenumber"))
     )
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("okey"), "o_orderpriority"
     )
-    joined = salted_join(li, orders, on="okey", num_salts=8, salt_src="l_linenumber")
+    joined = salted_join(li, orders, on="okey", num_salts=8, salt_src="rid")
     return (
         joined.groupBy("o_orderpriority")
         .agg(
@@ -510,24 +508,36 @@ def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_asof_join",
     oracle="""
-    SELECT a.event_id, a.user_id,
-           strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS ts,
-           b.event_id AS prev_event_id,
-           strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS prev_ts
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') a
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
-      ON a.user_id = b.user_id AND b.ts < a.ts
-    ORDER BY a.event_id
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'click'),
+    best AS (
+        SELECT p.event_id, c.event_id AS prev_event_id, c.ts AS prev_ts,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY c.ts DESC, c.event_id DESC) AS rk
+        FROM p JOIN c ON c.user_id = p.user_id AND c.ts < p.ts
+    )
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           b.prev_event_id,
+           strftime(b.prev_ts, '%Y-%m-%d %H:%M:%S') AS prev_ts
+    FROM p LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+      ON b.event_id = p.event_id
+    ORDER BY p.event_id
     """,
 )
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase gets the user's most recent strictly
     prior click (left-outer temporal point lookup).
 
-    Spark has no ASOF JOIN built-in (DuckDB does — the oracle uses it);
-    ``functions.joins.asof_join`` composes it from union + last-
-    non-null window: one shuffle on user_id, O(|L|+|R|) — no range-join
-    explosion.
+    Spark has no ASOF JOIN built-in; ``functions.joins.asof_join``
+    composes it from union + last-non-null window: one shuffle on
+    user_id, O(|L|+|R|) — no range-join explosion. The oracle is an
+    explicit windowed pick with the SAME tie-break as the operator
+    (latest ts, then highest event_id) — DuckDB's native ASOF JOIN
+    leaves same-timestamp ties unspecified, which would be a latent
+    nondeterministic mismatch if two clicks ever share a microsecond.
     """
     from ..functions.joins import asof_join
 
@@ -808,7 +818,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN epoch_us(ts)
                          - LAG(epoch_us(ts))
                              OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                         > 1800000000
+                         >= 1800000000
                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events
@@ -835,6 +845,10 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning/ordering so Spark evaluates them in one Window node.
     The gap compares microsecond epochs on both sides (the fixture has
     sub-second timestamps; second-truncated deltas can flip boundaries).
+    Boundary: a gap of EXACTLY 30 minutes starts a new session (>=) —
+    the same closed/open convention as Spark's native session_window,
+    so this query, q_session_window and q_bounce_rate all split the
+    same event stream identically.
     """
     from pyspark.sql.window import Window
 
@@ -845,7 +859,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0).alias("new_session"),
+        F.when(gap.isNull() | (gap >= 1800 * 1_000_000), 1).otherwise(0).alias("new_session"),
     )
     return (
         flagged.select(

@@ -22,17 +22,7 @@ from pyspark.sql import functions as F
 from ..sources.tables import load_table
 from .registry import query
 
-DEC = "decimal(16,4)"
-
-
-def _dec(c):
-    return F.col(c).cast(DEC)
-
-
-def _rev():
-    """Decimal-exact extended revenue: extprice * (1 - discount)."""
-    one = F.lit(1).cast("decimal(8,4)")
-    return _dec("l_extendedprice") * (one - F.col("l_discount").cast("decimal(8,4)"))
+from .money import DEC, _dec, _rev  # noqa: F401 - shared money idiom
 
 
 # ---------------------------------------------------------------------------
@@ -2919,7 +2909,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _KCORE_K = 3
-_KCORE_ORACLE_ROUNDS = 20  # covers the 11 rounds observed at sf0.01
+_KCORE_ORACLE_ROUNDS = 30  # = the Spark loop's bound, 3x the 11 rounds seen at sf0.01
 
 
 def _kcore_oracle() -> str:
@@ -3001,7 +2991,8 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_edges = e.count()
-    for _ in range(30):
+    converged = False
+    for _ in range(_KCORE_ORACLE_ROUNDS):
         sym = e.select(F.col("a").alias("x")).unionAll(
             e.select(F.col("b").alias("x"))
         )
@@ -3019,8 +3010,16 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         n_now = e.count()
         if n_now == n_edges:
+            converged = True
             break
         n_edges = n_now
+    if not converged:
+        # A silent non-fixpoint result would be a SUPERSET of the
+        # 3-core (and the oracle, sharing the same bound, would agree
+        # with the wrong answer) — fail loudly instead.
+        raise RuntimeError(
+            f"k-core peeling did not converge in {_KCORE_ORACLE_ROUNDS} rounds"
+        )
     core_nodes = (
         e.select(F.col("a").alias("x"))
         .unionAll(e.select(F.col("b").alias("x")))
@@ -3100,6 +3099,10 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     po = li.select("l_orderkey", "l_partkey").distinct()
+    # Checkpointed like its graph siblings (q_triangle_count, q_kcore):
+    # e feeds deg's symmetric union AND the two end-degree joins AND the
+    # doubled `ends` union — uncheckpointed, the order-keyed self-join
+    # would re-execute ~6x.
     e = (
         po.alias("x")
         .join(po.alias("y"), "l_orderkey")
@@ -3108,6 +3111,7 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sym = e.select(F.col("a").alias("x")).unionAll(
         e.select(F.col("b").alias("x"))

@@ -37,16 +37,7 @@ from pyspark.sql import functions as F
 from ..sources.tables import load_table
 from .registry import query
 
-DEC = "decimal(16,4)"
-
-
-def _dec(c):
-    return F.col(c).cast(DEC)
-
-
-def _rev():
-    one = F.lit(1).cast("decimal(8,4)")
-    return _dec("l_extendedprice") * (one - F.col("l_discount").cast("decimal(8,4)"))
+from .money import DEC, _dec, _rev  # noqa: F401 - shared money idiom
 
 
 # ---------------------------------------------------------------------------

@@ -127,7 +127,6 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle hash filter; packing is the two-phase prefix scan on the
     train subset only. Non-train docs carry a NULL seq_bin.
     """
-    from ..functions.prefix import global_running_sum
 
     from ..functions.dedup import exact_dedup
 

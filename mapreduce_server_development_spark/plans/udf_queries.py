@@ -33,12 +33,24 @@ from .registry import query
 @query(
     "q_grouped_zscore",
     oracle="""
-    SELECT o_orderkey, o_custkey,
-           ROUND((o_totalprice - AVG(o_totalprice) OVER w)
-                 / STDDEV_SAMP(o_totalprice) OVER w, 4) + 0.0 AS z
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey)
-    QUALIFY COUNT(*) OVER w > 1
+    WITH c AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    g AS (
+        SELECT o_custkey, COUNT(*) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s1,
+               CAST(SUM(cents * cents) AS BIGINT) AS s2
+        FROM c GROUP BY o_custkey
+    )
+    SELECT c.o_orderkey, c.o_custkey,
+           round((CAST(c.cents AS DOUBLE) - CAST(g.s1 AS DOUBLE) / g.n)
+                 / sqrt((CAST(g.s2 AS DOUBLE)
+                         - CAST(g.s1 AS DOUBLE) * CAST(g.s1 AS DOUBLE) / g.n)
+                        / (g.n - 1)), 4) + 0.0 AS z
+    FROM c JOIN g USING (o_custkey)
+    WHERE g.n > 1
     """,
 )
 def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,14 +61,29 @@ def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     analog of the reference's per-group executable reduce (F7).
     Single-order customers are dropped inside the UDF (sample stddev
     undefined) so no NaN/NULL asymmetry reaches the cross-engine hash.
-    Rounding happens JVM-side (Spark HALF_UP == DuckDB ties-away) on
-    the raw double so both engines round the same value.
+
+    Float discipline (the house rule — this was the one query relying
+    on pandas' mean/std agreeing with the oracle's windowed
+    AVG/STDDEV_SAMP, two different associations): statistics are EXACT
+    integer-cents sufficient sums (order-free under any pandas/Arrow
+    batch order), and the z formula is evaluated element-wise over
+    those integers in the SAME operation order as the oracle text —
+    identical doubles, rounded JVM-side (Spark HALF_UP == DuckDB
+    ties-away).
     """
 
     def zscore(pdf):
-        g = pdf.groupby("o_custkey")["o_totalprice"]
-        n = g.transform("count")
-        z = (pdf["o_totalprice"] - g.transform("mean")) / g.transform("std")
+        import numpy as np
+
+        cents = (pdf["o_totalprice"] * 100).round().astype("int64")
+        w = pdf.assign(cents=cents, c2=cents * cents)
+        g = w.groupby("o_custkey")
+        n = g["cents"].transform("count").astype("float64")
+        s1 = g["cents"].transform("sum").astype("float64")
+        s2 = g["c2"].transform("sum").astype("float64")
+        z = (cents.astype("float64") - s1 / n) / np.sqrt(
+            (s2 - s1 * s1 / n) / (n - 1.0)
+        )
         out = pdf[["o_orderkey", "o_custkey"]].assign(z=z)
         return out[n > 1]
 
