@@ -50,6 +50,19 @@ def interp_text(tag: str, q: str, divisor: str, digits: int = 4) -> str:
     )
 
 
+def interp_raw_text(tag: str, q: str) -> str:
+    """Unrounded interpolation text (for downstream arithmetic such as
+    Tukey fences, where rounding belongs at the output boundary)."""
+    lo, hi = f"lo{tag}", f"hi{tag}"
+    pos = f"(CAST(n AS DOUBLE) - 1) * {q}"
+    frac = f"({pos} - floor({pos}))"
+    return (
+        f"(CAST({lo} AS DOUBLE)"
+        f" + (CAST(COALESCE({hi}, {lo}) AS DOUBLE) - CAST({lo} AS DOUBLE))"
+        f" * {frac})"
+    )
+
+
 def pick_aggs(value_col: str, tags: tuple[tuple[str, str], ...] = P50_P90) -> list[Column]:
     """DataFrame-side aggregates picking lo/hi order statistics: rows
     whose rk equals the broadcast k (or k+1) surface via MAX(CASE)."""

@@ -3132,3 +3132,185 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
     )
     return s.selectExpr(*_ASSORT_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_iqr_outliers — Tukey-fence outliers on distributed order statistics
+# ---------------------------------------------------------------------------
+
+from ..functions.order_stats import interp_raw_text  # noqa: E402
+
+_IQR_TAGS = (("25", "0.25"), ("75", "0.75"))
+_IQR_Q1 = interp_raw_text("25", "0.25")
+_IQR_Q3 = interp_raw_text("75", "0.75")
+#: Shared texts: quartiles for display (rounded, dollars) and the raw
+#: cent-domain fences the outlier comparison uses — identical IEEE
+#: trees in both engines, so the fence comparisons agree bit-for-bit.
+_IQR_EXPRS = [
+    "CAST(n AS BIGINT) AS n_values",
+    f"round(({_IQR_Q1}) / 10000.0, 4) AS q1",
+    f"round(({_IQR_Q3}) / 10000.0, 4) AS q3",
+    f"round((({_IQR_Q3}) - ({_IQR_Q1})) / 10000.0, 4) AS iqr",
+    f"({_IQR_Q1}) - 1.5 * (({_IQR_Q3}) - ({_IQR_Q1})) AS lo_fence_c",
+    f"({_IQR_Q3}) + 1.5 * (({_IQR_Q3}) - ({_IQR_Q1})) AS hi_fence_c",
+]
+_IQR_KS = ["n"] + [k_index_text(q, tag) for tag, q in _IQR_TAGS]
+
+
+@query(
+    "q_iqr_outliers",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_id,
+               CAST(round(value * 10000) AS BIGINT) AS v4
+        FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+        SELECT v4, ROW_NUMBER() OVER (ORDER BY v4, event_id) AS rk
+        FROM c
+    ),
+    ks AS (
+        SELECT {", ".join(_IQR_KS)}
+        FROM (SELECT COUNT(*) AS n FROM c)
+    ),
+    pick AS (
+        SELECT ANY_VALUE(n) AS n, {pick_sql("v4", _IQR_TAGS)}
+        FROM r, ks
+    ),
+    f AS (SELECT {", ".join(_IQR_EXPRS)} FROM pick)
+    SELECT n_values, q1, q3, iqr,
+           CAST((SELECT COUNT(*) FROM c
+                 WHERE v4 < (SELECT lo_fence_c FROM f)) AS BIGINT)
+               AS n_low_outliers,
+           CAST((SELECT COUNT(*) FROM c
+                 WHERE v4 > (SELECT hi_fence_c FROM f)) AS BIGINT)
+               AS n_high_outliers
+    FROM f
+    """,
+)
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit of event values: exact interpolated
+    Q1/Q3 off the distributed row_number, fences at 1.5 IQR, and the
+    counts outside them — the box-plot rule every data-quality
+    dashboard starts with. (Runs on events.value, whose generated
+    tail actually crosses the fences — ~463 high outliers at sf0.01 —
+    so the comparison path is fixture-exercised, not vacuous.)
+
+    Scale: the quartiles are two order statistics picked from the
+    two-phase distributed rank (no percentile() buffer, no global
+    sort); the fences are a 1-row broadcast and the outlier counts are
+    one partial-agg'd scan. Fence comparisons run on doubles built by
+    ONE shared expression text, so the counted sets agree bit-for-bit.
+    """
+    from ..functions.prefix import global_row_number
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        "event_id",
+        F.expr("CAST(round(value * 10000) AS BIGINT)").alias("v4"),
+    )
+    r = global_row_number(ev, ["v4", "event_id"], "rk")
+    ks = r.agg(F.count("*").alias("n")).selectExpr(*_IQR_KS)
+    pick = r.crossJoin(F.broadcast(ks)).agg(
+        F.first("n").alias("n"), *pick_aggs("v4", _IQR_TAGS)
+    )
+    f = pick.selectExpr(*_IQR_EXPRS)
+    counts = (
+        r.crossJoin(F.broadcast(f))
+        .agg(
+            F.sum(F.when(F.col("v4") < F.col("lo_fence_c"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_low_outliers"),
+            F.sum(F.when(F.col("v4") > F.col("hi_fence_c"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_high_outliers"),
+        )
+    )
+    return f.crossJoin(F.broadcast(counts)).select(
+        "n_values", "q1", "q3", "iqr", "n_low_outliers", "n_high_outliers"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_median_ci — exact nonparametric 95% CI for the median
+# ---------------------------------------------------------------------------
+
+#: Shared order-statistic bounds: the binomial-normal 95% interval
+#: ranks floor((n - z*sqrt(n))/2) and ceil(1 + (n + z*sqrt(n))/2)
+#: with z = 1.959964 — the standard distribution-free median CI.
+_MCI_KS = [
+    "n",
+    "greatest(CAST(1 AS BIGINT),"
+    " CAST(floor((CAST(n AS DOUBLE) - 1.959964 * sqrt(CAST(n AS DOUBLE))) / 2)"
+    " AS BIGINT)) AS k_lo",
+    "least(CAST(n AS BIGINT),"
+    " CAST(ceil(1 + (CAST(n AS DOUBLE) + 1.959964 * sqrt(CAST(n AS DOUBLE))) / 2)"
+    " AS BIGINT)) AS k_hi",
+    k_index_text("0.5", "50"),
+]
+
+_MCI_FINAL = [
+    "CAST(n AS BIGINT) AS n_orders",
+    f"{interp_text('50', '0.5', '100.0', 2)} AS median",
+    "round(CAST(v_lo AS DOUBLE) / 100.0, 2) AS ci_lo",
+    "round(CAST(v_hi AS DOUBLE) / 100.0, 2) AS ci_hi",
+]
+
+
+@query(
+    "q_median_ci",
+    oracle=f"""
+    WITH c AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    r AS (
+        SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rk
+        FROM c
+    ),
+    ks AS (
+        SELECT {", ".join(_MCI_KS)}
+        FROM (SELECT COUNT(*) AS n FROM c)
+    ),
+    pick AS (
+        SELECT ANY_VALUE(n) AS n,
+               MAX(CASE WHEN rk = k_lo THEN cents END) AS v_lo,
+               MAX(CASE WHEN rk = k_hi THEN cents END) AS v_hi,
+               {pick_sql("cents", (("50", "0.5"),))}
+        FROM r, ks
+    )
+    SELECT {", ".join(_MCI_FINAL)} FROM pick
+    """,
+)
+def q_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the median order
+    value: the binomial order-statistic interval (ranks n/2 -+
+    z*sqrt(n)/2, z = 1.959964) — the robust uncertainty statement a
+    mean-based CI (q_bootstrap_ci) cannot make under heavy tails.
+
+    Scale: one distributed rank pass; the three order statistics
+    (median + the two CI bounds) are MAX(CASE) picks against broadcast
+    rank indices computed from n by ONE shared text — no sort, no
+    buffer, no resampling.
+    """
+    from ..functions.prefix import global_row_number
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    r = global_row_number(o, ["cents", "o_orderkey"], "rk")
+    ks = r.agg(F.count("*").alias("n")).selectExpr(*_MCI_KS)
+    pick = r.crossJoin(F.broadcast(ks)).agg(
+        F.first("n").alias("n"),
+        F.max(F.when(F.col("rk") == F.col("k_lo"), F.col("cents"))).alias(
+            "v_lo"
+        ),
+        F.max(F.when(F.col("rk") == F.col("k_hi"), F.col("cents"))).alias(
+            "v_hi"
+        ),
+        *pick_aggs("cents", (("50", "0.5"),)),
+    )
+    return pick.selectExpr(*_MCI_FINAL)
