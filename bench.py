@@ -39,8 +39,14 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from mapreduce_server_development_spark.session import get_spark
 
-    spark = get_spark(app_name="bench")
     queries = entrymod.queries()
+    unknown = only - set(queries)
+    if unknown:
+        # A typo'd name matching nothing would emit total=0 as a valid
+        # benchmark line — fail loudly instead.
+        print(f"bench: unknown query name(s): {sorted(unknown)}", file=sys.stderr)
+        return 2
+    spark = get_spark(app_name="bench")
 
     # JVM/codegen warmup so the first timed query isn't charged for it.
     first = next(iter(queries.values()))
@@ -48,6 +54,10 @@ def main() -> int:
         first(spark, sf_dir).foreach(lambda _: None)
     except Exception:  # noqa: BLE001 - warmup is best-effort
         pass
+    # Warmup may persist intermediates; the first TIMED query is that
+    # same query and would reuse them — clear so query 1 starts from
+    # the same cold cache as every other.
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():
@@ -86,6 +96,7 @@ def main() -> int:
             spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 2)
+    failed = sorted(n for n, t in timings.items() if t < 0)
     sf = _sf_of(sf_dir)
     compact = {"separators": (",", ":")}
     detail = {
@@ -93,6 +104,8 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "n_failed": len(failed),
+        "failed": failed,
         "sf": sf,
     }
     # Solo-rerun A/B book (tools/regression_ab.py) — embedded so the
@@ -105,7 +118,12 @@ def main() -> int:
             pass
     # Full per-query detail: one compact line (may exceed the driver's
     # stdout-tail capture) plus a file copy that always survives.
-    (REPO / "BENCH_DETAIL.json").write_text(json.dumps(detail, **compact) + "\n")
+    # Subset runs (triage) must NOT clobber the full-sweep snapshot the
+    # round records depend on.
+    if not only:
+        (REPO / "BENCH_DETAIL.json").write_text(
+            json.dumps(detail, **compact) + "\n"
+        )
     print(json.dumps(detail, **compact))
     # Final SHORT summary line: the driver captures only the last ~2000
     # chars of stdout, so the parseable line must come last and stay
@@ -121,6 +139,11 @@ def main() -> int:
                 "unit": "sec",
                 "queries": slowest,
                 "n_queries": len(timings),
+                # A broken query must never read as a perf win: its -1
+                # sentinel drops out of the total, so the failure list
+                # rides the driver-visible summary line explicitly.
+                "n_failed": len(failed),
+                "failed": failed,
                 "queries_detail": "BENCH_DETAIL.json",
                 "sf": sf,
             },

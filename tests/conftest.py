@@ -26,6 +26,11 @@ needs_reference = pytest.mark.skipif(
 
 @pytest.fixture(scope="session")
 def spark():
+    if not Path(SF_SMOKE).exists():
+        # Clean skip on machines without the driver-generated parquet —
+        # otherwise every spark/duck test errors inside the engines and
+        # buries real failures.
+        pytest.skip(f"test fixtures not present at {SF_SMOKE}")
     from mapreduce_server_development_spark.session import get_spark
 
     spark = get_spark(app_name="pytest", shuffle_partitions=8)
@@ -34,14 +39,15 @@ def spark():
 
 @pytest.fixture(scope="session")
 def duck():
+    if not Path(SF_SMOKE).exists():
+        pytest.skip(f"test fixtures not present at {SF_SMOKE}")
     import duckdb
 
-    con = duckdb.connect()
-    from mapreduce_server_development_spark.sources.tables import TABLES
+    from mapreduce_server_development_spark.oracle_compare import (
+        register_duckdb_views,
+    )
 
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_SMOKE}/{t}.parquet')"
-        )
+    con = duckdb.connect()
+    register_duckdb_views(con, SF_SMOKE)
     yield con
     con.close()

@@ -3,30 +3,19 @@
 The same check the driver runs at sf0.01 (row count, column set,
 order-insensitive value comparison at 9 significant digits), one
 pytest case per registered query so a regression names the query.
+Comparison rules are imported from the shared module
+(`mapreduce_server_development_spark.oracle_compare`) — the exact same
+code path tools/oracle_check.py uses, so the two harnesses cannot
+drift.
 """
 
 from __future__ import annotations
 
-import math
-
 import pytest
 
+from mapreduce_server_development_spark.oracle_compare import canon_rows
+
 from .conftest import SF_SMOKE
-
-
-def _norm(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.9g}"
-    return str(v)
-
-
-def _canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
 def _query_names():
@@ -45,8 +34,12 @@ def test_query_matches_oracle(name, spark, duck):
 
     oracles = entry.oracle_sql()
     if name not in oracles:
-        # Rows-only contract for non-SQL-expressible operators.
-        assert len(srows) >= 0
+        # Rows-only contract for non-SQL-expressible operators: no
+        # value oracle, but the query must produce a non-empty result
+        # with a real schema (a tautological >= 0 here once let any
+        # regression through unnamed).
+        assert scols, name
+        assert len(srows) > 0, f"{name}: rows-only query returned no rows"
         return
 
     res = duck.sql(oracles[name])
@@ -55,4 +48,4 @@ def test_query_matches_oracle(name, spark, duck):
 
     assert sorted(scols) == sorted(ocols)
     assert len(srows) == len(orows)
-    assert _canon(srows, scols) == _canon(orows, ocols)
+    assert canon_rows(srows, scols) == canon_rows(orows, ocols)

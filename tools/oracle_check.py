@@ -3,14 +3,17 @@
 Runs every query in __spark_entry__.queries() against the parquet
 fixtures and compares with the oracle SQL in DuckDB: row count, sorted
 column names, and an order-insensitive value comparison (rows sorted by
-their string representation; doubles compared to 9 significant digits).
+their string representation; doubles compared to 9 significant digits,
+negative zero normalized). Comparison rules live in ONE place
+(`mapreduce_server_development_spark.oracle_compare`), shared with the
+pytest oracle-smoke suite.
 
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
+Unknown query names are an ERROR (exit 2), never a silent 0-query pass.
 """
 
 from __future__ import annotations
 
-import math
 import sys
 import time
 from pathlib import Path
@@ -21,35 +24,26 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 import __spark_entry__ as entrymod  # noqa: E402
+from mapreduce_server_development_spark.oracle_compare import (  # noqa: E402
+    canon_rows,
+    register_duckdb_views,
+)
 from mapreduce_server_development_spark.session import get_spark  # noqa: E402
-from mapreduce_server_development_spark.sources.tables import TABLES  # noqa: E402
-
-
-def _norm(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.9g}"
-    return str(v)
-
-
-def _canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    queries = entrymod.queries()
+    unknown = only - set(queries)
+    if unknown:
+        # A typo'd name silently matching nothing would print
+        # "0 pass, 0 fail" and exit 0 — a fake green.
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        return 2
     spark = get_spark()
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
-    queries = entrymod.queries()
+    register_duckdb_views(con, sf_dir)
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
     for name, fn in queries.items():
@@ -65,8 +59,7 @@ def main() -> int:
             n_fail += 1
             continue
         if name not in oracles:
-            status = "ROWS-ONLY" if len(srows) >= 0 else "?"
-            print(f"{status:9} {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            print(f"ROWS-ONLY {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
             n_rows_only += 1
             continue
         try:
@@ -83,8 +76,8 @@ def main() -> int:
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
         if not problems:
-            a = _canon([tuple(r) for r in srows], scols)
-            b = _canon(orows, ocols)
+            a = canon_rows([tuple(r) for r in srows], scols)
+            b = canon_rows(orows, ocols)
             if a != b:
                 diffs = [(x, y) for x, y in zip(a, b) if x != y]
                 problems.append(f"values differ ({len(diffs)} rows); first: {diffs[:2]}")
