@@ -23,6 +23,7 @@ from . import corpus_stats  # noqa: E402,F401
 from . import sketches  # noqa: E402,F401
 from . import stats_ml  # noqa: E402,F401
 from . import ml_features  # noqa: E402,F401
+from . import graph_analytics  # noqa: E402,F401
 from . import tokenizer  # noqa: E402,F401
 from . import training_prep  # noqa: E402,F401
 
