@@ -1315,3 +1315,228 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_kaplan_meier — survival curve of time-to-first-purchase
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+@query(
+    "q_kaplan_meier",
+    oracle=f"""
+    WITH RECURSIVE pu AS (
+        SELECT user_id, MIN(ts) AS birth,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS death
+        FROM events GROUP BY user_id
+    ),
+    mx AS (SELECT MAX(ts) AS mxts FROM events),
+    durs AS (
+        SELECT CAST((epoch_us(COALESCE(death, mxts)) - epoch_us(birth))
+                    // {_DAY_US} AS INTEGER) AS day,
+               CASE WHEN death IS NULL THEN 0 ELSE 1 END AS observed
+        FROM pu CROSS JOIN mx
+    ),
+    day_tbl AS (
+        SELECT day, CAST(SUM(observed) AS BIGINT) AS deaths,
+               CAST(SUM(1 - observed) AS BIGINT) AS cens,
+               ROW_NUMBER() OVER (ORDER BY day) AS rn
+        FROM durs GROUP BY day
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pu),
+    rec AS (
+        SELECT CAST(0 AS BIGINT) AS rn, n.n AS risk, CAST(1.0 AS DOUBLE) AS s,
+               CAST(NULL AS INTEGER) AS day, CAST(NULL AS BIGINT) AS at_risk,
+               CAST(NULL AS BIGINT) AS deaths, CAST(NULL AS DOUBLE) AS surv
+        FROM n
+        UNION ALL
+        SELECT d.rn, r.risk - d.deaths - d.cens,
+               CASE WHEN d.deaths > 0
+                    THEN (r.s * (r.risk - d.deaths)) / r.risk ELSE r.s END,
+               d.day, r.risk, d.deaths,
+               CASE WHEN d.deaths > 0
+                    THEN (r.s * (r.risk - d.deaths)) / r.risk
+                    ELSE CAST(NULL AS DOUBLE) END
+        FROM rec r JOIN day_tbl d ON d.rn = r.rn + 1
+    )
+    SELECT day, at_risk, deaths, round(surv, 6) AS survival
+    FROM rec WHERE deaths > 0 ORDER BY day
+    """,
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival estimate (Kaplan & Meier 1958) of
+    time-to-first-purchase per user: birth = the user's first event,
+    death = first 'purchase', right-censored at the corpus max
+    timestamp. One row per death day: (day, at_risk n_i, deaths d_i,
+    survival S = Π (n_i - d_i)/n_i), the standard product-limit table
+    behind retention and churn curves.
+
+    Cross-engine exactness: the survival product is a SEQUENTIAL
+    recurrence, not an associative aggregate — both engines run the
+    identical recurrence ``s' = (s * (risk - deaths)) / risk`` over
+    the identical day-ordered rows (Spark: ``aggregate()`` lambda over
+    a sorted array; DuckDB: recursive CTE), so every multiply/divide
+    is the same correctly-rounded IEEE op in the same order →
+    identical doubles, rounded to 6dp only at output.
+
+    Scale: per-user birth/death and per-day death/censor counts are
+    partial-agg'd fact-scale shuffles; the fold then runs over the
+    DAY table, which is observation-window-bounded (≤ a few hundred
+    rows at ANY data scale — the fixture spans ~30 days), the same
+    bounded-collect discipline as the packed-Bloom words. No window,
+    no percentile buffer, no driver loop.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("birth"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("death"),
+    )
+    mx = ev.agg(F.max("ts").alias("mxts"))
+    durs = per_user.crossJoin(F.broadcast(mx)).selectExpr(
+        f"CAST((unix_micros(COALESCE(death, mxts)) - unix_micros(birth))"
+        f" DIV {_DAY_US} AS INT) AS day",
+        "CAST(CASE WHEN death IS NULL THEN 0 ELSE 1 END AS BIGINT) AS observed",
+    )
+    day_tbl = durs.groupBy("day").agg(
+        F.sum("observed").cast("long").alias("deaths"),
+        F.sum(F.expr("1 - observed")).cast("long").alias("cens"),
+    )
+    one = day_tbl.agg(
+        F.sort_array(
+            F.collect_list(F.struct("day", "deaths", "cens"))
+        ).alias("ds"),
+        F.sum(F.expr("deaths + cens")).cast("long").alias("n"),
+    )
+    out_t = "ARRAY<STRUCT<day: INT, at_risk: BIGINT, deaths: BIGINT, surv: DOUBLE>>"
+    fold = (
+        "aggregate(ds,"
+        " named_struct('risk', n, 's', CAST(1.0 AS DOUBLE),"
+        f" 'out', CAST(array() AS {out_t})),"
+        " (acc, x) -> named_struct("
+        "   'risk', acc.risk - x.deaths - x.cens,"
+        "   's', CASE WHEN x.deaths > 0"
+        "        THEN (acc.s * (acc.risk - x.deaths)) / acc.risk ELSE acc.s END,"
+        "   'out', CASE WHEN x.deaths > 0 THEN concat(acc.out, array(named_struct("
+        "       'day', x.day, 'at_risk', acc.risk, 'deaths', x.deaths,"
+        "       'surv', (acc.s * (acc.risk - x.deaths)) / acc.risk)))"
+        "     ELSE acc.out END),"
+        " acc -> acc.out)"
+    )
+    return (
+        one.selectExpr(f"inline({fold})")
+        .selectExpr(
+            "day", "at_risk", "deaths", "round(surv, 6) AS survival"
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_mutual_info — MI between event type and hour-of-day
+# ---------------------------------------------------------------------------
+
+_MI_CELL = (
+    "CAST(round(ln((CAST(n_xy AS DOUBLE) * n) / (CAST(n_x AS DOUBLE) * n_y))"
+    " * 1000000) AS BIGINT)"
+)
+_MI_MARG = "CAST(round(ln(CAST({c} AS DOUBLE) / n) * 1000000) AS BIGINT)"
+
+
+@query(
+    "q_mutual_info",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type AS x, CAST(hour(ts) AS INTEGER) AS y FROM events
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b),
+    jx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS n_x FROM b GROUP BY x),
+    jy AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS n_y FROM b GROUP BY y),
+    jxy AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_xy FROM b GROUP BY x, y),
+    mi AS (
+        SELECT CAST(SUM(n_xy * {_MI_CELL}) AS BIGINT) // MAX(n.n) AS mi_e6
+        FROM jxy JOIN jx USING (x) JOIN jy USING (y) CROSS JOIN n
+    ),
+    hx AS (
+        SELECT -(CAST(SUM(n_x * {_MI_MARG.format(c="n_x")}) AS BIGINT) // MAX(n.n))
+               AS h_type_e6
+        FROM jx CROSS JOIN n
+    ),
+    hy AS (
+        SELECT -(CAST(SUM(n_y * {_MI_MARG.format(c="n_y")}) AS BIGINT) // MAX(n.n))
+               AS h_hour_e6
+        FROM jy CROSS JOIN n
+    )
+    SELECT mi.mi_e6, hx.h_type_e6, hy.h_hour_e6,
+           CAST(2000000 * mi.mi_e6 // (hx.h_type_e6 + hy.h_hour_e6) AS BIGINT)
+               AS nmi_e6
+    FROM mi CROSS JOIN hx CROSS JOIN hy
+    """,
+)
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(event_type; hour-of-day) in nats plus both
+    marginal entropies and the symmetric normalized MI
+    2·MI/(H(x)+H(y)) — the dependence audit between a categorical
+    label and a derived feature (feature-selection primitive).
+
+    Cross-engine exactness: the house per-cell-round discipline
+    (`q_unigram_logprob` pattern) — each cell's log term is rounded to
+    e6 micro-nats FIRST, then weighted by exact integer counts and
+    floor-divided by N, so the only float op per cell is one ln on
+    identical doubles; sums never run in floating point.
+
+    Scale: three partial-agg'd fact aggregates (cells, two marginals);
+    the join runs over the |types|×|hours| cell table (bounded ~120
+    rows at any SF). Single-row output.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.selectExpr(
+        "event_type AS x", "CAST(hour(ts) AS INT) AS y"
+    )
+    n = b.agg(F.count("*").cast("long").alias("n"))
+    jx = b.groupBy("x").agg(F.count("*").cast("long").alias("n_x"))
+    jy = b.groupBy("y").agg(F.count("*").cast("long").alias("n_y"))
+    jxy = b.groupBy("x", "y").agg(F.count("*").cast("long").alias("n_xy"))
+    cells = (
+        jxy.join(jx, "x").join(jy, "y").crossJoin(F.broadcast(n))
+    )
+    # True integer DIV after the exact-integer sums (both engines
+    # truncate toward zero — verified parity incl. negatives).
+    mi = cells.agg(
+        F.sum(F.expr(f"n_xy * {_MI_CELL}")).cast("long").alias("s"),
+        F.max("n").alias("nn"),
+    ).selectExpr("CAST(s DIV nn AS BIGINT) AS mi_e6")
+    hx = (
+        jx.crossJoin(F.broadcast(n))
+        .agg(
+            F.sum(F.expr("n_x * " + _MI_MARG.format(c="n_x")))
+            .cast("long")
+            .alias("s"),
+            F.max("n").alias("nn"),
+        )
+        .selectExpr("CAST(-(s DIV nn) AS BIGINT) AS h_type_e6")
+    )
+    hy = (
+        jy.crossJoin(F.broadcast(n))
+        .agg(
+            F.sum(F.expr("n_y * " + _MI_MARG.format(c="n_y")))
+            .cast("long")
+            .alias("s"),
+            F.max("n").alias("nn"),
+        )
+        .selectExpr("CAST(-(s DIV nn) AS BIGINT) AS h_hour_e6")
+    )
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .selectExpr(
+            "mi_e6",
+            "h_type_e6",
+            "h_hour_e6",
+            "CAST(2000000 * mi_e6 DIV (h_type_e6 + h_hour_e6) AS BIGINT)"
+            " AS nmi_e6",
+        )
+    )
