@@ -404,3 +404,157 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_bloom_pass") - F.col("n_true")).alias("n_false_pos"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_kmv_distinct — K-minimum-values (theta) sketch, per source + merged
+# --------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_DOM = 1 << 48  # h48 hash domain
+
+
+@query(
+    "q_kmv_distinct",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source,
+               unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+                   AS tok
+        FROM documents
+    ),
+    hashed AS (
+        SELECT DISTINCT source,
+               {_hexval_sql("md5('kmv:' || tok)", 12)} AS h48
+        FROM toks
+    ),
+    ranked AS (
+        SELECT source, h48,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h48) AS rk,
+               COUNT(*) OVER (PARTITION BY source) AS n_exact
+        FROM hashed
+    ),
+    per_src AS (
+        SELECT source, CAST(MAX(n_exact) AS BIGINT) AS exact_distinct,
+               CAST(MAX(h48) AS BIGINT) AS kth_h48,
+               CAST(COUNT(*) AS BIGINT) AS sk_n
+        FROM ranked WHERE rk <= {_KMV_K}
+        GROUP BY source
+    ),
+    merged_hashes AS (SELECT DISTINCT h48 FROM hashed),
+    merged_exact AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM merged_hashes
+    ),
+    merged_k AS (
+        SELECT CAST(MAX(h48) AS BIGINT) AS kth_h48,
+               CAST(COUNT(*) AS BIGINT) AS sk_n
+        FROM (SELECT h48 FROM merged_hashes ORDER BY h48 LIMIT {_KMV_K})
+    ),
+    rows_out AS (
+        SELECT source, exact_distinct, kth_h48, sk_n FROM per_src
+        UNION ALL
+        SELECT '(merged)', e.n, m.kth_h48, m.sk_n
+        FROM merged_exact e CROSS JOIN merged_k m
+    )
+    SELECT source, exact_distinct,
+           CASE WHEN sk_n < {_KMV_K} THEN exact_distinct
+                ELSE ({_KMV_K} - 1) * {_KMV_DOM} // kth_h48 END AS kmv_est,
+           CASE WHEN exact_distinct > 0 THEN
+               10000 * abs((CASE WHEN sk_n < {_KMV_K} THEN exact_distinct
+                    ELSE ({_KMV_K} - 1) * {_KMV_DOM} // kth_h48 END)
+                    - exact_distinct) // exact_distinct
+           ELSE 0 END AS abs_err_pct_e2
+    FROM rows_out
+    ORDER BY source
+    """,
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values / theta sketch (Bar-Yossef et al. 2002;
+    Dasgupta et al. 2016 Theta framework) of per-source distinct
+    vocabulary, PLUS the merged-union sketch across all sources — the
+    property that makes KMV the warehouse workhorse: sketches merge by
+    keeping the k smallest of the union, so per-partition /
+    per-source sketches roll up without rescanning.
+
+    Estimator: (k-1) / U_(k) with U_(k) = kth smallest hash / 2^48 —
+    computed as exact integer ``(k-1)·2^48 DIV kth`` (engine-identical
+    md5-derived 48-bit hashes, zero float ops). Sources with fewer
+    than k distinct hashes report exactly (the sketch IS the set).
+
+    Scale: the per-source k-smallest selection rides
+    ``global_row_number`` (range-partitioned two-phase rank — one tiny
+    count per partition to the driver, never a |source|-capped window
+    sort); the merged tier selects k smallest from the UNION of
+    per-source sketches (≤ k·|sources| rows, bounded) via
+    TakeOrderedAndProject. Exact audits are partial-agg'd
+    count-distincts. An engine would persist `kept` as the sketch
+    table; re-ranking exact counts here keeps the audit honest.
+    """
+    from ..functions.prefix import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "), lambda t: t != ""
+            )
+        ).alias("tok"),
+    )
+    hashed = toks.select(
+        "source",
+        _hexval_col(F.md5(F.concat(F.lit("kmv:"), F.col("tok"))), 12).alias(
+            "h48"
+        ),
+    ).distinct()
+    g = global_row_number(hashed, ["source", "h48"], "grn")
+    stats = g.groupBy("source").agg(
+        F.min("grn").alias("t0"), F.count("*").cast("long").alias("n_exact")
+    )
+    kept = (
+        g.join(F.broadcast(stats), "source")
+        .withColumn("rk", F.col("grn") - F.col("t0") + 1)
+        .filter(F.col("rk") <= _KMV_K)
+        .localCheckpoint(eager=True)
+    )
+    per_src = kept.groupBy("source").agg(
+        F.max("n_exact").cast("long").alias("exact_distinct"),
+        F.max("h48").cast("long").alias("kth_h48"),
+        F.count("*").cast("long").alias("sk_n"),
+    )
+    merged_hashes = hashed.select("h48").distinct()
+    merged_exact = merged_hashes.agg(F.count("*").cast("long").alias("n"))
+    merged_k = (
+        merged_hashes.orderBy("h48")
+        .limit(_KMV_K)
+        .agg(
+            F.max("h48").cast("long").alias("kth_h48"),
+            F.count("*").cast("long").alias("sk_n"),
+        )
+    )
+    merged_row = (
+        merged_exact.crossJoin(F.broadcast(merged_k))
+        .selectExpr(
+            "'(merged)' AS source",
+            "n AS exact_distinct",
+            "kth_h48",
+            "sk_n",
+        )
+    )
+    est = (
+        f"CASE WHEN sk_n < {_KMV_K} THEN exact_distinct"
+        f" ELSE ({_KMV_K} - 1) * {_KMV_DOM}L DIV kth_h48 END"
+    )
+    return (
+        per_src.select("source", "exact_distinct", "kth_h48", "sk_n")
+        .unionAll(merged_row)
+        .selectExpr(
+            "source",
+            "exact_distinct",
+            f"{est} AS kmv_est",
+            "CASE WHEN exact_distinct > 0 THEN"
+            f" 10000 * abs(({est}) - exact_distinct) DIV exact_distinct"
+            " ELSE 0L END AS abs_err_pct_e2",
+        )
+        .orderBy("source")
+    )
