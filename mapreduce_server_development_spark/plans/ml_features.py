@@ -498,3 +498,220 @@ def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     same sufficient-statistics shape as q_feature_corr.
     """
     return _maha_scored(spark, sf_dir, 13.816)
+
+
+# ---------------------------------------------------------------------------
+# q_pca_power — dominant principal component via power iteration
+# ---------------------------------------------------------------------------
+
+_PCA_D = D_OUT  # iterate on the 8-dim JL projection
+_PCA_T = 12  # fixed power-iteration rounds
+
+
+def _pca_exprs() -> dict[str, list[str] | str]:
+    """Shared expression texts for BOTH engines. Every floating-point
+    op after the exact-integer sufficient statistics appears as the
+    SAME expression text evaluated by Spark and DuckDB — identical
+    IEEE operation tree on identical inputs -> bit-identical doubles.
+    """
+    d = _PCA_D
+
+    def qn(k: int, j: int) -> str:
+        return f"q_{min(k, j)}_{max(k, j)}"
+
+    cov = [
+        f"CAST(n * {qn(k, j)} - s_{k} * s_{j} AS DOUBLE)"
+        f" / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS c_{k}_{j}"
+        for k in range(d)
+        for j in range(d)
+    ]
+    allc = [f"c_{k}_{j}" for k in range(d) for j in range(d)]
+    tr = "(" + " + ".join(f"c_{k}_{k}" for k in range(d)) + ") AS tr"
+    u = [
+        "(" + " + ".join(f"c_{k}_{j} * v_{j}" for j in range(d)) + f") AS u_{k}"
+        for k in range(d)
+    ]
+    nrm = (
+        "sqrt(" + " + ".join(f"u_{k} * u_{k}" for k in range(d)) + ") AS nrm"
+    )
+    v = [f"u_{k} / nrm AS v_{k}" for k in range(d)]
+    mx = "greatest(" + ", ".join(f"abs(v_{k})" for k in range(d)) + ")"
+    sgn = (
+        "CASE "
+        + " ".join(
+            f"WHEN abs(v_{k}) = {mx} THEN"
+            f" (CASE WHEN v_{k} >= 0 THEN 1.0 ELSE -1.0 END)"
+            for k in range(d)
+        )
+        + " ELSE 1.0 END AS sgn"
+    )
+    return {"cov": cov, "allc": allc, "tr": tr, "u": u, "nrm": nrm, "v": v,
+            "sgn": sgn}
+
+
+def _pca_proj_sql() -> str:
+    """DuckDB: wide p_0..p_7 e4-integer projections per vector."""
+    cols = []
+    for k in range(_PCA_D):
+        signs = ", ".join(str(s) for s in _SIGNS[k])
+        cols.append(
+            f"CAST(round(round(list_sum(list_transform(range(1, {D_IN + 1}),"
+            f" j -> vv[CAST(j AS INT)] * list_value({signs})[CAST(j AS INT)]))"
+            f" / sqrt({_PCA_D}.0), 4) * 10000) AS BIGINT) AS p_{k}"
+        )
+    return (
+        "SELECT "
+        + ", ".join(cols)
+        + " FROM (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        " AS vv FROM embeddings)"
+    )
+
+
+def _pca_oracle() -> str:
+    d, t = _PCA_D, _PCA_T
+    e = _pca_exprs()
+    sums = ", ".join(
+        [f"CAST(SUM(p_{k}) AS HUGEINT) AS s_{k}" for k in range(d)]
+        + [
+            f"CAST(SUM(p_{k} * p_{j}) AS HUGEINT) AS q_{k}_{j}"
+            for k in range(d)
+            for j in range(k, d)
+        ]
+    )
+    allc = ", ".join(e["allc"])
+    ctes = [
+        f"proj AS ({_pca_proj_sql()})",
+        f"stats AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, {sums} FROM proj)",
+        f"base AS (SELECT {', '.join(e['cov'])} FROM stats)",
+        "it0 AS (SELECT *, "
+        + ", ".join(f"1.0 AS v_{k}" for k in range(d))
+        + " FROM base)",
+    ]
+    for i in range(1, t + 1):
+        vs = ", ".join(f"v_{k}" for k in range(d))
+        us = ", ".join(f"u_{k}" for k in range(d))
+        ctes.append(
+            f"u{i} AS (SELECT {allc}, {', '.join(e['u'])} FROM it{i - 1})"
+        )
+        ctes.append(f"n{i} AS (SELECT {allc}, {us}, {e['nrm']} FROM u{i})")
+        ctes.append(
+            f"it{i} AS (SELECT {allc}, nrm, {', '.join(e['v'])} FROM n{i})"
+        )
+    ctes.append(
+        f"fin AS (SELECT *, {e['tr']}, {e['sgn']} FROM it{t})"
+    )
+    dim_rows = ", ".join(f"({k})" for k in range(d))
+    load_case = (
+        "CASE d.dim "
+        + " ".join(f"WHEN {k} THEN v_{k}" for k in range(d))
+        + " END"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(d.dim AS INTEGER) AS dim,
+           round(sgn * {load_case}, 4) + 0.0 AS loading,
+           round(nrm / 100000000.0, 4) AS eigenvalue,
+           round(nrm / tr, 4) AS var_share
+    FROM fin CROSS JOIN (VALUES {dim_rows}) d(dim)
+    ORDER BY dim
+    """
+    )
+
+
+@query("q_pca_power", oracle=_pca_oracle())
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the 8-dim JL projection via 12
+    rounds of power iteration (Mises & Pollaczek-Geiringer 1929; the
+    PCA building block) — loading vector, top eigenvalue, and
+    explained-variance share.
+
+    Cross-engine exactness, the hard part: after the exact-integer
+    sufficient statistics (n, Σp_k, Σp_k·p_j summed as
+    DECIMAL(38,0)/HUGEINT over e4 fixed-point projections), EVERY
+    remaining float op — covariance division, the 8 dot products per
+    round, the norm, the normalization, sign fix, rounding — is the
+    SAME expression text evaluated by both engines
+    (:func:`_pca_exprs`), so both run the identical correctly-rounded
+    IEEE operation tree and produce bit-identical doubles even where
+    the iteration has not fully converged. No libm transcendentals
+    (sqrt is IEEE-exact); no cross-engine summation-order hazard
+    (dot products are unrolled left-associative text).
+
+    Scale: one fact-scale pass computes the 45 sufficient statistics
+    (map-side partial aggs); the 12 iterations then run on a
+    SINGLE-ROW DataFrame of 64 covariance entries — driver-free,
+    shuffle-free, O(d²·T) scalar work that is invariant to data
+    scale. This is exactly how distributed PCA is done at 100 TB:
+    sufficient stats in one pass, eigen-solve on the tiny Gram matrix.
+    """
+    d, t = _PCA_D, _PCA_T
+    e = _pca_exprs()
+    emb = load_table(spark, sf_dir, "embeddings")
+    vv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    raws = [
+        F.aggregate(
+            F.zip_with(
+                vv,
+                F.array(*[F.lit(s) for s in _SIGNS[k]]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"raw_{k}")
+        for k in range(d)
+    ]
+    proj = emb.select(*raws).selectExpr(
+        *[
+            f"CAST(round(round(raw_{k} / sqrt({d}.0), 4) * 10000) AS BIGINT)"
+            f" AS p_{k}"
+            for k in range(d)
+        ]
+    )
+    stats = proj.agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.col(f"p_{k}").cast("decimal(38,0)")).alias(f"s_{k}")
+            for k in range(d)
+        ],
+        *[
+            F.sum(
+                (F.col(f"p_{k}") * F.col(f"p_{j}")).cast("decimal(38,0)")
+            ).alias(f"q_{k}_{j}")
+            for k in range(d)
+            for j in range(k, d)
+        ],
+    )
+    cur = stats.selectExpr(*e["cov"])
+    cur = cur.selectExpr("*", *[f"1.0 AS v_{k}" for k in range(d)])
+    allc = e["allc"]
+    us = [f"u_{k}" for k in range(d)]
+    for i in range(t):
+        cur = cur.selectExpr(*allc, *e["u"])
+        cur = cur.selectExpr(*allc, *us, e["nrm"])
+        cur = cur.selectExpr(*allc, "nrm", *e["v"])
+        # Projection collapse nests the whole iteration history into
+        # one expression tree (measured: 1.7 MiB task binaries, ~10 s
+        # dominated by analysis/codegen). A 1-row localCheckpoint
+        # every 3rd round caps the tree at 3 rounds deep; the
+        # materialization itself is a single-row no-op.
+        if (i + 1) % 3 == 0 and i + 1 < t:
+            cur = cur.localCheckpoint(eager=True)
+    fin = cur.selectExpr("*", e["tr"], e["sgn"])
+    load_case = (
+        "CASE d.dim "
+        + " ".join(f"WHEN {k} THEN v_{k}" for k in range(d))
+        + " END"
+    )
+    dims = spark.range(d).selectExpr("CAST(id AS INT) AS dim").alias("d")
+    return (
+        fin.crossJoin(F.broadcast(dims))
+        .selectExpr(
+            "d.dim AS dim",
+            f"round(sgn * {load_case}, 4) + 0.0 AS loading",
+            "round(nrm / 100000000.0, 4) AS eigenvalue",
+            "round(nrm / tr, 4) AS var_share",
+        )
+        .orderBy("dim")
+    )
