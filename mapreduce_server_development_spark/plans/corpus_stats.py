@@ -989,3 +989,180 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("actual", "predicted")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_rrf_fusion — reciprocal-rank fusion of BM25 relevance + lexical quality
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # Cormack et al. 2009 standard constant
+_RRF_DEPTH = 100  # per-ranking truncation depth
+_RRF_TOP = 20
+
+
+@query(
+    "q_rrf_fusion",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id AS doc,
+               unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+                   AS tok
+        FROM documents
+    ),
+    dl AS (
+        SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_toks,
+               CAST(COUNT(DISTINCT tok) AS BIGINT) AS d_toks
+        FROM toks GROUP BY doc
+    ),
+    g AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_toks) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE tok IN ({_TERMS_SQL}) GROUP BY doc, tok
+    ),
+    dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    bm AS (
+        SELECT tf.doc, CAST(SUM(CAST(round(
+                   ln((g.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.n_toks / g.avgdl))
+                   * 1000000) AS BIGINT)) AS BIGINT) AS s
+        FROM tf
+        JOIN dfreq d USING (tok)
+        JOIN dl ON dl.doc = tf.doc
+        CROSS JOIN g
+        GROUP BY tf.doc
+    ),
+    r1 AS (
+        SELECT doc, rk FROM (
+            SELECT doc, ROW_NUMBER() OVER (ORDER BY s DESC, doc) AS rk FROM bm
+        ) WHERE rk <= {_RRF_DEPTH}
+    ),
+    qual AS (
+        SELECT doc, 1000000 * d_toks // n_toks AS q FROM dl WHERE n_toks > 0
+    ),
+    r2 AS (
+        SELECT doc, rk FROM (
+            SELECT doc, ROW_NUMBER() OVER (ORDER BY q DESC, doc) AS rk FROM qual
+        ) WHERE rk <= {_RRF_DEPTH}
+    ),
+    fused AS (
+        SELECT COALESCE(r1.doc, r2.doc) AS doc_id,
+               r1.rk AS r_bm25, r2.rk AS r_quality,
+               COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + r1.rk),
+                        CAST(0.0 AS DOUBLE))
+                   + COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + r2.rk),
+                              CAST(0.0 AS DOUBLE)) AS rrf
+        FROM r1 FULL OUTER JOIN r2 ON r1.doc = r2.doc
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(r_bm25 AS BIGINT) AS r_bm25,
+           CAST(r_quality AS BIGINT) AS r_quality,
+           round(rrf, 6) AS rrf_score
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id LIMIT {_RRF_TOP}
+    """,
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack, Clarke &
+    Büttcher 2009) of two truncated rankings — BM25 relevance for the
+    fixed query terms and a lexical-diversity quality score
+    (type-token ratio) — RRF(d) = Σ 1/(60 + rank_r(d)) over the
+    rankings that retrieved d, top-20 fused.
+
+    This is the standard way modern search fuses keyword and
+    auxiliary rankings without score calibration: only RANKS cross the
+    fusion boundary, so the two scorers' units never need reconciling.
+
+    Cross-engine exactness: both rankings order by exact integers
+    (micro-unit BM25 via the per-term round-then-BIGINT-sum house
+    pattern; e6 type-token ratio via integer DIV) with doc tie-break,
+    so ranks match exactly; the fusion is then two correctly-rounded
+    IEEE divisions and one addition in fixed order on identical
+    integer ranks.
+
+    Scale: ranks come from ``global_row_number`` (range-partitioned
+    two-phase rank — never a single-task global sort); each list is
+    truncated at depth 100; the fusion join runs over ≤ 2·depth
+    rows. BM25 statistics are the q_bm25 partial-agg plan.
+    """
+    from ..functions.prefix import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(tokens_col(F.lower(F.col("text")))).alias("tok"),
+    )
+    dl = toks.groupBy("doc").agg(
+        F.count("*").cast("long").alias("n_toks"),
+        F.countDistinct("tok").cast("long").alias("d_toks"),
+    ).localCheckpoint(eager=True)
+    g = dl.agg(
+        F.count("*").cast("long").alias("n"),
+        (F.sum("n_toks").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc", "tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + _K1 * (0.25 + _B * F.col("n_toks") / F.col("avgdl"))
+    bm = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl.select("doc", "n_toks"), "doc")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "doc",
+            F.round(idf * F.col("tf") * 2.2 / denom * 1000000)
+            .cast("long")
+            .alias("c"),
+        )
+        .groupBy("doc")
+        .agg(F.sum("c").cast("long").alias("s"))
+    )
+    r1 = (
+        global_row_number(bm, [F.col("s").desc(), "doc"], "rk")
+        .filter(F.col("rk") <= _RRF_DEPTH)
+        .select("doc", "rk")
+    )
+    qual = dl.filter(F.col("n_toks") > 0).selectExpr(
+        "doc", "1000000 * d_toks DIV n_toks AS q"
+    )
+    r2 = (
+        global_row_number(qual, [F.col("q").desc(), "doc"], "rk")
+        .filter(F.col("rk") <= _RRF_DEPTH)
+        .select("doc", "rk")
+    )
+    fused = (
+        r1.withColumnRenamed("rk", "r_bm25")
+        .join(
+            r2.withColumnRenamed("rk", "r_quality")
+            .withColumnRenamed("doc", "doc2"),
+            F.col("doc") == F.col("doc2"),
+            "full_outer",
+        )
+        .selectExpr(
+            "COALESCE(doc, doc2) AS doc_id",
+            "CAST(r_bm25 AS BIGINT) AS r_bm25",
+            "CAST(r_quality AS BIGINT) AS r_quality",
+            f"COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + r_bm25),"
+            f" CAST(0.0 AS DOUBLE))"
+            f" + COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + r_quality),"
+            f" CAST(0.0 AS DOUBLE)) AS rrf",
+        )
+    )
+    return (
+        fused.selectExpr(
+            "CAST(doc_id AS BIGINT) AS doc_id",
+            "r_bm25",
+            "r_quality",
+            "round(rrf, 6) AS rrf_score",
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(_RRF_TOP)
+    )
