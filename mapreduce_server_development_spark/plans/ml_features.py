@@ -505,7 +505,7 @@ def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PCA_D = D_OUT  # iterate on the 8-dim JL projection
-_PCA_T = 12  # fixed power-iteration rounds
+_PCA_SQ = 8  # trace-normalized matrix squarings -> effective power 2^8
 
 
 def _pca_exprs() -> dict[str, list[str] | str]:
@@ -526,15 +526,33 @@ def _pca_exprs() -> dict[str, list[str] | str]:
         for j in range(d)
     ]
     allc = [f"c_{k}_{j}" for k in range(d) for j in range(d)]
-    tr = "(" + " + ".join(f"c_{k}_{k}" for k in range(d)) + ") AS tr"
+    allm = [f"m_{k}_{j}" for k in range(d) for j in range(d)]
+    # One squaring: r = m·m (left-associative 8-term dot products),
+    # then trace-normalize to keep entries O(1) across squarings.
+    sq_r = [
+        "(" + " + ".join(f"m_{k}_{i} * m_{i}_{j}" for i in range(d))
+        + f") AS r_{k}_{j}"
+        for k in range(d)
+        for j in range(d)
+    ]
+    sq_tr = "(" + " + ".join(f"r_{k}_{k}" for k in range(d)) + ") AS mtr"
+    sq_m = [f"r_{k}_{j} / mtr AS m_{k}_{j}" for k in range(d) for j in range(d)]
+    # Extract v = normalize(M^(2^S) · 1), then Rayleigh on the ORIGINAL C.
+    vr = [
+        "(" + " + ".join(f"m_{k}_{j}" for j in range(d)) + f") AS vr_{k}"
+        for k in range(d)
+    ]
+    vnrm = (
+        "sqrt(" + " + ".join(f"vr_{k} * vr_{k}" for k in range(d))
+        + ") AS vnrm"
+    )
+    v = [f"vr_{k} / vnrm AS v_{k}" for k in range(d)]
     u = [
         "(" + " + ".join(f"c_{k}_{j} * v_{j}" for j in range(d)) + f") AS u_{k}"
         for k in range(d)
     ]
-    nrm = (
-        "sqrt(" + " + ".join(f"u_{k} * u_{k}" for k in range(d)) + ") AS nrm"
-    )
-    v = [f"u_{k} / nrm AS v_{k}" for k in range(d)]
+    ray = "(" + " + ".join(f"v_{k} * u_{k}" for k in range(d)) + ") AS ray"
+    tr = "(" + " + ".join(f"c_{k}_{k}" for k in range(d)) + ") AS tr"
     mx = "greatest(" + ", ".join(f"abs(v_{k})" for k in range(d)) + ")"
     sgn = (
         "CASE "
@@ -545,8 +563,21 @@ def _pca_exprs() -> dict[str, list[str] | str]:
         )
         + " ELSE 1.0 END AS sgn"
     )
-    return {"cov": cov, "allc": allc, "tr": tr, "u": u, "nrm": nrm, "v": v,
-            "sgn": sgn}
+    return {
+        "cov": cov,
+        "allc": allc,
+        "allm": allm,
+        "sq_r": sq_r,
+        "sq_tr": sq_tr,
+        "sq_m": sq_m,
+        "vr": vr,
+        "vnrm": vnrm,
+        "v": v,
+        "u": u,
+        "ray": ray,
+        "tr": tr,
+        "sgn": sgn,
+    }
 
 
 def _pca_proj_sql() -> str:
@@ -568,7 +599,7 @@ def _pca_proj_sql() -> str:
 
 
 def _pca_oracle() -> str:
-    d, t = _PCA_D, _PCA_T
+    d, t = _PCA_D, _PCA_SQ
     e = _pca_exprs()
     sums = ", ".join(
         [f"CAST(SUM(p_{k}) AS HUGEINT) AS s_{k}" for k in range(d)]
@@ -579,27 +610,39 @@ def _pca_oracle() -> str:
         ]
     )
     allc = ", ".join(e["allc"])
+    allm = ", ".join(e["allm"])
+    allr = ", ".join(f"r_{k}_{j}" for k in range(d) for j in range(d))
     ctes = [
         f"proj AS ({_pca_proj_sql()})",
         f"stats AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, {sums} FROM proj)",
         f"base AS (SELECT {', '.join(e['cov'])} FROM stats)",
         "it0 AS (SELECT *, "
-        + ", ".join(f"1.0 AS v_{k}" for k in range(d))
+        + ", ".join(f"c_{k}_{j} AS m_{k}_{j}" for k in range(d) for j in range(d))
         + " FROM base)",
     ]
     for i in range(1, t + 1):
-        vs = ", ".join(f"v_{k}" for k in range(d))
-        us = ", ".join(f"u_{k}" for k in range(d))
         ctes.append(
-            f"u{i} AS (SELECT {allc}, {', '.join(e['u'])} FROM it{i - 1})"
+            f"r{i} AS (SELECT {allc}, {', '.join(e['sq_r'])} FROM it{i - 1})"
         )
-        ctes.append(f"n{i} AS (SELECT {allc}, {us}, {e['nrm']} FROM u{i})")
+        ctes.append(f"t{i} AS (SELECT {allc}, {allr}, {e['sq_tr']} FROM r{i})")
         ctes.append(
-            f"it{i} AS (SELECT {allc}, nrm, {', '.join(e['v'])} FROM n{i})"
+            f"it{i} AS (SELECT {allc}, {', '.join(e['sq_m'])} FROM t{i})"
         )
+    ctes.append(f"vx AS (SELECT {allc}, {', '.join(e['vr'])} FROM it{t})")
     ctes.append(
-        f"fin AS (SELECT *, {e['tr']}, {e['sgn']} FROM it{t})"
+        f"vn AS (SELECT {allc}, "
+        + ", ".join(f"vr_{k}" for k in range(d))
+        + f", {e['vnrm']} FROM vx)"
     )
+    ctes.append(
+        f"vv AS (SELECT {allc}, {', '.join(e['v'])} FROM vn)"
+    )
+    ctes.append(
+        f"uu AS (SELECT {allc}, "
+        + ", ".join(f"v_{k}" for k in range(d))
+        + f", {', '.join(e['u'])} FROM vv)"
+    )
+    ctes.append(f"fin AS (SELECT *, {e['ray']}, {e['tr']}, {e['sgn']} FROM uu)")
     dim_rows = ", ".join(f"({k})" for k in range(d))
     load_case = (
         "CASE d.dim "
@@ -612,8 +655,8 @@ def _pca_oracle() -> str:
         + f"""
     SELECT CAST(d.dim AS INTEGER) AS dim,
            round(sgn * {load_case}, 4) + 0.0 AS loading,
-           round(nrm / 100000000.0, 4) AS eigenvalue,
-           round(nrm / tr, 4) AS var_share
+           round(ray / 100000000.0, 4) AS eigenvalue,
+           round(ray / tr, 4) AS var_share
     FROM fin CROSS JOIN (VALUES {dim_rows}) d(dim)
     ORDER BY dim
     """
@@ -622,31 +665,36 @@ def _pca_oracle() -> str:
 
 @query("q_pca_power", oracle=_pca_oracle())
 def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dominant principal component of the 8-dim JL projection via 12
-    rounds of power iteration (Mises & Pollaczek-Geiringer 1929; the
-    PCA building block) — loading vector, top eigenvalue, and
-    explained-variance share.
+    """Dominant principal component of the 8-dim JL projection via
+    POWER ITERATION BY REPEATED SQUARING (the classic power method,
+    Mises & Pollaczek-Geiringer 1929, accelerated by squaring the
+    matrix: 8 trace-normalized squarings = effective exponent 2^8, so
+    eigvec error ~ (λ2/λ1)^256 ≈ 1e-20 at the fixture's 0.84 gap
+    ratio where 12 plain iterations left ~2e-2 residual) — loading
+    vector, top eigenvalue (Rayleigh quotient on the original
+    covariance), and explained-variance share.
 
     Cross-engine exactness, the hard part: after the exact-integer
     sufficient statistics (n, Σp_k, Σp_k·p_j summed as
     DECIMAL(38,0)/HUGEINT over e4 fixed-point projections), EVERY
-    remaining float op — covariance division, the 8 dot products per
-    round, the norm, the normalization, sign fix, rounding — is the
-    SAME expression text evaluated by both engines
-    (:func:`_pca_exprs`), so both run the identical correctly-rounded
-    IEEE operation tree and produce bit-identical doubles even where
-    the iteration has not fully converged. No libm transcendentals
-    (sqrt is IEEE-exact); no cross-engine summation-order hazard
-    (dot products are unrolled left-associative text).
+    remaining float op — covariance division, the 64 dot products per
+    squaring, trace normalization, the final normalization, Rayleigh
+    quotient, sign fix, rounding — is the SAME expression text
+    evaluated by both engines (:func:`_pca_exprs`), so both run the
+    identical correctly-rounded IEEE operation tree and produce
+    bit-identical doubles. No libm transcendentals (sqrt is
+    IEEE-exact); no cross-engine summation-order hazard (dot products
+    are unrolled left-associative text). Independently checked
+    against numpy.linalg.eigh in `tests/test_round6_depth.py`.
 
     Scale: one fact-scale pass computes the 45 sufficient statistics
-    (map-side partial aggs); the 12 iterations then run on a
-    SINGLE-ROW DataFrame of 64 covariance entries — driver-free,
-    shuffle-free, O(d²·T) scalar work that is invariant to data
-    scale. This is exactly how distributed PCA is done at 100 TB:
-    sufficient stats in one pass, eigen-solve on the tiny Gram matrix.
+    (map-side partial aggs); the squarings then run on a SINGLE-ROW
+    DataFrame of 64 covariance entries — driver-free, shuffle-free,
+    O(d³·log T) scalar work that is invariant to data scale. This is
+    exactly how distributed PCA is done at 100 TB: sufficient stats
+    in one pass, eigen-solve on the tiny Gram matrix.
     """
-    d, t = _PCA_D, _PCA_T
+    d, t = _PCA_D, _PCA_SQ
     e = _pca_exprs()
     emb = load_table(spark, sf_dir, "embeddings")
     vv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -684,21 +732,27 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     cur = stats.selectExpr(*e["cov"])
-    cur = cur.selectExpr("*", *[f"1.0 AS v_{k}" for k in range(d)])
+    cur = cur.selectExpr(
+        "*", *[f"c_{k}_{j} AS m_{k}_{j}" for k in range(d) for j in range(d)]
+    )
     allc = e["allc"]
-    us = [f"u_{k}" for k in range(d)]
+    allr = [f"r_{k}_{j}" for k in range(d) for j in range(d)]
     for i in range(t):
-        cur = cur.selectExpr(*allc, *e["u"])
-        cur = cur.selectExpr(*allc, *us, e["nrm"])
-        cur = cur.selectExpr(*allc, "nrm", *e["v"])
-        # Projection collapse nests the whole iteration history into
-        # one expression tree (measured: 1.7 MiB task binaries, ~10 s
+        cur = cur.selectExpr(*allc, *e["sq_r"])
+        cur = cur.selectExpr(*allc, *allr, e["sq_tr"])
+        cur = cur.selectExpr(*allc, *e["sq_m"])
+        # Projection collapse nests the whole squaring history into
+        # one expression tree (measured: MiB-scale task binaries, ~10 s
         # dominated by analysis/codegen). A 1-row localCheckpoint
-        # every 3rd round caps the tree at 3 rounds deep; the
-        # materialization itself is a single-row no-op.
-        if (i + 1) % 3 == 0 and i + 1 < t:
+        # every 2nd squaring caps the tree depth; the materialization
+        # itself is a single-row no-op.
+        if (i + 1) % 2 == 0 and i + 1 < t:
             cur = cur.localCheckpoint(eager=True)
-    fin = cur.selectExpr("*", e["tr"], e["sgn"])
+    cur = cur.selectExpr(*allc, *e["vr"])
+    cur = cur.selectExpr(*allc, *[f"vr_{k}" for k in range(d)], e["vnrm"])
+    cur = cur.selectExpr(*allc, *e["v"])
+    cur = cur.selectExpr(*allc, *[f"v_{k}" for k in range(d)], *e["u"])
+    fin = cur.selectExpr("*", e["ray"], e["tr"], e["sgn"])
     load_case = (
         "CASE d.dim "
         + " ".join(f"WHEN {k} THEN v_{k}" for k in range(d))
@@ -710,8 +764,8 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "d.dim AS dim",
             f"round(sgn * {load_case}, 4) + 0.0 AS loading",
-            "round(nrm / 100000000.0, 4) AS eigenvalue",
-            "round(nrm / tr, 4) AS var_share",
+            "round(ray / 100000000.0, 4) AS eigenvalue",
+            "round(ray / tr, 4) AS var_share",
         )
         .orderBy("dim")
     )
