@@ -1540,3 +1540,126 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS nmi_e6",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_holt_forecast — Holt double exponential smoothing + 14-step holdout
+# ---------------------------------------------------------------------------
+
+_HOLT_H = 14  # holdout horizon (observed-day steps)
+
+
+def _holt_step(y: str, l: str, b: str) -> tuple[str, str]:
+    """Shared recurrence texts (identical op tree in both engines):
+    level' = α·y + (1-α)·(level + trend); trend' = β·(level'-level)
+    + (1-β)·trend, α=0.5 β=0.3 as explicit DOUBLE literals."""
+    nl = f"(CAST(0.5 AS DOUBLE) * {y} + CAST(0.5 AS DOUBLE) * ({l} + {b}))"
+    nb = (
+        f"(CAST(0.3 AS DOUBLE) * ({nl} - {l})"
+        f" + CAST(0.7 AS DOUBLE) * {b})"
+    )
+    return nl, nb
+
+
+def _holt_oracle() -> str:
+    nl, nb = _holt_step("CAST(d.rev_c AS DOUBLE)", "r.l", "r.b")
+    return f"""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_c
+        FROM orders GROUP BY 1
+    ),
+    seq AS (
+        SELECT day, rev_c, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+    ),
+    tt AS (SELECT CAST(COUNT(*) AS BIGINT) - {_HOLT_H} AS t_train FROM seq),
+    rec AS (
+        SELECT CAST(1 AS BIGINT) AS t,
+               CAST(d1.rev_c AS DOUBLE) AS l,
+               CAST(d2.rev_c AS DOUBLE) - CAST(d1.rev_c AS DOUBLE) AS b
+        FROM seq d1 JOIN seq d2 ON d1.rn = 1 AND d2.rn = 2
+        UNION ALL
+        SELECT r.t + 1, {nl}, {nb}
+        FROM rec r
+        JOIN seq d ON d.rn = r.t + 1
+        WHERE r.t + 1 <= (SELECT t_train FROM tt)
+    ),
+    fin AS (SELECT l, b FROM rec JOIN tt ON rec.t = tt.t_train),
+    test AS (
+        SELECT s.rn - tt.t_train AS h, s.day, s.rev_c AS actual_c
+        FROM seq s CROSS JOIN tt
+        WHERE s.rn > tt.t_train
+    )
+    SELECT CAST(t.h AS INTEGER) AS h, t.day, t.actual_c,
+           CAST(round(f.l + CAST(t.h AS DOUBLE) * f.b) AS BIGINT)
+               AS forecast_c,
+           CAST(round(abs(CAST(t.actual_c AS DOUBLE)
+                          - (f.l + CAST(t.h AS DOUBLE) * f.b))
+                      / CAST(t.actual_c AS DOUBLE) * 1000000) AS BIGINT)
+               AS ape_micro
+    FROM test t CROSS JOIN fin f
+    ORDER BY h
+    """
+
+
+@query("q_holt_forecast", oracle=_holt_oracle())
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (Holt 1957) of daily order
+    revenue with a 14-step holdout: level/trend fit on all observed
+    days but the last 14, then h-step-ahead forecasts
+    ŷ = level + h·trend scored with per-step micro-APE — the
+    trend-aware upgrade to q_forecast_eval's seasonal-naive baseline.
+    Steps are OBSERVED-day positions (sparse calendars forecast the
+    next observed day, not a phantom calendar day).
+
+    Cross-engine exactness: the smoothing recurrence is sequential
+    state, run as the identical expression text in both engines
+    (:func:`_holt_step`; Spark folds a sorted bounded array, DuckDB
+    runs the recursive CTE) — the q_kaplan_meier discipline, so the
+    level/trend doubles match bit-for-bit; init l₁=y₁, b₁=y₂−y₁.
+
+    Scale: daily revenue is a partial-agg'd fact aggregate; the fold
+    then runs over the DATE-DOMAIN-bounded day table (~2.4k rows for
+    the TPC-H calendar at ANY SF) collected into one bounded sorted
+    array — never a fact-scale window or driver loop.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+        .cast("long")
+        .alias("rev_c")
+    )
+    one = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "rev_c"))).alias("a")
+    )
+    nl, nb = _holt_step("CAST(x.rev_c AS DOUBLE)", "acc.l", "acc.b")
+    fold = (
+        f"aggregate(slice(a, 2, size(a) - {_HOLT_H} - 1),"
+        " named_struct("
+        "   'l', CAST(element_at(a, 1).rev_c AS DOUBLE),"
+        "   'b', CAST(element_at(a, 2).rev_c AS DOUBLE)"
+        "        - CAST(element_at(a, 1).rev_c AS DOUBLE)),"
+        f" (acc, x) -> named_struct('l', {nl}, 'b', {nb}),"
+        " acc -> acc)"
+    )
+    fitted = one.selectExpr(
+        f"slice(a, size(a) - {_HOLT_H} + 1, {_HOLT_H}) AS test",
+        f"{fold} AS st",
+    )
+    return (
+        fitted.selectExpr("st.l AS l", "st.b AS b", "posexplode(test) AS (p, x)")
+        .selectExpr(
+            "CAST(p + 1 AS INT) AS h",
+            "x.day AS day",
+            "x.rev_c AS actual_c",
+            "CAST(round(l + CAST(p + 1 AS DOUBLE) * b) AS BIGINT)"
+            " AS forecast_c",
+            "CAST(round(abs(CAST(x.rev_c AS DOUBLE)"
+            " - (l + CAST(p + 1 AS DOUBLE) * b))"
+            " / CAST(x.rev_c AS DOUBLE) * 1000000) AS BIGINT) AS ape_micro",
+        )
+        .orderBy("h")
+    )

@@ -201,3 +201,33 @@ def test_link_prediction_matches_bruteforce_ra(spark, duck):
         for r in out
     ]
     assert got == top
+
+
+def test_holt_forecast_matches_pure_python_recurrence(spark, duck):
+    out = sorted(
+        _queries()["q_holt_forecast"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["h"],
+    )
+    daily = duck.sql(
+        """
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+        FROM orders GROUP BY 1 ORDER BY day
+        """
+    ).fetchall()
+    ys = [float(r) for _, r in daily]
+    t_train = len(ys) - 14
+    l, b = ys[0], ys[1] - ys[0]
+    for y in ys[1:t_train]:
+        nl = 0.5 * y + 0.5 * (l + b)
+        b = 0.3 * (nl - l) + 0.7 * b
+        l = nl
+    assert len(out) == 14
+    for r in out:
+        h = r["h"]
+        f = l + h * b
+        assert r["forecast_c"] == round(f), (h, r["forecast_c"], f)
+        actual = ys[t_train + h - 1]
+        assert r["actual_c"] == int(actual)
+        assert r["ape_micro"] == round(abs(actual - f) / actual * 1e6)
+        assert r["day"] == daily[t_train + h - 1][0]
