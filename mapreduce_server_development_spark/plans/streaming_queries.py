@@ -1262,3 +1262,112 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("abs(z) > 3")
         .orderBy("event_type", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_kmv_users — bucketed-minimum (KMV-style) distinct sketch in-stream
+# ---------------------------------------------------------------------------
+
+_SKMV_K = 64  # buckets (stochastic averaging); state = k minima per type
+_SKMV_DOM = 1 << 48
+
+
+def _stream_kmv_oracle() -> str:
+    from .sketches import _hexval_sql
+
+    h48 = _hexval_sql("md5('kmv:' || CAST(user_id AS VARCHAR))", 12)
+    return f"""
+    WITH hashed AS (
+        SELECT event_type, {h48} AS h48 FROM events
+    ),
+    mins AS (
+        SELECT event_type, h48 % {_SKMV_K} AS bucket,
+               CAST(MIN(h48 // {_SKMV_K}) AS BIGINT) AS m
+        FROM hashed GROUP BY event_type, bucket
+    ),
+    summed AS (
+        SELECT event_type,
+               CAST(SUM(m) AS BIGINT)
+                   + ({_SKMV_K} - COUNT(*)) * {_SKMV_DOM // _SKMV_K}
+                   AS sum_minima,
+               CAST({_SKMV_K} - COUNT(*) AS BIGINT) AS empty_buckets
+        FROM mins GROUP BY event_type
+    ),
+    exact AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+        FROM events GROUP BY event_type
+    )
+    SELECT s.event_type, s.sum_minima, s.empty_buckets,
+           CAST({_SKMV_K} * {_SKMV_K} * {_SKMV_DOM // _SKMV_K}
+                // (s.sum_minima + {_SKMV_K}) - {_SKMV_K} AS BIGINT)
+               AS kmv_est,
+           CAST(e.exact_users AS BIGINT) AS exact_users
+    FROM summed s JOIN exact e ON s.event_type = e.event_type
+    ORDER BY s.event_type
+    """
+
+
+@query("q_stream_kmv_users", oracle=_stream_kmv_oracle())
+def q_stream_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user sketch maintained BY the stream
+    with the third mergeable-sketch monoid: bucketed-MINIMUM (the
+    stochastic-averaging form of KMV/MinCount, Bar-Yossef et al. 2002,
+    Giroire 2009) — k=64 buckets each keeping the smallest scaled
+    hash seen, merged across micro-batches with MIN (complementing
+    the streaming CMS's SUM and the streaming HLL's MAX). State is
+    ≤ k minima per event type forever, vs a streaming
+    COUNT(DISTINCT), which Spark disallows because its state grows
+    with the user domain.
+
+    Estimator: E[min of u uniform on [0,D)] ≈ D/(u+1) per bucket, so
+    Σ minima ≈ k·(D/k)/(n/k+1) and n̂ = k²·(D/k) DIV (Σ+k) − k, all
+    exact integer arithmetic on engine-identical md5 hashes; empty
+    buckets contribute the domain max D/k exactly like HLL's empty
+    registers. Complete-mode MIN is associative/commutative, so the
+    streamed register table equals the batch sketch value-exact and
+    the DuckDB oracle verifies the full streaming path; the exact
+    count joins batch-side as the honest-measurement column.
+    """
+    from .sketches import _hexval_col
+
+    stream = read_events_stream(spark, sf_dir)
+    h48 = _hexval_col(
+        F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))), 12
+    )
+    mins_stream = (
+        stream.select("event_type", h48.alias("h48"))
+        .select(
+            "event_type",
+            (F.col("h48") % _SKMV_K).alias("bucket"),
+            F.shiftright(F.col("h48"), 6).alias("hv"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.min("hv").cast("long").alias("m"))
+    )
+    mins = _run_to_memory(mins_stream, spark, mode="complete")
+    summed = mins.groupBy("event_type").agg(
+        (
+            F.sum("m")
+            + (F.lit(_SKMV_K) - F.count("*")) * (_SKMV_DOM // _SKMV_K)
+        )
+        .cast("long")
+        .alias("sum_minima"),
+        (F.lit(_SKMV_K) - F.count("*")).cast("long").alias("empty_buckets"),
+    )
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return (
+        summed.join(exact, "event_type")
+        .selectExpr(
+            "event_type",
+            "sum_minima",
+            "empty_buckets",
+            f"CAST({_SKMV_K} * {_SKMV_K} * {_SKMV_DOM // _SKMV_K}"
+            f" DIV (sum_minima + {_SKMV_K}) - {_SKMV_K} AS BIGINT)"
+            " AS kmv_est",
+            "exact_users",
+        )
+        .orderBy("event_type")
+    )
