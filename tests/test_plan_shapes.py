@@ -353,3 +353,66 @@ def test_kcore_final_plan_is_checkpoint_shallow(spark):
     assert "CartesianProduct" not in plan
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") <= 6
+
+
+def test_label_propagation_argmax_is_partial_agg_no_window(spark):
+    """LPA's per-vertex argmax must stay a partial-aggregable
+    max(struct(c, -lbl)) — never a per-vertex window sort — and the
+    edge relation is checkpoint-shallow (per-round lineage cut)."""
+    plan = _plan(spark, "q_label_propagation")
+    assert "Window" not in plan
+    assert "partial_max" in plan or "HashAggregate" in plan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan  # checkpointed labels
+
+
+def test_link_prediction_wedges_are_equijoin(spark):
+    """The RA wedge generation must be an equi-join on the common
+    neighbor z (hub-capped), never a cartesian pair enumeration."""
+    plan = _plan(spark, "q_link_prediction")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-20 via partial heaps
+
+
+def test_item_cf_topk_window_is_item_partitioned(spark):
+    """The per-item top-3 window must hash-partition on the item key
+    (parallelism follows items), never SinglePartition."""
+    plan = _plan(spark, "q_item_cf")
+    assert "Window" in plan
+    assert "hashpartitioning(item" in plan
+    assert "CartesianProduct" not in plan
+    # (the engine-wide sweep in test_no_antipatterns additionally
+    # proves no SinglePartition exchange feeds this window)
+
+
+def test_kmv_merged_tier_is_take_ordered(spark):
+    """KMV's merged-union k-smallest must compile to
+    TakeOrderedAndProject (bounded partial heaps), and the per-source
+    ranks must ride the checkpointed range-partitioned rank relation
+    (no |source|-capped window over the raw hash relation)."""
+    plan = _plan(spark, "q_kmv_distinct")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pca_iterations_have_no_shuffle(spark):
+    """After the sufficient-statistics aggregate, the squaring chain
+    runs on a single-row relation: the plan must contain no join and
+    no shuffle beyond the stats aggregation's own exchange and the
+    final bounded dim broadcast."""
+    plan = _plan(spark, "q_pca_power")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kaplan_meier_fold_is_bounded_aggregate(spark):
+    """The survival recurrence must run inside a bounded
+    collect_list/aggregate fold — never a fact-scale unpartitioned
+    window or a percentile-style buffering aggregate."""
+    plan = _plan(spark, "q_kaplan_meier")
+    assert "Window" not in plan
+    assert "percentile" not in plan.lower()
+
+
+def test_holt_fold_is_bounded_aggregate(spark):
+    plan = _plan(spark, "q_holt_forecast")
+    assert "Window" not in plan
+    assert "collect_list" in plan
