@@ -428,3 +428,273 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_hits — HITS hubs & authorities on the customer->part bipartite graph
+# ---------------------------------------------------------------------------
+
+_HITS_ROUNDS = 3
+_HITS_SCALE = 1_000_000
+
+
+def _hits_oracle() -> str:
+    """Unrolled fixed-point HITS (Kleinberg 1999) oracle: the same
+    max-normalized integer rounds as the Spark side, mechanical CTEs."""
+    rounds = []
+    prev_h = "h0"
+    for r in range(1, _HITS_ROUNDS + 1):
+        # MAX(s) OVER () instead of a scalar subquery: the subquery form
+        # makes DuckDB re-inline the whole preceding CTE chain per round
+        # (measured 15.9s for 3 rounds at sf0.01; the window form is one
+        # pass per CTE).
+        rounds.append(f"""a{r}r AS (
+        SELECT b.p, SUM(CAST(h.h AS HUGEINT)) AS s
+        FROM bought b JOIN {prev_h} h ON h.c = b.c GROUP BY b.p
+    ),
+    a{r} AS (
+        SELECT p, CAST({_HITS_SCALE} * s // MAX(s) OVER () AS BIGINT) AS a
+        FROM a{r}r
+    ),
+    h{r}r AS (
+        SELECT b.c, SUM(CAST(a.a AS HUGEINT)) AS s
+        FROM bought b JOIN a{r} a ON a.p = b.p GROUP BY b.c
+    ),
+    h{r} AS (
+        SELECT c, CAST({_HITS_SCALE} * s // MAX(s) OVER () AS BIGINT) AS h
+        FROM h{r}r
+    )""")
+        prev_h = f"h{r}"
+    chain = ",\n    ".join(rounds)
+    k = _HITS_ROUNDS
+    return f"""
+    WITH bought AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    h0 AS (SELECT DISTINCT c, CAST({_HITS_SCALE} AS BIGINT) AS h FROM bought),
+    {chain},
+    top_a AS (
+        SELECT 'authority' AS role, CAST(p AS BIGINT) AS node_id,
+               a AS score_e6,
+               ROW_NUMBER() OVER (ORDER BY a DESC, p) AS rk
+        FROM a{k}
+    ),
+    top_h AS (
+        SELECT 'hub' AS role, CAST(c AS BIGINT) AS node_id, h AS score_e6,
+               ROW_NUMBER() OVER (ORDER BY h DESC, c) AS rk
+        FROM h{k}
+    )
+    SELECT role, node_id, score_e6, CAST(rk AS INTEGER) AS rk FROM (
+        SELECT * FROM top_a WHERE rk <= 10
+        UNION ALL
+        SELECT * FROM top_h WHERE rk <= 10
+    ) ORDER BY role, rk
+    """
+
+
+@query("q_hits", oracle=_hits_oracle())
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) on the customer->part
+    purchase bipartite graph: 3 mutual-reinforcement rounds — an
+    authority (part) is strong when bought by strong hubs (customers),
+    a hub when it buys strong authorities — then the top-10 of each
+    role. The bipartite formulation is the classic one from Kleinberg
+    §4 ("broad-topic" link analysis) and is exactly the
+    recommendation-seed scoring used over purchase logs.
+
+    Exactness: scores live in integer e6 fixed point, max-normalized
+    each half-round (``1e6·s DIV max(s)`` — max-norm preserves the
+    ranking the L2 norm would give and stays in exact integers; the
+    oracle replays every bit). Inflow sums are DECIMAL(38,0) /
+    HUGEINT: score ≤ 1e6 times degree ≤ 1e12 edges stays exact far
+    past int64.
+
+    Scale: each half-round is one edge-keyed equi-join plus a
+    partial-agg'd sum on a high-cardinality vertex key — PageRank's
+    per-round cost exactly (2 shuffles), linear in |edges|, with NO
+    quadratic wedge fan-out anywhere (unlike RA/CF, HITS never pairs
+    neighbors). The normalizing MAX is a 1-row agg broadcast back;
+    rounds are fixed (3) and the edge relation is localCheckpoint()ed
+    once. Top-10s compile to TakeOrderedAndProject.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    bought = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _normalize(raw: DataFrame, key: str, out: str) -> DataFrame:
+        # Checkpoint the RAW inflow sums once; the 1-row max agg and the
+        # normalized projection then both read the materialized relation
+        # instead of re-running the edge join (2x fewer joins per
+        # half-round than checkpointing the normalized side — A/B'd:
+        # 27.7s -> see STATUS).
+        raw = raw.localCheckpoint(eager=True)
+        mx = raw.agg(F.max("s").alias("mx"))
+        return raw.crossJoin(F.broadcast(mx)).select(
+            key, F.expr(f"CAST(({_HITS_SCALE} * s) DIV mx AS BIGINT)").alias(out)
+        )
+
+    h = bought.select("c").distinct().select(
+        "c", F.lit(_HITS_SCALE).cast("long").alias("h")
+    )
+    for _ in range(_HITS_ROUNDS):
+        a_raw = (
+            bought.join(h, "c")
+            .groupBy("p")
+            .agg(F.expr("SUM(CAST(h AS DECIMAL(38,0)))").alias("s"))
+        )
+        a = _normalize(a_raw, "p", "a")
+        h_raw = (
+            bought.join(a, "p")
+            .groupBy("c")
+            .agg(F.expr("SUM(CAST(a AS DECIMAL(38,0)))").alias("s"))
+        )
+        h = _normalize(h_raw, "c", "h")
+    top_a = (
+        a.select(
+            F.lit("authority").alias("role"),
+            F.col("p").cast("long").alias("node_id"),
+            F.col("a").alias("score_e6"),
+        )
+        .orderBy(F.col("score_e6").desc(), "node_id")
+        .limit(10)
+    )
+    top_h = (
+        h.select(
+            F.lit("hub").alias("role"),
+            F.col("c").cast("long").alias("node_id"),
+            F.col("h").alias("score_e6"),
+        )
+        .orderBy(F.col("score_e6").desc(), "node_id")
+        .limit(10)
+    )
+    from pyspark.sql import Window
+
+    def _rank(df: DataFrame) -> DataFrame:
+        # Post-limit rank over exactly 10 rows: the window input is the
+        # TakeOrderedAndProject output, bounded at 10 by construction.
+        w = Window.partitionBy("role").orderBy(
+            F.col("score_e6").desc(), "node_id"
+        )
+        return df.withColumn("rk", F.row_number().over(w).cast("int"))
+
+    return (
+        _rank(top_a)
+        .unionAll(_rank(top_h))
+        .orderBy("role", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_assoc_rules — market-basket association rules (support/confidence/lift)
+# ---------------------------------------------------------------------------
+
+_AR_MIN_SUPPORT = 2
+_AR_BASKET_CAP = 256
+_AR_TOPN = 20
+
+
+@query(
+    "q_assoc_rules",
+    oracle=f"""
+    WITH bi_all AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                    FROM lineitem),
+    sz AS (SELECT o, COUNT(*) AS n FROM bi_all GROUP BY o),
+    bi AS (
+        SELECT b.o, b.p FROM bi_all b
+        JOIN sz ON sz.o = b.o AND sz.n <= {_AR_BASKET_CAP}
+    ),
+    nb AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM bi),
+    cnt AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM bi GROUP BY p),
+    pair AS (
+        SELECT x.p AS ante, y.p AS cons, CAST(COUNT(*) AS BIGINT) AS cab
+        FROM bi x JOIN bi y ON x.o = y.o AND x.p <> y.p
+        GROUP BY 1, 2 HAVING COUNT(*) >= {_AR_MIN_SUPPORT}
+    ),
+    rules AS (
+        SELECT pr.ante, pr.cons, pr.cab AS support_baskets,
+               CAST(1000000 * CAST(pr.cab AS HUGEINT) // ca.c AS BIGINT)
+                   AS confidence_e6,
+               CAST(1000000 * CAST(pr.cab AS HUGEINT) * nb.n
+                    // (CAST(ca.c AS HUGEINT) * cc.c) AS BIGINT) AS lift_e6
+        FROM pair pr
+        JOIN cnt ca ON ca.p = pr.ante
+        JOIN cnt cc ON cc.p = pr.cons
+        CROSS JOIN nb
+    )
+    SELECT CAST(ante AS BIGINT) AS ante, CAST(cons AS BIGINT) AS cons,
+           support_baskets, confidence_e6, lift_e6
+    FROM rules
+    ORDER BY lift_e6 DESC, confidence_e6 DESC, ante, cons
+    LIMIT {_AR_TOPN}
+    """,
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (Agrawal & Srikant 1994,
+    Apriori): directed rules ante -> cons over order baskets with
+    support >= 2, scored by confidence = c(ab)/c(a) and lift =
+    c(ab)·N/(c(a)·c(b)); top-20 by lift. The complement of q_item_cf:
+    order-scoped (not customer-scoped), directed, and probability-
+    calibrated (lift > 1e6 means positive association) — the operator
+    behind "frequently bought together".
+
+    Exactness: both metrics are exact integer fixed point (e6 DIV) —
+    intermediates run through DECIMAL(38,0)/HUGEINT because
+    1e6·cab·N overflows int64 at realistic basket counts; truncation
+    is identical cross-engine, and the (lift, confidence, ante, cons)
+    tie-break makes the top-20 deterministic.
+
+    Scale: pair generation is keyed by basket id with whale baskets
+    (> 256 items) excluded — fan-out bounded at cap² per basket no
+    matter the skew (TPC-H baskets are <= 7 lines; the cap is the
+    100 TB posture, applied identically in the oracle). Item counts
+    and pair counts are partial-agg'd shuffles on item/pair keys; the
+    min-support HAVING prunes the singleton tail before the scoring
+    joins (the Apriori downward-closure step); the global top-20
+    compiles to TakeOrderedAndProject, never a global sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bi_all = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    sz = bi_all.groupBy("o").agg(F.count("*").alias("n"))
+    bi = (
+        bi_all.join(sz, "o")
+        .filter(F.col("n") <= _AR_BASKET_CAP)
+        .select("o", "p")
+        .localCheckpoint(eager=True)
+    )
+    nb = bi.agg(F.countDistinct("o").cast("long").alias("n"))
+    cnt = bi.groupBy("p").agg(F.count("*").cast("long").alias("c"))
+    x, y = bi.alias("x"), bi.alias("y")
+    pair = (
+        x.join(y, (F.col("x.o") == F.col("y.o")) & (F.col("x.p") != F.col("y.p")))
+        .groupBy(F.col("x.p").alias("ante"), F.col("y.p").alias("cons"))
+        .agg(F.count("*").cast("long").alias("cab"))
+        .filter(F.col("cab") >= _AR_MIN_SUPPORT)
+    )
+    rules = (
+        pair.join(cnt.select(F.col("p").alias("ante"), F.col("c").alias("ca")), "ante")
+        .join(cnt.select(F.col("p").alias("cons"), F.col("c").alias("cc")), "cons")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.col("ante").cast("long").alias("ante"),
+            F.col("cons").cast("long").alias("cons"),
+            F.col("cab").alias("support_baskets"),
+            F.expr(
+                "CAST((1000000 * CAST(cab AS DECIMAL(38,0))) DIV ca AS BIGINT)"
+            ).alias("confidence_e6"),
+            F.expr(
+                "CAST((1000000 * CAST(cab AS DECIMAL(38,0)) * n)"
+                " DIV (CAST(ca AS DECIMAL(38,0)) * cc) AS BIGINT)"
+            ).alias("lift_e6"),
+        )
+    )
+    return rules.orderBy(
+        F.col("lift_e6").desc(), F.col("confidence_e6").desc(), "ante", "cons"
+    ).limit(_AR_TOPN)

@@ -1,0 +1,269 @@
+"""Time-series depth queries over the daily/monthly order-revenue
+series: autocorrelation (ACF) and the Theil–Sen robust trend estimator.
+
+No reference counterpart (the reference engine's data model is text
+lines, SURVEY.md §1.2); both are public-knowledge statistics:
+
+- **Sample autocorrelation** (Box & Jenkins 1970): r_k =
+  Σ (x_t − x̄)(x_{t+k} − x̄) / Σ (x_t − x̄)². Computed here at
+  CALENDAR lags — a (t, t+k) pair contributes only when both days
+  exist — which on a gappy series is the well-defined analogue of
+  the textbook regular-series formula (and identical to it on the
+  dense TPC-H date range).
+- **Theil–Sen estimator** (Theil 1950; Sen 1968): the median of the
+  pairwise slopes (y_j − y_i)/(m_j − m_i) over all i < j — the
+  classic robust alternative to OLS (breakdown point ~29%), paired
+  with the Mann–Kendall-style up/down pair counts.
+
+Float posture (the module's cross-engine discipline):
+
+- ACF never subtracts a float mean: the deviation is scaled by n,
+  ``dev_t = n·x_t − S`` (x in integer cents, S = Σx), so numerator
+  and denominator are EXACT integer sums — DECIMAL(38,0) Spark-side,
+  HUGEINT DuckDB-side (dev² ~ 10²⁴ overflows int64). The single
+  float op is the final correctly-rounded quotient, identical in
+  both engines, then round(·, 6).
+- Theil–Sen slopes are one IEEE division of two exact int64
+  differences — bit-identical cross-engine; the median picks order
+  statistics by global rank (avg of the two middles when n is even),
+  never an interpolating percentile.
+
+Scale posture (the 100 TB story): both queries aggregate the raw
+relation down to a CALENDAR-bounded series first — |days| (~2.5k) or
+|months| (~84) rows regardless of data scale — with one partial-agg'd
+shuffle; everything after runs on that bounded relation. The lag
+product is a day-keyed equi-join (broadcast-able series side), never
+a window; the pairwise-slope fan-out is |months|² ≤ ~10⁴ rows
+(documented bound — the calendar, not the data, is the driver), and
+the median rank comes from ``functions/prefix.py global_row_number``
+(two-phase scan), NOT a single-task global-sort window, so the plan
+stays legal under the engine-wide SinglePartition-WindowExec sweep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.prefix import global_row_number
+from ..sources.tables import load_table
+from .registry import query
+
+#: Cents conversion shared with the forecasting family (stats_ml.py).
+_CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
+
+#: ACF lags: a dense week plus the fortnight/month/quarter/year marks.
+_ACF_LAGS = [1, 2, 3, 4, 5, 6, 7, 14, 30, 90, 365]
+
+
+def _acf_oracle() -> str:
+    lags = ", ".join(f"({k})" for k in _ACF_LAGS)
+    return f"""
+    WITH daily AS (
+        SELECT datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+                   AS t,
+               CAST(SUM({_CENTS}) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    st AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(x) AS HUGEINT) AS s
+        FROM daily
+    ),
+    dev AS (
+        SELECT d.t, st.n * CAST(d.x AS HUGEINT) - st.s AS dv
+        FROM daily d CROSS JOIN st
+    ),
+    den AS (SELECT SUM(dv * dv) AS den FROM dev),
+    lags(k) AS (VALUES {lags}),
+    num AS (
+        SELECT l.k,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               SUM(a.dv * b.dv) AS num
+        FROM dev a
+        CROSS JOIN lags l
+        JOIN dev b ON b.t = a.t + l.k
+        GROUP BY l.k
+    )
+    SELECT CAST(n.k AS INTEGER) AS lag, n.n_pairs,
+           round(CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE), 6) AS acf
+    FROM num n CROSS JOIN den d
+    ORDER BY lag
+    """
+
+
+@query("q_acf", oracle=_acf_oracle())
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of daily order revenue at lags 1–7, 14,
+    30, 90, 365 — the standard seasonality/persistence diagnostic
+    behind every forecasting pipeline (and the natural audit next to
+    ``q_holt_forecast``'s smoothing choice).
+
+    Exactness: revenue is summed in integer cents; deviations use the
+    n-scaled trick ``dev_t = n·x_t − S`` so numerator Σ dev_t·dev_{t+k}
+    and denominator Σ dev² are exact integer sums (DECIMAL(38,0) —
+    dev² ~ 10²⁴ would overflow int64); one final correctly-rounded
+    double quotient, then round(·, 6). Both engines see identical
+    bits.
+
+    Scale: one partial-agg'd shuffle collapses orders to the
+    |days|-bounded series (~2.5k rows, fixed by the calendar, NOT by
+    data scale); the lag pairing is a day-index equi-join of that
+    bounded relation against its lag-shifted self (broadcast-able),
+    never a window or a sort.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.expr(
+                "datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01')"
+            ).alias("t")
+        )
+        .agg(F.expr(f"CAST(SUM({_CENTS}) AS BIGINT)").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    st = daily.agg(
+        F.expr("CAST(COUNT(*) AS DECIMAL(38,0))").alias("n"),
+        F.expr("CAST(SUM(x) AS DECIMAL(38,0))").alias("s"),
+    )
+    dev = daily.crossJoin(F.broadcast(st)).select(
+        "t", F.expr("n * CAST(x AS DECIMAL(38,0)) - s").alias("dv")
+    )
+    den = dev.agg(F.expr("SUM(dv * dv)").alias("den"))
+    lags = spark.createDataFrame([(k,) for k in _ACF_LAGS], "k int")
+    shifted = dev.crossJoin(F.broadcast(lags)).select(
+        "k", (F.col("t") + F.col("k")).alias("t2"), F.col("dv").alias("dva")
+    )
+    num = (
+        shifted.join(
+            dev.select(F.col("t").alias("t2"), F.col("dv").alias("dvb")), "t2"
+        )
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.expr("SUM(dva * dvb)").alias("num"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("k").cast("int").alias("lag"),
+            "n_pairs",
+            F.round(
+                F.expr("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"), 6
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+def _theil_sen_oracle() -> str:
+    return f"""
+    WITH monthly AS (
+        SELECT CAST(year(CAST(o_orderdate AS DATE)) * 12
+                    + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS m,
+               CAST(SUM({_CENTS}) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.m AS mi, b.m AS mj,
+               CAST(b.y - a.y AS DOUBLE) / CAST(b.m - a.m AS DOUBLE) AS slope
+        FROM monthly a JOIN monthly b ON a.m < b.m
+    ),
+    ranked AS (
+        SELECT slope,
+               ROW_NUMBER() OVER (ORDER BY slope, mi, mj) AS rn,
+               COUNT(*) OVER () AS n
+        FROM pairs
+    ),
+    med AS (
+        SELECT AVG(slope) AS med FROM ranked
+        WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    ),
+    cnt AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN slope > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_up,
+               CAST(SUM(CASE WHEN slope < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_down
+        FROM pairs
+    ),
+    nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_months FROM monthly)
+    SELECT round(m.med, 6) AS slope_cents_per_month,
+           nm.n_months, c.n_pairs, c.n_up, c.n_down
+    FROM med m CROSS JOIN cnt c CROSS JOIN nm
+    """
+
+
+@query("q_theil_sen", oracle=_theil_sen_oracle())
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of monthly order revenue: the median of
+    all pairwise slopes (cents/month), with the Mann–Kendall-style
+    up/down pair counts as the accompanying trend-direction test.
+
+    Exactness: each slope is ONE IEEE division of two exact int64
+    differences — bit-identical cross-engine; the median is the
+    average of the two middle order statistics (equal when n is odd),
+    located by rank, never an interpolating percentile.
+
+    Scale: orders collapse to the |months|-bounded series (~84 rows —
+    the calendar bounds it, not the data) in one partial-agg'd
+    shuffle; the pairwise fan-out is |months|²/2 ≈ 3.5k rows via a
+    broadcast range self-join (never data-scale, never a
+    CartesianProduct of a big relation). The median rank uses
+    ``global_row_number`` (two-phase distributed scan), keeping the
+    plan free of single-partition WindowExec; ties on slope are
+    broken by (mi, mj) so both engines pick identical middles.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.expr(
+                "CAST(year(CAST(o_orderdate AS DATE)) * 12"
+                " + month(CAST(o_orderdate AS DATE)) AS BIGINT)"
+            ).alias("m")
+        )
+        .agg(F.expr(f"CAST(SUM({_CENTS}) AS BIGINT)").alias("y"))
+        .localCheckpoint(eager=True)
+    )
+    a = monthly.select(F.col("m").alias("mi"), F.col("y").alias("yi"))
+    b = monthly.select(F.col("m").alias("mj"), F.col("y").alias("yj"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("mi") < F.col("mj"))
+        .select(
+            "mi",
+            "mj",
+            F.expr(
+                "CAST(yj - yi AS DOUBLE) / CAST(mj - mi AS DOUBLE)"
+            ).alias("slope"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ranked = global_row_number(pairs, ["slope", "mi", "mj"], out_col="rn")
+    cnt = pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("slope") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_up"),
+        F.sum(F.when(F.col("slope") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_down"),
+    )
+    med = (
+        ranked.crossJoin(F.broadcast(cnt.select("n_pairs")))
+        .filter(
+            F.expr("rn IN ((n_pairs + 1) DIV 2, (n_pairs + 2) DIV 2)")
+        )
+        .agg(F.avg("slope").alias("med"))
+    )
+    nm = monthly.agg(F.count("*").cast("long").alias("n_months"))
+    return (
+        med.crossJoin(F.broadcast(cnt))
+        .crossJoin(F.broadcast(nm))
+        .select(
+            F.round("med", 6).alias("slope_cents_per_month"),
+            "n_months",
+            "n_pairs",
+            "n_up",
+            "n_down",
+        )
+    )

@@ -154,3 +154,94 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "split", "n_tokens", "seq_bin")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_mlm_masking — deterministic BERT-style token masking
+# ---------------------------------------------------------------------------
+
+#: Permille of token positions masked (BERT's classic 15%).
+MLM_RATE_PERMILLE = 150
+
+
+def _mlm_oracle() -> str:
+    from .sampling import _bucket_sql
+
+    b = _bucket_sql(
+        "mlm", "CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)"
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(range(1, len(toks) + 1),
+                                i -> {b} < {MLM_RATE_PERMILLE})) AS BIGINT)
+               AS n_masked,
+           array_to_string(
+               list_transform(range(1, len(toks) + 1),
+                              i -> CASE WHEN {b} < {MLM_RATE_PERMILLE}
+                                        THEN '[MASK]' ELSE toks[i] END),
+               ' ') AS masked_text
+    FROM t ORDER BY doc_id
+    """
+
+
+@query("q_mlm_masking", oracle=_mlm_oracle())
+def q_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MLM-style corpus masking (Devlin et al. 2018,
+    BERT §3.1): mask 15% of token POSITIONS, where a position's fate
+    is ``md5('mlm:' || doc_id || ':' || pos) mod 1000 < 150`` — the
+    same hash-Bernoulli discipline as the sampling family
+    (``plans/sampling.py``), so every engine, rerun, and incremental
+    batch masks the identical positions (``df.sample``-style RNG
+    masking is irreproducible across engines/partitionings and can't
+    be oracle-checked).
+
+    Tokenization matches q_seq_packing (literal-space split, empties
+    removed, case preserved — this produces training text, so no
+    lowering).
+
+    Scale: a pure scan → project plan — ZERO shuffles, all
+    JVM-side higher-order array functions (transform/filter/
+    aggregate), no Python anywhere. Masking 100 TB costs one pass
+    with column pruning at the parquet scan; per-row work is linear
+    in the token count.
+    """
+    from .sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+
+    def flag(i):  # i is the 0-based lambda index; hash keys are 1-based
+        key = F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            (i + 1).cast("string"),
+        )
+        return hash_bucket("mlm", key) < MLM_RATE_PERMILLE
+
+    return (
+        docs.select(
+            "doc_id",
+            toks.alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.size(F.filter("toks", lambda t, i: flag(i)))
+            .cast("long")
+            .alias("n_masked"),
+            F.array_join(
+                F.transform(
+                    "toks",
+                    lambda t, i: F.when(flag(i), F.lit("[MASK]")).otherwise(t),
+                ),
+                " ",
+            ).alias("masked_text"),
+        )
+        .orderBy("doc_id")
+    )
