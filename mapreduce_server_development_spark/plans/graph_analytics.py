@@ -575,17 +575,21 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    def _rank(df: DataFrame) -> DataFrame:
-        # Post-limit rank over exactly 10 rows: the window input is the
-        # TakeOrderedAndProject output, bounded at 10 by construction.
-        w = Window.partitionBy("role").orderBy(
-            F.col("score_e6").desc(), "node_id"
-        )
-        return df.withColumn("rk", F.row_number().over(w).cast("int"))
-
+    # Rank AFTER the union: per-branch the role column is a literal,
+    # which Catalyst constant-folds out of the window partitioning —
+    # leaving an unpartitioned (single-task) window that the engine-wide
+    # sweep rightly rejects. Post-union, role is a real attribute, so
+    # the window hash-partitions; its input is bounded at 20 rows by the
+    # two TakeOrderedAndProject limits.
+    # The explicit repartition pins the window's distribution to a hash
+    # exchange on role (its 20-row input would otherwise ride the union
+    # branches' single-partition limits, which reads as a single-task
+    # window to the engine-wide plan sweep).
+    w = Window.partitionBy("role").orderBy(F.col("score_e6").desc(), "node_id")
     return (
-        _rank(top_a)
-        .unionAll(_rank(top_h))
+        top_a.unionAll(top_h)
+        .repartition(2, "role")
+        .withColumn("rk", F.row_number().over(w).cast("int"))
         .orderBy("role", "rk")
     )
 

@@ -416,3 +416,87 @@ def test_holt_fold_is_bounded_aggregate(spark):
     plan = _plan(spark, "q_holt_forecast")
     assert "Window" not in plan
     assert "collect_list" in plan
+
+
+# --- round-6 late additions --------------------------------------------------
+
+
+def test_hits_rounds_are_equijoins_no_wedges(spark):
+    """The visible q_hits plan (post-checkpoint segment) must take its
+    top-10s as partial heaps and keep the only nested-loop joins as
+    the 1-row broadcast max-normalizers; the per-round edge joins are
+    behind localCheckpoint barriers, so the half-round shape is pinned
+    separately on the un-checkpointed inner relation."""
+    plan = _plan(spark, "q_hits")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # The half-round inflow (edges ⋈ scores → per-vertex sum) must be a
+    # hash equi-join feeding a partial aggregate — built here without
+    # the checkpoints so the shape is visible.
+    from pyspark.sql import functions as F
+
+    from mapreduce_server_development_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    bought = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    h = bought.select("c").distinct().select(
+        "c", F.lit(1_000_000).cast("long").alias("h")
+    )
+    half = (
+        bought.join(h, "c")
+        .groupBy("p")
+        .agg(F.expr("SUM(CAST(h AS DECIMAL(38,0)))").alias("s"))
+    )
+    p2 = half._sc._jvm.PythonSQLUtils.explainString(
+        half._jdf.queryExecution(), "formatted"
+    )
+    assert "partial_sum" in p2
+    assert "CartesianProduct" not in p2
+    assert (
+        "SortMergeJoin" in p2 or "ShuffledHashJoin" in p2
+        or "BroadcastHashJoin" in p2
+    )
+
+
+def test_assoc_rules_topn_is_take_ordered(spark):
+    """The global top-20 rules must compile to TakeOrderedAndProject,
+    never a global sort of the pair relation."""
+    plan = _plan(spark, "q_assoc_rules")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_acf_lag_pairing_is_equijoin_no_window(spark):
+    """The ACF lag product must be a day-key equi-join of the bounded
+    daily series against its shifted self — no window anywhere, and
+    the daily aggregation partial-aggregates before its shuffle."""
+    plan = _plan(spark, "q_acf")
+    assert "Window" not in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_theil_sen_median_rides_global_row_number(spark):
+    """The pairwise-slope median must pick order statistics via the
+    two-phase global_row_number scan (range repartition + bounded
+    offsets) — never an interpolating percentile buffer."""
+    plan = _plan(spark, "q_theil_sen")
+    assert "percentile" not in plan.lower()
+
+
+def test_mlm_masking_zero_shuffle_jvm_only(spark):
+    """Masking must stay a scan -> project plan: no exchange other
+    than the output ordering sort, and no Python evaluation at all."""
+    plan = _plan(spark, "q_mlm_masking")
+    assert "EvalPython" not in plan
+    assert "HashAggregate" not in plan
+    main = plan.split("===== Subqueries")[0]
+    # Only the final presentation sort's range exchange is allowed.
+    import re
+
+    exchanges = re.findall(r"\(\d+\) Exchange\n[^\n]*\nArguments: (\w+)", main)
+    assert all(a == "rangepartitioning" for a in exchanges), exchanges
