@@ -267,3 +267,114 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_down",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_rolling_corr — trailing-30-day revenue/quantity correlation
+# ---------------------------------------------------------------------------
+
+_ROLL_DAYS = 30
+
+
+def _rolling_corr_oracle() -> str:
+    from .stats_ml import _corr_formula
+
+    return f"""
+    WITH daily AS (
+        SELECT datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+                   AS t,
+               CAST(l_shipdate AS DATE) AS day,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS x,
+               CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS y
+        FROM lineitem GROUP BY 1, 2
+    ),
+    win AS (
+        SELECT a.t, a.day,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(b.x AS HUGEINT)) AS DOUBLE) AS s_x,
+               CAST(SUM(CAST(b.y AS HUGEINT)) AS DOUBLE) AS s_y,
+               CAST(SUM(CAST(b.x AS HUGEINT) * b.x) AS DOUBLE) AS s_x_x,
+               CAST(SUM(CAST(b.y AS HUGEINT) * b.y) AS DOUBLE) AS s_y_y,
+               CAST(SUM(CAST(b.x AS HUGEINT) * b.y) AS DOUBLE) AS s_x_y
+        FROM daily a
+        JOIN daily b ON b.t BETWEEN a.t - {_ROLL_DAYS - 1} AND a.t
+        GROUP BY 1, 2
+    )
+    SELECT day, {_corr_formula("x", "y")} AS corr_30d
+    FROM win WHERE n = {_ROLL_DAYS}
+    ORDER BY day
+    """
+
+
+@query("q_rolling_corr", oracle=_rolling_corr_oracle())
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day Pearson correlation between daily shipped
+    revenue and daily shipped quantity — the rolling co-movement
+    diagnostic behind price-mix monitoring, emitted only for complete
+    windows (exactly 30 observed days).
+
+    Windowed analytics WITHOUT a window operator: the trailing frame
+    is a bounded range join (contributing day within [t−29, t]) over
+    the calendar-bounded daily series, grouped per anchor day — so
+    there is no single-task WindowExec and no per-key sort anywhere.
+
+    Exactness: the six sufficient statistics (n, Σx, Σy, Σx², Σy²,
+    Σxy) are exact integer sums — DECIMAL(38,0)/HUGEINT, since daily
+    cents² passes int64 well below the 100 TB posture — and the final
+    Pearson text is the module-shared ``_corr_formula`` (identical
+    float ops in both engines, NULLIF-guarded, −0 normalized).
+
+    Scale: one partial-agg'd shuffle collapses lineitem to the
+    |days|-bounded series (~2.5k rows — the calendar bounds it, not
+    the data); the 30-wide range join fans out ≤ 30·|days| rows via a
+    broadcast of the bounded series. The heavy table is touched
+    exactly once.
+    """
+    from .stats_ml import _corr_formula
+
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy(
+            F.expr(
+                "datediff(CAST(l_shipdate AS DATE), DATE '1992-01-01')"
+            ).alias("t"),
+            F.expr("CAST(l_shipdate AS DATE)").alias("day"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("x"),
+            F.expr(
+                "CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)"
+            ).alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    b = daily.select(
+        F.col("t").alias("u"),
+        F.expr("CAST(x AS DECIMAL(38,0))").alias("bx"),
+        F.expr("CAST(y AS DECIMAL(38,0))").alias("by"),
+    )
+    win = (
+        daily.join(
+            F.broadcast(b),
+            (F.col("u") >= F.col("t") - (_ROLL_DAYS - 1))
+            & (F.col("u") <= F.col("t")),
+        )
+        .groupBy("t", "day")
+        .agg(
+            F.expr("CAST(COUNT(*) AS DOUBLE)").alias("n"),
+            F.expr("CAST(SUM(bx) AS DOUBLE)").alias("s_x"),
+            F.expr("CAST(SUM(by) AS DOUBLE)").alias("s_y"),
+            F.expr("CAST(SUM(bx * bx) AS DOUBLE)").alias("s_x_x"),
+            F.expr("CAST(SUM(by * by) AS DOUBLE)").alias("s_y_y"),
+            F.expr("CAST(SUM(bx * by) AS DOUBLE)").alias("s_x_y"),
+        )
+    )
+    return (
+        win.filter(F.col("n") == _ROLL_DAYS)
+        .select("day", F.expr(_corr_formula("x", "y")).alias("corr_30d"))
+        .orderBy("day")
+    )

@@ -500,3 +500,13 @@ def test_mlm_masking_zero_shuffle_jvm_only(spark):
 
     exchanges = re.findall(r"\(\d+\) Exchange\n[^\n]*\nArguments: (\w+)", main)
     assert all(a == "rangepartitioning" for a in exchanges), exchanges
+
+
+def test_rolling_corr_frame_is_range_join_no_window(spark):
+    """The trailing-30-day frame must be a bounded broadcast range
+    join over the calendar-bounded daily series — no WindowExec, and
+    the lineitem collapse partial-aggregates before its shuffle."""
+    plan = _plan(spark, "q_rolling_corr")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
