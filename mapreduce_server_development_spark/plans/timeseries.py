@@ -378,3 +378,150 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", F.expr(_corr_formula("x", "y")).alias("corr_30d"))
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_cumulative_users — exact cumulative distinct users per day
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cumulative_users",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+        FROM events GROUP BY user_id
+    ),
+    per_day AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+        FROM first_seen GROUP BY day
+    )
+    SELECT a.day, a.new_users,
+           CAST(SUM(b.new_users) AS BIGINT) AS cum_users
+    FROM per_day a JOIN per_day b ON b.day <= a.day
+    GROUP BY a.day, a.new_users
+    ORDER BY a.day
+    """,
+)
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cumulative distinct users per day — the growth curve
+    every product dashboard opens with, computed WITHOUT a
+    count-distinct-over-window (which would re-deduplicate the entire
+    user history once per day).
+
+    The classic exact trick: distinct-ness is resolved ONCE by
+    reducing each user to their first-seen day (one partial-agg'd
+    shuffle on user_id — min combines map-side), after which the
+    cumulative count is a plain SUM over the per-day new-user series.
+    The running total is a trailing range join over the
+    calendar-bounded relation (|days|² ≤ ~6M pairs driven by the
+    calendar, not the data) — the same windowless idiom as
+    q_rolling_corr, so no single-task WindowExec exists anywhere.
+
+    Scale: the events table is touched once and collapses to |users|
+    then |days| rows; everything downstream is calendar-bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_day = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("new_users"))
+        .localCheckpoint(eager=True)
+    )
+    b = per_day.select(
+        F.col("day").alias("bday"), F.col("new_users").alias("bnew")
+    )
+    return (
+        per_day.join(F.broadcast(b), F.col("bday") <= F.col("day"))
+        .groupBy("day", "new_users")
+        .agg(F.sum("bnew").cast("long").alias("cum_users"))
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_seasonality — day-of-week seasonal index of order revenue
+# ---------------------------------------------------------------------------
+
+#: Monday anchor for engine-neutral day-of-week arithmetic (Spark's
+#: dayofweek() is 1=Sunday..7, DuckDB's dayofweek() is 0=Sunday..6 —
+#: a modular datediff against a known Monday sidesteps both).
+_MONDAY = "1992-01-06"
+
+#: Seasonal index: mean daily revenue on this weekday over the grand
+#: mean daily revenue, from four exact integers (engine-shared text).
+_SEASONAL_FINAL = (
+    "cast(dow as bigint) as dow",
+    "cast(n_days as bigint) as n_days",
+    "cast(rev_c as decimal(38,0)) as rev_c",
+    "round((cast(rev_c as double) / cast(n_days as double))"
+    " / (cast(tot_c as double) / cast(tot_days as double)), 6)"
+    " as seasonal_index",
+)
+
+
+@query(
+    "q_seasonality",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               ((datediff('day', DATE '{_MONDAY}', CAST(o_orderdate AS DATE))
+                 % 7) + 7) % 7 AS dow,
+               CAST(SUM({_CENTS}) AS HUGEINT) AS rev_c
+        FROM orders GROUP BY 1, 2
+    ),
+    by_dow AS (
+        SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(rev_c) AS HUGEINT) AS rev_c
+        FROM daily GROUP BY dow
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_days) AS BIGINT) AS tot_days,
+               CAST(SUM(rev_c) AS HUGEINT) AS tot_c
+        FROM by_dow
+    )
+    SELECT {", ".join(_SEASONAL_FINAL)}
+    FROM by_dow, tot ORDER BY dow
+    """,
+)
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index of order revenue — mean daily
+    revenue per weekday relative to the grand mean daily revenue, the
+    multiplicative seasonal factors a ratio-to-average decomposition
+    assigns (and the sanity gate before any weekday-aware forecast).
+
+    Day-of-week is computed arithmetically (datediff against a fixed
+    Monday, double-mod to stay non-negative) because the two engines'
+    dayofweek() builtins disagree on both origin and range; every sum
+    is exact integer cents (DECIMAL(38,0)/HUGEINT), and the one float
+    expression — the index ratio — is a shared formula text rounded
+    to 6 places.
+
+    Scale: orders collapses to |days| with one partial-agg'd shuffle,
+    then to 7 rows; the grand total joins back as a broadcast scalar.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.expr("CAST(o_orderdate AS DATE)").alias("day"),
+            F.expr(
+                f"((datediff(CAST(o_orderdate AS DATE),"
+                f" DATE '{_MONDAY}') % 7) + 7) % 7"
+            ).alias("dow"),
+        )
+        .agg(F.expr(f"CAST(SUM({_CENTS}) AS DECIMAL(38,0))").alias("rev_c"))
+    )
+    by_dow = daily.groupBy("dow").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.expr("CAST(SUM(rev_c) AS DECIMAL(38,0))").alias("rev_c"),
+    )
+    tot = by_dow.agg(
+        F.expr("CAST(SUM(n_days) AS BIGINT)").alias("tot_days"),
+        F.expr("CAST(SUM(rev_c) AS DECIMAL(38,0))").alias("tot_c"),
+    )
+    return (
+        by_dow.crossJoin(F.broadcast(tot))
+        .selectExpr(*_SEASONAL_FINAL)
+        .orderBy("dow")
+    )

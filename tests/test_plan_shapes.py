@@ -510,3 +510,21 @@ def test_rolling_corr_frame_is_range_join_no_window(spark):
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cumulative_users_no_window_single_user_shuffle(spark):
+    """The growth curve must resolve distinct-ness once (user_id
+    shuffle) and run the cumsum as a bounded broadcast range join —
+    no WindowExec, no count-distinct-per-day re-expansion."""
+    plan = _plan(spark, "q_cumulative_users")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_seasonality_grand_total_is_broadcast_scalar(spark):
+    """The 7-row dow relation joins its grand total as a broadcast —
+    no window, no single-partition exchange over the daily series."""
+    plan = _plan(spark, "q_seasonality")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
