@@ -558,3 +558,186 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q_quantile_sketch — mergeable log-binned quantile histogram + exact audit
+# --------------------------------------------------------------------------
+
+#: Quantiles queried, in parts-per-million.
+_QSK_QS = (500000, 900000, 990000)
+
+#: Interpolated estimate inside the selected bin (engine-shared text):
+#: est = lo + width * (r - cum_before) / cnt, rounded to integer cents.
+_QSK_EST = (
+    "CAST(round(CAST(lo AS DOUBLE) + CAST(width AS DOUBLE)"
+    " * CAST(r - cum + cnt AS DOUBLE) / CAST(cnt AS DOUBLE)) AS BIGINT)"
+)
+
+#: Bin geometry from the bin id (engine-shared text; ids < 8 are the
+#: exact small-value bins, ids >= 32 encode (L, sub) = (id DIV 8, id % 8)).
+_QSK_LO = (
+    "CASE WHEN bin_id < 8 THEN bin_id"
+    " ELSE (8 + bin_id % 8) << (CAST(bin_id / 8 AS INT) - 4) END"
+)
+_QSK_W = (
+    "CASE WHEN bin_id < 8 THEN CAST(1 AS BIGINT)"
+    " ELSE CAST(1 AS BIGINT) << (CAST(bin_id / 8 AS INT) - 4) END"
+)
+
+
+@query(
+    "q_quantile_sketch",
+    oracle=f"""
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+    ),
+    binned AS (
+        SELECT CASE WHEN c < 8 THEN c
+                    ELSE length(bin(c)) * 8
+                         + ((c >> (length(bin(c)) - 4)) & 7) END AS bin_id
+        FROM c
+    ),
+    bins AS (
+        SELECT bin_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM binned GROUP BY bin_id
+    ),
+    tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_bins
+        FROM bins
+    ),
+    cumb AS (
+        SELECT a.bin_id, a.cnt, CAST(SUM(b.cnt) AS BIGINT) AS cum
+        FROM bins a JOIN bins b ON b.bin_id <= a.bin_id
+        GROUP BY a.bin_id, a.cnt
+    ),
+    ranks AS (
+        SELECT q_ppm, n, n_bins,
+               (q_ppm * n + 999999) // 1000000 AS r
+        FROM tot, (VALUES {", ".join(f"({q})" for q in _QSK_QS)}) AS qs(q_ppm)
+    ),
+    sel AS (
+        SELECT r.q_ppm, r.n, r.n_bins, r.r,
+               MIN(cb.bin_id) AS bin_id
+        FROM ranks r JOIN cumb cb ON cb.cum >= r.r
+        GROUP BY 1, 2, 3, 4
+    ),
+    geom AS (
+        SELECT s.q_ppm, s.n, s.n_bins, s.r, cb.cnt, cb.cum,
+               {_QSK_LO.replace("bin_id", "s.bin_id")} AS lo,
+               {_QSK_W.replace("bin_id", "s.bin_id")} AS width
+        FROM sel s JOIN cumb cb ON cb.bin_id = s.bin_id
+    ),
+    vals AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS w FROM c GROUP BY c),
+    ecdf AS (
+        SELECT c, w, CAST(SUM(w) OVER (ORDER BY c) AS BIGINT) AS cum
+        FROM vals
+    ),
+    exact AS (
+        SELECT r.q_ppm, CAST(MIN(e.c) AS BIGINT) AS exact_c
+        FROM ranks r
+        JOIN ecdf e ON e.cum >= r.r AND e.cum - e.w < r.r
+        GROUP BY 1
+    )
+    SELECT g.q_ppm, g.n AS n_rows, g.n_bins,
+           {_QSK_EST} AS est_c, x.exact_c,
+           1000000 * abs(({_QSK_EST}) - x.exact_c) // x.exact_c AS err_ppm
+    FROM geom g JOIN exact x ON x.q_ppm = g.q_ppm
+    ORDER BY g.q_ppm
+    """,
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log-binned quantile histogram (the DDSketch shape —
+    Masson et al. 2019) over order totals, with an exact
+    order-statistic audit: p50/p90/p99 estimated from a ~9%-relative-
+    accuracy sketch of at most a few hundred bins, each estimate
+    scored in ppm against the TRUE quantile.
+
+    Binning is pure integer bit arithmetic — bin id = (bit-length L,
+    top-3-bits-after-the-leader) for values >= 8, the value itself
+    below — so the sketch is bit-identical across engines (no log2()
+    float, whose libm rounding differs between JVM and C++ at bin
+    boundaries). Counts merge with SUM: the sketch is an ordinary
+    partial-aggregable groupBy, the property that lets per-partition /
+    per-day sketches roll up without rescanning (the t-digest role,
+    minus t-digest's merge-order nondeterminism).
+
+    Quantile read-off: first bin whose cumulative count reaches rank
+    r = ceil(q·n), linear interpolation inside the bin (shared
+    formula). The exact tier reuses the distributed prefix-sum ECDF
+    over distinct values (`functions/prefix.py` — q_weighted_median's
+    machinery), so neither tier holds a data-scale buffer or runs a
+    single-task window. rank arithmetic is int64 here; at 100 TB row
+    counts (>10^12) the q_ppm·n product crosses 2^63 and would be
+    computed in DECIMAL(38,0) with the identical plan.
+
+    Scale: one scan bins the table (map-side combine to <=~500 bins);
+    the cumulative pass is a bounded broadcast self-join; the audit's
+    ECDF is two distributed phases with one scalar per partition on
+    the driver.
+    """
+    from ..functions.prefix import global_running_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("c")
+    )
+    bins = (
+        c.selectExpr(
+            "CASE WHEN c < 8 THEN c ELSE length(bin(c)) * 8"
+            " + (shiftright(c, length(bin(c)) - 4) & 7) END AS bin_id"
+        )
+        .groupBy("bin_id")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    tot = bins.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_bins"),
+    )
+    b = bins.select(F.col("bin_id").alias("bb"), F.col("cnt").alias("bc"))
+    cumb = (
+        bins.join(F.broadcast(b), F.col("bb") <= F.col("bin_id"))
+        .groupBy("bin_id", "cnt")
+        .agg(F.sum("bc").cast("long").alias("cum"))
+    )
+    ranks = tot.select(
+        F.explode(F.array(*[F.lit(q) for q in _QSK_QS])).alias("q_ppm"),
+        "n",
+        "n_bins",
+    ).selectExpr("q_ppm", "n", "n_bins", "(q_ppm * n + 999999) DIV 1000000 AS r")
+    sel = (
+        cumb.join(F.broadcast(ranks), F.col("cum") >= F.col("r"))
+        .groupBy("q_ppm", "n", "n_bins", "r")
+        .agg(F.min(F.struct("bin_id", "cnt", "cum")).alias("s"))
+        .select("q_ppm", "n", "n_bins", "r", "s.bin_id", "s.cnt", "s.cum")
+    )
+    geom = sel.selectExpr(
+        "q_ppm", "n", "n_bins", "r", "cnt", "cum",
+        f"{_QSK_LO} AS lo",
+        f"{_QSK_W} AS width",
+    )
+    vals = c.groupBy("c").agg(F.count("*").cast("long").alias("w"))
+    ecdf = global_running_sum(vals, "c", "w", "cum")
+    exact = (
+        ecdf.join(
+            F.broadcast(ranks.select("q_ppm", "r")),
+            (F.col("cum") >= F.col("r"))
+            & (F.col("cum") - F.col("w") < F.col("r")),
+        )
+        .groupBy("q_ppm")
+        .agg(F.min("c").cast("long").alias("exact_c"))
+    )
+    return (
+        geom.join(F.broadcast(exact), "q_ppm")
+        .selectExpr(
+            "q_ppm",
+            "n AS n_rows",
+            "n_bins",
+            f"{_QSK_EST} AS est_c",
+            "exact_c",
+            f"1000000 * abs(({_QSK_EST}) - exact_c) DIV exact_c AS err_ppm",
+        )
+        .orderBy("q_ppm")
+    )

@@ -528,3 +528,16 @@ def test_seasonality_grand_total_is_broadcast_scalar(spark):
     plan = _plan(spark, "q_seasonality")
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_quantile_sketch_bounded_state_no_global_window(spark):
+    """The sketch must be an ordinary partial-aggregable groupBy (its
+    cumulative pass a bounded broadcast self-join) and the exact audit
+    the two-phase ECDF — no single-task window anywhere, and no
+    cartesian product."""
+    from .test_no_antipatterns import single_partition_windows
+
+    plan = _plan(spark, "q_quantile_sketch")
+    assert not single_partition_windows(plan)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
