@@ -578,11 +578,11 @@ _QSK_EST = (
 #: exact small-value bins, ids >= 32 encode (L, sub) = (id DIV 8, id % 8)).
 _QSK_LO = (
     "CASE WHEN bin_id < 8 THEN bin_id"
-    " ELSE (8 + bin_id % 8) << (CAST(bin_id / 8 AS INT) - 4) END"
+    " ELSE (8 + bin_id % 8) << ((bin_id >> 3) - 4) END"
 )
 _QSK_W = (
     "CASE WHEN bin_id < 8 THEN CAST(1 AS BIGINT)"
-    " ELSE CAST(1 AS BIGINT) << (CAST(bin_id / 8 AS INT) - 4) END"
+    " ELSE CAST(1 AS BIGINT) << ((bin_id >> 3) - 4) END"
 )
 
 

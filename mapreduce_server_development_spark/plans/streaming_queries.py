@@ -1371,3 +1371,218 @@ def q_stream_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_quantile — log-binned quantile histogram maintained in-stream
+# ---------------------------------------------------------------------------
+
+#: Quantiles read off the streamed sketch, in parts-per-million.
+_SQ_QS = (500000, 900000)
+
+#: Shared interpolation / geometry texts (see plans/sketches.py —
+#: identical binning so the batch and streaming sketches are twins).
+_SQ_EST = (
+    "CAST(round(CAST(lo AS DOUBLE) + CAST(width AS DOUBLE)"
+    " * CAST(r - cum + cnt AS DOUBLE) / CAST(cnt AS DOUBLE)) AS BIGINT)"
+)
+_SQ_LO = (
+    "CASE WHEN bin_id < 8 THEN bin_id"
+    " ELSE (8 + bin_id % 8) << ((bin_id >> 3) - 4) END"
+)
+_SQ_W = (
+    "CASE WHEN bin_id < 8 THEN CAST(1 AS BIGINT)"
+    " ELSE CAST(1 AS BIGINT) << ((bin_id >> 3) - 4) END"
+)
+
+
+def _stream_quantile_oracle() -> str:
+    qs = ", ".join(f"({q})" for q in _SQ_QS)
+    return f"""
+    WITH c AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
+    binned AS (
+        SELECT event_type,
+               CASE WHEN c < 8 THEN c
+                    ELSE length(bin(c)) * 8
+                         + ((c >> (length(bin(c)) - 4)) & 7) END AS bin_id
+        FROM c
+    ),
+    bins AS (
+        SELECT event_type, bin_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM binned GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+        FROM bins GROUP BY event_type
+    ),
+    cumb AS (
+        SELECT a.event_type, a.bin_id, a.cnt,
+               CAST(SUM(b.cnt) AS BIGINT) AS cum
+        FROM bins a
+        JOIN bins b ON b.event_type = a.event_type AND b.bin_id <= a.bin_id
+        GROUP BY 1, 2, 3
+    ),
+    ranks AS (
+        SELECT event_type, q_ppm, n, (q_ppm * n + 999999) // 1000000 AS r
+        FROM tot, (VALUES {qs}) AS qs(q_ppm)
+    ),
+    sel AS (
+        SELECT r.event_type, r.q_ppm, r.n, r.r, MIN(cb.bin_id) AS bin_id
+        FROM ranks r
+        JOIN cumb cb ON cb.event_type = r.event_type AND cb.cum >= r.r
+        GROUP BY 1, 2, 3, 4
+    ),
+    geom AS (
+        SELECT s.event_type, s.q_ppm, s.n, s.r, cb.cnt, cb.cum,
+               {_SQ_LO.replace("bin_id", "s.bin_id")} AS lo,
+               {_SQ_W.replace("bin_id", "s.bin_id")} AS width
+        FROM sel s
+        JOIN cumb cb ON cb.event_type = s.event_type
+                    AND cb.bin_id = s.bin_id
+    ),
+    vals AS (
+        SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS w
+        FROM c GROUP BY 1, 2
+    ),
+    ecdf AS (
+        SELECT event_type, c, w,
+               CAST(SUM(w) OVER (PARTITION BY event_type ORDER BY c)
+                    AS BIGINT) AS cum
+        FROM vals
+    ),
+    exact AS (
+        SELECT r.event_type, r.q_ppm, CAST(MIN(e.c) AS BIGINT) AS exact_c
+        FROM ranks r
+        JOIN ecdf e ON e.event_type = r.event_type
+                   AND e.cum >= r.r AND e.cum - e.w < r.r
+        GROUP BY 1, 2
+    )
+    SELECT g.event_type, g.q_ppm, g.n AS n_rows,
+           {_SQ_EST} AS est_c, x.exact_c,
+           1000000 * abs(({_SQ_EST}) - x.exact_c) // x.exact_c AS err_ppm
+    FROM geom g
+    JOIN exact x ON x.event_type = g.event_type AND x.q_ppm = g.q_ppm
+    ORDER BY g.event_type, g.q_ppm
+    """
+
+
+@query("q_stream_quantile", oracle=_stream_quantile_oracle())
+def q_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type p50/p90 of the value column maintained BY the
+    stream with the fourth mergeable-sketch monoid: a log-binned
+    COUNT histogram (the DDSketch shape — the streaming twin of
+    q_quantile_sketch, same integer bit-arithmetic binning). State is
+    ≤ a few hundred (type, bin) counters forever — vs a streaming
+    exact percentile, which would need every value in state.
+
+    Counts merge with SUM across micro-batches (complete-mode
+    associative aggregate), so the streamed bin table equals the
+    batch sketch value-exact and the DuckDB oracle verifies the full
+    streaming path bit-for-bit: binning (pure integer — no libm
+    log2), rank arithmetic, and the one shared interpolation formula.
+    The exact per-type quantiles join batch-side as the honest
+    audit columns (value-grouped ECDF under a PARTITIONED window —
+    per-type distinct-value relation, never a single-task sort).
+
+    Scale: streaming state is the bin table; the batch read-off runs
+    on |types|x|bins| rows; the audit's window parallelism is
+    |event_type| — acceptable for an audit column, and the streamed
+    sketch itself never touches that path.
+    """
+    stream = read_events_stream(spark, sf_dir)
+    bins_stream = (
+        stream.selectExpr(
+            "event_type",
+            "CAST(round(value * 100) AS BIGINT) AS c",
+        )
+        .selectExpr(
+            "event_type",
+            "CASE WHEN c < 8 THEN c ELSE length(bin(c)) * 8"
+            " + (shiftright(c, length(bin(c)) - 4) & 7) END AS bin_id",
+        )
+        .groupBy("event_type", "bin_id")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    bins = _run_to_memory(bins_stream, spark, mode="complete")
+    tot = bins.groupBy("event_type").agg(F.sum("cnt").cast("long").alias("n"))
+    b = bins.select(
+        F.col("event_type").alias("bt"),
+        F.col("bin_id").alias("bb"),
+        F.col("cnt").alias("bc"),
+    )
+    cumb = (
+        bins.join(
+            F.broadcast(b),
+            (F.col("bt") == F.col("event_type"))
+            & (F.col("bb") <= F.col("bin_id")),
+        )
+        .groupBy("event_type", "bin_id", "cnt")
+        .agg(F.sum("bc").cast("long").alias("cum"))
+    )
+    ranks = tot.select(
+        "event_type",
+        F.explode(F.array(*[F.lit(q) for q in _SQ_QS])).alias("q_ppm"),
+        "n",
+    ).selectExpr(
+        "event_type", "q_ppm", "n", "(q_ppm * n + 999999) DIV 1000000 AS r"
+    )
+    sel = (
+        cumb.join(
+            F.broadcast(ranks.withColumnRenamed("event_type", "rt")),
+            (F.col("rt") == F.col("event_type")) & (F.col("cum") >= F.col("r")),
+        )
+        .groupBy("event_type", "q_ppm", "n", "r")
+        .agg(F.min(F.struct("bin_id", "cnt", "cum")).alias("s"))
+        .select("event_type", "q_ppm", "n", "r", "s.bin_id", "s.cnt", "s.cum")
+    )
+    geom = sel.selectExpr(
+        "event_type", "q_ppm", "n", "r", "cnt", "cum",
+        f"{_SQ_LO} AS lo",
+        f"{_SQ_W} AS width",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    vals = (
+        ev.selectExpr(
+            "event_type", "CAST(round(value * 100) AS BIGINT) AS c"
+        )
+        .groupBy("event_type", "c")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    ecdf = vals.withColumn(
+        "cum",
+        F.sum("w")
+        .over(Window.partitionBy("event_type").orderBy("c"))
+        .cast("long"),
+    )
+    exact = (
+        ecdf.join(
+            F.broadcast(
+                ranks.select(
+                    F.col("event_type").alias("xt"), "q_ppm", "r"
+                )
+            ),
+            (F.col("xt") == F.col("event_type"))
+            & (F.col("cum") >= F.col("r"))
+            & (F.col("cum") - F.col("w") < F.col("r")),
+        )
+        .groupBy("event_type", "q_ppm")
+        .agg(F.min("c").cast("long").alias("exact_c"))
+    )
+    return (
+        geom.join(F.broadcast(exact), ["event_type", "q_ppm"])
+        .selectExpr(
+            "event_type",
+            "q_ppm",
+            "n AS n_rows",
+            f"{_SQ_EST} AS est_c",
+            "exact_c",
+            f"1000000 * abs(({_SQ_EST}) - exact_c) DIV exact_c AS err_ppm",
+        )
+        .orderBy("event_type", "q_ppm")
+    )
