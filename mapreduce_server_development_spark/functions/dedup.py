@@ -130,6 +130,59 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.9,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """DIRECTED near-dup pairs by shingle containment
+    c(sub→sup) = |sub ∩ sup| / |sub| (Broder 1997's *containment*, the
+    asymmetric sibling of resemblance/Jaccard).
+
+    Jaccard misses size-mismatched duplication by construction: a
+    paragraph quoted whole inside a 100x-larger document has
+    |A∩B|/|A∪B| ≈ 1%, but containment ≈ 1. This is the operator that
+    catches quote/subset/boilerplate-embedding duplication in a
+    training corpus.
+
+    Same candidate generation as ngram_jaccard_pairs — an equi-join on
+    non-ubiquitous shingles (hot shingles dropped by the broadcast
+    anti-join, so per-shingle fan-out is bounded by ``max_doc_freq``)
+    — but the pair filter divides by the SUBSET side's size only.
+    Returns (doc_sub, doc_sup, n_sub, n_inter, containment), both
+    directions when both clear the threshold.
+    """
+    sh = _pruned_shingles(df, text_col, id_col, n, max_doc_freq)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") != F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_sub"), F.col("b.doc").alias("doc_sup"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ssub = sizes.select(F.col("doc").alias("doc_sub"), F.col("n_sh").alias("n_sub"))
+    cont = F.round(F.col("n_inter").cast("double") / F.col("n_sub"), 4)
+    return (
+        inter.join(ssub, "doc_sub")
+        .select(
+            "doc_sub",
+            "doc_sup",
+            F.col("n_sub").cast("long").alias("n_sub"),
+            F.col("n_inter").cast("long").alias("n_inter"),
+            cont.alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

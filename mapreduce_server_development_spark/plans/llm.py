@@ -35,6 +35,7 @@ from ..functions.dedup import (  # noqa: F401 — re-exported query deps
     prefix_suffix_typo_pairs,
     exact_dedup,
     minhash_near_dups,
+    containment_pairs,
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
@@ -135,6 +136,46 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, n=5, threshold=0.2, max_doc_freq=1000).orderBy(
         "doc_a", "doc_b"
     )
+
+
+@query(
+    "q_containment_dups",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    {_shingle_cte(5)},
+    hot AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 1000
+    ),
+    shp AS (
+        SELECT doc, shingle FROM sh
+        WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n_sh FROM shp GROUP BY doc),
+    inter AS (
+        SELECT a.doc AS doc_sub, b.doc AS doc_sup, COUNT(*) AS n_inter
+        FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc <> b.doc
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_sub, i.doc_sup,
+           CAST(s.n_sh AS BIGINT) AS n_sub,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           round(CAST(n_inter AS DOUBLE) / s.n_sh, 4) AS containment
+    FROM inter i JOIN sizes s ON s.doc = i.doc_sub
+    WHERE round(CAST(n_inter AS DOUBLE) / s.n_sh, 4) >= 0.9
+    ORDER BY doc_sub, doc_sup
+    """,
+)
+def q_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle-containment near-dups (|sub∩sup| / |sub| >=
+    0.9) — the asymmetric operator that catches a document quoted or
+    embedded whole inside a much larger one, which Jaccard's
+    union-normalized score structurally misses. Same hot-shingle-
+    pruned equi-join as q_ngram_jaccard; only the final normalization
+    differs (see functions/dedup.py containment_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, n=5, threshold=0.9, max_doc_freq=1000
+    ).orderBy("doc_sub", "doc_sup")
 
 
 @query(

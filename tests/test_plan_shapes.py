@@ -541,3 +541,15 @@ def test_quantile_sketch_bounded_state_no_global_window(spark):
     assert not single_partition_windows(plan)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_containment_pairs_is_pruned_equi_join(spark):
+    """Candidate generation must be the hot-shingle-pruned shingle
+    equi-join (broadcast anti-join prune visible), never an all-pairs
+    product, and no single-task window exists."""
+    from .test_no_antipatterns import single_partition_windows
+
+    plan = _plan(spark, "q_containment_dups")
+    assert "CartesianProduct" not in plan
+    assert not single_partition_windows(plan)
+    assert "LeftAnti, BuildRight" in plan or "LeftAnti" in plan
