@@ -1166,3 +1166,95 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_score").desc(), "doc_id")
         .limit(_RRF_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_cohens_kappa — agreement between two quality heuristics
+# ---------------------------------------------------------------------------
+
+#: Observed / chance agreement and kappa from the exact 2x2
+#: contingency (engine-shared formula text; n11..n00 are BIGINTs).
+_KAPPA_FINAL = [
+    "CAST(n11 AS BIGINT) AS n11",
+    "CAST(n10 AS BIGINT) AS n10",
+    "CAST(n01 AS BIGINT) AS n01",
+    "CAST(n00 AS BIGINT) AS n00",
+    "round(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po",
+    "round((CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)"
+    " + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe",
+    "round((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)"
+    " - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)"
+    "    + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))"
+    "   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+    " / (1.0 - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)"
+    "    + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))"
+    "   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) AS kappa",
+]
+
+
+@query(
+    "q_cohens_kappa",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    labels AS (
+        SELECT doc,
+               CASE WHEN 5 * len(toks) <=
+                         length(array_to_string(toks, ''))
+                    THEN 1 ELSE 0 END AS a,
+               CASE WHEN 2 * len(list_distinct(toks)) >= len(toks)
+                    THEN 1 ELSE 0 END AS b
+        FROM toks WHERE len(toks) > 0
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a * b) AS BIGINT) AS n11,
+               CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+               CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+               CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+        FROM labels
+    )
+    SELECT {", ".join(_KAPPA_FINAL)} FROM s
+    """,
+)
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) between two deterministic quality
+    'raters' over the corpus — rater A flags long-word documents
+    (mean token length >= 5), rater B flags lexically diverse ones
+    (unique-token ratio >= 1/2). Kappa is the chance-corrected
+    agreement a labeling pipeline reports before trusting two cheap
+    heuristics as interchangeable filters.
+
+    Both flags are INTEGER-threshold comparisons (5·n_tok <= Σlen,
+    2·n_unique >= n_tok — the module's no-float-flags discipline), so
+    the 2x2 contingency is exact on both engines; po, pe and kappa
+    are one shared formula text over the four counts, rounded at the
+    end. Documents with zero tokens are excluded (neither heuristic
+    is defined on them).
+
+    Scale: per-document flags are zero-shuffle JVM array ops; the
+    contingency is a single partial-agg'd global aggregate — four
+    integers of state, one row out at any SF.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens_col(F.lower(F.col("text"))).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    labels = toks.select(
+        F.expr(
+            "CASE WHEN 5 * size(toks) <="
+            " length(array_join(toks, '')) THEN 1 ELSE 0 END"
+        ).alias("a"),
+        F.expr(
+            "CASE WHEN 2 * size(array_distinct(toks)) >= size(toks)"
+            " THEN 1 ELSE 0 END"
+        ).alias("b"),
+    )
+    s = labels.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.expr("a * b")).cast("long").alias("n11"),
+        F.sum(F.expr("a * (1 - b)")).cast("long").alias("n10"),
+        F.sum(F.expr("(1 - a) * b")).cast("long").alias("n01"),
+        F.sum(F.expr("(1 - a) * (1 - b)")).cast("long").alias("n00"),
+    )
+    return s.selectExpr(*_KAPPA_FINAL)

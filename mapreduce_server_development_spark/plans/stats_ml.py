@@ -1663,3 +1663,99 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("h")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_pareto_share — revenue share of the top 1% / 5% / 10% of customers
+# ---------------------------------------------------------------------------
+
+_PARETO_PCTS = (1, 5, 10)
+
+_PARETO_FINAL = [
+    "CAST(n AS BIGINT) AS n_customers",
+    "round(CAST(tot AS DOUBLE) / 100.0, 2) AS total_revenue",
+] + [
+    f"round(CAST(top{p} AS DOUBLE) / CAST(tot AS DOUBLE), 6)"
+    f" AS share_top{p}pct"
+    for p in _PARETO_PCTS
+]
+
+
+@query(
+    "q_pareto_share",
+    oracle=f"""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rk,
+               COUNT(*) OVER () AS n
+        FROM rev
+    ),
+    s AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS tot,
+               {", ".join(
+                   f"CAST(SUM(CASE WHEN rk <= (({p} * n) + 99) // 100"
+                   f" THEN cents ELSE 0 END) AS BIGINT) AS top{p}"
+                   for p in _PARETO_PCTS
+               )}
+        FROM ranked
+    )
+    SELECT {", ".join(_PARETO_FINAL)} FROM s
+    """,
+)
+def q_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration as top-share ratios — the fraction of
+    total revenue held by the top 1% / 5% / 10% of customers (the
+    'whale curve' readout that complements q_gini's single scalar).
+
+    Needs each customer's global revenue rank DESCENDING: ranks come
+    from the two-phase distributed prefix scan
+    (`functions/prefix.py global_row_number` with a desc sort
+    expression and the custkey tie-break), never a single-task global
+    window. Top-k membership is rank <= ceil(p·n/100) in exact
+    integer arithmetic; the three shares are conditional integer sums
+    over one pass of the ranked relation, divided once at the end
+    (shared formula text, round 6).
+
+    Scale: orders collapses to |customers| with one partial-agg'd
+    shuffle; the rank scan is two distributed phases with one scalar
+    per partition on the driver; the conditional-sum agg is one more
+    partial-agg'd pass. Nothing holds a data-scale buffer.
+    """
+    from ..functions.prefix import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("cents")
+    )
+    ranked = global_row_number(
+        rev, [F.col("cents").desc(), F.col("o_custkey")], "rk"
+    )
+    nrow = rev.agg(F.count("*").cast("long").alias("n"))
+    s = (
+        ranked.crossJoin(F.broadcast(nrow))
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("tot"),
+            *[
+                F.sum(
+                    F.expr(
+                        f"CASE WHEN rk <= (({p} * n) + 99) DIV 100"
+                        f" THEN cents ELSE 0 END"
+                    )
+                )
+                .cast("long")
+                .alias(f"top{p}")
+                for p in _PARETO_PCTS
+            ],
+        )
+    )
+    return s.selectExpr(*_PARETO_FINAL)

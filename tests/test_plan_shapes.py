@@ -553,3 +553,24 @@ def test_containment_pairs_is_pruned_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert not single_partition_windows(plan)
     assert "LeftAnti, BuildRight" in plan or "LeftAnti" in plan
+
+
+def test_pareto_share_ranks_are_two_phase(spark):
+    """Descending revenue ranks must ride the distributed prefix scan
+    (range partitioning visible), never a single-task global window."""
+    from .test_no_antipatterns import single_partition_windows
+
+    plan = _plan(spark, "q_pareto_share")
+    assert not single_partition_windows(plan)
+    # The rank relation is the checkpointed two-phase prefix frame
+    # (its range exchange sits above the checkpoint cut, so the plan
+    # shows the internal partition-id column of the offset join).
+    assert "__prefix_pid" in plan
+
+
+def test_cohens_kappa_zero_shuffle_flags(spark):
+    """The 2x2 contingency must be one global partial aggregate over
+    zero-shuffle per-document flags — no window, no join."""
+    plan = _plan(spark, "q_cohens_kappa")
+    assert "Window" not in plan
+    assert "Join" not in plan
