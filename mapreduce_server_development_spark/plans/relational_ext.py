@@ -3314,3 +3314,229 @@ def q_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         *pick_aggs("cents", (("50", "0.5"),)),
     )
     return pick.selectExpr(*_MCI_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_attribution_markov — Markov-chain attribution with removal effects
+# ---------------------------------------------------------------------------
+
+_MKV_ROUNDS = 25
+_MKV_SCALE = 1_000_000
+#: Non-conversion channels of the events schema (TESTDATA.md); fixed so
+#: the removal-scenario set is deterministic on both engines.
+_MKV_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _markov_oracle() -> str:
+    """Unrolled integer-e6 value iteration, one CTE chain per scenario
+    (full + one per removed channel). trans/tot are MATERIALIZED so
+    DuckDB scans events once, not once per round (the q_hits lesson)."""
+    scen = [("f", None)] + [(f"r{i}", ch) for i, ch in enumerate(_MKV_CHANNELS)]
+    chains = []
+    for tag, removed in scen:
+        rem_case = (
+            f"WHEN tr.dst = '{removed}' THEN CAST(0 AS HUGEINT)"
+            if removed
+            else ""
+        )
+        prev = f"p_{tag}_0"
+        chains.append(
+            f"p_{tag}_0 AS MATERIALIZED (SELECT DISTINCT src AS state,"
+            f" CAST(0 AS BIGINT) AS p FROM trans)"
+        )
+        for k in range(1, _MKV_ROUNDS + 1):
+            chains.append(f"""p_{tag}_{k} AS MATERIALIZED (
+        SELECT t.src AS state,
+               CAST(COALESCE(SUM(CASE
+                   WHEN tr.dst = 'CONV'
+                       THEN CAST(tr.cnt AS HUGEINT) * {_MKV_SCALE}
+                   WHEN tr.dst = 'NULL' THEN CAST(0 AS HUGEINT)
+                   {rem_case}
+                   ELSE CAST(tr.cnt AS HUGEINT) * COALESCE(p.p, 0)
+               END), 0) // t.tot AS BIGINT) AS p
+        FROM tot t
+        JOIN trans tr ON tr.src = t.src
+        LEFT JOIN {prev} p ON p.state = tr.dst
+        GROUP BY t.src, t.tot
+    )""")
+            prev = f"p_{tag}_{k}"
+    chain_sql = ",\n    ".join(chains)
+    k = _MKV_ROUNDS
+    rem_rows = " UNION ALL ".join(
+        f"SELECT '{ch}' AS channel,"
+        f" (SELECT p FROM p_r{i}_{k} WHERE state = 'START') AS p_rem"
+        for i, ch in enumerate(_MKV_CHANNELS)
+    )
+    return f"""
+    WITH ordered AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'purchase' THEN 'CONV'
+                    ELSE event_type END AS st,
+               LAG(CASE WHEN event_type = 'purchase' THEN 'CONV'
+                        ELSE event_type END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev,
+               LEAD(event_id)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS nxt
+        FROM events
+    ),
+    steps AS (
+        SELECT CASE WHEN prev IS NULL OR prev = 'CONV' THEN 'START'
+                    ELSE prev END AS src,
+               st AS dst
+        FROM ordered
+        UNION ALL
+        SELECT st AS src, 'NULL' AS dst
+        FROM ordered WHERE nxt IS NULL AND st <> 'CONV'
+    ),
+    trans AS MATERIALIZED (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM steps GROUP BY 1, 2
+    ),
+    tot AS MATERIALIZED (
+        SELECT src, CAST(SUM(cnt) AS HUGEINT) AS tot FROM trans GROUP BY src
+    ),
+    {chain_sql},
+    fullp AS (SELECT p AS p_full FROM p_f_{k} WHERE state = 'START'),
+    rem AS ({rem_rows}),
+    outq AS (
+        SELECT r.channel, f.p_full, r.p_rem,
+               CASE WHEN f.p_full = 0 THEN 0
+                    ELSE {_MKV_SCALE}
+                         - (r.p_rem * {_MKV_SCALE}) // f.p_full END
+                   AS removal_e6
+        FROM rem r CROSS JOIN fullp f
+    ),
+    tot_r AS (SELECT CAST(SUM(removal_e6) AS BIGINT) AS s FROM outq)
+    SELECT channel,
+           CAST(p_full AS BIGINT) AS p_conv_full_e6,
+           CAST(p_rem AS BIGINT) AS p_conv_removed_e6,
+           CAST(removal_e6 AS BIGINT) AS removal_e6,
+           CASE WHEN t.s = 0 THEN 0.0
+                ELSE round(CAST(removal_e6 AS DOUBLE)
+                           / CAST(t.s AS DOUBLE), 6) END AS share
+    FROM outq, tot_r t
+    ORDER BY channel
+    """
+
+
+@query("q_attribution_markov", oracle=_markov_oracle())
+def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain multi-touch attribution with removal effects
+    (Anderl et al. 2016) — the data-driven alternative to the
+    last-touch / position-based heuristics already in this family.
+    Journeys are first-order chains over {START, click, error,
+    signup, view} absorbing into CONV (purchase) or NULL (history
+    ends unconverted; a journey restarts at START after each
+    conversion). A channel's credit is its REMOVAL EFFECT: the
+    relative drop in absorption probability P(START→CONV) when every
+    transition into that channel is redirected to NULL, normalized
+    across channels.
+
+    Cross-engine exactness: absorption probabilities come from a
+    25-round value iteration in TRUNCATED integER micro-units
+    (p_{k+1}(s) = Σ_t cnt(s,t)·p_k(t) DIV tot(s), CONV contributing
+    the e6 unit) — the same fixed-point discipline as q_pagerank /
+    q_hits, so both engines produce bit-identical integers; the only
+    float is the final share ratio (shared formula, round 6,
+    zero-sum guarded).
+
+    Scale: the DISTRIBUTED work is the transition count — per-user
+    windows (partitioned by user_id, never single-task) collapsing
+    the event log to a transition matrix bounded by the CHANNEL
+    VOCABULARY (≤ (|types|+2)² rows, a schema bound, not a data
+    bound). That bounded relation is collected (the ≤64-row
+    packed-Bloom precedent) and the 5 scenario solves are O(1)
+    driver arithmetic on exact Python ints — identical ops to the
+    oracle's unrolled HUGEINT CTE chain. cnt·p products stay under
+    2^63 up to ~10^12 transitions per cell; beyond that the driver
+    math is already arbitrary-precision and only the oracle would
+    widen types.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    st = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.lit("CONV"))
+        .otherwise(F.col("event_type"))
+        .alias("st"),
+    )
+    ordered = st.select(
+        "st",
+        F.lag("st").over(w).alias("prev"),
+        F.lead("event_id").over(w).alias("nxt"),
+    )
+    steps = (
+        ordered.select(
+            F.when(
+                F.col("prev").isNull() | (F.col("prev") == "CONV"),
+                F.lit("START"),
+            )
+            .otherwise(F.col("prev"))
+            .alias("src"),
+            F.col("st").alias("dst"),
+        )
+        .unionAll(
+            ordered.filter(F.col("nxt").isNull() & (F.col("st") != "CONV"))
+            .select(F.col("st").alias("src"), F.lit("NULL").alias("dst"))
+        )
+    )
+    trans_rows = (
+        steps.groupBy("src", "dst").agg(F.count("*").cast("long").alias("cnt"))
+    ).collect()  # bounded by the channel vocabulary, never data-scale
+    cnt = {(r["src"], r["dst"]): r["cnt"] for r in trans_rows}
+    tots: dict[str, int] = {}
+    for (src, _), c in cnt.items():
+        tots[src] = tots.get(src, 0) + c
+    states = sorted(tots)
+
+    def absorb(removed: str | None) -> int:
+        p = {s: 0 for s in states}
+        for _ in range(_MKV_ROUNDS):
+            nxt = {}
+            for s in states:
+                acc = 0
+                for (src, dst), c in cnt.items():
+                    if src != s:
+                        continue
+                    if dst == "CONV":
+                        acc += c * _MKV_SCALE
+                    elif dst == "NULL" or dst == removed:
+                        pass
+                    else:
+                        acc += c * p.get(dst, 0)
+                nxt[s] = acc // tots[s]
+            p = nxt
+        return p.get("START", 0)
+
+    p_full = absorb(None)
+    rows = []
+    for ch in _MKV_CHANNELS:
+        p_rem = absorb(ch)
+        removal = (
+            0
+            if p_full == 0
+            else _MKV_SCALE - (p_rem * _MKV_SCALE) // p_full
+        )
+        rows.append((ch, p_full, p_rem, removal))
+    df = spark.createDataFrame(
+        rows,
+        "channel string, p_conv_full_e6 long, p_conv_removed_e6 long,"
+        " removal_e6 long",
+    )
+    tot_r = df.agg(F.sum("removal_e6").cast("long").alias("s"))
+    return (
+        df.crossJoin(F.broadcast(tot_r))
+        .selectExpr(
+            "channel",
+            "p_conv_full_e6",
+            "p_conv_removed_e6",
+            "removal_e6",
+            "CASE WHEN s = 0 THEN 0.0 ELSE round(CAST(removal_e6 AS DOUBLE)"
+            " / CAST(s AS DOUBLE), 6) END AS share",
+        )
+        .orderBy("channel")
+    )
