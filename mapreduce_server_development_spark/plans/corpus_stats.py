@@ -817,7 +817,9 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _nb_oracle() -> str:
+def _nb_common_cte() -> str:
+    """Shared CTE chain: 80/20 split, trained model, per-(doc, class)
+    integer scores and ranks — the prefix of both NB oracles."""
     from .sampling import _bucket_sql
 
     is_train = f"({_bucket_sql('nb', 'doc_id', 10)} < 8)"
@@ -866,12 +868,16 @@ def _nb_oracle() -> str:
         GROUP BY t.doc_id, c.source
     ),
     ranked AS (
-        SELECT s.doc_id, s.cand,
+        SELECT s.doc_id, s.cand, s.tok_lp + p.plp AS score,
                ROW_NUMBER() OVER (PARTITION BY s.doc_id
                                   ORDER BY s.tok_lp + p.plp DESC, s.cand)
                    AS rk
         FROM scored s JOIN prior p ON p.source = s.cand
-    ),
+    )"""
+
+
+def _nb_oracle() -> str:
+    return f"""{_nb_common_cte()},
     pred AS (SELECT doc_id, cand AS predicted FROM ranked WHERE rk = 1)
     SELECT sp.source AS actual, pr.predicted, COUNT(*) AS n
     FROM split sp JOIN pred pr ON pr.doc_id = sp.doc_id
@@ -900,6 +906,27 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded vocabulary never hits the driver; the per-doc argmax is
     a tiny window over |classes| rows per doc.
     """
+    split, scored = _nb_scored(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand"))
+    pred = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select("doc_id", F.col("cand").alias("predicted"))
+    )
+    return (
+        split.filter(~F.col("is_train"))
+        .select("doc_id", F.col("source").alias("actual"))
+        .join(pred, "doc_id")
+        .groupBy("actual", "predicted")
+        .agg(F.count("*").alias("n"))
+        .orderBy("actual", "predicted")
+    )
+
+
+def _nb_scored(spark: SparkSession, sf_dir: str):
+    """Shared NB train+score pipeline: returns (split, scored) where
+    scored has one (doc_id, cand, score) row per held-out document and
+    candidate class — integer micro-nat scores (see q_naive_bayes)."""
     from .sampling import hash_bucket
 
     docs = load_table(spark, sf_dir, "documents")
@@ -975,20 +1002,7 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(prior.select(F.col("source").alias("cand"), "plp")), "cand")
         .select("doc_id", "cand", (F.col("tok_lp") + F.col("plp")).alias("score"))
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand"))
-    pred = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter("rk = 1")
-        .select("doc_id", F.col("cand").alias("predicted"))
-    )
-    return (
-        split.filter(~F.col("is_train"))
-        .select("doc_id", F.col("source").alias("actual"))
-        .join(pred, "doc_id")
-        .groupBy("actual", "predicted")
-        .agg(F.count("*").alias("n"))
-        .orderBy("actual", "predicted")
-    )
+    return split, scored
 
 
 # ---------------------------------------------------------------------------
@@ -1258,3 +1272,102 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("(1 - a) * (1 - b)")).cast("long").alias("n00"),
     )
     return s.selectExpr(*_KAPPA_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_nb_calibration — margin-binned reliability diagram for the NB model
+# ---------------------------------------------------------------------------
+
+#: Margin bucket width in micro-nats (0.2 nats) — fixed integer edges,
+#: so bucket membership can never flip on a float ulp cross-engine.
+_NBC_WIDTH = 200_000
+_NBC_TOP = 9
+
+
+def _nb_calibration_oracle() -> str:
+    return f"""{_nb_common_cte()},
+    top2 AS (
+        SELECT doc_id,
+               MAX(CASE WHEN rk = 1 THEN cand END) AS predicted,
+               CAST(MAX(CASE WHEN rk = 1 THEN score END)
+                    - MAX(CASE WHEN rk = 2 THEN score END) AS BIGINT)
+                   AS margin
+        FROM ranked WHERE rk <= 2 GROUP BY doc_id
+    ),
+    labeled AS (
+        SELECT LEAST({_NBC_TOP}, t.margin // {_NBC_WIDTH}) AS bucket,
+               CASE WHEN t.predicted = sp.source THEN 1 ELSE 0 END AS ok
+        FROM top2 t JOIN split sp ON sp.doc_id = t.doc_id
+        WHERE NOT sp.is_train
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ok) AS BIGINT) AS n_correct,
+           round(CAST(SUM(ok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS accuracy
+    FROM labeled GROUP BY bucket ORDER BY bucket
+    """
+
+
+@query("q_nb_calibration", oracle=_nb_calibration_oracle())
+def q_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the Naive Bayes source classifier:
+    held-out documents bucketed by the model's CONFIDENCE MARGIN
+    (top-1 minus top-2 integer micro-nat score, fixed 0.2-nat bucket
+    edges capped at bucket 9) with the empirical accuracy per bucket —
+    the eval that tells a filtering pipeline where the classifier's
+    confidence can actually be trusted (a calibrated model shows
+    accuracy rising monotonically with margin).
+
+    The margin is a difference of the SAME exact integer scores
+    q_naive_bayes ranks on (shared `_nb_scored` pipeline — one model,
+    two evals), and bucket edges are integer thresholds, so bucket
+    membership is bit-deterministic cross-engine; no softmax/exp is
+    ever computed. Accuracy is the one shared float ratio, round 6.
+
+    Scale: identical to q_naive_bayes through scoring (token-keyed
+    model join, |classes|-row per-doc windows); the diagram adds one
+    partial-agg'd 10-group aggregate.
+    """
+    split, scored = _nb_scored(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand")
+    )
+    top2 = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 2")
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("cand"))).alias("predicted"),
+            (
+                F.max(F.when(F.col("rk") == 1, F.col("score")))
+                - F.max(F.when(F.col("rk") == 2, F.col("score")))
+            )
+            .cast("long")
+            .alias("margin"),
+        )
+    )
+    labeled = (
+        split.filter(~F.col("is_train"))
+        .select("doc_id", "source")
+        .join(top2, "doc_id")
+        .selectExpr(
+            f"LEAST({_NBC_TOP}, margin DIV {_NBC_WIDTH}) AS bucket",
+            "CASE WHEN predicted = source THEN 1 ELSE 0 END AS ok",
+        )
+    )
+    return (
+        labeled.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("ok").cast("long").alias("n_correct"),
+        )
+        .selectExpr(
+            "CAST(bucket AS BIGINT) AS bucket",
+            "n_docs",
+            "n_correct",
+            "round(CAST(n_correct AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)"
+            " AS accuracy",
+        )
+        .orderBy("bucket")
+    )
