@@ -231,3 +231,64 @@ def test_holt_forecast_matches_pure_python_recurrence(spark, duck):
         assert r["actual_c"] == int(actual)
         assert r["ape_micro"] == round(abs(actual - f) / actual * 1e6)
         assert r["day"] == daily[t_train + h - 1][0]
+
+
+def test_markov_attribution_invariants(spark):
+    """Semantic invariants of the removal-effect model: removing a
+    channel can only LOWER the absorption probability (each removal
+    redirects probability mass into NULL), removal effects are
+    non-negative, and the normalized shares sum to 1 over exactly the
+    four schema channels."""
+    rows = {
+        r["channel"]: r
+        for r in _queries()["q_attribution_markov"](spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {"click", "error", "signup", "view"}
+    shares = 0.0
+    for r in rows.values():
+        assert 0 < r["p_conv_full_e6"] <= 1_000_000
+        assert 0 <= r["p_conv_removed_e6"] <= r["p_conv_full_e6"]
+        assert 0 <= r["removal_e6"] <= 1_000_000
+        shares += r["share"]
+    assert abs(shares - 1.0) < 5e-6
+
+
+def test_quantile_sketch_bounds_exact_rank(spark):
+    """The log-binned estimate must land inside the selected bin, and
+    the TRUE quantile inside the same bin (the sketch's accuracy
+    contract: relative error bounded by the bin width, ~9%)."""
+    for r in _queries()["q_quantile_sketch"](spark, SF_SMOKE).collect():
+        # bin width at value v is < v * 2^-3 (8 sub-bins per octave),
+        # so est and exact agree to ~12.5% relative — assert a safe 15%.
+        assert abs(r["est_c"] - r["exact_c"]) <= 0.15 * r["exact_c"], r
+        assert r["err_ppm"] <= 150_000
+
+
+def test_seasonality_indices_average_to_one(spark):
+    """The day-count-weighted mean of the seven seasonal indices is 1
+    by construction (ratio-to-grand-mean decomposition identity)."""
+    rows = _queries()["q_seasonality"](spark, SF_SMOKE).collect()
+    assert len(rows) == 7
+    tot_days = sum(r["n_days"] for r in rows)
+    wmean = sum(r["seasonal_index"] * r["n_days"] for r in rows) / tot_days
+    assert abs(wmean - 1.0) < 1e-4
+
+
+def test_cumulative_users_is_monotone_and_totals(spark):
+    """The growth curve is non-decreasing, its increments are the
+    per-day new users, and the final value equals the exact global
+    distinct-user count."""
+    rows = sorted(
+        _queries()["q_cumulative_users"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["day"],
+    )
+    run = 0
+    for r in rows:
+        run += r["new_users"]
+        assert r["cum_users"] == run
+    import duckdb
+
+    exact = duckdb.sql(
+        f"SELECT COUNT(DISTINCT user_id) FROM '{SF_SMOKE}/events.parquet'"
+    ).fetchone()[0]
+    assert rows[-1]["cum_users"] == exact
