@@ -1371,3 +1371,88 @@ def q_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_source_overlap — pairwise vocabulary Jaccard between sources
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_source_overlap",
+    oracle=f"""
+    WITH {_TOKS_CTE.replace("doc_id AS doc", "doc_id AS doc, source")},
+    st AS (
+        SELECT DISTINCT source, unnest(toks) AS tok FROM toks
+    ),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM st GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, sa.v AS vocab_a, sb.v AS vocab_b, i.n_inter,
+           round(CAST(i.n_inter AS DOUBLE)
+                 / CAST(sa.v + sb.v - i.n_inter AS DOUBLE), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    ORDER BY src_a, src_b
+    """,
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between corpus SOURCES — the
+    source-level overlap matrix (|sources|² rows, bounded by the
+    catalog) that flags near-identical feeds before mixing weights are
+    chosen; complements q_source_drift's distributional KL with a
+    set-membership view.
+
+    The pair generator is an equi-join on the token key of the
+    DISTINCT (source, token) relation — per-token fan-out is bounded
+    by |sources| (a catalog bound, not a data bound), so no all-pairs
+    product and no hot-key blowup exist. Intersections and vocabulary
+    sizes are exact integers; Jaccard is the one shared float ratio,
+    round 6.
+
+    Scale: the token stream collapses to the distinct (source, token)
+    relation with one partial-agg'd shuffle; everything after is
+    |vocab|·|sources|-bounded with |sources|² output rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select(
+            "source", F.explode(tokens_col(F.lower(F.col("text")))).alias("tok")
+        )
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count("*").cast("long").alias("v"))
+    a = st.alias("a")
+    b = st.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("v").alias("vocab_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("v").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .selectExpr(
+            "src_a",
+            "src_b",
+            "vocab_a",
+            "vocab_b",
+            "n_inter",
+            "round(CAST(n_inter AS DOUBLE)"
+            " / CAST(vocab_a + vocab_b - n_inter AS DOUBLE), 6) AS jaccard",
+        )
+        .orderBy("src_a", "src_b")
+    )

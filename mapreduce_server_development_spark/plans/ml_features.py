@@ -769,3 +769,111 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_centroid_similarity — pairwise cosine between label centroids
+# ---------------------------------------------------------------------------
+
+#: Cosine between the two integer SUM vectors (the per-label counts
+#: cancel out of the centroid cosine, so no division happens before
+#: the final shared formula).
+_CSIM_FINAL = (
+    "round(CAST(dot AS DOUBLE)"
+    " / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))), 6)"
+)
+
+
+@query(
+    "q_centroid_similarity",
+    oracle=f"""
+    WITH comp AS (
+        SELECT label, t.i AS dim,
+               CAST(SUM(CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000)
+                        AS BIGINT))
+                    AS HUGEINT) AS s
+        FROM embeddings,
+             UNNEST(range(1, len(embedding) + 1)) AS t(i)
+        GROUP BY label, dim
+    ),
+    norms AS (
+        SELECT label, CAST(SUM(s * s) AS HUGEINT) AS n2 FROM comp
+        GROUP BY label
+    ),
+    dots AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(SUM(a.s * b.s) AS HUGEINT) AS dot
+        FROM comp a JOIN comp b ON b.dim = a.dim AND a.label < b.label
+        GROUP BY 1, 2
+    )
+    SELECT CAST(d.label_a AS BIGINT) AS label_a,
+           CAST(d.label_b AS BIGINT) AS label_b,
+           {_CSIM_FINAL.replace("dot", "d.dot")
+                       .replace("na2", "xa.n2")
+                       .replace("nb2", "xb.n2")} AS cosine
+    FROM dots d
+    JOIN norms xa ON xa.label = d.label_a
+    JOIN norms xb ON xb.label = d.label_b
+    ORDER BY label_a, label_b
+    """,
+)
+def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding
+    centroids — the class-separation audit behind every ANN /
+    clustering pipeline (confusable label pairs show cosine near 1;
+    healthy ones sit near the random-direction baseline).
+
+    Exactness without float accumulation: each float32 component is
+    fixed-pointed (round(x·1e6) → BIGINT) BEFORE any sum, so the
+    per-(label, dim) component sums are exact integers in any
+    partitioning / summation order; the count divides out of the
+    centroid cosine (cos(Σa/n_a, Σb/n_b) = cos(Σa, Σb)), so dot and
+    norms are exact DECIMAL(38,0)/HUGEINT products of those sums and
+    the only float op is the one shared sqrt-ratio text, round 6.
+
+    Scale: posexplode fans the vector relation out 64× and collapses
+    it to |labels|·64 rows with one partial-agg'd shuffle; the pair
+    join is on the dim key with |labels|-bounded fan-out (a catalog
+    bound); output is |labels|² rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = (
+        emb.select(
+            "label", F.posexplode("embedding").alias("dim0", "x")
+        )
+        .select(
+            "label",
+            (F.col("dim0") + 1).alias("dim"),
+            F.expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)").alias("xi"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.sum(F.col("xi").cast("decimal(38,0)")).alias("s"))
+    )
+    norms = comp.groupBy("label").agg(
+        F.sum(F.expr("s * s")).cast("decimal(38,0)").alias("n2")
+    )
+    a = comp.alias("a")
+    b = comp.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("b.dim") == F.col("a.dim"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(F.sum(F.expr("a.s * b.s")).cast("decimal(38,0)").alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .selectExpr(
+            "CAST(label_a AS BIGINT) AS label_a",
+            "CAST(label_b AS BIGINT) AS label_b",
+            f"{_CSIM_FINAL} AS cosine",
+        )
+        .orderBy("label_a", "label_b")
+    )

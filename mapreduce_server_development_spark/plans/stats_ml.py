@@ -1759,3 +1759,112 @@ def q_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return s.selectExpr(*_PARETO_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_trimmed_mean — 5%-symmetric trimmed + winsorized means by rank
+# ---------------------------------------------------------------------------
+
+_TRIM_PCT = 5  # per-tail trim, in percent
+
+_TRIM_FINAL = [
+    "CAST(n AS BIGINT) AS n",
+    "CAST(k AS BIGINT) AS k_trim",
+    "round(CAST(mid_sum AS DOUBLE) / CAST(n - 2 * k AS DOUBLE) / 100.0, 6)"
+    " AS trimmed_mean",
+    "round((CAST(mid_sum AS DOUBLE) + CAST(k AS DOUBLE) * CAST(v_lo AS DOUBLE)"
+    " + CAST(k AS DOUBLE) * CAST(v_hi AS DOUBLE))"
+    " / CAST(n AS DOUBLE) / 100.0, 6) AS winsorized_mean",
+]
+
+
+@query(
+    "q_trimmed_mean",
+    oracle=f"""
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders
+    ),
+    ranked AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rk,
+               COUNT(*) OVER () AS n
+        FROM c
+    ),
+    s AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               ({_TRIM_PCT} * CAST(MAX(n) AS BIGINT)) // 100 AS k,
+               CAST(SUM(CASE WHEN rk > ({_TRIM_PCT} * n) // 100
+                              AND rk <= n - ({_TRIM_PCT} * n) // 100
+                             THEN cents ELSE 0 END) AS BIGINT) AS mid_sum,
+               CAST(MAX(CASE WHEN rk = ({_TRIM_PCT} * n) // 100 + 1
+                             THEN cents END) AS BIGINT) AS v_lo,
+               CAST(MAX(CASE WHEN rk = n - ({_TRIM_PCT} * n) // 100
+                             THEN cents END) AS BIGINT) AS v_hi
+        FROM ranked
+    )
+    SELECT {", ".join(_TRIM_FINAL)} FROM s
+    """,
+)
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-per-tail trimmed mean and winsorized mean of order totals —
+    the robust location estimators between the median (50% trim) and
+    the mean (0% trim); the winsorized variant clamps the tails to the
+    boundary order statistics instead of dropping them, so its output
+    also certifies the two cut values.
+
+    Tail membership is exact integer rank arithmetic (k = ⌊5n/100⌋,
+    keep k < rank <= n−k) over ranks from the two-phase distributed
+    prefix scan (`functions/prefix.py`) with the orderkey tie-break —
+    never a single-task global sort. The middle-mass sum, the two
+    boundary values and n are the complete sufficient statistics; the
+    two means are shared formula texts, round 6.
+
+    Scale: one scan to project, two distributed rank phases, one
+    conditional-sum pass; one row out at any SF.
+    """
+    from ..functions.prefix import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        "o_orderkey",
+    )
+    ranked = global_row_number(c, ["cents", "o_orderkey"], "rk")
+    nrow = c.agg(F.count("*").cast("long").alias("n"))
+    s = (
+        ranked.crossJoin(F.broadcast(nrow))
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.expr(f"({_TRIM_PCT} * CAST(MAX(n) AS BIGINT)) DIV 100").alias(
+                "k"
+            ),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN rk > ({_TRIM_PCT} * n) DIV 100"
+                    f" AND rk <= n - ({_TRIM_PCT} * n) DIV 100"
+                    f" THEN cents ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("mid_sum"),
+            F.max(
+                F.expr(
+                    f"CASE WHEN rk = ({_TRIM_PCT} * n) DIV 100 + 1"
+                    f" THEN cents END"
+                )
+            )
+            .cast("long")
+            .alias("v_lo"),
+            F.max(
+                F.expr(
+                    f"CASE WHEN rk = n - ({_TRIM_PCT} * n) DIV 100"
+                    f" THEN cents END"
+                )
+            )
+            .cast("long")
+            .alias("v_hi"),
+        )
+    )
+    return s.selectExpr(*_TRIM_FINAL)

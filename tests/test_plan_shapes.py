@@ -574,3 +574,30 @@ def test_cohens_kappa_zero_shuffle_flags(spark):
     plan = _plan(spark, "q_cohens_kappa")
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+def test_trimmed_mean_no_single_task_window(spark):
+    """Tail membership must ride the two-phase distributed rank, not
+    a global-sort window."""
+    from .test_no_antipatterns import single_partition_windows
+
+    plan = _plan(spark, "q_trimmed_mean")
+    assert not single_partition_windows(plan)
+    assert "__prefix_pid" in plan
+
+
+def test_source_overlap_fanout_is_catalog_bounded(spark):
+    """The pair generator is a token-keyed equi-join (SortMergeJoin /
+    ShuffledHashJoin on tok), never a cartesian product."""
+    plan = _plan(spark, "q_source_overlap")
+    assert "CartesianProduct" not in plan
+    assert "tok" in plan
+
+
+def test_centroid_similarity_exact_integer_sums(spark):
+    """Component sums must partial-aggregate (map-side combine) and
+    the pair join be dim-keyed — no product, no window."""
+    plan = _plan(spark, "q_centroid_similarity")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "partial_sum" in plan or "partial" in plan.lower()
