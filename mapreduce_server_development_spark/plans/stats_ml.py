@@ -1868,3 +1868,88 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return s.selectExpr(*_TRIM_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_wilson_returns — Wilson lower-bound ranking of supplier return rates
+# ---------------------------------------------------------------------------
+
+_WILSON_Z2 = "3.8416"  # z^2 for z = 1.96 (95%), exact literal both engines
+_WILSON_TOP = 20
+
+#: Wilson score interval lower bound from exact integers (k returns of
+#: n lineitems) — one shared float expression, round 6 BEFORE ranking
+#: so the order key is the rounded value (no ulp-order flips).
+_WILSON_LB = (
+    f"round((p_hat + {_WILSON_Z2} / (2.0 * nn)"
+    f" - 1.96 * sqrt((p_hat * (1.0 - p_hat) + {_WILSON_Z2} / (4.0 * nn))"
+    f" / nn)) / (1.0 + {_WILSON_Z2} / nn), 6)"
+)
+_WILSON_PREP = (
+    "CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat",
+    "CAST(n AS DOUBLE) AS nn",
+)
+
+
+@query(
+    "q_wilson_returns",
+    oracle=f"""
+    WITH counts AS (
+        SELECT l_suppkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    prepped AS (
+        SELECT l_suppkey, n, k, {", ".join(_WILSON_PREP)} FROM counts
+        WHERE n >= 20
+    )
+    SELECT CAST(l_suppkey AS BIGINT) AS suppkey, n, k,
+           round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_hat,
+           {_WILSON_LB} AS wilson_lb
+    FROM prepped
+    ORDER BY {_WILSON_LB} DESC, l_suppkey
+    LIMIT {_WILSON_TOP}
+    """,
+)
+def q_wilson_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers ranked by the Wilson score LOWER BOUND of their
+    return rate (z = 1.96) — the 'how not to sort by average' fix: a
+    supplier with 3 returns of 4 shipments must not outrank one with
+    200 of 300, and the Wilson bound encodes exactly that shrinkage.
+    Suppliers with fewer than 20 lineitems are excluded (the bound is
+    meaningless below minimal support).
+
+    The sufficient statistics are exact integers (n, k per supplier —
+    one partial-agg'd shuffle); the bound is ONE shared float formula
+    with the z² literal inlined identically in both engines, and it
+    is rounded to 6 places BEFORE becoming the sort key, so the
+    ranking can never differ cross-engine on a last-ulp. The top-20
+    selection compiles to TakeOrderedAndProject (per-partition heaps,
+    no global sort).
+
+    Scale: lineitem collapses to |suppliers| rows in one map-side-
+    combined pass; everything after is supplier-bounded.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.expr("CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("k"),
+    )
+    prepped = counts.filter(F.col("n") >= 20).selectExpr(
+        "l_suppkey", "n", "k", *_WILSON_PREP
+    )
+    return (
+        prepped.selectExpr(
+            "CAST(l_suppkey AS BIGINT) AS suppkey",
+            "n",
+            "k",
+            "round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_hat",
+            f"{_WILSON_LB} AS wilson_lb",
+        )
+        .orderBy(F.col("wilson_lb").desc(), "suppkey")
+        .limit(_WILSON_TOP)
+    )

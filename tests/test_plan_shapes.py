@@ -601,3 +601,11 @@ def test_centroid_similarity_exact_integer_sums(spark):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "partial_sum" in plan or "partial" in plan.lower()
+
+
+def test_wilson_top20_uses_partial_heaps(spark):
+    """The ranked selection must compile to TakeOrderedAndProject
+    (bounded per-partition heaps), not a global sort."""
+    plan = _plan(spark, "q_wilson_returns")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
