@@ -1586,3 +1586,63 @@ def q_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "q_ppm")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_new_users — growth curve maintained by the stream (MIN state)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stream_new_users",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+        FROM events GROUP BY user_id
+    ),
+    per_day AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+        FROM first_seen GROUP BY day
+    )
+    SELECT a.day, a.new_users,
+           CAST(SUM(b.new_users) AS BIGINT) AS cum_users
+    FROM per_day a JOIN per_day b ON b.day <= a.day
+    GROUP BY a.day, a.new_users
+    ORDER BY a.day
+    """,
+)
+def q_stream_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q_cumulative_users growth curve maintained BY the stream:
+    per-user first-seen day as complete-mode MIN state (associative/
+    commutative, so micro-batch order cannot change it and the
+    streamed state table equals the batch reduction value-exact — the
+    DuckDB oracle verifies the full streaming path).
+
+    Unlike the sketch twins, state here is one date per user — the
+    honest cost of an EXACT first-seen reduction (same posture as
+    q_stream_user_state; the sketch answer to "too many users" is
+    q_stream_hll_users / q_stream_kmv_users). The read-off is the
+    same calendar-bounded broadcast cumsum as the batch twin — no
+    WindowExec anywhere.
+    """
+    stream = read_events_stream(spark, sf_dir)
+    first_stream = (
+        stream.select("user_id", F.col("ts").cast("date").alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+    )
+    first_seen = _run_to_memory(first_stream, spark, mode="complete")
+    per_day = (
+        first_seen.groupBy("day")
+        .agg(F.count("*").cast("long").alias("new_users"))
+        .localCheckpoint(eager=True)
+    )
+    b = per_day.select(
+        F.col("day").alias("bday"), F.col("new_users").alias("bnew")
+    )
+    return (
+        per_day.join(F.broadcast(b), F.col("bday") <= F.col("day"))
+        .groupBy("day", "new_users")
+        .agg(F.sum("bnew").cast("long").alias("cum_users"))
+        .orderBy("day")
+    )
