@@ -1953,3 +1953,124 @@ def q_wilson_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("wilson_lb").desc(), "suppkey")
         .limit(_WILSON_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_psi — population stability index between two order-date eras
+# ---------------------------------------------------------------------------
+
+_PSI_SPLIT = "1995-06-01"
+
+#: Laplace-smoothed shares and the per-bin PSI contribution, rounded
+#: to integer NANO-units per bin BEFORE the global sum — float
+#: addition is non-associative, so the distributed total is only
+#: deterministic if every summand is an integer (the q_mutual_info
+#: per-cell discipline). pa/pb texts are inlined verbatim on both
+#: engines.
+_PSI_PA = "((CAST(n_a AS DOUBLE) + 1.0) / (CAST(t_a AS DOUBLE) + CAST(nb AS DOUBLE)))"
+_PSI_PB = "((CAST(n_b AS DOUBLE) + 1.0) / (CAST(t_b AS DOUBLE) + CAST(nb AS DOUBLE)))"
+_PSI_CELL = (
+    f"CAST(round(({_PSI_PA} - {_PSI_PB}) * ln({_PSI_PA} / {_PSI_PB})"
+    f" * 1000000000) AS BIGINT)"
+)
+
+
+@query(
+    "q_psi",
+    oracle=f"""
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+               CASE WHEN CAST(o_orderdate AS DATE) < DATE '{_PSI_SPLIT}'
+                    THEN 0 ELSE 1 END AS era
+        FROM orders
+    ),
+    binned AS (
+        SELECT era,
+               CASE WHEN c < 8 THEN c
+                    ELSE length(bin(c)) * 8
+                         + ((c >> (length(bin(c)) - 4)) & 7) END AS bin_id
+        FROM c
+    ),
+    bins AS (
+        SELECT bin_id,
+               CAST(SUM(CASE WHEN era = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(SUM(CASE WHEN era = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b
+        FROM binned GROUP BY bin_id
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_a) AS BIGINT) AS t_a,
+               CAST(SUM(n_b) AS BIGINT) AS t_b,
+               CAST(COUNT(*) AS BIGINT) AS nb
+        FROM bins
+    ),
+    cells AS (
+        SELECT {_PSI_CELL} AS contrib_nano FROM bins, tot
+    )
+    SELECT t.nb AS n_bins, t.t_a, t.t_b,
+           round(CAST(SUM(c.contrib_nano) AS DOUBLE) / 1000000000.0, 6)
+               AS psi
+    FROM cells c, tot t
+    GROUP BY t.nb, t.t_a, t.t_b
+    """,
+)
+def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of the order-value distribution
+    between the pre- and post-1995-06 eras — the standard production
+    drift gate (PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25 the model
+    needs retraining) a feature pipeline evaluates before reusing a
+    trained model on a new data era.
+
+    Binning is the same integer bit-arithmetic log histogram as
+    q_quantile_sketch (no libm in bin membership); shares are
+    Laplace-smoothed ratios of exact integer counts so an empty bin
+    on one side never produces ln(0); and each bin's contribution is
+    rounded to integer nano-units BEFORE the global sum — float
+    addition is non-associative, so only an integer total is
+    partitioning-independent (the q_mutual_info per-cell discipline).
+
+    Scale: one scan bins both eras (map-side combine, ≤ ~500 bins);
+    everything downstream is bin-bounded; one row out.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.selectExpr(
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS c",
+        f"CASE WHEN CAST(o_orderdate AS DATE) < DATE '{_PSI_SPLIT}'"
+        f" THEN 0 ELSE 1 END AS era",
+    )
+    bins = (
+        c.selectExpr(
+            "era",
+            "CASE WHEN c < 8 THEN c ELSE length(bin(c)) * 8"
+            " + (shiftright(c, length(bin(c)) - 4) & 7) END AS bin_id",
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.sum(F.expr("CASE WHEN era = 0 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.expr("CASE WHEN era = 1 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_b"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = bins.agg(
+        F.sum("n_a").cast("long").alias("t_a"),
+        F.sum("n_b").cast("long").alias("t_b"),
+        F.count("*").cast("long").alias("nb"),
+    )
+    cells = bins.crossJoin(F.broadcast(tot)).selectExpr(
+        "t_a", "t_b", "nb", f"{_PSI_CELL} AS contrib_nano"
+    )
+    return (
+        cells.groupBy("nb", "t_a", "t_b")
+        .agg(F.sum("contrib_nano").cast("long").alias("s"))
+        .selectExpr(
+            "nb AS n_bins",
+            "t_a",
+            "t_b",
+            "round(CAST(s AS DOUBLE) / 1000000000.0, 6) AS psi",
+        )
+    )
