@@ -2074,3 +2074,98 @@ def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round(CAST(s AS DOUBLE) / 1000000000.0, 6) AS psi",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_iv_woe — weight of evidence / information value of discount vs returns
+# ---------------------------------------------------------------------------
+
+#: WOE and IV contribution per bucket from exact integers, each
+#: fixed-pointed to e6 BEFORE any cross-engine comparison; Laplace
+#: +1 smoothing keeps ln() off zero.
+_WOE = (
+    "ln(((CAST(n_bad AS DOUBLE) + 1.0) / (CAST(t_bad AS DOUBLE)"
+    " + CAST(nb AS DOUBLE)))"
+    " / ((CAST(n_good AS DOUBLE) + 1.0) / (CAST(t_good AS DOUBLE)"
+    " + CAST(nb AS DOUBLE))))"
+)
+_IV_CELL = (
+    f"(((CAST(n_bad AS DOUBLE) + 1.0) / (CAST(t_bad AS DOUBLE)"
+    f" + CAST(nb AS DOUBLE)))"
+    f" - ((CAST(n_good AS DOUBLE) + 1.0) / (CAST(t_good AS DOUBLE)"
+    f" + CAST(nb AS DOUBLE)))) * {_WOE}"
+)
+
+
+@query(
+    "q_iv_woe",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(round(l_discount * 100) AS BIGINT) AS bucket,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
+        FROM lineitem
+    ),
+    bins AS (
+        SELECT bucket,
+               CAST(SUM(1 - bad) AS BIGINT) AS n_good,
+               CAST(SUM(bad) AS BIGINT) AS n_bad
+        FROM b GROUP BY bucket
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_good) AS BIGINT) AS t_good,
+               CAST(SUM(n_bad) AS BIGINT) AS t_bad,
+               CAST(COUNT(*) AS BIGINT) AS nb
+        FROM bins
+    )
+    SELECT bucket, n_good, n_bad,
+           CAST(round({_WOE} * 1000000) AS BIGINT) AS woe_e6,
+           CAST(round({_IV_CELL} * 1000000000) AS BIGINT) AS iv_nano
+    FROM bins, tot
+    ORDER BY bucket
+    """,
+)
+def q_iv_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of evidence and information-value contribution of the
+    discount bucket as a predictor of returns — the credit-scoring
+    feature screen (IV < 0.02 useless, > 0.3 strong) run before any
+    model training; WOE per bucket is also the canonical monotone
+    encoding for scorecard models.
+
+    Buckets are the 11 exact integer discount levels; good/bad counts
+    are one partial-agg'd shuffle; WOE and the IV contribution are
+    shared ln-formula texts over Laplace-smoothed exact-integer
+    shares, fixed-pointed (e6 / nano) before compare so no float sum
+    ever crosses engines.
+
+    Scale: lineitem collapses to |buckets| rows in one map-side-
+    combined pass; the totals join back as a broadcast scalar.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bins = (
+        li.selectExpr(
+            "CAST(round(l_discount * 100) AS BIGINT) AS bucket",
+            "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.expr("1 - bad")).cast("long").alias("n_good"),
+            F.sum("bad").cast("long").alias("n_bad"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = bins.agg(
+        F.sum("n_good").cast("long").alias("t_good"),
+        F.sum("n_bad").cast("long").alias("t_bad"),
+        F.count("*").cast("long").alias("nb"),
+    )
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "bucket",
+            "n_good",
+            "n_bad",
+            f"CAST(round({_WOE} * 1000000) AS BIGINT) AS woe_e6",
+            f"CAST(round({_IV_CELL} * 1000000000) AS BIGINT) AS iv_nano",
+        )
+        .orderBy("bucket")
+    )

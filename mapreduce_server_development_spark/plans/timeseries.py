@@ -525,3 +525,104 @@ def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(*_SEASONAL_FINAL)
         .orderBy("dow")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_seasonal_anomaly — deseasonalized daily-revenue outlier days
+# ---------------------------------------------------------------------------
+
+#: z-score of the deseasonalized ratio from exact integer sums
+#: (n·Σx² − S² variance form — no float mean is ever subtracted).
+_SANOM_Z = (
+    "round((CAST(ratio_e6 AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    " / sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)"
+    " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)"
+)
+
+
+@query(
+    "q_seasonal_anomaly",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               ((datediff('day', DATE '{_MONDAY}', CAST(o_orderdate AS DATE))
+                 % 7) + 7) % 7 AS dow,
+               CAST(SUM({_CENTS}) AS HUGEINT) AS rev_c
+        FROM orders GROUP BY 1, 2
+    ),
+    by_dow AS (
+        SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(rev_c) AS HUGEINT) AS dow_sum
+        FROM daily GROUP BY dow
+    ),
+    ratios AS (
+        SELECT d.day,
+               CAST(1000000 * d.rev_c * b.n_days // b.dow_sum AS BIGINT)
+                   AS ratio_e6
+        FROM daily d JOIN by_dow b ON b.dow = d.dow
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(ratio_e6) AS HUGEINT) AS s1,
+               CAST(SUM(CAST(ratio_e6 AS HUGEINT) * ratio_e6) AS HUGEINT)
+                   AS s2
+        FROM ratios
+    )
+    SELECT day, ratio_e6, {_SANOM_Z} AS z
+    FROM ratios, s
+    WHERE abs({_SANOM_Z}) >= 2.0
+    ORDER BY day
+    """,
+)
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-revenue anomalies AFTER removing weekday seasonality: each
+    day's revenue is expressed as an e6 ratio to its own weekday's mean
+    (the q_seasonality decomposition), and days whose deseasonalized
+    ratio sits >= 2 sigma from the all-days mean are flagged — the
+    alert that fires on real demand shocks instead of every weekend.
+
+    The ratio is exact integer arithmetic (1e6·rev·n_days DIV dow_sum);
+    the z-score uses the n·Σx²−S² variance form over exact integer sums
+    (never subtracting a float mean row-by-row), with one shared
+    formula text rounded to 6 BEFORE the threshold compare — the same
+    round-before-threshold discipline as q_mahalanobis_outliers.
+
+    Scale: orders collapses to the calendar-bounded daily series with
+    one partial-agg'd shuffle; weekday means (7 rows) and the moment
+    sums (1 row) broadcast back; no window, no data-scale state.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.expr("CAST(o_orderdate AS DATE)").alias("day"),
+            F.expr(
+                f"((datediff(CAST(o_orderdate AS DATE),"
+                f" DATE '{_MONDAY}') % 7) + 7) % 7"
+            ).alias("dow"),
+        )
+        .agg(F.expr(f"CAST(SUM({_CENTS}) AS DECIMAL(38,0))").alias("rev_c"))
+        .localCheckpoint(eager=True)
+    )
+    by_dow = daily.groupBy("dow").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.expr("CAST(SUM(rev_c) AS DECIMAL(38,0))").alias("dow_sum"),
+    )
+    ratios = daily.join(F.broadcast(by_dow), "dow").selectExpr(
+        "day",
+        "CAST(1000000 * rev_c * n_days DIV dow_sum AS BIGINT) AS ratio_e6",
+    )
+    s = ratios.agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("CAST(SUM(ratio_e6) AS DECIMAL(38,0))").alias("s1"),
+        F.expr(
+            "CAST(SUM(CAST(ratio_e6 AS DECIMAL(38,0)) * ratio_e6)"
+            " AS DECIMAL(38,0))"
+        ).alias("s2"),
+    )
+    return (
+        ratios.crossJoin(F.broadcast(s))
+        .selectExpr("day", "ratio_e6", f"{_SANOM_Z} AS z")
+        .filter("abs(z) >= 2.0")
+        .orderBy("day")
+    )
