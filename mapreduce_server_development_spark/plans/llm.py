@@ -2114,3 +2114,56 @@ def q_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dup_rate_by_source — exact-duplicate governance rate per source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dup_rate_by_source",
+    oracle="""
+    WITH h AS (
+        SELECT source, md5(text) AS h FROM documents
+    ),
+    s AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct
+        FROM h GROUP BY source
+    )
+    SELECT source, n_docs, n_distinct,
+           n_docs - n_distinct AS n_dups,
+           round(CAST(n_docs - n_distinct AS DOUBLE)
+                 / CAST(n_docs AS DOUBLE), 6) AS dup_rate
+    FROM s ORDER BY source
+    """,
+)
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source — the per-feed governance
+    column of a dataset card (which ingest is flooding the corpus with
+    copies), complementing corpus-wide q_exact_dedup with the
+    accountability breakdown.
+
+    One shuffle on (source, md5(text)) — the distinct count partial-
+    aggregates per scan task first, so the full text never shuffles
+    (only 32-char digests); the rate is the single shared float ratio.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    s = (
+        docs.select("source", F.md5("text").alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("h").cast("long").alias("n_distinct"),
+        )
+    )
+    return s.selectExpr(
+        "source",
+        "n_docs",
+        "n_distinct",
+        "n_docs - n_distinct AS n_dups",
+        "round(CAST(n_docs - n_distinct AS DOUBLE)"
+        " / CAST(n_docs AS DOUBLE), 6) AS dup_rate",
+    ).orderBy("source")
