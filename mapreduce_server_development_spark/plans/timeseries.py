@@ -626,3 +626,179 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("abs(z) >= 2.0")
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ewma — exponentially weighted revenue average, literal weight table
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.2
+_EWMA_DEPTH = 30  # truncation depth: (1-a)^30 ~ 1e-3 of the mass
+
+#: Fixed-point weight table w_k = round(alpha * (1-alpha)^k * 1e9),
+#: computed ONCE in Python and inlined as identical literals in both
+#: engines (the JL-sign-matrix discipline) — no cross-engine pow().
+_EWMA_W = [
+    round(_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** k * 1_000_000_000)
+    for k in range(_EWMA_DEPTH)
+]
+
+
+def _ewma_oracle() -> str:
+    wvals = ", ".join(f"({k}, {w})" for k, w in enumerate(_EWMA_W))
+    return f"""
+    WITH daily AS (
+        SELECT datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+                   AS t,
+               CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM({_CENTS}) AS BIGINT) AS rev_c
+        FROM orders GROUP BY 1, 2
+    ),
+    w(k, wgt) AS (VALUES {wvals}),
+    conv AS (
+        SELECT a.t, a.day,
+               CAST(SUM(CAST(b.rev_c AS HUGEINT) * w.wgt) AS HUGEINT)
+                   AS num,
+               CAST(SUM(w.wgt) AS BIGINT) AS den
+        FROM daily a
+        JOIN daily b ON b.t BETWEEN a.t - {_EWMA_DEPTH - 1} AND a.t
+        JOIN w ON w.k = a.t - b.t
+        GROUP BY 1, 2
+    )
+    SELECT day,
+           round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100.0, 4)
+               AS ewma_revenue
+    FROM conv
+    WHERE den = {sum(_EWMA_W)}
+    ORDER BY day
+    """
+
+
+@query("q_ewma", oracle=_ewma_oracle())
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily revenue
+    (α = 0.2, depth-30 truncated kernel): the smoothing every ops
+    dashboard runs, reformulated from its sequential recurrence into
+    a WEIGHTED CONVOLUTION so it distributes.
+
+    The recurrence s_t = αx_t + (1−α)s_{t−1} is inherently serial; its
+    closed form s_t = Σ_k α(1−α)^k x_{t−k} is not. The kernel is
+    truncated at 30 days (residual mass ~10⁻³, renormalized by the
+    exact weight sum) and the weights are FIXED-POINT LITERALS
+    (round(α(1−α)^k·1e9), computed once in Python, inlined into both
+    engines — the JL-sign-matrix discipline), so no cross-engine
+    pow()/float accumulation exists: the convolution is an exact
+    integer dot product, divided once at the end (shared text).
+    Emitted only where the full kernel fits (den check).
+
+    Scale: same shape as q_rolling_corr — one partial-agg'd shuffle
+    to the calendar-bounded daily series, then a ≤30-wide broadcast
+    range join; no WindowExec, no sequential state.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.expr(
+                "datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01')"
+            ).alias("t"),
+            F.expr("CAST(o_orderdate AS DATE)").alias("day"),
+        )
+        .agg(F.expr(f"CAST(SUM({_CENTS}) AS BIGINT)").alias("rev_c"))
+        .localCheckpoint(eager=True)
+    )
+    w = F.array(*[F.lit(x) for x in _EWMA_W])
+    b = daily.select(
+        F.col("t").alias("u"), F.col("rev_c").alias("brev")
+    )
+    conv = (
+        daily.join(
+            F.broadcast(b),
+            (F.col("u") >= F.col("t") - (_EWMA_DEPTH - 1))
+            & (F.col("u") <= F.col("t")),
+        )
+        .withColumn("wgt", F.element_at(w, F.col("t") - F.col("u") + 1))
+        .groupBy("t", "day")
+        .agg(
+            F.sum(F.expr("CAST(brev AS DECIMAL(38,0)) * wgt")).alias("num"),
+            F.sum("wgt").cast("long").alias("den"),
+        )
+    )
+    return (
+        conv.filter(F.col("den") == sum(_EWMA_W))
+        .selectExpr(
+            "day",
+            "round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100.0, 4)"
+            " AS ewma_revenue",
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_ohlc — hourly OHLC candles over the event value stream
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ohlc",
+    oracle="""
+    WITH v AS (
+        SELECT date_trunc('hour', ts) AS hour, epoch_us(ts) AS tus,
+               event_id, CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+    )
+    SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(CAST((MIN(struct_pack(t := tus, i := event_id, c := c))).c
+                      AS DOUBLE) / 100.0, 2) AS open,
+           round(CAST(MAX(c) AS DOUBLE) / 100.0, 2) AS high,
+           round(CAST(MIN(c) AS DOUBLE) / 100.0, 2) AS low,
+           round(CAST((MAX(struct_pack(t := tus, i := event_id, c := c))).c
+                      AS DOUBLE) / 100.0, 2) AS close
+    FROM v GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open/high/low/close) candles over the event value
+    stream — the time-series compaction every monitoring / market
+    dashboard renders; 'open' and 'close' are the first/last values BY
+    EVENT TIME within the hour, not by arrival order.
+
+    First/last ride min/max over a (time, event_id, value) struct —
+    an ordinary partial-aggregable min/max (struct comparison is
+    lexicographic; the unique event_id tiebreak means the value field
+    never decides), NOT a window — so the whole candle is one
+    map-side-combined aggregate. Values are fixed-pointed to integer
+    cents before any min/max so engine float handling never matters.
+
+    Scale: one shuffle on the hour key with partial aggregation; at
+    100 TB the per-task state is one candle per open hour.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        ),
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"),
+    )
+    return (
+        v.groupBy("hour")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min(F.struct("tus", "event_id", "c")).alias("o"),
+            F.max("c").alias("hi"),
+            F.min("c").alias("lo"),
+            F.max(F.struct("tus", "event_id", "c")).alias("cl"),
+        )
+        .selectExpr(
+            "hour",
+            "n_events",
+            "round(CAST(o.c AS DOUBLE) / 100.0, 2) AS open",
+            "round(CAST(hi AS DOUBLE) / 100.0, 2) AS high",
+            "round(CAST(lo AS DOUBLE) / 100.0, 2) AS low",
+            "round(CAST(cl.c AS DOUBLE) / 100.0, 2) AS close",
+        )
+        .orderBy("hour")
+    )

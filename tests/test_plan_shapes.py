@@ -609,3 +609,21 @@ def test_wilson_top20_uses_partial_heaps(spark):
     plan = _plan(spark, "q_wilson_returns")
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_ewma_is_bounded_convolution_no_window(spark):
+    """The EWMA must be the literal-weight convolution over the
+    calendar-bounded series — a broadcast range join, no WindowExec
+    and no sequential state."""
+    plan = _plan(spark, "q_ewma")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_ohlc_is_single_partial_aggregate(spark):
+    """The candle is one map-side-combined hash aggregate on the hour
+    key — struct min/max, no window, no join."""
+    plan = _plan(spark, "q_ohlc")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "partial_min" in plan or "partial_max" in plan
