@@ -1456,3 +1456,224 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_fightin_words — per-source distinctive terms (log-odds, Dirichlet prior)
+# ---------------------------------------------------------------------------
+
+_FW_A0 = 500.0  # prior concentration
+_FW_TOP = 10
+
+#: Monroe et al. z-scored log-odds-ratio with informative Dirichlet
+#: prior, one shared formula text over exact integer counts
+#: (y = in-source, r = rest-of-corpus, a = a0·corpus_share):
+_FW_AW = f"({_FW_A0} * CAST(yw AS DOUBLE) / CAST(n AS DOUBLE))"
+_FW_DELTA = (
+    f"(ln((CAST(y AS DOUBLE) + {_FW_AW})"
+    f" / (CAST(ns AS DOUBLE) + {_FW_A0} - CAST(y AS DOUBLE) - {_FW_AW}))"
+    f" - ln((CAST(r AS DOUBLE) + {_FW_AW})"
+    f" / (CAST(n AS DOUBLE) - CAST(ns AS DOUBLE) + {_FW_A0}"
+    f" - CAST(r AS DOUBLE) - {_FW_AW})))"
+)
+_FW_Z = (
+    f"round({_FW_DELTA} / sqrt(1.0 / (CAST(y AS DOUBLE) + {_FW_AW})"
+    f" + 1.0 / (CAST(r AS DOUBLE) + {_FW_AW})), 6)"
+)
+
+
+@query(
+    "q_fightin_words",
+    oracle=f"""
+    WITH stoks AS (
+        SELECT source,
+               list_filter(string_split(lower(text), ' '), t -> t <> '')
+                   AS toks
+        FROM documents
+    ),
+    tr AS (SELECT source, unnest(toks) AS tok FROM stoks),
+    ysw AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS y
+        FROM tr GROUP BY source, tok
+    ),
+    yw AS (SELECT tok, CAST(SUM(y) AS BIGINT) AS yw FROM ysw GROUP BY tok),
+    ns AS (SELECT source, CAST(SUM(y) AS BIGINT) AS ns FROM ysw GROUP BY source),
+    n AS (SELECT CAST(SUM(y) AS BIGINT) AS n FROM ysw),
+    scored AS (
+        SELECT s.source, s.tok, s.y, {_FW_Z} AS z
+        FROM (SELECT ysw.*, w.yw, t.ns, x.n,
+                     w.yw - ysw.y AS r
+              FROM ysw
+              JOIN yw w USING (tok)
+              JOIN ns t USING (source)
+              CROSS JOIN n x) s
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY z DESC, tok) AS rk
+        FROM scored
+    )
+    SELECT source, tok, y, z FROM ranked
+    WHERE rk <= {_FW_TOP}
+    ORDER BY source, z DESC, tok
+    """,
+)
+def q_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive vocabulary by the 'Fightin' Words'
+    statistic (Monroe, Colaresi & Quinn 2008): z-scored log-odds-ratio
+    of each token in a source vs the rest of the corpus under an
+    informative Dirichlet prior scaled from corpus frequencies — the
+    principled version of 'characteristic terms per feed' that raw
+    TF-IDF over-weights rare noise for. Top 10 per source.
+
+    The sufficient statistics (y_sw, y_w, n_s, n) are exact integer
+    token counts (token-keyed joins, no broadcast of the vocabulary);
+    delta and its variance are ONE shared ln/sqrt formula text,
+    rounded to 6 BEFORE ranking so the per-source order is
+    cross-engine stable (unique-token tiebreak). Only tokens PRESENT
+    in a source can rank — absent tokens have negative z by
+    construction and are not candidates for a top-distinctive list.
+
+    Scale: two partial-agg'd shuffles (source×token, then token); the
+    scalar totals broadcast; the top-10 window partitions by source —
+    per-group sorting over that source's vocabulary, the documented
+    |sources|-parallel audit shape.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ysw = (
+        docs.select(
+            "source",
+            F.explode(tokens_col(F.lower(F.col("text")))).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("long").alias("y"))
+        .localCheckpoint(eager=True)
+    )
+    yw = ysw.groupBy("tok").agg(F.sum("y").cast("long").alias("yw"))
+    ns = ysw.groupBy("source").agg(F.sum("y").cast("long").alias("ns"))
+    n = ysw.agg(F.sum("y").cast("long").alias("n"))
+    scored = (
+        ysw.join(yw, "tok")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n))
+        .withColumn("r", F.col("yw") - F.col("y"))
+        .selectExpr("source", "tok", "y", f"{_FW_Z} AS z")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("z").desc(), "tok")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _FW_TOP)
+        .select("source", "tok", "y", "z")
+        .orderBy("source", F.col("z").desc(), "tok")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_zipf_fit — rank-frequency power-law fit over the top-1000 terms
+# ---------------------------------------------------------------------------
+
+_ZIPF_K = 1000
+
+#: OLS of ln(freq) on ln(rank) from exact integer sums of the
+#: PER-TERM e6-fixed-pointed log cells (float addition is
+#: non-associative; integer cells make the sums partitioning-proof).
+_ZIPF_FINAL = [
+    "CAST(n AS BIGINT) AS n_terms",
+    "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope",
+    "round((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))"
+    " / CAST(n AS DOUBLE) / 1000000.0, 6) AS intercept_ln",
+    "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2",
+]
+
+
+@query(
+    "q_zipf_fit",
+    oracle=f"""
+    WITH tr AS (
+        SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) AS tok
+        FROM documents
+    ),
+    freqs AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS f FROM tr GROUP BY tok),
+    ranked AS (
+        SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS rk
+        FROM freqs
+    ),
+    cells AS (
+        SELECT CAST(round(ln(CAST(rk AS DOUBLE)) * 1000000) AS BIGINT) AS lx,
+               CAST(round(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT) AS ly
+        FROM ranked WHERE rk <= {_ZIPF_K}
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(lx AS HUGEINT)) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(ly AS HUGEINT)) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(lx AS HUGEINT) * lx) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(ly AS HUGEINT) * ly) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(lx AS HUGEINT) * ly) AS DOUBLE) AS sxy
+        FROM cells
+    )
+    SELECT {", ".join(_ZIPF_FINAL)} FROM s
+    """,
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit of the corpus rank-frequency curve: OLS of
+    ln(freq) on ln(rank) over the top-1000 terms — slope ≈ −α (natural
+    text sits near −1) with R², the corpus-health diagnostic that
+    flags template/bot-generated text (|slope| drifts far from 1,
+    R² collapses).
+
+    Ranks come from the two-phase distributed row_number (desc by
+    frequency, token tiebreak), never a global-sort window; each
+    term's (ln rank, ln freq) cell is fixed-pointed to e6 integers
+    BEFORE the regression sums (float addition is non-associative —
+    integer cells make the distributed sums partitioning-proof), and
+    slope/intercept/R² are shared closed-form texts over those exact
+    sums.
+
+    Scale: one token-count shuffle (map-side combined), two
+    distributed rank phases, one bounded (≤1000-cell) aggregate.
+    """
+    from ..functions.prefix import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    freqs = (
+        docs.select(
+            F.explode(tokens_col(F.lower(F.col("text")))).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    ranked = global_row_number(freqs, [F.col("f").desc(), F.col("tok")], "rk")
+    cells = ranked.filter(F.col("rk") <= _ZIPF_K).selectExpr(
+        "CAST(round(ln(CAST(rk AS DOUBLE)) * 1000000) AS BIGINT) AS lx",
+        "CAST(round(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT) AS ly",
+    )
+    s = cells.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("lx").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("ly").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum(F.expr("CAST(lx AS DECIMAL(38,0)) * lx"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.expr("CAST(ly AS DECIMAL(38,0)) * ly"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.expr("CAST(lx AS DECIMAL(38,0)) * ly"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    return s.selectExpr(*_ZIPF_FINAL)

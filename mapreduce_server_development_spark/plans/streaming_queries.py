@@ -1646,3 +1646,67 @@ def q_stream_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("bnew").cast("long").alias("cum_users"))
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_ohlc — hourly OHLC candles maintained by the stream
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stream_ohlc",
+    oracle="""
+    WITH v AS (
+        SELECT date_trunc('hour', ts) AS hour, epoch_us(ts) AS tus,
+               event_id, CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+    )
+    SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(CAST((MIN(struct_pack(t := tus, i := event_id, c := c))).c
+                      AS DOUBLE) / 100.0, 2) AS open,
+           round(CAST(MAX(c) AS DOUBLE) / 100.0, 2) AS high,
+           round(CAST(MIN(c) AS DOUBLE) / 100.0, 2) AS low,
+           round(CAST((MAX(struct_pack(t := tus, i := event_id, c := c))).c
+                      AS DOUBLE) / 100.0, 2) AS close
+    FROM v GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candles maintained BY the stream: per-hour state is
+    (count, min/max cent, min/max (event-time, id, cent) struct) —
+    every component an associative/commutative monoid, so micro-batch
+    arrival order cannot change the candle and the streamed table
+    equals the batch q_ohlc value-exact (one oracle text serves both).
+    'Open' is first BY EVENT TIME, which is exactly what the struct
+    MIN encodes — a stream that computed first-by-arrival would be
+    nondeterministic under replay.
+
+    State: one candle per open hour, bounded by the time range; at
+    100 TB one adds a watermark to age closed hours out of state.
+    """
+    stream = read_events_stream(spark, sf_dir)
+    v = stream.select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        ),
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"),
+    )
+    candles_stream = v.groupBy("hour").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min(F.struct("tus", "event_id", "c")).alias("o"),
+        F.max("c").alias("hi"),
+        F.min("c").alias("lo"),
+        F.max(F.struct("tus", "event_id", "c")).alias("cl"),
+    )
+    candles = _run_to_memory(candles_stream, spark, mode="complete")
+    return candles.selectExpr(
+        "hour",
+        "n_events",
+        "round(CAST(o.c AS DOUBLE) / 100.0, 2) AS open",
+        "round(CAST(hi AS DOUBLE) / 100.0, 2) AS high",
+        "round(CAST(lo AS DOUBLE) / 100.0, 2) AS low",
+        "round(CAST(cl.c AS DOUBLE) / 100.0, 2) AS close",
+    ).orderBy("hour")

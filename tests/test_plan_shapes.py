@@ -627,3 +627,23 @@ def test_ohlc_is_single_partial_aggregate(spark):
     assert "Window" not in plan
     assert "Join" not in plan
     assert "partial_min" in plan or "partial_max" in plan
+
+
+def test_fightin_words_topk_window_is_source_partitioned(spark):
+    """The top-10 window partitions by source (|sources|-parallel) and
+    the vocabulary joins stay token-keyed — no single-task window, no
+    vocabulary broadcast."""
+    from .test_no_antipatterns import single_partition_windows
+
+    plan = _plan(spark, "q_fightin_words")
+    assert not single_partition_windows(plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_zipf_ranks_are_two_phase(spark):
+    """Frequency ranks must ride the distributed prefix scan."""
+    from .test_no_antipatterns import single_partition_windows
+
+    plan = _plan(spark, "q_zipf_fit")
+    assert not single_partition_windows(plan)
+    assert "__prefix_pid" in plan
