@@ -741,3 +741,152 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_ppm")
     )
+
+
+# --------------------------------------------------------------------------
+# q_rolling_distinct — 7-day sliding distinct users via mergeable HLL
+# --------------------------------------------------------------------------
+
+_RD_DAYS = 7
+
+
+@query(
+    "q_rolling_distinct",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    hashed AS (
+        SELECT day,
+               {_hexval_sql("md5('hll:' || CAST(user_id AS VARCHAR))", 12)}
+                   AS h48
+        FROM ud
+    ),
+    regs AS (
+        SELECT day,
+               h48 // {1 << _HLL_WBITS} AS reg,
+               MAX(CASE WHEN h48 % {1 << _HLL_WBITS} = 0 THEN {_HLL_WBITS + 1}
+                        ELSE {_HLL_WBITS + 1}
+                             - length(bin(h48 % {1 << _HLL_WBITS})) END) AS m
+        FROM hashed GROUP BY day, reg
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    win AS (
+        SELECT a.day AS anchor, b.day AS day
+        FROM days a JOIN days b
+          ON b.day BETWEEN a.day - {_RD_DAYS - 1} AND a.day
+    ),
+    merged AS (
+        SELECT w.anchor, r.reg, MAX(r.m) AS m
+        FROM regs r JOIN win w ON w.day = r.day
+        GROUP BY w.anchor, r.reg
+    ),
+    summed AS (
+        SELECT anchor,
+               CAST(SUM(1::BIGINT << ({_HLL_WBITS + 1} - m)) AS BIGINT)
+                   + ({_HLL_M} - COUNT(*)) * {1 << (_HLL_WBITS + 1)}
+                   AS s_scaled
+        FROM merged GROUP BY anchor
+    ),
+    exact AS (
+        SELECT w.anchor, CAST(COUNT(DISTINCT u.user_id) AS BIGINT)
+                   AS exact_users
+        FROM ud u JOIN win w ON w.day = u.day
+        GROUP BY w.anchor
+    )
+    SELECT s.anchor AS day,
+           CAST(round(CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M}
+                      * {float(1 << (_HLL_WBITS + 1))} / s.s_scaled)
+                AS BIGINT) AS hll_users,
+           e.exact_users
+    FROM summed s JOIN exact e ON e.anchor = s.anchor
+    ORDER BY day
+    """,
+)
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the sliding
+    COUNT(DISTINCT) every engagement dashboard needs and no engine
+    can compute exactly at scale without re-deduplicating each
+    window from scratch. The scale answer is HLL MERGEABILITY:
+    build the 1024-register sketch ONCE per day, then merge each
+    day's registers across its 7-day window with MAX — registers
+    merge, raw users never re-shuffle.
+
+    Same register arithmetic as q_hll_vocab (md5-48, integer rho,
+    exact integer s_scaled; one shared float estimate text), so the
+    sketch is bit-identical cross-engine. The window fan-out is a
+    calendar-bounded (anchor, day) mapping (7·|days| rows) joined to
+    the register table — never to the event stream. The exact
+    distinct count per window joins alongside as the honest audit
+    column; at 100 TB one keeps only the sketch branch (the audit
+    re-deduplicates each window, which is exactly the cost the
+    sketch exists to avoid — documented, not hidden).
+
+    Scale: events collapse to distinct (day, user) once (one
+    shuffle), registers are ≤1024/day, the merge shuffles
+    7·|days|·1024 register rows regardless of user volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    h48 = _hexval_col(
+        F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))), 12
+    )
+    w_ = F.col("h48") % (1 << _HLL_WBITS)
+    rho = F.when(w_ == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w_))
+    )
+    regs = (
+        ud.select("day", h48.alias("h48"))
+        .select(
+            "day",
+            F.shiftright(F.col("h48"), _HLL_WBITS).alias("reg"),
+            rho.alias("rho"),
+        )
+        .groupBy("day", "reg")
+        .agg(F.max("rho").alias("m"))
+        .localCheckpoint(eager=True)
+    )
+    days = regs.select("day").distinct()
+    win = (
+        days.select(F.col("day").alias("anchor"))
+        .join(
+            F.broadcast(days),
+            (F.col("day") >= F.expr(f"anchor - INTERVAL {_RD_DAYS - 1} DAY"))
+            & (F.col("day") <= F.col("anchor")),
+        )
+    )
+    merged = (
+        regs.join(F.broadcast(win), "day")
+        .groupBy("anchor", "reg")
+        .agg(F.max("m").alias("m"))
+    )
+    summed = merged.groupBy("anchor").agg(
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_WBITS + 1} - m)"))
+            + (F.lit(_HLL_M) - F.count("*")) * (1 << (_HLL_WBITS + 1))
+        )
+        .cast("long")
+        .alias("s_scaled")
+    )
+    exact = (
+        ud.join(F.broadcast(win), "day")
+        .groupBy("anchor")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+    )
+    est = F.round(
+        F.lit(_HLL_ALPHA)
+        * F.lit(_HLL_M * _HLL_M)
+        * F.lit(float(1 << (_HLL_WBITS + 1)))
+        / F.col("s_scaled")
+    ).cast("long")
+    return (
+        summed.join(exact, "anchor")
+        .select(
+            F.col("anchor").alias("day"),
+            est.alias("hll_users"),
+            "exact_users",
+        )
+        .orderBy("day")
+    )

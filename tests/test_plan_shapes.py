@@ -647,3 +647,13 @@ def test_zipf_ranks_are_two_phase(spark):
     plan = _plan(spark, "q_zipf_fit")
     assert not single_partition_windows(plan)
     assert "__prefix_pid" in plan
+
+
+def test_rolling_distinct_merges_registers_not_users(spark):
+    """The sliding-window merge must join the (anchor, day) calendar
+    mapping to the REGISTER table (bounded), never re-shuffle raw
+    users per window; register build partial-aggregates."""
+    plan = _plan(spark, "q_rolling_distinct")
+    assert "partial_max" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
