@@ -750,9 +750,11 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RD_DAYS = 7
 
 
-@query(
-    "q_rolling_distinct",
-    oracle=f"""
+def _rolling_distinct_oracle_sql() -> str:
+    """Shared oracle for the batch and streaming sliding-HLL twins
+    (the streamed register table equals the batch build bit-for-bit,
+    so one SQL text verifies both paths)."""
+    return f"""
     WITH ud AS (
         SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
     ),
@@ -801,8 +803,10 @@ _RD_DAYS = 7
            e.exact_users
     FROM summed s JOIN exact e ON e.anchor = s.anchor
     ORDER BY day
-    """,
-)
+    """
+
+
+@query("q_rolling_distinct", oracle=_rolling_distinct_oracle_sql())
 def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day distinct active users per day — the sliding
     COUNT(DISTINCT) every engagement dashboard needs and no engine
@@ -848,43 +852,50 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("rho").alias("m"))
         .localCheckpoint(eager=True)
     )
+    return _rd_read_off(regs, ud)
+
+
+def _rd_read_off(regs: DataFrame, ud: DataFrame) -> DataFrame:
+    """Sliding-window merge + estimate + exact audit over a day-level
+    HLL register table (shared by the batch and streaming twins)."""
+    F_ = F
     days = regs.select("day").distinct()
     win = (
-        days.select(F.col("day").alias("anchor"))
+        days.select(F_.col("day").alias("anchor"))
         .join(
-            F.broadcast(days),
-            (F.col("day") >= F.expr(f"anchor - INTERVAL {_RD_DAYS - 1} DAY"))
-            & (F.col("day") <= F.col("anchor")),
+            F_.broadcast(days),
+            (F_.col("day") >= F_.expr(f"anchor - INTERVAL {_RD_DAYS - 1} DAY"))
+            & (F_.col("day") <= F_.col("anchor")),
         )
     )
     merged = (
-        regs.join(F.broadcast(win), "day")
+        regs.join(F_.broadcast(win), "day")
         .groupBy("anchor", "reg")
-        .agg(F.max("m").alias("m"))
+        .agg(F_.max("m").alias("m"))
     )
     summed = merged.groupBy("anchor").agg(
         (
-            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_WBITS + 1} - m)"))
-            + (F.lit(_HLL_M) - F.count("*")) * (1 << (_HLL_WBITS + 1))
+            F_.sum(F_.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_WBITS + 1} - m)"))
+            + (F_.lit(_HLL_M) - F_.count("*")) * (1 << (_HLL_WBITS + 1))
         )
         .cast("long")
         .alias("s_scaled")
     )
     exact = (
-        ud.join(F.broadcast(win), "day")
+        ud.join(F_.broadcast(win), "day")
         .groupBy("anchor")
-        .agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+        .agg(F_.countDistinct("user_id").cast("long").alias("exact_users"))
     )
-    est = F.round(
-        F.lit(_HLL_ALPHA)
-        * F.lit(_HLL_M * _HLL_M)
-        * F.lit(float(1 << (_HLL_WBITS + 1)))
-        / F.col("s_scaled")
+    est = F_.round(
+        F_.lit(_HLL_ALPHA)
+        * F_.lit(_HLL_M * _HLL_M)
+        * F_.lit(float(1 << (_HLL_WBITS + 1)))
+        / F_.col("s_scaled")
     ).cast("long")
     return (
         summed.join(exact, "anchor")
         .select(
-            F.col("anchor").alias("day"),
+            F_.col("anchor").alias("day"),
             est.alias("hll_users"),
             "exact_users",
         )

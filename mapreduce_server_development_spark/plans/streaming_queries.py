@@ -1710,3 +1710,66 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(CAST(lo AS DOUBLE) / 100.0, 2) AS low",
         "round(CAST(cl.c AS DOUBLE) / 100.0, 2) AS close",
     ).orderBy("hour")
+
+
+# ---------------------------------------------------------------------------
+# q_stream_rolling_distinct — sliding 7-day HLL maintained by the stream
+# ---------------------------------------------------------------------------
+
+
+def _stream_rolling_distinct_oracle() -> str:
+    from .sketches import _rolling_distinct_oracle_sql
+
+    return _rolling_distinct_oracle_sql()
+
+
+@query(
+    "q_stream_rolling_distinct", oracle=_stream_rolling_distinct_oracle()
+)
+def q_stream_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q_rolling_distinct sliding 7-day active-user count with the
+    DAY-LEVEL HLL REGISTER TABLE built by the stream: state is
+    (day, register) -> MAX(rho) — the HLL MAX monoid again, so
+    micro-batch order cannot change a register and the streamed table
+    equals the batch build bit-for-bit. The window merge and the
+    exact audit run batch-side on the streamed registers (identical
+    read-off to the batch twin; one oracle text serves both).
+
+    This is the streaming shape that makes sliding COUNT(DISTINCT)
+    tractable in production: the stream maintains per-day sketches
+    (bounded: 1024 registers x open days), and ANY trailing window is
+    answered later by merging registers — no raw-user replay.
+    """
+    from .sketches import _HLL_M, _HLL_WBITS, _hexval_col, _rd_read_off
+
+    stream = read_events_stream(spark, sf_dir)
+    h48 = _hexval_col(
+        F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))), 12
+    )
+    w_ = F.col("h48") % (1 << _HLL_WBITS)
+    rho = F.when(w_ == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w_))
+    )
+    regs_stream = (
+        stream.select(F.col("ts").cast("date").alias("day"), "user_id")
+        .select("day", h48.alias("h48"))
+        .select(
+            "day",
+            F.shiftright(F.col("h48"), _HLL_WBITS).alias("reg"),
+            rho.alias("rho"),
+        )
+        .groupBy("day", "reg")
+        .agg(F.max("rho").alias("m"))
+    )
+    # localCheckpoint: the read-off self-joins the register relation
+    # (days x days window map), which trips conflicting-reference
+    # resolution against the memory-sink view lineage (the batch twin
+    # checkpoints at the same spot).
+    regs = _run_to_memory(regs_stream, spark, mode="complete").localCheckpoint(
+        eager=True
+    )
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    return _rd_read_off(regs, ud)
