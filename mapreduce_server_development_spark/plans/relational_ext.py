@@ -3540,3 +3540,68 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_new_vs_returning — purchase revenue split by user tenure per day
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_new_vs_returning",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    p AS (
+        SELECT CAST(e.ts AS DATE) AS day,
+               CASE WHEN CAST(e.ts AS DATE) = f.first_day
+                    THEN 'new' ELSE 'returning' END AS cohort,
+               CAST(round(e.value * 100) AS BIGINT) AS cents
+        FROM events e JOIN first_seen f ON f.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+    )
+    SELECT day, cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           round(CAST(SUM(cents) AS DOUBLE) / 100.0, 2) AS revenue
+    FROM p GROUP BY day, cohort
+    ORDER BY day, cohort
+    """,
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchase count and revenue split into NEW (user's
+    first-seen day) vs RETURNING cohorts — the acquisition-vs-
+    retention revenue mix every growth dashboard leads with.
+
+    Tenure is resolved by the same first-seen reduction as
+    q_cumulative_users (one partial-agg'd shuffle on user_id), then
+    joined back to the purchase stream on the user key — at 100 TB
+    both sides shuffle on user_id once and the classifier is a date
+    equality, no window and no per-user state. Revenue is exact
+    integer cents until the final shared /100 rounding.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .selectExpr(
+            "CAST(ts AS DATE) AS day",
+            "CASE WHEN CAST(ts AS DATE) = first_day"
+            " THEN 'new' ELSE 'returning' END AS cohort",
+            "CAST(round(value * 100) AS BIGINT) AS cents",
+        )
+    )
+    return (
+        p.groupBy("day", "cohort")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.expr("round(CAST(SUM(cents) AS DOUBLE) / 100.0, 2)").alias(
+                "revenue"
+            ),
+        )
+        .orderBy("day", "cohort")
+    )
