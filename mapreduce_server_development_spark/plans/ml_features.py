@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -876,4 +876,184 @@ def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{_CSIM_FINAL} AS cosine",
         )
         .orderBy("label_a", "label_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_knn_eval — kNN label-prediction accuracy over the embedding table
+# ---------------------------------------------------------------------------
+
+_KNN_K = 5
+_KNN_MOD = 10  # every 10th vector is a held-out query
+
+#: e9-fixed-pointed cosine from exact integer component values —
+#: rounded BEFORE ranking so neighbor order is cross-engine stable.
+_KNN_COS = (
+    "CAST(round(1000000000.0 * CAST(dot AS DOUBLE)"
+    " / (sqrt(CAST(q2 AS DOUBLE)) * sqrt(CAST(b2 AS DOUBLE))))"
+    " AS BIGINT)"
+)
+
+
+@query(
+    "q_knn_eval",
+    oracle=f"""
+    WITH comp AS (
+        SELECT vec_id, label, t.i AS dim,
+               CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS x
+        FROM embeddings,
+             UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    norms AS (
+        SELECT vec_id, CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS n2
+        FROM comp GROUP BY vec_id
+    ),
+    pairs AS (
+        SELECT q.vec_id AS qid, b.vec_id AS bid,
+               CAST(SUM(CAST(q.x AS HUGEINT) * b.x) AS HUGEINT) AS dot
+        FROM comp q JOIN comp b ON b.dim = q.dim
+        WHERE q.vec_id % {_KNN_MOD} = 7 AND b.vec_id % {_KNN_MOD} <> 7
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT p.qid, p.bid, {_KNN_COS} AS cos_e9
+        FROM (SELECT p.*, nq.n2 AS q2, nb.n2 AS b2
+              FROM pairs p
+              JOIN norms nq ON nq.vec_id = p.qid
+              JOIN norms nb ON nb.vec_id = p.bid) p
+    ),
+    ranked AS (
+        SELECT qid, bid, cos_e9,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos_e9 DESC, bid) AS rk
+        FROM scored
+    ),
+    votes AS (
+        SELECT r.qid, e.label, COUNT(*) AS v
+        FROM ranked r JOIN embeddings e ON e.vec_id = r.bid
+        WHERE r.rk <= {_KNN_K}
+        GROUP BY 1, 2
+    ),
+    pred AS (
+        SELECT qid, label AS pred_label FROM (
+            SELECT qid, label,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY v DESC, label) AS pr
+            FROM votes
+        ) WHERE pr = 1
+    )
+    SELECT CAST(e.label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM pred p JOIN embeddings e ON e.vec_id = p.qid
+    GROUP BY e.label
+    ORDER BY label
+    """,
+)
+def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-out kNN classification accuracy over the embedding table:
+    every 10th vector is held out as a query, classified by the
+    majority label of its 5 nearest base neighbors by cosine, and
+    scored per label — the sanity eval run before trusting an
+    embedding space for label propagation or retrieval filtering.
+
+    Determinism end-to-end: components fixed-pointed to e6 integers,
+    dot/norms exact DECIMAL(38,0)/HUGEINT, and the cosine itself
+    fixed-pointed to e9 BEFORE ranking (neighbor order can then never
+    flip on a float ulp; vec_id breaks exact ties); majority votes
+    are integer counts with a label tiebreak.
+
+    Scale: the neighbor computation is the dim-keyed join shape of
+    q_centroid_similarity (never a cartesian of raw vectors); the
+    query side is hash-selected so the pair fan-out is
+    |queries|·|base| by construction — at 100 TB the query set is a
+    fixed eval sample while the base scan stays one pass. Per-query
+    windows partition on qid (bounded |base| rows each).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim0", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").alias(
+            "x"
+        ),
+    )
+    norms = comp.groupBy("vec_id").agg(
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x"))
+        .cast("decimal(38,0)")
+        .alias("n2")
+    )
+    q = comp.filter(F.col("vec_id") % _KNN_MOD == 7).select(
+        F.col("vec_id").alias("qid"), F.col("dim").alias("qdim"), F.col("x").alias("qx")
+    )
+    b = comp.filter(F.col("vec_id") % _KNN_MOD != 7).select(
+        F.col("vec_id").alias("bid"), "dim", F.col("x").alias("bx")
+    )
+    pairs = (
+        q.join(b, F.col("dim") == F.col("qdim"))
+        .groupBy("qid", "bid")
+        .agg(
+            F.sum(F.expr("CAST(qx AS DECIMAL(38,0)) * bx"))
+            .cast("decimal(38,0)")
+            .alias("dot")
+        )
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(
+                norms.select(F.col("vec_id").alias("qid"), F.col("n2").alias("q2"))
+            ),
+            "qid",
+        )
+        .join(
+            F.broadcast(
+                norms.select(F.col("vec_id").alias("bid"), F.col("n2").alias("b2"))
+            ),
+            "bid",
+        )
+        .selectExpr("qid", "bid", f"{_KNN_COS} AS cos_e9")
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("cos_e9").desc(), "bid")
+    labels = emb.select("vec_id", "label")
+    votes = (
+        scored.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= _KNN_K)
+        .join(
+            F.broadcast(labels.select(F.col("vec_id").alias("bid"), "label")),
+            "bid",
+        )
+        .groupBy("qid", "label")
+        .agg(F.count("*").alias("v"))
+    )
+    wp = Window.partitionBy("qid").orderBy(F.col("v").desc(), "label")
+    pred = (
+        votes.withColumn("pr", F.row_number().over(wp))
+        .filter("pr = 1")
+        .select("qid", F.col("label").alias("pred_label"))
+    )
+    return (
+        pred.join(
+            F.broadcast(labels.select(F.col("vec_id").alias("qid"), "label")),
+            "qid",
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.sum(
+                F.expr("CASE WHEN pred_label = label THEN 1 ELSE 0 END")
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .selectExpr(
+            "CAST(label AS BIGINT) AS label", "n_queries", "n_correct"
+        )
+        .orderBy("label")
     )
