@@ -959,69 +959,57 @@ def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored per label — the sanity eval run before trusting an
     embedding space for label propagation or retrieval filtering.
 
-    Determinism end-to-end: components fixed-pointed to e6 integers,
-    dot/norms exact DECIMAL(38,0)/HUGEINT, and the cosine itself
-    fixed-pointed to e9 BEFORE ranking (neighbor order can then never
-    flip on a float ulp; vec_id breaks exact ties); majority votes
-    are integer counts with a label tiebreak.
+    Determinism end-to-end: components fixed-pointed to e6 integers
+    BEFORE any product, dot/norms exact int64 (64·1e12 < 2^63), and
+    the cosine fixed-pointed to e9 BEFORE ranking (neighbor order can
+    never flip on a float ulp; vec_id breaks exact ties); majority
+    votes are integer counts with a label tiebreak.
 
-    Scale: the neighbor computation is the dim-keyed join shape of
-    q_centroid_similarity (never a cartesian of raw vectors); the
-    query side is hash-selected so the pair fan-out is
-    |queries|·|base| by construction — at 100 TB the query set is a
-    fixed eval sample while the base scan stays one pass. Per-query
-    windows partition on qid (bounded |base| rows each).
+    Scale: the query side is a hash-selected bounded EVAL SAMPLE, so
+    it broadcasts (the q_cosine_topk sanctioned exact-tier pattern)
+    and the base table streams through ONE map-side pass computing
+    each dot as a JVM zip_with/aggregate loop — no 64x dim explosion,
+    no shuffle of pair rows (the first cut dim-joined exploded
+    components: 144M shuffled rows at sf0.1, 20.1s; this shape is
+    map-side). Per-query top-5 windows partition on qid.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    comp = emb.select(
-        "vec_id",
-        "label",
-        F.posexplode("embedding").alias("dim0", "v"),
-    ).select(
-        "vec_id",
-        "label",
-        (F.col("dim0") + 1).alias("dim"),
-        F.expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").alias(
-            "x"
-        ),
+    # round() before the cast — a bare (x*1e6).cast("long") truncates,
+    # which would disagree with the oracle's round-half-up.
+    ivec = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000000).cast("long"),
     )
-    norms = comp.groupBy("vec_id").agg(
-        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x"))
-        .cast("decimal(38,0)")
-        .alias("n2")
+    n2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("v"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
-    q = comp.filter(F.col("vec_id") % _KNN_MOD == 7).select(
-        F.col("vec_id").alias("qid"), F.col("dim").alias("qdim"), F.col("x").alias("qx")
+    base = (
+        emb.filter(F.col("vec_id") % _KNN_MOD != 7)
+        .select(F.col("vec_id").alias("bid"), ivec.alias("v"))
+        .withColumn("b2", n2)
+        .withColumnRenamed("v", "bv")
     )
-    b = comp.filter(F.col("vec_id") % _KNN_MOD != 7).select(
-        F.col("vec_id").alias("bid"), "dim", F.col("x").alias("bx")
+    qs = (
+        emb.filter(F.col("vec_id") % _KNN_MOD == 7)
+        .select(F.col("vec_id").alias("qid"), ivec.alias("v"))
+        .withColumn("q2", n2)
+        .withColumnRenamed("v", "qv")
     )
-    pairs = (
-        q.join(b, F.col("dim") == F.col("qdim"))
-        .groupBy("qid", "bid")
-        .agg(
-            F.sum(F.expr("CAST(qx AS DECIMAL(38,0)) * bx"))
-            .cast("decimal(38,0)")
-            .alias("dot")
-        )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("bv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
     scored = (
-        pairs.join(
-            F.broadcast(
-                norms.select(F.col("vec_id").alias("qid"), F.col("n2").alias("q2"))
-            ),
-            "qid",
-        )
-        .join(
-            F.broadcast(
-                norms.select(F.col("vec_id").alias("bid"), F.col("n2").alias("b2"))
-            ),
-            "bid",
-        )
+        base.crossJoin(F.broadcast(qs))
+        .withColumn("dot", dot)
+        .selectExpr("qid", "bid", "q2", "b2", "dot")
         .selectExpr("qid", "bid", f"{_KNN_COS} AS cos_e9")
     )
-    wq = Window.partitionBy("qid").orderBy(F.col("cos_e9").desc(), "bid")
     labels = emb.select("vec_id", "label")
+    wq = Window.partitionBy("qid").orderBy(F.col("cos_e9").desc(), "bid")
     votes = (
         scored.withColumn("rk", F.row_number().over(wq))
         .filter(F.col("rk") <= _KNN_K)

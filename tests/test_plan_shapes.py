@@ -657,3 +657,12 @@ def test_rolling_distinct_merges_registers_not_users(spark):
     assert "partial_max" in plan
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_knn_eval_broadcasts_query_sample_no_dim_explosion(spark):
+    """The pair tier must broadcast the bounded query sample and keep
+    dots as JVM array folds — no Generate (posexplode) feeding a
+    pair shuffle, no CartesianProduct node."""
+    plan = _plan(spark, "q_knn_eval")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
