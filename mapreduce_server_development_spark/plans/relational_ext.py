@@ -3605,3 +3605,189 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "cohort")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_churn_rate — week-over-week user churn / retention / resurrection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_churn_rate",
+    oracle="""
+    WITH mu AS (
+        SELECT DISTINCT date_trunc('week', ts) AS week, user_id
+        FROM events
+    ),
+    cur AS (SELECT week AS m, user_id AS u_cur FROM mu),
+    prv AS (SELECT week + INTERVAL 1 WEEK AS m, user_id AS u_prv FROM mu),
+    j AS (
+        SELECT COALESCE(cur.m, prv.m) AS week, u_cur, u_prv
+        FROM cur FULL JOIN prv
+          ON prv.u_prv = cur.u_cur AND prv.m = cur.m
+    ),
+    bounds AS (SELECT MIN(week) AS m0, MAX(week) AS m1 FROM mu)
+    SELECT strftime(week, '%Y-%m-%d') AS week,
+           CAST(SUM(CASE WHEN u_cur IS NOT NULL AND u_prv IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+           CAST(SUM(CASE WHEN u_cur IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS churned,
+           CAST(SUM(CASE WHEN u_prv IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS gained,
+           round(CAST(SUM(CASE WHEN u_cur IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / CAST(SUM(CASE WHEN u_cur IS NULL THEN 1 ELSE 0 END)
+                        + SUM(CASE WHEN u_cur IS NOT NULL
+                                    AND u_prv IS NOT NULL
+                                   THEN 1 ELSE 0 END) AS DOUBLE), 6)
+               AS churn_rate
+    FROM j, bounds
+    WHERE week > m0 AND week <= m1
+    GROUP BY week ORDER BY week
+    """,
+)
+def q_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week user flows: retained (active both weeks),
+    churned (active previous week, silent this week) and gained
+    (new or resurrected this week), with the churn rate — the
+    engagement ledger behind every retention review.
+
+    Set membership is resolved ONCE by reducing events to the
+    distinct (week, user) relation (one partial-agg'd shuffle);
+    the week-over-week comparison is a user-keyed FULL OUTER join
+    between consecutive weeks' slices — at 100 TB both sides
+    shuffle on the user key once and the flow classes are NULL-side
+    checks, never a window or a per-user state machine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mu = (
+        ev.select(
+            F.date_trunc("week", "ts").alias("week"), "user_id"
+        ).distinct()
+    ).localCheckpoint(eager=True)
+    cur = mu.select(F.col("week").alias("m"), F.col("user_id").alias("u_cur"))
+    prv = mu.select(
+        F.expr("week + INTERVAL 1 WEEK").alias("m"),
+        F.col("user_id").alias("u_prv"),
+    )
+    joined = cur.join(
+        prv,
+        (F.col("u_cur") == F.col("u_prv")) & (cur["m"] == prv["m"]),
+        "full",
+    ).select(
+        F.coalesce(cur["m"], prv["m"]).alias("week"),
+        "u_cur",
+        "u_prv",
+    )
+    bounds = mu.agg(
+        F.min("week").alias("m0"), F.max("week").alias("m1")
+    )
+    flows = (
+        joined.crossJoin(F.broadcast(bounds))
+        # no prev slice exists for month 1; the shifted prv side also
+        # fabricates a phantom month PAST the data end — bound to real
+        # months on both ends.
+        .filter((F.col("week") > F.col("m0")) & (F.col("week") <= F.col("m1")))
+        .groupBy("week")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN u_cur IS NOT NULL AND u_prv IS NOT NULL"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("retained"),
+            F.sum(F.expr("CASE WHEN u_cur IS NULL THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("churned"),
+            F.sum(F.expr("CASE WHEN u_prv IS NULL THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("gained"),
+        )
+    )
+    return flows.selectExpr(
+        "date_format(week, 'yyyy-MM-dd') AS week",
+        "retained",
+        "churned",
+        "gained",
+        "round(CAST(churned AS DOUBLE)"
+        " / CAST(churned + retained AS DOUBLE), 6) AS churn_rate",
+    ).orderBy("week")
+
+
+# ---------------------------------------------------------------------------
+# q_stickiness — DAU/MAU engagement ratio per month
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stickiness",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day,
+               date_trunc('month', ts) AS month, user_id
+        FROM events
+    ),
+    dau AS (
+        SELECT month, day, CAST(COUNT(*) AS BIGINT) AS dau
+        FROM du GROUP BY month, day
+    ),
+    mau AS (
+        SELECT month, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+        FROM du GROUP BY month
+    ),
+    agg AS (
+        SELECT month, CAST(SUM(dau) AS BIGINT) AS dau_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM dau GROUP BY month
+    )
+    SELECT strftime(a.month, '%Y-%m') AS month, a.n_days, m.mau,
+           round(CAST(a.dau_sum AS DOUBLE) / CAST(a.n_days AS DOUBLE), 2)
+               AS avg_dau,
+           round(CAST(a.dau_sum AS DOUBLE) / CAST(a.n_days AS DOUBLE)
+                 / CAST(m.mau AS DOUBLE), 6) AS stickiness
+    FROM agg a JOIN mau m ON m.month = a.month
+    ORDER BY month
+    """,
+)
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — mean daily active users over
+    monthly active users, the engagement ratio (a 0.5 means the
+    average user shows up every other day) product teams track beside
+    the growth curve.
+
+    Distinct-ness resolves once into the (day, month, user) relation
+    (one partial-agg'd shuffle); DAU, MAU and the day count are
+    partial-agg'd aggregates of that relation, and the two ratios are
+    shared float texts. No window, no per-user state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        F.date_trunc("month", "ts").alias("month"),
+        "user_id",
+    ).distinct().localCheckpoint(eager=True)
+    dau = du.groupBy("month", "day").agg(
+        F.count("*").cast("long").alias("dau")
+    )
+    mau = du.groupBy("month").agg(
+        F.countDistinct("user_id").cast("long").alias("mau")
+    )
+    agg = dau.groupBy("month").agg(
+        F.sum("dau").cast("long").alias("dau_sum"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    return (
+        agg.join(mau, "month")
+        .selectExpr(
+            "date_format(month, 'yyyy-MM') AS month",
+            "n_days",
+            "mau",
+            "round(CAST(dau_sum AS DOUBLE) / CAST(n_days AS DOUBLE), 2)"
+            " AS avg_dau",
+            "round(CAST(dau_sum AS DOUBLE) / CAST(n_days AS DOUBLE)"
+            " / CAST(mau AS DOUBLE), 6) AS stickiness",
+        )
+        .orderBy("month")
+    )
