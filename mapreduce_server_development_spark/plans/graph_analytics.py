@@ -702,3 +702,64 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rules.orderBy(
         F.col("lift_e6").desc(), F.col("confidence_e6").desc(), "ante", "cons"
     ).limit(_AR_TOPN)
+
+
+# ---------------------------------------------------------------------------
+# q_degree_distribution — log-binned degree histogram of the graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_degree_distribution",
+    oracle=f"""
+    WITH {_edges_sql(1)},
+    deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM sym GROUP BY src
+    ),
+    binned AS (
+        SELECT length(bin(d)) - 1 AS bucket, d FROM deg
+    )
+    SELECT CAST(bucket AS BIGINT) AS log2_degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(d) AS BIGINT) AS min_degree,
+           CAST(MAX(d) AS BIGINT) AS max_degree,
+           CAST(SUM(d) AS BIGINT) AS edge_endpoints
+    FROM binned GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂-binned degree histogram of the co-purchase graph — the
+    first diagnostic of any graph workload (a heavy tail here is what
+    makes the hub caps in the link-prediction / CF queries necessary,
+    and this query quantifies exactly how heavy it is).
+
+    Degree bucketing is the integer bit-length trick (⌊log₂ d⌋ =
+    bitlength−1 — no libm), so the histogram is bit-deterministic;
+    all outputs are exact integer counts.
+
+    Scale: edges come from the shared checkpointed co-purchase
+    relation (order-keyed pair join, support-thresholded); degrees
+    are one partial-agg'd shuffle on the node key and the histogram
+    collapses to ≤ ~40 buckets.
+    """
+    e = _copurchase_edges(spark, sf_dir, 1)
+    deg = _sym(e).groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    return (
+        deg.selectExpr("length(bin(d)) - 1 AS bucket", "d")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.min("d").cast("long").alias("min_degree"),
+            F.max("d").cast("long").alias("max_degree"),
+            F.sum("d").cast("long").alias("edge_endpoints"),
+        )
+        .selectExpr(
+            "CAST(bucket AS BIGINT) AS log2_degree",
+            "n_nodes",
+            "min_degree",
+            "max_degree",
+            "edge_endpoints",
+        )
+        .orderBy("log2_degree")
+    )

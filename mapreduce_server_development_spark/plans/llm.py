@@ -2167,3 +2167,164 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(CAST(n_docs - n_distinct AS DOUBLE)"
         " / CAST(n_docs AS DOUBLE), 6) AS dup_rate",
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q_lsh_tuning — candidate volume vs recall across LSH banding schemes
+# ---------------------------------------------------------------------------
+
+_LSHT_SCHEMES = (1, 2, 4)  # rows per band over 16 hashes
+_LSHT_AGREE = 12  # proxy truth: >= 12/16 matching signature rows
+
+
+def _lsh_tuning_oracle() -> str:
+    scheme_ctes, scheme_rows = [], []
+    for r in _LSHT_SCHEMES:
+        scheme_ctes.append(f"""bands{r} AS (
+        SELECT doc, seed // {r} AS band,
+               md5(string_agg(h, '' ORDER BY seed)) AS bh
+        FROM sig GROUP BY doc, band
+    ),
+    cand{r} AS (
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        FROM bands{r} a
+        JOIN bands{r} b ON a.band = b.band AND a.bh = b.bh
+                        AND a.doc < b.doc
+    )""")
+        scheme_rows.append(
+            f"SELECT {r} AS rows_per_band, {16 // r} AS n_bands,"
+            f" (SELECT COUNT(*) FROM cand{r}) AS n_candidates,"
+            f" (SELECT COUNT(*) FROM cand{r} c JOIN truth t"
+            f"   ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)"
+            f" AS n_true_caught"
+        )
+    ctes = ",\n    ".join(scheme_ctes)
+    rows = " UNION ALL ".join(scheme_rows)
+    return f"""
+    WITH {_TOKS_CTE},
+    {_shingle_cte(3)},
+    sig AS MATERIALIZED (
+        SELECT doc, seed, MIN(md5(seed || '#' || shingle)) AS h
+        FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+        GROUP BY doc, seed
+    ),
+    truth AS MATERIALIZED (
+        SELECT a.doc AS doc_a, b.doc AS doc_b
+        FROM sig a JOIN sig b ON b.seed = a.seed AND b.h = a.h
+                             AND a.doc < b.doc
+        GROUP BY 1, 2 HAVING COUNT(*) >= {_LSHT_AGREE}
+    ),
+    {ctes},
+    t_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth),
+    schemes AS ({rows})
+    SELECT CAST(s.rows_per_band AS BIGINT) AS rows_per_band,
+           CAST(s.n_bands AS BIGINT) AS n_bands,
+           CAST(s.n_candidates AS BIGINT) AS n_candidates,
+           CAST(s.n_true_caught AS BIGINT) AS n_true_caught,
+           t.n_true,
+           CASE WHEN t.n_true = 0 THEN 1.0
+                ELSE round(CAST(s.n_true_caught AS DOUBLE)
+                           / CAST(t.n_true AS DOUBLE), 6) END AS recall
+    FROM schemes s, t_tot t
+    ORDER BY rows_per_band
+    """
+
+
+@query("q_lsh_tuning", oracle=_lsh_tuning_oracle())
+def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding parameter sweep over one shared 16-hash MinHash
+    signature relation: candidate-pair volume AND measured recall for
+    bands of 1, 2 and 4 rows — the cost/recall tradeoff table an
+    engineer reads before fixing the production banding (more rows
+    per band = fewer, higher-precision candidates).
+
+    Ground truth is the >=12/16 signature-agreement pair set, which
+    the 1-row-band scheme PROVABLY contains (pigeonhole: 12 matching
+    rows guarantee a single-row band collision), so 'truth' is
+    computed exactly from the same signature relation — seed-keyed
+    equi-join, never an all-pairs scan. All counts are exact
+    integers; recall is the one shared float, round 6, zero-guarded.
+
+    Scale: signatures build once (shingle relation shared via
+    ReuseExchange); each scheme is a band-keyed equi-join over the
+    |docs|x|bands| relation — the identical candidate generation the
+    production near-dup queries run, just instrumented.
+    """
+    from ..functions.dedup import _doc_shingles, minhash_band_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs, "text", "doc_id", 3).persist()
+    from ..functions.dedup import minhash_signatures
+
+    sig = minhash_signatures(
+        docs, num_hashes=16, shingle_n=3, shingles=sh
+    ).localCheckpoint(eager=True)
+    s1 = sig.select(F.col("doc").alias("doc_a"), "seed", F.col("h").alias("h1"))
+    s2 = sig.select(F.col("doc").alias("doc_b"), "seed", F.col("h").alias("h2"))
+    truth = (
+        s1.join(s2, "seed")
+        .filter((F.col("h1") == F.col("h2")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_agree"))
+        .filter(F.col("n_agree") >= _LSHT_AGREE)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    n_true_df = truth.agg(F.count("*").cast("long").alias("n_true"))
+    rows = []
+    for r in _LSHT_SCHEMES:
+        band = F.floor(F.col("seed") / r).alias("band")
+        bands = (
+            sig.select("doc", band, F.struct("seed", "h").alias("sh_"))
+            .groupBy("doc", "band")
+            .agg(
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list("sh_")),
+                            lambda s: s.h,
+                        ),
+                        "",
+                    )
+                ).alias("bh")
+            )
+        )
+        ba = bands.select(F.col("doc").alias("doc_a"), "band", "bh")
+        bb = bands.select(F.col("doc").alias("doc_b"), "band", "bh")
+        cand = (
+            ba.join(bb, ["band", "bh"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        counts = cand.agg(
+            F.count("*").cast("long").alias("n_candidates")
+        ).crossJoin(
+            cand.join(truth, ["doc_a", "doc_b"])
+            .agg(F.count("*").cast("long").alias("n_true_caught"))
+        )
+        rows.append(
+            counts.selectExpr(
+                f"CAST({r} AS BIGINT) AS rows_per_band",
+                f"CAST({16 // r} AS BIGINT) AS n_bands",
+                "n_candidates",
+                "n_true_caught",
+            )
+        )
+    out = rows[0]
+    for df_ in rows[1:]:
+        out = out.unionAll(df_)
+    return (
+        out.crossJoin(F.broadcast(n_true_df))
+        .selectExpr(
+            "rows_per_band",
+            "n_bands",
+            "n_candidates",
+            "n_true_caught",
+            "n_true",
+            "CASE WHEN n_true = 0 THEN 1.0"
+            " ELSE round(CAST(n_true_caught AS DOUBLE)"
+            " / CAST(n_true AS DOUBLE), 6) END AS recall",
+        )
+        .orderBy("rows_per_band")
+    )
