@@ -1677,3 +1677,139 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sxy"),
     )
     return s.selectExpr(*_ZIPF_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_tfidf_cosine_pairs — sparse TF-IDF cosine similarity between documents
+# ---------------------------------------------------------------------------
+
+_TC_MAX_DF = 500  # hot-token prune (document frequency cap)
+_TC_THRESH = 0.8
+_TC_SCALE = 1_000_000
+
+#: Per-(doc, token) integer weight: tf * idf_e6 where idf_e6 =
+#: round(ln(N/df) * 1e6) — fixed-pointed BEFORE any product, so dot
+#: and norms are exact integers in both engines.
+_TC_COS = (
+    "round(CAST(dot AS DOUBLE)"
+    " / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))), 6)"
+)
+
+
+@query(
+    "q_tfidf_cosine_pairs",
+    oracle=f"""
+    WITH stoks AS (
+        SELECT doc_id AS doc,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) AS tok
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM stoks GROUP BY doc, tok
+    ),
+    df AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT doc) AS BIGINT) AS nd FROM tf),
+    w AS (
+        SELECT t.doc, t.tok,
+               t.tf * CAST(round(ln(CAST(x.nd AS DOUBLE)
+                                    / CAST(d.df AS DOUBLE)) * {_TC_SCALE})
+                           AS BIGINT) AS w
+        FROM tf t JOIN df d USING (tok) CROSS JOIN n x
+        WHERE d.df <= {_TC_MAX_DF}
+    ),
+    norms AS (
+        SELECT doc, CAST(SUM(CAST(w AS HUGEINT) * w) AS HUGEINT) AS n2
+        FROM w GROUP BY doc
+    ),
+    dots AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b,
+               CAST(SUM(CAST(a.w AS HUGEINT) * b.w) AS HUGEINT) AS dot
+        FROM w a JOIN w b ON b.tok = a.tok AND a.doc < b.doc
+        GROUP BY 1, 2
+    )
+    SELECT d.doc_a, d.doc_b,
+           {_TC_COS.replace("dot", "d.dot")
+                   .replace("na2", "xa.n2")
+                   .replace("nb2", "xb.n2")} AS cosine
+    FROM dots d
+    JOIN norms xa ON xa.doc = d.doc_a
+    JOIN norms xb ON xb.doc = d.doc_b
+    WHERE {_TC_COS.replace("dot", "d.dot")
+                  .replace("na2", "xa.n2")
+                  .replace("nb2", "xb.n2")} >= {_TC_THRESH}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs with TF-IDF cosine >= 0.8 — SPARSE-vector
+    similarity in token space, the classical complement to the dense
+    embedding near-dup family (it catches topical/lexical overlap
+    that embedding sign-LSH can miss, and needs no embedding at all).
+
+    The pair generator is the token-keyed equi-join with a document-
+    frequency cap (df <= {_TC_MAX_DF}): ubiquitous tokens are dropped
+    BEFORE the join — they carry near-zero idf anyway, and the cap
+    bounds per-token fan-out exactly like the hot-shingle prune. IDF
+    is fixed-pointed to e6 integers per (doc, token) weight BEFORE
+    any product, so dots and norms are exact HUGEINT/DECIMAL sums and
+    the cosine is one shared sqrt text.
+
+    Scale: two partial-agg'd shuffles (tf, df), a token-keyed pair
+    join with capped fan-out, never all-pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            F.col("doc_id").alias("doc"),
+            F.explode(tokens_col(F.lower(F.col("text")))).alias("tok"),
+        )
+        .groupBy("doc", "tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    nd = tf.agg(F.countDistinct("doc").cast("long").alias("nd"))
+    w = (
+        tf.join(df_, "tok")
+        .filter(F.col("df") <= _TC_MAX_DF)
+        .crossJoin(F.broadcast(nd))
+        .selectExpr(
+            "doc",
+            "tok",
+            f"tf * CAST(round(ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE))"
+            f" * {_TC_SCALE}) AS BIGINT) AS w",
+        )
+        .localCheckpoint(eager=True)
+    )
+    norms = w.groupBy("doc").agg(
+        F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * w"))
+        .cast("decimal(38,0)")
+        .alias("n2")
+    )
+    a = w.alias("a")
+    b = w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("b.tok") == F.col("a.tok"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(
+            F.sum(F.expr("CAST(a.w AS DECIMAL(38,0)) * b.w"))
+            .cast("decimal(38,0)")
+            .alias("dot")
+        )
+    )
+    na = norms.select(F.col("doc").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc").alias("doc_b"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .selectExpr("doc_a", "doc_b", f"{_TC_COS} AS cosine")
+        .filter(F.col("cosine") >= _TC_THRESH)
+        .orderBy("doc_a", "doc_b")
+    )
