@@ -3791,3 +3791,60 @@ def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_top_paths — most common 3-step user journeys
+# ---------------------------------------------------------------------------
+
+_TP_TOP = 20
+
+
+@query(
+    "q_top_paths",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+        SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT path, n FROM paths
+    ORDER BY n DESC, path LIMIT {_TP_TOP}
+    """,
+)
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {_TP_TOP} most common 3-step event paths across all user
+    journeys (sliding trigram over each user's time-ordered stream) —
+    the sequence-mining readout behind funnel design: which actual
+    paths dominate, rather than which predefined funnel converts.
+
+    Trigrams ride two LEADs over a per-user window (hash-partitioned
+    on user_id — parallelism follows users); path counts partial-agg;
+    the top-{_TP_TOP} with the (count desc, path) determinism
+    tie-break compiles to TakeOrderedAndProject.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(" > ", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(_TP_TOP)
+    )
