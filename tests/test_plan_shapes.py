@@ -666,3 +666,30 @@ def test_knn_eval_broadcasts_query_sample_no_dim_explosion(spark):
     plan = _plan(spark, "q_knn_eval")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_psi_bins_partial_aggregate(spark):
+    """Both eras bin in ONE scan (conditional sums, map-side combine);
+    the totals join back as a broadcast scalar."""
+    plan = _plan(spark, "q_psi")
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_tfidf_cosine_join_is_df_capped_token_join(spark):
+    """The pair generator joins on the token key after the df cap —
+    no cartesian, no single-task window."""
+    from .test_no_antipatterns import single_partition_windows
+
+    plan = _plan(spark, "q_tfidf_cosine_pairs")
+    assert "CartesianProduct" not in plan
+    assert not single_partition_windows(plan)
+
+
+def test_churn_is_user_keyed_full_outer(spark):
+    """Week-over-week flows ride a user-keyed FULL OUTER join of the
+    distinct (week, user) relation — no window, no per-user state."""
+    plan = _plan(spark, "q_churn_rate")
+    assert "FullOuter" in plan
+    assert "Window" not in plan
