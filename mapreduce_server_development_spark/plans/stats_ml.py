@@ -2169,3 +2169,193 @@ def q_iv_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_group_trend — per-nation monthly revenue OLS slope (grouped models)
+# ---------------------------------------------------------------------------
+
+#: Per-group slope/intercept from the five exact integer sums — the
+#: grouped-closed-form-fit shape: thousands of models, one aggregate.
+_GT_SLOPE = (
+    "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+)
+
+
+@query(
+    "q_group_trend",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT n.n_name,
+               datediff('month', DATE '1992-01-01',
+                        CAST(o.o_orderdate AS DATE)) AS m,
+               CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(m) AS BIGINT) AS sx,
+               CAST(SUM(rev_c) AS HUGEINT) AS sy,
+               CAST(SUM(m * m) AS BIGINT) AS sxx,
+               CAST(SUM(CAST(m AS HUGEINT) * rev_c) AS HUGEINT) AS sxy
+        FROM monthly GROUP BY n_name
+    )
+    SELECT n_name AS nation, n AS n_months,
+           round({_GT_SLOPE} / 100.0, 4) AS slope_per_month,
+           round((CAST(sy AS DOUBLE) - {_GT_SLOPE} * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 100.0, 4) AS intercept
+    FROM s ORDER BY nation
+    """,
+)
+def q_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue trend: an OLS line (slope $/month and
+    intercept) fitted to each nation's monthly revenue series — the
+    GROUPED-model shape where a 100 TB engine fits thousands of tiny
+    closed-form models in ONE aggregate pass, instead of looping a
+    fitting library over groups.
+
+    Each group's five sufficient statistics (n, Σm, Σy, Σm², Σmy)
+    are exact integer sums (month index is a small int; revenue is
+    cents in DECIMAL(38,0)/HUGEINT), and slope/intercept are shared
+    closed-form texts evaluated per group row — the q_ols_regression
+    discipline, vectorized across groups.
+
+    Scale: orders joins the broadcast customer→nation dims, collapses
+    to (nation, month) with one partial-agg'd shuffle, then to
+    |nations| rows; the fit costs nothing.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    monthly = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            "n_name",
+            F.expr(
+                "datediff(month, DATE '1992-01-01',"
+                " CAST(o_orderdate AS DATE))"
+            ).alias("m"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    s = monthly.groupBy("n_name").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("m").cast("long").alias("sx"),
+        F.sum(F.col("rev_c").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.expr("m * m")).cast("long").alias("sxx"),
+        F.sum(F.expr("CAST(m AS DECIMAL(38,0)) * rev_c")).alias("sxy"),
+    )
+    return s.selectExpr(
+        "n_name AS nation",
+        "n AS n_months",
+        f"round({_GT_SLOPE} / 100.0, 4) AS slope_per_month",
+        f"round((CAST(sy AS DOUBLE) - {_GT_SLOPE} * CAST(sx AS DOUBLE))"
+        f" / CAST(n AS DOUBLE) / 100.0, 4) AS intercept",
+    ).orderBy("nation")
+
+
+# ---------------------------------------------------------------------------
+# q_group_gini — per-nation Gini of supplier revenue (grouped ranks)
+# ---------------------------------------------------------------------------
+
+_GG_FINAL = [
+    "nation",
+    "CAST(n AS BIGINT) AS n_suppliers",
+    "round(CAST(tot AS DOUBLE) / 100.0, 2) AS total_revenue",
+    "round(2.0 * CAST(wsum AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))"
+    " - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini",
+]
+
+
+@query(
+    "q_group_gini",
+    oracle=f"""
+    WITH rev AS (
+        SELECT n.n_name AS nation, l.l_suppkey,
+               CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT nation, cents,
+               ROW_NUMBER() OVER (PARTITION BY nation
+                                  ORDER BY cents, l_suppkey) AS rk
+        FROM rev
+    ),
+    s AS (
+        SELECT nation,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS HUGEINT) AS tot,
+               CAST(SUM(CAST(rk AS HUGEINT) * cents) AS HUGEINT) AS wsum
+        FROM ranked GROUP BY nation
+    )
+    SELECT {", ".join(_GG_FINAL)} FROM s ORDER BY nation
+    """,
+)
+def q_group_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of supplier revenue concentration —
+    the grouped version of q_gini: which procurement markets are
+    dominated by a few suppliers and which are flat.
+
+    Ranks are per-GROUP (window PARTITIONED BY nation — parallelism
+    follows the group key, never one task; the global-rank prefix-scan
+    machinery is unnecessary when a natural partition key exists).
+    Within-group tie order is arbitrary and harmless (Σ rk·x is
+    invariant under permuting ranks among equal x — the q_gini
+    argument, per group); all sums are exact integers and the Gini is
+    one shared formula text.
+
+    Scale: lineitem collapses to (nation, supplier) with one
+    partial-agg'd shuffle through broadcast dims; the window sorts
+    |suppliers-per-nation| rows per task.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            li["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"), "l_suppkey")
+        .agg(
+            F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("cents", "l_suppkey")
+    ranked = rev.withColumn("rk", F.row_number().over(w))
+    s = ranked.groupBy("nation").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("tot"),
+        F.sum(F.expr("CAST(rk AS DECIMAL(38,0)) * cents")).alias("wsum"),
+    )
+    return s.selectExpr(*_GG_FINAL).orderBy("nation")
