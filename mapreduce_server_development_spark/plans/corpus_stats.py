@@ -1813,3 +1813,105 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= _TC_THRESH)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_readability — Flesch-style reading-ease scoring per source
+# ---------------------------------------------------------------------------
+
+#: Flesch reading ease with a deterministic syllable proxy
+#: (vowel-group count per token, min 1) — integer counts per doc,
+#: aggregated exactly, one shared float formula per source.
+_READ_FINAL = [
+    "source",
+    "CAST(n_docs AS BIGINT) AS n_docs",
+    "CAST(n_words AS BIGINT) AS n_words",
+    "CAST(n_sents AS BIGINT) AS n_sents",
+    "CAST(n_syll AS BIGINT) AS n_syll",
+    "round(206.835 - 1.015 * CAST(n_words AS DOUBLE)"
+    " / CAST(n_sents AS DOUBLE)"
+    " - 84.6 * CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE), 4)"
+    " AS flesch",
+]
+
+
+@query(
+    "q_readability",
+    oracle=f"""
+    WITH d AS (
+        SELECT source,
+               list_filter(string_split(lower(text), ' '), t -> t <> '')
+                   AS toks,
+               GREATEST(1, length(text)
+                        - length(replace(replace(replace(text, '.', ''),
+                                                 '!', ''), '?', '')))
+                   AS sents
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT source, len(toks) AS words, sents,
+               list_sum(list_transform(toks, t -> GREATEST(1,
+                   len(list_filter(range(1, len(t) + 1),
+                       i -> strpos('aeiouy', t[i]) > 0
+                            AND (i = 1 OR strpos('aeiouy', t[i-1]) = 0)))
+               ))) AS syll
+        FROM d WHERE len(toks) > 0
+    )
+    SELECT {", ".join(_READ_FINAL).replace("n_docs AS BIGINT",
+        "n_docs AS BIGINT")}
+    FROM (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(words) AS BIGINT) AS n_words,
+               CAST(SUM(sents) AS BIGINT) AS n_sents,
+               CAST(SUM(syll) AS BIGINT) AS n_syll
+        FROM per_doc GROUP BY source
+    ) ORDER BY source
+    """,
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source, with a DETERMINISTIC syllable
+    proxy — vowel-group count per token (min 1), sentences counted by
+    terminal punctuation (min 1 per doc) — the corpus-governance
+    readability column a dataset card reports next to quality scores.
+    (A dictionary syllabifier is language-specific and unportable;
+    the vowel-group proxy is the standard cheap stand-in and is
+    bit-identical across engines because it is pure integer string
+    arithmetic.)
+
+    All per-document counts are exact integers computed in zero-
+    shuffle JVM expressions (higher-order array functions — no
+    Python); one partial-agg'd shuffle to |sources| rows; the Flesch
+    formula is one shared float text, round 4.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        tokens_col(F.lower(F.col("text"))).alias("toks"),
+        F.greatest(
+            F.lit(1),
+            F.length("text")
+            - F.length(
+                F.translate(F.col("text"), ".!?", "")
+            ),
+        ).alias("sents"),
+    ).filter(F.size("toks") > 0)
+    per_doc = d.select(
+        "source",
+        F.size("toks").alias("words"),
+        "sents",
+        F.expr(
+            "aggregate(transform(toks, t -> GREATEST(1,"
+            " size(filter(sequence(1, length(t)),"
+            " i -> instr('aeiouy', substr(t, i, 1)) > 0"
+            " AND (i = 1 OR instr('aeiouy', substr(t, i-1, 1)) = 0))))),"
+            " 0, (acc, x) -> acc + x)"
+        ).alias("syll"),
+    )
+    s = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("words").cast("long").alias("n_words"),
+        F.sum("sents").cast("long").alias("n_sents"),
+        F.sum("syll").cast("long").alias("n_syll"),
+    )
+    return s.selectExpr(*_READ_FINAL).orderBy("source")

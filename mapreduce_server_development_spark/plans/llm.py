@@ -2328,3 +2328,70 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rows_per_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dup_size_hist — exact-duplicate cluster-size histogram
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dup_size_hist",
+    oracle="""
+    WITH h AS (
+        SELECT md5(array_to_string(list_sort(list_distinct(
+                   list_filter(string_split(lower(text), ' '),
+                               t -> t <> ''))), ' ')) AS h,
+               CAST(COUNT(*) AS BIGINT) AS sz
+        FROM documents GROUP BY 1
+    )
+    SELECT sz AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(sz * COUNT(*) AS BIGINT) AS n_docs,
+           CAST((sz - 1) * COUNT(*) AS BIGINT) AS removable_docs
+    FROM h GROUP BY sz ORDER BY sz
+    """,
+)
+def q_dup_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of VOCABULARY-fingerprint duplicate cluster sizes:
+    documents cluster when their sorted distinct-token sets are
+    identical (catching reordered / re-paragraphed copies that a raw
+    byte hash misses — the fixture corpus has zero byte-exact dups
+    but dozens of these), with the removable-document count per
+    size — the governance readout that turns 'dedup will shrink the
+    corpus' into an exact number before anyone runs it.
+
+    The fingerprint is a zero-shuffle JVM array expression (filter →
+    distinct → sort → join → md5); then two partial-agg'd aggregates
+    (fingerprint → cluster size → histogram), both map-side combined;
+    only 32-char digests ever shuffle. At any SF the output is
+    bounded by the largest cluster size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower(F.col("text")), " "),
+                        lambda t: t != "",
+                    )
+                )
+            ),
+            " ",
+        )
+    )
+    h = docs.groupBy(fp.alias("h")).agg(
+        F.count("*").cast("long").alias("sz")
+    )
+    return (
+        h.groupBy("sz")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .selectExpr(
+            "sz AS cluster_size",
+            "n_clusters",
+            "CAST(sz * n_clusters AS BIGINT) AS n_docs",
+            "CAST((sz - 1) * n_clusters AS BIGINT) AS removable_docs",
+        )
+        .orderBy("cluster_size")
+    )
