@@ -3848,3 +3848,64 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(_TP_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_engagement_gaps — distribution of users' longest silent gap
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_engagement_gaps",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               epoch_us(ts) - LAG(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS gap_us
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id, CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+        FROM gaps WHERE gap_us IS NOT NULL GROUP BY user_id
+    ),
+    binned AS (
+        SELECT CAST(max_gap_us // 86400000000 AS BIGINT) AS gap_days
+        FROM per_user
+    )
+    SELECT gap_days, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM binned GROUP BY gap_days ORDER BY gap_days
+    """,
+)
+def q_engagement_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of each user's LONGEST silent gap (max time
+    between consecutive events, bucketed to whole days) — the
+    churn-risk geometry behind re-engagement campaigns: how long do
+    users who come back actually stay away?
+
+    Per-user gaps ride a LAG window partitioned by user_id
+    (parallelism follows users); the max and the day bucketing are
+    exact integer microsecond arithmetic; the histogram is one
+    partial-agg'd aggregate bounded by the observation span in days.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias(
+            "gap_us"
+        ),
+    )
+    per_user = (
+        gaps.filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(F.max("gap_us").cast("long").alias("max_gap_us"))
+    )
+    return (
+        per_user.selectExpr(
+            "CAST(max_gap_us DIV 86400000000 AS BIGINT) AS gap_days"
+        )
+        .groupBy("gap_days")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy("gap_days")
+    )

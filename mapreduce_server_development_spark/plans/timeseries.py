@@ -802,3 +802,92 @@ def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_peak_days — local-maximum revenue days with prominence threshold
+# ---------------------------------------------------------------------------
+
+_PEAK_PCT = 120  # day must exceed both neighbors AND 120% of the mean
+
+
+@query(
+    "q_peak_days",
+    oracle=f"""
+    WITH daily AS (
+        SELECT datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+                   AS t,
+               CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM({_CENTS}) AS BIGINT) AS rev_c
+        FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT CAST(SUM(rev_c) AS HUGEINT) AS tot,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM daily
+    )
+    SELECT a.day, a.rev_c,
+           CAST(100 * CAST(a.rev_c AS HUGEINT) * m.n // m.tot AS BIGINT)
+               AS pct_of_mean
+    FROM daily a
+    JOIN daily l ON l.t = a.t - 1
+    JOIN daily r ON r.t = a.t + 1
+    CROSS JOIN m
+    WHERE a.rev_c > l.rev_c AND a.rev_c > r.rev_c
+      AND 100 * CAST(a.rev_c AS HUGEINT) * m.n > {_PEAK_PCT} * m.tot
+    ORDER BY a.day
+    """,
+)
+def q_peak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue peak days: strict local maxima of the daily series
+    (above BOTH calendar neighbors) that also clear a prominence
+    floor of {_PEAK_PCT}% of the all-days mean — the spike-detection
+    readout behind promo post-mortems, without flagging every minor
+    wiggle.
+
+    Neighbor comparison is a day-keyed self-join on t±1 (the
+    windowless idiom of this module — on a gappy calendar a missing
+    neighbor correctly disqualifies the day, where lag() would
+    silently compare across the gap); the prominence test is exact
+    integer arithmetic (100·rev·n > pct·total — no float mean), and
+    pct_of_mean is integer-DIV'd for the output.
+
+    Scale: one partial-agg'd shuffle to the calendar-bounded daily
+    series; two broadcast-able self-joins; one scalar broadcast.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.expr(
+                "datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01')"
+            ).alias("t"),
+            F.expr("CAST(o_orderdate AS DATE)").alias("day"),
+        )
+        .agg(F.expr(f"CAST(SUM({_CENTS}) AS BIGINT)").alias("rev_c"))
+        .localCheckpoint(eager=True)
+    )
+    m = daily.agg(
+        F.sum(F.col("rev_c").cast("decimal(38,0)")).alias("tot"),
+        F.count("*").cast("long").alias("n"),
+    )
+    left = daily.select((F.col("t") + 1).alias("t"), F.col("rev_c").alias("lrev"))
+    right = daily.select((F.col("t") - 1).alias("t"), F.col("rev_c").alias("rrev"))
+    return (
+        daily.join(F.broadcast(left), "t")
+        .join(F.broadcast(right), "t")
+        .crossJoin(F.broadcast(m))
+        .filter(
+            (F.col("rev_c") > F.col("lrev"))
+            & (F.col("rev_c") > F.col("rrev"))
+            & F.expr(
+                f"100 * CAST(rev_c AS DECIMAL(38,0)) * n > {_PEAK_PCT} * tot"
+            )
+        )
+        .selectExpr(
+            "day",
+            "rev_c",
+            "CAST(100 * CAST(rev_c AS DECIMAL(38,0)) * n DIV tot AS BIGINT)"
+            " AS pct_of_mean",
+        )
+        .orderBy("day")
+    )
