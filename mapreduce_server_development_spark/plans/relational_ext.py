@@ -3909,3 +3909,50 @@ def q_engagement_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_users"))
         .orderBy("gap_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_single_source_risk — parts with a single qualified supplier
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_single_source_risk",
+    oracle="""
+    WITH stats AS (
+        SELECT l_partkey,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_single_source,
+           round(CAST(SUM(cents) AS DOUBLE) / 100.0, 2)
+               AS revenue_at_risk
+    FROM stats WHERE n_suppliers = 1
+    """,
+)
+def q_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source supply risk: how many parts ship from exactly
+    ONE observed supplier, and the revenue riding on them — the
+    procurement-resilience number a supply-chain review opens with
+    (derived from shipment history; the fixture schema carries no
+    partsupp catalog).
+
+    One partial-agg'd shuffle on the part key computing the distinct
+    supplier count and the revenue together (the distinct-count
+    partial-aggregates per scan task); one row out.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+        F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("cents"),
+    )
+    return stats.filter(F.col("n_suppliers") == 1).agg(
+        F.count("*").cast("long").alias("n_single_source"),
+        F.expr("round(CAST(SUM(cents) AS DOUBLE) / 100.0, 2)").alias(
+            "revenue_at_risk"
+        ),
+    )

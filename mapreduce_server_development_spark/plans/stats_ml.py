@@ -2359,3 +2359,95 @@ def q_group_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("CAST(rk AS DECIMAL(38,0)) * cents")).alias("wsum"),
     )
     return s.selectExpr(*_GG_FINAL).orderBy("nation")
+
+
+# ---------------------------------------------------------------------------
+# q_abc_analysis — ABC classification of parts by cumulative revenue
+# ---------------------------------------------------------------------------
+
+#: Class boundaries in percent of cumulative revenue share.
+_ABC_A, _ABC_B = 80, 95
+
+
+@query(
+    "q_abc_analysis",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT cents,
+               SUM(cents) OVER (ORDER BY cents DESC, l_partkey) AS cum,
+               SUM(cents) OVER () AS tot
+        FROM rev
+    ),
+    classed AS (
+        SELECT CASE WHEN 100 * CAST(cum AS HUGEINT)
+                         <= {_ABC_A} * CAST(tot AS HUGEINT) THEN 'A'
+                    WHEN 100 * CAST(cum AS HUGEINT)
+                         <= {_ABC_B} * CAST(tot AS HUGEINT) THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               cents
+        FROM ranked
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           round(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0, 2)
+               AS revenue
+    FROM classed GROUP BY abc_class ORDER BY abc_class
+    """,
+)
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts whose cumulative share of
+    revenue (descending) stays within 80% are class A, within 95%
+    class B, the tail class C — the Pareto workhorse of assortment
+    and warehouse-slotting decisions, reported as counts and revenue
+    per class.
+
+    The cumulative share needs a GLOBAL running sum in descending
+    revenue order: it rides the two-phase distributed prefix sum
+    (`functions/prefix.py global_running_sum` over the desc-rank
+    order key), never a single-task global-sort window; class
+    membership is exact integer arithmetic (100·cum <= pct·tot).
+
+    Scale: lineitem collapses to |parts| with one partial-agg'd
+    shuffle; the prefix scan is two distributed phases; the class
+    rollup is 3 rows.
+    """
+    from ..functions.prefix import global_row_number, global_running_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("cents")
+    )
+    # Unique ascending order key encoding (desc cents, asc partkey):
+    # the prefix machinery cumulates over one ordered column.
+    ranked = global_row_number(
+        rev, [F.col("cents").desc(), F.col("l_partkey")], "rk"
+    )
+    cum = global_running_sum(ranked, "rk", "cents", "cum")
+    tot = rev.agg(F.sum(F.col("cents").cast("decimal(38,0)")).alias("tot"))
+    classed = cum.crossJoin(F.broadcast(tot)).selectExpr(
+        f"CASE WHEN 100 * CAST(cum AS DECIMAL(38,0))"
+        f" <= {_ABC_A} * tot THEN 'A'"
+        f" WHEN 100 * CAST(cum AS DECIMAL(38,0))"
+        f" <= {_ABC_B} * tot THEN 'B'"
+        f" ELSE 'C' END AS abc_class",
+        "cents",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.expr(
+                "round(CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)"
+                " / 100.0, 2)"
+            ).alias("revenue"),
+        )
+        .orderBy("abc_class")
+    )
