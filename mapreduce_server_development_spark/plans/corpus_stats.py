@@ -1915,3 +1915,169 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("syll").cast("long").alias("n_syll"),
     )
     return s.selectExpr(*_READ_FINAL).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q_heaps_law — vocabulary growth curve + Heaps beta fit
+# ---------------------------------------------------------------------------
+
+_HEAPS_DEC = 10
+
+#: OLS slope over the e6 log cells (scale cancels in the ratio).
+_HEAPS_BETA = (
+    "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)"
+)
+
+
+@query(
+    "q_heaps_law",
+    oracle=f"""
+    WITH docs_r AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rk,
+               COUNT(*) OVER () AS nd
+        FROM documents
+    ),
+    dec AS (
+        SELECT doc_id, (({_HEAPS_DEC} * (rk - 1)) // nd) + 1 AS dec
+        FROM docs_r
+    ),
+    tr AS (
+        SELECT d.dec, t.tok
+        FROM (SELECT doc_id,
+                     unnest(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')) AS tok
+              FROM documents) t
+        JOIN dec d ON d.doc_id = t.doc_id
+    ),
+    words AS (
+        SELECT dec, CAST(COUNT(*) AS BIGINT) AS w FROM tr GROUP BY dec
+    ),
+    firsts AS (
+        SELECT MIN(dec) AS dec, tok FROM tr GROUP BY tok
+    ),
+    vocab AS (
+        SELECT dec, CAST(COUNT(*) AS BIGINT) AS v FROM firsts GROUP BY dec
+    ),
+    cum AS (
+        SELECT w.dec,
+               CAST((SELECT SUM(w2.w) FROM words w2 WHERE w2.dec <= w.dec)
+                    AS BIGINT) AS words_cum,
+               CAST((SELECT SUM(v2.v) FROM vocab v2 WHERE v2.dec <= w.dec)
+                    AS BIGINT) AS vocab_cum
+        FROM words w
+    ),
+    cells AS (
+        SELECT dec, words_cum, vocab_cum,
+               CAST(round(ln(CAST(words_cum AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS lx,
+               CAST(round(ln(CAST(vocab_cum AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS ly
+        FROM cum
+    ),
+    fit AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(lx AS HUGEINT)) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(ly AS HUGEINT)) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(lx AS HUGEINT) * lx) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(lx AS HUGEINT) * ly) AS DOUBLE) AS sxy
+        FROM cells
+    )
+    SELECT c.dec AS decile, c.words_cum, c.vocab_cum,
+           {_HEAPS_BETA} AS heaps_beta
+    FROM cells c, fit
+    ORDER BY decile
+    """,
+)
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps'/Herdan's law): cumulative
+    distinct vocabulary vs cumulative token count at ten corpus
+    checkpoints, with the fitted Heaps exponent beta (V ≈ K·W^β;
+    natural corpora sit near 0.5) — the diagnostic that predicts how
+    a tokenizer's vocabulary pressure scales to 100 TB from a small
+    prefix.
+
+    Each document's decile comes from its global rank (two-phase
+    distributed row_number over doc_id); each TOKEN contributes its
+    vocabulary unit at the decile of its FIRST occurrence (min-dec
+    per token — one partial-agg'd shuffle, never a re-scan per
+    checkpoint); the 10-point cumulatives are a bounded broadcast
+    self-join and beta is the exact-integer-cell OLS slope of the
+    q_zipf_fit discipline.
+
+    Scale: one token shuffle keyed by token, one by decile; the
+    checkpoint count is a constant.
+    """
+    from ..functions.prefix import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = global_row_number(
+        docs.select("doc_id"), ["doc_id"], "rk"
+    )
+    nd = docs.agg(F.count("*").cast("long").alias("nd"))
+    dec = ranked.crossJoin(F.broadcast(nd)).selectExpr(
+        "doc_id", f"(({_HEAPS_DEC} * (rk - 1)) DIV nd) + 1 AS dec"
+    )
+    tr = (
+        docs.select(
+            "doc_id",
+            F.explode(tokens_col(F.lower(F.col("text")))).alias("tok"),
+        )
+        .join(dec, "doc_id")
+        .select("dec", "tok")
+        .localCheckpoint(eager=True)
+    )
+    words = tr.groupBy("dec").agg(F.count("*").cast("long").alias("w"))
+    vocab = (
+        tr.groupBy("tok")
+        .agg(F.min("dec").alias("dec"))
+        .groupBy("dec")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    wb = words.select(F.col("dec").alias("bd"), F.col("w").alias("bw"))
+    vb = vocab.select(F.col("dec").alias("bd"), F.col("v").alias("bv"))
+    cum = (
+        words.select("dec")
+        .join(F.broadcast(wb), F.col("bd") <= F.col("dec"))
+        .groupBy("dec")
+        .agg(F.sum("bw").cast("long").alias("words_cum"))
+        .join(
+            words.select("dec")
+            .join(F.broadcast(vb), F.col("bd") <= F.col("dec"))
+            .groupBy("dec")
+            .agg(F.sum("bv").cast("long").alias("vocab_cum")),
+            "dec",
+        )
+    )
+    cells = cum.selectExpr(
+        "dec",
+        "words_cum",
+        "vocab_cum",
+        "CAST(round(ln(CAST(words_cum AS DOUBLE)) * 1000000) AS BIGINT)"
+        " AS lx",
+        "CAST(round(ln(CAST(vocab_cum AS DOUBLE)) * 1000000) AS BIGINT)"
+        " AS ly",
+    ).localCheckpoint(eager=True)
+    fit = cells.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("lx").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("ly").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum(F.expr("CAST(lx AS DECIMAL(38,0)) * lx"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.expr("CAST(lx AS DECIMAL(38,0)) * ly"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    return (
+        cells.crossJoin(F.broadcast(fit))
+        .selectExpr(
+            "dec AS decile",
+            "words_cum",
+            "vocab_cum",
+            f"{_HEAPS_BETA} AS heaps_beta",
+        )
+        .orderBy("decile")
+    )

@@ -2451,3 +2451,75 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_group_corr — per-brand discount/quantity correlation (grouped stats)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_group_corr",
+    oracle=f"""
+    WITH b AS (
+        SELECT p.p_brand,
+               CAST(round(l.l_discount * 100) AS BIGINT) AS x,
+               CAST(l.l_quantity AS BIGINT) AS y
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    s AS (
+        SELECT p_brand,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x) AS DOUBLE) AS s_x,
+               CAST(SUM(y) AS DOUBLE) AS s_y,
+               CAST(SUM(x * x) AS DOUBLE) AS s_x_x,
+               CAST(SUM(y * y) AS DOUBLE) AS s_y_y,
+               CAST(SUM(x * y) AS DOUBLE) AS s_x_y
+        FROM b GROUP BY p_brand
+    )
+    SELECT p_brand AS brand, CAST(n AS BIGINT) AS n_lines,
+           {{corr}} AS corr_discount_qty
+    FROM s ORDER BY brand
+    """.replace("{corr}", _corr_formula("x", "y")),
+)
+def q_group_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pearson correlation between discount and quantity —
+    the grouped-sufficient-statistics shape again (thousands of
+    correlations from ONE aggregate pass), answering 'for which
+    brands does discounting actually move volume?'.
+
+    Six exact integer sums per brand (map-side combined through the
+    broadcast part join), then the module-shared ``_corr_formula``
+    text per group row — identical float ops cross-engine, NULLIF-
+    guarded for constant columns.
+
+    Scale: one broadcast dim join, one partial-agg'd shuffle to
+    |brands| rows; the formula costs nothing.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    b = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li["l_partkey"] == F.col("p_partkey"),
+    ).select(
+        "p_brand",
+        F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("x"),
+        F.expr("CAST(l_quantity AS BIGINT)").alias("y"),
+    )
+
+    def dsum(e):
+        return F.sum(e.cast("decimal(38,0)")).cast("double")
+
+    s = b.groupBy("p_brand").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(F.col("x")).alias("s_x"),
+        dsum(F.col("y")).alias("s_y"),
+        dsum(F.col("x") * F.col("x")).alias("s_x_x"),
+        dsum(F.col("y") * F.col("y")).alias("s_y_y"),
+        dsum(F.col("x") * F.col("y")).alias("s_x_y"),
+    )
+    return s.selectExpr(
+        "p_brand AS brand",
+        "CAST(n AS BIGINT) AS n_lines",
+        f"{_corr_formula('x', 'y')} AS corr_discount_qty",
+    ).orderBy("brand")
