@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from .money import _rev
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -292,3 +293,275 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c") * F.col("c")).alias("ss"),
     )
     return s.selectExpr(*_BURST_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_hhi_concentration — Herfindahl–Hirschman supplier concentration
+# ---------------------------------------------------------------------------
+
+#: Supplier revenue in exact e4 fixed-point units: the decimal-exact
+#: TPC-H revenue sum (money.py idiom) scaled to an integer. Both
+#: engines compute the identical DECIMAL value, so the integer is the
+#: same by construction — no float rounding anywhere.
+_HHI_FINAL = (
+    "n_name",
+    "CAST(k AS BIGINT) AS n_suppliers",
+    "round(CAST(r AS DOUBLE) / 10000.0, 2) + 0.0 AS revenue",
+    "round(CAST(rr AS DOUBLE)"
+    " / NULLIF(CAST(r AS DOUBLE) * CAST(r AS DOUBLE), 0.0), 6) + 0.0 AS hhi",
+    "round(NULLIF(CAST(r AS DOUBLE) * CAST(r AS DOUBLE), 0.0)"
+    " / CAST(rr AS DOUBLE), 6) + 0.0 AS effective_suppliers",
+)
+
+
+@query(
+    "q_hhi_concentration",
+    oracle=f"""
+    WITH sup_rev AS (
+        SELECT s_nationkey, l_suppkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(16,4))
+                        * (CAST(1 AS DECIMAL(8,4))
+                           - CAST(l_discount AS DECIMAL(8,4)))) * 10000
+                    AS HUGEINT) AS r_e4
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey, l_suppkey
+    ),
+    per_nation AS (
+        SELECT s_nationkey, COUNT(*) AS k, SUM(r_e4) AS r,
+               SUM(r_e4 * r_e4) AS rr
+        FROM sup_rev GROUP BY s_nationkey
+    )
+    SELECT {", ".join(_HHI_FINAL)}
+    FROM per_nation JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman index of supplier revenue concentration
+    per nation: HHI = Σ shareᵢ² (1/k for perfectly even markets, →1
+    for a monopoly) plus its reciprocal, the "effective number of
+    suppliers" — the procurement-risk readout that generalizes
+    q_single_source_risk from top-1 to the whole distribution.
+
+    Determinism: supplier revenue is the decimal-exact money idiom
+    scaled to e4 integers (identical in both engines by construction);
+    Σr and Σr² are exact DECIMAL(38,0)/HUGEINT sums; HHI is one shared
+    closed-form text. Σr² fits DECIMAL(38,0) beyond 10¹⁹ revenue
+    units per supplier — far past 100 TB.
+
+    Scale: lineitem → per-supplier hash aggregate (suppkey key, no
+    skew), per-nation rollup (|nation| rows), broadcast nation-name
+    join. No windows, no data-scale joins besides the suppkey
+    equi-join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    sup_rev = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg((F.sum(_rev()) * 10000).cast("decimal(38,0)").alias("r_e4"))
+    )
+    per_nation = sup_rev.groupBy("s_nationkey").agg(
+        F.count("*").alias("k"),
+        F.sum("r_e4").alias("r"),
+        F.sum(F.col("r_e4") * F.col("r_e4")).alias("rr"),
+    )
+    return per_nation.join(
+        F.broadcast(nat), per_nation.s_nationkey == nat.n_nationkey
+    ).selectExpr(*_HHI_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_lorenz_deciles — decile revenue shares (Lorenz curve points)
+# ---------------------------------------------------------------------------
+
+_LORENZ_FINAL = (
+    "CAST(decile AS BIGINT) AS decile",
+    "CAST(nc AS BIGINT) AS n_customers",
+    "round(CAST(rev AS DOUBLE) / 100.0, 2) + 0.0 AS revenue",
+    "round(100.0 * CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 6) + 0.0"
+    " AS share_pct",
+    "round(100.0 * CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) + 0.0"
+    " AS cum_share_pct",
+)
+
+
+@query(
+    "q_lorenz_deciles",
+    oracle=f"""
+    WITH cust_rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS HUGEINT)
+                   AS rev_c
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT rev_c,
+               ROW_NUMBER() OVER (ORDER BY rev_c, o_custkey) AS rn,
+               COUNT(*) OVER () AS n
+        FROM cust_rev
+    ),
+    d AS (
+        SELECT 1 + ((rn - 1) * 10) // n AS decile,
+               COUNT(*) AS nc, SUM(rev_c) AS rev
+        FROM ranked GROUP BY 1
+    ),
+    c AS (
+        SELECT d.decile, d.nc, d.rev,
+               SUM(d2.rev) AS cum, (SELECT SUM(rev) FROM d) AS tot
+        FROM d JOIN d d2 ON d2.decile <= d.decile
+        GROUP BY d.decile, d.nc, d.rev
+    )
+    SELECT {", ".join(_LORENZ_FINAL)} FROM c
+    """,
+)
+def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve decile table of customer revenue: rank customers
+    by lifetime spend, split into 10 equal-count bins, report each
+    bin's revenue share and the cumulative share — the
+    inequality-readout behind q_gini, materialized as the 10 curve
+    points an analyst actually plots ("the top decile holds X%").
+
+    Scale: the global rank uses functions/prefix.py's two-phase
+    range-partitioned row_number (NO single-task global-sort window —
+    the q_rfm_segments defect class); deciles come from integer
+    arithmetic on (rn, N); the 10-row cumulative is a broadcast
+    triangular self-join, not a window. Ties on revenue are broken by
+    o_custkey, so the numbering (hence binning) is fully
+    deterministic in both engines.
+    """
+    from ..functions.prefix import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust_rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("decimal(38,0)")
+        .alias("rev_c")
+    )
+    ranked = global_row_number(
+        cust_rev, [F.col("rev_c"), F.col("o_custkey")], out_col="rn"
+    )
+    n_tot = ranked.agg(F.count("*").alias("n"))
+    d = (
+        ranked.crossJoin(F.broadcast(n_tot))
+        .selectExpr("1 + ((rn - 1) * 10) DIV n AS decile", "rev_c")
+        .groupBy("decile")
+        .agg(F.count("*").alias("nc"), F.sum("rev_c").alias("rev"))
+    )
+    d2 = d.selectExpr("decile AS decile2", "rev AS rev2")
+    tot = d.agg(F.sum("rev").alias("tot"))
+    c = (
+        d.join(F.broadcast(d2), F.col("decile2") <= F.col("decile"))
+        .groupBy("decile", "nc", "rev")
+        .agg(F.sum("rev2").alias("cum"))
+        .crossJoin(F.broadcast(tot))
+    )
+    return c.selectExpr(*_LORENZ_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_spearman_corr — Spearman rank correlation over tie-heavy keys
+# ---------------------------------------------------------------------------
+
+#: Pearson over the 2×-scaled integer average ranks (the 2× keeps
+#: midranks integral: r̄·2 = 2·|{u<v}| + count(v) + 1). Scale factors
+#: cancel in the correlation.
+_SPEAR_FINAL = (
+    "CAST(n AS BIGINT) AS n_rows",
+    "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / NULLIF(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0), 6) + 0.0"
+    " AS spearman_rho",
+)
+
+_Q_INT = "CAST(round(l_quantity) AS INT)"
+_D_INT = "CAST(round(l_discount * 100) AS INT)"
+
+
+@query(
+    "q_spearman_corr",
+    oracle=f"""
+    WITH li AS (
+        SELECT {_Q_INT} AS q, {_D_INT} AS d FROM lineitem
+    ),
+    qc AS (SELECT q AS v, COUNT(*) AS cnt FROM li GROUP BY q),
+    qr AS (
+        SELECT a.v, 2 * COALESCE(SUM(b.cnt), 0) + a.cnt + 1 AS r2
+        FROM qc a LEFT JOIN qc b ON b.v < a.v GROUP BY a.v, a.cnt
+    ),
+    dc AS (SELECT d AS v, COUNT(*) AS cnt FROM li GROUP BY d),
+    dr AS (
+        SELECT a.v, 2 * COALESCE(SUM(b.cnt), 0) + a.cnt + 1 AS r2
+        FROM dc a LEFT JOIN dc b ON b.v < a.v GROUP BY a.v, a.cnt
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(qr.r2 AS HUGEINT)) AS sx,
+               SUM(CAST(dr.r2 AS HUGEINT)) AS sy,
+               SUM(CAST(qr.r2 AS HUGEINT) * dr.r2) AS sxy,
+               SUM(CAST(qr.r2 AS HUGEINT) * qr.r2) AS sxx,
+               SUM(CAST(dr.r2 AS HUGEINT) * dr.r2) AS syy
+        FROM li JOIN qr ON li.q = qr.v JOIN dr ON li.d = dr.v
+    )
+    SELECT {", ".join(_SPEAR_FINAL)} FROM s
+    """,
+)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between l_quantity and l_discount —
+    the monotone-association companion to q_feature_corr's Pearson
+    matrix (robust to the nonlinearity a raw Pearson misses), with
+    textbook midrank tie handling (both keys are massively tied: 50
+    and 11 distinct values).
+
+    The rank maps are computed at VALUE level: per-value counts (a
+    |domain|-row aggregate), midranks via a broadcast triangular
+    self-join over that tiny relation — never a data-scale sort. Rows
+    then pick up their integer 2×midranks through two broadcast joins,
+    and Spearman ρ is Pearson over exact DECIMAL(38,0)/HUGEINT sums of
+    those ranks (fits past 10¹² rows), one shared formula text.
+
+    Scale: one |domain|-sized aggregate per key + two broadcast map
+    joins + one six-counter reduction — no shuffle wider than the
+    per-value counts.
+    """
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        f"{_Q_INT} AS q", f"{_D_INT} AS d"
+    )
+
+    def rank_map(col: str) -> DataFrame:
+        cnts = li.groupBy(F.col(col).alias("v")).agg(
+            F.count("*").alias("cnt")
+        )
+        b = cnts.selectExpr("v AS v2", "cnt AS cnt2")
+        return (
+            cnts.join(F.broadcast(b), F.col("v2") < F.col("v"), "left")
+            .groupBy("v", "cnt")
+            .agg(
+                (
+                    2 * F.coalesce(F.sum("cnt2"), F.lit(0))
+                    + F.col("cnt")
+                    + 1
+                ).alias("r2")
+            )
+            .select("v", "r2")
+        )
+
+    qr = rank_map("q").selectExpr("v AS qv", "r2 AS xr")
+    dr = rank_map("d").selectExpr("v AS dv", "r2 AS yr")
+    j = li.join(F.broadcast(qr), li.q == F.col("qv")).join(
+        F.broadcast(dr), li.d == F.col("dv")
+    )
+    x = F.col("xr").cast("decimal(38,0)")
+    y = F.col("yr").cast("decimal(38,0)")
+    s = j.agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * F.col("yr")).alias("sxy"),
+        F.sum(x * F.col("xr")).alias("sxx"),
+        F.sum(y * F.col("yr")).alias("syy"),
+    )
+    return s.selectExpr(*_SPEAR_FINAL)
