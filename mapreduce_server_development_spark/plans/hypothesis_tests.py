@@ -565,3 +565,201 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(y * F.col("yr")).alias("syy"),
     )
     return s.selectExpr(*_SPEAR_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_mann_whitney — Mann–Whitney U rank-sum test (tie-corrected)
+# ---------------------------------------------------------------------------
+
+#: Readout over exact integers (na, nb, u2 = 2·U_a, t = Σ(t³−t)).
+_MW_N = "(CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))"
+_MW_SIG = (
+    f"sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0"
+    f" * (({_MW_N} + 1.0)"
+    f" - CAST(t AS DOUBLE) / ({_MW_N} * ({_MW_N} - 1.0))))"
+)
+_MW_FINAL = (
+    "CAST(na AS BIGINT) AS n_a",
+    "CAST(nb AS BIGINT) AS n_b",
+    "round(CAST(u2 AS DOUBLE) / 2.0, 2) + 0.0 AS u_stat",
+    f"round((CAST(u2 AS DOUBLE) / 2.0"
+    f" - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)"
+    f" / NULLIF({_MW_SIG}, 0.0), 6) + 0.0 AS z_score",
+)
+
+
+@query(
+    "q_mann_whitney",
+    oracle=f"""
+    WITH p AS (
+        SELECT user_id % 2 AS variant, {_CENTS} AS c
+        FROM events WHERE event_type = 'purchase'
+    ),
+    vc AS (
+        SELECT c,
+               CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cnt_a,
+               CAST(COUNT(*) AS BIGINT) AS n_v
+        FROM p GROUP BY c
+    ),
+    cum AS (
+        SELECT c, cnt_a, n_v,
+               SUM(n_v) OVER (ORDER BY c) AS cum
+        FROM vc
+    ),
+    s AS (
+        SELECT SUM(cnt_a) AS na, SUM(n_v - cnt_a) AS nb,
+               SUM(CAST(cnt_a AS HUGEINT) * (2 * cum - n_v + 1)) AS r2a,
+               SUM(CAST(n_v AS HUGEINT) * n_v * n_v - n_v) AS t
+        FROM cum
+    ),
+    u AS (
+        SELECT na, nb, t,
+               r2a - CAST(na AS HUGEINT) * (na + 1) AS u2
+        FROM s
+    )
+    SELECT {", ".join(_MW_FINAL)} FROM u
+    """,
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test on purchase values between the
+    user_id-parity A/B variants — the nonparametric twin of
+    q_welch_ttest (no normality assumption; the robust default when
+    revenue distributions are heavy-tailed), with the textbook tie
+    correction Σ(t³−t) in the variance.
+
+    Ranks never touch a data-scale sort: values collapse to a
+    per-cents-value histogram (domain-bounded relation), the
+    cumulative count comes from functions/prefix.py's two-phase
+    distributed running sum over that histogram, and integral
+    2×midranks (2·cum − t_v + 1) keep everything in exact
+    DECIMAL(38,0)/HUGEINT arithmetic. U, the tie term, and the normal
+    approximation z are one shared closed-form text.
+
+    Scale: one data-scale hash aggregate (map-side combine to the
+    value domain), the bounded prefix scan, a four-counter reduction.
+    """
+    from ..functions.prefix import global_running_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").selectExpr(
+        "user_id % 2 AS variant", f"{_CENTS} AS c"
+    )
+    vc = p.groupBy("c").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("cnt_a"),
+        F.count("*").cast("long").alias("n_v"),
+    )
+    cum = global_running_sum(vc, "c", "n_v", out_col="cum")
+    s = cum.agg(
+        F.sum("cnt_a").cast("decimal(38,0)").alias("na"),
+        F.sum(F.col("n_v") - F.col("cnt_a")).cast("decimal(38,0)").alias("nb"),
+        F.sum(
+            F.col("cnt_a").cast("decimal(38,0)")
+            * (2 * F.col("cum") - F.col("n_v") + 1)
+        ).alias("r2a"),
+        F.sum(
+            F.col("n_v").cast("decimal(38,0)") * F.col("n_v") * F.col("n_v")
+            - F.col("n_v")
+        ).alias("t"),
+    )
+    u = s.selectExpr(
+        "na", "nb", "t", "r2a - na * (na + 1) AS u2"
+    )
+    return u.selectExpr(*_MW_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_kendall_tau — Kendall τ-b from the joint contingency table
+# ---------------------------------------------------------------------------
+
+_KT_N0 = "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0)"
+_KT_FINAL = (
+    "CAST(n AS BIGINT) AS n_rows",
+    f"round((CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))"
+    f" / NULLIF(sqrt(({_KT_N0} - CAST(tq AS DOUBLE) / 2.0)"
+    f" * ({_KT_N0} - CAST(td AS DOUBLE) / 2.0)), 0.0), 6) + 0.0"
+    " AS kendall_tau_b",
+)
+
+
+@query(
+    "q_kendall_tau",
+    oracle=f"""
+    WITH li AS (
+        SELECT {_Q_INT} AS q, {_D_INT} AS d FROM lineitem
+    ),
+    cells AS (
+        SELECT q, d, CAST(COUNT(*) AS BIGINT) AS m FROM li GROUP BY q, d
+    ),
+    pairs AS (
+        SELECT
+            SUM(CASE WHEN a.d < b.d THEN CAST(a.m AS HUGEINT) * b.m
+                     ELSE 0 END) AS conc,
+            SUM(CASE WHEN a.d > b.d THEN CAST(a.m AS HUGEINT) * b.m
+                     ELSE 0 END) AS disc
+        FROM cells a JOIN cells b ON a.q < b.q
+    ),
+    ties AS (
+        SELECT SUM(m) AS n,
+               (SELECT SUM(CAST(tm AS HUGEINT) * tm - tm)
+                FROM (SELECT SUM(m) AS tm FROM cells GROUP BY q)) AS tq,
+               (SELECT SUM(CAST(tm AS HUGEINT) * tm - tm)
+                FROM (SELECT SUM(m) AS tm FROM cells GROUP BY d)) AS td
+        FROM cells
+    )
+    SELECT {", ".join(_KT_FINAL)} FROM pairs, ties
+    """,
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b between l_quantity and l_discount — the
+    concordance-based rank correlation (completing the set with
+    q_feature_corr's Pearson and q_spearman_corr), with the τ-b tie
+    normalization both keys need.
+
+    The naive algorithm is O(n²) over rows; over a BOUNDED domain the
+    joint contingency table is |q-domain| × |d-domain| cells (≤550
+    here), and concordant/discordant pair counts are exact sums of
+    mᵢ·mⱼ over cell pairs — a broadcast self-join on the tiny cell
+    relation, never a row-level pairing. All counts are exact
+    DECIMAL(38,0)/HUGEINT (mᵢ·mⱼ sums fit beyond 10¹² rows); τ-b is
+    one shared text.
+
+    Scale: one data-scale hash aggregate to the cell table, a ≤550²/2
+    broadcast nested-loop pair scan, two domain-sized tie rollups.
+    """
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        f"{_Q_INT} AS q", f"{_D_INT} AS d"
+    )
+    cells = li.groupBy("q", "d").agg(F.count("*").cast("long").alias("m"))
+    b = cells.selectExpr("q AS q2", "d AS d2", "m AS m2")
+    am = F.col("m").cast("decimal(38,0)")
+    pairs = (
+        cells.join(F.broadcast(b), F.col("q") < F.col("q2"))
+        .agg(
+            F.sum(
+                F.when(F.col("d") < F.col("d2"), am * F.col("m2")).otherwise(0)
+            ).alias("conc"),
+            F.sum(
+                F.when(F.col("d") > F.col("d2"), am * F.col("m2")).otherwise(0)
+            ).alias("disc"),
+        )
+    )
+    tq = (
+        cells.groupBy("q")
+        .agg(F.sum("m").cast("decimal(38,0)").alias("tm"))
+        .agg(F.sum(F.col("tm") * F.col("tm") - F.col("tm")).alias("tq"))
+    )
+    td = (
+        cells.groupBy("d")
+        .agg(F.sum("m").cast("decimal(38,0)").alias("tm"))
+        .agg(F.sum(F.col("tm") * F.col("tm") - F.col("tm")).alias("td"))
+    )
+    n = cells.agg(F.sum("m").cast("decimal(38,0)").alias("n"))
+    out = (
+        pairs.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(tq))
+        .crossJoin(F.broadcast(td))
+    )
+    return out.selectExpr(*_KT_FINAL)
