@@ -139,3 +139,31 @@ def count_triangles(e: DataFrame) -> DataFrame:
     )
     closing = oriented.select(F.col("u").alias("wa"), F.col("v").alias("wb"))
     return wedges.join(closing, ["wa", "wb"]).agg(F.count("*").alias("t"))
+
+
+def triangles_per_vertex(e: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts (x, t) of the undirected graph given
+    as canonical edges (a < b, deduplicated); vertices in no triangle
+    are absent.
+
+    Same degree-oriented wedge join as :func:`count_triangles` (each
+    triangle materialized exactly once), then every found triangle is
+    exploded to its three corners and hash-counted per vertex — the
+    per-node generalization at the same O(m^{3/2}) wedge bound.
+    """
+    oriented = orient_edges_by_degree(e).localCheckpoint(eager=True)
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    lex = (F.col("o1.dv") < F.col("o2.dv")) | (
+        (F.col("o1.dv") == F.col("o2.dv")) & (F.col("o1.v") < F.col("o2.v"))
+    )
+    wedges = (
+        o1.join(o2, "u")
+        .filter(lex)
+        .select("u", F.col("o1.v").alias("wa"), F.col("o2.v").alias("wb"))
+    )
+    closing = oriented.select(F.col("u").alias("wa"), F.col("v").alias("wb"))
+    tri = wedges.join(closing, ["wa", "wb"])
+    corners = tri.select(
+        F.explode(F.array(F.col("u"), F.col("wa"), F.col("wb"))).alias("x")
+    )
+    return corners.groupBy("x").agg(F.count("*").cast("long").alias("t"))

@@ -763,3 +763,112 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_degree")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_clustering_coefficient — local clustering summary (Watts–Strogatz)
+# ---------------------------------------------------------------------------
+
+#: Per-node coefficient on the e6 integer grid: 2·t / (d(d−1)),
+#: floor-div — exact integers, so the cross-node average is an exact
+#: sum (round-before-sum taken to its integer-only limit).
+def _cc_e6(div: str) -> str:
+    return f"1000000 * 2 * t {div} (d * (d - 1))"
+
+
+_CC_FINAL = (
+    "CAST(n_nodes AS BIGINT) AS n_nodes",
+    "CAST(n_closed AS BIGINT) AS n_fully_clustered",
+    "CAST(n_open AS BIGINT) AS n_triangle_free",
+    "round(CAST(s_e6 AS DOUBLE) / CAST(n_nodes AS DOUBLE) / 1000000.0, 6)"
+    " + 0.0 AS avg_clustering",
+)
+
+
+@query(
+    "q_clustering_coefficient",
+    oracle=f"""
+    WITH {_edges_sql(2)},
+    deg AS (SELECT src AS x, CAST(COUNT(*) AS BIGINT) AS d
+            FROM sym GROUP BY src),
+    ek AS (
+        SELECT e.a, e.b, da.d AS da, db.d AS db
+        FROM e JOIN deg da ON da.x = e.a JOIN deg db ON db.x = e.b
+    ),
+    oriented AS (
+        SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END
+                   AS u,
+               CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END
+                   AS v,
+               CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END
+                   AS dv
+        FROM ek
+    ),
+    tri AS (
+        SELECT o1.u, o1.v AS wa, o2.v AS wb
+        FROM oriented o1
+        JOIN oriented o2 ON o1.u = o2.u
+         AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))
+        JOIN oriented c ON c.u = o1.v AND c.v = o2.v
+    ),
+    corners AS (
+        SELECT u AS x FROM tri
+        UNION ALL SELECT wa FROM tri
+        UNION ALL SELECT wb FROM tri
+    ),
+    tc AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS t FROM corners GROUP BY x),
+    node AS (
+        SELECT deg.x, deg.d, COALESCE(tc.t, 0) AS t
+        FROM deg LEFT JOIN tc ON tc.x = deg.x
+        WHERE deg.d >= 2
+    ),
+    cc AS (SELECT x, d, t, {_cc_e6("//")} AS cc_e6 FROM node),
+    s AS (
+        SELECT COUNT(*) AS n_nodes,
+               SUM(CASE WHEN cc_e6 = 1000000 THEN 1 ELSE 0 END) AS n_closed,
+               SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS n_open,
+               SUM(cc_e6) AS s_e6
+        FROM cc
+    )
+    SELECT {", ".join(_CC_FINAL)} FROM s
+    """,
+)
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watts–Strogatz average local clustering coefficient of the
+    support-2 co-purchase graph (per node: the fraction of its
+    neighbor pairs that are themselves linked), plus the counts of
+    fully-clustered and triangle-free nodes — the local-structure
+    companion to q_triangle_count's global transitivity (the two
+    diverge exactly when clustering concentrates in low-degree
+    nodes).
+
+    Per-node triangle counts come from
+    ``functions/graph.triangles_per_vertex`` — the same degree-
+    oriented wedge equi-join as the global count (every triangle
+    materialized once, wedge work bounded O(sqrt m) per vertex),
+    exploded to corners and hash-counted. The per-node coefficient is
+    an exact e6 integer floor-div, so the cross-node average is an
+    exact integer sum — no float summation anywhere.
+
+    Scale: degree-oriented triangle join (the proven q_triangle_count
+    engine) + one nodes-scale left join + a four-counter rollup.
+    """
+    from ..functions.graph import triangles_per_vertex
+
+    e = _copurchase_edges(spark, sf_dir, 2)
+    deg = _sym(e).groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    tc = triangles_per_vertex(e.select("a", "b"))
+    node = (
+        deg.join(tc, deg.src == tc.x, "left")
+        .filter(F.col("d") >= 2)
+        .select("d", F.coalesce(F.col("t"), F.lit(0)).alias("t"))
+    )
+    s = node.selectExpr("d", "t", f"{_cc_e6('DIV')} AS cc_e6").agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.when(F.col("cc_e6") == 1000000, 1).otherwise(0)).alias(
+            "n_closed"
+        ),
+        F.sum(F.when(F.col("t") == 0, 1).otherwise(0)).alias("n_open"),
+        F.sum("cc_e6").alias("s_e6"),
+    )
+    return s.selectExpr(*_CC_FINAL)

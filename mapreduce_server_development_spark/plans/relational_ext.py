@@ -3956,3 +3956,107 @@ def q_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_at_risk"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_cohort_ltv — cumulative revenue per signup cohort (LTV curves)
+# ---------------------------------------------------------------------------
+
+_LTV_FINAL = (
+    "cohort_week",
+    "week_n",
+    "CAST(n_users AS BIGINT) AS n_users",
+    "round(CAST(rev AS DOUBLE) / 100.0, 2) + 0.0 AS week_revenue",
+    "round(CAST(cum AS DOUBLE) / 100.0, 2) + 0.0 AS cum_revenue",
+    "round(CAST(cum AS DOUBLE) / CAST(n_users AS DOUBLE) / 100.0, 6)"
+    " + 0.0 AS ltv_per_user",
+)
+
+
+@query(
+    "q_cohort_ltv",
+    oracle=f"""
+    WITH f AS (SELECT user_id, MIN(ts) AS first_ts
+               FROM events GROUP BY user_id),
+    p AS (
+        SELECT strftime(date_trunc('week', f.first_ts), '%Y-%m-%d')
+                   AS cohort_week,
+               CAST(datediff('day',
+                             CAST(date_trunc('week', f.first_ts) AS DATE),
+                             CAST(e.ts AS DATE)) // 7 AS BIGINT) AS week_n,
+               CAST(round(e.value * 100) AS BIGINT) AS cents
+        FROM events e JOIN f USING (user_id)
+        WHERE e.event_type = 'purchase'
+    ),
+    sz AS (
+        SELECT strftime(date_trunc('week', first_ts), '%Y-%m-%d')
+                   AS cohort_week,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM f GROUP BY 1
+    ),
+    cells AS (
+        SELECT cohort_week, week_n, SUM(cents) AS rev
+        FROM p GROUP BY cohort_week, week_n
+    ),
+    cum AS (
+        SELECT c.*, sz.n_users,
+               SUM(rev) OVER (PARTITION BY c.cohort_week ORDER BY week_n)
+                   AS cum
+        FROM cells c JOIN sz USING (cohort_week)
+    )
+    SELECT {", ".join(_LTV_FINAL)} FROM cum ORDER BY cohort_week, week_n
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-LTV curves per signup cohort: users bucketed by the
+    week of their first event, purchase revenue accumulated over weeks
+    since signup, normalized per cohort user — the payback-period /
+    cohort-quality readout that complements q_retention_cohorts
+    (activity) with money.
+
+    Plan: one user-keyed first-event aggregate, a user-keyed join back
+    to the purchase slice, a (cohort, week) cents aggregate, then the
+    running total over the COHORT×WEEK CELL table — a bounded
+    (weeks × weeks) relation, so the partitioned window is cell-sized,
+    never data-scale (the q_value_anomaly low-cardinality-window trap
+    does not apply to an aggregated frame). Exact integer cents
+    throughout; divisions only in the final readout text.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohort = F.date_format(
+        F.date_trunc("week", F.col("first_ts")), "yyyy-MM-dd"
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            cohort.alias("cohort_week"),
+            F.floor(
+                F.datediff(
+                    F.to_date("ts"),
+                    F.to_date(F.date_trunc("week", F.col("first_ts"))),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_n"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    sz = firsts.groupBy(cohort.alias("cohort_week")).agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    cells = p.groupBy("cohort_week", "week_n").agg(
+        F.sum("cents").cast("long").alias("rev")
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_n")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        cells.join(sz, "cohort_week")
+        .withColumn("cum", F.sum("rev").over(w))
+    )
+    return cum.selectExpr(*_LTV_FINAL).orderBy("cohort_week", "week_n")
