@@ -763,3 +763,226 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(td))
     )
     return out.selectExpr(*_KT_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_cramers_v — Cramér's V association between order categoricals
+# ---------------------------------------------------------------------------
+
+#: Per-cell chi² term (O − E)²/E with E = r·c/n, evaluated in doubles
+#: from exact integers and rounded to e6 units BEFORE the 15-cell sum.
+_CV_E = "(CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+_CV_TERM = (
+    f"CAST(round((CAST(o AS DOUBLE) - {_CV_E}) * (CAST(o AS DOUBLE) - {_CV_E})"
+    f" / {_CV_E} * 1000000) AS BIGINT)"
+)
+
+_CV_FINAL = (
+    "CAST(n AS BIGINT) AS n_rows",
+    "CAST((nr - 1) * (nc - 1) AS BIGINT) AS df",
+    "round(CAST(chi_e6 AS DOUBLE) / 1000000.0, 4) + 0.0 AS chi_square",
+    "round(sqrt(CAST(chi_e6 AS DOUBLE) / 1000000.0 / (CAST(n AS DOUBLE)"
+    " * (CASE WHEN nr < nc THEN nr ELSE nc END - 1.0))), 6) + 0.0"
+    " AS cramers_v",
+)
+
+
+@query(
+    "q_cramers_v",
+    oracle=f"""
+    WITH obs AS (
+        SELECT o_orderpriority AS pr, o_orderstatus AS st,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM orders GROUP BY 1, 2
+    ),
+    rm AS (SELECT pr, SUM(o) AS r FROM obs GROUP BY pr),
+    cm AS (SELECT st, SUM(o) AS c FROM obs GROUP BY st),
+    tot AS (SELECT SUM(o) AS n, COUNT(DISTINCT pr) AS nr,
+                   COUNT(DISTINCT st) AS nc
+            FROM obs),
+    cells AS (
+        SELECT rm.pr, cm.st, rm.r, cm.c, tot.n, tot.nr, tot.nc,
+               COALESCE(obs.o, 0) AS o
+        FROM rm CROSS JOIN cm CROSS JOIN tot
+        LEFT JOIN obs ON obs.pr = rm.pr AND obs.st = cm.st
+    ),
+    s AS (
+        SELECT MAX(n) AS n, MAX(nr) AS nr, MAX(nc) AS nc,
+               SUM({_CV_TERM}) AS chi_e6
+        FROM cells
+    )
+    SELECT {", ".join(_CV_FINAL)} FROM s
+    """,
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between order priority and order status
+    — the normalized [0,1] strength readout on top of a chi²
+    independence test (q_chi_square's feature-pair sibling on the
+    orders categoricals), including structurally-zero cells in the
+    expected-count grid as the textbook test requires.
+
+    Determinism: observed/marginal counts are exact integers; each
+    cell's (O−E)²/E is one shared text rounded to e6 before the
+    |priority|×|status| (=15) cell sum.
+
+    Scale: one orders-scale hash aggregate to the contingency cells;
+    margins, the full grid (broadcast cross of two tiny margins), and
+    the rollup are all cell-sized.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    obs = orders.groupBy(
+        F.col("o_orderpriority").alias("pr"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count("*").cast("long").alias("o"))
+    rm = obs.groupBy("pr").agg(F.sum("o").alias("r"))
+    cm = obs.groupBy("st").agg(F.sum("o").alias("c"))
+    tot = obs.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("pr").alias("nr"),
+        F.countDistinct("st").alias("nc"),
+    )
+    cells = (
+        rm.crossJoin(F.broadcast(cm))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(obs), ["pr", "st"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+    )
+    s = cells.agg(
+        F.max("n").alias("n"),
+        F.max("nr").alias("nr"),
+        F.max("nc").alias("nc"),
+        F.sum(F.expr(_CV_TERM)).alias("chi_e6"),
+    )
+    return s.selectExpr(*_CV_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_cuped — CUPED variance-reduced A/B effect estimate
+# ---------------------------------------------------------------------------
+
+#: Pre-period length: purchases inside the user's first 48 hours form
+#: the covariate X; everything after is the experiment metric Y.
+_CUPED_SPLIT_H = 48
+
+_CU_TH_NUM = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+)
+_CU_TH_DEN = (
+    "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+)
+_CU_THETA = f"({_CU_TH_NUM} / NULLIF({_CU_TH_DEN}, 0.0))"
+_CU_DIFF_RAW = (
+    "(CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)"
+    " - CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE))"
+)
+_CU_DIFF_X = (
+    "(CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)"
+    " - CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE))"
+)
+_CUPED_FINAL = (
+    "CAST(na AS BIGINT) AS n_a",
+    "CAST(nb AS BIGINT) AS n_b",
+    f"round({_CU_THETA}, 6) + 0.0 AS theta",
+    f"round({_CU_DIFF_RAW} / 100.0, 6) + 0.0 AS diff_raw",
+    f"round(({_CU_DIFF_RAW} - {_CU_THETA} * {_CU_DIFF_X}) / 100.0, 6)"
+    " + 0.0 AS diff_cuped",
+    f"round(100.0 * {_CU_TH_NUM} * {_CU_TH_NUM}"
+    f" / NULLIF({_CU_TH_DEN} * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0), 6) + 0.0"
+    " AS var_reduction_pct",
+)
+
+
+@query(
+    "q_cuped",
+    oracle=f"""
+    WITH f AS (SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id),
+    per_user AS (
+        SELECT f.user_id, f.user_id % 2 AS variant,
+               SUM(CASE WHEN e.event_type = 'purchase'
+                        AND e.ts < f.t0 + INTERVAL {_CUPED_SPLIT_H} HOUR
+                        THEN CAST(round(e.value * 100) AS BIGINT)
+                        ELSE 0 END) AS x,
+               SUM(CASE WHEN e.event_type = 'purchase'
+                        AND e.ts >= f.t0 + INTERVAL {_CUPED_SPLIT_H} HOUR
+                        THEN CAST(round(e.value * 100) AS BIGINT)
+                        ELSE 0 END) AS y
+        FROM events e JOIN f USING (user_id)
+        GROUP BY f.user_id
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS na,
+               CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nb,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(y AS HUGEINT) * y) AS syy,
+               SUM(CASE WHEN variant = 0 THEN x ELSE 0 END) AS sxa,
+               SUM(CASE WHEN variant = 1 THEN x ELSE 0 END) AS sxb,
+               SUM(CASE WHEN variant = 0 THEN y ELSE 0 END) AS sya,
+               SUM(CASE WHEN variant = 1 THEN y ELSE 0 END) AS syb
+        FROM per_user
+    )
+    SELECT {", ".join(_CUPED_FINAL)} FROM s
+    """,
+)
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al.,
+    WSDM'13): each user's first-48-hour purchase spend is the
+    pre-experiment covariate X, later spend is the metric Y; the
+    adjusted effect diff_cuped = Δȳ − θ·Δx̄ with θ = cov(X,Y)/var(X)
+    removes the between-user variance X explains (reported as
+    var_reduction_pct = corr²·100) — the industry-standard sharpening
+    of q_welch_ttest's raw difference.
+
+    Determinism: per-user (x, y) are exact integer cents; all moment
+    sums are exact DECIMAL(38,0)/HUGEINT; θ and every readout share
+    one closed-form text.
+
+    Scale: one user-keyed join + hash aggregate (the q_ab_test
+    shape), then a 12-counter rollup; one row out.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    f0 = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    split = F.col("t0") + F.expr(f"interval {_CUPED_SPLIT_H} hour")
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    is_p = F.col("event_type") == "purchase"
+    per_user = (
+        ev.join(f0, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(is_p & (F.col("ts") < split), cents).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(is_p & (F.col("ts") >= split), cents).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+        .selectExpr("user_id % 2 AS variant", "x", "y")
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    s = per_user.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+        F.sum(yd * F.col("y")).alias("syy"),
+        F.sum(F.when(F.col("variant") == 0, xd).otherwise(0)).alias("sxa"),
+        F.sum(F.when(F.col("variant") == 1, xd).otherwise(0)).alias("sxb"),
+        F.sum(F.when(F.col("variant") == 0, yd).otherwise(0)).alias("sya"),
+        F.sum(F.when(F.col("variant") == 1, yd).otherwise(0)).alias("syb"),
+    )
+    return s.selectExpr(*_CUPED_FINAL)
