@@ -1773,3 +1773,76 @@ def q_stream_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("date").alias("day"), "user_id"
     ).distinct()
     return _rd_read_off(regs, ud)
+
+
+# ---------------------------------------------------------------------------
+# q_stream_ab_monitor — live Welch t readout maintained by the stream
+# (streaming twin of q_welch_ttest)
+# ---------------------------------------------------------------------------
+
+
+def _stream_ab_oracle() -> str:
+    from .hypothesis_tests import _CENTS, _WELCH_FINAL
+
+    return f"""
+    WITH p AS (
+        SELECT user_id % 2 AS variant, {_CENTS} AS c
+        FROM events WHERE event_type = 'purchase'
+    ),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b,
+               SUM(CASE WHEN variant = 0 THEN c ELSE 0 END) AS s_a,
+               SUM(CASE WHEN variant = 1 THEN c ELSE 0 END) AS s_b,
+               SUM(CASE WHEN variant = 0 THEN c * c ELSE 0 END) AS ss_a,
+               SUM(CASE WHEN variant = 1 THEN c * c ELSE 0 END) AS ss_b
+        FROM p
+    )
+    SELECT {", ".join(_WELCH_FINAL)} FROM s
+    """
+
+
+@query("q_stream_ab_monitor", oracle=_stream_ab_oracle())
+def q_stream_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_welch_ttest: the experiment dashboard's
+    LIVE Welch t readout. The stream maintains per-variant sufficient
+    statistics (n, Σcents, Σcents²) as a complete-mode aggregate —
+    associative and commutative, so micro-batch arrival order cannot
+    change the state, and the availableNow run equals the batch twin
+    bit-for-bit (the oracle asserts exactly that). The t/df formulas
+    are the SAME shared text as the batch query.
+
+    100 TB posture: state is six integers per variant — constant; the
+    per-batch work is one partial-agg'd shuffle on the 2-value
+    variant key (map-side combine collapses each task to ≤2 rows
+    first, so the tiny key space is a merge point, not a skew point).
+    Σcents² rides DECIMAL(38,0), the same overflow posture as the
+    batch twin.
+    """
+    from .hypothesis_tests import _CENTS, _WELCH_FINAL
+
+    stream = read_events_stream(spark, sf_dir)
+    per_variant = (
+        stream.filter(F.col("event_type") == "purchase")
+        .selectExpr("user_id % 2 AS variant", f"{_CENTS} AS c")
+        .groupBy("variant")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+            F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias(
+                "ss"
+            ),
+        )
+    )
+    state = _run_to_memory(per_variant, spark, mode="complete")
+    s = state.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 0, F.col("s"))).alias("s_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("s"))).alias("s_b"),
+        F.max(F.when(F.col("variant") == 0, F.col("ss"))).alias("ss_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("ss"))).alias("ss_b"),
+    )
+    return s.selectExpr(*_WELCH_FINAL)
