@@ -693,3 +693,92 @@ def test_churn_is_user_keyed_full_outer(spark):
     plan = _plan(spark, "q_churn_rate")
     assert "FullOuter" in plan
     assert "Window" not in plan
+
+
+def test_welch_is_single_partial_aggregate(spark):
+    """All six sufficient statistics must reduce in ONE partial-agg'd
+    hash aggregate — no window, no join, no product."""
+    plan = _plan(spark, "q_welch_ttest")
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lorenz_ranks_are_two_phase(spark):
+    """Customer revenue ranks must ride the distributed prefix scan
+    (range partition + per-partition offsets), never a global-sort
+    window; the 10-row cumulative must not reintroduce one either."""
+    from .test_no_antipatterns import single_partition_windows
+
+    plan = _plan(spark, "q_lorenz_deciles")
+    assert not single_partition_windows(plan)
+    assert "__prefix_pid" in plan
+
+
+def test_mann_whitney_midranks_are_two_phase(spark):
+    """The cumulative value-histogram counts must come from the
+    distributed running sum, not a single-task ordered window."""
+    from .test_no_antipatterns import single_partition_windows
+
+    plan = _plan(spark, "q_mann_whitney")
+    assert not single_partition_windows(plan)
+    assert "__prefix_pid" in plan
+
+
+def test_spearman_rank_maps_broadcast(spark):
+    """Row-level rank pickup must be broadcast joins on the tiny
+    value-domain maps — the data-scale relation is never shuffled on
+    the rank key."""
+    plan = _plan(spark, "q_spearman_corr")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_kendall_pairs_confined_to_cells(spark):
+    """The quadratic concordance scan must run on the bounded
+    contingency-cell relation via a broadcast nested-loop join —
+    never a row-level product; cells must partial-aggregate."""
+    plan = _plan(spark, "q_kendall_tau")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_js_divergence_rides_vocab_histogram(spark):
+    """The pair fan-out must join the broadcast pair list against the
+    (source, token) HISTOGRAM (post partial-agg), and per-pair terms
+    must integer-sum via hash aggregate — no window, no product."""
+    plan = _plan(spark, "q_js_divergence")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_count" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_clustering_coefficient_no_window_no_product(spark):
+    """The triangle engine is equi-joins under degree orientation;
+    the per-node average is an exact integer sum — no window, no
+    cartesian product anywhere."""
+    plan = _plan(spark, "q_clustering_coefficient")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cuped_is_user_keyed_agg_then_scalar_rollup(spark):
+    """Per-user covariate/metric pairs come from one user-keyed join +
+    hash aggregate; moments reduce in one partial-agg'd rollup — no
+    window, no product."""
+    plan = _plan(spark, "q_cuped")
+    assert "partial_sum" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hhi_partial_aggregates_per_supplier(spark):
+    """Supplier revenue must partial-aggregate before the per-nation
+    rollup, and the nation-name join must broadcast."""
+    plan = _plan(spark, "q_hhi_concentration")
+    assert "partial_sum" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
