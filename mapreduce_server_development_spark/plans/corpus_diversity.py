@@ -240,3 +240,75 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr(_JS_TERM)).cast("long").alias("t_e12"),
     )
     return terms.selectExpr(*_JS_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_doclen_hist — log2-binned token-length histogram per language
+# ---------------------------------------------------------------------------
+
+_DLH_FINAL = (
+    "lang",
+    "CAST(bucket AS BIGINT) AS log2_tokens",
+    "CAST(n_docs AS BIGINT) AS n_docs",
+    "CAST(min_tokens AS BIGINT) AS min_tokens",
+    "CAST(max_tokens AS BIGINT) AS max_tokens",
+    "CAST(sum_tokens AS BIGINT) AS sum_tokens",
+)
+
+
+@query(
+    "q_doclen_hist",
+    oracle=f"""
+    WITH lens AS (
+        SELECT lang,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                                    t -> t <> '')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    binned AS (
+        SELECT lang, length(bin(n_tok)) - 1 AS bucket, n_tok
+        FROM lens WHERE n_tok > 0
+    ),
+    s AS (
+        SELECT lang, bucket, COUNT(*) AS n_docs,
+               MIN(n_tok) AS min_tokens, MAX(n_tok) AS max_tokens,
+               SUM(n_tok) AS sum_tokens
+        FROM binned GROUP BY lang, bucket
+    )
+    SELECT {", ".join(_DLH_FINAL)} FROM s ORDER BY lang, log2_tokens
+    """,
+)
+def q_doclen_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned document-length (token-count) histogram per
+    language — the corpus-shape panel behind sequence-packing and
+    truncation decisions (which length buckets dominate each
+    language, where the outlier mass sits). Zero-token documents are
+    excluded in both engines (log2 undefined; they're q_quality_floor
+    territory).
+
+    Determinism: token counts, bucket ids (shared ``length(bin(n))−1``
+    floor-log2 text), and all cell statistics are exact integers.
+
+    Scale: one zero-shuffle map to (lang, n_tok), one hash aggregate
+    over |lang| × ~32 buckets — map-side combine collapses everything
+    before the (tiny) shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "lang",
+        F.size(tokens_col(F.lower(F.col("text")))).cast("long").alias(
+            "n_tok"
+        ),
+    )
+    s = (
+        lens.filter(F.col("n_tok") > 0)
+        .selectExpr("lang", "length(bin(n_tok)) - 1 AS bucket", "n_tok")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tok").alias("min_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+            F.sum("n_tok").alias("sum_tokens"),
+        )
+    )
+    return s.selectExpr(*_DLH_FINAL).orderBy("lang", "log2_tokens")

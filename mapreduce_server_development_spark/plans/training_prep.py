@@ -245,3 +245,140 @@ def q_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_negative_sampling — deterministic negatives for contrastive pairs
+# ---------------------------------------------------------------------------
+
+_NEG_K = 4  # negative candidates drawn per positive pair
+
+_NEG_FINAL = (
+    "CAST(j AS BIGINT) AS draw",
+    "CAST(n_cand AS BIGINT) AS n_candidates",
+    "CAST(n_coll AS BIGINT) AS n_collisions",
+    "CAST(n_cand - n_coll AS BIGINT) AS n_negatives",
+    "CAST(s_part AS BIGINT) AS neg_part_sum",
+    "CAST(n_parts AS BIGINT) AS n_distinct_parts",
+)
+
+
+def _neg_oracle() -> str:
+    from .sketches import _hexval_sql
+
+    h = _hexval_sql(
+        "md5('neg:' || CAST(c AS VARCHAR) || ':' || CAST(p AS VARCHAR)"
+        " || ':' || CAST(j AS VARCHAR))",
+        12,
+    )
+    return f"""
+    WITH pos AS (
+        SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    np AS (SELECT COUNT(*) AS np FROM part),
+    cand AS (
+        SELECT c, p, j, 1 + {h} % np.np AS cand_part
+        FROM pos CROSS JOIN np
+        CROSS JOIN (SELECT unnest(range({_NEG_K})) AS j)
+    ),
+    marked AS (
+        SELECT cand.j, cand.cand_part,
+               CASE WHEN pos2.p IS NULL THEN 0 ELSE 1 END AS coll
+        FROM cand LEFT JOIN pos pos2
+          ON pos2.c = cand.c AND pos2.p = cand.cand_part
+    ),
+    s AS (
+        SELECT j, COUNT(*) AS n_cand, SUM(coll) AS n_coll,
+               SUM(CASE WHEN coll = 0 THEN cand_part ELSE 0 END) AS s_part,
+               COUNT(DISTINCT CASE WHEN coll = 0 THEN cand_part END)
+                   AS n_parts
+        FROM marked GROUP BY j
+    )
+    SELECT {", ".join(_NEG_FINAL)} FROM s ORDER BY draw
+    """
+
+
+@query("q_negative_sampling", oracle=_neg_oracle())
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    for every observed (customer, part) purchase pair, draw _NEG_K=4
+    candidate negative parts from the uniform md5 stream
+    keyed by (customer, part, draw), and reject candidates the
+    customer actually bought (a true anti-membership pass, not a
+    hope-it-misses heuristic). The audit readout reports, per draw
+    lane: candidates, collisions rejected, surviving negatives, their
+    exact part-id sum (a replayable checksum), and distinct parts
+    touched — the corpus-builder's verification that the negative
+    distribution is uniform and collision handling is exact.
+
+    Determinism: candidates are md5-derived (engine-replayable by the
+    shared-seed-text convention); all outputs are exact integer
+    counts/sums.
+
+    Scale: positives are one distinct on the order-line join; the ×K
+    explode rides it; collision marking is ONE hash equi-join on
+    (customer, candidate_part) against the positives relation — both
+    sides data-scale, co-partitioned by the join key, no broadcast of
+    anything unbounded. |part| arrives as a broadcast scalar.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pos = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    np_ = part.agg(F.count("*").alias("np"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("neg:"),
+                    F.col("c").cast("string"),
+                    F.lit(":"),
+                    F.col("p").cast("string"),
+                    F.lit(":"),
+                    F.col("j").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cand = (
+        pos.crossJoin(F.broadcast(np_))
+        .select(
+            "c",
+            "p",
+            F.explode(F.sequence(F.lit(0), F.lit(_NEG_K - 1))).alias("j"),
+            "np",
+        )
+        .withColumn("cand_part", 1 + h % F.col("np"))
+    )
+    pos2 = pos.select(F.col("c"), F.col("p").alias("pp"))
+    marked = cand.join(
+        pos2,
+        (cand.c == pos2.c) & (cand.cand_part == pos2.pp),
+        "left",
+    ).select(
+        "j",
+        "cand_part",
+        F.when(F.col("pp").isNull(), 0).otherwise(1).alias("coll"),
+    )
+    s = marked.groupBy("j").agg(
+        F.count("*").alias("n_cand"),
+        F.sum("coll").alias("n_coll"),
+        F.sum(
+            F.when(F.col("coll") == 0, F.col("cand_part")).otherwise(0)
+        ).alias("s_part"),
+        F.countDistinct(
+            F.when(F.col("coll") == 0, F.col("cand_part"))
+        ).alias("n_parts"),
+    )
+    return s.selectExpr(*_NEG_FINAL).orderBy("draw")
