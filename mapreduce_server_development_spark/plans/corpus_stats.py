@@ -2081,3 +2081,107 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_nb_class_metrics — per-class precision / recall / F1 for the NB
+# classifier (the eval readout on top of q_naive_bayes's confusion)
+# ---------------------------------------------------------------------------
+
+_NBM_FINAL = (
+    "cls",
+    "CAST(tp AS BIGINT) AS tp",
+    "CAST(fp AS BIGINT) AS fp",
+    "CAST(fn AS BIGINT) AS fn",
+    "round(CAST(tp AS DOUBLE) / NULLIF(CAST(tp + fp AS DOUBLE), 0.0), 6)"
+    " + 0.0 AS precision",
+    "round(CAST(tp AS DOUBLE) / NULLIF(CAST(tp + fn AS DOUBLE), 0.0), 6)"
+    " + 0.0 AS recall",
+    "round(2.0 * CAST(tp AS DOUBLE)"
+    " / NULLIF(CAST(2 * tp + fp + fn AS DOUBLE), 0.0), 6) + 0.0 AS f1",
+)
+
+
+def _nb_metrics_oracle() -> str:
+    return f"""{_nb_common_cte()},
+    pred AS (SELECT doc_id, cand AS predicted FROM ranked WHERE rk = 1),
+    pairs AS (
+        SELECT sp.source AS actual, pr.predicted
+        FROM split sp JOIN pred pr ON pr.doc_id = sp.doc_id
+        WHERE NOT sp.is_train
+    ),
+    per_class AS (
+        SELECT c.source AS cls,
+               SUM(CASE WHEN p.actual = c.source
+                        AND p.predicted = c.source THEN 1 ELSE 0 END) AS tp,
+               SUM(CASE WHEN p.actual <> c.source
+                        AND p.predicted = c.source THEN 1 ELSE 0 END) AS fp,
+               SUM(CASE WHEN p.actual = c.source
+                        AND p.predicted <> c.source THEN 1 ELSE 0 END) AS fn
+        FROM cls c CROSS JOIN pairs p
+        GROUP BY c.source
+    )
+    SELECT {", ".join(_NBM_FINAL)} FROM per_class ORDER BY cls
+    """
+
+
+@query("q_nb_class_metrics", oracle=_nb_metrics_oracle())
+def q_nb_class_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 of the trained Naive Bayes
+    source classifier — the standard eval table distilled from
+    q_naive_bayes's raw confusion matrix (same shared train+score
+    pipeline, same deterministic integer argmax), including classes
+    the model never predicts (their precision is NULL, recall 0).
+
+    Scale: rides ``_nb_scored``'s vocab-keyed scoring joins; the
+    metric rollup is one hash aggregate over held-out (actual,
+    predicted) pairs fanned across the bounded class list (broadcast),
+    so nothing new shuffles at data scale.
+    """
+    split, scored = _nb_scored(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand")
+    )
+    pred = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select("doc_id", F.col("cand").alias("predicted"))
+    )
+    pairs = (
+        split.filter(~F.col("is_train"))
+        .select("doc_id", F.col("source").alias("actual"))
+        .join(pred, "doc_id")
+    )
+    classes = (
+        split.filter(F.col("is_train"))
+        .select(F.col("source").alias("cls"))
+        .distinct()
+    )
+    per_class = (
+        pairs.crossJoin(F.broadcast(classes))
+        .groupBy("cls")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("actual") == F.col("cls"))
+                    & (F.col("predicted") == F.col("cls")),
+                    1,
+                ).otherwise(0)
+            ).alias("tp"),
+            F.sum(
+                F.when(
+                    (F.col("actual") != F.col("cls"))
+                    & (F.col("predicted") == F.col("cls")),
+                    1,
+                ).otherwise(0)
+            ).alias("fp"),
+            F.sum(
+                F.when(
+                    (F.col("actual") == F.col("cls"))
+                    & (F.col("predicted") != F.col("cls")),
+                    1,
+                ).otherwise(0)
+            ).alias("fn"),
+        )
+    )
+    return per_class.selectExpr(*_NBM_FINAL).orderBy("cls")

@@ -1846,3 +1846,114 @@ def q_stream_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("variant") == 1, F.col("ss"))).alias("ss_b"),
     )
     return s.selectExpr(*_WELCH_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_stream_psi — drift gate (PSI) maintained by the stream
+# (streaming twin of q_psi's era comparison, over the event stream)
+# ---------------------------------------------------------------------------
+
+_SPSI_SPLIT = "2024-01-16"
+
+#: Same integer bit-arithmetic log bin as q_psi/q_quantile_sketch —
+#: per-engine shift spelling, identical values.
+_SPSI_BIN_DUCK = (
+    "CASE WHEN c < 8 THEN c ELSE length(bin(c)) * 8"
+    " + ((c >> (length(bin(c)) - 4)) & 7) END"
+)
+_SPSI_BIN_SPARK = (
+    "CASE WHEN c < 8 THEN c ELSE length(bin(c)) * 8"
+    " + (shiftright(c, length(bin(c)) - 4) & 7) END"
+)
+
+
+def _stream_psi_oracle() -> str:
+    from .stats_ml import _PSI_CELL
+
+    return f"""
+    WITH c AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS c,
+               CASE WHEN ts < TIMESTAMP '{_SPSI_SPLIT}' THEN 0 ELSE 1 END
+                   AS era
+        FROM events WHERE event_type = 'purchase'
+    ),
+    binned AS (SELECT era, {_SPSI_BIN_DUCK} AS bin_id FROM c),
+    bins AS (
+        SELECT bin_id,
+               CAST(SUM(CASE WHEN era = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(SUM(CASE WHEN era = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b
+        FROM binned GROUP BY bin_id
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_a) AS BIGINT) AS t_a,
+               CAST(SUM(n_b) AS BIGINT) AS t_b,
+               CAST(COUNT(*) AS BIGINT) AS nb
+        FROM bins
+    ),
+    cells AS (SELECT {_PSI_CELL} AS contrib_nano FROM bins, tot)
+    SELECT t.nb AS n_bins, t.t_a, t.t_b,
+           round(CAST(SUM(c.contrib_nano) AS DOUBLE) / 1000000000.0, 6)
+               AS psi
+    FROM cells c, tot t
+    GROUP BY t.nb, t.t_a, t.t_b
+    """
+
+
+@query("q_stream_psi", oracle=_stream_psi_oracle())
+def q_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_psi: the drift gate maintained BY the
+    stream. Purchase values are integer-log-binned (the exact q_psi /
+    q_quantile_sketch bit-arithmetic bin, no libm) and counted per
+    (era, bin) as a complete-mode aggregate — associative state, so
+    micro-batch order cannot change it; the availableNow run equals
+    the batch computation bit-for-bit. The PSI read-off reuses q_psi's
+    nano-unit round-before-sum cell text over the bounded bin table.
+
+    In production the "era" split is reference-window vs live traffic;
+    here it is a fixed mid-range date so both engines see the same
+    deterministic partition of the fixture.
+
+    100 TB posture: state is two counters per occupied bin (≤ ~500
+    rows) — constant; per-batch work is one partial-agg'd shuffle on
+    the bin key; the readout never touches row-scale data.
+    """
+    from .stats_ml import _PSI_CELL
+
+    stream = read_events_stream(spark, sf_dir)
+    binned = (
+        stream.filter(F.col("event_type") == "purchase")
+        .selectExpr(
+            "CAST(round(value * 100) AS BIGINT) AS c",
+            f"CASE WHEN ts < TIMESTAMP '{_SPSI_SPLIT}' THEN 0 ELSE 1 END"
+            " AS era",
+        )
+        .selectExpr("era", f"{_SPSI_BIN_SPARK} AS bin_id")
+        .groupBy("era", "bin_id")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    cells_long = _run_to_memory(binned, spark, mode="complete")
+    bins = (
+        cells_long.groupBy("bin_id")
+        .agg(
+            F.sum(F.when(F.col("era") == 0, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("era") == 1, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = bins.agg(
+        F.sum("n_a").cast("long").alias("t_a"),
+        F.sum("n_b").cast("long").alias("t_b"),
+        F.count("*").cast("long").alias("nb"),
+    )
+    cells = bins.crossJoin(F.broadcast(tot)).selectExpr(
+        "t_a", "t_b", "nb", f"{_PSI_CELL} AS contrib_nano"
+    )
+    return cells.groupBy("nb", "t_a", "t_b").agg(
+        F.round(F.sum("contrib_nano").cast("double") / 1e9, 6).alias("psi")
+    ).selectExpr("nb AS n_bins", "t_a", "t_b", "psi")
