@@ -986,3 +986,184 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("variant") == 1, yd).otherwise(0)).alias("syb"),
     )
     return s.selectExpr(*_CUPED_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_poisson_rate_test — two-sample arrival-rate (per-user) z-test
+# ---------------------------------------------------------------------------
+
+_PR_RA = "(CAST(ca AS DOUBLE) / CAST(ua AS DOUBLE))"
+_PR_RB = "(CAST(cb AS DOUBLE) / CAST(ub AS DOUBLE))"
+_PR_FINAL = (
+    "CAST(ua AS BIGINT) AS users_a",
+    "CAST(ub AS BIGINT) AS users_b",
+    "CAST(ca AS BIGINT) AS purchases_a",
+    "CAST(cb AS BIGINT) AS purchases_b",
+    f"round({_PR_RA}, 6) + 0.0 AS rate_a",
+    f"round({_PR_RB}, 6) + 0.0 AS rate_b",
+    f"round(({_PR_RA} - {_PR_RB})"
+    f" / NULLIF(sqrt(CAST(ca AS DOUBLE)"
+    " / (CAST(ua AS DOUBLE) * CAST(ua AS DOUBLE))"
+    " + CAST(cb AS DOUBLE)"
+    " / (CAST(ub AS DOUBLE) * CAST(ub AS DOUBLE))), 0.0), 6) + 0.0"
+    " AS z_score",
+)
+
+
+@query(
+    "q_poisson_rate_test",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id % 2 AS variant,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu
+        FROM events GROUP BY user_id % 2
+    ),
+    c AS (
+        SELECT user_id % 2 AS variant, CAST(COUNT(*) AS BIGINT) AS nc
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id % 2
+    ),
+    s AS (
+        SELECT MAX(CASE WHEN u.variant = 0 THEN nu END) AS ua,
+               MAX(CASE WHEN u.variant = 1 THEN nu END) AS ub,
+               MAX(CASE WHEN c.variant = 0 THEN nc END) AS ca,
+               MAX(CASE WHEN c.variant = 1 THEN nc END) AS cb
+        FROM u JOIN c ON u.variant = c.variant
+    )
+    SELECT {", ".join(_PR_FINAL)} FROM s
+    """,
+)
+def q_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Poisson rate test: does the purchase-arrival rate
+    per exposed user differ between the A/B variants? Counts are the
+    Poisson observations, distinct exposed users the exposure; the
+    z statistic uses the variance-of-a-rate normal approximation
+    (var(c/T) = c/T² for Poisson counts) — the event-frequency
+    companion to q_ab_test (conversion) and q_welch_ttest (value).
+
+    Determinism: all four sufficient statistics are exact integer
+    counts; the rate/z readout is one shared text.
+
+    Scale: one distinct-count and one filtered count, both keyed by
+    the 2-value variant (map-side partial aggregation collapses each
+    task first), then a four-counter pivot; one row out.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.selectExpr("user_id % 2 AS variant", "user_id").groupBy(
+        "variant"
+    ).agg(F.countDistinct("user_id").cast("long").alias("nu"))
+    c = (
+        ev.filter(F.col("event_type") == "purchase")
+        .selectExpr("user_id % 2 AS variant")
+        .groupBy("variant")
+        .agg(F.count("*").cast("long").alias("nc"))
+    )
+    s = u.join(c, "variant").agg(
+        F.max(F.when(F.col("variant") == 0, F.col("nu"))).alias("ua"),
+        F.max(F.when(F.col("variant") == 1, F.col("nu"))).alias("ub"),
+        F.max(F.when(F.col("variant") == 0, F.col("nc"))).alias("ca"),
+        F.max(F.when(F.col("variant") == 1, F.col("nc"))).alias("cb"),
+    )
+    return s.selectExpr(*_PR_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_price_elasticity — log-log demand elasticity over the bounded grid
+# ---------------------------------------------------------------------------
+
+#: e6 fixed-point log cells (shared texts; both engines round the same
+#: doubles computed from the same small-integer inputs).
+_PE_X = "CAST(round(ln(1.0 - CAST(d AS DOUBLE) / 100.0) * 1000000) AS BIGINT)"
+_PE_Y = "CAST(round(ln(CAST(q AS DOUBLE)) * 1000000) AS BIGINT)"
+
+#: Second-order weighted moments, e6-descaled on the PER-CELL term and
+#: rounded to integers BEFORE the cross-cell sum (round-before-sum).
+#: m·x·y is evaluated in doubles from exact small integers via ONE
+#: shared text — identical IEEE product in both engines.
+_PE_MXY = (
+    "CAST(round(CAST(m AS DOUBLE) * CAST(x AS DOUBLE) * CAST(y AS DOUBLE)"
+    " / 1000000.0) AS BIGINT)"
+)
+_PE_MXX = (
+    "CAST(round(CAST(m AS DOUBLE) * CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"
+    " / 1000000.0) AS BIGINT)"
+)
+_PE_MYY = (
+    "CAST(round(CAST(m AS DOUBLE) * CAST(y AS DOUBLE) * CAST(y AS DOUBLE)"
+    " / 1000000.0) AS BIGINT)"
+)
+
+_PE_BNUM = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+)
+_PE_BDEN = (
+    "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+)
+_PE_FINAL = (
+    "CAST(n AS BIGINT) AS n_rows",
+    f"round({_PE_BNUM} / NULLIF({_PE_BDEN}, 0.0), 6) + 0.0 AS elasticity",
+    f"round((CAST(sy AS DOUBLE) - {_PE_BNUM} / NULLIF({_PE_BDEN}, 0.0)"
+    " * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 1000000.0, 6) + 0.0"
+    " AS intercept_ln_qty",
+    f"round({_PE_BNUM} * {_PE_BNUM}"
+    f" / NULLIF({_PE_BDEN} * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0), 6) + 0.0"
+    " AS r_squared",
+)
+
+
+@query(
+    "q_price_elasticity",
+    oracle=f"""
+    WITH li AS (SELECT {_Q_INT} AS q, {_D_INT} AS d FROM lineitem),
+    cells AS (
+        SELECT q, d, CAST(COUNT(*) AS BIGINT) AS m FROM li GROUP BY q, d
+    ),
+    t AS (
+        SELECT q, d, m, {_PE_X} AS x, {_PE_Y} AS y FROM cells
+    ),
+    s AS (
+        SELECT SUM(m) AS n,
+               SUM(CAST(m AS HUGEINT) * x) AS sx,
+               SUM(CAST(m AS HUGEINT) * y) AS sy,
+               SUM({_PE_MXY}) AS sxy,
+               SUM({_PE_MXX}) AS sxx,
+               SUM({_PE_MYY}) AS syy
+        FROM t
+    )
+    SELECT {", ".join(_PE_FINAL)} FROM s
+    """,
+)
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand: the OLS slope of ln(qty) on
+    ln(1 − discount) across lineitems — the econometric readout of how
+    strongly discounting moves volume (elasticity < 0 means discounts
+    increase quantity), with intercept and R².
+
+    The regression never touches row-scale floats: rows collapse to
+    the bounded |quantity|×|discount| grid (≤550 cells), each cell's
+    log coordinates are e6-rounded integers from shared texts, and the
+    weighted moment sums are exact integers (second-order products
+    floor-divided by e6 to stay in DECIMAL(38,0)/HUGEINT range at any
+    SF — the same exact integer in both engines, since m·x·y is
+    computed exactly first).
+
+    Scale: one data-scale hash aggregate to the grid, a ≤550-row
+    moment rollup, one row out.
+    """
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        f"{_Q_INT} AS q", f"{_D_INT} AS d"
+    )
+    cells = li.groupBy("q", "d").agg(F.count("*").cast("long").alias("m"))
+    t = cells.selectExpr("m", f"{_PE_X} AS x", f"{_PE_Y} AS y")
+    md = F.col("m").cast("decimal(38,0)")
+    s = t.agg(
+        F.sum("m").cast("decimal(38,0)").alias("n"),
+        F.sum(md * F.col("x")).alias("sx"),
+        F.sum(md * F.col("y")).alias("sy"),
+        F.sum(F.expr(_PE_MXY)).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.expr(_PE_MXX)).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.expr(_PE_MYY)).cast("decimal(38,0)").alias("syy"),
+    )
+    return s.selectExpr(*_PE_FINAL)

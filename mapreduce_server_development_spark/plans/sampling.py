@@ -390,3 +390,70 @@ def q_mix_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc_tokens"),
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# q_dp_release — differentially-private count release audit (Laplace)
+# ---------------------------------------------------------------------------
+
+_DP_EPS = "0.5"  # epsilon as a literal shared by both engines
+_DP_DOM = 1 << 48
+
+#: Uniform (0,1) from the md5 stream keyed by the released category —
+#: deterministic, engine-replayable (the house seeded-randomness
+#: convention; a real release would rotate the salt per publication).
+_DP_U = f"((CAST(h AS DOUBLE) + 0.5) / {float(_DP_DOM)!r})"
+#: Inverse-CDF Laplace(0, 1/eps): -sign(u-1/2)·ln(1-2|u-1/2|)/eps.
+_DP_LAP = (
+    f"(-(CASE WHEN {_DP_U} >= 0.5 THEN 1.0 ELSE -1.0 END)"
+    f" * ln(1.0 - 2.0 * abs({_DP_U} - 0.5)) / {_DP_EPS})"
+)
+_DP_FINAL = (
+    "event_type",
+    "CAST(n AS BIGINT) AS true_count",
+    f"round(CAST(n AS DOUBLE) + {_DP_LAP}, 4) + 0.0 AS noisy_count",
+    f"round(abs({_DP_LAP}), 4) + 0.0 AS abs_noise",
+)
+
+
+def _dp_oracle() -> str:
+    from .sketches import _hexval_sql
+
+    h = _hexval_sql("md5('dp:' || event_type)", 12)
+    return f"""
+    WITH c AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    ),
+    hashed AS (SELECT event_type, n, {h} AS h FROM c)
+    SELECT {", ".join(_DP_FINAL)} FROM hashed ORDER BY event_type
+    """
+
+
+@query("q_dp_release", oracle=_dp_oracle())
+def q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release audit: per-event-type
+    counts with Laplace(1/ε) noise (ε = 0.5, sensitivity 1) drawn by
+    inverse CDF from the md5-uniform stream — the privacy-tooling pass
+    a data platform runs before publishing usage statistics, written
+    as an AUDIT (true count, noisy release, absolute noise) so the
+    noise mechanism itself is testable. Real releases would drop the
+    true column and rotate the hash salt per publication; the
+    deterministic draw is the house seeded-randomness convention that
+    makes the mechanism engine-replayable.
+
+    Determinism: counts are exact; the uniform→Laplace transform is
+    one shared closed-form text over the exact 48-bit hash integer.
+
+    Scale: one partial-agg'd count by the tiny category key; the
+    noise math runs on |event_type| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("dp:"), F.col("event_type"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    hashed = c.withColumn("h", h)
+    return hashed.selectExpr(*_DP_FINAL).orderBy("event_type")
