@@ -1167,3 +1167,232 @@ def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr(_PE_MYY)).cast("decimal(38,0)").alias("syy"),
     )
     return s.selectExpr(*_PE_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_bh_discoveries — Benjamini–Hochberg FDR over supplier return rates
+# ---------------------------------------------------------------------------
+
+_BH_ALPHA = "0.05"
+_BH_MIN_N = 20
+
+#: One-sided upper-tail normal p-value via the Abramowitz–Stegun
+#: 26.2.17 polynomial (|error| < 7.5e-8) — pure exp/multiply
+#: arithmetic, available identically in both engines. For z < 0 the
+#: tail reflects: p = 1 − Q(−z).
+_BH_T = "(1.0 / (1.0 + 0.2316419 * abs(z)))"
+_BH_Q = (
+    f"(exp(-z * z / 2.0) * 0.3989422804014327 * ((((("
+    f"1.330274429 * {_BH_T} - 1.821255978) * {_BH_T} + 1.781477937)"
+    f" * {_BH_T} - 0.356563782) * {_BH_T} + 0.319381530) * {_BH_T}))"
+)
+_BH_P = f"(CASE WHEN z >= 0.0 THEN {_BH_Q} ELSE 1.0 - {_BH_Q} END)"
+
+_BH_Z = (
+    "((CAST(k AS DOUBLE) / CAST(n AS DOUBLE) - p0)"
+    " / sqrt(p0 * (1.0 - p0) / CAST(n AS DOUBLE)))"
+)
+
+_BH_FINAL = (
+    "CAST(m AS BIGINT) AS m_tests",
+    "round(p0, 6) + 0.0 AS pooled_rate",
+    "CAST(n_disc AS BIGINT) AS n_discoveries",
+    "CAST(n_raw AS BIGINT) AS n_raw_sig",
+    "round(max_p, 6) + 0.0 AS max_p_rejected",
+)
+
+
+@query(
+    "q_bh_discoveries",
+    oracle=f"""
+    WITH per_s AS (
+        SELECT l_suppkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k
+        FROM lineitem GROUP BY l_suppkey
+        HAVING COUNT(*) >= {_BH_MIN_N}
+    ),
+    pool AS (
+        SELECT CAST(SUM(k) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS p0,
+               CAST(COUNT(*) AS BIGINT) AS m
+        FROM per_s
+    ),
+    scored AS (
+        SELECT s.l_suppkey, pool.m, pool.p0, {_BH_Z} AS z
+        FROM per_s s CROSS JOIN pool
+    ),
+    pv AS (
+        SELECT l_suppkey, m, p0, {_BH_P} AS p FROM scored
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY p, l_suppkey) AS rn FROM pv
+    ),
+    thr AS (
+        SELECT COALESCE(MAX(rn), 0) AS t
+        FROM ranked
+        WHERE p <= CAST(rn AS DOUBLE) * {_BH_ALPHA} / CAST(m AS DOUBLE)
+    ),
+    s AS (
+        SELECT MAX(r.m) AS m, MAX(r.p0) AS p0,
+               SUM(CASE WHEN r.rn <= thr.t THEN 1 ELSE 0 END) AS n_disc,
+               SUM(CASE WHEN r.p <= {_BH_ALPHA} THEN 1 ELSE 0 END)
+                   AS n_raw,
+               COALESCE(MAX(CASE WHEN r.rn <= thr.t THEN r.p END), 0.0)
+                   AS max_p
+        FROM ranked r CROSS JOIN thr
+    )
+    SELECT {", ".join(_BH_FINAL)} FROM s
+    """,
+)
+def q_bh_discoveries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control over one z-test per supplier
+    ("is this supplier's return rate elevated vs the pooled rate?") —
+    the multiple-testing discipline a platform needs the moment it
+    screens thousands of entities at once (raw α=0.05 would flag ~5%
+    of clean suppliers; BH bounds the FALSE-DISCOVERY fraction
+    instead). Reports tests run, BH discoveries vs naive raw-α flags,
+    and the largest rejected p.
+
+    The normal tail probability uses the Abramowitz–Stegun 26.2.17
+    polynomial — plain exp/multiply arithmetic in ONE shared text, so
+    both engines produce identical p-values from the identical exact
+    (n, k) integers. The p-value ranking rides
+    ``functions/prefix.py global_row_number`` (range-partitioned
+    two-phase rank over the supplier relation, suppkey tie-break) —
+    never a single-task global sort; the BH cutoff is a bounded MAX +
+    broadcast compare.
+
+    Scale: one lineitem hash aggregate per supplier, the distributed
+    rank, two scalar rollups.
+    """
+    from ..functions.prefix import global_row_number
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_s = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("k"),
+        )
+        .filter(F.col("n") >= _BH_MIN_N)
+    )
+    pool = per_s.agg(
+        (
+            F.sum("k").cast("double") / F.sum("n").cast("double")
+        ).alias("p0"),
+        F.count("*").cast("long").alias("m"),
+    )
+    scored = per_s.crossJoin(F.broadcast(pool)).selectExpr(
+        "l_suppkey", "m", "p0", f"{_BH_Z} AS z"
+    )
+    pv = scored.selectExpr("l_suppkey", "m", "p0", f"{_BH_P} AS p")
+    ranked = global_row_number(
+        pv, [F.col("p"), F.col("l_suppkey")], out_col="rn"
+    )
+    thr = ranked.filter(
+        F.expr(f"p <= CAST(rn AS DOUBLE) * {_BH_ALPHA} / CAST(m AS DOUBLE)")
+    ).agg(F.coalesce(F.max("rn"), F.lit(0)).alias("t"))
+    s = ranked.crossJoin(F.broadcast(thr)).agg(
+        F.max("m").alias("m"),
+        F.max("p0").alias("p0"),
+        F.sum(F.when(F.col("rn") <= F.col("t"), 1).otherwise(0)).alias(
+            "n_disc"
+        ),
+        F.sum(
+            F.when(F.col("p") <= F.expr(_BH_ALPHA), 1).otherwise(0)
+        ).alias("n_raw"),
+        F.coalesce(
+            F.max(F.when(F.col("rn") <= F.col("t"), F.col("p"))),
+            F.lit(0.0),
+        ).alias("max_p"),
+    )
+    return s.selectExpr(*_BH_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_hill_tail — Hill heavy-tail index of customer revenue
+# ---------------------------------------------------------------------------
+
+_HILL_K = 100
+
+#: Per-order-statistic log-excess ln(x/thr), e6-rounded before the
+#: k-row sum (round-before-sum).
+_HILL_TERM = (
+    "CAST(round(ln(CAST(rev AS DOUBLE) / CAST(thr AS DOUBLE)) * 1000000)"
+    " AS BIGINT)"
+)
+
+_HILL_FINAL = (
+    "CAST(k AS BIGINT) AS k_order_stats",
+    "round(CAST(thr AS DOUBLE) / 100.0, 2) + 0.0 AS threshold_revenue",
+    "round(CAST(k AS DOUBLE)"
+    " / NULLIF(CAST(s_e6 AS DOUBLE) / 1000000.0, 0.0), 6) + 0.0"
+    " AS hill_alpha",
+)
+
+
+@query(
+    "q_hill_tail",
+    oracle=f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS HUGEINT) AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    top AS (
+        SELECT rev, ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rn
+        FROM cust
+        ORDER BY rev DESC, o_custkey LIMIT {_HILL_K + 1}
+    ),
+    thr AS (SELECT rev AS thr FROM top WHERE rn = {_HILL_K + 1}),
+    s AS (
+        SELECT COUNT(*) AS k, SUM({_HILL_TERM}) AS s_e6, MAX(t.thr) AS thr
+        FROM top CROSS JOIN thr t WHERE rn <= {_HILL_K}
+    )
+    SELECT {", ".join(_HILL_FINAL)} FROM s
+    """,
+)
+def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the heavy-tail index of customer lifetime
+    revenue: α̂ = k / Σᵢ ln(xᵢ/x₍ₖ₊₁₎) over the k=100 largest
+    customers — the tail-heaviness readout behind every "do whales
+    dominate revenue" and skew-handling decision (α < 2 ⇒ infinite
+    variance; compare q_pareto_share's share-based view).
+
+    The k+1 order statistics arrive via TakeOrderedAndProject
+    (partial per-partition heaps, never a global sort), deterministic
+    under the (revenue, custkey) tie-break; per-statistic log
+    excesses are e6-rounded integers before the bounded k-row sum.
+
+    Scale: one orders-scale hash aggregate, a k+1 top-k heap, a
+    101-row readout.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("decimal(38,0)")
+        .alias("rev")
+    )
+    top = (
+        cust.orderBy(F.col("rev").desc(), F.col("o_custkey"))
+        .limit(_HILL_K + 1)
+        .select("rev")
+    )
+    # The (k+1)-row relation is driver-bounded; min(rev) of it IS the
+    # threshold order statistic under the same tie-broken order.
+    thr = top.agg(F.min("rev").alias("thr"))
+    s = (
+        top.orderBy(F.col("rev").desc())
+        .limit(_HILL_K)
+        .crossJoin(F.broadcast(thr))
+        .agg(
+            F.count("*").alias("k"),
+            F.sum(F.expr(_HILL_TERM)).alias("s_e6"),
+            F.max("thr").alias("thr"),
+        )
+    )
+    return s.selectExpr(*_HILL_FINAL)
