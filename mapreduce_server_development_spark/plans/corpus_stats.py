@@ -2185,3 +2185,212 @@ def q_nb_class_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_class.selectExpr(*_NBM_FINAL).orderBy("cls")
+
+
+# ---------------------------------------------------------------------------
+# q_mcnemar — paired comparison: NB classifier vs majority baseline
+# ---------------------------------------------------------------------------
+
+_MCN_FINAL = (
+    "maj AS baseline_class",
+    "CAST(n_test AS BIGINT) AS n_test",
+    "CAST(b AS BIGINT) AS nb_only_correct",
+    "CAST(c AS BIGINT) AS base_only_correct",
+    "COALESCE(round((abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)"
+    " * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)"
+    " / NULLIF(CAST(b + c AS DOUBLE), 0.0), 6) + 0.0, 0.0) AS mcnemar_chi2",
+)
+
+
+def _mcnemar_oracle() -> str:
+    return f"""{_nb_common_cte()},
+    pred AS (SELECT doc_id, cand AS predicted FROM ranked WHERE rk = 1),
+    maj AS (
+        SELECT source AS maj FROM split WHERE is_train
+        GROUP BY source ORDER BY COUNT(*) DESC, source LIMIT 1
+    ),
+    pairs AS (
+        SELECT sp.source AS actual, pr.predicted, m.maj
+        FROM split sp JOIN pred pr ON pr.doc_id = sp.doc_id
+        CROSS JOIN maj m
+        WHERE NOT sp.is_train
+    ),
+    s AS (
+        SELECT MAX(maj) AS maj, COUNT(*) AS n_test,
+               SUM(CASE WHEN predicted = actual AND maj <> actual
+                        THEN 1 ELSE 0 END) AS b,
+               SUM(CASE WHEN predicted <> actual AND maj = actual
+                        THEN 1 ELSE 0 END) AS c
+        FROM pairs
+    )
+    SELECT {", ".join(_MCN_FINAL)} FROM s
+    """
+
+
+@query("q_mcnemar", oracle=_mcnemar_oracle())
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test (continuity-corrected): does the trained
+    NB source classifier beat the predict-the-majority-class baseline
+    ON THE SAME held-out documents? Only the discordant pairs carry
+    signal (docs exactly one of the two gets right) — the textbook
+    way to compare classifiers without pretending their test sets are
+    independent (an unpaired q_ab_test-style comparison would waste
+    the pairing).
+
+    Determinism: both predictions are deterministic (NB's integer
+    argmax; the majority class with name tie-break); b, c, n are
+    exact integers; χ² is one shared text.
+
+    Scale: rides the shared ``_nb_scored`` pipeline; the baseline is
+    a 1-row broadcast; the readout is a four-counter rollup.
+    """
+    split, scored = _nb_scored(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand")
+    )
+    pred = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select("doc_id", F.col("cand").alias("predicted"))
+    )
+    maj = (
+        split.filter("is_train")
+        .groupBy("source")
+        .agg(F.count("*").alias("nd"))
+        .orderBy(F.col("nd").desc(), F.col("source"))
+        .limit(1)
+        .select(F.col("source").alias("maj"))
+    )
+    pairs = (
+        split.filter(~F.col("is_train"))
+        .select("doc_id", F.col("source").alias("actual"))
+        .join(pred, "doc_id")
+        .crossJoin(F.broadcast(maj))
+    )
+    s = pairs.agg(
+        F.max("maj").alias("maj"),
+        F.count("*").cast("long").alias("n_test"),
+        F.sum(
+            F.when(
+                (F.col("predicted") == F.col("actual"))
+                & (F.col("maj") != F.col("actual")),
+                1,
+            ).otherwise(0)
+        ).alias("b"),
+        F.sum(
+            F.when(
+                (F.col("predicted") != F.col("actual"))
+                & (F.col("maj") == F.col("actual")),
+                1,
+            ).otherwise(0)
+        ).alias("c"),
+    )
+    return s.selectExpr(*_MCN_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_nb_auc — one-vs-rest ranking AUC from the exact integer NB scores
+# ---------------------------------------------------------------------------
+
+_AUC_FINAL = (
+    "cls AS target_class",
+    "CAST(np AS BIGINT) AS n_pos",
+    "CAST(nn AS BIGINT) AS n_neg",
+    "round((CAST(r2p AS DOUBLE) / 2.0"
+    " - CAST(np AS DOUBLE) * (CAST(np AS DOUBLE) + 1.0) / 2.0)"
+    " / NULLIF(CAST(np AS DOUBLE) * CAST(nn AS DOUBLE), 0.0), 6) + 0.0"
+    " AS auc",
+)
+
+
+def _nb_auc_oracle() -> str:
+    return f"""{_nb_common_cte()},
+    tgt AS (SELECT MIN(source) AS cls FROM split WHERE is_train),
+    sc AS (
+        SELECT r.doc_id, r.score,
+               CASE WHEN sp.source = t.cls THEN 1 ELSE 0 END AS pos,
+               t.cls
+        FROM ranked r
+        JOIN split sp ON sp.doc_id = r.doc_id
+        CROSS JOIN tgt t
+        WHERE r.cand = t.cls
+    ),
+    vc AS (
+        SELECT cls, score,
+               CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(COUNT(*) AS BIGINT) AS n_v
+        FROM sc GROUP BY cls, score
+    ),
+    cum AS (
+        SELECT cls, score, n_pos, n_v,
+               SUM(n_v) OVER (ORDER BY score) AS cum
+        FROM vc
+    ),
+    s AS (
+        SELECT MAX(cls) AS cls,
+               SUM(n_pos) AS np, SUM(n_v - n_pos) AS nn,
+               SUM(CAST(n_pos AS HUGEINT) * (2 * cum - n_v + 1)) AS r2p
+        FROM cum
+    )
+    SELECT {", ".join(_AUC_FINAL)} FROM s
+    """
+
+
+@query("q_nb_auc", oracle=_nb_auc_oracle())
+def q_nb_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest ranking AUC of the NB classifier for the
+    alphabetically-first training class: the probability a random
+    positive held-out document outranks a random negative under the
+    class's NB score — the threshold-free eval that complements
+    q_nb_class_metrics' argmax view (a model can have mediocre argmax
+    accuracy yet excellent ranking, or vice versa).
+
+    AUC is the Mann–Whitney statistic of the SCORES, and NB scores
+    are exact integer micro-nats — so AUC here is exactly rational:
+    the score histogram's integral 2×midranks (the q_mann_whitney
+    machinery, cumulative counts via the two-phase distributed
+    running sum) give R₂⁺, and AUC = (R⁺ − np(np+1)/2)/(np·nn) with
+    no float anywhere before the final division.
+
+    Scale: rides ``_nb_scored``; the histogram is |distinct scores|
+    ≤ |test docs|; the prefix scan and rollup are bounded by it.
+    """
+    from ..functions.prefix import global_running_sum
+
+    split, scored = _nb_scored(spark, sf_dir)
+    tgt = (
+        split.filter("is_train")
+        .agg(F.min("source").alias("cls"))
+    )
+    sc = (
+        scored.crossJoin(F.broadcast(tgt))
+        .filter(F.col("cand") == F.col("cls"))
+        .join(
+            split.select("doc_id", F.col("source").alias("actual")),
+            "doc_id",
+        )
+        .select(
+            "cls",
+            "score",
+            F.when(F.col("actual") == F.col("cls"), 1)
+            .otherwise(0)
+            .alias("pos"),
+        )
+    )
+    vc = sc.groupBy("cls", "score").agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.count("*").cast("long").alias("n_v"),
+    )
+    cum = global_running_sum(vc, "score", "n_v", out_col="cum")
+    s = cum.agg(
+        F.max("cls").alias("cls"),
+        F.sum("n_pos").cast("decimal(38,0)").alias("np"),
+        F.sum(F.col("n_v") - F.col("n_pos")).cast("decimal(38,0)").alias(
+            "nn"
+        ),
+        F.sum(
+            F.col("n_pos").cast("decimal(38,0)")
+            * (2 * F.col("cum") - F.col("n_v") + 1)
+        ).alias("r2p"),
+    )
+    return s.selectExpr(*_AUC_FINAL)
