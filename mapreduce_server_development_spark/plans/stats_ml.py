@@ -2523,3 +2523,96 @@ def q_group_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n AS BIGINT) AS n_lines",
         f"{_corr_formula('x', 'y')} AS corr_discount_qty",
     ).orderBy("brand")
+
+
+# ---------------------------------------------------------------------------
+# q_partial_corr — partial correlation qty ~ price, controlling discount
+# ---------------------------------------------------------------------------
+
+#: Raw pairwise correlations from the same exact-sum columns as
+#: q_feature_corr, UNROUNDED (rounding belongs at the output, not
+#: inside the composition).
+def _rawcorr(a: str, b: str) -> str:
+    return (
+        f"((n * s_{a}_{b} - s_{a} * s_{b}) / "
+        f"NULLIF(sqrt((n * s_{a}_{a} - s_{a} * s_{a}) * "
+        f"(n * s_{b}_{b} - s_{b} * s_{b})), 0.0))"
+    )
+
+
+_PC_RXY = _rawcorr("qty", "price_c")
+_PC_RXZ = _rawcorr("qty", "disc_c")
+_PC_RYZ = _rawcorr("price_c", "disc_c")
+_PC_FINAL = (
+    "CAST(n AS BIGINT) AS n_rows",
+    f"round({_PC_RXY}, 6) + 0.0 AS corr_raw",
+    f"round(({_PC_RXY} - {_PC_RXZ} * {_PC_RYZ})"
+    f" / NULLIF(sqrt((1.0 - {_PC_RXZ} * {_PC_RXZ})"
+    f" * (1.0 - {_PC_RYZ} * {_PC_RYZ})), 0.0), 6) + 0.0"
+    " AS corr_partial",
+)
+
+
+def _partial_corr_oracle() -> str:
+    feats = ", ".join(f"{e} AS {k}" for k, e in _CORR_FEATS.items())
+    sums = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for a in ("qty", "price_c", "disc_c"):
+        sums.append(f"CAST(SUM({a}) AS DOUBLE) AS s_{a}")
+        sums.append(f"CAST(SUM({a} * {a}) AS DOUBLE) AS s_{a}_{a}")
+    for a, b in (
+        ("qty", "price_c"),
+        ("qty", "disc_c"),
+        ("price_c", "disc_c"),
+    ):
+        sums.append(f"CAST(SUM({a} * {b}) AS DOUBLE) AS s_{a}_{b}")
+    return f"""
+    WITH b AS (SELECT {feats} FROM lineitem),
+    s AS (SELECT {", ".join(sums)} FROM b)
+    SELECT {", ".join(_PC_FINAL)} FROM s
+    """
+
+
+@query("q_partial_corr", oracle=_partial_corr_oracle())
+def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of quantity and extended price CONTROLLING
+    for discount — the confounder-adjusted association the raw
+    q_feature_corr matrix cannot show (discount correlates with both,
+    so the marginal qty↔price correlation conflates the discount
+    pathway). Reports raw and partial side by side; a large gap is
+    the Simpson's-paradox warning that grouped analyses (q_group_corr)
+    should be consulted.
+
+    Same exactness posture as q_feature_corr: one fact-scale scan to
+    exact DECIMAL(38,0)/HUGEINT moment sums, then the first-order
+    partial-correlation identity (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²))
+    as one shared text over those sums. One row out.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        *[
+            F.expr(_CORR_FEATS[k]).alias(k)
+            for k in ("qty", "price_c", "disc_c")
+        ]
+    )
+    aggs = [F.count("*").cast("double").alias("n")]
+    for a in ("qty", "price_c", "disc_c"):
+        aggs.append(
+            F.sum(F.col(a).cast("decimal(38,0)")).cast("double").alias(f"s_{a}")
+        )
+        aggs.append(
+            F.sum((F.col(a) * F.col(a)).cast("decimal(38,0)"))
+            .cast("double")
+            .alias(f"s_{a}_{a}")
+        )
+    for a, b in (
+        ("qty", "price_c"),
+        ("qty", "disc_c"),
+        ("price_c", "disc_c"),
+    ):
+        aggs.append(
+            F.sum((F.col(a) * F.col(b)).cast("decimal(38,0)"))
+            .cast("double")
+            .alias(f"s_{a}_{b}")
+        )
+    s = base.agg(*aggs)
+    return s.selectExpr(*_PC_FINAL)

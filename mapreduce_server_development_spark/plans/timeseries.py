@@ -891,3 +891,113 @@ def q_peak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_granger — lag-1 Granger causality: do purchases predict errors?
+# ---------------------------------------------------------------------------
+
+#: Centered moments from the exact integer sums (one shared text; the
+#: hourly counts are exact, so every input to the doubles is exact).
+_GR_A11 = "(CAST(sll AS DOUBLE) - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(n AS DOUBLE))"
+_GR_A12 = "(CAST(slx AS DOUBLE) - CAST(sl AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+_GR_A22 = "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+_GR_B1 = "(CAST(syl AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(n AS DOUBLE))"
+_GR_B2 = "(CAST(syx AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+_GR_CYY = "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+_GR_DET = f"({_GR_A11} * {_GR_A22} - {_GR_A12} * {_GR_A12})"
+_GR_BYL = f"(({_GR_B1} * {_GR_A22} - {_GR_B2} * {_GR_A12}) / NULLIF({_GR_DET}, 0.0))"
+_GR_BXL = f"(({_GR_A11} * {_GR_B2} - {_GR_A12} * {_GR_B1}) / NULLIF({_GR_DET}, 0.0))"
+_GR_SSEU = f"({_GR_CYY} - {_GR_BYL} * {_GR_B1} - {_GR_BXL} * {_GR_B2})"
+_GR_SSER = f"({_GR_CYY} - {_GR_B1} * {_GR_B1} / NULLIF({_GR_A11}, 0.0))"
+
+_GR_FINAL = (
+    "CAST(n AS BIGINT) AS n_hour_pairs",
+    f"round({_GR_BXL}, 6) + 0.0 AS granger_coef",
+    f"round(({_GR_SSER} - {_GR_SSEU}) * (CAST(n AS DOUBLE) - 3.0)"
+    f" / NULLIF({_GR_SSEU}, 0.0), 6) + 0.0 AS f_stat",
+    f"round(1.0 - {_GR_SSEU} / NULLIF({_GR_CYY}, 0.0), 6) + 0.0"
+    " AS r2_unrestricted",
+)
+
+
+@query(
+    "q_granger",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hr,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    lagged AS (
+        SELECT b.y AS y, a.y AS yl, a.x AS xl
+        FROM hourly a JOIN hourly b ON b.hr = a.hr + INTERVAL 1 HOUR
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(yl) AS sl, SUM(xl) AS sx, SUM(y) AS sy,
+               SUM(CAST(yl AS HUGEINT) * yl) AS sll,
+               SUM(CAST(xl AS HUGEINT) * xl) AS sxx,
+               SUM(CAST(yl AS HUGEINT) * xl) AS slx,
+               SUM(CAST(y AS HUGEINT) * yl) AS syl,
+               SUM(CAST(y AS HUGEINT) * xl) AS syx,
+               SUM(CAST(y AS HUGEINT) * y) AS syy
+        FROM lagged
+    )
+    SELECT {", ".join(_GR_FINAL)} FROM s
+    """,
+)
+def q_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Granger causality test on the hourly grid: does last
+    hour's purchase volume predict this hour's error count beyond
+    what last hour's errors already predict? F compares the
+    restricted AR(1) against the model with the lagged exogenous
+    regressor (both closed-form via centered 2×2 normal equations);
+    granger_coef is the exogenous coefficient — the ops-analytics
+    staple for "is load driving failures".
+
+    Consecutive-hour pairs come from a calendar-keyed self equi-join
+    (hr = hr+1h) over the HOURLY AGGREGATE (calendar-bounded, ~720
+    rows/month); hours with no events at all drop out of both
+    engines' grids identically (observed-hours convention, as in
+    q_burstiness). All ten moment sums are exact integers; every
+    double flows through one shared Cramer's-rule text.
+
+    Scale: one events-scale hash aggregate to the hourly grid;
+    everything after is calendar-bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(F.date_trunc("hour", "ts").alias("hr"), "event_type")
+        .groupBy("hr")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    a = hourly.selectExpr("hr", "y AS yl", "x AS xl")
+    b = hourly.selectExpr(
+        "hr - interval 1 hour AS hr_prev", "y"
+    )
+    lagged = a.join(b, a.hr == b.hr_prev).select("y", "yl", "xl")
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = lagged.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("yl").alias("sl"),
+        F.sum("xl").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(d("yl") * F.col("yl")).alias("sll"),
+        F.sum(d("xl") * F.col("xl")).alias("sxx"),
+        F.sum(d("yl") * F.col("xl")).alias("slx"),
+        F.sum(d("y") * F.col("yl")).alias("syl"),
+        F.sum(d("y") * F.col("xl")).alias("syx"),
+        F.sum(d("y") * F.col("y")).alias("syy"),
+    )
+    return s.selectExpr(*_GR_FINAL)
