@@ -1045,3 +1045,122 @@ def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_embedding_quantization — int8 quantization drift audit
+# ---------------------------------------------------------------------------
+
+#: Per-component symmetric int8 code from the e6 fixed-point component
+#: and the vector's max magnitude (shared text; exact integer out).
+_EQ_CODE = (
+    "CAST(round(CAST(x AS DOUBLE) * 127.0 / CAST(m AS DOUBLE)) AS BIGINT)"
+)
+#: Per-vector cosine between the original and its quantized code, in
+#: e9 integer units (scale-invariant, so the m/127 dequant factor
+#: cancels and the cosine runs on exact integer sums).
+_EQ_COS = (
+    "CAST(round(1000000000.0 * CAST(dot AS DOUBLE)"
+    " / (sqrt(CAST(x2 AS DOUBLE)) * sqrt(CAST(q2 AS DOUBLE))))"
+    " AS BIGINT)"
+)
+
+_EQ_FINAL = (
+    "CAST(n AS BIGINT) AS n_vectors",
+    "round(CAST(s_cos AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000.0, 6)"
+    " + 0.0 AS mean_cosine",
+    "round(CAST(min_cos AS DOUBLE) / 1000000000.0, 6) + 0.0"
+    " AS worst_cosine",
+    "CAST(n_degraded AS BIGINT) AS n_below_999",
+)
+
+
+@query(
+    "q_embedding_quantization",
+    oracle=f"""
+    WITH comp AS (
+        SELECT vec_id, t.i AS dim,
+               CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS x
+        FROM embeddings,
+             UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    mx AS (
+        SELECT vec_id, MAX(abs(x)) AS m FROM comp GROUP BY vec_id
+        HAVING MAX(abs(x)) > 0
+    ),
+    coded AS (
+        SELECT c.vec_id, c.x, {_EQ_CODE} AS q
+        FROM comp c JOIN mx ON mx.vec_id = c.vec_id
+    ),
+    per_vec AS (
+        SELECT vec_id,
+               CAST(SUM(CAST(x AS HUGEINT) * q) AS HUGEINT) AS dot,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS x2,
+               CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS q2
+        FROM coded GROUP BY vec_id
+    ),
+    cosed AS (SELECT vec_id, {_EQ_COS} AS cos_e9 FROM per_vec),
+    s AS (
+        SELECT COUNT(*) AS n, SUM(cos_e9) AS s_cos, MIN(cos_e9) AS min_cos,
+               SUM(CASE WHEN cos_e9 < 999000000 THEN 1 ELSE 0 END)
+                   AS n_degraded
+        FROM cosed
+    )
+    SELECT {", ".join(_EQ_FINAL)} FROM s
+    """,
+)
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric-quantization drift audit for the embedding
+    store: quantize each vector to 8-bit codes (per-vector max-abs
+    scale, the standard vector-DB compression), measure the cosine
+    between every original and its code, and report mean / worst /
+    count-below-0.999 — the go/no-go readout before switching ANN
+    serving to compressed vectors.
+
+    Cosine is scale-invariant, so the dequantization factor cancels
+    and the audit runs entirely on exact integer sums (e6 components ×
+    int8 codes); per-vector cosines are e9-rounded integers before
+    the corpus rollup (round-before-sum). Zero vectors are excluded
+    identically in both engines.
+
+    Scale: component explode → per-vector max (hash agg, vec key) →
+    one co-partitioned join back → per-vector moment agg → 4-counter
+    rollup. Everything keys on vec_id; no broadcast of anything
+    unbounded, no windows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "vec_id",
+        F.expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").alias(
+            "x"
+        ),
+    )
+    mx = (
+        comp.groupBy("vec_id")
+        .agg(F.max(F.abs(F.col("x"))).alias("m"))
+        .filter(F.col("m") > 0)
+    )
+    coded = comp.join(mx, "vec_id").selectExpr(
+        "vec_id", "x", f"{_EQ_CODE} AS q"
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    qd = F.col("q").cast("decimal(38,0)")
+    per_vec = coded.groupBy("vec_id").agg(
+        F.sum(xd * F.col("q")).alias("dot"),
+        F.sum(xd * F.col("x")).alias("x2"),
+        F.sum(qd * F.col("q")).alias("q2"),
+    )
+    cosed = per_vec.selectExpr("vec_id", f"{_EQ_COS} AS cos_e9")
+    s = cosed.agg(
+        F.count("*").alias("n"),
+        F.sum("cos_e9").alias("s_cos"),
+        F.min("cos_e9").alias("min_cos"),
+        F.sum(F.when(F.col("cos_e9") < 999000000, 1).otherwise(0)).alias(
+            "n_degraded"
+        ),
+    )
+    return s.selectExpr(*_EQ_FINAL)

@@ -2616,3 +2616,101 @@ def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     s = base.agg(*aggs)
     return s.selectExpr(*_PC_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_simpson_flip — Simpson's-paradox detector: group vs pooled corr
+# ---------------------------------------------------------------------------
+
+#: Correlation text over prefixed sum columns (g_* per group, p_* pooled).
+def _sf_corr(p: str) -> str:
+    return (
+        f"(({p}n * {p}sxy - {p}sx * {p}sy) / "
+        f"NULLIF(sqrt(({p}n * {p}sxx - {p}sx * {p}sx) * "
+        f"({p}n * {p}syy - {p}sy * {p}sy)), 0.0))"
+    )
+
+
+_SF_FINAL = (
+    "l_returnflag AS stratum",
+    "CAST(g_n AS BIGINT) AS n_rows",
+    f"round({_sf_corr('g_')}, 6) + 0.0 AS corr_group",
+    f"round({_sf_corr('p_')}, 6) + 0.0 AS corr_pooled",
+    f"CAST(CASE WHEN {_sf_corr('g_')} * {_sf_corr('p_')} < 0"
+    " THEN 1 ELSE 0 END AS BIGINT) AS sign_flipped",
+)
+
+_SF_X = "cast(round(l_discount * 100) as bigint)"
+_SF_Y = "cast(l_quantity as bigint)"
+
+
+@query(
+    "q_simpson_flip",
+    oracle=f"""
+    WITH b AS (
+        SELECT l_returnflag, {_SF_X} AS x, {_SF_Y} AS y FROM lineitem
+    ),
+    g AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS g_n,
+               CAST(SUM(x) AS DOUBLE) AS g_sx,
+               CAST(SUM(y) AS DOUBLE) AS g_sy,
+               CAST(SUM(x * y) AS DOUBLE) AS g_sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS g_sxx,
+               CAST(SUM(y * y) AS DOUBLE) AS g_syy
+        FROM b GROUP BY l_returnflag
+    ),
+    p AS (
+        SELECT CAST(SUM(g_n) AS DOUBLE) AS p_n,
+               CAST(SUM(g_sx) AS DOUBLE) AS p_sx,
+               CAST(SUM(g_sy) AS DOUBLE) AS p_sy,
+               CAST(SUM(g_sxy) AS DOUBLE) AS p_sxy,
+               CAST(SUM(g_sxx) AS DOUBLE) AS p_sxx,
+               CAST(SUM(g_syy) AS DOUBLE) AS p_syy
+        FROM g
+    )
+    SELECT {", ".join(_SF_FINAL)} FROM g CROSS JOIN p
+    ORDER BY stratum
+    """,
+)
+def q_simpson_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen: per-returnflag discount↔quantity
+    correlation next to the pooled correlation, with a sign-flip flag
+    — the one-line detector for "the aggregate trend reverses inside
+    every stratum", which decides whether q_feature_corr's pooled
+    matrix can be trusted or q_group_corr's stratified view is the
+    truthful one.
+
+    Exactness: the same sufficient-statistics discipline as
+    q_feature_corr (exact integer moment sums per group; the pooled
+    sums are the exact integer totals of the group sums — wait-free
+    reuse, not a second scan), with group and pooled correlations
+    composed in one shared text. Doubles only after the sums.
+
+    Scale: ONE fact-scan hash aggregate to |returnflag| rows; the
+    pooled row is a sum over those rows; readout is a broadcast
+    cross of 3 × 1.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.selectExpr("l_returnflag", f"{_SF_X} AS x", f"{_SF_Y} AS y")
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    g = b.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("g_n"),
+        F.sum(xd).cast("double").alias("g_sx"),
+        F.sum(yd).cast("double").alias("g_sy"),
+        F.sum(xd * F.col("y")).cast("double").alias("g_sxy"),
+        F.sum(xd * F.col("x")).cast("double").alias("g_sxx"),
+        F.sum(yd * F.col("y")).cast("double").alias("g_syy"),
+    )
+    p = g.agg(
+        F.sum("g_n").alias("p_n"),
+        F.sum("g_sx").alias("p_sx"),
+        F.sum("g_sy").alias("p_sy"),
+        F.sum("g_sxy").alias("p_sxy"),
+        F.sum("g_sxx").alias("p_sxx"),
+        F.sum("g_syy").alias("p_syy"),
+    )
+    return (
+        g.crossJoin(F.broadcast(p)).selectExpr(*_SF_FINAL).orderBy("stratum")
+    )
