@@ -872,3 +872,101 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cc_e6").alias("s_e6"),
     )
     return s.selectExpr(*_CC_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_eccentricity — sampled-seed eccentricity / diameter lower bound
+# ---------------------------------------------------------------------------
+
+_ECC_SEEDS = 3
+_ECC_HOPS = 4
+
+_ECC_FINAL = (
+    "CAST(seed AS BIGINT) AS seed",
+    "CAST(ecc AS BIGINT) AS ecc_capped",
+    "CAST(n_reached AS BIGINT) AS n_reached",
+    "CAST(checksum AS BIGINT) AS checksum",
+)
+
+
+@query(
+    "q_eccentricity",
+    oracle=f"""
+    WITH RECURSIVE {_edges_sql(2)},
+    seeds AS (
+        SELECT src AS seed FROM (SELECT DISTINCT src FROM sym)
+        ORDER BY md5('ecc:' || CAST(src AS VARCHAR)), src
+        LIMIT {_ECC_SEEDS}
+    ),
+    reach(seed, part, hop) AS (
+        SELECT seed, seed, 0 FROM seeds
+        UNION
+        SELECT reach.seed, sym.dst, reach.hop + 1
+        FROM reach JOIN sym ON sym.src = reach.part
+        WHERE reach.hop < {_ECC_HOPS}
+    ),
+    best AS (
+        SELECT seed, part, MIN(hop) AS hop FROM reach GROUP BY seed, part
+    )
+    SELECT {", ".join(_ECC_FINAL)}
+    FROM (
+        SELECT seed, MAX(hop) AS ecc, COUNT(*) AS n_reached,
+               SUM(part) AS checksum
+        FROM best GROUP BY seed
+    )
+    ORDER BY seed
+    """,
+)
+def q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-seed eccentricity of the support-2 co-purchase graph:
+    hop-bounded multi-source BFS from 3 md5-chosen seeds (the
+    deterministic stand-in for random restarts), reporting each
+    seed's capped eccentricity, reachable-set size, and an exact
+    node checksum — max(ecc) over seeds is the standard
+    double-sweep-style LOWER BOUND on graph diameter, the
+    connectivity-shape readout behind "how many hops does a
+    recommendation walk need".
+
+    All seeds traverse in ONE frontier relation keyed by (seed,
+    node): each hop is an edge equi-join + anti-join against the
+    visited set (first-discovery = min-hop, matching the oracle's
+    recursive-CTE MIN), checkpointed per hop so lineage stays flat.
+    The hop cap bounds iteration; eccentricities at the cap are
+    reported as capped (honest truncation, same in both engines).
+
+    Scale: |seeds|× the q_copurchase_bfs cost — key-partitioned
+    joins only; nothing global, no windows.
+    """
+    e = _copurchase_edges(spark, sf_dir, 2)
+    sym = _sym(e).localCheckpoint(eager=True)
+    seeds = (
+        sym.select("src")
+        .distinct()
+        .orderBy(
+            F.md5(F.concat(F.lit("ecc:"), F.col("src").cast("string"))),
+            "src",
+        )
+        .limit(_ECC_SEEDS)
+        .select(F.col("src").alias("seed"))
+    )
+    visited = seeds.select(
+        "seed", F.col("seed").alias("part"), F.lit(0).alias("hop")
+    ).localCheckpoint(eager=True)
+    frontier = visited.select("seed", "part")
+    for hop in range(1, _ECC_HOPS + 1):
+        nxt = (
+            frontier.join(sym, frontier["part"] == sym["src"])
+            .select("seed", F.col("dst").alias("part"))
+            .distinct()
+            .join(visited.select("seed", "part"), ["seed", "part"], "left_anti")
+            .select("seed", "part", F.lit(hop).alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.union(nxt)
+        frontier = nxt.select("seed", "part")
+    out = visited.groupBy("seed").agg(
+        F.max("hop").alias("ecc"),
+        F.count("*").alias("n_reached"),
+        F.sum("part").alias("checksum"),
+    )
+    return out.selectExpr(*_ECC_FINAL).orderBy("seed")

@@ -1957,3 +1957,60 @@ def q_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.groupBy("nb", "t_a", "t_b").agg(
         F.round(F.sum("contrib_nano").cast("double") / 1e9, 6).alias("psi")
     ).selectExpr("nb AS n_bins", "t_a", "t_b", "psi")
+
+
+# ---------------------------------------------------------------------------
+# q_stream_burstiness — Fano/burstiness panel maintained by the stream
+# (streaming twin of q_burstiness)
+# ---------------------------------------------------------------------------
+
+
+def _stream_burstiness_oracle() -> str:
+    from .hypothesis_tests import _BURST_FINAL
+
+    return f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    s AS (
+        SELECT event_type, COUNT(*) AS h, SUM(c) AS s, SUM(c * c) AS ss
+        FROM hourly GROUP BY event_type
+    )
+    SELECT {", ".join(_BURST_FINAL)} FROM s ORDER BY event_type
+    """
+
+
+@query("q_stream_burstiness", oracle=_stream_burstiness_oracle())
+def q_stream_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_burstiness: the live capacity-planning
+    panel. The stream maintains the (event_type, hour) count grid as
+    a complete-mode aggregate — associative, so arrival order cannot
+    change it and the availableNow run equals batch bit-for-bit; the
+    Fano factor / burstiness read-off is the SAME shared text as the
+    batch twin over the bounded grid.
+
+    100 TB posture: state is one counter per (type, hour) cell —
+    calendar-bounded; per-batch work is one partial-agg'd shuffle on
+    the cell key. In production the grid would be watermark-aged; the
+    bounded run keeps every cell so the oracle can assert exact
+    equality.
+    """
+    from .hypothesis_tests import _BURST_FINAL
+
+    stream = read_events_stream(spark, sf_dir)
+    hourly = (
+        stream.select(
+            "event_type", F.date_trunc("hour", "ts").alias("hr")
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    grid = _run_to_memory(hourly, spark, mode="complete")
+    s = grid.groupBy("event_type").agg(
+        F.count("*").alias("h"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    return s.selectExpr(*_BURST_FINAL).orderBy("event_type")
