@@ -1396,3 +1396,226 @@ def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return s.selectExpr(*_HILL_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_kruskal_wallis — k-group rank test across event types
+# ---------------------------------------------------------------------------
+
+#: H statistic with tie correction, from exact integers: r2s = Σ over
+#: groups of R_g² computed on 2×midranks (so R_g = r2g/2), t = Σ(t³−t).
+_KW_N = "CAST(n AS DOUBLE)"
+_KW_H = (
+    f"((12.0 / ({_KW_N} * ({_KW_N} + 1.0))) * CAST(r2s AS DOUBLE) / 4.0"
+    f" - 3.0 * ({_KW_N} + 1.0))"
+)
+_KW_CORR = (
+    f"(1.0 - CAST(t AS DOUBLE) / ({_KW_N} * {_KW_N} * {_KW_N} - {_KW_N}))"
+)
+_KW_FINAL = (
+    "CAST(k AS BIGINT) AS n_groups",
+    "CAST(n AS BIGINT) AS n_rows",
+    f"round({_KW_H} / NULLIF({_KW_CORR}, 0.0), 6) + 0.0 AS h_stat",
+)
+
+
+@query(
+    "q_kruskal_wallis",
+    oracle=f"""
+    WITH v AS (
+        SELECT event_type AS g, {_CENTS} AS c FROM events
+    ),
+    vc AS (
+        SELECT c, g, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM v GROUP BY c, g
+    ),
+    tot AS (
+        SELECT c, CAST(SUM(cnt) AS BIGINT) AS n_v FROM vc GROUP BY c
+    ),
+    cum AS (
+        SELECT c, n_v, SUM(n_v) OVER (ORDER BY c) AS cum FROM tot
+    ),
+    rg AS (
+        SELECT vc.g,
+               CAST(SUM(vc.cnt) AS BIGINT) AS n_g,
+               SUM(CAST(vc.cnt AS HUGEINT) * (2 * cum.cum - cum.n_v + 1))
+                   AS r2g
+        FROM vc JOIN cum ON cum.c = vc.c
+        GROUP BY vc.g
+    ),
+    s AS (
+        SELECT COUNT(*) AS k, SUM(n_g) AS n,
+               SUM(CAST(round(CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)
+                              / CAST(n_g AS DOUBLE)) AS HUGEINT)) AS r2s,
+               (SELECT SUM(CAST(n_v AS HUGEINT) * n_v * n_v - n_v)
+                FROM tot) AS t
+        FROM rg
+    )
+    SELECT {", ".join(_KW_FINAL)} FROM s
+    """,
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H: the k-group nonparametric ANOVA — do the
+    |event_type| value distributions differ in location? — with the
+    standard tie correction. Completes the rank-test family
+    (q_mann_whitney for 2 groups, this for k), sharing its machinery:
+    values collapse to the cents-domain histogram, midranks come from
+    the two-phase distributed running sum, and 2×midranks keep every
+    rank sum an exact integer.
+
+    The one per-group float term (R_g²/n_g) is rounded to integer
+    units before the k-row sum (round-before-sum, the q_anova_oneway
+    discipline).
+
+    Scale: one (value, group) hash aggregate (domain × k cells), the
+    bounded prefix scan, a k-row rollup.
+    """
+    from ..functions.prefix import global_running_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.selectExpr("event_type AS g", f"{_CENTS} AS c")
+    vc = v.groupBy("c", "g").agg(F.count("*").cast("long").alias("cnt"))
+    tot = vc.groupBy("c").agg(F.sum("cnt").cast("long").alias("n_v"))
+    cum = global_running_sum(tot, "c", "n_v", out_col="cum")
+    rg = (
+        vc.join(cum.select("c", "n_v", "cum"), "c")
+        .groupBy("g")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_g"),
+            F.sum(
+                F.col("cnt").cast("decimal(38,0)")
+                * (2 * F.col("cum") - F.col("n_v") + 1)
+            ).alias("r2g"),
+        )
+    )
+    t = tot.agg(
+        F.sum(
+            F.col("n_v").cast("decimal(38,0)") * F.col("n_v") * F.col("n_v")
+            - F.col("n_v")
+        ).alias("t")
+    )
+    s = rg.agg(
+        F.count("*").alias("k"),
+        F.sum("n_g").cast("decimal(38,0)").alias("n"),
+        F.sum(
+            F.expr(
+                "CAST(round(CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)"
+                " / CAST(n_g AS DOUBLE)) AS DECIMAL(38,0))"
+            )
+        ).alias("r2s"),
+    ).crossJoin(F.broadcast(t))
+    return s.selectExpr(*_KW_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_did — difference-in-differences on the pre/post × A/B panel
+# ---------------------------------------------------------------------------
+
+_DID_M = {
+    f"m_{v}{p}": f"(CAST(s_{v}{p} AS DOUBLE) / CAST(n_{v}{p} AS DOUBLE))"
+    for v in "ab"
+    for p in ("pre", "post")
+}
+_DID_VARTERM = {
+    f"v_{v}{p}": (
+        f"((CAST(ss_{v}{p} AS DOUBLE) - CAST(s_{v}{p} AS DOUBLE)"
+        f" * CAST(s_{v}{p} AS DOUBLE) / CAST(n_{v}{p} AS DOUBLE))"
+        f" / (CAST(n_{v}{p} AS DOUBLE) - 1.0) / CAST(n_{v}{p} AS DOUBLE))"
+    )
+    for v in "ab"
+    for p in ("pre", "post")
+}
+_DID_EST = (
+    f"(({_DID_M['m_apost']} - {_DID_M['m_apre']})"
+    f" - ({_DID_M['m_bpost']} - {_DID_M['m_bpre']}))"
+)
+_DID_SE = (
+    f"sqrt({_DID_VARTERM['v_apost']} + {_DID_VARTERM['v_apre']}"
+    f" + {_DID_VARTERM['v_bpost']} + {_DID_VARTERM['v_bpre']})"
+)
+_DID_FINAL = (
+    "CAST(n_apre + n_apost AS BIGINT) AS n_a",
+    "CAST(n_bpre + n_bpost AS BIGINT) AS n_b",
+    f"round(({_DID_M['m_apost']} - {_DID_M['m_apre']}) / 100.0, 6) + 0.0"
+    " AS delta_a",
+    f"round(({_DID_M['m_bpost']} - {_DID_M['m_bpre']}) / 100.0, 6) + 0.0"
+    " AS delta_b",
+    f"round({_DID_EST} / 100.0, 6) + 0.0 AS did_estimate",
+    f"round({_DID_EST} / NULLIF({_DID_SE}, 0.0), 6) + 0.0 AS z_score",
+)
+
+_DID_SPLIT = "2024-01-16"
+
+
+def _did_cell_sql(v: str, p: str) -> str:
+    cond = (
+        f"variant = {0 if v == 'a' else 1} AND "
+        + (f"ts < TIMESTAMP '{_DID_SPLIT}'" if p == "pre"
+           else f"ts >= TIMESTAMP '{_DID_SPLIT}'")
+    )
+    return (
+        f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{v}{p},\n"
+        f"SUM(CASE WHEN {cond} THEN c ELSE 0 END) AS s_{v}{p},\n"
+        f"SUM(CASE WHEN {cond} THEN c * c ELSE 0 END) AS ss_{v}{p}"
+    )
+
+
+@query(
+    "q_did",
+    oracle=f"""
+    WITH p AS (
+        SELECT user_id % 2 AS variant, ts, {_CENTS} AS c
+        FROM events WHERE event_type = 'purchase'
+    ),
+    s AS (
+        SELECT {", ".join(_did_cell_sql(v, per) for v in "ab"
+                          for per in ("pre", "post"))}
+        FROM p
+    )
+    SELECT {", ".join(_DID_FINAL)} FROM s
+    """,
+)
+def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the causal-inference workhorse for
+    when randomization is imperfect — compare each variant's purchase
+    value change across a fixed event date (the mid-range split both
+    engines share) and difference the changes, so any common time
+    trend cancels; z uses the four-cell Welch-style variance.
+
+    Determinism: twelve exact integer sufficient statistics (n, Σc,
+    Σc² per pre/post × A/B cell) in one hash aggregate; every readout
+    is one shared text.
+
+    Scale: a single fact-scan 12-counter aggregate; one row out.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").selectExpr(
+        "user_id % 2 AS variant", "ts", f"{_CENTS} AS c"
+    )
+    aggs = []
+    for v in "ab":
+        for per in ("pre", "post"):
+            cond = (F.col("variant") == (0 if v == "a" else 1)) & (
+                F.col("ts") < F.expr(f"TIMESTAMP '{_DID_SPLIT}'")
+                if per == "pre"
+                else F.col("ts") >= F.expr(f"TIMESTAMP '{_DID_SPLIT}'")
+            )
+            aggs.append(
+                F.sum(F.when(cond, 1).otherwise(0))
+                .cast("long")
+                .alias(f"n_{v}{per}")
+            )
+            aggs.append(
+                F.sum(F.when(cond, F.col("c")).otherwise(0).cast("decimal(38,0)"))
+                .alias(f"s_{v}{per}")
+            )
+            aggs.append(
+                F.sum(
+                    F.when(cond, F.col("c") * F.col("c"))
+                    .otherwise(0)
+                    .cast("decimal(38,0)")
+                ).alias(f"ss_{v}{per}")
+            )
+    s = p.agg(*aggs)
+    return s.selectExpr(*_DID_FINAL)
