@@ -2714,3 +2714,153 @@ def q_simpson_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         g.crossJoin(F.broadcast(p)).selectExpr(*_SF_FINAL).orderBy("stratum")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_gmm_em — 2-component Gaussian mixture EM on the value histogram
+# ---------------------------------------------------------------------------
+
+_GMM_ITERS = 3
+#: Fixed deterministic initialization (cents / cents²).
+_GMM_INIT = (
+    "SELECT CAST(2000.0 AS DOUBLE) AS mu1, CAST(30000.0 AS DOUBLE) AS mu2,"
+    " CAST(100000000.0 AS DOUBLE) AS v1, CAST(100000000.0 AS DOUBLE) AS v2,"
+    " CAST(0.5 AS DOUBLE) AS pi"
+)
+
+#: E-step responsibility of component 1 for histogram value c — ONE
+#: shared text. The underflow guard (both densities 0 far in the
+#: tails) assigns by distance, deterministically.
+_GMM_D1 = "(exp(-(cc - mu1) * (cc - mu1) / (2.0 * v1)) / sqrt(v1))"
+_GMM_D2 = "(exp(-(cc - mu2) * (cc - mu2) / (2.0 * v2)) / sqrt(v2))"
+_GMM_R = (
+    f"CASE WHEN pi * {_GMM_D1} + (1.0 - pi) * {_GMM_D2} > 0.0"
+    f" THEN pi * {_GMM_D1} / (pi * {_GMM_D1} + (1.0 - pi) * {_GMM_D2})"
+    " WHEN abs(cc - mu1) <= abs(cc - mu2) THEN 1.0 ELSE 0.0 END"
+).replace("cc", "CAST(c AS DOUBLE)")
+
+#: M-step updates from the weighted sums (n1,s1,q1) and the fixed
+#: totals (nn,ss,qq). Variance floored at 100 cents² so a component
+#: can never collapse to a spike (guards exp() underflow next round).
+_GMM_UPD = (
+    "n1 / nn AS pi",
+    "s1 / n1 AS mu1",
+    "greatest(q1 / n1 - (s1 / n1) * (s1 / n1), 100.0) AS v1",
+    "(ss - s1) / (nn - n1) AS mu2",
+    "greatest((qq - q1) / (nn - n1)"
+    " - ((ss - s1) / (nn - n1)) * ((ss - s1) / (nn - n1)), 100.0) AS v2",
+)
+
+_GMM_FINAL = (
+    "round(pi, 6) + 0.0 AS weight_1",
+    "round(mu1 / 100.0, 4) + 0.0 AS mean_1",
+    "round(mu2 / 100.0, 4) + 0.0 AS mean_2",
+    "round(sqrt(v1) / 100.0, 4) + 0.0 AS sigma_1",
+    "round(sqrt(v2) / 100.0, 4) + 0.0 AS sigma_2",
+)
+
+
+def _gmm_oracle() -> str:
+    parts = [
+        f"""
+    WITH h AS (
+        SELECT {_CENTS_SM} AS c, CAST(COUNT(*) AS BIGINT) AS m
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(m) AS DOUBLE) AS nn,
+               CAST(SUM(CAST(m AS HUGEINT) * c) AS DOUBLE) AS ss,
+               CAST(SUM(CAST(m AS HUGEINT) * c * c) AS DOUBLE) AS qq
+        FROM h
+    ),
+    p0 AS ({_GMM_INIT})"""
+    ]
+    for k in range(1, _GMM_ITERS + 1):
+        parts.append(f""",
+    cells{k} AS (
+        SELECT c, m, {_GMM_R} AS r FROM h CROSS JOIN p{k - 1}
+    ),
+    sums{k} AS (
+        SELECT SUM(CAST(m AS DOUBLE) * r) AS n1,
+               SUM(CAST(m AS DOUBLE) * r * CAST(c AS DOUBLE)) AS s1,
+               SUM(CAST(m AS DOUBLE) * r * CAST(c AS DOUBLE)
+                   * CAST(c AS DOUBLE)) AS q1
+        FROM cells{k}
+    ),
+    p{k} AS (
+        SELECT {", ".join(_GMM_UPD)} FROM sums{k} CROSS JOIN tot
+    )""")
+    parts.append(f"""
+    SELECT {", ".join(_GMM_FINAL)} FROM p{_GMM_ITERS}
+    """)
+    return "".join(parts)
+
+
+#: Cents text local to this query (mirrors hypothesis_tests._CENTS).
+_CENTS_SM = "CAST(round(value * 100) AS BIGINT)"
+
+
+@query("q_gmm_em", oracle=_gmm_oracle())
+def q_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component Gaussian-mixture EM over purchase values: 3
+    synchronous EM iterations from a fixed deterministic init — the
+    classic "is this price distribution a mix of two populations"
+    readout (budget vs premium carts), and the mixture-model member
+    of the iterative family (logreg GD, k-means IVF, DBSCAN, PCA
+    power, BPE).
+
+    The E-step never touches row-scale data: values collapse ONCE to
+    the cents-domain histogram, so each iteration is one aggregate
+    over domain-bounded cells with responsibilities from one shared
+    text (underflow-guarded; variances floored so no component
+    collapses). Float posture follows q_logreg_gd's documented
+    exception: the weighted sums are double sums over ≤|domain| cells
+    whose summation-order error (~cells·2⁻⁵³ relative) sits ten
+    orders below the 1e-4 output rounding even compounded through 3
+    iterations — asserted by the cross-engine oracle match.
+
+    Scale: one fact-scan histogram build (map-side combined), then 3
+    × (broadcast 1-row params → cell aggregate). The parameter
+    relation is localCheckpoint'ed per step to keep lineage flat.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.filter(F.col("event_type") == "purchase")
+        .selectExpr(f"{_CENTS_SM} AS c")
+        .groupBy("c")
+        .agg(F.count("*").cast("long").alias("m"))
+        .localCheckpoint(eager=True)
+    )
+    tot = h.agg(
+        F.sum("m").cast("double").alias("nn"),
+        F.sum(F.col("m").cast("decimal(38,0)") * F.col("c"))
+        .cast("double")
+        .alias("ss"),
+        F.sum(
+            F.col("m").cast("decimal(38,0)") * F.col("c") * F.col("c")
+        )
+        .cast("double")
+        .alias("qq"),
+    ).localCheckpoint(eager=True)
+    params = spark.sql(_GMM_INIT)
+    for _ in range(_GMM_ITERS):
+        cells = h.crossJoin(F.broadcast(params)).selectExpr(
+            "c", "m", f"{_GMM_R} AS r"
+        )
+        sums = cells.agg(
+            F.expr("SUM(CAST(m AS DOUBLE) * r)").alias("n1"),
+            F.expr("SUM(CAST(m AS DOUBLE) * r * CAST(c AS DOUBLE))").alias(
+                "s1"
+            ),
+            F.expr(
+                "SUM(CAST(m AS DOUBLE) * r * CAST(c AS DOUBLE)"
+                " * CAST(c AS DOUBLE))"
+            ).alias("q1"),
+        )
+        params = (
+            sums.crossJoin(F.broadcast(tot))
+            .selectExpr(*_GMM_UPD)
+            .localCheckpoint(eager=True)
+        )
+    return params.selectExpr(*_GMM_FINAL)
