@@ -457,3 +457,133 @@ def q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     hashed = c.withColumn("h", h)
     return hashed.selectExpr(*_DP_FINAL).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q_ipf_raking — iterative proportional fitting (raking) calibration
+# ---------------------------------------------------------------------------
+
+_IPF_ITERS = 3
+#: 2024-01-01 is a Monday — engine-neutral dow via modular datediff
+#: (the q_seasonality anchor trick, re-anchored to the events range).
+_IPF_MONDAY = "2024-01-01"
+
+_IPF_FINAL = (
+    "event_type",
+    "CAST(dow AS BIGINT) AS dow",
+    "CAST(m AS BIGINT) AS n_events",
+    "round(w, 6) + 0.0 AS weight",
+    "round(CAST(m AS DOUBLE) * w, 2) + 0.0 AS weighted_count",
+)
+
+
+def _ipf_oracle() -> str:
+    parts = [f"""
+    WITH g0 AS (
+        SELECT event_type,
+               ((datediff('day', DATE '{_IPF_MONDAY}', CAST(ts AS DATE))
+                 % 7) + 7) % 7 AS dow,
+               CAST(COUNT(*) AS BIGINT) AS m, CAST(1.0 AS DOUBLE) AS w
+        FROM events GROUP BY 1, 2
+    ),
+    tgt AS (
+        SELECT CAST(SUM(m) AS DOUBLE) / COUNT(DISTINCT event_type) AS rt,
+               CAST(SUM(m) AS DOUBLE) / COUNT(DISTINCT dow) AS ct
+        FROM g0
+    )"""]
+    prev = "g0"
+    for k in range(1, _IPF_ITERS + 1):
+        parts.append(f""",
+    rs{k} AS (
+        SELECT event_type, SUM(CAST(m AS DOUBLE) * w) AS s
+        FROM {prev} GROUP BY event_type
+    ),
+    gr{k} AS (
+        SELECT g.event_type, g.dow, g.m, g.w * t.rt / r.s AS w
+        FROM {prev} g JOIN rs{k} r ON r.event_type = g.event_type
+        CROSS JOIN tgt t
+    ),
+    cs{k} AS (
+        SELECT dow, SUM(CAST(m AS DOUBLE) * w) AS s
+        FROM gr{k} GROUP BY dow
+    ),
+    g{k} AS (
+        SELECT g.event_type, g.dow, g.m, g.w * t.ct / c.s AS w
+        FROM gr{k} g JOIN cs{k} c ON c.dow = g.dow
+        CROSS JOIN tgt t
+    )""")
+        prev = f"g{k}"
+    parts.append(f"""
+    SELECT {", ".join(_IPF_FINAL)} FROM {prev} ORDER BY event_type, dow
+    """)
+    return "".join(parts)
+
+
+@query("q_ipf_raking", oracle=_ipf_oracle())
+def q_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking): calibrate per-cell
+    weights on the event_type × day-of-week grid so both margins hit
+    uniform targets — the survey-statistics / panel-reweighting
+    primitive for correcting a skewed collection design before
+    computing population metrics. Three row/column scaling rounds;
+    outputs each cell's weight and reweighted count.
+
+    Day-of-week uses the engine-neutral Monday-anchored modular
+    datediff (the q_seasonality trick). The scaling recursion runs on
+    the bounded |types|×7 CELL grid after one fact-scan aggregate;
+    margin sums are double sums over ≤7 cells (the q_logreg_gd
+    documented exception — summation-order error is ~1e-15 relative,
+    ten orders under the 1e-6 rounding, asserted by the oracle
+    match).
+
+    Scale: one data-scale hash aggregate; 3 × (two cell-grid
+    aggregates + joins), all calendar/type-bounded;
+    localCheckpoint per round keeps lineage flat.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.selectExpr(
+            "event_type",
+            f"((datediff(CAST(ts AS DATE), DATE '{_IPF_MONDAY}')"
+            " % 7) + 7) % 7 AS dow",
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count("*").cast("long").alias("m"))
+        .withColumn("w", F.lit(1.0))
+        .localCheckpoint(eager=True)
+    )
+    tgt = g.agg(
+        (
+            F.sum("m").cast("double") / F.countDistinct("event_type")
+        ).alias("rt"),
+        (F.sum("m").cast("double") / F.countDistinct("dow")).alias("ct"),
+    ).localCheckpoint(eager=True)
+    for _ in range(_IPF_ITERS):
+        rs = g.groupBy("event_type").agg(
+            F.sum(F.col("m").cast("double") * F.col("w")).alias("s")
+        )
+        g = (
+            g.join(rs, "event_type")
+            .crossJoin(F.broadcast(tgt))
+            .select(
+                "event_type",
+                "dow",
+                "m",
+                (F.col("w") * F.col("rt") / F.col("s")).alias("w"),
+            )
+        )
+        cs = g.groupBy("dow").agg(
+            F.sum(F.col("m").cast("double") * F.col("w")).alias("s")
+        )
+        g = (
+            g.join(cs, "dow")
+            .crossJoin(F.broadcast(tgt))
+            .select(
+                "event_type",
+                "dow",
+                "m",
+                (F.col("w") * F.col("ct") / F.col("s")).alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return g.selectExpr(*_IPF_FINAL).orderBy("event_type", "dow")
