@@ -312,3 +312,154 @@ def q_doclen_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return s.selectExpr(*_DLH_FINAL).orderBy("lang", "log2_tokens")
+
+
+# ---------------------------------------------------------------------------
+# q_keyword_rake — RAKE keyword extraction (degree/frequency scoring)
+# ---------------------------------------------------------------------------
+
+#: Minimal stopword inventory (public-knowledge RAKE uses a stoplist;
+#: this one is a fixed literal so both engines share it exactly).
+_RAKE_STOPS = (
+    "the a an and or of to in is are was were be for on with as at by "
+    "it this that from").split()
+_RAKE_TOP = 20
+
+_RAKE_FINAL = (
+    "phrase",
+    "CAST(n_occurrences AS BIGINT) AS n_occurrences",
+    "CAST(score_e6 AS BIGINT) AS score_e6",
+)
+
+
+def _rake_stop_sql(col: str) -> str:
+    inlist = ", ".join(f"'{w}'" for w in _RAKE_STOPS)
+    return f"{col} IN ({inlist})"
+
+
+@query(
+    "q_keyword_rake",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, ts[t.i] AS tok, t.i AS pos,
+               CASE WHEN {_rake_stop_sql('ts[t.i]')} THEN 1 ELSE 0 END
+                   AS stop
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '')
+                       AS ts
+            FROM documents
+        ), UNNEST(range(1, len(ts) + 1)) AS t(i)
+    ),
+    marked AS (
+        SELECT doc_id, tok, pos, stop,
+               SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+        FROM toks
+    ),
+    members AS (
+        SELECT doc_id, pid, pos, tok FROM marked WHERE stop = 0
+    ),
+    plen AS (
+        SELECT doc_id, pid, CAST(COUNT(*) AS BIGINT) AS len
+        FROM members GROUP BY doc_id, pid
+    ),
+    wordstats AS (
+        SELECT m.tok,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(p.len) AS BIGINT) AS deg
+        FROM members m JOIN plen p
+          ON p.doc_id = m.doc_id AND p.pid = m.pid
+        GROUP BY m.tok
+    ),
+    wscore AS (
+        SELECT tok, 1000000 * deg // freq AS w_e6 FROM wordstats
+    ),
+    phrases AS (
+        SELECT m.doc_id, m.pid,
+               string_agg(m.tok, ' ' ORDER BY m.pos) AS phrase,
+               SUM(w.w_e6) AS score_e6
+        FROM members m JOIN wscore w ON w.tok = m.tok
+        GROUP BY m.doc_id, m.pid
+    )
+    SELECT phrase,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MAX(score_e6) AS BIGINT) AS score_e6
+    FROM phrases
+    GROUP BY phrase
+    ORDER BY score_e6 DESC, phrase
+    LIMIT {_RAKE_TOP}
+    """,
+)
+def q_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; each word scores
+    degree/frequency (degree = total length of phrases containing it,
+    so words that live in long multi-word terms outrank bare frequent
+    words), a phrase scores the sum of its word scores, and the
+    corpus-level top-{_RAKE_TOP} phrases come back with occurrence
+    counts — the lightweight keyword/terminology miner that needs no
+    model.
+
+    Determinism: word scores are e6 integer floor-divs of exact
+    counts; phrase scores are integer sums; the top-k order ties on
+    the phrase string.
+
+    Scale: phrase segmentation is ONE per-document window (running
+    stopword count over positions — partitioned by doc_id, so
+    parallelism is document-count wide, the opposite of the
+    low-cardinality window trap); word stats and phrase scores are
+    token-keyed hash joins/aggregates; the final top-k is
+    TakeOrderedAndProject.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tokens_col(F.lower(F.col("text")))).alias("pos", "tok"),
+    ).withColumn(
+        "stop",
+        F.when(F.col("tok").isin(*_RAKE_STOPS), 1).otherwise(0),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = toks.withColumn("pid", F.sum("stop").over(w))
+    members = marked.filter(F.col("stop") == 0).select(
+        "doc_id", "pid", "pos", "tok"
+    )
+    plen = members.groupBy("doc_id", "pid").agg(
+        F.count("*").cast("long").alias("len")
+    )
+    wordstats = (
+        members.join(plen, ["doc_id", "pid"])
+        .groupBy("tok")
+        .agg(
+            F.count("*").cast("long").alias("freq"),
+            F.sum("len").cast("long").alias("deg"),
+        )
+    )
+    wscore = wordstats.selectExpr("tok", "1000000 * deg DIV freq AS w_e6")
+    phrases = (
+        members.join(wscore, "tok")
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.concat_ws(
+                " ", F.array_sort(F.collect_list(F.struct("pos", "tok")))
+                .getField("tok")
+            ).alias("phrase"),
+            F.sum("w_e6").cast("long").alias("score_e6"),
+        )
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.max("score_e6").cast("long").alias("score_e6"),
+        )
+        .selectExpr(*_RAKE_FINAL)
+        .orderBy(F.col("score_e6").desc(), "phrase")
+        .limit(_RAKE_TOP)
+    )
