@@ -782,3 +782,60 @@ def test_hhi_partial_aggregates_per_supplier(spark):
     assert "partial_sum" in plan
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+def test_kruskal_midranks_are_two_phase(spark):
+    """KW shares the Mann–Whitney histogram machinery: cumulative
+    counts via the distributed prefix scan, no single-task window."""
+    from .test_no_antipatterns import single_partition_windows
+
+    plan = _plan(spark, "q_kruskal_wallis")
+    assert not single_partition_windows(plan)
+    assert "__prefix_pid" in plan
+
+
+def test_nb_auc_ranks_are_two_phase(spark):
+    from .test_no_antipatterns import single_partition_windows
+
+    plan = _plan(spark, "q_nb_auc")
+    assert not single_partition_windows(plan)
+    assert "__prefix_pid" in plan
+
+
+def test_bh_pvalue_ranks_are_two_phase(spark):
+    from .test_no_antipatterns import single_partition_windows
+
+    plan = _plan(spark, "q_bh_discoveries")
+    assert not single_partition_windows(plan)
+    assert "__prefix_pid" in plan
+
+
+def test_hill_topk_uses_partial_heaps(spark):
+    """The k+1 order statistics must come from TakeOrderedAndProject
+    (per-partition heaps), never a global sort."""
+    plan = _plan(spark, "q_hill_tail")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rake_window_is_doc_partitioned(spark):
+    """Phrase segmentation must window per document (hash-partitioned
+    on doc_id), and the top-k must be partial heaps."""
+    from .test_no_antipatterns import single_partition_windows
+
+    plan = _plan(spark, "q_keyword_rake")
+    assert not single_partition_windows(plan)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_eccentricity_no_window_no_product(spark):
+    plan = _plan(spark, "q_eccentricity")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ipf_no_single_partition_window(spark):
+    from .test_no_antipatterns import single_partition_windows
+
+    plan = _plan(spark, "q_ipf_raking")
+    assert not single_partition_windows(plan)
+    assert "Window" not in plan
