@@ -1,0 +1,325 @@
+"""Independent semantic checks for the hypothesis-test family.
+
+The DuckDB oracle catches Spark↔DuckDB divergence but NOT a formula
+that is wrong in BOTH engines at once (the round-6 BPE-merge lesson).
+These tests re-derive each statistic with a brute-force pure-Python
+reference on tiny hand-built tables, then run the QUERY'S OWN ORACLE
+SQL against those tables in a fresh DuckDB — if the shared formula
+text drifts from the textbook definition, the brute force disagrees.
+
+No Spark involved: the oracle SQL *is* the shared formula text (the
+Spark side evaluates the identical expressions), so checking it
+against an independent implementation checks both engines' semantics.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from mapreduce_server_development_spark.plans import ORACLE
+
+
+def _run(tables: dict[str, tuple[list[str], list[tuple]]], name: str):
+    con = duckdb.connect()
+    for tname, (cols, rows) in tables.items():
+        col_sql = ", ".join(cols)
+        con.execute(f"CREATE TABLE {tname} ({col_sql})")
+        if rows:
+            ph = ", ".join("?" for _ in rows[0])
+            con.executemany(f"INSERT INTO {tname} VALUES ({ph})", rows)
+    res = con.sql(ORACLE[name])
+    out = [dict(zip([c.lower() for c in res.columns], r)) for r in res.fetchall()]
+    con.close()
+    return out
+
+
+def _events(rows):
+    """rows: (user_id, event_type, value); ts/event_id filled in."""
+    return (
+        ["event_id BIGINT", "ts TIMESTAMP", "user_id BIGINT",
+         "event_type VARCHAR", "value DOUBLE", "props VARCHAR"],
+        [
+            (i, f"2024-01-{(i % 28) + 1:02d} 00:00:00", u, t, v, "{}")
+            for i, (u, t, v) in enumerate(rows)
+        ],
+    )
+
+
+def _midranks(values):
+    """value -> average rank (1-based) with ties."""
+    s = sorted(values)
+    ranks = {}
+    i = 0
+    while i < len(s):
+        j = i
+        while j < len(s) and s[j] == s[i]:
+            j += 1
+        ranks[s[i]] = (i + 1 + j) / 2.0
+        i = j
+    return ranks
+
+
+# ---------------------------------------------------------------------------
+# Welch's t
+# ---------------------------------------------------------------------------
+
+
+def test_welch_matches_textbook():
+    a = [10.0, 12.0, 9.0, 11.0, 13.0]          # even user_ids
+    b = [20.0, 25.0, 22.0, 28.0]               # odd user_ids
+    rows = [(2 * i, "purchase", v) for i, v in enumerate(a)]
+    rows += [(2 * i + 1, "purchase", v) for i, v in enumerate(b)]
+    rows += [(1, "click", 999.0)]              # must be ignored
+    out = _run({"events": _events(rows)}, "q_welch_ttest")[0]
+
+    ma, mb = sum(a) / len(a), sum(b) / len(b)
+    va = sum((x - ma) ** 2 for x in a) / (len(a) - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (len(b) - 1)
+    sea, seb = va / len(a), vb / len(b)
+    t = (ma - mb) / math.sqrt(sea + seb)
+    df = (sea + seb) ** 2 / (
+        sea**2 / (len(a) - 1) + seb**2 / (len(b) - 1)
+    )
+    assert out["n_a"] == len(a) and out["n_b"] == len(b)
+    assert abs(out["mean_a"] - ma) < 2e-6
+    assert abs(out["t_stat"] - t) < 2e-6
+    assert abs(out["df_welch"] - df) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney U with ties
+# ---------------------------------------------------------------------------
+
+
+def test_mann_whitney_matches_brute_force():
+    a = [5.0, 7.0, 7.0, 9.0, 12.0]
+    b = [6.0, 7.0, 10.0, 10.0, 11.0, 15.0]
+    rows = [(2 * i, "purchase", v) for i, v in enumerate(a)]
+    rows += [(2 * i + 1, "purchase", v) for i, v in enumerate(b)]
+    out = _run({"events": _events(rows)}, "q_mann_whitney")[0]
+
+    allv = a + b
+    mr = _midranks(allv)
+    ra = sum(mr[v] for v in a)
+    na, nb, n = len(a), len(b), len(allv)
+    u = ra - na * (na + 1) / 2.0
+    from collections import Counter
+
+    ties = Counter(allv)
+    tsum = sum(t**3 - t for t in ties.values())
+    sigma = math.sqrt(
+        na * nb / 12.0 * ((n + 1) - tsum / (n * (n - 1)))
+    )
+    z = (u - na * nb / 2.0) / sigma
+    assert out["n_a"] == na and out["n_b"] == nb
+    assert abs(out["u_stat"] - u) < 1e-6
+    assert abs(out["z_score"] - z) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# Kendall τ-b via O(n²) brute force
+# ---------------------------------------------------------------------------
+
+
+def _lineitem(pairs):
+    return (
+        ["l_quantity DOUBLE", "l_discount DOUBLE", "l_extendedprice DOUBLE",
+         "l_tax DOUBLE", "l_returnflag VARCHAR", "l_suppkey BIGINT",
+         "l_orderkey BIGINT", "l_partkey BIGINT", "l_shipdate TIMESTAMP",
+         "l_linestatus VARCHAR", "l_linenumber BIGINT"],
+        [
+            (q, d, 100.0, 0.0, "N", 1, i, 1, "2024-01-01 00:00:00", "O", i)
+            for i, (q, d) in enumerate(pairs)
+        ],
+    )
+
+
+def test_kendall_tau_b_matches_brute_force():
+    pairs = [(1, 0.00), (1, 0.02), (2, 0.02), (3, 0.01), (3, 0.04),
+             (4, 0.04), (5, 0.00), (5, 0.05), (2, 0.05), (4, 0.01)]
+    out = _run({"lineitem": _lineitem(pairs)}, "q_kendall_tau")[0]
+
+    n = len(pairs)
+    conc = disc = tq = td = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dq = pairs[i][0] - pairs[j][0]
+            dd = round(pairs[i][1] * 100) - round(pairs[j][1] * 100)
+            if dq == 0 and dd == 0:
+                tq += 1
+                td += 1
+            elif dq == 0:
+                tq += 1
+            elif dd == 0:
+                td += 1
+            elif (dq > 0) == (dd > 0):
+                conc += 1
+            else:
+                disc += 1
+    n0 = n * (n - 1) / 2.0
+    tau = (conc - disc) / math.sqrt((n0 - tq) * (n0 - td))
+    assert out["n_rows"] == n
+    assert abs(out["kendall_tau_b"] - tau) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# Spearman ρ with ties via midranks + Pearson
+# ---------------------------------------------------------------------------
+
+
+def test_spearman_matches_brute_force():
+    pairs = [(1, 0.00), (2, 0.01), (2, 0.03), (3, 0.03), (4, 0.02),
+             (5, 0.05), (1, 0.05), (3, 0.00)]
+    out = _run({"lineitem": _lineitem(pairs)}, "q_spearman_corr")[0]
+
+    qs = [p[0] for p in pairs]
+    ds = [round(p[1] * 100) for p in pairs]
+    rq, rd = _midranks(qs), _midranks(ds)
+    xs = [rq[v] for v in qs]
+    ys = [rd[v] for v in ds]
+    n = len(pairs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    rho = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert abs(out["spearman_rho"] - rho) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# Kruskal–Wallis H with tie correction
+# ---------------------------------------------------------------------------
+
+
+def test_kruskal_wallis_matches_brute_force():
+    groups = {
+        "click": [1.0, 2.0, 2.0, 5.0],
+        "view": [3.0, 4.0, 4.0],
+        "purchase": [2.0, 6.0, 7.0, 7.0, 9.0],
+    }
+    rows = []
+    uid = 0
+    for g, vs in groups.items():
+        for v in vs:
+            rows.append((uid, g, v))
+            uid += 1
+    out = _run({"events": _events(rows)}, "q_kruskal_wallis")[0]
+
+    allv = [v for vs in groups.values() for v in vs]
+    n = len(allv)
+    mr = _midranks(allv)
+    h = (12.0 / (n * (n + 1))) * sum(
+        sum(mr[v] for v in vs) ** 2 / len(vs) for vs in groups.values()
+    ) - 3.0 * (n + 1)
+    from collections import Counter
+
+    ties = Counter(allv)
+    corr = 1.0 - sum(t**3 - t for t in ties.values()) / (n**3 - n)
+    assert out["n_groups"] == len(groups)
+    assert abs(out["h_stat"] - h / corr) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA F and η²
+# ---------------------------------------------------------------------------
+
+
+def test_anova_matches_textbook():
+    groups = {
+        "click": [1.0, 2.0, 3.0],
+        "view": [4.0, 5.0, 6.0, 7.0],
+        "purchase": [2.0, 2.0, 4.0],
+    }
+    rows = []
+    uid = 0
+    for g, vs in groups.items():
+        for v in vs:
+            rows.append((uid, g, v))
+            uid += 1
+    out = _run({"events": _events(rows)}, "q_anova_oneway")[0]
+
+    allv = [v for vs in groups.values() for v in vs]
+    n, k = len(allv), len(groups)
+    gm = sum(allv) / n
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - gm) ** 2 for vs in groups.values())
+    sst = sum((v - gm) ** 2 for v in allv)
+    ssw = sst - ssb
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert out["n_groups"] == k and out["n_rows"] == n
+    assert abs(out["f_stat"] - f) < 2e-4  # e6-rounded between-terms
+    assert abs(out["eta_squared"] - ssb / sst) < 2e-4
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V
+# ---------------------------------------------------------------------------
+
+
+def test_cramers_v_matches_brute_force():
+    cells = {("1-URGENT", "O"): 8, ("1-URGENT", "F"): 2,
+             ("2-HIGH", "O"): 3, ("2-HIGH", "F"): 7,
+             ("3-LOW", "O"): 5, ("3-LOW", "F"): 5}
+    rows = []
+    for (pr, st), m in cells.items():
+        rows += [(pr, st)] * m
+    tables = {
+        "orders": (
+            ["o_orderkey BIGINT", "o_custkey BIGINT",
+             "o_orderpriority VARCHAR", "o_orderstatus VARCHAR",
+             "o_totalprice DOUBLE", "o_orderdate TIMESTAMP"],
+            [(i, 1, pr, st, 1.0, "2024-01-01 00:00:00")
+             for i, (pr, st) in enumerate(rows)],
+        )
+    }
+    out = _run(tables, "q_cramers_v")[0]
+
+    n = len(rows)
+    prs = sorted({p for p, _ in rows})
+    sts = sorted({s for _, s in rows})
+    rm = {p: sum(1 for x, _ in rows if x == p) for p in prs}
+    cm = {s: sum(1 for _, x in rows if x == s) for s in sts}
+    chi = 0.0
+    for p in prs:
+        for s in sts:
+            e = rm[p] * cm[s] / n
+            o = cells.get((p, s), 0)
+            chi += (o - e) ** 2 / e
+    v = math.sqrt(chi / (n * (min(len(prs), len(sts)) - 1)))
+    assert out["df"] == (len(prs) - 1) * (len(sts) - 1)
+    assert abs(out["chi_square"] - chi) < 1e-3   # e6 per-cell rounding
+    assert abs(out["cramers_v"] - v) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Hill tail index
+# ---------------------------------------------------------------------------
+
+
+def test_hill_matches_brute_force():
+    import mapreduce_server_development_spark.plans.hypothesis_tests as ht
+
+    # 150 customers with Pareto-ish revenues; one order each.
+    revs = [round(1000.0 * (1.0 + (i % 37)) ** 1.7, 2) for i in range(150)]
+    tables = {
+        "orders": (
+            ["o_orderkey BIGINT", "o_custkey BIGINT",
+             "o_orderpriority VARCHAR", "o_orderstatus VARCHAR",
+             "o_totalprice DOUBLE", "o_orderdate TIMESTAMP"],
+            [(i, i, "1-URGENT", "O", r, "2024-01-01 00:00:00")
+             for i, r in enumerate(revs)],
+        )
+    }
+    out = _run(tables, "q_hill_tail")[0]
+
+    k = ht._HILL_K
+    cents = sorted((round(r * 100) for r in revs), reverse=True)
+    top, thr = cents[:k], cents[k]
+    alpha = k / sum(math.log(x / thr) for x in top)
+    assert out["k_order_stats"] == k
+    assert abs(out["threshold_revenue"] - thr / 100.0) < 1e-9
+    assert abs(out["hill_alpha"] - alpha) < 1e-4
