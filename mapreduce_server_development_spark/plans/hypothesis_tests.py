@@ -1619,3 +1619,112 @@ def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     s = p.agg(*aggs)
     return s.selectExpr(*_DID_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_wilcoxon — Wilcoxon signed-rank test on paired pre/post spend
+# ---------------------------------------------------------------------------
+
+_WX_SIG = (
+    "sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)"
+    " * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0"
+    " - CAST(t AS DOUBLE) / 48.0)"
+)
+_WX_FINAL = (
+    "CAST(n AS BIGINT) AS n_pairs",
+    "round(CAST(w2p AS DOUBLE) / 2.0, 2) + 0.0 AS w_plus",
+    f"round((CAST(w2p AS DOUBLE) / 2.0"
+    f" - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0)"
+    f" / NULLIF({_WX_SIG}, 0.0), 6) + 0.0 AS z_score",
+)
+
+
+@query(
+    "q_wilcoxon",
+    oracle=f"""
+    WITH f AS (SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id),
+    per_user AS (
+        SELECT f.user_id,
+               SUM(CASE WHEN e.event_type = 'purchase'
+                        AND e.ts >= f.t0 + INTERVAL {_CUPED_SPLIT_H} HOUR
+                        THEN {_CENTS} ELSE 0 END)
+               - SUM(CASE WHEN e.event_type = 'purchase'
+                          AND e.ts < f.t0 + INTERVAL {_CUPED_SPLIT_H} HOUR
+                          THEN {_CENTS} ELSE 0 END) AS d
+        FROM events e JOIN f USING (user_id)
+        GROUP BY f.user_id
+    ),
+    nz AS (SELECT d FROM per_user WHERE d <> 0),
+    vc AS (
+        SELECT abs(d) AS a,
+               CAST(COUNT(*) AS BIGINT) AS n_v,
+               CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pos
+        FROM nz GROUP BY abs(d)
+    ),
+    cum AS (
+        SELECT a, n_v, n_pos, SUM(n_v) OVER (ORDER BY a) AS cum FROM vc
+    ),
+    s AS (
+        SELECT SUM(n_v) AS n,
+               SUM(CAST(n_pos AS HUGEINT) * (2 * cum - n_v + 1)) AS w2p,
+               SUM(CAST(n_v AS HUGEINT) * n_v * n_v - n_v) AS t
+        FROM cum
+    )
+    SELECT {", ".join(_WX_FINAL)} FROM s
+    """,
+)
+def q_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test: did per-user purchase spend SHIFT
+    between each user's first 48 hours and everything after? The
+    paired nonparametric member of the family (Mann–Whitney compares
+    two groups of different users; this ranks each user against
+    themselves), with the zero-difference drop and Σ(t³−t)/48 tie
+    term of the textbook normal approximation.
+
+    Same scale machinery as q_mann_whitney: per-user differences are
+    exact integer cents from one user-keyed aggregate; |d| collapses
+    to a histogram; midranks ride the two-phase distributed running
+    sum; 2×W⁺ stays integral; z is one shared text.
+    """
+    from ..functions.prefix import global_running_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    f0 = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    split = F.col("t0") + F.expr(f"interval {_CUPED_SPLIT_H} hour")
+    cents = F.expr(_CENTS)
+    is_p = F.col("event_type") == "purchase"
+    per_user = (
+        ev.join(f0, "user_id")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(
+                    F.when(is_p & (F.col("ts") >= split), cents).otherwise(0)
+                )
+                - F.sum(
+                    F.when(is_p & (F.col("ts") < split), cents).otherwise(0)
+                )
+            ).alias("d")
+        )
+    )
+    nz = per_user.filter(F.col("d") != 0)
+    vc = nz.groupBy(F.abs(F.col("d")).alias("a")).agg(
+        F.count("*").cast("long").alias("n_v"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+    )
+    cum = global_running_sum(vc, "a", "n_v", out_col="cum")
+    s = cum.agg(
+        F.sum("n_v").cast("decimal(38,0)").alias("n"),
+        F.sum(
+            F.col("n_pos").cast("decimal(38,0)")
+            * (2 * F.col("cum") - F.col("n_v") + 1)
+        ).alias("w2p"),
+        F.sum(
+            F.col("n_v").cast("decimal(38,0)") * F.col("n_v") * F.col("n_v")
+            - F.col("n_v")
+        ).alias("t"),
+    )
+    return s.selectExpr(*_WX_FINAL)

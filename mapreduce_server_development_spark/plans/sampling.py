@@ -587,3 +587,153 @@ def q_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return g.selectExpr(*_IPF_FINAL).orderBy("event_type", "dow")
+
+
+# ---------------------------------------------------------------------------
+# q_shard_planner — consistent-hash vs mod sharding rebalance audit
+# ---------------------------------------------------------------------------
+
+_SHARD_N = 8       # current shard count
+_SHARD_V = 8       # virtual nodes per shard
+_SHARD_DOM = 1 << 48
+
+_SHARD_FINAL = (
+    "CAST(n_docs AS BIGINT) AS n_docs",
+    "round(100.0 * CAST(moved_mod AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)"
+    " + 0.0 AS moved_mod_pct",
+    "round(100.0 * CAST(moved_ring AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)"
+    " + 0.0 AS moved_ring_pct",
+    "CAST(max_load8 AS BIGINT) AS ring8_max_shard_load",
+    "CAST(min_load8 AS BIGINT) AS ring8_min_shard_load",
+)
+
+
+def _shard_oracle() -> str:
+    from .sketches import _hexval_sql
+
+    dh = _hexval_sql("md5('shard:' || CAST(doc_id AS VARCHAR))", 12)
+    vh = _hexval_sql(
+        "md5('ring:' || CAST(s AS VARCHAR) || ':' || CAST(j AS VARCHAR))", 12
+    )
+    return f"""
+    WITH docs AS (SELECT doc_id, {dh} AS h FROM documents),
+    vn AS (
+        SELECT s.s, j.j, {vh} AS vh
+        FROM (SELECT unnest(range({_SHARD_N + 1})) AS s) s,
+             (SELECT unnest(range({_SHARD_V})) AS j) j
+    ),
+    a8 AS (
+        SELECT d.doc_id, d.h,
+               arg_min(v.s, CASE WHEN v.vh >= d.h THEN v.vh
+                                 ELSE v.vh + {_SHARD_DOM} END) AS ring8
+        FROM docs d JOIN vn v ON v.s < {_SHARD_N}
+        GROUP BY d.doc_id, d.h
+    ),
+    a9 AS (
+        SELECT d.doc_id,
+               arg_min(v.s, CASE WHEN v.vh >= d.h THEN v.vh
+                                 ELSE v.vh + {_SHARD_DOM} END) AS ring9
+        FROM docs d JOIN vn v ON 1 = 1
+        GROUP BY d.doc_id, d.h
+    ),
+    joined AS (
+        SELECT a8.doc_id, a8.h, a8.ring8, a9.ring9
+        FROM a8 JOIN a9 ON a9.doc_id = a8.doc_id
+    ),
+    loads AS (
+        SELECT ring8, CAST(COUNT(*) AS BIGINT) AS l
+        FROM joined GROUP BY ring8
+    ),
+    s AS (
+        SELECT (SELECT COUNT(*) FROM joined) AS n_docs,
+               (SELECT SUM(CASE WHEN h % {_SHARD_N} <> h % {_SHARD_N + 1}
+                                THEN 1 ELSE 0 END) FROM joined) AS moved_mod,
+               (SELECT SUM(CASE WHEN ring8 <> ring9 THEN 1 ELSE 0 END)
+                FROM joined) AS moved_ring,
+               (SELECT MAX(l) FROM loads) AS max_load8,
+               (SELECT MIN(l) FROM loads) AS min_load8
+    )
+    SELECT {", ".join(_SHARD_FINAL)} FROM s
+    """
+
+
+@query("q_shard_planner", oracle=_shard_oracle())
+def q_shard_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-rebalance audit: assign every document to 8 shards by
+    (a) hash-mod and (b) a consistent-hash ring with 8 virtual nodes
+    per shard, then measure what fraction MOVES when a 9th shard is
+    added — the capacity-planning readout that justifies consistent
+    hashing (ring moves ≈ 1/(N+1) of keys; mod moves ≈ N/(N+1)),
+    plus the ring's max/min shard loads (the balance cost virtual
+    nodes pay for that stability).
+
+    Successor-on-ring is one aggregate trick: argmin over virtual
+    nodes of (vh if vh ≥ h else vh + 2⁴⁸) — the wrap-around built
+    into the key, so no COALESCE two-pass. Spark's min_by and
+    DuckDB's arg_min implement the same semantics; md5-derived 48-bit
+    positions make ties impossible in practice and every assignment
+    engine-replayable.
+
+    Scale: the virtual-node table is |shards|·V rows broadcast to a
+    docs-scale nested-loop fan-out (a bounded ×72 multiplier), then
+    two doc-keyed aggregates and a shard-sized load rollup.
+    """
+    from .sketches import _hexval_col
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        _hexval_col(
+            F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+            12,
+        ).alias("h"),
+    )
+    vn = (
+        spark.range(_SHARD_N + 1)
+        .selectExpr("id AS s")
+        .crossJoin(spark.range(_SHARD_V).selectExpr("id AS j"))
+        .select(
+            "s",
+            "j",
+            _hexval_col(
+                F.md5(
+                    F.concat(
+                        F.lit("ring:"),
+                        F.col("s").cast("string"),
+                        F.lit(":"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                12,
+            ).alias("vh"),
+        )
+    )
+    key = F.when(F.col("vh") >= F.col("h"), F.col("vh")).otherwise(
+        F.col("vh") + F.lit(_SHARD_DOM)
+    )
+    a8 = (
+        docs.join(F.broadcast(vn.filter(F.col("s") < _SHARD_N)))
+        .groupBy("doc_id", "h")
+        .agg(F.min_by("s", key).alias("ring8"))
+    )
+    a9 = (
+        docs.join(F.broadcast(vn))
+        .groupBy("doc_id", "h")
+        .agg(F.min_by("s", key).alias("ring9"))
+    )
+    joined = a8.join(a9.select("doc_id", "ring9"), "doc_id")
+    loads = joined.groupBy("ring8").agg(F.count("*").cast("long").alias("l"))
+    lsum = loads.agg(
+        F.max("l").alias("max_load8"), F.min("l").alias("min_load8")
+    )
+    s = joined.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("h") % _SHARD_N != F.col("h") % (_SHARD_N + 1), 1
+            ).otherwise(0)
+        ).alias("moved_mod"),
+        F.sum(
+            F.when(F.col("ring8") != F.col("ring9"), 1).otherwise(0)
+        ).alias("moved_ring"),
+    ).crossJoin(F.broadcast(lsum))
+    return s.selectExpr(*_SHARD_FINAL)
