@@ -2395,3 +2395,85 @@ def q_dup_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_savings — token savings from exact dedup, per source
+# ---------------------------------------------------------------------------
+
+_DS_FINAL = (
+    "source",
+    "CAST(n_docs AS BIGINT) AS n_docs",
+    "CAST(n_dup_docs AS BIGINT) AS n_dup_docs",
+    "CAST(tok_total AS BIGINT) AS tokens_total",
+    "CAST(tok_saved AS BIGINT) AS tokens_saved",
+    "round(100.0 * CAST(tok_saved AS DOUBLE)"
+    " / NULLIF(CAST(tok_total AS DOUBLE), 0.0), 4) + 0.0"
+    " AS savings_pct",
+)
+
+
+@query(
+    "q_dedup_savings",
+    oracle=f"""
+    WITH lens AS (
+        SELECT doc_id, source, md5(text) AS h,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                                    t -> t <> '')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    keep AS (SELECT h, MIN(doc_id) AS rep FROM lens GROUP BY h),
+    marked AS (
+        SELECT l.source, l.n_tok,
+               CASE WHEN l.doc_id = k.rep THEN 0 ELSE 1 END AS is_dup
+        FROM lens l JOIN keep k ON k.h = l.h
+    ),
+    s AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               SUM(is_dup) AS n_dup_docs,
+               SUM(n_tok) AS tok_total,
+               SUM(CASE WHEN is_dup = 1 THEN n_tok ELSE 0 END) AS tok_saved
+        FROM marked GROUP BY source
+    )
+    SELECT {", ".join(_DS_FINAL)} FROM s ORDER BY source
+    """,
+)
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget savings from exact dedup, per source: how many
+    tokens disappear if only the min-doc_id representative of each
+    byte-identical text survives — the governance readout that turns
+    q_exact_dedup's cluster list into the number a budget meeting
+    actually asks for ("dedup buys us X% of source Y's token bill").
+
+    Scale: one shuffle keyed by md5(text) for representatives (the
+    q_exact_dedup shape), one co-partitioned join back, one
+    |sources|-row rollup. Token counts are exact integers from the
+    shared tokenization convention.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(tokens_col(F.lower(F.col("text"))))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    keep = lens.groupBy("h").agg(F.min("doc_id").alias("rep"))
+    marked = lens.join(keep, "h").select(
+        "source",
+        "n_tok",
+        F.when(F.col("doc_id") == F.col("rep"), 0).otherwise(1).alias(
+            "is_dup"
+        ),
+    )
+    s = marked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("is_dup").alias("n_dup_docs"),
+        F.sum("n_tok").alias("tok_total"),
+        F.sum(F.when(F.col("is_dup") == 1, F.col("n_tok")).otherwise(0)).alias(
+            "tok_saved"
+        ),
+    )
+    return s.selectExpr(*_DS_FINAL).orderBy("source")

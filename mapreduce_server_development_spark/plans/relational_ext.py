@@ -4060,3 +4060,97 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cum", F.sum("rev").over(w))
     )
     return cum.selectExpr(*_LTV_FINAL).orderBy("cohort_week", "week_n")
+
+
+# ---------------------------------------------------------------------------
+# q_markov_entropy — entropy rate of the user-journey Markov chain
+# ---------------------------------------------------------------------------
+
+#: Per-transition-cell entropy contribution −(n_ij/N)·log2(n_ij/n_i),
+#: rounded to e9 integer units before the ≤|types|² cell sum.
+_ME_TERM = (
+    "CAST(round(-(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))"
+    " * log2(CAST(n AS DOUBLE) / CAST(n_out AS DOUBLE))"
+    " * 1000000000) AS BIGINT)"
+)
+
+_ME_FINAL = (
+    "CAST(nn AS BIGINT) AS n_transitions",
+    "CAST(k AS BIGINT) AS n_states",
+    "round(CAST(h_e9 AS DOUBLE) / 1000000000.0, 6) + 0.0"
+    " AS entropy_rate_bits",
+    "round(1.0 - CAST(h_e9 AS DOUBLE) / 1000000000.0"
+    " / log2(CAST(k AS DOUBLE)), 6) + 0.0 AS predictability",
+)
+
+
+@query(
+    "q_markov_entropy",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    trans AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    outs AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_out
+             FROM trans GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                   CAST(COUNT(DISTINCT from_type) AS BIGINT) AS k
+            FROM trans),
+    cells AS (
+        SELECT {_ME_TERM} AS t_e9
+        FROM trans t JOIN outs o USING (from_type) CROSS JOIN tot
+    )
+    SELECT {", ".join(_ME_FINAL)}
+    FROM (SELECT SUM(t_e9) AS h_e9 FROM cells) CROSS JOIN tot
+    """,
+)
+def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the first-order user-journey Markov chain
+    (empirical weighting): H = −Σᵢⱼ (nᵢⱼ/N)·log₂(nᵢⱼ/nᵢ) over
+    q_event_transitions' matrix, plus the normalized predictability
+    1 − H/log₂k — the one-number answer to "how predictable is the
+    next user action", the information-theoretic summary on top of
+    the raw transition table.
+
+    Per-cell entropy terms are e9-rounded integers before the
+    ≤|types|² sum (round-before-sum); every count is exact.
+
+    Scale: one user-partitioned LEAD window over the fact stream
+    (user-keyed, parallelism = user count), a |types|²-cell
+    aggregate, and bounded rollups.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    trans = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    outs = trans.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("n_out")
+    )
+    tot = trans.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.countDistinct("from_type").cast("long").alias("k"),
+    )
+    cells = (
+        trans.join(outs, "from_type")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(f"{_ME_TERM} AS t_e9")
+    )
+    h = cells.agg(F.sum("t_e9").alias("h_e9"))
+    return h.crossJoin(F.broadcast(tot)).selectExpr(*_ME_FINAL)
