@@ -1728,3 +1728,136 @@ def q_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t"),
     )
     return s.selectExpr(*_WX_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_srm_check — sample-ratio-mismatch health check for the A/B split
+# ---------------------------------------------------------------------------
+
+_SRM_FINAL = (
+    "CAST(na AS BIGINT) AS n_a",
+    "CAST(nb AS BIGINT) AS n_b",
+    "round((CAST(na AS DOUBLE) - e) * (CAST(na AS DOUBLE) - e) / e"
+    " + (CAST(nb AS DOUBLE) - e) * (CAST(nb AS DOUBLE) - e) / e, 6)"
+    " + 0.0 AS srm_chi2",
+    "CAST(CASE WHEN (CAST(na AS DOUBLE) - e) * (CAST(na AS DOUBLE) - e) / e"
+    " + (CAST(nb AS DOUBLE) - e) * (CAST(nb AS DOUBLE) - e) / e > 3.841459"
+    " THEN 1 ELSE 0 END AS BIGINT) AS srm_flag",
+)
+
+
+@query(
+    "q_srm_check",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id % 2 AS variant,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu
+        FROM events GROUP BY user_id % 2
+    ),
+    s AS (
+        SELECT MAX(CASE WHEN variant = 0 THEN nu END) AS na,
+               MAX(CASE WHEN variant = 1 THEN nu END) AS nb
+        FROM u
+    ),
+    e AS (SELECT na, nb, CAST(na + nb AS DOUBLE) / 2.0 AS e FROM s)
+    SELECT {", ".join(_SRM_FINAL)} FROM e
+    """,
+)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio mismatch: is the A/B user split actually 50/50?
+    The mandatory experiment health gate — a skewed split means the
+    assignment mechanism is broken and EVERY downstream readout
+    (q_ab_test, q_welch_ttest, q_cuped, q_did) is invalid. χ² against
+    the expected half-half allocation; flagged at the 0.05 critical
+    value (3.841) — the standard "halt the experiment" alarm.
+
+    Scale: one distinct-count keyed by the 2-value variant, a 2-cell
+    χ² in one shared text, one row out.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.selectExpr("user_id % 2 AS variant", "user_id").groupBy(
+        "variant"
+    ).agg(F.countDistinct("user_id").cast("long").alias("nu"))
+    s = u.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("nu"))).alias("na"),
+        F.max(F.when(F.col("variant") == 1, F.col("nu"))).alias("nb"),
+    )
+    e = s.selectExpr("na", "nb", "CAST(na + nb AS DOUBLE) / 2.0 AS e")
+    return e.selectExpr(*_SRM_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_mde_power — minimum detectable effect at 80% power
+# ---------------------------------------------------------------------------
+
+#: z_{alpha/2}=1.959964 (two-sided 5%), z_beta=0.841621 (80% power) —
+#: fixed literals shared by both engines.
+_MDE_SD = (
+    "sqrt((CAST(ss AS DOUBLE)"
+    " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) - 1.0))"
+)
+_MDE = (
+    f"((1.959964 + 0.841621) * {_MDE_SD}"
+    " * sqrt(2.0 / (CAST(n AS DOUBLE) / 2.0)))"
+)
+_MDE_FINAL = (
+    "CAST(n AS BIGINT) AS n_users",
+    f"round({_MDE_SD} / 100.0, 6) + 0.0 AS metric_sd",
+    f"round({_MDE} / 100.0, 6) + 0.0 AS mde_absolute",
+    f"round(100.0 * {_MDE}"
+    " / NULLIF(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 0.0), 4) + 0.0"
+    " AS mde_relative_pct",
+)
+
+
+@query(
+    "q_mde_power",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               SUM(CASE WHEN event_type = 'purchase' THEN {_CENTS}
+                        ELSE 0 END) AS m
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(m) AS s,
+               SUM(CAST(m AS HUGEINT) * m) AS ss
+        FROM per_user
+    )
+    SELECT {", ".join(_MDE_FINAL)} FROM s
+    """,
+)
+def q_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power analysis for the revenue experiment: from the observed
+    per-user spend variance, the minimum detectable effect an equal
+    two-arm split of this population can resolve at α=0.05 / 80%
+    power — MDE = (z_{{α/2}}+z_β)·σ·√(2/(n/2)) — reported absolute
+    (dollars) and relative to the current mean. The planning readout
+    that precedes every q_ab_test: "is this experiment even big
+    enough to see the effect we care about".
+
+    Determinism: per-user metrics and moment sums are exact integers
+    (DECIMAL(38,0)/HUGEINT); the z constants are shared literals; the
+    MDE is one closed-form text.
+
+    Scale: one user-keyed aggregate, one 3-counter rollup, one row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.expr(_CENTS)).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("m")
+    )
+    s = per_user.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("m").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            (F.col("m").cast("decimal(38,0)") * F.col("m"))
+        ).alias("ss"),
+    )
+    return s.selectExpr(*_MDE_FINAL)
