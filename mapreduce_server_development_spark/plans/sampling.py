@@ -737,3 +737,82 @@ def q_shard_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("moved_ring"),
     ).crossJoin(F.broadcast(lsum))
     return s.selectExpr(*_SHARD_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_k_anonymity — quasi-identifier k-anonymity audit
+# ---------------------------------------------------------------------------
+
+_KA_FINAL = (
+    "CAST(log2_k AS BIGINT) AS log2_k",
+    "CAST(n_classes AS BIGINT) AS n_classes",
+    "CAST(n_users AS BIGINT) AS n_users",
+    "CAST(n_under_5 AS BIGINT) AS users_in_k_lt_5",
+)
+
+
+@query(
+    "q_k_anonymity",
+    oracle="""
+    WITH qi AS (
+        SELECT DISTINCT user_id, event_type,
+               ((datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                 % 7) + 7) % 7 AS dow,
+               CAST(round(value * 100) AS BIGINT) // 5000 AS vbucket
+        FROM events
+    ),
+    classes AS (
+        SELECT event_type, dow, vbucket,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM qi GROUP BY event_type, dow, vbucket
+    ),
+    binned AS (
+        SELECT length(bin(k)) - 1 AS log2_k, k FROM classes
+    )
+    SELECT CAST(log2_k AS BIGINT) AS log2_k,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(k) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+               AS users_in_k_lt_5
+    FROM binned GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (event type,
+    day-of-week, $50 value bucket): how many users share each
+    equivalence class, log2-binned, with the count of users sitting
+    in classes smaller than k=5 — the re-identification risk readout
+    that decides whether an event-level export needs generalization
+    or suppression before release (the governance sibling of
+    q_dp_release's noise mechanism).
+
+    Determinism: classes, k values, and bin ids are exact integers
+    (Monday-anchored dow, floor-div value buckets, bit-length bins).
+
+    Scale: one distinct on (user, QI) — map-side combined — one
+    class-keyed count, one ≤~32-bucket rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    qi = ev.selectExpr(
+        "user_id",
+        "event_type",
+        "((datediff(CAST(ts AS DATE), DATE '2024-01-01') % 7) + 7) % 7"
+        " AS dow",
+        "CAST(round(value * 100) AS BIGINT) DIV 5000 AS vbucket",
+    ).distinct()
+    classes = qi.groupBy("event_type", "dow", "vbucket").agg(
+        F.count("*").cast("long").alias("k")
+    )
+    binned = classes.selectExpr("length(bin(k)) - 1 AS log2_k", "k")
+    return (
+        binned.groupBy("log2_k")
+        .agg(
+            F.count("*").cast("long").alias("n_classes"),
+            F.sum("k").cast("long").alias("n_users"),
+            F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0))
+            .cast("long")
+            .alias("n_under_5"),
+        )
+        .selectExpr(*_KA_FINAL)
+        .orderBy("log2_k")
+    )

@@ -2014,3 +2014,62 @@ def q_stream_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c") * F.col("c")).alias("ss"),
     )
     return s.selectExpr(*_BURST_FINAL).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q_stream_srm — SRM health gate maintained by the stream
+# (streaming twin of q_srm_check)
+# ---------------------------------------------------------------------------
+
+
+def _stream_srm_oracle() -> str:
+    from .hypothesis_tests import _SRM_FINAL
+
+    return f"""
+    WITH u AS (
+        SELECT user_id % 2 AS variant,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu
+        FROM events GROUP BY user_id % 2
+    ),
+    s AS (
+        SELECT MAX(CASE WHEN variant = 0 THEN nu END) AS na,
+               MAX(CASE WHEN variant = 1 THEN nu END) AS nb
+        FROM u
+    ),
+    e AS (SELECT na, nb, CAST(na + nb AS DOUBLE) / 2.0 AS e FROM s)
+    SELECT {", ".join(_SRM_FINAL)} FROM e
+    """
+
+
+@query("q_stream_srm", oracle=_stream_srm_oracle())
+def q_stream_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_srm_check: the assignment-health alarm
+    running ON the live stream, where a broken bucketing service is
+    actually caught. Distinct users per variant are maintained as
+    first-seen state (complete-mode MIN-style aggregate keyed by
+    user — the q_stream_new_users posture: exact, one row per user),
+    then the χ²-vs-50/50 readout is the SAME shared text as the
+    batch gate.
+
+    100 TB posture: state is one row per user (the honest cost of an
+    exact distinct; the sketch answer is the HLL/KMV twins);
+    per-batch work is one user-keyed partial-agg'd shuffle.
+    """
+    from .hypothesis_tests import _SRM_FINAL
+
+    stream = read_events_stream(spark, sf_dir)
+    seen = (
+        stream.selectExpr("user_id % 2 AS variant", "user_id")
+        .groupBy("variant", "user_id")
+        .agg(F.count("*").alias("_n"))
+    )
+    users = _run_to_memory(seen, spark, mode="complete")
+    u = users.groupBy("variant").agg(
+        F.count("*").cast("long").alias("nu")
+    )
+    s = u.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("nu"))).alias("na"),
+        F.max(F.when(F.col("variant") == 1, F.col("nu"))).alias("nb"),
+    )
+    e = s.selectExpr("na", "nb", "CAST(na + nb AS DOUBLE) / 2.0 AS e")
+    return e.selectExpr(*_SRM_FINAL)
