@@ -4154,3 +4154,200 @@ def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = cells.agg(F.sum("t_e9").alias("h_e9"))
     return h.crossJoin(F.broadcast(tot)).selectExpr(*_ME_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_attribution_shapley — Shapley-value channel attribution
+# ---------------------------------------------------------------------------
+
+#: Channel → bit, alphabetical (shared CASE text).
+_SH_BIT = (
+    "CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2"
+    " WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END"
+)
+#: Arithmetic popcount of a 4-bit mask and bit-membership tests —
+#: div/mod only, so one semantic in both engines (spelled // vs DIV).
+def _sh_pop(m: str, div: str) -> str:
+    return (
+        f"(({m} {div} 1) % 2 + ({m} {div} 2) % 2"
+        f" + ({m} {div} 4) % 2 + ({m} {div} 8) % 2)"
+    )
+
+
+#: Shapley coalition weights for k=4: w(s) = s!(3−s)!/4!.
+_SH_W = (
+    "CASE {p} WHEN 0 THEN 0.25 WHEN 1 THEN 0.08333333333333333"
+    " WHEN 2 THEN 0.08333333333333333 ELSE 0.25 END"
+)
+
+_SH_FINAL = (
+    "channel",
+    "CAST(n_exposed AS BIGINT) AS n_users_exposed",
+    "round(phi, 6) + 0.0 AS shapley_value",
+)
+
+
+def _shapley_oracle() -> str:
+    pop = _sh_pop("s.m", "//")
+    popb = _sh_pop("b.m", "//")
+    return f"""
+    WITH f0 AS (SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id),
+    fp AS (
+        SELECT e.user_id, MIN(e.ts) AS fpw
+        FROM events e JOIN f0 ON f0.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.ts < f0.t0 + INTERVAL 24 HOUR
+        GROUP BY e.user_id
+    ),
+    masked AS (
+        SELECT e.user_id,
+               CASE WHEN fp.user_id IS NOT NULL THEN 1 ELSE 0 END AS conv,
+               MAX(CASE WHEN {_SH_BIT} = 1
+                        AND e.ts < COALESCE(fp.fpw, f0.t0 + INTERVAL 24 HOUR)
+                        THEN 1 ELSE 0 END)
+               + 2 * MAX(CASE WHEN {_SH_BIT} = 2
+                        AND e.ts < COALESCE(fp.fpw, f0.t0 + INTERVAL 24 HOUR)
+                              THEN 1 ELSE 0 END)
+               + 4 * MAX(CASE WHEN {_SH_BIT} = 4
+                        AND e.ts < COALESCE(fp.fpw, f0.t0 + INTERVAL 24 HOUR)
+                              THEN 1 ELSE 0 END)
+               + 8 * MAX(CASE WHEN {_SH_BIT} = 8
+                        AND e.ts < COALESCE(fp.fpw, f0.t0 + INTERVAL 24 HOUR)
+                              THEN 1 ELSE 0 END) AS m
+        FROM events e
+        JOIN f0 ON f0.user_id = e.user_id
+        LEFT JOIN fp ON fp.user_id = e.user_id
+        GROUP BY e.user_id, conv
+    ),
+    vm AS (
+        SELECT m, CAST(COUNT(*) AS BIGINT) AS users,
+               CAST(SUM(conv) AS BIGINT) AS convs
+        FROM masked GROUP BY m
+    ),
+    lattice AS (SELECT unnest(range(16)) AS m),
+    v AS (
+        SELECT l.m, COALESCE(CAST(vm.convs AS DOUBLE)
+                             / NULLIF(CAST(vm.users AS DOUBLE), 0.0), 0.0)
+                   AS val
+        FROM lattice l LEFT JOIN vm ON vm.m = l.m
+    ),
+    channels AS (
+        SELECT 'click' AS channel, 1 AS bit UNION ALL
+        SELECT 'error', 2 UNION ALL
+        SELECT 'signup', 4 UNION ALL
+        SELECT 'view', 8
+    ),
+    terms AS (
+        SELECT c.channel,
+               ({_SH_W.format(p=pop)})
+               * (b.val - s.val) AS contrib
+        FROM channels c
+        JOIN v s ON s.m % (2 * c.bit) < c.bit
+        JOIN v b ON b.m = s.m + c.bit
+    ),
+    phi AS (
+        SELECT channel, SUM(contrib) AS phi FROM terms GROUP BY channel
+    ),
+    exposure AS (
+        SELECT c.channel, CAST(SUM(vm.users) AS BIGINT) AS n_exposed
+        FROM channels c
+        JOIN vm ON vm.m % (2 * c.bit) >= c.bit
+        GROUP BY c.channel
+    )
+    SELECT {", ".join(_SH_FINAL)}
+    FROM phi JOIN exposure USING (channel)
+    ORDER BY channel
+    """
+
+
+@query("q_attribution_shapley", oracle=_shapley_oracle())
+def q_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value channel attribution — the game-theoretic member
+    of the attribution family (last-touch, position-based, Markov
+    removal, and now the coalition-fair split): each user's
+    first-24-hour touch channels (cut at the activating purchase)
+    form a coalition, v(S) is the observed 24-hour-activation rate of
+    users with exactly touchset S (0 for unobserved sets), and each channel's credit is its average
+    marginal contribution over the 2⁴ subset lattice with the exact
+    s!(k−1−s)!/k! weights.
+
+    The lattice is CONSTANT-sized (16 masks × 4 channels): all
+    data-scale work is one user-keyed aggregate building bitmasks;
+    the Shapley sum is a bounded join over literal tables. Masks,
+    counts, and exposure totals are exact integers; v and the
+    weighted sum are shared-text doubles over ≤32 terms (the bounded
+    double-sum posture of q_ipf_raking).
+
+    Scale: one events scan + user-keyed aggregate; everything after
+    is O(1).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    f0 = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    fp = (
+        ev.join(f0, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") < F.col("t0") + F.expr("interval 24 hour"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fpw"))
+    )
+    bit = F.expr(_SH_BIT)
+    pre = F.col("ts") < F.coalesce(
+        F.col("fpw"), F.col("t0") + F.expr("interval 24 hour")
+    )
+    masked = (
+        ev.join(f0, "user_id")
+        .join(fp, "user_id", "left")
+        .groupBy(
+            "user_id", F.col("fpw").isNotNull().cast("int").alias("conv")
+        )
+        .agg(
+            (
+                F.max(F.when((bit == 1) & pre, 1).otherwise(0))
+                + 2 * F.max(F.when((bit == 2) & pre, 1).otherwise(0))
+                + 4 * F.max(F.when((bit == 4) & pre, 1).otherwise(0))
+                + 8 * F.max(F.when((bit == 8) & pre, 1).otherwise(0))
+            ).alias("m")
+        )
+    )
+    vm = masked.groupBy("m").agg(
+        F.count("*").cast("long").alias("users"),
+        F.sum("conv").cast("long").alias("convs"),
+    )
+    lattice = spark.range(16).selectExpr("CAST(id AS INT) AS m")
+    v = lattice.join(F.broadcast(vm), "m", "left").selectExpr(
+        "m",
+        "COALESCE(CAST(convs AS DOUBLE)"
+        " / NULLIF(CAST(users AS DOUBLE), 0.0), 0.0) AS val",
+    )
+    channels = spark.createDataFrame(
+        [("click", 1), ("error", 2), ("signup", 4), ("view", 8)],
+        "channel string, bit int",
+    )
+    s_side = v.selectExpr("m AS sm", "val AS sval")
+    b_side = v.selectExpr("m AS bm", "val AS bval")
+    pop = _sh_pop("sm", "DIV")
+    terms = (
+        channels.join(
+            F.broadcast(s_side), F.expr("sm % (2 * bit) < bit")
+        )
+        .join(F.broadcast(b_side), F.expr("bm = sm + bit"))
+        .selectExpr(
+            "channel",
+            f"({_SH_W.format(p=pop)}) * (bval - sval) AS contrib",
+        )
+    )
+    phi = terms.groupBy("channel").agg(F.sum("contrib").alias("phi"))
+    exposure = (
+        channels.join(
+            F.broadcast(vm), F.expr("m % (2 * bit) >= bit")
+        )
+        .groupBy("channel")
+        .agg(F.sum("users").cast("long").alias("n_exposed"))
+    )
+    return (
+        phi.join(exposure, "channel")
+        .selectExpr(*_SH_FINAL)
+        .orderBy("channel")
+    )
