@@ -1001,3 +1001,204 @@ def q_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(d("y") * F.col("y")).alias("syy"),
     )
     return s.selectExpr(*_GR_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_crosscorr — lagged cross-correlation (purchases ↔ errors)
+# ---------------------------------------------------------------------------
+
+_CC_MAXLAG = 3
+
+_CC_CORR = (
+    "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / NULLIF(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0), 6) + 0.0"
+)
+
+_CC_FINAL = (
+    "CAST(lag AS BIGINT) AS lag_hours",
+    "CAST(n AS BIGINT) AS n_pairs",
+    f"{_CC_CORR} AS ccf",
+)
+
+
+@query(
+    "q_crosscorr",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hr,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(-{_CC_MAXLAG}, {_CC_MAXLAG + 1})) AS lag),
+    pairs AS (
+        SELECT l.lag, a.x, b.y
+        FROM lags l
+        JOIN hourly a ON 1 = 1
+        JOIN hourly b ON b.hr = a.hr + l.lag * INTERVAL 1 HOUR
+    ),
+    s AS (
+        SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(y AS HUGEINT) * y) AS syy
+        FROM pairs GROUP BY lag
+    )
+    SELECT {", ".join(_CC_FINAL)} FROM s ORDER BY lag_hours
+    """,
+)
+def q_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between hourly purchase and error
+    volumes at lags −3..+3 hours — the lead/lag diagnostic that
+    q_granger's single-lag F-test summarizes (a peak at positive lag
+    means purchases LEAD errors; the full CCF shows the response
+    shape). Complements q_acf (self) with the cross-series view.
+
+    Each lag's Pearson runs on exact integer moment sums of
+    calendar-joined hour pairs (hr = hr + k·1h over the observed-hours
+    grid, the q_granger convention); the 7-lag fan-out is a broadcast
+    literal join over the bounded hourly aggregate.
+
+    Scale: one events-scale hash aggregate to the hourly grid;
+    everything after is calendar × 7 bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(F.date_trunc("hour", "ts").alias("hr"), "event_type")
+        .groupBy("hr")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lags = spark.range(-_CC_MAXLAG, _CC_MAXLAG + 1).selectExpr(
+        "CAST(id AS INT) AS lag"
+    )
+    a = hourly.selectExpr("hr", "x")
+    b = hourly.selectExpr("hr AS hrb", "y")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.col("hrb")
+            == F.col("hr") + F.col("lag") * F.expr("interval 1 hour"),
+        )
+        .select("lag", "x", "y")
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    s = pairs.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+        F.sum(yd * F.col("y")).alias("syy"),
+    )
+    return s.selectExpr(*_CC_FINAL).orderBy("lag_hours")
+
+
+# ---------------------------------------------------------------------------
+# q_seasonal_strength — variance explained by hour-of-day seasonality
+# ---------------------------------------------------------------------------
+
+#: Strength = 1 − SSW/SST over hour-of-day groups of the hourly count
+#: series (the eta-squared of "hour of day" as a factor) — Hyndman's
+#: seasonal-strength readout specialized to the observed grid.
+_SS_SST = (
+    "(CAST(qq AS DOUBLE) - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)"
+    " / CAST(n AS DOUBLE))"
+)
+_SS_SSB = (
+    "(CAST(bt AS DOUBLE) - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)"
+    " / CAST(n AS DOUBLE))"
+)
+_SS_FINAL = (
+    "CAST(n AS BIGINT) AS n_hours",
+    f"round({_SS_SSB} / NULLIF({_SS_SST}, 0.0), 6) + 0.0"
+    " AS seasonal_strength",
+    f"round(sqrt(({_SS_SST} - {_SS_SSB}) / (CAST(n AS DOUBLE) - 24.0)), 4)"
+    " + 0.0 AS residual_sd",
+)
+
+#: Per-hour-of-day between-groups term, rounded before the 24-row sum
+#: (the q_anova_oneway discipline).
+_SS_TERM = (
+    "CAST(round(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)"
+    " / CAST(n_g AS DOUBLE)) AS BIGINT)"
+)
+
+
+@query(
+    "q_seasonal_strength",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    grouped AS (
+        SELECT CAST(EXTRACT(hour FROM hr) AS BIGINT) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS n_g,
+               SUM(c) AS s_g, SUM(CAST(c AS HUGEINT) * c) AS q_g
+        FROM hourly GROUP BY 1
+    ),
+    s AS (
+        SELECT SUM(n_g) AS n, SUM(s_g) AS ss, SUM(q_g) AS qq,
+               SUM({_SS_TERM}) AS bt
+        FROM grouped
+    )
+    SELECT {", ".join(_SS_FINAL)} FROM s
+    """,
+)
+def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal strength of event volume: the fraction of
+    hourly-count variance the 24-hour cycle explains (η² of
+    hour-of-day as a factor — ~0 means no diurnal pattern, →1 means
+    the clock IS the forecast), plus the residual standard deviation
+    a forecaster would carry after deseasonalizing. The one-number
+    companion to q_seasonality's per-slot index table.
+
+    Determinism: hourly counts and group moments are exact integers;
+    the one cross-group float term is rounded before the 24-row sum
+    (q_anova_oneway discipline); readouts are one shared text.
+
+    Scale: events → calendar-bounded hourly grid → 24-row hour-of-day
+    rollup → one row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(F.date_trunc("hour", "ts").alias("hr"))
+        .groupBy("hr")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    grouped = (
+        hourly.selectExpr("CAST(hour(hr) AS BIGINT) AS hod", "c")
+        .groupBy("hod")
+        .agg(
+            F.count("*").cast("long").alias("n_g"),
+            F.sum("c").cast("decimal(38,0)").alias("s_g"),
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias(
+                "q_g"
+            ),
+        )
+    )
+    s = grouped.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").alias("ss"),
+        F.sum("q_g").alias("qq"),
+        F.sum(F.expr(_SS_TERM)).alias("bt"),
+    )
+    return s.selectExpr(*_SS_FINAL)
