@@ -970,3 +970,133 @@ def q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("part").alias("checksum"),
     )
     return out.selectExpr(*_ECC_FINAL).orderBy("seed")
+
+
+# ---------------------------------------------------------------------------
+# q_modularity — Newman modularity of the LPA communities
+# ---------------------------------------------------------------------------
+
+#: Per-community modularity term e_c/m − (d_c/2m)², e12-rounded
+#: before the cross-community sum (round-before-sum).
+_MOD_TERM = (
+    "CAST(round((CAST(ec AS DOUBLE) / CAST(m AS DOUBLE)"
+    " - (CAST(dc AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))"
+    " * (CAST(dc AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))))"
+    " * 1000000000000) AS BIGINT)"
+)
+
+_MOD_FINAL = (
+    "CAST(k AS BIGINT) AS n_communities",
+    "CAST(m AS BIGINT) AS n_edges",
+    "round(CAST(q_e12 AS DOUBLE) / 1000000000000.0, 6) + 0.0"
+    " AS modularity",
+)
+
+
+def _modularity_oracle() -> str:
+    # Reuse the unrolled LPA label chain, then score the partition.
+    base = _lpa_oracle()
+    head = base[: base.index(",\n    fin AS (")]
+    return f"""{head},
+    la AS MATERIALIZED (SELECT v, lbl FROM l{_LPA_ROUNDS}),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+    within AS (
+        SELECT la.lbl AS c, CAST(COUNT(*) AS BIGINT) AS ec
+        FROM e JOIN la ON la.v = e.a JOIN la lb ON lb.v = e.b
+        WHERE la.lbl = lb.lbl
+        GROUP BY la.lbl
+    ),
+    degs AS (
+        SELECT la.lbl AS c, CAST(COUNT(*) AS BIGINT) AS dc
+        FROM sym JOIN la ON la.v = sym.src
+        GROUP BY la.lbl
+    ),
+    terms AS (
+        SELECT d.c, COALESCE(w.ec, 0) AS ec, d.dc, m.m
+        FROM degs d LEFT JOIN within w ON w.c = d.c CROSS JOIN m
+    ),
+    s AS (
+        SELECT COUNT(*) AS k, MAX(m) AS m, SUM({_MOD_TERM}) AS q_e12
+        FROM terms
+    )
+    SELECT {", ".join(_MOD_FINAL)} FROM s
+    """
+
+
+@query("q_modularity", oracle=_modularity_oracle())
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the q_label_propagation partition:
+    Q = Σ_c (e_c/m − (d_c/2m)²) over the support-2 co-purchase graph
+    — the standard quality score for a community structure (Q ≈ 0:
+    no better than random; Q ≳ 0.3: strong structure), turning the
+    LPA community LIST into an evaluated result the same way
+    q_ann_recall evaluates the ANN index.
+
+    Runs the identical 4-round synchronous LPA (same joins, same
+    min-label tie-break, so the partition matches the LPA query
+    exactly), then scores it with exact integer e_c/d_c/m counts and
+    e12-rounded per-community terms (round-before-sum).
+
+    Scale: the LPA rounds (vertex-keyed joins, checkpointed) + two
+    community-keyed aggregates + a community-sized rollup.
+    """
+    e = _copurchase_edges(spark, sf_dir, min_support=2)
+    sym = _sym(e)
+    labels = sym.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("lbl")
+    )
+    for rnd in range(1, _LPA_ROUNDS + 1):
+        nbr_votes = (
+            sym.join(labels.withColumnRenamed("v", "dst"), "dst")
+            .select(F.col("src").alias("v"), "lbl")
+            .groupBy("v", "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        votes = nbr_votes.unionAll(
+            labels.select("v", "lbl", F.lit(1).cast("long").alias("c"))
+        )
+        counts = votes.groupBy("v", "lbl").agg(F.sum("c").alias("c"))
+        labels = (
+            counts.groupBy("v")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c").alias("c"), (-F.col("lbl")).alias("nl")
+                    )
+                ).alias("m")
+            )
+            .select("v", (-F.col("m.nl")).alias("lbl"))
+        )
+        if rnd % 2 == 0:
+            labels = labels.localCheckpoint(eager=True)
+    m = e.agg(F.count("*").cast("long").alias("m"))
+    la = labels.selectExpr("v AS a", "lbl AS la_lbl")
+    lb = labels.selectExpr("v AS b", "lbl AS lb_lbl")
+    within = (
+        e.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("la_lbl") == F.col("lb_lbl"))
+        .groupBy(F.col("la_lbl").alias("c"))
+        .agg(F.count("*").cast("long").alias("ec"))
+    )
+    degs = (
+        sym.join(labels.withColumnRenamed("v", "src"), "src")
+        .groupBy(F.col("lbl").alias("c"))
+        .agg(F.count("*").cast("long").alias("dc"))
+    )
+    terms = (
+        degs.join(within, "c", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "c",
+            F.coalesce(F.col("ec"), F.lit(0)).alias("ec"),
+            "dc",
+            "m",
+        )
+    )
+    s = terms.agg(
+        F.count("*").alias("k"),
+        F.max("m").alias("m"),
+        F.sum(F.expr(_MOD_TERM)).alias("q_e12"),
+    )
+    return s.selectExpr(*_MOD_FINAL)
