@@ -323,3 +323,111 @@ def test_hill_matches_brute_force():
     assert out["k_order_stats"] == k
     assert abs(out["threshold_revenue"] - thr / 100.0) < 1e-9
     assert abs(out["hill_alpha"] - alpha) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank (paired pre/post, 48h split)
+# ---------------------------------------------------------------------------
+
+
+def _events_ts(rows):
+    """rows: (event_id, ts, user_id, event_type, value)."""
+    return (
+        ["event_id BIGINT", "ts TIMESTAMP", "user_id BIGINT",
+         "event_type VARCHAR", "value DOUBLE", "props VARCHAR"],
+        [(i, ts, u, t, v, "{}") for i, (ts, u, t, v) in enumerate(rows)],
+    )
+
+
+def test_wilcoxon_matches_brute_force():
+    # Per user: one pre purchase (day 1) and one post purchase (day 5);
+    # first event at day 1 00:00 anchors the 48h split.
+    pre = [10.0, 20.0, 15.0, 8.0, 30.0, 12.0]
+    post = [14.0, 18.0, 15.0, 20.0, 35.0, 9.0]   # user 2 ties (d=0, drops)
+    rows = []
+    for u, (a, b) in enumerate(zip(pre, post)):
+        rows.append((f"2024-01-01 01:00:00", u, "purchase", a))
+        rows.append((f"2024-01-05 01:00:00", u, "purchase", b))
+    out = _run({"events": _events_ts(rows)}, "q_wilcoxon")[0]
+
+    ds = [round((b - a) * 100) for a, b in zip(pre, post) if b != a]
+    mr = _midranks([abs(d) for d in ds])
+    n = len(ds)
+    w_plus = sum(mr[abs(d)] for d in ds if d > 0)
+    from collections import Counter
+
+    ties = Counter(abs(d) for d in ds)
+    sig = math.sqrt(
+        n * (n + 1) * (2 * n + 1) / 24.0
+        - sum(t**3 - t for t in ties.values()) / 48.0
+    )
+    z = (w_plus - n * (n + 1) / 4.0) / sig
+    assert out["n_pairs"] == n
+    assert abs(out["w_plus"] - w_plus) < 1e-6
+    assert abs(out["z_score"] - z) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# CUPED theta and adjusted difference
+# ---------------------------------------------------------------------------
+
+
+def test_cuped_matches_brute_force():
+    # user_id parity = variant; pre (day 1) and post (day 5) spends.
+    data = {  # user -> (pre, post)
+        0: (10.0, 30.0), 2: (20.0, 50.0), 4: (5.0, 12.0),
+        1: (12.0, 20.0), 3: (25.0, 40.0), 5: (8.0, 30.0),
+    }
+    rows = []
+    for u, (a, b) in data.items():
+        rows.append(("2024-01-01 01:00:00", u, "purchase", a))
+        rows.append(("2024-01-05 01:00:00", u, "purchase", b))
+    out = _run({"events": _events_ts(rows)}, "q_cuped")[0]
+
+    xs = {u: round(a * 100) for u, (a, _) in data.items()}
+    ys = {u: round(b * 100) for u, (_, b) in data.items()}
+    n = len(data)
+    sx, sy = sum(xs.values()), sum(ys.values())
+    sxy = sum(xs[u] * ys[u] for u in data)
+    sxx = sum(x * x for x in xs.values())
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a_us = [u for u in data if u % 2 == 0]
+    b_us = [u for u in data if u % 2 == 1]
+    d_raw = sum(ys[u] for u in a_us) / len(a_us) - sum(
+        ys[u] for u in b_us
+    ) / len(b_us)
+    d_x = sum(xs[u] for u in a_us) / len(a_us) - sum(
+        xs[u] for u in b_us
+    ) / len(b_us)
+    assert abs(out["theta"] - theta) < 2e-6
+    assert abs(out["diff_raw"] - d_raw / 100.0) < 2e-6
+    assert abs(out["diff_cuped"] - (d_raw - theta * d_x) / 100.0) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences
+# ---------------------------------------------------------------------------
+
+
+def test_did_matches_brute_force():
+    # Pre = before 2024-01-16, post = after; variant = parity.
+    cells = {
+        ("a", "pre"): [10.0, 12.0, 14.0],
+        ("a", "post"): [20.0, 26.0],
+        ("b", "pre"): [11.0, 13.0],
+        ("b", "post"): [15.0, 17.0, 19.0],
+    }
+    rows = []
+    uid = {"a": 0, "b": 1}
+    for (v, p), vals in cells.items():
+        ts = "2024-01-10 00:00:00" if p == "pre" else "2024-01-20 00:00:00"
+        for x in vals:
+            rows.append((ts, uid[v], "purchase", x))
+    out = _run({"events": _events_ts(rows)}, "q_did")[0]
+
+    m = {k: sum(v) / len(v) for k, v in cells.items()}
+    da = m[("a", "post")] - m[("a", "pre")]
+    db = m[("b", "post")] - m[("b", "pre")]
+    assert abs(out["delta_a"] - da) < 2e-6
+    assert abs(out["delta_b"] - db) < 2e-6
+    assert abs(out["did_estimate"] - (da - db)) < 2e-6
