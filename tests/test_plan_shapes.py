@@ -839,3 +839,45 @@ def test_ipf_no_single_partition_window(spark):
     plan = _plan(spark, "q_ipf_raking")
     assert not single_partition_windows(plan)
     assert "Window" not in plan
+
+
+def test_gmm_em_runs_on_histogram_cells(spark):
+    """The returned frame reads the per-iteration localCheckpoint
+    (lineage deliberately flat — the iterations already ran), so the
+    visible plan is checkpoint-scan + readout: assert it stays that
+    way (no window, no product smuggled into the final projection)."""
+    plan = _plan(spark, "q_gmm_em")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shapley_lattice_is_bounded_joins(spark):
+    """All data-scale work is the user-keyed bitmask aggregate; the
+    16-mask lattice joins broadcast — no product, no window."""
+    plan = _plan(spark, "q_attribution_shapley")
+    assert "partial_max" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_modularity_no_window_no_product(spark):
+    plan = _plan(spark, "q_modularity")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_crosscorr_lag_join_is_calendar_keyed(spark):
+    """The lag fan-out must be a broadcast literal join against the
+    bounded hourly grid, then partial-agg'd moments per lag."""
+    plan = _plan(spark, "q_crosscorr")
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_wilcoxon_midranks_are_two_phase(spark):
+    from .test_no_antipatterns import single_partition_windows
+
+    plan = _plan(spark, "q_wilcoxon")
+    assert not single_partition_windows(plan)
+    assert "__prefix_pid" in plan
