@@ -431,3 +431,99 @@ def test_did_matches_brute_force():
     assert abs(out["delta_a"] - da) < 2e-6
     assert abs(out["delta_b"] - db) < 2e-6
     assert abs(out["did_estimate"] - (da - db)) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# GMM EM (3 iterations, fixed init) vs a pure-Python replay
+# ---------------------------------------------------------------------------
+
+
+def test_gmm_em_matches_python_replay():
+    vals = [5.0, 6.0, 7.0, 5.5, 6.5, 200.0, 210.0, 190.0, 205.0, 7.5,
+            6.2, 195.0]
+    rows = [(u, "purchase", v) for u, v in enumerate(vals)]
+    out = _run({"events": _events(rows)}, "q_gmm_em")[0]
+
+    import mapreduce_server_development_spark.plans.stats_ml as sm
+
+    hist = {}
+    for v in vals:
+        c = round(v * 100)
+        hist[c] = hist.get(c, 0) + 1
+    mu1, mu2, v1, v2, pi = 2000.0, 30000.0, 1e8, 1e8, 0.5
+    nn = float(sum(hist.values()))
+    ss = float(sum(m * c for c, m in hist.items()))
+    qq = float(sum(m * c * c for c, m in hist.items()))
+    for _ in range(sm._GMM_ITERS):
+        n1 = s1 = q1 = 0.0
+        for c, m in hist.items():
+            cc = float(c)
+            d1 = math.exp(-((cc - mu1) ** 2) / (2.0 * v1)) / math.sqrt(v1)
+            d2 = math.exp(-((cc - mu2) ** 2) / (2.0 * v2)) / math.sqrt(v2)
+            den = pi * d1 + (1.0 - pi) * d2
+            if den > 0.0:
+                r = pi * d1 / den
+            else:
+                r = 1.0 if abs(cc - mu1) <= abs(cc - mu2) else 0.0
+            n1 += m * r
+            s1 += m * r * cc
+            q1 += m * r * cc * cc
+        pi = n1 / nn
+        mu1 = s1 / n1
+        v1 = max(q1 / n1 - mu1 * mu1, 100.0)
+        mu2 = (ss - s1) / (nn - n1)
+        v2 = max((qq - q1) / (nn - n1) - mu2 * mu2, 100.0)
+    assert abs(out["weight_1"] - pi) < 1e-5
+    assert abs(out["mean_1"] - mu1 / 100.0) < 1e-3
+    assert abs(out["mean_2"] - mu2 / 100.0) < 1e-3
+    assert abs(out["sigma_1"] - math.sqrt(v1) / 100.0) < 1e-3
+    # The two components must actually separate the bimodal input.
+    assert out["mean_1"] < 20.0 < out["mean_2"]
+
+
+# ---------------------------------------------------------------------------
+# Granger F vs a hand-solved 2-regressor OLS
+# ---------------------------------------------------------------------------
+
+
+def test_granger_matches_hand_ols():
+    # Hourly series where errors lag purchases by one hour exactly.
+    xs = [10, 12, 8, 15, 20, 9, 14, 11, 16, 13]
+    ys = [3 + x // 2 for x in [7] + xs[:-1]]       # y_t driven by x_{t-1}
+    rows = []
+    eid = 0
+    for h, (x, y) in enumerate(zip(xs, ys)):
+        for _ in range(x):
+            rows.append((f"2024-01-01 {h:02d}:30:00", 1, "purchase", 1.0))
+            eid += 1
+        for _ in range(y):
+            rows.append((f"2024-01-01 {h:02d}:30:00", 1, "error", 1.0))
+            eid += 1
+    out = _run({"events": _events_ts(rows)}, "q_granger")[0]
+
+    pairs = [(ys[t], ys[t - 1], xs[t - 1]) for t in range(1, len(xs))]
+    n = len(pairs)
+    sy = sum(p[0] for p in pairs)
+    sl = sum(p[1] for p in pairs)
+    sx = sum(p[2] for p in pairs)
+    syy = sum(p[0] * p[0] for p in pairs)
+    sll = sum(p[1] * p[1] for p in pairs)
+    sxx = sum(p[2] * p[2] for p in pairs)
+    syl = sum(p[0] * p[1] for p in pairs)
+    syx = sum(p[0] * p[2] for p in pairs)
+    slx = sum(p[1] * p[2] for p in pairs)
+    a11 = sll - sl * sl / n
+    a12 = slx - sl * sx / n
+    a22 = sxx - sx * sx / n
+    b1 = syl - sy * sl / n
+    b2 = syx - sy * sx / n
+    cyy = syy - sy * sy / n
+    det = a11 * a22 - a12 * a12
+    byl = (b1 * a22 - b2 * a12) / det
+    bxl = (a11 * b2 - a12 * b1) / det
+    sse_u = cyy - byl * b1 - bxl * b2
+    sse_r = cyy - b1 * b1 / a11
+    f = (sse_r - sse_u) * (n - 3) / sse_u
+    assert out["n_hour_pairs"] == n
+    assert abs(out["granger_coef"] - bxl) < 2e-6
+    assert abs(out["f_stat"] - f) < 1e-3
