@@ -4351,3 +4351,181 @@ def q_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(*_SH_FINAL)
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_timed_funnel — view → click → purchase, each step within 60 min
+# ---------------------------------------------------------------------------
+
+_TF_WINDOW_MIN = 60
+
+_TF_FINAL = (
+    "CAST(n_users AS BIGINT) AS n_users",
+    "CAST(n_view AS BIGINT) AS reached_view",
+    "CAST(n_click AS BIGINT) AS reached_click",
+    "CAST(n_purchase AS BIGINT) AS reached_purchase",
+    "round(100.0 * CAST(n_click AS DOUBLE)"
+    " / NULLIF(CAST(n_view AS DOUBLE), 0.0), 4) + 0.0 AS view_to_click_pct",
+    "round(100.0 * CAST(n_purchase AS DOUBLE)"
+    " / NULLIF(CAST(n_click AS DOUBLE), 0.0), 4) + 0.0"
+    " AS click_to_purchase_pct",
+)
+
+
+@query(
+    "q_timed_funnel",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS tv FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS tc
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.tv
+          AND e.ts <= v.tv + INTERVAL {_TF_WINDOW_MIN} MINUTE
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS tp
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.tc
+          AND e.ts <= c.tc + INTERVAL {_TF_WINDOW_MIN} MINUTE
+        GROUP BY e.user_id
+    ),
+    s AS (
+        SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+               (SELECT COUNT(*) FROM v) AS n_view,
+               (SELECT COUNT(*) FROM c) AS n_click,
+               (SELECT COUNT(*) FROM p) AS n_purchase
+    )
+    SELECT {", ".join(_TF_FINAL)} FROM s
+    """,
+)
+def q_timed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed conversion funnel: first view → first qualifying click
+    (within 60 min of that view) → first qualifying purchase (within
+    60 min of that click), per user — the time-bounded funnel that
+    q_event_funnel's any-order-ever version can't express (a purchase
+    three days after the view is NOT this funnel's conversion), with
+    per-step conversion percentages.
+
+    Step times are deterministic MINs; each stage is one user-keyed
+    aggregate chained through a co-partitioned join (no windows, no
+    per-user sort — the "first event after T within W" pattern is a
+    filtered MIN, not an ordering).
+
+    Scale: three user-keyed hash aggregates over progressively
+    smaller slices + one four-counter readout.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        ev.join(v, "user_id")
+        .filter(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("tv"))
+            & (
+                F.col("ts")
+                <= F.col("tv") + F.expr(f"interval {_TF_WINDOW_MIN} minute")
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("tc"))
+            & (
+                F.col("ts")
+                <= F.col("tc") + F.expr(f"interval {_TF_WINDOW_MIN} minute")
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    nu = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    nv = v.agg(F.count("*").alias("n_view"))
+    nc = c.agg(F.count("*").alias("n_click"))
+    np_ = p.agg(F.count("*").alias("n_purchase"))
+    s = (
+        nu.crossJoin(F.broadcast(nv))
+        .crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+    )
+    return s.selectExpr(*_TF_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_brand_markup — realized unit price vs retail price, per brand
+# ---------------------------------------------------------------------------
+
+#: Per-lineitem markup ratio (realized unit price / retail), e6-fixed
+#: BEFORE the per-brand sum (round-before-sum; all inputs exact-typed
+#: doubles from parquet, one shared expression text).
+_BM_RATIO_E6 = (
+    "CAST(round(1000000.0 * (l_extendedprice / l_quantity)"
+    " / p_retailprice) AS BIGINT)"
+)
+
+_BM_FINAL = (
+    "p_brand AS brand",
+    "CAST(n AS BIGINT) AS n_lineitems",
+    "round(CAST(s_e6 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6)"
+    " + 0.0 AS avg_markup_ratio",
+    "round(CAST(mn AS DOUBLE) / 1000000.0, 6) + 0.0 AS min_markup_ratio",
+    "round(CAST(mx AS DOUBLE) / 1000000.0, 6) + 0.0 AS max_markup_ratio",
+)
+
+
+@query(
+    "q_brand_markup",
+    oracle=f"""
+    WITH m AS (
+        SELECT p_brand, {_BM_RATIO_E6} AS r_e6
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_quantity > 0 AND p_retailprice > 0
+    ),
+    s AS (
+        SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(r_e6) AS s_e6, MIN(r_e6) AS mn, MAX(r_e6) AS mx
+        FROM m GROUP BY p_brand
+    )
+    SELECT {", ".join(_BM_FINAL)} FROM s ORDER BY brand
+    """,
+)
+def q_brand_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized-price audit per brand: the ratio of each lineitem's
+    realized unit price (extendedprice / quantity) to the part's list
+    retail price, averaged with min/max per brand — the pricing-
+    integrity readout that surfaces systematic over/under-list
+    selling by brand (a ratio far from 1 flags catalog drift or
+    channel-specific pricing).
+
+    Per-row ratios are e6-rounded integers from one shared text
+    before the per-brand integer sums (round-before-sum), so the
+    averages are partition-order-free.
+
+    Scale: one partkey equi-join (both sides data-scale,
+    co-partitioned) + a |brand|-row hash aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    m = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter((F.col("l_quantity") > 0) & (F.col("p_retailprice") > 0))
+        .selectExpr("p_brand", f"{_BM_RATIO_E6} AS r_e6")
+    )
+    s = m.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("r_e6").cast("long").alias("s_e6"),
+        F.min("r_e6").alias("mn"),
+        F.max("r_e6").alias("mx"),
+    )
+    return s.selectExpr(*_BM_FINAL).orderBy("brand")
