@@ -527,3 +527,152 @@ def test_granger_matches_hand_ols():
     assert out["n_hour_pairs"] == n
     assert abs(out["granger_coef"] - bxl) < 2e-6
     assert abs(out["f_stat"] - f) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Shapley attribution vs itertools over the coalition lattice
+# ---------------------------------------------------------------------------
+
+
+def test_shapley_matches_itertools():
+    # Controlled touchsets within each user's first 24h; conversion =
+    # purchase inside that window. Channels: click=1,error=2,signup=4,view=8.
+    users = [
+        (0, ["click"], True),
+        (1, ["click"], True),
+        (2, ["view"], False),
+        (3, ["view"], True),
+        (4, ["click", "view"], True),
+        (5, ["click", "view"], False),
+        (6, [], False),
+        (7, ["signup"], False),
+        (8, ["signup", "click"], True),
+    ]
+    rows = []
+    for u, touches, conv in users:
+        # anchor event defines t0 (hour 0); touches at hour 1..;
+        # conversion purchase at hour 12 (inside 24h) if conv.
+        if touches:
+            for i, t in enumerate(touches):
+                rows.append((f"2024-01-01 0{i + 1}:00:00", u, t, 1.0))
+        else:
+            rows.append(("2024-01-01 01:00:00", u, "error", 1.0))
+        if conv:
+            rows.append(("2024-01-01 12:00:00", u, "purchase", 5.0))
+    # Give the no-touch user a mask: user 6 touches 'error' above, so
+    # adjust expectations accordingly (error IS a channel).
+    out = {r["channel"]: r for r in _run(
+        {"events": _events_ts(rows)}, "q_attribution_shapley"
+    )}
+
+    import itertools
+
+    bits = {"click": 1, "error": 2, "signup": 4, "view": 8}
+    masks = {}
+    for u, touches, conv in users:
+        ts = touches if touches else ["error"]
+        m = sum(bits[t] for t in ts)
+        n, c = masks.get(m, (0, 0))
+        masks[m] = (n + 1, c + (1 if conv else 0))
+    v = {m: (c / n if n else 0.0) for m, (n, c) in masks.items()}
+
+    def val(m):
+        return v.get(m, 0.0)
+
+    k = 4
+    for ch, bit in bits.items():
+        others = [b for b in bits.values() if b != bit]
+        phi = 0.0
+        for r in range(len(others) + 1):
+            for combo in itertools.combinations(others, r):
+                sub = sum(combo)
+                w = (
+                    math.factorial(r) * math.factorial(k - 1 - r)
+                    / math.factorial(k)
+                )
+                phi += w * (val(sub + bit) - val(sub))
+        assert abs(out[ch]["shapley_value"] - phi) < 2e-6, ch
+
+
+# ---------------------------------------------------------------------------
+# Jensen–Shannon divergence vs a direct implementation
+# ---------------------------------------------------------------------------
+
+
+def _documents(rows):
+    """rows: (doc_id, text, lang, source)."""
+    return (
+        ["doc_id BIGINT", "text VARCHAR", "lang VARCHAR", "source VARCHAR",
+         "n_chars BIGINT"],
+        [(d, t, lg, s, len(t)) for d, t, lg, s in rows],
+    )
+
+
+def test_js_divergence_matches_direct():
+    rows = [
+        (1, "apple banana apple cherry", "en", "s1"),
+        (2, "banana banana date", "en", "s1"),
+        (3, "apple elderberry elderberry fig", "en", "s2"),
+        (4, "fig fig grape apple", "en", "s2"),
+    ]
+    out = _run({"documents": _documents(rows)}, "q_js_divergence")
+    assert len(out) == 1
+    got = out[0]
+
+    from collections import Counter
+
+    c1 = Counter("apple banana apple cherry banana banana date".split())
+    c2 = Counter("apple elderberry elderberry fig fig fig grape apple".split())
+    n1, n2 = sum(c1.values()), sum(c2.values())
+    js = 0.0
+    for tok in set(c1) | set(c2):
+        p = c1.get(tok, 0) / n1
+        q = c2.get(tok, 0) / n2
+        if p > 0 and q > 0:
+            js += p * math.log2(2 * p / (p + q)) + q * math.log2(
+                2 * q / (p + q)
+            )
+        elif p > 0:
+            js += p
+        else:
+            js += q
+    js *= 0.5
+    common = len(set(c1) & set(c2))
+    assert got["n_common_tokens"] == common
+    assert abs(got["js_divergence_bits"] - js) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Modularity on a constructed two-clique graph
+# ---------------------------------------------------------------------------
+
+
+def test_modularity_two_cliques():
+    # Two disjoint triangles {1,2,3} and {10,11,12}; each edge gets
+    # support 2 via two orders containing the clique.
+    po = []
+    ok = 0
+    for clique in ([1, 2, 3], [10, 11, 12]):
+        for _ in range(2):
+            ok += 1
+            for p in clique:
+                po.append((ok, p))
+    tables = {
+        "lineitem": (
+            ["l_orderkey BIGINT", "l_partkey BIGINT", "l_quantity DOUBLE",
+             "l_discount DOUBLE", "l_extendedprice DOUBLE", "l_tax DOUBLE",
+             "l_returnflag VARCHAR", "l_suppkey BIGINT",
+             "l_shipdate TIMESTAMP", "l_linestatus VARCHAR",
+             "l_linenumber BIGINT"],
+            [(o, p, 1.0, 0.0, 1.0, 0.0, "N", 1,
+              "2024-01-01 00:00:00", "O", i)
+             for i, (o, p) in enumerate(po)],
+        )
+    }
+    out = _run(tables, "q_modularity")[0]
+    # Two triangles, 6 edges total; LPA labels each triangle with its
+    # min vertex; Q = sum over the 2 communities of
+    # (3/6 - (6/12)^2) = 2 * (0.5 - 0.25) = 0.5.
+    assert out["n_communities"] == 2
+    assert out["n_edges"] == 6
+    assert abs(out["modularity"] - 0.5) < 1e-6
