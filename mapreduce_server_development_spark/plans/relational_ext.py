@@ -1285,6 +1285,25 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Timed-funnel step window + readout — defined BEFORE the
+#: streaming_queries import below: the streaming funnel twin imports
+#: these at its decoration time, which happens DURING that import
+#: (mid-initialization of this module), so they must already exist.
+_TF_WINDOW_MIN = 60
+
+_TF_FINAL = (
+    "CAST(n_users AS BIGINT) AS n_users",
+    "CAST(n_view AS BIGINT) AS reached_view",
+    "CAST(n_click AS BIGINT) AS reached_click",
+    "CAST(n_purchase AS BIGINT) AS reached_purchase",
+    "round(100.0 * CAST(n_click AS DOUBLE)"
+    " / NULLIF(CAST(n_view AS DOUBLE), 0.0), 4) + 0.0 AS view_to_click_pct",
+    "round(100.0 * CAST(n_purchase AS DOUBLE)"
+    " / NULLIF(CAST(n_click AS DOUBLE), 0.0), 4) + 0.0"
+    " AS click_to_purchase_pct",
+)
+
+
 from .streaming_queries import SESSION_ID_CTES  # noqa: E402 — shared oracle CTE
 
 
@@ -4357,19 +4376,6 @@ def q_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_timed_funnel — view → click → purchase, each step within 60 min
 # ---------------------------------------------------------------------------
 
-_TF_WINDOW_MIN = 60
-
-_TF_FINAL = (
-    "CAST(n_users AS BIGINT) AS n_users",
-    "CAST(n_view AS BIGINT) AS reached_view",
-    "CAST(n_click AS BIGINT) AS reached_click",
-    "CAST(n_purchase AS BIGINT) AS reached_purchase",
-    "round(100.0 * CAST(n_click AS DOUBLE)"
-    " / NULLIF(CAST(n_view AS DOUBLE), 0.0), 4) + 0.0 AS view_to_click_pct",
-    "round(100.0 * CAST(n_purchase AS DOUBLE)"
-    " / NULLIF(CAST(n_click AS DOUBLE), 0.0), 4) + 0.0"
-    " AS click_to_purchase_pct",
-)
 
 
 @query(

@@ -2073,3 +2073,122 @@ def q_stream_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = s.selectExpr("na", "nb", "CAST(na + nb AS DOUBLE) / 2.0 AS e")
     return e.selectExpr(*_SRM_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_stream_timed_funnel — per-user funnel stage machine in-stream
+# (custom stateful twin of q_timed_funnel)
+# ---------------------------------------------------------------------------
+
+
+def _stream_funnel_oracle() -> str:
+    from .relational_ext import _TF_FINAL, _TF_WINDOW_MIN
+
+    return f"""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS tv FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS tc
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.tv
+          AND e.ts <= v.tv + INTERVAL {_TF_WINDOW_MIN} MINUTE
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS tp
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.tc
+          AND e.ts <= c.tc + INTERVAL {_TF_WINDOW_MIN} MINUTE
+        GROUP BY e.user_id
+    ),
+    s AS (
+        SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+               (SELECT COUNT(*) FROM v) AS n_view,
+               (SELECT COUNT(*) FROM c) AS n_click,
+               (SELECT COUNT(*) FROM p) AS n_purchase
+    )
+    SELECT {", ".join(_TF_FINAL)} FROM s
+    """
+
+
+@query("q_stream_timed_funnel", oracle=_stream_funnel_oracle())
+def q_stream_timed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_timed_funnel as a CUSTOM STATEFUL operator
+    (``applyInPandasWithState``): each user carries a three-slot
+    funnel state machine (first view; first qualifying click within
+    60 min of it; first qualifying purchase within 60 min of that) —
+    the deployed form of a timed funnel, where the batch query's
+    whole-history MINs are impossible and per-user state must be O(1)
+    by design.
+
+    State per user is three int64 microsecond timestamps (−1 =
+    unreached); rows fold in (ts, event_id) order within the batch,
+    and the first-qualifying-transition rule makes the fold equal the
+    batch MIN semantics exactly on the bounded availableNow run — the
+    oracle (the batch funnel's own SQL) asserts that equality. The
+    final percentages reuse the batch readout text.
+
+    100 TB posture: state is 24 bytes/user; throughput is one shuffle
+    on the user key; output flows through the file sink (never the
+    driver).
+    """
+    import pandas as pd
+
+    from .relational_ext import _TF_FINAL, _TF_WINDOW_MIN
+
+    win_us = _TF_WINDOW_MIN * 60 * 1_000_000
+
+    def track(key, pdfs, state):
+        (user_id,) = key
+        if state.exists:
+            tv, tc, tp = state.get
+        else:
+            tv, tc, tp = -1, -1, -1
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        for et, ts in zip(
+            pdf["event_type"].to_list(),
+            (pdf["ts"].astype("int64") // 1000).to_list(),
+        ):
+            if et == "view":
+                if tv < 0:
+                    tv = ts
+            elif et == "click":
+                if tv >= 0 and tc < 0 and tv < ts <= tv + win_us:
+                    tc = ts
+            elif et == "purchase":
+                if tc >= 0 and tp < 0 and tc < ts <= tc + win_us:
+                    tp = ts
+        state.update((tv, tc, tp))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "has_v": [1 if tv >= 0 else 0],
+                "has_c": [1 if tc >= 0 else 0],
+                "has_p": [1 if tp >= 0 else 0],
+            }
+        )
+
+    ev = read_events_stream(spark, sf_dir)
+    staged = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType="user_id long, has_v int, has_c int, has_p int",
+            stateStructType="tv long, tc long, tp long",
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+    out = _run_to_files(staged, spark)
+    s = out.agg(
+        F.count("*").alias("n_users"),
+        F.sum("has_v").alias("n_view"),
+        F.sum("has_c").alias("n_click"),
+        F.sum("has_p").alias("n_purchase"),
+    )
+    return s.selectExpr(*_TF_FINAL)
