@@ -2477,3 +2477,56 @@ def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return s.selectExpr(*_DS_FINAL).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q_langid_eval — confusion + per-language accuracy of the lang-id
+# ---------------------------------------------------------------------------
+
+_LE_FINAL = (
+    "lang AS actual",
+    "lang_pred AS predicted",
+    "CAST(n AS BIGINT) AS n_docs",
+    "round(100.0 * CAST(n AS DOUBLE) / CAST(n_actual AS DOUBLE), 4)"
+    " + 0.0 AS row_pct",
+)
+
+
+def _langid_eval_oracle() -> str:
+    return f"""
+    WITH pred AS ({_lang_id_oracle()}),
+    conf AS (
+        SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred GROUP BY lang, lang_pred
+    ),
+    act AS (SELECT lang, SUM(n) AS n_actual FROM conf GROUP BY lang)
+    SELECT {", ".join(_LE_FINAL)}
+    FROM conf JOIN act USING (lang)
+    ORDER BY actual, predicted
+    """
+
+
+@query("q_langid_eval", oracle=_langid_eval_oracle())
+def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-heuristic language identifier
+    against the corpus's ground-truth ``lang`` labels, with row
+    percentages — the eval that turns q_lang_id's raw predictions
+    into the decision "is the heuristic good enough to route
+    documents, and which language pairs does it confuse" (the
+    classifier-eval pattern of q_nb_class_metrics applied to the
+    rule-based model).
+
+    Composes the EXACT q_lang_id pipeline (same scorer, same
+    deterministic argmax) and rolls it up per (actual, predicted) —
+    one |langs|²-cell aggregate on top.
+    """
+    pred = q_lang_id(spark, sf_dir)
+    conf = pred.groupBy("lang", "lang_pred").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    act = conf.groupBy("lang").agg(F.sum("n").alias("n_actual"))
+    return (
+        conf.join(act, "lang")
+        .selectExpr(*_LE_FINAL)
+        .orderBy("actual", "predicted")
+    )

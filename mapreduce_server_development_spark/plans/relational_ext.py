@@ -4535,3 +4535,59 @@ def q_brand_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("r_e6").alias("mx"),
     )
     return s.selectExpr(*_BM_FINAL).orderBy("brand")
+
+
+# ---------------------------------------------------------------------------
+# q_acctbal_profile — account-balance health per market segment
+# ---------------------------------------------------------------------------
+
+_AB_CENTS = "CAST(round(c_acctbal * 100) AS BIGINT)"
+
+_ABP_FINAL = (
+    "c_mktsegment AS segment",
+    "CAST(n AS BIGINT) AS n_customers",
+    "CAST(n_neg AS BIGINT) AS n_negative",
+    "round(100.0 * CAST(n_neg AS DOUBLE) / CAST(n AS DOUBLE), 4) + 0.0"
+    " AS negative_pct",
+    "round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 4) + 0.0"
+    " AS mean_balance",
+    "round(CAST(mn AS DOUBLE) / 100.0, 2) + 0.0 AS min_balance",
+    "round(CAST(mx AS DOUBLE) / 100.0, 2) + 0.0 AS max_balance",
+)
+
+
+@query(
+    "q_acctbal_profile",
+    oracle=f"""
+    WITH c AS (SELECT c_mktsegment, {_AB_CENTS} AS b FROM customer),
+    s AS (
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN b < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_neg,
+               SUM(b) AS s, MIN(b) AS mn, MAX(b) AS mx
+        FROM c GROUP BY c_mktsegment
+    )
+    SELECT {", ".join(_ABP_FINAL)} FROM s ORDER BY segment
+    """,
+)
+def q_acctbal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance health per market segment: customer counts,
+    negative-balance (credit-risk) rate, and exact mean/min/max — the
+    AR-aging style panel over the customer dimension's balance
+    column, by segment.
+
+    Determinism: balances are exact integer cents; sums are exact.
+    Scale: one customer-scan hash aggregate to |segment| rows.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    c = cust.selectExpr("c_mktsegment", f"{_AB_CENTS} AS b")
+    s = c.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("b") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_neg"),
+        F.sum("b").cast("long").alias("s"),
+        F.min("b").alias("mn"),
+        F.max("b").alias("mx"),
+    )
+    return s.selectExpr(*_ABP_FINAL).orderBy("segment")
