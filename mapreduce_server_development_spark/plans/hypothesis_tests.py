@@ -1861,3 +1861,161 @@ def q_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ss"),
     )
     return s.selectExpr(*_MDE_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_logrank — two-group log-rank survival test (time to first purchase)
+# ---------------------------------------------------------------------------
+
+#: Per-event-time hypergeometric terms, e9-rounded before the
+#: cross-time integer sums (round-before-sum). n1/n2 are at-risk
+#: counts, d1/d2 deaths at this time.
+_LR_N = "(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))"
+_LR_D = "(CAST(d1 AS DOUBLE) + CAST(d2 AS DOUBLE))"
+_LR_OE_E9 = (
+    f"CAST(round((CAST(d1 AS DOUBLE) - {_LR_D} * CAST(n1 AS DOUBLE)"
+    f" / {_LR_N}) * 1000000000) AS BIGINT)"
+)
+_LR_V_E9 = (
+    f"CAST(round(CASE WHEN {_LR_N} > 1.0 THEN"
+    f" {_LR_D} * (CAST(n1 AS DOUBLE) / {_LR_N})"
+    f" * (CAST(n2 AS DOUBLE) / {_LR_N})"
+    f" * ({_LR_N} - {_LR_D}) / ({_LR_N} - 1.0)"
+    f" ELSE 0.0 END * 1000000000) AS BIGINT)"
+)
+_LR_FINAL = (
+    "CAST(deaths_a AS BIGINT) AS conversions_a",
+    "CAST(deaths_b AS BIGINT) AS conversions_b",
+    "round(CAST(oe AS DOUBLE) / 1000000000.0, 4) + 0.0"
+    " AS observed_minus_expected",
+    "round(CAST(oe AS DOUBLE) / 1000000000.0"
+    " / NULLIF(sqrt(CAST(v AS DOUBLE) / 1000000000.0), 0.0), 6) + 0.0"
+    " AS logrank_z",
+)
+
+
+@query(
+    "q_logrank",
+    oracle=f"""
+    WITH f AS (
+        SELECT user_id, user_id % 2 AS g, MIN(ts) AS t0, MAX(ts) AS le,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+        FROM events GROUP BY user_id
+    ),
+    pu AS (
+        SELECT g,
+               CAST(datediff('second', t0, COALESCE(fp, le)) // 3600
+                    AS BIGINT) AS t,
+               CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS death
+        FROM f
+    ),
+    hist AS (
+        SELECT t,
+               CAST(SUM(CASE WHEN g = 0 THEN death ELSE 0 END) AS BIGINT)
+                   AS d1,
+               CAST(SUM(CASE WHEN g = 1 THEN death ELSE 0 END) AS BIGINT)
+                   AS d2,
+               CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS a1,
+               CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS a2
+        FROM pu GROUP BY t
+    ),
+    tot AS (
+        SELECT CAST(SUM(a1) AS BIGINT) AS nt1,
+               CAST(SUM(a2) AS BIGINT) AS nt2
+        FROM hist
+    ),
+    cum AS (
+        SELECT t, d1, d2,
+               SUM(a1) OVER (ORDER BY t) - a1 AS gone1,
+               SUM(a2) OVER (ORDER BY t) - a2 AS gone2
+        FROM hist
+    ),
+    risk AS (
+        SELECT c.t, c.d1, c.d2,
+               tot.nt1 - c.gone1 AS n1, tot.nt2 - c.gone2 AS n2
+        FROM cum c CROSS JOIN tot
+        WHERE c.d1 + c.d2 > 0
+    ),
+    s AS (
+        SELECT SUM(d1) AS deaths_a, SUM(d2) AS deaths_b,
+               SUM({_LR_OE_E9}) AS oe, SUM({_LR_V_E9}) AS v
+        FROM risk
+    )
+    SELECT {", ".join(_LR_FINAL)} FROM s
+    """,
+)
+def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test: do the A/B variants differ in time-to-first-
+    purchase SURVIVAL (hours since each user's first event, censored
+    at their last observed event)? The hypothesis-test completion of
+    q_kaplan_meier's curves — at every conversion time the observed
+    group-A conversions are compared to the hypergeometric
+    expectation given the at-risk sets, O−E and its variance summed
+    over times, z = (O−E)/√V.
+
+    At-risk counts come from the duration HISTOGRAM: one user-keyed
+    aggregate to (group, duration, death), one (duration)-keyed
+    histogram, and the exclusive cumulative via the two-phase
+    distributed running sum — never a per-user sort. Per-time
+    hypergeometric terms are e9-rounded before the cross-time integer
+    sums.
+
+    Scale: one fact-scan user aggregate + duration-bounded histogram
+    work (≤ observation-window hours).
+    """
+    from ..functions.prefix import global_running_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("le"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("fp"),
+    )
+    pu = f.selectExpr(
+        "user_id % 2 AS g",
+        "CAST((unix_timestamp(COALESCE(fp, le)) - unix_timestamp(t0))"
+        " DIV 3600 AS BIGINT) AS t",
+        "CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS death",
+    )
+    hist = pu.groupBy("t").agg(
+        F.sum(F.when(F.col("g") == 0, F.col("death")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum(F.when(F.col("g") == 1, F.col("death")).otherwise(0))
+        .cast("long")
+        .alias("d2"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("a1"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("a2"),
+    )
+    tot = hist.agg(
+        F.sum("a1").cast("long").alias("nt1"),
+        F.sum("a2").cast("long").alias("nt2"),
+    )
+    cum1 = global_running_sum(hist, "t", "a1", out_col="cum1")
+    cum = global_running_sum(cum1, "t", "a2", out_col="cum2")
+    risk = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("d1") + F.col("d2") > 0)
+        .selectExpr(
+            "t",
+            "d1",
+            "d2",
+            "nt1 - (cum1 - a1) AS n1",
+            "nt2 - (cum2 - a2) AS n2",
+        )
+    )
+    s = risk.agg(
+        F.sum("d1").cast("long").alias("deaths_a"),
+        F.sum("d2").cast("long").alias("deaths_b"),
+        F.sum(F.expr(_LR_OE_E9)).alias("oe"),
+        F.sum(F.expr(_LR_V_E9)).alias("v"),
+    )
+    return s.selectExpr(*_LR_FINAL)
