@@ -676,3 +676,48 @@ def test_modularity_two_cliques():
     assert out["n_communities"] == 2
     assert out["n_edges"] == 6
     assert abs(out["modularity"] - 0.5) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test vs a per-time brute force
+# ---------------------------------------------------------------------------
+
+
+def test_logrank_matches_brute_force():
+    # Per user: first event at hour 0; group A converts fast, B slow,
+    # with some censoring (no purchase).
+    spec = [  # (user_id, death_hour or None, censor_hour)
+        (0, 2, None), (2, 3, None), (4, 3, None), (6, None, 8),
+        (1, 5, None), (3, 7, None), (5, None, 6), (7, 9, None),
+    ]
+    rows = []
+    for u, death, censor in spec:
+        rows.append(("2024-01-01 00:00:00", u, "view", 1.0))
+        if death is not None:
+            rows.append((f"2024-01-01 0{death}:00:00", u, "purchase", 5.0))
+        else:
+            rows.append((f"2024-01-01 0{censor}:00:00", u, "click", 1.0))
+    out = _run({"events": _events_ts(rows)}, "q_logrank")[0]
+
+    pu = []
+    for u, death, censor in spec:
+        g = u % 2
+        t = death if death is not None else censor
+        pu.append((g, t, death is not None))
+    times = sorted({t for _, t, d in pu if d})
+    oe = v = 0.0
+    for t in times:
+        n1 = sum(1 for g, tt, _ in pu if g == 0 and tt >= t)
+        n2 = sum(1 for g, tt, _ in pu if g == 1 and tt >= t)
+        d1 = sum(1 for g, tt, d in pu if g == 0 and tt == t and d)
+        d2 = sum(1 for g, tt, d in pu if g == 1 and tt == t and d)
+        n, d = n1 + n2, d1 + d2
+        oe += d1 - d * n1 / n
+        if n > 1:
+            v += d * (n1 / n) * (n2 / n) * (n - d) / (n - 1)
+    z = oe / math.sqrt(v)
+    assert out["conversions_a"] == sum(
+        1 for g, _, d in pu if g == 0 and d
+    )
+    assert abs(out["observed_minus_expected"] - oe) < 1e-4
+    assert abs(out["logrank_z"] - z) < 1e-4
