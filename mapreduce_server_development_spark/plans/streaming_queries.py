@@ -2185,7 +2185,16 @@ def q_stream_timed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = _run_to_files(staged, spark)
-    s = out.agg(
+    # One emitted row per (user, micro-batch it appeared in): reduce to
+    # the user's LATEST flags (monotone — stages only ever flip 0→1)
+    # so the readout stays exact even when the source splits into
+    # multiple micro-batches (e.g. maxFilesPerTrigger on a real feed).
+    per_user = out.groupBy("user_id").agg(
+        F.max("has_v").alias("has_v"),
+        F.max("has_c").alias("has_c"),
+        F.max("has_p").alias("has_p"),
+    )
+    s = per_user.agg(
         F.count("*").alias("n_users"),
         F.sum("has_v").alias("n_view"),
         F.sum("has_c").alias("n_click"),
