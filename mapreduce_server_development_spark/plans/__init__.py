@@ -29,5 +29,6 @@ from . import training_prep  # noqa: E402,F401
 from . import timeseries  # noqa: E402,F401
 from . import hypothesis_tests  # noqa: E402,F401
 from . import corpus_diversity  # noqa: E402,F401
+from . import audience  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]
