@@ -881,3 +881,33 @@ def test_wilcoxon_midranks_are_two_phase(spark):
     plan = _plan(spark, "q_wilcoxon")
     assert not single_partition_windows(plan)
     assert "__prefix_pid" in plan
+
+
+def test_audience_overlap_pairs_keyed_by_user(spark):
+    """Exact overlap: pair counts come from a USER-keyed equi-join
+    (fan-out bounded by the segment domain), partial-agg'd; segment
+    sizes and the distinct-user total join back by broadcast. No
+    window, no product anywhere."""
+    from .test_no_antipatterns import single_partition_windows
+
+    plan = _plan(spark, "q_audience_overlap")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert not single_partition_windows(plan)
+
+
+def test_audience_kmv_bottomk_is_chunked(spark):
+    """KMV sketch: the per-segment bottom-k must be the two-phase
+    chunked shape — stage-1 windows keyed by (segment, hash-bucket)
+    so parallelism is |segments|x64, never a bare low-cardinality
+    segment sort over the data-scale audience; all pairwise work
+    happens on the bounded |segments|*k sketch relation."""
+    from .test_no_antipatterns import single_partition_windows
+
+    plan = _plan(spark, "q_audience_kmv")
+    assert not single_partition_windows(plan)
+    assert "CartesianProduct" not in plan
+    # Stage-1 chunk key: hash-bucket term next to the segment key in a
+    # window partition spec ((h % 64) appears as the pmod expression).
+    assert "pmod" in plan or "% 64" in plan

@@ -721,3 +721,51 @@ def test_logrank_matches_brute_force():
     )
     assert abs(out["observed_minus_expected"] - oe) < 1e-4
     assert abs(out["logrank_z"] - z) < 1e-4
+
+
+def test_audience_kmv_matches_pure_python():
+    # Three segments over 220 users with seeded deterministic
+    # membership — segment sizes exceed k=64 so the bottom-k
+    # truncation (the actual sketch path) is exercised, not the
+    # degenerate |audience| <= k case.
+    import hashlib
+
+    segs = ["1-URGENT", "2-HIGH", "3-MEDIUM"]
+    members: dict[str, set[int]] = {s: set() for s in segs}
+    rows = []
+    for u in range(220):
+        for i, s in enumerate(segs):
+            if (u * 7 + i * 13) % 10 < 6:  # ~60% membership, overlapping
+                members[s].add(u)
+                rows.append((u, s))
+    out = _run(
+        {
+            "orders": (
+                ["o_custkey BIGINT", "o_orderpriority VARCHAR"],
+                rows,
+            )
+        },
+        "q_audience_kmv",
+    )
+
+    def h(u: int) -> int:
+        return int(hashlib.md5(f"kmv:{u}".encode()).hexdigest()[:15], 16)
+
+    k = 64
+    bot = {s: set(sorted(h(u) for u in members[s])[:k]) for s in segs}
+    got = {(r["ta"], r["tb"]): r for r in out}
+    assert set(got) == {
+        (a, b) for i, a in enumerate(segs) for b in segs[i + 1:]
+    }
+    for (a, b), r in got.items():
+        union_sample = sorted(bot[a] | bot[b])[:k]
+        matches = sum(1 for x in union_sample if x in bot[a] and x in bot[b])
+        exact = len(members[a] & members[b]) / len(members[a] | members[b])
+        assert r["k"] == k
+        assert r["union_sample"] == len(union_sample)
+        assert r["matches"] == matches
+        assert abs(r["jaccard_est"] - matches / len(union_sample)) < 1e-6
+        assert abs(r["jaccard_exact"] - exact) < 1e-6
+        # k=64 on ~130-member audiences: the estimate should land
+        # within a loose 4/sqrt(k) of truth (sanity, not a proof).
+        assert abs(r["jaccard_est"] - exact) < 0.5
