@@ -769,3 +769,91 @@ def test_audience_kmv_matches_pure_python():
         # k=64 on ~130-member audiences: the estimate should land
         # within a loose 4/sqrt(k) of truth (sanity, not a proof).
         assert abs(r["jaccard_est"] - exact) < 0.5
+
+
+def test_burstiness_matches_brute_force():
+    # One event type, hand-placed hourly counts [3, 1, 2] -> Fano and
+    # Goh-Barabasi from the textbook definitions over observed hours.
+    rows = []
+    for hr, n in [(0, 3), (1, 1), (2, 2)]:
+        for i in range(n):
+            rows.append((f"2024-01-01 0{hr}:{i:02d}:00", 1, "view", 1.0))
+    out = _run({"events": _events_ts(rows)}, "q_burstiness")[0]
+    counts = [3, 1, 2]
+    h = len(counts)
+    mean = sum(counts) / h
+    var = sum((c - mean) ** 2 for c in counts) / (h - 1)
+    assert out["n_hours"] == h and out["n_events"] == sum(counts)
+    assert abs(out["mean_per_hour"] - mean) < 1e-6
+    assert abs(out["fano_factor"] - var / mean) < 1e-6
+    sd = math.sqrt(var)
+    assert abs(out["burstiness"] - (sd - mean) / (sd + mean)) < 1e-6
+
+
+def test_poisson_rate_matches_brute_force():
+    # Variant 0 (even users): 3 users, 6 purchases; variant 1 (odd):
+    # 2 users, 2 purchases. Rate z from the count/exposure normal
+    # approximation Var(c/u) = c/u^2.
+    rows = []
+    for u, k in [(0, 3), (2, 2), (4, 1), (1, 1), (3, 1)]:
+        rows.append(("2024-01-01 00:00:00", u, "view", 1.0))
+        for i in range(k):
+            rows.append((f"2024-01-01 0{i + 1}:00:00", u, "purchase", 5.0))
+    out = _run({"events": _events_ts(rows)}, "q_poisson_rate_test")[0]
+    ua, ub, ca, cb = 3, 2, 6, 2
+    ra, rb = ca / ua, cb / ub
+    z = (ra - rb) / math.sqrt(ca / ua**2 + cb / ub**2)
+    assert (out["users_a"], out["users_b"]) == (ua, ub)
+    assert (out["purchases_a"], out["purchases_b"]) == (ca, cb)
+    assert abs(out["rate_a"] - ra) < 1e-6
+    assert abs(out["rate_b"] - rb) < 1e-6
+    assert abs(out["z_score"] - z) < 1e-5
+
+
+def test_srm_and_mde_match_brute_force():
+    # 6 even users vs 2 odd users -> chi2 = (6-4)^2/4 + (2-4)^2/4 = 2,
+    # below 3.841 -> no flag; with per-user purchase totals the MDE
+    # formula is replayed directly.
+    rows = []
+    spend = {0: 10.0, 2: 20.0, 4: 30.0, 6: 40.0, 8: 0.0, 10: 0.0,
+             1: 15.0, 3: 25.0}
+    for u, v in spend.items():
+        rows.append(("2024-01-01 00:00:00", u, "view", 1.0))
+        if v:
+            rows.append(("2024-01-01 01:00:00", u, "purchase", v))
+    out = _run({"events": _events_ts(rows)}, "q_srm_check")[0]
+    assert (out["n_a"], out["n_b"]) == (6, 2)
+    assert abs(out["srm_chi2"] - 2.0) < 1e-6
+    assert out["srm_flag"] == 0
+
+    out = _run({"events": _events_ts(rows)}, "q_mde_power")[0]
+    m = list(spend.values())
+    n = len(m)
+    mean = sum(m) / n
+    sd = math.sqrt(sum((x - mean) ** 2 for x in m) / (n - 1))
+    mde = (1.959964 + 0.841621) * sd * math.sqrt(2.0 / (n / 2.0))
+    assert out["n_users"] == n
+    assert abs(out["metric_sd"] - sd) < 1e-4
+    assert abs(out["mde_absolute"] - mde) < 1e-4
+    assert abs(out["mde_relative_pct"] - 100.0 * mde / mean) < 1e-3
+
+
+def test_token_diversity_matches_brute_force():
+    # One source, tokens: the=3, cat=2, sat=1 -> N=6, V=3, hapax=1;
+    # entropy/TTR/Simpson replayed from the definitions.
+    docs = (
+        ["doc_id BIGINT", "text VARCHAR", "lang VARCHAR",
+         "source VARCHAR", "n_chars BIGINT"],
+        [(1, "the cat the", "en", "web", 11),
+         (2, "the cat sat", "en", "web", 11)],
+    )
+    out = _run({"documents": docs}, "q_token_diversity")[0]
+    counts = {"the": 3, "cat": 2, "sat": 1}
+    n = sum(counts.values())
+    entropy = -sum(c / n * math.log2(c / n) for c in counts.values())
+    simpson = sum(c * (c - 1) for c in counts.values()) / (n * (n - 1))
+    assert out["n_tokens"] == n and out["vocab"] == 3 and out["hapax"] == 1
+    assert abs(out["ttr"] - 3 / n) < 1e-6
+    assert abs(out["hapax_rate"] - 1 / 3) < 1e-6
+    assert abs(out["entropy_bits"] - entropy) < 1e-3
+    assert abs(out["simpson_index"] - simpson) < 1e-6
