@@ -1092,12 +1092,18 @@ _PE_MYY = (
     " / 1000000.0) AS BIGINT)"
 )
 
+#: Unit discipline: sx/sy are e6-scaled, the second-order sums
+#: sxy/sxx/syy are ALSO e6-scaled (their e12 cell products are
+#: floor-divided by 1e6), so the n·Σ2nd-order terms must be re-scaled
+#: by 1e6 before subtracting the e12 product-of-firsts — otherwise the
+#: "slope" silently degenerates to sy/sx (caught by
+#: test_price_elasticity_matches_hand_ols).
 _PE_BNUM = (
-    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) * 1000000.0"
     " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
 )
 _PE_BDEN = (
-    "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) * 1000000.0"
     " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
 )
 _PE_FINAL = (
@@ -1108,6 +1114,7 @@ _PE_FINAL = (
     " AS intercept_ln_qty",
     f"round({_PE_BNUM} * {_PE_BNUM}"
     f" / NULLIF({_PE_BDEN} * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " * 1000000.0"
     " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0), 6) + 0.0"
     " AS r_squared",
 )

@@ -857,3 +857,33 @@ def test_token_diversity_matches_brute_force():
     assert abs(out["hapax_rate"] - 1 / 3) < 1e-6
     assert abs(out["entropy_bits"] - entropy) < 1e-3
     assert abs(out["simpson_index"] - simpson) < 1e-6
+
+
+def test_price_elasticity_matches_hand_ols():
+    # Hand grid: quantity q with discount d on each row; weighted OLS
+    # of ln(q) on ln(1-d) replayed in floats (the query's e6 cell
+    # rounding perturbs ~1e-6, so compare at 1e-3).
+    rows = [(10, 0.00)] * 3 + [(12, 0.05)] * 2 + [(15, 0.10)] * 4 + [
+        (20, 0.10)
+    ] * 1 + [(8, 0.00)] * 2
+    li = (
+        ["l_quantity DOUBLE", "l_discount DOUBLE"],
+        [(float(q), d) for q, d in rows],
+    )
+    out = _run({"lineitem": li}, "q_price_elasticity")[0]
+    xs = [math.log(1.0 - d) for _, d in rows]
+    ys = [math.log(q) for q, _ in rows]
+    n = len(rows)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = (n * sxy - sx * sy) ** 2 / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert out["n_rows"] == n
+    assert abs(out["elasticity"] - slope) < 1e-3
+    assert abs(out["intercept_ln_qty"] - intercept) < 1e-3
+    assert abs(out["r_squared"] - r2) < 1e-3
