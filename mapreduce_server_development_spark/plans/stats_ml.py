@@ -171,9 +171,18 @@ _CHI_FINAL = (
     rtot AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY lang),
     ctot AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY source),
     gtot AS (SELECT CAST(SUM(o) AS BIGINT) AS g FROM cells),
+    -- Full r x c grid: a cell with NO observed documents still
+    -- contributes its expected count to chi-square (textbook
+    -- convention; caught by test_chi_square_matches_brute_force).
+    grid AS (
+        SELECT rtot.lang, ctot.source, rtot.rt, ctot.ct,
+               COALESCE(cells.o, 0) AS o
+        FROM rtot CROSS JOIN ctot
+        LEFT JOIN cells USING (lang, source)
+    ),
     terms AS (
         SELECT {_CHI_TERM} AS term_micro
-        FROM cells JOIN rtot USING (lang) JOIN ctot USING (source) CROSS JOIN gtot
+        FROM grid CROSS JOIN gtot
     ),
     sums AS (
         SELECT CAST(SUM(term_micro) AS BIGINT) AS chi2_micro,
@@ -204,14 +213,16 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     rtot = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("rt"))
     ctot = cells.groupBy("source").agg(F.sum("o").cast("long").alias("ct"))
     gtot = cells.agg(F.sum("o").cast("long").alias("g"))
-    terms = (
-        cells.join(F.broadcast(rtot), "lang")
-        .join(F.broadcast(ctot), "source")
-        .crossJoin(F.broadcast(gtot))
-        .select(
-            F.expr(_CHI_TERM).alias("term_micro"),
-            "g",
-        )
+    # Full r x c grid: zero-observed cells still contribute their
+    # expected count (textbook convention; see the oracle note).
+    grid = (
+        rtot.crossJoin(F.broadcast(ctot))
+        .join(cells, ["lang", "source"], "left")
+        .select("lang", "source", "rt", "ct", F.coalesce("o", F.lit(0)).alias("o"))
+    )
+    terms = grid.crossJoin(F.broadcast(gtot)).select(
+        F.expr(_CHI_TERM).alias("term_micro"),
+        "g",
     )
     sums = terms.agg(
         F.sum("term_micro").cast("long").alias("chi2_micro"),

@@ -887,3 +887,34 @@ def test_price_elasticity_matches_hand_ols():
     assert abs(out["elasticity"] - slope) < 1e-3
     assert abs(out["intercept_ln_qty"] - intercept) < 1e-3
     assert abs(out["r_squared"] - r2) < 1e-3
+
+
+def test_chi_square_matches_brute_force():
+    # 2x2 grid with one EMPTY cell — the textbook statistic includes
+    # the zero-observed cell's expected count (this test caught the
+    # observed-cells-only variant understating chi2).
+    rows = []
+    i = 0
+    for lang, src, k in [("en", "web", 4), ("en", "books", 2),
+                         ("fr", "web", 3)]:
+        for _ in range(k):
+            rows.append((i, "x", lang, src, 1))
+            i += 1
+    docs = (
+        ["doc_id BIGINT", "text VARCHAR", "lang VARCHAR",
+         "source VARCHAR", "n_chars BIGINT"],
+        rows,
+    )
+    out = _run({"documents": docs}, "q_chi_square")[0]
+    obs = {("en", "web"): 4, ("en", "books"): 2,
+           ("fr", "web"): 3, ("fr", "books"): 0}
+    rt = {"en": 6, "fr": 3}
+    ct = {"web": 7, "books": 2}
+    g = 9
+    chi = sum(
+        (o - rt[l] * ct[s] / g) ** 2 / (rt[l] * ct[s] / g)
+        for (l, s), o in obs.items()
+    )
+    assert out["dof"] == 1
+    assert abs(out["chi2"] - chi) < 1e-4
+    assert abs(out["cramers_v"] - math.sqrt(chi / g)) < 1e-4
