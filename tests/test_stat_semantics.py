@@ -918,3 +918,81 @@ def test_chi_square_matches_brute_force():
     assert out["dof"] == 1
     assert abs(out["chi2"] - chi) < 1e-4
     assert abs(out["cramers_v"] - math.sqrt(chi / g)) < 1e-4
+
+
+def test_ab_test_matches_brute_force():
+    # Even users (variant A): 3 exposed, 2 convert within 24h of first
+    # event; odd users (B): 2 exposed, 0 convert (one buys late).
+    rows = [
+        ("2024-01-01 00:00:00", 0, "view", 1.0),
+        ("2024-01-01 05:00:00", 0, "purchase", 9.0),   # within 24h
+        ("2024-01-01 00:00:00", 2, "view", 1.0),
+        ("2024-01-01 23:00:00", 2, "purchase", 9.0),   # within 24h
+        ("2024-01-01 00:00:00", 4, "view", 1.0),       # never buys
+        ("2024-01-01 00:00:00", 1, "view", 1.0),
+        ("2024-01-03 00:00:00", 1, "purchase", 9.0),   # too late
+        ("2024-01-01 00:00:00", 3, "view", 1.0),       # never buys
+    ]
+    out = _run({"events": _events_ts(rows)}, "q_ab_test")[0]
+    na, nb, ca, cb = 3, 2, 2, 0
+    p = (ca + cb) / (na + nb)
+    z = (ca / na - cb / nb) / math.sqrt(p * (1 - p) * (1 / na + 1 / nb))
+    assert (out["n_a"], out["n_b"]) == (na, nb)
+    assert abs(out["conv_a_pct"] - 100 * ca / na) < 1e-6
+    assert abs(out["conv_b_pct"] - 0.0) < 1e-6
+    assert abs(out["z_score"] - z) < 1e-5
+
+
+def test_gini_matches_brute_force():
+    # Four customers with revenues 10, 20, 30, 40 dollars.
+    orders = (
+        ["o_custkey BIGINT", "o_totalprice DOUBLE"],
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)],
+    )
+    out = _run({"orders": orders}, "q_gini")[0]
+    x = sorted([1000, 2000, 3000, 4000])
+    n, tot = len(x), sum(x)
+    wsum = sum((i + 1) * v for i, v in enumerate(x))
+    gini = 2.0 * wsum / (n * tot) - (n + 1.0) / n
+    assert out["n_customers"] == n
+    assert abs(out["total_revenue"] - tot / 100.0) < 1e-6
+    assert abs(out["gini"] - gini) < 1e-6
+
+
+def test_benford_matches_brute_force():
+    # Prices chosen so first digits of cents are 1,1,2,9.
+    li = (
+        ["l_extendedprice DOUBLE"],
+        [(1.00,), (15.00,), (2.50,), (95.00,)],
+    )
+    rows = _run({"lineitem": li}, "q_benford")
+    # first digit of round(price*100): 100->1, 1500->1, 250->2, 9500->9
+    obs = {1: 2, 2: 1, 9: 1}
+    n = 4
+    got = {r["digit"]: r for r in rows}
+    assert {d: r["obs"] for d, r in got.items()} == obs
+    for d, r in got.items():
+        e = n * math.log10(1 + 1 / d)
+        assert abs(r["expected"] - e) < 0.01
+        assert abs(r["chi_term_micro"] / 1e6 - (obs[d] - e) ** 2 / e) < 1e-4
+
+
+def test_changepoint_matches_brute_force():
+    # One type, values 1,1,1,5,5 -> cumulative deviates most from the
+    # overall trend at k=3 (the last pre-shift point).
+    vals = [1.0, 1.0, 1.0, 5.0, 5.0]
+    rows = [
+        (f"2024-01-01 0{i}:00:00", 1, "view", v) for i, v in enumerate(vals)
+    ]
+    out = _run({"events": _events_ts(rows)}, "q_changepoint")[0]
+    cents = [round(v * 100) for v in vals]
+    n, tot = len(cents), sum(cents)
+    cum = 0
+    best_k, best_dev = None, -1
+    for k, c in enumerate(cents, start=1):
+        cum += c
+        dev = abs(n * cum - k * tot)
+        if dev > best_dev:
+            best_k, best_dev = k, dev
+    assert out["cp_position"] == best_k == 3
+    assert abs(out["max_rel_dev"] - best_dev / (n * tot)) < 1e-6
