@@ -996,3 +996,63 @@ def test_changepoint_matches_brute_force():
             best_k, best_dev = k, dev
     assert out["cp_position"] == best_k == 3
     assert abs(out["max_rel_dev"] - best_dev / (n * tot)) < 1e-6
+
+
+def test_partial_corr_matches_brute_force():
+    # Hand lineitems where discount confounds qty<->price.
+    rows = [  # (l_quantity, l_extendedprice, l_discount, l_tax)
+        (1, 10.0, 0.00, 0.0), (2, 9.0, 0.01, 0.0), (3, 8.5, 0.02, 0.0),
+        (4, 7.0, 0.03, 0.0), (5, 6.0, 0.05, 0.0), (6, 5.5, 0.06, 0.0),
+        (2, 11.0, 0.00, 0.0), (5, 6.5, 0.04, 0.0),
+    ]
+    li = (
+        ["l_quantity DOUBLE", "l_extendedprice DOUBLE",
+         "l_discount DOUBLE", "l_tax DOUBLE"],
+        [(float(q), p, d, t) for q, p, d, t in rows],
+    )
+    out = _run({"lineitem": li}, "q_partial_corr")[0]
+    qty = [q for q, _, _, _ in rows]
+    price = [round(p * 100) for _, p, _, _ in rows]
+    disc = [round(d * 100) for _, _, d, _ in rows]
+
+    def corr(a, b):
+        n = len(a)
+        num = n * sum(x * y for x, y in zip(a, b)) - sum(a) * sum(b)
+        den = math.sqrt(
+            (n * sum(x * x for x in a) - sum(a) ** 2)
+            * (n * sum(y * y for y in b) - sum(b) ** 2)
+        )
+        return num / den
+
+    rxy, rxz, ryz = corr(qty, price), corr(qty, disc), corr(price, disc)
+    part = (rxy - rxz * ryz) / math.sqrt((1 - rxz**2) * (1 - ryz**2))
+    assert out["n_rows"] == len(rows)
+    assert abs(out["corr_raw"] - rxy) < 1e-5
+    assert abs(out["corr_partial"] - part) < 1e-5
+
+
+def test_markov_entropy_matches_brute_force():
+    # One user journey: view->click->view->click->purchase; another:
+    # view->view. Entropy rate H = -sum (n_ij/N) log2(n_ij/n_i).
+    rows = []
+    for i, et in enumerate(["view", "click", "view", "click", "purchase"]):
+        rows.append((f"2024-01-01 0{i}:00:00", 1, et, 1.0))
+    for i, et in enumerate(["view", "view"]):
+        rows.append((f"2024-01-01 0{i}:00:00", 2, et, 1.0))
+    out = _run({"events": _events_ts(rows)}, "q_markov_entropy")[0]
+    trans = {}
+    for seq in (["view", "click", "view", "click", "purchase"],
+                ["view", "view"]):
+        for a, b in zip(seq, seq[1:]):
+            trans[(a, b)] = trans.get((a, b), 0) + 1
+    nn = sum(trans.values())
+    outs = {}
+    for (a, _), n in trans.items():
+        outs[a] = outs.get(a, 0) + n
+    h = -sum(
+        (n / nn) * math.log2(n / outs[a]) for (a, _), n in trans.items()
+    )
+    k = len(outs)
+    assert out["n_transitions"] == nn and out["n_states"] == k
+    assert abs(out["entropy_rate_bits"] - h) < 1e-4
+    assert abs(out["predictability"] - (1 - h / math.log2(k))) < 1e-4
