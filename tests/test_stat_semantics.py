@@ -1056,3 +1056,46 @@ def test_markov_entropy_matches_brute_force():
     assert out["n_transitions"] == nn and out["n_states"] == k
     assert abs(out["entropy_rate_bits"] - h) < 1e-4
     assert abs(out["predictability"] - (1 - h / math.log2(k))) < 1e-4
+
+
+def test_iv_woe_matches_brute_force():
+    # Two discount buckets with different return (bad) rates.
+    rows = [  # (l_discount, l_returnflag) expanded below
+        (0.00, "N", 6), (0.00, "R", 1),
+        (0.05, "N", 2), (0.05, "R", 4),
+    ]
+    li_rows = []
+    for d, fl, k in rows:
+        li_rows += [(d, fl)] * k
+    li = (["l_discount DOUBLE", "l_returnflag VARCHAR"], li_rows)
+    out = _run({"lineitem": li}, "q_iv_woe")
+    got = {r["bucket"]: r for r in out}
+    bins = {0: (6, 1), 5: (2, 4)}  # bucket -> (good, bad)
+    t_good, t_bad, nb = 8, 5, 2
+    for b, (g, bad) in bins.items():
+        bs = (bad + 1) / (t_bad + nb)
+        gs = (g + 1) / (t_good + nb)
+        woe = math.log(bs / gs)
+        iv = (bs - gs) * woe
+        assert got[b]["n_good"] == g and got[b]["n_bad"] == bad
+        assert abs(got[b]["woe_e6"] / 1e6 - woe) < 1e-5
+        assert abs(got[b]["iv_nano"] / 1e9 - iv) < 1e-6
+
+
+def test_median_ci_matches_brute_force():
+    # n=9 orders, values 1..9 dollars -> median 5; binomial 95% CI
+    # ranks floor((9 - 1.96*3)/2)=1 and ceil(1 + (9 + 1.96*3)/2)=9.
+    orders = (
+        ["o_orderkey BIGINT", "o_totalprice DOUBLE"],
+        [(i, float(i)) for i in range(1, 10)],
+    )
+    out = _run({"orders": orders}, "q_median_ci")[0]
+    n = 9
+    z = 1.959964
+    k_lo = max(1, math.floor((n - z * math.sqrt(n)) / 2))
+    k_hi = min(n, math.ceil(1 + (n + z * math.sqrt(n)) / 2))
+    vals = sorted(range(1, 10))
+    assert out["n_orders"] == n
+    assert abs(out["median"] - 5.0) < 1e-6
+    assert abs(out["ci_lo"] - vals[k_lo - 1]) < 1e-6
+    assert abs(out["ci_hi"] - vals[k_hi - 1]) < 1e-6
