@@ -1099,3 +1099,33 @@ def test_median_ci_matches_brute_force():
     assert abs(out["median"] - 5.0) < 1e-6
     assert abs(out["ci_lo"] - vals[k_lo - 1]) < 1e-6
     assert abs(out["ci_hi"] - vals[k_hi - 1]) < 1e-6
+
+
+def test_ols_regression_matches_numpy():
+    # y ~ b0 + b1*x1 + b2*x2 via numpy lstsq on the same integer-cents
+    # features the query builds (qty, disc*100 -> price*100).
+    import numpy as np
+
+    rows = [  # (l_quantity, l_discount, l_extendedprice)
+        (1, 0.00, 10.0), (2, 0.01, 19.5), (3, 0.02, 28.0),
+        (4, 0.00, 41.0), (5, 0.05, 44.0), (6, 0.04, 55.5),
+        (7, 0.03, 67.0), (8, 0.10, 70.0),
+    ]
+    li = (
+        ["l_quantity DOUBLE", "l_discount DOUBLE", "l_extendedprice DOUBLE"],
+        [(float(q), d, p) for q, d, p in rows],
+    )
+    out = _run({"lineitem": li}, "q_ols_regression")[0]
+    x1 = np.array([q for q, _, _ in rows], dtype=float)
+    x2 = np.array([round(d * 100) for _, d, _ in rows], dtype=float)
+    y = np.array([round(p * 100) for _, _, p in rows], dtype=float)
+    A = np.column_stack([np.ones_like(x1), x1, x2])
+    beta, _, _, _ = np.linalg.lstsq(A, y, rcond=None)
+    resid = y - A @ beta
+    sst = ((y - y.mean()) ** 2).sum()
+    r2 = 1.0 - (resid**2).sum() / sst
+    assert out["n_rows"] == len(rows)
+    assert abs(out["b0"] - beta[0]) < 1e-3
+    assert abs(out["b1"] - beta[1]) < 1e-3
+    assert abs(out["b2"] - beta[2]) < 1e-3
+    assert abs(out["r2"] - r2) < 1e-5
