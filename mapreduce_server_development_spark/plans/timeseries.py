@@ -1129,8 +1129,13 @@ _SS_FINAL = (
     "CAST(n AS BIGINT) AS n_hours",
     f"round({_SS_SSB} / NULLIF({_SS_SST}, 0.0), 6) + 0.0"
     " AS seasonal_strength",
-    f"round(sqrt(({_SS_SST} - {_SS_SSB}) / (CAST(n AS DOUBLE) - 24.0)), 4)"
-    " + 0.0 AS residual_sd",
+    # Guard n > 24: below that the n-24 dof is non-positive and DuckDB
+    # raises on sqrt(negative) where Spark would return NaN — the one
+    # place the engines would diverge instead of agreeing.
+    f"CASE WHEN n > 24 THEN"
+    f" round(sqrt(greatest(({_SS_SST} - {_SS_SSB}), 0.0)"
+    " / (CAST(n AS DOUBLE) - 24.0)), 4) + 0.0"
+    " ELSE NULL END AS residual_sd",
 )
 
 #: Per-hour-of-day between-groups term, rounded before the 24-row sum

@@ -1129,3 +1129,37 @@ def test_ols_regression_matches_numpy():
     assert abs(out["b1"] - beta[1]) < 1e-3
     assert abs(out["b2"] - beta[2]) < 1e-3
     assert abs(out["r2"] - r2) < 1e-5
+
+
+def test_seasonal_strength_matches_brute_force():
+    # Two days x 3 observed hours-of-day with a clear diurnal pattern:
+    # hod 0 -> 5 events, hod 1 -> 1, hod 2 -> 3 (both days), so the
+    # clock explains ALL variance (eta^2 = 1, residual sd 0).
+    # Plus a third day where hod 0 has 4 events, breaking perfection.
+    counts = {  # (day, hod) -> events
+        (1, 0): 5, (1, 1): 1, (1, 2): 3,
+        (2, 0): 5, (2, 1): 1, (2, 2): 3,
+        (3, 0): 4,
+    }
+    rows = []
+    for (day, hod), k in counts.items():
+        for i in range(k):
+            rows.append((f"2024-01-0{day} 0{hod}:{i:02d}:00", 1, "view", 1.0))
+    out = _run({"events": _events_ts(rows)}, "q_seasonal_strength")[0]
+    groups = {}
+    for (_, hod), c in counts.items():
+        groups.setdefault(hod, []).append(c)
+    allc = [c for cs in groups.values() for c in cs]
+    n = len(allc)
+    ss, qq = sum(allc), sum(c * c for c in allc)
+    sst = qq - ss * ss / n
+    # Replay the query's round-before-sum: each group's s^2/n term is
+    # rounded to an integer before the cross-group sum (negligible at
+    # count scale in production, visible on this toy fixture).
+    bt = sum(round(sum(cs) ** 2 / len(cs)) for cs in groups.values())
+    ssb = bt - ss * ss / n
+    assert out["n_hours"] == n
+    assert abs(out["seasonal_strength"] - ssb / sst) < 1e-4
+    # n <= 24 observed hours: residual dof is non-positive, the query
+    # reports NULL (guarded shared text) rather than diverging engines.
+    assert out["residual_sd"] is None
