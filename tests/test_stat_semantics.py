@@ -1163,3 +1163,61 @@ def test_seasonal_strength_matches_brute_force():
     # n <= 24 observed hours: residual dof is non-positive, the query
     # reports NULL (guarded shared text) rather than diverging engines.
     assert out["residual_sd"] is None
+
+
+def test_forecast_eval_matches_brute_force():
+    # 14 days of revenue; last 7 days scored against the value 7 days
+    # earlier (seasonal-naive). Day 10 is MISSING — the day-keyed join
+    # must skip both its actual and its would-be forecast role.
+    rev = {1: 10.0, 2: 12.0, 3: 9.0, 4: 11.0, 5: 15.0, 6: 8.0, 7: 13.0,
+           8: 11.0, 9: 14.0, 11: 12.0, 12: 16.0, 13: 7.0, 14: 12.5}
+    orders = (
+        ["o_orderdate DATE", "o_totalprice DOUBLE"],
+        [(f"2024-01-{d:02d}", v) for d, v in rev.items()],
+    )
+    out = _run({"orders": orders}, "q_forecast_eval")[0]
+    cents = {d: round(v * 100) for d, v in rev.items()}
+    pairs = [(cents[d], cents[d - 7]) for d in rev if d - 7 in cents]
+    n = len(pairs)
+    mape = sum(round(abs(a - f) / a * 1e6) for a, f in pairs) / n / 1e4
+    bias = sum(f - a for a, f in pairs) / sum(a for a, _ in pairs) * 100
+    assert out["n_days"] == n == 6  # day 10 absent, day 3->10 unused
+    assert abs(out["mape_pct"] - mape) < 1e-4
+    assert abs(out["bias_pct"] - bias) < 1e-4
+
+
+def test_bm25_matches_brute_force():
+    # Three docs, query terms fixed by the query itself
+    # ("filter", "window", "stream"); Lucene BM25 replayed in Python.
+    texts = {
+        1: "the filter keeps the window open",
+        2: "stream stream stream filter",
+        3: "no match here at all",
+    }
+    docs = (
+        ["doc_id BIGINT", "text VARCHAR", "lang VARCHAR",
+         "source VARCHAR", "n_chars BIGINT"],
+        [(i, t, "en", "web", len(t)) for i, t in texts.items()],
+    )
+    rows = _run({"documents": docs}, "q_bm25")
+    toks = {i: t.split() for i, t in texts.items()}
+    n_docs = len(texts)
+    avgdl = sum(len(v) for v in toks.values()) / n_docs
+    terms = ["filter", "window", "stream"]
+    df = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    exp = {}
+    for i, v in toks.items():
+        s = 0
+        for t in terms:
+            tf = v.count(t)
+            if not tf:
+                continue
+            idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            c = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(v) / avgdl))
+            s += round(c * 1e6)
+        if s:
+            exp[i] = round(s / 1e6, 4)
+    got = {r["doc_id"]: r["bm25"] for r in rows}
+    assert got.keys() == exp.keys()
+    for i in exp:
+        assert abs(got[i] - exp[i]) < 1e-6
