@@ -1221,3 +1221,61 @@ def test_bm25_matches_brute_force():
     assert got.keys() == exp.keys()
     for i in exp:
         assert abs(got[i] - exp[i]) < 1e-6
+
+
+def test_backoff_lm_matches_brute_force():
+    # Replay the whole Stupid-Backoff pipeline in pure Python: the
+    # md5 80/20 split, train counts, and the three scoring branches
+    # (seen bigram / backoff to unigram / OOV floor).
+    import hashlib
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the dog sat on the rug",
+        3: "a cat and a dog",
+        4: "the mat and the rug",
+        5: "on the mat sat a cat",
+        6: "dog and cat and dog",
+        # doc_ids 13/15/17 hash into the held-out 20% bucket — they
+        # exercise the genuine backoff and OOV-floor branches.
+        13: "the cat zzz qqq",
+        15: "purple zzz the cat",
+        17: "mat on rug on mat",
+    }
+    docs = (
+        ["doc_id BIGINT", "text VARCHAR", "lang VARCHAR",
+         "source VARCHAR", "n_chars BIGINT"],
+        [(i, t, "en", "web", len(t)) for i, t in texts.items()],
+    )
+    rows = _run({"documents": docs}, "q_backoff_lm_score")
+
+    def bucket(salt, key):
+        h = hashlib.md5(f"{salt}:{key}".encode()).hexdigest()
+        return int(h[:4], 16) % 1000
+
+    is_old = {i: bucket("inc", i) % 10 < 8 for i in texts}
+    assert not all(is_old.values()), "need at least one held-out doc"
+    uni, bi = {}, {}
+    for i, t in texts.items():
+        if not is_old[i]:
+            continue
+        toks = t.split()
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    n = sum(uni.values())
+    got = {r["doc_id"]: r for r in rows}
+    for i, t in texts.items():
+        toks = t.split()
+        lps = []
+        for a, b in zip(toks, toks[1:]):
+            if (a, b) in bi:
+                s = bi[(a, b)] / uni[a]
+            elif b in uni:
+                s = 0.4 * uni[b] / n
+            else:
+                s = 0.4 / n
+            lps.append(round(math.log(s) * 10000))
+        assert got[i]["n_bigrams"] == len(lps)
+        assert got[i]["score_tenk"] == sum(lps)
