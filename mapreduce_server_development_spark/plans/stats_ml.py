@@ -1270,10 +1270,16 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest event_id) is deterministic cross-engine; only the final
     normalized readout divides as shared-text doubles.
 
-    Scale: one per-type window pass (running sum + position) over the
-    fact table, a broadcast join of per-type totals, and a per-type
-    top-1 — no self-joins; per-partition window state is O(1).
+    Scale: NO window partitioned by the ~|event_type|-value key (that
+    caps parallelism at key cardinality — the q_value_anomaly defect
+    class): positions and running sums come from the two two-phase
+    global scans (functions/prefix.py) over the (type, ts, id) total
+    order, per-type values recovered by broadcast prefix offsets, and
+    the per-type argmax is a partial-agg'd struct MAX. Parallelism
+    follows partitions, not |event_type|.
     """
+    from ..functions.prefix import global_row_number, global_running_sum
+
     ev = load_table(spark, sf_dir, "events")
     v = ev.select(
         "event_type",
@@ -1281,51 +1287,63 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = v.select(
-        "event_type",
-        "event_id",
-        F.row_number().over(
-            Window.partitionBy("event_type").orderBy("ts", "event_id")
-        ).alias("k"),
-        F.sum("cents").over(w).alias("cum"),
-    )
+    # Per-type position and running sum WITHOUT a window partitioned by
+    # the ~|event_type|-value key (which caps parallelism at the key
+    # cardinality — the q_value_anomaly defect class): one global
+    # two-phase row_number over (type, ts, id) — types contiguous in
+    # that total order — one global two-phase running sum of cents over
+    # it, then per-type (position, cumulative) fall out by subtracting
+    # the broadcast per-type prefix offsets.
+    g = global_row_number(v, ["event_type", "ts", "event_id"], "grn")
+    gc = global_running_sum(g, "grn", "cents", "gcum")
     t = v.groupBy("event_type").agg(
         F.count("*").cast("decimal(38,0)").alias("n"),
         F.sum("cents").cast("decimal(38,0)").alias("tot"),
     )
-    d = c.join(F.broadcast(t), "event_type").select(
+    t2 = t.selectExpr(
+        "event_type AS et2", "n AS n2", "tot AS tot2"
+    )
+    offs = (
+        t.join(F.broadcast(t2), F.col("et2") < F.col("event_type"), "left")
+        .groupBy("event_type", "n", "tot")
+        .agg(
+            F.coalesce(F.sum("n2"), F.lit(0).cast("decimal(38,0)"))
+            .alias("k_off"),
+            F.coalesce(F.sum("tot2"), F.lit(0).cast("decimal(38,0)"))
+            .alias("c_off"),
+        )
+    )
+    d = gc.join(F.broadcast(offs), "event_type").select(
         "event_type",
         "event_id",
-        "k",
+        (F.col("grn").cast("decimal(38,0)") - F.col("k_off")).alias("k"),
         F.abs(
-            F.col("n") * F.col("cum").cast("decimal(38,0)")
-            - F.col("k").cast("decimal(38,0)") * F.col("tot")
+            F.col("n")
+            * (F.col("gcum").cast("decimal(38,0)") - F.col("c_off"))
+            - (F.col("grn").cast("decimal(38,0)") - F.col("k_off"))
+            * F.col("tot")
         ).alias("dev"),
         "n",
         "tot",
     )
-    rk = F.row_number().over(
-        Window.partitionBy("event_type").orderBy(
-            F.col("dev").desc(), F.col("event_id")
-        )
+    # Per-type argmax (ties -> smallest event_id) as a partial-agg'd
+    # struct MAX — no per-type sort at all.
+    best = d.groupBy("event_type", "n", "tot").agg(
+        F.max(
+            F.struct(
+                F.col("dev").alias("dev"),
+                (-F.col("event_id")).cast("long").alias("negid"),
+                F.col("k").alias("k"),
+            )
+        ).alias("b")
     )
-    return (
-        d.withColumn("rk", rk)
-        .filter("rk = 1")
-        .selectExpr(
-            "event_type",
-            "event_id AS cp_event_id",
-            "CAST(k AS BIGINT) AS cp_position",
-            "round(CAST(dev AS DOUBLE)"
-            " / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS max_rel_dev",
-        )
-        .orderBy("event_type")
-    )
+    return best.selectExpr(
+        "event_type",
+        "-b.negid AS cp_event_id",
+        "CAST(b.k AS BIGINT) AS cp_position",
+        "round(CAST(b.dev AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS max_rel_dev",
+    ).orderBy("event_type")
 
 
 # ---------------------------------------------------------------------------

@@ -911,3 +911,15 @@ def test_audience_kmv_bottomk_is_chunked(spark):
     # Stage-1 chunk key: hash-bucket term next to the segment key in a
     # window partition spec ((h % 64) appears as the pmod expression).
     assert "pmod" in plan or "% 64" in plan
+
+
+def test_changepoint_has_no_per_type_window(spark):
+    """CUSUM runs on two-phase global scans + struct-MAX argmax — the
+    per-type running-sum/rank windows (parallelism capped at
+    |event_type|) must not reappear."""
+    from .test_no_antipatterns import single_partition_windows
+
+    plan = _plan(spark, "q_changepoint")
+    assert not single_partition_windows(plan)
+    assert "__prefix_pid" in plan
+    assert "partial_max" in plan  # the argmax is a partial-agg'd MAX
