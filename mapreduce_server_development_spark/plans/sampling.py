@@ -188,24 +188,32 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (eval set construction, per-language budget caps), rank documents
     within each stratum by their hash bucket (doc_id tiebreak — a total
     order) and keep rank <= quota. The quota side is a tiny per-lang
-    aggregate, broadcast back. Plan: one shuffle to partition by lang
-    for the rank window plus the broadcast quota join. Stratum
-    populations are corpus-scale, so the per-stratum sort is the
-    honest cost of exactness; at 100 TB prefer q_hash_sample unless
-    the exact-count contract is required, or bound the sort by
-    pre-filtering to ~2x the target rate with the hash bucket first.
+    aggregate, broadcast back.
+
+    Scale: in-stratum ranks do NOT come from a window partitioned by
+    the low-cardinality lang key (that caps parallelism at |lang| and
+    funnels each corpus-scale stratum through one task — the
+    q_value_anomaly defect class). Instead one two-phase global
+    row_number over the (lang, bucket, doc_id) total order — strata
+    contiguous — and the per-lang rank falls out by subtracting each
+    stratum's broadcast MIN position. Parallelism follows partitions.
     """
-    from pyspark.sql import Window
+    from ..functions.prefix import global_row_number
 
     docs = load_table(spark, sf_dir, "documents")
     quota = docs.groupBy("lang").agg(
         F.ceil(0.1 * F.count("*")).cast("long").alias("quota")
     )
-    w = Window.partitionBy("lang").orderBy(
-        hash_bucket("strat", F.col("doc_id")), "doc_id"
+    g = global_row_number(
+        docs.select(
+            "doc_id", "lang", hash_bucket("strat", F.col("doc_id")).alias("hb")
+        ),
+        ["lang", "hb", "doc_id"],
+        "grn",
     )
-    ranked = docs.select(
-        "doc_id", "lang", F.row_number().over(w).cast("long").alias("rk")
+    t0 = g.groupBy("lang").agg(F.min("grn").alias("t0"))
+    ranked = g.join(F.broadcast(t0), "lang").select(
+        "doc_id", "lang", (F.col("grn") - F.col("t0") + 1).alias("rk")
     )
     return (
         ranked.join(F.broadcast(quota), "lang")

@@ -923,3 +923,14 @@ def test_changepoint_has_no_per_type_window(spark):
     assert not single_partition_windows(plan)
     assert "__prefix_pid" in plan
     assert "partial_max" in plan  # the argmax is a partial-agg'd MAX
+
+
+def test_stratified_sample_rank_is_two_phase(spark):
+    """In-stratum ranks come from the two-phase global row_number
+    (strata contiguous, broadcast MIN offsets) — never a window
+    partitioned by the |lang|-value key over the corpus."""
+    from .test_no_antipatterns import single_partition_windows
+
+    plan = _plan(spark, "q_stratified_sample")
+    assert not single_partition_windows(plan)
+    assert "__prefix_pid" in plan
