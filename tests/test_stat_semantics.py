@@ -1279,3 +1279,59 @@ def test_backoff_lm_matches_brute_force():
             lps.append(round(math.log(s) * 10000))
         assert got[i]["n_bigrams"] == len(lps)
         assert got[i]["score_tenk"] == sum(lps)
+
+
+def test_naive_bayes_matches_pure_python():
+    # Replay the full NB train+score pipeline: md5 80/20 split, add-1
+    # multinomial with the OOV floor 1/(tot+V), log-prior, argmax with
+    # class-name tie-break. Feeds the whole _nb_scored cluster
+    # (q_naive_bayes, q_nb_class_metrics, q_nb_calibration, q_mcnemar).
+    # doc_ids 3/7/13 hash into the held-out bucket for salt 'nb'.
+    texts = {
+        1: ("web", "click buy cart buy"),
+        2: ("web", "cart click deal"),
+        4: ("web", "buy deal deal cart"),
+        5: ("books", "read page chapter read"),
+        6: ("books", "page read story"),
+        8: ("books", "chapter story page page"),
+        3: ("web", "buy cart unknowntok"),
+        7: ("books", "read chapter story"),
+        13: ("web", "deal deal read"),
+    }
+    docs = (
+        ["doc_id BIGINT", "text VARCHAR", "lang VARCHAR",
+         "source VARCHAR", "n_chars BIGINT"],
+        [(i, t, "en", s, len(t)) for i, (s, t) in texts.items()],
+    )
+    rows = _run({"documents": docs}, "q_naive_bayes")
+
+    train = {i: v for i, v in texts.items() if i in (1, 2, 4, 5, 6, 8)}
+    test = {i: v for i, v in texts.items() if i in (3, 7, 13)}
+    counts, totals, n_train = {}, {}, len(train)
+    for _, (src, t) in train.items():
+        for w in t.split():
+            counts[(src, w)] = counts.get((src, w), 0) + 1
+            totals[src] = totals.get(src, 0) + 1
+    vocab = len({w for (_, w) in counts})
+    classes = sorted(totals)
+    prior = {
+        s: round(math.log(
+            sum(1 for v in train.values() if v[0] == s) / n_train) * 1e6)
+        for s in classes
+    }
+
+    def lp(s, w):
+        c = counts.get((s, w), 0)
+        return round(math.log((c + 1.0) / (totals[s] + vocab)) * 1e6) if c \
+            else round(math.log(1.0 / (totals[s] + vocab)) * 1e6)
+
+    confusion = {}
+    for i, (actual, t) in test.items():
+        scores = {
+            s: sum(lp(s, w) for w in t.split()) + prior[s] for s in classes
+        }
+        best = max(scores.values())
+        pred = min(s for s in classes if scores[s] == best)  # name tiebreak
+        confusion[(actual, pred)] = confusion.get((actual, pred), 0) + 1
+    got = {(r["actual"], r["predicted"]): r["n"] for r in rows}
+    assert got == confusion
