@@ -4591,3 +4591,105 @@ def q_acctbal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("b").alias("mx"),
     )
     return s.selectExpr(*_ABP_FINAL).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# q_reconciliation — order-header vs lineitem-derived total audit
+# ---------------------------------------------------------------------------
+
+#: Drift bucket: log10 magnitude of the absolute cents drift (0 =
+#: exact to the cent), computed from exact integers in one shared text.
+_RC_BUCKET = (
+    "CASE WHEN drift_c = 0 THEN 0"
+    " ELSE CAST(length(CAST(abs(drift_c) AS STRING)) AS INTEGER) END"
+)
+
+_RC_FINAL = (
+    "CAST(bucket AS INTEGER) AS drift_digits",
+    "CAST(n AS BIGINT) AS n_orders",
+    "round(CAST(s_abs AS DOUBLE) / 100.0, 2) + 0.0 AS total_abs_drift",
+    "round(CAST(s_net AS DOUBLE) / 100.0, 2) + 0.0 AS net_drift",
+)
+
+
+@query(
+    "q_reconciliation",
+    oracle=f"""
+    WITH derived AS (
+        SELECT l_orderkey,
+               CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(16,4))
+                              * (CAST(1 AS DECIMAL(8,4))
+                                 - CAST(l_discount AS DECIMAL(8,4)))
+                              * (CAST(1 AS DECIMAL(8,4))
+                                 + CAST(l_tax AS DECIMAL(8,4))))) * 100
+                    AS BIGINT) AS derived_c
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) - derived_c
+                   AS drift_c
+        FROM orders JOIN derived ON l_orderkey = o_orderkey
+    ),
+    b AS (
+        SELECT {_RC_BUCKET} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(abs(drift_c)) AS HUGEINT) AS s_abs,
+               CAST(SUM(drift_c) AS HUGEINT) AS s_net
+        FROM j GROUP BY 1
+    )
+    SELECT {", ".join(_RC_FINAL)} FROM b ORDER BY drift_digits
+    """,
+)
+def q_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ledger reconciliation audit: per order, the header total
+    (o_totalprice) vs the lineitem-derived total
+    Σ extprice·(1−disc)·(1+tax), reported as a drift histogram by
+    decimal magnitude (bucket 0 = reconciles to the cent) with total
+    absolute and signed net drift per bucket — the warehouse close
+    check run before any revenue number ships. On the synthetic
+    fixtures the header totals are generated independently, so the
+    audit reports 100% drift — which is exactly the finding such an
+    audit exists to surface.
+
+    Determinism: the derived total is the decimal-money idiom
+    (money.py) extended with the tax leg, rounded to exact cents;
+    drifts, buckets, and sums are exact integers end-to-end
+    (DECIMAL(38,0)/HUGEINT); the two dollar readouts are shared
+    texts over those integers.
+
+    Scale: one lineitem aggregate keyed by orderkey (map-side
+    combined), one orderkey equi-join against orders (co-partitioned
+    at 100 TB via the bucketed layout in sources/bucketed.py), one
+    bounded (≤12-bucket) rollup. No windows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    one = F.lit(1).cast("decimal(8,4)")
+    line_total = (
+        F.col("l_extendedprice").cast("decimal(16,4)")
+        * (one - F.col("l_discount").cast("decimal(8,4)"))
+        * (one + F.col("l_tax").cast("decimal(8,4)"))
+    )
+    derived = li.groupBy("l_orderkey").agg(
+        (F.round(F.sum(line_total), 0) * 100).cast("long").alias("derived_c")
+    )
+    j = orders.join(
+        derived, orders.o_orderkey == derived.l_orderkey
+    ).select(
+        (
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+            - F.col("derived_c")
+        ).alias("drift_c")
+    )
+    b = (
+        j.select(F.expr(_RC_BUCKET).alias("bucket"), "drift_c")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.abs(F.col("drift_c")).cast("decimal(38,0)")).alias(
+                "s_abs"
+            ),
+            F.sum(F.col("drift_c").cast("decimal(38,0)")).alias("s_net"),
+        )
+    )
+    return b.selectExpr(*_RC_FINAL).orderBy("drift_digits")
