@@ -27,6 +27,8 @@ QUERIES = [
     "q_group_percentiles",
     "q_mad_outliers",
     "q_conversion_lag",
+    # session-3 window re-plan (two-phase global scans + struct-MAX)
+    "q_changepoint",
 ]
 
 
