@@ -1335,3 +1335,50 @@ def test_naive_bayes_matches_pure_python():
         confusion[(actual, pred)] = confusion.get((actual, pred), 0) + 1
     got = {(r["actual"], r["predicted"]): r["n"] for r in rows}
     assert got == confusion
+
+
+def test_theil_sen_matches_brute_force():
+    # Five months of revenue with one outlier month: the median of
+    # the 10 pairwise slopes must shrug the outlier off.
+    rev = {"2024-01": 100.0, "2024-02": 110.0, "2024-03": 9.0,  # outlier
+           "2024-04": 130.0, "2024-05": 140.0}
+    orders = (
+        ["o_orderdate DATE", "o_totalprice DOUBLE"],
+        [(f"{m}-15", v) for m, v in rev.items()],
+    )
+    out = _run({"orders": orders}, "q_theil_sen")[0]
+    ms = {2024 * 12 + i + 1: round(v * 100)
+          for i, v in enumerate(rev.values())}
+    keys = sorted(ms)
+    slopes = []
+    for i, a in enumerate(keys):
+        for b in keys[i + 1:]:
+            slopes.append((ms[b] - ms[a]) / (b - a))
+    slopes.sort()
+    n = len(slopes)
+    med = (slopes[(n + 1) // 2 - 1] + slopes[(n + 2) // 2 - 1]) / 2
+    assert out["n_pairs"] == n == 10
+    assert out["n_up"] == sum(1 for s in slopes if s > 0)
+    assert out["n_down"] == sum(1 for s in slopes if s < 0)
+    assert abs(out["slope_cents_per_month"] - med) < 1e-6
+
+
+def test_acf_matches_brute_force():
+    # Ten consecutive days with a period-2 alternating pattern:
+    # even lags correlate positively, odd lags negatively.
+    vals = [10.0, 20.0, 11.0, 21.0, 12.0, 22.0, 13.0, 23.0, 14.0, 24.0]
+    orders = (
+        ["o_orderdate DATE", "o_totalprice DOUBLE"],
+        [(f"2024-01-{d + 1:02d}", v) for d, v in enumerate(vals)],
+    )
+    rows = _run({"orders": orders}, "q_acf")
+    cents = [round(v * 100) for v in vals]
+    n, s = len(cents), sum(cents)
+    dv = [n * x - s for x in cents]
+    den = sum(d * d for d in dv)
+    got = {r["lag"]: r for r in rows}
+    for k in [1, 2, 3, 4, 5, 6, 7]:
+        num = sum(dv[t] * dv[t + k] for t in range(n - k))
+        assert got[k]["n_pairs"] == n - k
+        assert abs(got[k]["acf"] - num / den) < 1e-6
+    assert 14 not in got and 30 not in got  # no pairs at those lags
