@@ -1382,3 +1382,33 @@ def test_acf_matches_brute_force():
         assert got[k]["n_pairs"] == n - k
         assert abs(got[k]["acf"] - num / den) < 1e-6
     assert 14 not in got and 30 not in got  # no pairs at those lags
+
+
+def test_ewma_matches_brute_force():
+    # 35 consecutive days: rows emit only where the full 30-day kernel
+    # fits (days 29..34, 6 output rows); each is the truncated,
+    # renormalized exponential convolution.
+    vals = [100.0 + 7 * (d % 5) for d in range(35)]
+    import datetime
+
+    d0 = datetime.date(2024, 1, 1)
+    orders = (
+        ["o_orderdate DATE", "o_totalprice DOUBLE"],
+        [((d0 + datetime.timedelta(days=d)).isoformat(), v)
+         for d, v in enumerate(vals)],
+    )
+    rows = _run({"orders": orders}, "q_ewma")
+    alpha, depth = 0.2, 30
+    wgt = [round(alpha * (1 - alpha) ** k * 1_000_000_000)
+           for k in range(depth)]
+    cents = [round(v * 100) for v in vals]
+    exp = {}
+    for t in range(depth - 1, len(vals)):
+        num = sum(cents[t - k] * wgt[k] for k in range(depth))
+        exp[(d0 + datetime.timedelta(days=t)).isoformat()] = round(
+            num / sum(wgt) / 100.0, 4
+        )
+    got = {str(r["day"]): r["ewma_revenue"] for r in rows}
+    assert got.keys() == exp.keys() and len(got) == 6
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-6
