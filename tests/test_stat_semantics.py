@@ -1412,3 +1412,39 @@ def test_ewma_matches_brute_force():
     assert got.keys() == exp.keys() and len(got) == 6
     for k in exp:
         assert abs(got[k] - exp[k]) < 1e-6
+
+
+def test_rolling_corr_matches_brute_force():
+    # 32 consecutive ship days with co-moving revenue/quantity plus
+    # noise; complete 30-day windows exist for the last 3 days.
+    import datetime
+
+    d0 = datetime.date(2024, 1, 1)
+    days = [(d0 + datetime.timedelta(days=d)).isoformat() for d in range(32)]
+    price = [10.0 + d + (3.0 if d % 7 == 0 else 0.0) for d in range(32)]
+    qty = [5.0 + 2 * d + (d % 3) for d in range(32)]
+    li = (
+        ["l_shipdate DATE", "l_extendedprice DOUBLE", "l_quantity DOUBLE"],
+        list(zip(days, price, qty)),
+    )
+    rows = _run({"lineitem": li}, "q_rolling_corr")
+    x = [round(p * 100) for p in price]
+    y = [round(q) for q in qty]
+
+    def pearson(xs, ys):
+        n = len(xs)
+        num = n * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)
+        den = math.sqrt(
+            (n * sum(a * a for a in xs) - sum(xs) ** 2)
+            * (n * sum(b * b for b in ys) - sum(ys) ** 2)
+        )
+        return num / den
+
+    exp = {
+        days[t]: pearson(x[t - 29: t + 1], y[t - 29: t + 1])
+        for t in range(29, 32)
+    }
+    got = {str(r["day"]): r["corr_30d"] for r in rows}
+    assert got.keys() == exp.keys()
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-5
