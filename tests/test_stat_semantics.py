@@ -1448,3 +1448,41 @@ def test_rolling_corr_matches_brute_force():
     assert got.keys() == exp.keys()
     for k in exp:
         assert abs(got[k] - exp[k]) < 1e-5
+
+
+def test_seasonal_anomaly_matches_brute_force():
+    # Three weeks of flat revenue with one shock day: only the shock
+    # (and possibly its weekday-mean echo) can cross the 2-sigma gate.
+    import datetime
+
+    d0 = datetime.date(2024, 1, 1)  # a Monday
+    vals = [100.0] * 21
+    vals[10] = 400.0  # Thursday shock
+    orders = (
+        ["o_orderdate DATE", "o_totalprice DOUBLE"],
+        [((d0 + datetime.timedelta(days=d)).isoformat(), v)
+         for d, v in enumerate(vals)],
+    )
+    rows = _run({"orders": orders}, "q_seasonal_anomaly")
+    cents = [round(v * 100) for v in vals]
+    dow_sum, dow_n = {}, {}
+    for d, c in enumerate(cents):
+        dow_sum[d % 7] = dow_sum.get(d % 7, 0) + c
+        dow_n[d % 7] = dow_n.get(d % 7, 0) + 1
+    ratios = [
+        1_000_000 * c * dow_n[d % 7] // dow_sum[d % 7]
+        for d, c in enumerate(cents)
+    ]
+    n, s1 = len(ratios), sum(ratios)
+    s2 = sum(r * r for r in ratios)
+    sd = math.sqrt((n * s2 - s1 * s1) / (n * n))
+    exp = {}
+    for d, r in enumerate(ratios):
+        z = round((r - s1 / n) / sd, 6)
+        if abs(z) >= 2.0:
+            exp[(d0 + datetime.timedelta(days=d)).isoformat()] = (r, z)
+    got = {str(r["day"]): (r["ratio_e6"], r["z"]) for r in rows}
+    assert got.keys() == exp.keys() and len(exp) >= 1
+    for k, (r, z) in exp.items():
+        assert got[k][0] == r
+        assert abs(got[k][1] - z) < 1e-6
