@@ -1486,3 +1486,67 @@ def test_seasonal_anomaly_matches_brute_force():
     for k, (r, z) in exp.items():
         assert got[k][0] == r
         assert abs(got[k][1] - z) < 1e-6
+
+
+def test_peak_days_matches_brute_force():
+    # Days 0..6 revenues with two local maxima; only the one clearing
+    # 120% of the all-days mean survives. A gap at day 7 means day 8
+    # has no left neighbor and cannot qualify however large.
+    import datetime
+
+    d0 = datetime.date(2024, 1, 1)
+    series = {0: 100.0, 1: 180.0, 2: 90.0, 3: 105.0, 4: 101.0,
+              5: 95.0, 6: 100.0, 8: 150.0, 9: 100.0}
+    orders = (
+        ["o_orderdate DATE", "o_totalprice DOUBLE"],
+        [((d0 + datetime.timedelta(days=d)).isoformat(), v)
+         for d, v in series.items()],
+    )
+    rows = _run({"orders": orders}, "q_peak_days")
+    cents = {d: round(v * 100) for d, v in series.items()}
+    tot, n = sum(cents.values()), len(cents)
+    exp = {}
+    for d, c in cents.items():
+        if (d - 1) in cents and (d + 1) in cents \
+                and c > cents[d - 1] and c > cents[d + 1] \
+                and 100 * c * n > 120 * tot:
+            exp[(d0 + datetime.timedelta(days=d)).isoformat()] = (
+                c, 100 * c * n // tot
+            )
+    got = {str(r["day"]): (r["rev_c"], r["pct_of_mean"]) for r in rows}
+    # day 1 (180) is a local max clearing the 120%-of-mean floor ->
+    # kept; day 3 is a local max but below the floor; day 8 (150,
+    # above the floor) has no left neighbor -> correctly disqualified
+    # by the calendar-gap rule.
+    assert list(exp) == [(d0 + datetime.timedelta(days=1)).isoformat()]
+    assert got == exp
+
+
+def test_doclen_hist_matches_brute_force():
+    # Token counts 1..9 across two langs -> log2 buckets 0..3 with
+    # exact min/max/sum per (lang, bucket); empty docs dropped.
+    texts = [("en", "a"), ("en", "a b"), ("en", "a b c"),
+             ("en", "a b c d e"), ("fr", "x y z w"),
+             ("fr", " ".join("t" * 1 for _ in range(9))), ("fr", "")]
+    docs = (
+        ["doc_id BIGINT", "text VARCHAR", "lang VARCHAR",
+         "source VARCHAR", "n_chars BIGINT"],
+        [(i, t, l, "web", len(t)) for i, (l, t) in enumerate(texts)],
+    )
+    rows = _run({"documents": docs}, "q_doclen_hist")
+    exp = {}
+    for l, t in texts:
+        n = len([w for w in t.split(" ") if w])
+        if n == 0:
+            continue
+        b = n.bit_length() - 1
+        k = (l, b)
+        c, mn, mx, sm = exp.get(k, (0, 10**9, 0, 0))
+        exp[k] = (c + 1, min(mn, n), max(mx, n), sm + n)
+    got = {
+        (r["lang"], r["log2_tokens"]): (
+            r["n_docs"], r["min_tokens"], r["max_tokens"], r["sum_tokens"]
+        )
+        for r in rows
+    }
+    assert got == exp
