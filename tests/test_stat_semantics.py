@@ -1550,3 +1550,78 @@ def test_doclen_hist_matches_brute_force():
         for r in rows
     }
     assert got == exp
+
+
+def test_winnow_fingerprint_matches_pure_python():
+    # Schleimer-style winnowing (k=5 char-grams, window w=4, min hash,
+    # dedupe) replayed with hashlib over hand texts, including one
+    # shorter than k (no grams -> 0 fingerprints).
+    import hashlib
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "abcdefabcdefabcdef",
+        3: "tiny",  # len < 5 -> no 5-grams
+    }
+    docs = (
+        ["doc_id BIGINT", "text VARCHAR", "lang VARCHAR",
+         "source VARCHAR", "n_chars BIGINT"],
+        [(i, t, "en", "web", len(t)) for i, t in texts.items()],
+    )
+    rows = _run({"documents": docs}, "q_winnow_fingerprint")
+    got = {r["doc_id"]: r for r in rows}
+    for i, t in texts.items():
+        lt = t.lower()
+        hs = [hashlib.md5(lt[p:p + 5].encode()).hexdigest()
+              for p in range(len(lt) - 4)]
+        fps = []
+        for j in range(max(0, len(hs) - 3)):
+            m = min(hs[j:j + 4])
+            if m not in fps:
+                fps.append(m)
+        assert got[i]["n_fp"] == len(fps)
+        if fps:
+            digest = hashlib.md5("".join(sorted(fps)).encode()).hexdigest()
+            assert got[i]["fp_digest"] == digest
+        else:
+            # No grams (len < k): both engines emit NULL, not md5('').
+            assert got[i]["fp_digest"] is None
+
+
+def test_tfidf_topk_matches_brute_force():
+    # Three docs; idf = ln(N/df); top-3 per doc with (score desc,
+    # term) tie-break.
+    texts = {
+        1: "spark spark shuffle join",
+        2: "spark join window",
+        3: "window window agg agg agg",
+    }
+    docs = (
+        ["doc_id BIGINT", "text VARCHAR", "lang VARCHAR",
+         "source VARCHAR", "n_chars BIGINT"],
+        [(i, t, "en", "web", len(t)) for i, t in texts.items()],
+    )
+    rows = _run({"documents": docs}, "q_tfidf_topk")
+    tf = {}
+    for i, t in texts.items():
+        for w in t.split():
+            tf[(i, w)] = tf.get((i, w), 0) + 1
+    df = {}
+    for (_, w) in tf:
+        df[w] = df.get(w, 0) + 1
+    n = len(texts)
+    exp = {}
+    for i in texts:
+        scores = sorted(
+            ((round(c * math.log(n / df[w]), 6), w)
+             for (d, w), c in tf.items() if d == i),
+            key=lambda p: (-p[0], p[1]),
+        )[:3]
+        exp[i] = [(w, s) for s, w in scores]
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append((r["term"], r["score"]))
+    for i in exp:
+        assert [w for w, _ in got[i]] == [w for w, _ in exp[i]]
+        for (wg, sg), (we, se) in zip(got[i], exp[i]):
+            assert abs(sg - se) < 1e-6
