@@ -1625,3 +1625,33 @@ def test_tfidf_topk_matches_brute_force():
         assert [w for w, _ in got[i]] == [w for w, _ in exp[i]]
         for (wg, sg), (we, se) in zip(got[i], exp[i]):
             assert abs(sg - se) < 1e-6
+
+
+def test_lang_id_matches_brute_force():
+    # Stopword-hit argmax with (score desc, lang) tie-break, replayed
+    # against the shared STOPWORDS table — including an all-zero doc
+    # (falls to the alphabetically first language) and an en/fr tie.
+    from mapreduce_server_development_spark.functions.text import STOPWORDS
+
+    texts = {
+        1: "the cat and the dog",            # en wins (3 hits)
+        2: "le chat et la maison est ici",   # fr wins (4 hits)
+        3: "qqq www zzz",                    # 0 hits -> 'de' (alpha first)
+        4: "the le",                         # 1-1 en/fr tie -> 'en' < 'fr'
+    }
+    docs = (
+        ["doc_id BIGINT", "text VARCHAR", "lang VARCHAR",
+         "source VARCHAR", "n_chars BIGINT"],
+        [(i, t, "xx", "web", len(t)) for i, t in texts.items()],
+    )
+    rows = _run({"documents": docs}, "q_lang_id")
+    got = {r["doc_id"]: (r["lang_pred"], r["score"]) for r in rows}
+    for i, t in texts.items():
+        toks = t.split()
+        scores = {
+            lang: sum(1 for w in toks if w in words)
+            for lang, words in STOPWORDS.items()
+        }
+        best = max(scores.values())
+        pred = min(l for l, s in scores.items() if s == best)
+        assert got[i] == (pred, best), (i, got[i], pred, best)
