@@ -52,18 +52,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from .graph_common import capped_po, po_sql
 from .registry import query
 
 # ---------------------------------------------------------------------------
 # Shared co-purchase edge relation (same construction as q_triangle_count:
-# parts linked when some order contains both).
+# parts linked when some order contains both).  Whale baskets are
+# excluded via graph_common.ORDER_BASKET_CAP, identically in both
+# engines (see graph_common.py).
 # ---------------------------------------------------------------------------
 
 def _edges_sql(min_support: int = 1) -> str:
     """CTE prefix defining e(a<b) and sym(src,dst) with a co-purchase
     support threshold (>= min_support orders containing both parts)."""
     return f"""
-    po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    {po_sql()},
     e AS (
         SELECT a.l_partkey AS a, b.l_partkey AS b
         FROM po a JOIN po b
@@ -79,10 +82,11 @@ def _copurchase_edges(
 ) -> DataFrame:
     """Distinct undirected co-purchase edges (a < b) with optional
     support threshold, checkpointed so both directions / degree / join
-    consumers reuse one physical scan.
+    consumers reuse one physical scan.  Whale baskets (orders with
+    > ORDER_BASKET_CAP distinct parts) are excluded before the pair
+    self-join — see graph_common.py.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    po = li.select("l_orderkey", "l_partkey").distinct()
+    po = capped_po(spark, sf_dir)
     return (
         po.alias("x")
         .join(po.alias("y"), "l_orderkey")

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from .graph_common import capped_po, po_sql
 from .registry import query
 
 from .money import DEC, _dec, _rev  # noqa: F401 - shared money idiom
@@ -2262,10 +2263,8 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_copurchase_bfs",
-    oracle="""
-    WITH RECURSIVE po AS (
-        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ),
+    oracle=f"""
+    WITH RECURSIVE {po_sql()},
     e AS (
         SELECT a.l_partkey AS src, b.l_partkey AS dst
         FROM po a JOIN po b
@@ -2301,13 +2300,14 @@ def q_copurchase_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     MIN(hop) per node; BFS's first-discovery hop equals that minimum,
     so the two formulations agree exactly.
 
-    Scale: edges come from an order-keyed self-join (orders bound the
-    fan-out), each hop is two key-partitioned joins, and the hop bound
-    caps the iteration — at larger graphs add localCheckpoint per hop
-    exactly as connected_components does (SCALE.md).
+    Scale: edges come from an order-keyed self-join with the shared
+    whale-basket cap (graph_common.ORDER_BASKET_CAP bounds per-order
+    fan-out at C(256,2) regardless of skew), each hop is two
+    key-partitioned joins, and the hop bound caps the iteration — at
+    larger graphs add localCheckpoint per hop exactly as
+    connected_components does (SCALE.md).
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    po = li.select("l_orderkey", "l_partkey").distinct()
+    po = capped_po(spark, sf_dir)
     # Eager localCheckpoint (the functions/graph.py convention): each
     # hop's frontier feeds two downstream joins and the next round —
     # truncating lineage stops the per-hop DAG from re-deriving the
@@ -2837,8 +2837,8 @@ def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_triangle_count",
-    oracle="""
-    WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    oracle=f"""
+    WITH {po_sql()},
     e AS (
         SELECT a.l_partkey AS a, b.l_partkey AS b
         FROM po a JOIN po b
@@ -2889,8 +2889,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..functions.graph import count_triangles
 
-    li = load_table(spark, sf_dir, "lineitem")
-    po = li.select("l_orderkey", "l_partkey").distinct()
+    po = capped_po(spark, sf_dir)
     e = (
         po.alias("a")
         .join(po.alias("b"), "l_orderkey")
@@ -2958,7 +2957,7 @@ def _kcore_oracle() -> str:
         )
     last = f"e{_KCORE_ORACLE_ROUNDS}"
     return f"""
-    WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    WITH {po_sql()},
     e0 AS MATERIALIZED (
         SELECT a.l_partkey AS a, b.l_partkey AS b
         FROM po a JOIN po b
@@ -2995,8 +2994,7 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds of the identical peel as CTEs; the fixpoint makes the extra
     rounds no-ops, so both engines agree exactly.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    po = li.select("l_orderkey", "l_partkey").distinct()
+    po = capped_po(spark, sf_dir)
     e = (
         po.alias("x")
         .join(po.alias("y"), "l_orderkey")
@@ -3073,7 +3071,7 @@ _ASSORT_FINAL = [
 @query(
     "q_assortativity",
     oracle=f"""
-    WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    WITH {po_sql()},
     e AS (
         SELECT a.l_partkey AS a, b.l_partkey AS b
         FROM po a JOIN po b
@@ -3114,10 +3112,10 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared formula text over those integers — identical doubles in
     both engines, rounded before compare. Scale: degree aggregate, two
     broadcast-or-shuffle equi-joins to attach end degrees, one
-    map-side-combined sum pass — no quadratic step anywhere.
+    map-side-combined sum pass — no quadratic step anywhere (whale
+    baskets capped by graph_common.ORDER_BASKET_CAP).
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    po = li.select("l_orderkey", "l_partkey").distinct()
+    po = capped_po(spark, sf_dir)
     # Checkpointed like its graph siblings (q_triangle_count, q_kcore):
     # e feeds deg's symmetric union AND the two end-degree joins AND the
     # doubled `ends` union — uncheckpointed, the order-keyed self-join

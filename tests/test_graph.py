@@ -117,3 +117,46 @@ def test_degree_oriented_triangles_match_brute_force(spark):
         e = spark.createDataFrame(edges, "a long, b long")
         tri = count_triangles(e).collect()[0]["t"]
         assert tri == brute, (trial, tri, brute)
+
+
+def test_whale_basket_excluded_identically_by_both_engines(spark, tmp_path):
+    """graph_common's ORDER_BASKET_CAP: a synthetic whale order (300
+    distinct parts, > the 256 cap) must be excluded from the capped
+    basket relation — and the DuckDB oracle CTE (po_sql) must exclude
+    it identically, so every graph query stays oracle-exact."""
+    import duckdb
+
+    from mapreduce_server_development_spark.plans.graph_common import (
+        ORDER_BASKET_CAP,
+        capped_po,
+        po_sql,
+    )
+
+    whale = [(1, p) for p in range(1000, 1000 + ORDER_BASKET_CAP + 44)]
+    normal = [(2, 1), (2, 2), (2, 3), (3, 2), (3, 3)]
+    df = spark.createDataFrame(
+        whale + normal, "l_orderkey long, l_partkey long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    got = {
+        (r.l_orderkey, r.l_partkey)
+        for r in capped_po(spark, str(tmp_path)).collect()
+    }
+    assert got == set(normal)  # whale order gone, normals intact
+
+    con = duckdb.connect()
+    try:
+        con.sql(
+            "CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/lineitem.parquet/*.parquet')"
+        )
+        oracle = {
+            tuple(r)
+            for r in con.sql(
+                f"WITH {po_sql()} SELECT l_orderkey, l_partkey FROM po"
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    assert oracle == got
