@@ -30,8 +30,12 @@ CARTESIAN_OK = {"q_cosine_topk"}
 SINGLE_WINDOW_OK = {"q_mix_planner", "q_skyline"}
 
 #: Streaming queries execute on construction (availableNow -> sink);
-#: their returned DataFrame is a sink read-back, so plan inspection
-#: would only see the scan. Covered by their own oracle rows instead.
+#: their returned DataFrame is a sink read-back, so plan inspection of
+#: the RETURNED frame would only see the scan. The executed micro-batch
+#: plans are swept instead by test_streaming_microbatch_plans below,
+#: which captures every SQL execution the run produced (micro-batches,
+#: foreachBatch inner jobs, readout) from the SQL status store and runs
+#: the same three detectors over each.
 SKIP = {
     "q_stream_hourly_tumbling",
     "q_stream_sliding_counts",
@@ -161,3 +165,112 @@ def test_detector_flags_global_window(spark):
         sub._jdf.queryExecution(), "formatted"
     )
     assert single_partition_windows(plan_sub)
+
+
+# ---------------------------------------------------------------------------
+# Streaming micro-batch sweep — closes the sink-read-back blind spot.
+#
+# A streaming query's returned DataFrame is a memory/file-sink scan, so
+# the batch sweep above never sees the plans that actually executed.
+# But every micro-batch (and every inner foreachBatch action) is a SQL
+# execution recorded in the live UI status store with its FORMATTED
+# physical plan (spark.sql.ui.explainMode defaults to formatted), so we
+# can diff the store across the run and apply the identical detectors
+# to every plan the run produced.
+# ---------------------------------------------------------------------------
+
+
+def _execution_plans(spark) -> dict[int, str]:
+    """executionId -> formatted physical plan from the SQL status store."""
+    seq = spark._jsparkSession.sharedState().statusStore().executionsList()
+    out = {}
+    for i in range(seq.size()):
+        e = seq.apply(i)
+        out[e.executionId()] = e.physicalPlanDescription() or ""
+    return out
+
+
+def _drain_listener_bus(spark) -> None:
+    """The status store is fed by the async listener bus; drain it so
+    the final micro-batch's plan is visible before we diff."""
+    import time
+
+    try:
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+    except Exception:
+        time.sleep(3)  # best-effort fallback on bus API drift
+
+
+def _plans_during(spark, run) -> dict[int, str]:
+    """Run ``run()`` and return the plans of every SQL execution it
+    caused (ids are monotonically increasing, so eviction of old
+    entries cannot hide a new one)."""
+    _drain_listener_bus(spark)
+    before = _execution_plans(spark)
+    floor = max(before) if before else -1
+    run()
+    _drain_listener_bus(spark)
+    return {k: v for k, v in _execution_plans(spark).items() if k > floor}
+
+
+def _streaming_names():
+    import __spark_entry__ as entry
+
+    return sorted(
+        n
+        for n, fn in entry.queries().items()
+        if getattr(fn, "__module__", "").endswith("plans.streaming_queries")
+    )
+
+
+@pytest.mark.parametrize("name", _streaming_names())
+def test_streaming_microbatch_plans(spark, name):
+    """Every SQL execution a streaming query performs — micro-batches,
+    foreachBatch inner actions, sink readout — must be free of the same
+    three scale-killers the batch sweep bans."""
+    import __spark_entry__ as entry
+
+    plans = _plans_during(
+        spark, lambda: entry.queries()[name](spark, SF_SMOKE).collect()
+    )
+    assert plans, f"{name}: no SQL executions captured"
+    for eid, plan in sorted(plans.items()):
+        assert "CartesianProduct" not in plan, (name, eid)
+        assert "BatchEvalPython" not in plan, (name, eid)
+        assert not single_partition_windows(plan), (name, eid)
+
+
+def test_streaming_detector_flags_bad_foreachbatch(spark):
+    """Red path: a deliberately unpartitioned window INSIDE a streaming
+    run (a foreachBatch global row_number) must be caught by the
+    micro-batch sweep — this is exactly the plan shape the returned
+    sink read-back can never show."""
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapreduce_server_development_spark.plans.streaming_queries import (
+        read_events_stream,
+    )
+
+    def bad_batch(batch_df, _epoch):
+        # Aggregate OVER the window column — a bare count() would let
+        # column pruning delete the window node before it ever runs.
+        batch_df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("event_id"))
+        ).agg(F.sum("rn")).collect()
+
+    def run():
+        ckpt = tempfile.mkdtemp(prefix="bad_stream_ckpt_")
+        q = (
+            read_events_stream(spark, SF_SMOKE)
+            .writeStream.foreachBatch(bad_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    plans = _plans_during(spark, run)
+    assert any(single_partition_windows(p) for p in plans.values())
