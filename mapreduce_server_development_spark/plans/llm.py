@@ -1150,12 +1150,21 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, distance <= 16 (see ``functions/dedup.py
     edit_distance_pairs`` for the blocking argument).
 
-    Engine A/B (BENCH_AB.json, sf0.1 solo): PassJoin at tau=16 removes
-    the hot-bucket recall loss (256 vs 79 pairs) but costs 80.8s vs
-    15.1s — 17 segments x 33 candidate lengths x multi-match windows
-    is ~5k md5 signatures per doc, which dominates. The banded engine
-    stays for this wide threshold; ``q_passjoin_tau2`` is the
-    exact-recall path where small tau fits.
+    DOCUMENTED RECALL SUBSET: the hot-bucket cap (length x lang buckets
+    with > 1000 docs are dropped before the pair join) makes this
+    operator return a measured **79 of the 256 true tau<=16 pairs
+    (~31% recall) at sf0.1** — the cap is what keeps the candidate join
+    bounded on skewed length distributions, and the SAME cap is applied
+    in the oracle so the correctness check stays exact over the capped
+    relation. Measured by the engine A/B (BENCH_DETAIL.json
+    regression_ab, sf0.1 solo): PassJoin at tau=16 removes the recall
+    loss entirely (256/256 pairs) but costs 80.8s vs 15.1s (5.4x) —
+    17 segments x 33 candidate lengths x multi-match windows is ~5k
+    md5 signatures per doc, which dominates. The banded engine stays
+    for this wide threshold; ``q_passjoin_tau2`` (PassJoin segment
+    blocking) is the named exact-recall escape hatch where small tau
+    fits, and swapping ``passjoin_pairs(docs, tau=16)`` in here buys
+    exact recall at the measured 5.4x cost.
     """
     docs = load_table(spark, sf_dir, "documents")
     return edit_distance_pairs(
