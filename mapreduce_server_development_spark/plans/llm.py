@@ -1147,8 +1147,11 @@ def q_passjoin_tau2(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level (typo/OCR) near-dup pairs: blocked levenshtein
-    join, distance <= 16 (see ``functions/dedup.py
-    edit_distance_pairs`` for the blocking argument).
+    join, distance <= 16, returning a DOCUMENTED ~31% recall subset
+    (79/256 true pairs at sf0.1) under the hot-bucket cap — the
+    PassJoin engine is the named exact-recall escape hatch at a
+    measured 5.4x cost (see ``functions/dedup.py edit_distance_pairs``
+    for the blocking argument).
 
     DOCUMENTED RECALL SUBSET: the hot-bucket cap (length x lang buckets
     with > 1000 docs are dropped before the pair join) makes this
