@@ -1655,3 +1655,172 @@ def test_lang_id_matches_brute_force():
         best = max(scores.values())
         pred = min(l for l, s in scores.items() if s == best)
         assert got[i] == (pred, best), (i, got[i], pred, best)
+
+
+# ---------------------------------------------------------------------------
+# Round-7 wave: remaining oracle-only formula queries
+# ---------------------------------------------------------------------------
+
+
+def _rnd_half_away(x: float) -> int:
+    """DuckDB/Spark ROUND: half away from zero (Python round() banks)."""
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+def test_ipf_raking_matches_pure_python():
+    """3-round IPF on the type x dow grid: replay row/column scaling
+    literally in Python and compare weights + reweighted counts."""
+    from mapreduce_server_development_spark.plans.sampling import _IPF_ITERS
+
+    # 2 types over Mon(2024-01-01), Tue, Wed with skewed counts.
+    rows = []
+    counts = {("click", 0): 6, ("click", 1): 2, ("click", 2): 4,
+              ("view", 0): 1, ("view", 1): 5, ("view", 2): 3}
+    day = {0: "2024-01-01", 1: "2024-01-02", 2: "2024-01-03"}
+    for (t, d), m in counts.items():
+        for i in range(m):
+            rows.append((f"{day[d]} 0{i}:00:00", 1, t, 1.0))
+    out = _run({"events": _events_ts(rows)}, "q_ipf_raking")
+
+    cells = {k: [m, 1.0] for k, m in counts.items()}
+    total = sum(counts.values())
+    types = {t for t, _ in counts}
+    dows = {d for _, d in counts}
+    rt, ct = total / len(types), total / len(dows)
+    for _ in range(_IPF_ITERS):
+        for t in types:
+            s = sum(m * w for (tt, _), (m, w) in cells.items() if tt == t)
+            for k in cells:
+                if k[0] == t:
+                    cells[k][1] *= rt / s
+        for d in dows:
+            s = sum(m * w for (_, dd), (m, w) in cells.items() if dd == d)
+            for k in cells:
+                if k[1] == d:
+                    cells[k][1] *= ct / s
+    got = {(r["event_type"], r["dow"]): r for r in out}
+    assert set(got) == set(cells)
+    for k, (m, w) in cells.items():
+        assert got[k]["n_events"] == m
+        assert abs(got[k]["weight"] - w) < 1e-6, k
+        assert abs(got[k]["weighted_count"] - m * w) < 0.01, k
+    # raking must actually hit the margins: each row/col weighted sum
+    # ~ its uniform target after 3 rounds on this small grid
+    for d in dows:
+        s = sum(m * w for (_, dd), (m, w) in cells.items() if dd == d)
+        assert abs(s - ct) < 1e-6  # column scale ran last -> exact
+
+
+def test_ks_test_matches_brute_force():
+    """Two-sample KS D-stat vs a literal ECDF scan."""
+    click = [1.0, 2.0, 2.0, 3.5, 7.25, 9.0]
+    view = [0.5, 2.0, 4.0, 4.0, 8.0]
+    rows = [(u, "click", v) for u, v in enumerate(click)]
+    rows += [(u, "view", v) for u, v in enumerate(view)]
+    rows += [(99, "purchase", 100.0)]  # filtered out by the query
+    out = _run({"events": _events(rows)}, "q_ks_test")[0]
+
+    n1, n2 = len(click), len(view)
+    grid = sorted(set(click) | set(view))
+    d = max(
+        abs(sum(1 for x in click if x <= g) / n1
+            - sum(1 for x in view if x <= g) / n2)
+        for g in grid
+    )
+    crit = 1.358 * math.sqrt((n1 + n2) / (n1 * n2))
+    assert out["n1"] == n1 and out["n2"] == n2
+    assert abs(out["d_stat"] - d) < 1e-6
+    assert abs(out["crit_05"] - crit) < 1e-6
+    assert out["reject_05"] == (d > crit)
+
+
+def test_kaplan_meier_matches_brute_force():
+    """KM product-limit estimator vs a literal risk-set walk,
+    including right-censoring at the corpus max timestamp."""
+    # (user, birth_day, death_day or None); one 'signup' event at
+    # birth, one 'purchase' at death. Corpus max ts = day 9.
+    users = [(1, 0, 3), (2, 0, 5), (3, 0, None), (4, 1, 3),
+             (5, 2, None), (6, 0, 3), (7, 3, 9)]
+    rows = []
+    for u, b, d in users:
+        rows.append((f"2024-01-{b+1:02d} 00:00:00", u, "signup", 1.0))
+        if d is not None:
+            rows.append((f"2024-01-{d+1:02d} 00:00:00", u, "purchase", 1.0))
+    out = _run({"events": _events_ts(rows)}, "q_kaplan_meier")
+
+    mx = max(b for _, b, _ in users) if False else 9  # max event day
+    durs = [((d - b) if d is not None else (mx - b),
+             1 if d is not None else 0) for _, b, d in users]
+    day_tbl = {}
+    for day, obs in durs:
+        dd = day_tbl.setdefault(day, [0, 0])
+        dd[0] += obs
+        dd[1] += 1 - obs
+    s, risk, expect = 1.0, len(users), []
+    for day in sorted(day_tbl):
+        deaths, cens = day_tbl[day]
+        if deaths > 0:
+            s = s * (risk - deaths) / risk
+            expect.append((day, risk, deaths, round(s, 6)))
+        risk -= deaths + cens
+    got = [(r["day"], r["at_risk"], r["deaths"], r["survival"]) for r in out]
+    assert got == [(d, r, de, pytest.approx(sv, abs=1e-6))
+                   for d, r, de, sv in expect]
+
+
+def test_weighted_median_matches_brute_force():
+    """Smallest value whose cumulative weight reaches half the total."""
+    vals = [(10.00, 1), (20.00, 2), (30.00, 4), (40.00, 1)]
+    cols = ["l_extendedprice DOUBLE", "l_quantity DOUBLE"]
+    rows = [(v, float(w)) for v, w in vals]
+    out = _run({"lineitem": (cols, rows)}, "q_weighted_median")[0]
+
+    tot = sum(w for _, w in vals)
+    cum = 0
+    med = None
+    for v, w in sorted(vals):
+        cum += w
+        if 2 * cum >= tot:
+            med = v
+            break
+    assert out["total_weight"] == tot
+    assert abs(out["weighted_median"] - med) < 1e-9
+
+
+def test_mutual_info_matches_brute_force():
+    """I(type; hour) with the per-cell e6 micro-nat rounding replayed
+    literally (round each cell log FIRST, integer-weight, floor-div)."""
+    # Strong dependence: clicks at hour 1, views at hour 2, some mix.
+    counts = {("click", 1): 8, ("click", 2): 2,
+              ("view", 1): 3, ("view", 2): 7}
+    rows = []
+    for (t, h), m in counts.items():
+        for i in range(m):
+            rows.append((f"2024-01-0{(i % 5) + 1} 0{h}:00:00", 1, t, 1.0))
+    out = _run({"events": _events_ts(rows)}, "q_mutual_info")[0]
+
+    n = sum(counts.values())
+    nx = {}
+    ny = {}
+    for (t, h), m in counts.items():
+        nx[t] = nx.get(t, 0) + m
+        ny[h] = ny.get(h, 0) + m
+    def tdiv(a: int, b: int) -> int:
+        """SQL integer division truncates toward zero (both engines);
+        Python // floors — off by one on negative entropy sums."""
+        q, r = divmod(a, b)
+        return q + 1 if r != 0 and (a < 0) != (b < 0) else q
+
+    mi = tdiv(sum(
+        m * _rnd_half_away(math.log(m * n / (nx[t] * ny[h])) * 1e6)
+        for (t, h), m in counts.items()
+    ), n)
+    hx = -tdiv(sum(c * _rnd_half_away(math.log(c / n) * 1e6)
+                   for c in nx.values()), n)
+    hy = -tdiv(sum(c * _rnd_half_away(math.log(c / n) * 1e6)
+                   for c in ny.values()), n)
+    nmi = tdiv(2000000 * mi, hx + hy)
+    assert out["mi_e6"] == mi
+    assert out["h_type_e6"] == hx
+    assert out["h_hour_e6"] == hy
+    assert out["nmi_e6"] == nmi
