@@ -1748,7 +1748,7 @@ def test_kaplan_meier_matches_brute_force():
             rows.append((f"2024-01-{d+1:02d} 00:00:00", u, "purchase", 1.0))
     out = _run({"events": _events_ts(rows)}, "q_kaplan_meier")
 
-    mx = max(b for _, b, _ in users) if False else 9  # max event day
+    mx = max(d if d is not None else b for _, b, d in users)  # max event day
     durs = [((d - b) if d is not None else (mx - b),
              1 if d is not None else 0) for _, b, d in users]
     day_tbl = {}
@@ -1824,3 +1824,360 @@ def test_mutual_info_matches_brute_force():
     assert out["h_type_e6"] == hx
     assert out["h_hour_e6"] == hy
     assert out["nmi_e6"] == nmi
+
+
+def test_pareto_share_matches_brute_force():
+    """Top-1/5/10% revenue shares vs a literal sort-and-sum."""
+    totals = [100.0, 50.0, 25.0, 12.0, 6.0, 3.0, 2.0, 1.5, 1.0, 0.5,
+              0.25, 0.2, 0.15, 0.1, 0.05]  # 15 customers, heavy head
+    cols = ["o_orderkey BIGINT", "o_custkey BIGINT", "o_totalprice DOUBLE"]
+    rows = [(i, i, v) for i, v in enumerate(totals)]
+    out = _run({"orders": (cols, rows)}, "q_pareto_share")[0]
+
+    cents = sorted((round(v * 100) for v in totals), reverse=True)
+    n, tot = len(cents), sum(cents)
+    assert out["n_customers"] == n
+    assert abs(out["total_revenue"] - tot / 100.0) < 1e-9
+    for p in (1, 5, 10):
+        k = (p * n + 99) // 100  # ceil(p*n/100)
+        share = sum(cents[:k]) / tot
+        assert abs(out[f"share_top{p}pct"] - share) < 1e-6, p
+
+
+def test_trimmed_mean_matches_brute_force():
+    """5%-per-tail trimmed + winsorized means vs the literal cut."""
+    totals = [1000.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0,
+              10.0, 11.0, 12.0, 13.0, 14.0, 15.0, 16.0, 17.0, 18.0,
+              19.0, 20.0, 21.0, 22.0, 23.0, 24.0, 25.0, 26.0, 27.0,
+              28.0, 29.0, 30.0, 31.0, 32.0, 33.0, 34.0, 35.0, 36.0,
+              37.0, 38.0, 0.01]  # n=40 -> k=2 per tail
+    cols = ["o_orderkey BIGINT", "o_custkey BIGINT", "o_totalprice DOUBLE"]
+    rows = [(i, i, v) for i, v in enumerate(totals)]
+    out = _run({"orders": (cols, rows)}, "q_trimmed_mean")[0]
+
+    cents = sorted(round(v * 100) for v in totals)
+    n = len(cents)
+    k = 5 * n // 100
+    mid = cents[k:n - k]
+    v_lo, v_hi = cents[k], cents[n - k - 1]
+    tmean = sum(mid) / len(mid) / 100.0
+    wmean = (sum(mid) + k * v_lo + k * v_hi) / n / 100.0
+    assert out["n"] == n and out["k_trim"] == k
+    assert abs(out["trimmed_mean"] - tmean) < 1e-6
+    assert abs(out["winsorized_mean"] - wmean) < 1e-6
+
+
+def test_wilson_returns_matches_brute_force():
+    """Wilson lower bound ranking vs the textbook formula."""
+    # 3 suppliers past min support, 1 below it. (n, k) per supplier.
+    sups = {1: (25, 20), 2: (300, 200), 3: (40, 3), 4: (4, 3)}
+    cols = ["l_suppkey BIGINT", "l_returnflag VARCHAR"]
+    rows = []
+    for s, (n, k) in sups.items():
+        rows += [(s, "R")] * k + [(s, "N")] * (n - k)
+    out = _run({"lineitem": (cols, rows)}, "q_wilson_returns")
+
+    z, z2 = 1.96, 1.96 * 1.96
+
+    def lb(n, k):
+        p = k / n
+        return round((p + z2 / (2 * n)
+                      - z * math.sqrt((p * (1 - p) + z2 / (4 * n)) / n))
+                     / (1 + z2 / n), 6)
+
+    expect = sorted(
+        ((s, n, k, round(k / n, 6), lb(n, k))
+         for s, (n, k) in sups.items() if n >= 20),
+        key=lambda r: (-r[4], r[0]),
+    )
+    got = [(r["suppkey"], r["n"], r["k"], r["p_hat"], r["wilson_lb"])
+           for r in out]
+    assert [g[0] for g in got] == [e[0] for e in expect]
+    for g, e in zip(got, expect):
+        assert g[:3] == e[:3]
+        assert abs(g[3] - e[3]) < 1e-6
+        assert abs(g[4] - e[4]) < 1e-6
+
+
+def test_psi_matches_brute_force():
+    """PSI between eras with the log-bin + Laplace smoothing + nano
+    per-bin rounding replayed literally."""
+    pre = [1.0, 2.0, 3.0, 50.0, 51.0, 52.0, 400.0]
+    post = [1.0, 2.5, 60.0, 61.0, 500.0, 510.0, 520.0, 530.0]
+    cols = ["o_orderkey BIGINT", "o_custkey BIGINT",
+            "o_totalprice DOUBLE", "o_orderdate DATE"]
+    rows = [(i, i, v, "1994-01-01") for i, v in enumerate(pre)]
+    rows += [(100 + i, i, v, "1996-01-01") for i, v in enumerate(post)]
+    out = _run({"orders": (cols, rows)}, "q_psi")[0]
+
+    def bin_id(cents):
+        if cents < 8:
+            return cents
+        bl = cents.bit_length()
+        return bl * 8 + ((cents >> (bl - 4)) & 7)
+
+    bins = {}
+    for v in pre:
+        b = bins.setdefault(bin_id(round(v * 100)), [0, 0])
+        b[0] += 1
+    for v in post:
+        b = bins.setdefault(bin_id(round(v * 100)), [0, 0])
+        b[1] += 1
+    nb = len(bins)
+    ta, tb = len(pre), len(post)
+    total = 0
+    for na, nbn in bins.values():
+        pa = (na + 1.0) / (ta + nb)
+        pb = (nbn + 1.0) / (tb + nb)
+        total += _rnd_half_away((pa - pb) * math.log(pa / pb) * 1e9)
+    assert out["n_bins"] == nb
+    assert out["t_a"] == ta and out["t_b"] == tb
+    assert abs(out["psi"] - total / 1e9) < 1e-6
+
+
+def test_hhi_matches_brute_force():
+    """Per-nation HHI + effective supplier count from exact e4 money."""
+    # nation 0: near-monopoly; nation 1: even duopoly.
+    li = {  # suppkey -> (price, discount) lineitems
+        1: [(100.00, 0.00), (200.00, 0.10)],
+        2: [(10.00, 0.00)],
+        3: [(50.00, 0.05)],
+        4: [(50.00, 0.05)],
+    }
+    sup_nation = {1: 0, 2: 0, 3: 1, 4: 1}
+    lcols = ["l_suppkey BIGINT", "l_extendedprice DOUBLE",
+             "l_discount DOUBLE"]
+    lrows = [(s, p, d) for s, items in li.items() for p, d in items]
+    scols = ["s_suppkey BIGINT", "s_nationkey BIGINT"]
+    srows = [(s, n) for s, n in sup_nation.items()]
+    ncols = ["n_nationkey BIGINT", "n_name VARCHAR"]
+    nrows = [(0, "ALPHA"), (1, "BETA")]
+    out = _run(
+        {"lineitem": (lcols, lrows), "supplier": (scols, srows),
+         "nation": (ncols, nrows)},
+        "q_hhi_concentration",
+    )
+
+    # exact e4 revenue: price_e2 * (100 - discount_e2)
+    r_e4 = {
+        s: sum(round(p * 100) * (100 - round(d * 100)) for p, d in items)
+        for s, items in li.items()
+    }
+    by_nation = {}
+    for s, nat in sup_nation.items():
+        by_nation.setdefault(nat, []).append(r_e4[s])
+    got = {r["n_name"]: r for r in out}
+    names = {0: "ALPHA", 1: "BETA"}
+    for nat, revs in by_nation.items():
+        r, rr = sum(revs), sum(x * x for x in revs)
+        g = got[names[nat]]
+        assert g["n_suppliers"] == len(revs)
+        assert abs(g["revenue"] - r / 1e4) < 0.01
+        assert abs(g["hhi"] - rr / (r * r)) < 1e-6
+        assert abs(g["effective_suppliers"] - (r * r) / rr) < 1e-6
+    # duopoly sanity: BETA hhi = 0.5, effective = 2
+    assert abs(got["BETA"]["hhi"] - 0.5) < 1e-6
+
+
+def test_lorenz_deciles_matches_brute_force():
+    """Decile binning by rank + cumulative shares vs a literal walk."""
+    totals = [float(10 * (i + 1)) for i in range(23)]  # 23 customers
+    cols = ["o_orderkey BIGINT", "o_custkey BIGINT", "o_totalprice DOUBLE"]
+    rows = [(i, i, v) for i, v in enumerate(totals)]
+    out = _run({"orders": (cols, rows)}, "q_lorenz_deciles")
+
+    revs = sorted((round(v * 100), c) for c, v in enumerate(totals))
+    n = len(revs)
+    dec = {}
+    for rn0, (cents, _) in enumerate(revs):
+        d = 1 + (rn0 * 10) // n
+        dd = dec.setdefault(d, [0, 0])
+        dd[0] += 1
+        dd[1] += cents
+    tot = sum(v for v, _ in revs)
+    cum = 0
+    expect = {}
+    for d in sorted(dec):
+        nc, rev = dec[d]
+        cum += rev
+        expect[d] = (nc, rev, 100.0 * rev / tot, 100.0 * cum / tot)
+    got = {r["decile"]: r for r in out}
+    assert set(got) == set(expect)
+    for d, (nc, rev, share, cshare) in expect.items():
+        g = got[d]
+        assert g["n_customers"] == nc
+        assert abs(g["revenue"] - rev / 100.0) < 0.01
+        assert abs(g["share_pct"] - share) < 1e-6
+        assert abs(g["cum_share_pct"] - cshare) < 1e-6
+
+
+def test_bh_discoveries_matches_brute_force():
+    """BH step-up over per-supplier z-tests, with the A&S 26.2.17
+    normal-tail polynomial replayed literally."""
+    # suppliers: (n, k returns). Two clearly elevated, rest at base.
+    sups = {1: (50, 30), 2: (40, 25), 3: (60, 6), 4: (55, 5),
+            5: (45, 4), 6: (80, 8), 7: (10, 9)}  # 7 below min_n=20
+    cols = ["l_suppkey BIGINT", "l_returnflag VARCHAR"]
+    rows = []
+    for s, (n, k) in sups.items():
+        rows += [(s, "R")] * k + [(s, "N")] * (n - k)
+    out = _run({"lineitem": (cols, rows)}, "q_bh_discoveries")[0]
+
+    kept = {s: nk for s, nk in sups.items() if nk[0] >= 20}
+    p0 = sum(k for _, k in kept.values()) / sum(n for n, _ in kept.values())
+    m = len(kept)
+
+    def q_tail(z):
+        t = 1.0 / (1.0 + 0.2316419 * abs(z))
+        q = (math.exp(-z * z / 2.0) * 0.3989422804014327
+             * (((((1.330274429 * t - 1.821255978) * t + 1.781477937)
+                  * t - 0.356563782) * t + 0.319381530) * t))
+        return q if z >= 0 else 1.0 - q
+
+    pvals = []
+    for s, (n, k) in kept.items():
+        z = (k / n - p0) / math.sqrt(p0 * (1 - p0) / n)
+        pvals.append((q_tail(z), s))
+    pvals.sort()
+    thr = 0
+    for rn, (p, _) in enumerate(pvals, 1):
+        if p <= rn * 0.05 / m:
+            thr = rn
+    n_disc = thr
+    n_raw = sum(1 for p, _ in pvals if p <= 0.05)
+    max_p = max((p for p, _ in pvals[:thr]), default=0.0)
+    assert out["m_tests"] == m
+    assert abs(out["pooled_rate"] - p0) < 1e-6
+    assert out["n_discoveries"] == n_disc
+    assert out["n_raw_sig"] == n_raw
+    assert abs(out["max_p_rejected"] - max_p) < 1e-6
+    assert n_disc >= 2  # the two elevated suppliers must be found
+
+
+def test_cohens_kappa_matches_brute_force():
+    """Two heuristic raters (long-token vs repetitive) vs literal
+    agreement counting."""
+    texts = {
+        1: "alpha beta gamma delta",            # long toks, all distinct
+        2: "aa aa aa aa bb",                    # short, repetitive
+        3: "elephantine magnificent wonderful", # long, distinct
+        4: "to be or not to be",                # short, some repeats
+        5: "xx yy zz xx yy zz",                 # short, repetitive
+    }
+    docs = (
+        ["doc_id BIGINT", "text VARCHAR", "lang VARCHAR",
+         "source VARCHAR", "n_chars BIGINT"],
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+    )
+    out = _run({"documents": docs}, "q_cohens_kappa")[0]
+
+    n11 = n10 = n01 = n00 = 0
+    for t in texts.values():
+        toks = [w for w in t.lower().split(" ") if w]
+        a = 1 if 5 * len(toks) <= sum(len(w) for w in toks) else 0
+        b = 1 if 2 * len(set(toks)) >= len(toks) else 0
+        n11 += a * b
+        n10 += a * (1 - b)
+        n01 += (1 - a) * b
+        n00 += (1 - a) * (1 - b)
+    n = n11 + n10 + n01 + n00
+    po = (n11 + n00) / n
+    pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / (n * n)
+    assert out["n11"] == n11 and out["n10"] == n10
+    assert out["n01"] == n01 and out["n00"] == n00
+    assert abs(out["po"] - po) < 1e-6
+    assert abs(out["pe"] - pe) < 1e-6
+    assert abs(out["kappa"] - (po - pe) / (1 - pe)) < 1e-4
+
+
+def _nb_replay():
+    """The shared NB train+score replay (same fixture as
+    test_naive_bayes_matches_pure_python) -> (texts, preds, scores)."""
+    texts = {
+        1: ("web", "click buy cart buy"),
+        2: ("web", "cart click deal"),
+        4: ("web", "buy deal deal cart"),
+        5: ("books", "read page chapter read"),
+        6: ("books", "page read story"),
+        8: ("books", "chapter story page page"),
+        3: ("web", "buy cart unknowntok"),
+        7: ("books", "read chapter story"),
+        13: ("web", "deal deal read"),
+    }
+    train = {i: v for i, v in texts.items() if i in (1, 2, 4, 5, 6, 8)}
+    test = {i: v for i, v in texts.items() if i in (3, 7, 13)}
+    counts, totals, n_train = {}, {}, len(train)
+    for _, (src, t) in train.items():
+        for w in t.split():
+            counts[(src, w)] = counts.get((src, w), 0) + 1
+            totals[src] = totals.get(src, 0) + 1
+    vocab = len({w for (_, w) in counts})
+    classes = sorted(totals)
+    prior = {
+        s: round(math.log(
+            sum(1 for v in train.values() if v[0] == s) / n_train) * 1e6)
+        for s in classes
+    }
+
+    def lp(s, w):
+        c = counts.get((s, w), 0)
+        return round(math.log((c + 1.0) / (totals[s] + vocab)) * 1e6) if c \
+            else round(math.log(1.0 / (totals[s] + vocab)) * 1e6)
+
+    preds, scores = {}, {}
+    for i, (actual, t) in test.items():
+        sc = {s: sum(lp(s, w) for w in t.split()) + prior[s]
+              for s in classes}
+        best = max(sc.values())
+        preds[i] = min(s for s in classes if sc[s] == best)
+        scores[i] = sc
+    maj_counts = {}
+    for src, _ in train.values():
+        maj_counts[src] = maj_counts.get(src, 0) + 1
+    maj = sorted(maj_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    return texts, test, preds, scores, maj, classes
+
+
+def _nb_docs_table():
+    texts = _nb_replay()[0]
+    return (
+        ["doc_id BIGINT", "text VARCHAR", "lang VARCHAR",
+         "source VARCHAR", "n_chars BIGINT"],
+        [(i, t, "en", s, len(t)) for i, (s, t) in texts.items()],
+    )
+
+
+def test_mcnemar_matches_pure_python():
+    """McNemar discordant-pair test of NB vs the majority baseline,
+    both predictions replayed in pure Python."""
+    out = _run({"documents": _nb_docs_table()}, "q_mcnemar")[0]
+    _, test, preds, _, maj, _ = _nb_replay()
+    b = sum(1 for i, (a, _) in test.items()
+            if preds[i] == a and maj != a)
+    c = sum(1 for i, (a, _) in test.items()
+            if preds[i] != a and maj == a)
+    chi2 = ((abs(b - c) - 1.0) ** 2 / (b + c)) if (b + c) else 0.0
+    assert out["baseline_class"] == maj
+    assert out["n_test"] == len(test)
+    assert out["nb_only_correct"] == b
+    assert out["base_only_correct"] == c
+    assert abs(out["mcnemar_chi2"] - chi2) < 1e-6
+    assert b + c > 0  # fixture must exercise the discordant path
+
+
+def test_nb_auc_matches_pure_python():
+    """One-vs-rest tie-aware rank AUC for the alphabetically-first
+    class, from the replayed integer NB scores."""
+    out = _run({"documents": _nb_docs_table()}, "q_nb_auc")[0]
+    _, test, _, scores, _, classes = _nb_replay()
+    cls = min(classes)
+    pairs = [(scores[i][cls], 1 if a == cls else 0)
+             for i, (a, _) in test.items()]
+    np_ = sum(p for _, p in pairs)
+    nn = len(pairs) - np_
+    ranks = _midranks([s for s, _ in pairs])
+    auc = (sum(ranks[s] for s, p in pairs if p)
+           - np_ * (np_ + 1) / 2) / (np_ * nn)
+    assert out["target_class"] == cls
+    assert out["n_pos"] == np_ and out["n_neg"] == nn
+    assert abs(out["auc"] - auc) < 1e-6
