@@ -30,5 +30,6 @@ from . import timeseries  # noqa: E402,F401
 from . import hypothesis_tests  # noqa: E402,F401
 from . import corpus_diversity  # noqa: E402,F401
 from . import audience  # noqa: E402,F401
+from . import curation  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]

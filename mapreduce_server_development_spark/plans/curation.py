@@ -1,0 +1,586 @@
+"""Corpus-curation and embedding-evaluation queries (round 7).
+
+Three operators a large-scale training-data pipeline runs before
+committing to a corpus or an embedding column:
+
+- ``q_boilerplate_ngrams`` — per-source repeated-8-gram (template
+  boilerplate) audit, the RefinedWeb/CCNet-style repeated-content
+  signal computed from within-source document frequency.
+- ``q_knn_graph`` — cell-local cosine k-NN graph construction with
+  mutuality stats, the precursor to graph-based semantic dedup and
+  diversity sampling.
+- ``q_matryoshka_audit`` — dimension-truncation audit: how much top-1
+  retrieval agreement survives when embeddings are truncated to a
+  prefix of their dimensions (the Matryoshka-representation question:
+  can we store/search 8 or 16 dims instead of 64?).
+
+All cosine arithmetic follows the house float discipline
+(``functions/similarity.py``): cosines are rounded to 4 decimals
+BEFORE ranking with vec_id tie-breaks, and any mean over cosines is
+summed in exact e4 integer units, so both engines rank and aggregate
+bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_col, word_shingles
+from ..sources.tables import load_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# q_boilerplate_ngrams — per-source repeated-8-gram boilerplate audit
+# ---------------------------------------------------------------------------
+
+#: A gram is boilerplate in its source when its document frequency
+#: reaches max(2, ceil(5% of the source's docs)) — absolute floor 2 so
+#: tiny sources still need a real repeat, relative 5% so the threshold
+#: keeps meaning as sources grow.
+_BP_MIN_DF = "GREATEST(2, (nd + 19) // 20)"
+_BP_MIN_DF_SPARK = "GREATEST(2L, (nd + 19) DIV 20)"
+
+_BP_FINAL = (
+    "source",
+    "CAST(nd AS BIGINT) AS n_docs",
+    "CAST(n_grams AS BIGINT) AS n_grams",
+    "CAST(n_boiler AS BIGINT) AS n_boilerplate_grams",
+    "CAST(max_df AS BIGINT) AS max_df",
+    "CAST(n_aff AS BIGINT) AS n_docs_affected",
+    "round(CAST(n_aff AS DOUBLE) / CAST(nd AS DOUBLE), 4) + 0.0"
+    " AS affected_pct",
+)
+
+
+@query(
+    "q_boilerplate_ngrams",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split(lower(text), ' '), t -> t <> '')
+                   AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, source,
+               substring(md5(unnest(list_transform(
+                   range(1, len(toks) - 6),
+                   i -> array_to_string(toks[i:i+7], ' ')))), 1, 16) AS gh
+        FROM toks WHERE len(toks) >= 8
+    ),
+    sd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nd
+           FROM documents GROUP BY source),
+    df AS (
+        SELECT source, gh, CAST(COUNT(*) AS BIGINT) AS df
+        FROM sh GROUP BY source, gh
+    ),
+    boiler AS (
+        SELECT d.source, d.gh
+        FROM df d JOIN sd ON sd.source = d.source
+        WHERE d.df >= {_BP_MIN_DF}
+    ),
+    per_source AS (
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(MAX(d.df) AS BIGINT) AS max_df
+        FROM df d GROUP BY d.source
+    ),
+    nb AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_boiler
+        FROM boiler GROUP BY source
+    ),
+    aff AS (
+        SELECT s.source, CAST(COUNT(DISTINCT s.doc_id) AS BIGINT) AS n_aff
+        FROM sh s JOIN boiler b ON b.source = s.source AND b.gh = s.gh
+        GROUP BY s.source
+    ),
+    j AS (
+        SELECT sd.source, sd.nd,
+               COALESCE(p.n_grams, 0) AS n_grams,
+               COALESCE(nb.n_boiler, 0) AS n_boiler,
+               COALESCE(p.max_df, 0) AS max_df,
+               COALESCE(aff.n_aff, 0) AS n_aff
+        FROM sd
+        LEFT JOIN per_source p ON p.source = sd.source
+        LEFT JOIN nb ON nb.source = sd.source
+        LEFT JOIN aff ON aff.source = sd.source
+    )
+    SELECT {", ".join(_BP_FINAL)} FROM j ORDER BY source
+    """,
+)
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source template-boilerplate audit: word-8-grams repeated
+    across documents WITHIN a source (df >= max(2, 5% of the source's
+    docs)) are the repeated-content signal behind RefinedWeb/CCNet
+    line- and n-gram-level boilerplate removal — headers, footers,
+    navigation, legal blurbs that inflate token counts without adding
+    information. Reports, per source: distinct grams, boilerplate
+    grams, the max within-source df, and how many documents carry at
+    least one boilerplate gram.
+
+    Scale: grams travel as 16-hex md5 prefixes (16 bytes on the
+    shuffle, identical text both engines); the df aggregate is keyed
+    by (source, gram-hash) — high cardinality, no skew; the affected-
+    docs count is a key-partitioned semi-ish join on the same key.
+    Nothing is all-pairs; the only per-source relations are the
+    bounded source panel (|sources| rows).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        tokens_col(F.lower(F.col("text"))).alias("toks"),
+    )
+    sh = (
+        toks.filter(F.size("toks") >= 8)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(word_shingles(F.col("toks"), 8)).alias("gram"),
+        )
+        .select(
+            "doc_id", "source", F.substring(F.md5("gram"), 1, 16).alias("gh")
+        )
+        .distinct()
+    )
+    sd = docs.groupBy("source").agg(F.count("*").cast("long").alias("nd"))
+    df = sh.groupBy("source", "gh").agg(F.count("*").cast("long").alias("df"))
+    boiler = (
+        df.join(F.broadcast(sd), "source")
+        .filter(F.expr(f"df >= {_BP_MIN_DF_SPARK}"))
+        .select("source", "gh")
+    )
+    per_source = df.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.max("df").cast("long").alias("max_df"),
+    )
+    nb = boiler.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_boiler")
+    )
+    aff = (
+        sh.join(boiler, ["source", "gh"])
+        .groupBy("source")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_aff"))
+    )
+    j = (
+        sd.join(per_source, "source", "left")
+        .join(nb, "source", "left")
+        .join(aff, "source", "left")
+        .select(
+            "source",
+            "nd",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+            F.coalesce("max_df", F.lit(0)).alias("max_df"),
+            F.coalesce("n_aff", F.lit(0)).alias("n_aff"),
+        )
+    )
+    return j.selectExpr(*_BP_FINAL).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q_knn_graph — cell-local cosine k-NN graph with mutuality stats
+# ---------------------------------------------------------------------------
+
+_KNN_K = 3
+
+_KNN_FINAL = (
+    "CAST(n_nodes AS BIGINT) AS n_nodes",
+    "CAST(n_directed AS BIGINT) AS n_directed_edges",
+    "CAST(n_undirected AS BIGINT) AS n_undirected_edges",
+    "CAST(n_mutual AS BIGINT) AS n_mutual_edges",
+    "round(CAST(n_mutual AS DOUBLE) / CAST(n_undirected AS DOUBLE), 4)"
+    " + 0.0 AS mutual_pct",
+    "round(CAST(n_directed AS DOUBLE) / CAST(n_nodes AS DOUBLE), 4) + 0.0"
+    " AS avg_out_degree",
+)
+
+
+@query(
+    "q_knn_graph",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id AS vid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vid, vv, sqrt(list_sum(list_transform(vv, x -> x * x)))
+                   AS nrm
+        FROM v
+    ),
+    cent AS (SELECT vid AS cid, vv AS cv, nrm AS cnrm FROM n WHERE vid <= 16),
+    assign AS (
+        SELECT vid, cid, vv, nrm FROM (
+            SELECT n.vid, c.cid, n.vv, n.nrm,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.vid
+                       ORDER BY round(list_dot_product(n.vv, c.cv)
+                                      / (n.nrm * c.cnrm), 4) DESC, c.cid)
+                       AS rn
+            FROM n CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    knn AS (
+        SELECT vid, bvid FROM (
+            SELECT a.vid, b.vid AS bvid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vid
+                       ORDER BY round(list_dot_product(a.vv, b.vv)
+                                      / (a.nrm * b.nrm), 4) DESC, b.vid)
+                       AS rn
+            FROM assign a JOIN assign b
+              ON a.cid = b.cid AND a.vid <> b.vid
+        ) WHERE rn <= {_KNN_K}
+    ),
+    und AS (
+        SELECT LEAST(vid, bvid) AS a, GREATEST(vid, bvid) AS b,
+               CAST(COUNT(*) AS BIGINT) AS dirs
+        FROM knn GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT (SELECT COUNT(DISTINCT vid) FROM knn) AS n_nodes,
+               (SELECT COUNT(*) FROM knn) AS n_directed,
+               CAST(COUNT(*) AS BIGINT) AS n_undirected,
+               CAST(SUM(CASE WHEN dirs = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_mutual
+        FROM und
+    )
+    SELECT {", ".join(_KNN_FINAL)} FROM s
+    """,
+)
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine k-NN graph (k=3) over the embedding corpus, searched
+    within IVF cells (the label-purity/ANN scale boundary — never
+    all-pairs), reduced to the structural stats a curator reads before
+    using the graph for semantic dedup or diversity sampling: directed
+    and undirected edge counts, and the MUTUAL-edge fraction (high
+    mutuality = tight clusters / duplicate families; low = hub-spoke
+    or uniformly spread embeddings).
+
+    Exactness: cell assignment and neighbor ranks use 4-decimal
+    rounded cosines with vec_id tie-breaks (the
+    ``functions/similarity.py`` discipline), so the graph is
+    bit-identical in both engines; everything after is integer
+    counting with two shared division texts.
+
+    Scale: cell-local pairwise bounded by the IVF partition like
+    q_label_purity; the k-NN window partitions by the
+    high-cardinality vector id; the undirected reduction is one
+    (min,max)-keyed aggregate. At corpus scale, swap the seeded
+    centroids for q_ivf_kmeans_ann's trained quantizer — the graph
+    machinery is unchanged.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "v"
+        ),
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("v"), lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ),
+    )
+    cent = base.filter(F.col("vid") <= 16).select(
+        F.col("vid").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cdot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    assign = (
+        base.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", F.round(cdot / (F.col("nrm") * F.col("cnrm")), 4))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vid").orderBy(
+                    F.col("ccos").desc(), F.col("cid")
+                )
+            ),
+        )
+        .filter("rn = 1")
+        .select("vid", "cid", "v", "nrm")
+    )
+    a = assign.select(
+        "cid",
+        "vid",
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = assign.select(
+        "cid",
+        F.col("vid").alias("bvid"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pcos = F.round(
+        F.aggregate(
+            F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (F.col("na") * F.col("nb")),
+        4,
+    )
+    knn = (
+        a.join(b, "cid")
+        .filter(F.col("vid") != F.col("bvid"))
+        .withColumn("pcos", pcos)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vid").orderBy(
+                    F.col("pcos").desc(), F.col("bvid")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= _KNN_K)
+        .select("vid", "bvid")
+        .localCheckpoint(eager=True)
+    )
+    und = knn.groupBy(
+        F.least("vid", "bvid").alias("a"),
+        F.greatest("vid", "bvid").alias("b"),
+    ).agg(F.count("*").cast("long").alias("dirs"))
+    nodes = knn.agg(
+        F.countDistinct("vid").cast("long").alias("n_nodes"),
+        F.count("*").cast("long").alias("n_directed"),
+    )
+    s = und.agg(
+        F.count("*").cast("long").alias("n_undirected"),
+        F.sum(F.when(F.col("dirs") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_mutual"),
+    )
+    return nodes.crossJoin(F.broadcast(s)).selectExpr(*_KNN_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_matryoshka_audit — dimension-truncation retrieval agreement
+# ---------------------------------------------------------------------------
+
+_MAT_DIMS = (64, 32, 16, 8)
+_MAT_QMAX = 32
+
+_MAT_FINAL = (
+    "CAST(dim AS BIGINT) AS dim",
+    "CAST(nq AS BIGINT) AS n_queries",
+    "CAST(n_agree AS BIGINT) AS n_agree",
+    "round(CAST(n_agree AS DOUBLE) / CAST(nq AS DOUBLE), 4) + 0.0"
+    " AS agree_pct",
+    "round(CAST(pick_e4 AS DOUBLE) / CAST(nq AS DOUBLE) / 10000.0, 6)"
+    " + 0.0 AS avg_pick_cosine",
+    "round(CAST(best_e4 - pick_e4 AS DOUBLE) / CAST(nq AS DOUBLE)"
+    " / 10000.0, 6) + 0.0 AS avg_regret",
+)
+
+
+def _mat_oracle() -> str:
+    per_dim = []
+    for d in _MAT_DIMS:
+        per_dim.append(f"""
+    t{d} AS (
+        SELECT qid, vid AS pick{d} FROM (
+            SELECT p.qid, p.vid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.qid
+                       ORDER BY p.cos{d} DESC, p.vid) AS rn
+            FROM pairs p
+        ) WHERE rn = 1
+    )""")
+    dim_rows = ", ".join(
+        f"({d})" for d in _MAT_DIMS
+    )
+    picks = " ".join(
+        f"JOIN t{d} ON t{d}.qid = q.qid" for d in _MAT_DIMS
+    )
+    case_pick = " ".join(
+        f"WHEN dims.dim = {d} THEN pick{d}" for d in _MAT_DIMS
+    )
+    return f"""
+    WITH v AS (
+        SELECT vec_id AS vid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT q.vid AS qid, c.vid,
+               {", ".join(
+                   f"round(list_dot_product(c.vv[1:{d}], q.vv[1:{d}])"
+                   f" / (sqrt(list_sum(list_transform(c.vv[1:{d}],"
+                   f" x -> x * x)))"
+                   f" * sqrt(list_sum(list_transform(q.vv[1:{d}],"
+                   f" x -> x * x)))), 4) AS cos{d}"
+                   for d in _MAT_DIMS
+               )}
+        FROM v c JOIN v q ON q.vid <= {_MAT_QMAX} AND c.vid <> q.vid
+    ),{", ".join(per_dim)},
+    q AS (SELECT DISTINCT qid FROM pairs),
+    full_cos AS (
+        SELECT qid, vid, CAST(round(cos64 * 10000) AS BIGINT) AS c_e4
+        FROM pairs
+    ),
+    per_q AS (
+        SELECT q.qid, {", ".join(f"pick{d}" for d in _MAT_DIMS)}
+        FROM q {picks}
+    ),
+    stretched AS (
+        SELECT p.qid, dims.dim,
+               CASE {case_pick} END AS pick,
+               p.pick64 AS best
+        FROM per_q p CROSS JOIN (VALUES {dim_rows}) AS dims(dim)
+    ),
+    scored AS (
+        SELECT s.dim, s.qid,
+               CASE WHEN s.pick = s.best THEN 1 ELSE 0 END AS agree,
+               fp.c_e4 AS pick_e4, fb.c_e4 AS best_e4
+        FROM stretched s
+        JOIN full_cos fp ON fp.qid = s.qid AND fp.vid = s.pick
+        JOIN full_cos fb ON fb.qid = s.qid AND fb.vid = s.best
+    ),
+    s AS (
+        SELECT dim, CAST(COUNT(*) AS BIGINT) AS nq,
+               CAST(SUM(agree) AS BIGINT) AS n_agree,
+               CAST(SUM(pick_e4) AS BIGINT) AS pick_e4,
+               CAST(SUM(best_e4) AS BIGINT) AS best_e4
+        FROM scored GROUP BY dim
+    )
+    SELECT {", ".join(_MAT_FINAL)} FROM s ORDER BY dim DESC
+    """
+
+
+@query("q_matryoshka_audit", oracle=_mat_oracle())
+def q_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / dimension-truncation audit: for a bounded query
+    set (vec_id <= 32) retrieve the top-1 cosine neighbor using only
+    the FIRST d dims (d in 64/32/16/8) and measure, per d, how often
+    the truncated pick equals the full-dimension pick and how much
+    full-dimension cosine it gives up (avg regret) — the measurement
+    that decides whether an index can store 8 or 16 dims instead of
+    64 (4-8x memory/bandwidth) before committing to it at corpus
+    scale.
+
+    Exactness: every cosine is rounded to 4 decimals before ranking
+    (vec_id tie-break); the two means are sums of exact e4 integers
+    divided once in a shared text — bit-identical cross-engine.
+
+    Scale: the query side is bounded and broadcast (the sanctioned
+    cosine_topk exact-tier crossJoin); all four truncation cosines
+    are computed in the SAME corpus pass (slice + zip_with, one scan,
+    no per-dim rescan); everything downstream is |queries| x |dims|
+    bounded.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "v"
+        ),
+    )
+    q = base.filter(F.col("vid") <= _MAT_QMAX).select(
+        F.col("vid").alias("qid"), F.col("v").alias("qv")
+    )
+
+    def cos_d(d: int):
+        cv, qv = F.slice(F.col("v"), 1, d), F.slice(F.col("qv"), 1, d)
+        dot = F.aggregate(
+            F.zip_with(cv, qv, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        nrm = lambda col: F.sqrt(  # noqa: E731 - local expression builder
+            F.aggregate(
+                F.transform(col, lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+        return F.round(dot / (nrm(cv) * nrm(qv)), 4)
+
+    pairs = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vid") != F.col("qid"))
+        .select(
+            "qid",
+            "vid",
+            *[cos_d(d).alias(f"cos{d}") for d in _MAT_DIMS],
+        )
+        .localCheckpoint(eager=True)
+    )
+    picks = None
+    for d in _MAT_DIMS:
+        w = Window.partitionBy("qid").orderBy(
+            F.col(f"cos{d}").desc(), F.col("vid")
+        )
+        p = (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("qid", F.col("vid").alias(f"pick{d}"))
+        )
+        picks = p if picks is None else picks.join(p, "qid")
+    full_cos = pairs.select(
+        "qid",
+        "vid",
+        F.round(F.col("cos64") * 10000).cast("long").alias("c_e4"),
+    )
+    dims = F.array(*[F.lit(d) for d in _MAT_DIMS])
+    stretched = (
+        picks.select(
+            "qid",
+            F.explode(dims).alias("dim"),
+            *[F.col(f"pick{d}") for d in _MAT_DIMS],
+        )
+        .withColumn(
+            "pick",
+            F.coalesce(
+                *[
+                    F.when(F.col("dim") == d, F.col(f"pick{d}"))
+                    for d in _MAT_DIMS
+                ]
+            ),
+        )
+        .select("qid", "dim", "pick", F.col("pick64").alias("best"))
+    )
+    fp = full_cos.select(
+        F.col("qid").alias("fq"),
+        F.col("vid").alias("fv"),
+        F.col("c_e4").alias("pick_e4"),
+    )
+    fb = full_cos.select(
+        F.col("qid").alias("bq"),
+        F.col("vid").alias("bv"),
+        F.col("c_e4").alias("best_e4"),
+    )
+    scored = (
+        stretched.join(
+            fp,
+            (F.col("fq") == F.col("qid")) & (F.col("fv") == F.col("pick")),
+        )
+        .join(fb, (F.col("bq") == F.col("qid")) & (F.col("bv") == F.col("best")))
+        .select(
+            "dim",
+            F.when(F.col("pick") == F.col("best"), 1).otherwise(0).alias(
+                "agree"
+            ),
+            "pick_e4",
+            "best_e4",
+        )
+    )
+    s = scored.groupBy("dim").agg(
+        F.count("*").cast("long").alias("nq"),
+        F.sum("agree").cast("long").alias("n_agree"),
+        F.sum("pick_e4").cast("long").alias("pick_e4"),
+        F.sum("best_e4").cast("long").alias("best_e4"),
+    )
+    return s.selectExpr(*_MAT_FINAL).orderBy(F.col("dim").desc())

@@ -934,3 +934,37 @@ def test_stratified_sample_rank_is_two_phase(spark):
     plan = _plan(spark, "q_stratified_sample")
     assert not single_partition_windows(plan)
     assert "__prefix_pid" in plan
+
+
+def test_boilerplate_df_agg_is_hash_keyed_no_window(spark):
+    """The (source, gram-hash) df aggregate must be a hash aggregate
+    over the exploded shingles — no window, no cartesian; gram text
+    must travel as the 16-hex md5 prefix, not the raw gram."""
+    plan = _plan(spark, "q_boilerplate_ngrams")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "md5" in plan and "substring" in plan
+
+
+def test_knn_graph_readout_is_checkpoint_shallow(spark):
+    """The k-NN edge relation is localCheckpoint()ed (it feeds both
+    the node and the undirected-pair aggregates), so the final plan
+    must be the shallow readout: two hash aggregates over the RDD
+    scan joined by one bounded broadcast — no window, no cartesian,
+    node counting hash-partitioned on the vector id."""
+    plan = _plan(spark, "q_knn_graph")
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan  # checkpointed edges
+    assert "Window" not in plan  # ranking happened pre-checkpoint
+    assert "hashpartitioning(vid" in plan
+
+
+def test_matryoshka_single_corpus_pass_broadcast_queries(spark):
+    """All four truncation cosines ride ONE corpus scan with the
+    bounded query side broadcast (the sanctioned cosine_topk tier);
+    the scan of embeddings must appear exactly once pre-checkpoint in
+    the pairs subplan (checkpointed), and no CartesianProduct."""
+    plan = _plan(spark, "q_matryoshka_audit")
+    assert "CartesianProduct" not in plan
+    # post-checkpoint plan: the heavy pairs relation is an RDD scan
+    assert "Scan ExistingRDD" in plan
