@@ -418,10 +418,10 @@ def _mat_oracle() -> str:
         SELECT q.vid AS qid, c.vid,
                {", ".join(
                    f"round(list_dot_product(c.vv[1:{d}], q.vv[1:{d}])"
-                   f" / (sqrt(list_sum(list_transform(c.vv[1:{d}],"
+                   f" / NULLIF(sqrt(list_sum(list_transform(c.vv[1:{d}],"
                    f" x -> x * x)))"
                    f" * sqrt(list_sum(list_transform(q.vv[1:{d}],"
-                   f" x -> x * x)))), 4) AS cos{d}"
+                   f" x -> x * x))), 0.0), 4) AS cos{d}"
                    for d in _MAT_DIMS
                )}
         FROM v c JOIN v q ON q.vid <= {_MAT_QMAX} AND c.vid <> q.vid
@@ -506,7 +506,12 @@ def q_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda a, x: a + x,
             )
         )
-        return F.round(dot / (nrm(cv) * nrm(qv)), 4)
+        # A zero-norm truncated prefix (plausible for sparse
+        # embeddings) must yield NULL, which sinks to the bottom of
+        # the DESC rank identically in both engines (NULLS LAST) —
+        # never a divide-by-zero Inf/NaN.
+        prod = nrm(cv) * nrm(qv)
+        return F.round(F.when(prod != 0.0, dot / prod), 4)
 
     pairs = (
         base.crossJoin(F.broadcast(q))

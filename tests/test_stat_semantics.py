@@ -2181,3 +2181,327 @@ def test_nb_auc_matches_pure_python():
     assert out["target_class"] == cls
     assert out["n_pos"] == np_ and out["n_neg"] == nn
     assert abs(out["auc"] - auc) < 1e-6
+
+
+def test_zipf_fit_matches_brute_force():
+    """OLS of ln(freq) on ln(rank) over the e6 integer log cells."""
+    words = (["alpha"] * 40 + ["beta"] * 20 + ["gamma"] * 10
+             + ["delta"] * 5 + ["eps"] * 3 + ["zeta"] * 2 + ["eta"])
+    docs = (
+        ["doc_id BIGINT", "text VARCHAR", "lang VARCHAR",
+         "source VARCHAR", "n_chars BIGINT"],
+        [(1, " ".join(words), "en", "s", 1)],
+    )
+    out = _run({"documents": docs}, "q_zipf_fit")[0]
+
+    freqs = {}
+    for w in words:
+        freqs[w] = freqs.get(w, 0) + 1
+    ranked = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))
+    cells = [(_rnd_half_away(math.log(rk) * 1e6),
+              _rnd_half_away(math.log(f) * 1e6))
+             for rk, (_, f) in enumerate(ranked, 1)]
+    n = len(cells)
+    sx = float(sum(x for x, _ in cells))
+    sy = float(sum(y for _, y in cells))
+    sxx = float(sum(x * x for x, _ in cells))
+    syy = float(sum(y * y for _, y in cells))
+    sxy = float(sum(x * y for x, y in cells))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n / 1e6
+    r2 = ((n * sxy - sx * sy) ** 2
+          / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    assert out["n_terms"] == n == 7
+    assert abs(out["slope"] - slope) < 1e-6
+    assert abs(out["intercept_ln"] - intercept) < 1e-6
+    assert abs(out["r2"] - r2) < 1e-6
+    assert out["slope"] < 0  # Zipf decays
+
+
+def test_heaps_law_matches_brute_force():
+    """Cumulative vocab-vs-words per doc_id decile + the beta fit."""
+    texts = {
+        1: "a b c d", 2: "a b e f", 3: "a g h c", 4: "i j a b",
+        5: "k a b c", 6: "l m n a", 7: "a b o p", 8: "q r s t",
+        9: "a u v b", 10: "w x y z",
+    }
+    docs = (
+        ["doc_id BIGINT", "text VARCHAR", "lang VARCHAR",
+         "source VARCHAR", "n_chars BIGINT"],
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+    )
+    rows = _run({"documents": docs}, "q_heaps_law")
+
+    ids = sorted(texts)
+    nd = len(ids)
+    dec_of = {d: (10 * rk0) // nd + 1 for rk0, d in enumerate(ids)}
+    words, first_dec = {}, {}
+    for d in ids:
+        toks = texts[d].split()
+        dec = dec_of[d]
+        words[dec] = words.get(dec, 0) + len(toks)
+        for t in toks:
+            if t not in first_dec:
+                first_dec[t] = dec
+            else:
+                first_dec[t] = min(first_dec[t], dec)
+    # (doc order == dec order here, so first-seen == min-dec)
+    cells = []
+    wc = vc = 0
+    for dec in sorted(words):
+        wc += words[dec]
+        vc += sum(1 for t, dd in first_dec.items() if dd == dec)
+        cells.append((dec, wc, vc))
+    n = len(cells)
+    pts = [(_rnd_half_away(math.log(w) * 1e6),
+            _rnd_half_away(math.log(v) * 1e6)) for _, w, v in cells]
+    sx = float(sum(x for x, _ in pts))
+    sy = float(sum(y for _, y in pts))
+    sxx = float(sum(x * x for x, _ in pts))
+    sxy = float(sum(x * y for x, y in pts))
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    got = [(r["decile"], r["words_cum"], r["vocab_cum"]) for r in rows]
+    assert got == cells
+    for r in rows:
+        assert abs(r["heaps_beta"] - beta) < 1e-6
+    assert 0 < beta < 1  # sublinear vocabulary growth
+
+
+def test_readability_matches_brute_force():
+    """Flesch reading ease from literal word/sentence/syllable counts
+    (vowel-group heuristic, min 1 per word)."""
+    texts = {
+        1: ("s1", "the cat sat. the dog ran!"),
+        2: ("s1", "incomprehensibility is extraordinary?"),
+        3: ("s2", "go. go. go."),
+    }
+    docs = (
+        ["doc_id BIGINT", "text VARCHAR", "lang VARCHAR",
+         "source VARCHAR", "n_chars BIGINT"],
+        [(i, t, "en", s, len(t)) for i, (s, t) in texts.items()],
+    )
+    rows = _run({"documents": docs}, "q_readability")
+
+    def syll(word):
+        cnt = 0
+        prev = False
+        for ch in word:
+            v = ch in "aeiouy"
+            if v and not prev:
+                cnt += 1
+            prev = v
+        return max(1, cnt)
+
+    per_src = {}
+    for _, (src, t) in texts.items():
+        toks = [w for w in t.lower().split(" ") if w]
+        sents = max(1, sum(t.count(c) for c in ".!?"))
+        agg = per_src.setdefault(src, [0, 0, 0, 0])
+        agg[0] += 1
+        agg[1] += len(toks)
+        agg[2] += sents
+        agg[3] += sum(syll(w) for w in toks)
+    got = {r["source"]: r for r in rows}
+    for src, (ndoc, nw, ns, nsy) in per_src.items():
+        g = got[src]
+        assert (g["n_docs"], g["n_words"], g["n_sents"], g["n_syll"]) \
+            == (ndoc, nw, ns, nsy)
+        flesch = 206.835 - 1.015 * nw / ns - 84.6 * nsy / nw
+        assert abs(g["flesch"] - flesch) < 1e-4
+
+
+def test_conversion_lag_matches_brute_force():
+    """Signup->purchase lag p50/p90 via the shared linear-interpolated
+    order statistics, replayed literally."""
+    # users 1..7 convert with lag = u hours; 8 has purchase BEFORE
+    # signup (excluded); 9 never converts.
+    rows = []
+    for u in range(1, 8):
+        rows.append((f"2024-01-01 00:00:00", u, "signup", 1.0))
+        rows.append((f"2024-01-01 {u:02d}:00:00", u, "purchase", 1.0))
+    rows.append(("2024-01-02 00:00:00", 8, "signup", 1.0))
+    rows.append(("2024-01-01 05:00:00", 8, "purchase", 1.0))
+    rows.append(("2024-01-03 00:00:00", 9, "signup", 1.0))
+    out = _run({"events": _events_ts(rows)}, "q_conversion_lag")[0]
+
+    lags_h = sorted(float(u) for u in range(1, 8))
+    n = len(lags_h)
+
+    def pctl(q):
+        pos = (n - 1) * q
+        lo = lags_h[math.floor(pos)]
+        hi = lags_h[min(math.floor(pos) + 1, n - 1)]
+        return lo + (hi - lo) * (pos - math.floor(pos))
+
+    assert out["n_converted"] == n == 7
+    assert abs(out["p50_hours"] - pctl(0.5)) < 1e-4
+    assert abs(out["p90_hours"] - pctl(0.9)) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Round-7 curation queries: pure-python replays
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_ngrams_matches_brute_force():
+    """Per-source repeated-8-gram audit vs a literal df count."""
+    tmpl = "one two three four five six seven eight"
+    texts = {  # src A: 3 docs sharing the 8-gram template; B: none
+        1: ("A", tmpl + " tail1 x1"),
+        2: ("A", tmpl + " tail2 y2"),
+        3: ("A", "totally different words with no repeats at all ok"),
+        4: ("B", "alpha beta gamma delta epsilon zeta eta theta"),
+        5: ("B", "iota kappa lambda mu nu xi omicron pi"),
+    }
+    docs = (
+        ["doc_id BIGINT", "text VARCHAR", "lang VARCHAR",
+         "source VARCHAR", "n_chars BIGINT"],
+        [(i, t, "en", s, len(t)) for i, (s, t) in texts.items()],
+    )
+    rows = _run({"documents": docs}, "q_boilerplate_ngrams")
+
+    per_src = {}
+    sh = {}
+    for i, (src, t) in texts.items():
+        toks = [w for w in t.lower().split(" ") if w]
+        grams = {" ".join(toks[j:j + 8])
+                 for j in range(len(toks) - 7)} if len(toks) >= 8 else set()
+        sh[i] = (src, grams)
+        per_src.setdefault(src, []).append(i)
+    got = {r["source"]: r for r in rows}
+    for src, ids in per_src.items():
+        nd = len(ids)
+        df = {}
+        for i in ids:
+            for g in sh[i][1]:
+                df[g] = df.get(g, 0) + 1
+        thr = max(2, -(-nd // 20))  # ceil(5%)
+        boiler = {g for g, d in df.items() if d >= thr}
+        n_aff = sum(1 for i in ids if sh[i][1] & boiler)
+        g = got[src]
+        assert g["n_docs"] == nd
+        assert g["n_grams"] == len(df)
+        assert g["n_boilerplate_grams"] == len(boiler)
+        assert g["max_df"] == (max(df.values()) if df else 0)
+        assert g["n_docs_affected"] == n_aff
+        assert abs(g["affected_pct"] - n_aff / nd) < 1e-4
+    # the template family must actually register as boilerplate
+    assert got["A"]["n_boilerplate_grams"] == 1
+    assert got["A"]["n_docs_affected"] == 2
+    assert got["B"]["n_boilerplate_grams"] == 0
+
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    if na * nb == 0:
+        return None  # engines emit NULL (sinks to rank bottom)
+    return round(d / (na * nb), 4)
+
+
+def _rank_key(cos, vid):
+    """DESC with NULLS LAST, vid tie-break — both engines' order."""
+    return (1 if cos is None else 0, -(cos or 0.0), vid)
+
+
+def test_knn_graph_matches_brute_force():
+    """Cell-local k-NN graph stats vs a literal replay (assignment,
+    ranking, symmetrization)."""
+    vecs = {}
+    # 16 centroid slots: four real directions, repeated
+    dirs = [(4.0, 0.0, 0.0, 1.0), (0.0, 4.0, 1.0, 0.0),
+            (0.0, 1.0, 4.0, 0.0), (1.0, 0.0, 0.0, 4.0)]
+    for vid in range(1, 17):
+        vecs[vid] = dirs[(vid - 1) % 4]
+    # satellites near each direction (distinct, small perturbations)
+    sat = [(4.0, 0.5, 0.0, 1.0), (4.0, 0.0, 0.5, 1.0),
+           (0.5, 4.0, 1.0, 0.0), (0.0, 4.0, 1.5, 0.0),
+           (0.0, 1.5, 4.0, 0.0), (1.0, 0.5, 0.0, 4.0),
+           (1.0, 0.0, 0.5, 4.0), (1.5, 0.0, 0.0, 4.0)]
+    for k, v in enumerate(sat):
+        vecs[20 + k] = v
+    cols = ["vec_id BIGINT", "embedding FLOAT[]", "label INTEGER"]
+    rows = [(vid, list(v), 0) for vid, v in vecs.items()]
+    out = _run({"embeddings": (cols, rows)}, "q_knn_graph")[0]
+
+    cents = {cid: vecs[cid] for cid in vecs if cid <= 16}
+    assign = {}
+    for vid, v in vecs.items():
+        best = sorted(cents, key=lambda c: _rank_key(_cos(v, cents[c]), c))
+        assign[vid] = best[0]
+    knn = []
+    for vid, v in vecs.items():
+        cell = [b for b, c in assign.items() if c == assign[vid] and b != vid]
+        ranked = sorted(cell, key=lambda b: _rank_key(_cos(v, vecs[b]), b))
+        for b in ranked[:3]:
+            knn.append((vid, b))
+    und = {}
+    for a, b in knn:
+        und[(min(a, b), max(a, b))] = und.get((min(a, b), max(a, b)), 0) + 1
+    n_nodes = len({a for a, _ in knn})
+    n_mutual = sum(1 for v in und.values() if v == 2)
+    assert out["n_nodes"] == n_nodes
+    assert out["n_directed_edges"] == len(knn)
+    assert out["n_undirected_edges"] == len(und)
+    assert out["n_mutual_edges"] == n_mutual
+    assert abs(out["mutual_pct"] - n_mutual / len(und)) < 1e-6
+    assert abs(out["avg_out_degree"] - len(knn) / n_nodes) < 1e-6
+    assert n_mutual > 0  # clustered fixture must produce mutual edges
+
+
+def test_matryoshka_audit_matches_brute_force():
+    """Truncation agreement/regret vs a literal replay; the first-8
+    dims of one corpus vector are engineered to mislead so d=8 must
+    disagree with the full ranking."""
+    dim = 16
+    vecs = {}
+    # queries 1..4: unit-ish vectors
+    vecs[1] = [1.0] * 8 + [0.0] * 8
+    vecs[2] = [0.0] * 8 + [1.0] * 8
+    vecs[3] = [1.0, 2.0] * 8
+    vecs[4] = [2.0, 1.0] * 8
+    # corpus: 33+ ids so they are not queries (qmax=32)
+    vecs[40] = [1.0] * 8 + [0.25] * 8          # close to q1 overall
+    vecs[41] = [1.0] * 8 + [4.0] * 8           # first-8 match q1, tail huge
+    vecs[42] = [0.25] * 8 + [1.0] * 8          # close to q2
+    vecs[43] = [1.0, 2.0] * 8
+    vecs[44] = [2.0, 1.0] * 8
+    cols = ["vec_id BIGINT", "embedding FLOAT[]", "label INTEGER"]
+    rows = [(vid, v, 0) for vid, v in vecs.items()]
+    out = _run({"embeddings": (cols, rows)}, "q_matryoshka_audit")
+
+    queries = {v: vecs[v] for v in vecs if v <= 32}
+    corpus = {v: vecs[v] for v in vecs}
+    picks_full = {}
+    for d in (64, 32, 16, 8):
+        for qid, qv in queries.items():
+            cand = sorted(
+                (vid for vid in corpus if vid != qid),
+                key=lambda vid: _rank_key(_cos(corpus[vid][:d], qv[:d]), vid),
+            )
+            if d == 64:
+                picks_full[qid] = cand[0]
+    got = {r["dim"]: r for r in out}
+    for d in (64, 32, 16, 8):
+        agree = 0
+        pick_e4 = best_e4 = 0
+        for qid, qv in queries.items():
+            cand = sorted(
+                (vid for vid in corpus if vid != qid),
+                key=lambda vid: _rank_key(_cos(corpus[vid][:d], qv[:d]), vid),
+            )
+            pick = cand[0]
+            best = picks_full[qid]
+            agree += 1 if pick == best else 0
+            pick_e4 += round(_cos(corpus[pick], qv) * 10000)
+            best_e4 += round(_cos(corpus[best], qv) * 10000)
+        g = got[d]
+        nq = len(queries)
+        assert g["n_queries"] == nq
+        assert g["n_agree"] == agree, d
+        assert abs(g["agree_pct"] - agree / nq) < 1e-6
+        assert abs(g["avg_pick_cosine"] - pick_e4 / nq / 1e4) < 1e-6
+        assert abs(g["avg_regret"] - (best_e4 - pick_e4) / nq / 1e4) < 1e-6
+    assert got[8]["n_agree"] < got[8]["n_queries"]  # the misleading head
+    assert got[64]["n_agree"] == got[64]["n_queries"]
