@@ -2505,3 +2505,191 @@ def test_matryoshka_audit_matches_brute_force():
         assert abs(g["avg_regret"] - (best_e4 - pick_e4) / nq / 1e4) < 1e-6
     assert got[8]["n_agree"] < got[8]["n_queries"]  # the misleading head
     assert got[64]["n_agree"] == got[64]["n_queries"]
+
+
+def test_char_entropy_matches_brute_force():
+    """H = log2(n) - (sum c*log2 c)/n with per-char e6 rounding."""
+    texts = {1: "aaabbc", 2: "abcdef", 3: "zzzzzz"}
+    docs = (
+        ["doc_id BIGINT", "text VARCHAR", "lang VARCHAR",
+         "source VARCHAR", "n_chars BIGINT"],
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+    )
+    rows = _run({"documents": docs}, "q_char_entropy")
+    got = {r["doc_id"]: r for r in rows}
+    for i, t in texts.items():
+        hist = {}
+        for ch in t:
+            hist[ch] = hist.get(ch, 0) + 1
+        n = len(t)
+        s_e6 = sum(_rnd_half_away(c * math.log2(c) * 1e6)
+                   for c in hist.values())
+        h = math.log2(n) - (s_e6 / 1e6) / n
+        g = got[i]
+        assert g["n_chars"] == n and g["n_distinct"] == len(hist)
+        assert abs(g["entropy_bits"] - h) < 1e-4
+    assert got[3]["entropy_bits"] == 0.0  # constant string
+    assert abs(got[2]["entropy_bits"] - math.log2(6)) < 1e-4  # uniform
+
+
+def test_cohort_ltv_matches_brute_force():
+    """Weekly cohort LTV curves vs a literal cents walk. 2024-01-01
+    is a Monday, so week boundaries are clean."""
+    # (user, first_event_day, [(purchase_day, value), ...])
+    users = [
+        (1, 0, [(0, 10.0), (8, 20.0)]),    # cohort W0, weeks 0 and 1
+        (2, 1, [(2, 5.0)]),                # cohort W0, week 0
+        (3, 7, [(7, 7.5), (20, 2.5)]),     # cohort W1, weeks 0 and 1
+        (4, 8, []),                        # cohort W1, no purchases
+    ]
+    rows = []
+    for u, f, ps in users:
+        rows.append((f"2024-01-{f+1:02d} 00:00:00", u, "view", 1.0))
+        for d, v in ps:
+            rows.append((f"2024-01-{d+1:02d} 01:00:00", u, "purchase", v))
+    out = _run({"events": _events_ts(rows)}, "q_cohort_ltv")
+
+    import datetime
+
+    def week_of(day):
+        dt = datetime.date(2024, 1, day + 1)
+        monday = dt - datetime.timedelta(days=dt.weekday())
+        return monday
+
+    cohorts = {}
+    sizes = {}
+    for u, f, ps in users:
+        cw = week_of(f)
+        sizes[cw] = sizes.get(cw, 0) + 1
+        for d, v in ps:
+            wn = (datetime.date(2024, 1, d + 1) - cw).days // 7
+            cohorts.setdefault(cw, {}).setdefault(wn, 0)
+            cohorts[cw][wn] += round(v * 100)
+    expect = []
+    for cw in sorted(cohorts):
+        cum = 0
+        for wn in sorted(cohorts[cw]):
+            rev = cohorts[cw][wn]
+            cum += rev
+            expect.append((f"{cw:%Y-%m-%d}", wn, sizes[cw],
+                           rev / 100.0, cum / 100.0,
+                           cum / sizes[cw] / 100.0))
+    got = [(r["cohort_week"], r["week_n"], r["n_users"],
+            r["week_revenue"], r["cum_revenue"], r["ltv_per_user"])
+           for r in out]
+    assert len(got) == len(expect)
+    for g, e in zip(got, expect):
+        assert g[:3] == e[:3]
+        for x, y in zip(g[3:], e[3:]):
+            assert abs(x - y) < 1e-6
+
+
+def test_centroid_similarity_matches_brute_force():
+    """Centroid cosine from exact e6 component sums."""
+    vecs = [  # (label, vector)
+        (0, [1.0, 0.0, 0.5, 0.25]),
+        (0, [0.5, 0.25, 1.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.5]),
+        (1, [0.25, 1.0, 0.25, 1.0]),
+        (2, [1.0, 1.0, 1.0, 1.0]),
+    ]
+    cols = ["vec_id BIGINT", "embedding FLOAT[]", "label INTEGER"]
+    rows = [(i, v, lab) for i, (lab, v) in enumerate(vecs)]
+    out = _run({"embeddings": (cols, rows)}, "q_centroid_similarity")
+
+    comp = {}
+    for lab, v in vecs:
+        s = comp.setdefault(lab, [0] * len(v))
+        for d, x in enumerate(v):
+            s[d] += _rnd_half_away(x * 1e6)
+    labs = sorted(comp)
+    expect = {}
+    for i, a in enumerate(labs):
+        for b in labs[i + 1:]:
+            dot = sum(x * y for x, y in zip(comp[a], comp[b]))
+            na2 = sum(x * x for x in comp[a])
+            nb2 = sum(x * x for x in comp[b])
+            expect[(a, b)] = dot / (math.sqrt(na2) * math.sqrt(nb2))
+    got = {(r["label_a"], r["label_b"]): r["cosine"] for r in out}
+    assert set(got) == set(expect)
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-6, k
+
+
+def test_assortativity_matches_brute_force():
+    """Degree-assortativity Pearson over symmetrized edge-end degree
+    pairs, from a literal edge/degree walk."""
+    baskets = {1: [1, 2, 3], 2: [2, 3], 3: [3, 4], 4: [4, 5]}
+    cols = ["l_orderkey BIGINT", "l_partkey BIGINT"]
+    rows = [(o, p) for o, ps in baskets.items() for p in ps]
+    out = _run({"lineitem": (cols, rows)}, "q_assortativity")[0]
+
+    edges = set()
+    for ps in baskets.values():
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                edges.add((min(a, b), max(a, b)))
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    ends = [(deg[a], deg[b]) for a, b in edges]
+    ends += [(y, x) for x, y in ends]
+    m = len(ends)
+    sx = sum(x for x, _ in ends)
+    sy = sum(y for _, y in ends)
+    sxx = sum(x * x for x, _ in ends)
+    syy = sum(y * y for _, y in ends)
+    sxy = sum(x * y for x, y in ends)
+    r = ((m * sxy - sx * sy)
+         / (math.sqrt(m * sxx - sx * sx) * math.sqrt(m * syy - sy * sy)))
+    assert out["n_edge_ends"] == m
+    assert abs(out["assortativity"] - r) < 1e-6
+
+
+def test_eccentricity_matches_brute_force():
+    """Hop-bounded BFS eccentricity from md5-chosen seeds, replayed
+    with hashlib + literal BFS."""
+    import hashlib
+
+    # support-2 graph: each edge must appear in >= 2 orders.
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]  # a path
+    rows = []
+    o = 1
+    for a, b in pairs:
+        for _ in range(2):  # two orders per edge -> support 2
+            rows.append((o, a))
+            rows.append((o, b))
+            o += 1
+    cols = ["l_orderkey BIGINT", "l_partkey BIGINT"]
+    out = _run({"lineitem": (cols, rows)}, "q_eccentricity")
+
+    from mapreduce_server_development_spark.plans.graph_analytics import (
+        _ECC_HOPS,
+        _ECC_SEEDS,
+    )
+
+    nbrs = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    nodes = sorted(nbrs)
+    seeds = sorted(
+        nodes, key=lambda v: (hashlib.md5(f"ecc:{v}".encode()).hexdigest(), v)
+    )[:_ECC_SEEDS]
+    expect = {}
+    for s in seeds:
+        dist = {s: 0}
+        frontier = [s]
+        for hop in range(1, _ECC_HOPS + 1):
+            nxt = []
+            for u in frontier:
+                for v in nbrs[u]:
+                    if v not in dist:
+                        dist[v] = hop
+                        nxt.append(v)
+            frontier = nxt
+        expect[s] = (max(dist.values()), len(dist), sum(dist))
+    got = {r["seed"]: (r["ecc_capped"], r["n_reached"], r["checksum"])
+           for r in out}
+    assert got == expect
