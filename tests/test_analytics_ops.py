@@ -317,6 +317,7 @@ def test_attribution_last_touch_and_direct(spark, monkeypatch):
 
 
 def test_copurchase_bfs_hop_frontiers(spark, monkeypatch):
+    import mapreduce_server_development_spark.plans.graph_common as gc
     import mapreduce_server_development_spark.plans.relational_ext as m
 
     # chain 1-2-3-4-5 via overlapping orders + disconnected {10,11}:
@@ -325,6 +326,8 @@ def test_copurchase_bfs_hop_frontiers(spark, monkeypatch):
     rows = [(ok, pk) for ok, parts in orders for pk in parts]
     li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
     monkeypatch.setattr(m, "load_table", lambda s, sf, name: li)
+    # the edge builder now loads through graph_common's capped_po
+    monkeypatch.setattr(gc, "load_table", lambda s, sf, name: li)
     got = [
         (r.hop, r.n_parts, r.checksum)
         for r in m.q_copurchase_bfs(spark, "unused").collect()
