@@ -2542,3 +2542,142 @@ def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(*_LE_FINAL)
         .orderBy("actual", "predicted")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_leakage_safe_split — near-dup-cluster-keyed train/val/test split
+# ---------------------------------------------------------------------------
+
+_LSS_FINAL = (
+    "split",
+    "CAST(n_naive AS BIGINT) AS n_docs_naive",
+    "CAST(n_safe AS BIGINT) AS n_docs_safe",
+    "CAST(n_leaky AS BIGINT) AS n_leaky_docs",
+    "round(CAST(n_leaky AS DOUBLE) / CAST(n_naive AS DOUBLE), 4) + 0.0"
+    " AS leaky_pct",
+)
+
+_LSS_SPLIT_CASE = (
+    "CASE WHEN {b} < 800 THEN 'train' WHEN {b} < 900 THEN 'val'"
+    " ELSE 'test' END"
+)
+
+
+@query(
+    "q_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_TOKS_CTE},
+    {_shingle_cte(5)},
+    {_jaccard_pairs_cte()},
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.node
+    ),
+    clusters AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+                 FROM reach GROUP BY node),
+    tagged AS (
+        SELECT c.doc_id, c.cluster_id,
+               {_LSS_SPLIT_CASE.format(
+                   b=_sampling_bucket_sql("split", "c.doc_id"))} AS naive,
+               {_LSS_SPLIT_CASE.format(
+                   b=_sampling_bucket_sql("split", "c.cluster_id"))} AS safe
+        FROM clusters c
+    ),
+    leaky AS (
+        SELECT cluster_id FROM tagged
+        GROUP BY cluster_id HAVING COUNT(DISTINCT naive) > 1
+    ),
+    marked AS (
+        SELECT t.*, CASE WHEN l.cluster_id IS NULL THEN 0 ELSE 1 END
+                        AS is_leaky
+        FROM tagged t LEFT JOIN leaky l ON l.cluster_id = t.cluster_id
+    ),
+    per_split AS (
+        SELECT s.split,
+               (SELECT COUNT(*) FROM marked m WHERE m.naive = s.split)
+                   AS n_naive,
+               (SELECT COUNT(*) FROM marked m WHERE m.safe = s.split)
+                   AS n_safe,
+               (SELECT COALESCE(SUM(m.is_leaky), 0) FROM marked m
+                WHERE m.naive = s.split) AS n_leaky
+        FROM (SELECT unnest(['train', 'val', 'test']) AS split) s
+    )
+    SELECT {", ".join(_LSS_FINAL)} FROM per_split ORDER BY split
+    """,
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test splitting: a doc-keyed hash split
+    puts near-duplicate documents on BOTH sides of the eval boundary
+    (the classic eval-contamination bug — the model is scored on
+    near-copies of its training data), so the split key must be the
+    near-dup CLUSTER, not the document. Clusters are the exact
+    q_dup_clusters relation (5-gram Jaccard >= 0.2 connected
+    components); both the naive doc-keyed and the cluster-keyed split
+    use the engine-replayable md5 permille bucket (80/10/10). Reports,
+    per split: naive vs cluster-safe doc counts and how many of the
+    naive split's docs sit in a LEAKY cluster (one straddling >= 2
+    naive splits) — the count of eval examples a doc-keyed split
+    would contaminate.
+
+    Scale: the pair/cluster machinery is the q_dup_clusters plan
+    (hot-shingle-capped candidate join + O(log) star contraction
+    available); everything after is one cluster-keyed aggregate and a
+    3-row readout. The split itself stays a pure hash — no state, no
+    coordination, reproducible at any scale.
+    """
+    from .sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.2, max_doc_freq=1000)
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    clusters = connected_components(nodes, edges).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+    def split_of(col):
+        b = hash_bucket("split", col)
+        return (
+            F.when(b < 800, "train").when(b < 900, "val").otherwise("test")
+        )
+
+    tagged = clusters.select(
+        "doc_id",
+        "cluster_id",
+        split_of(F.col("doc_id")).alias("naive"),
+        split_of(F.col("cluster_id")).alias("safe"),
+    )
+    leaky = (
+        tagged.groupBy("cluster_id")
+        .agg(F.countDistinct("naive").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select("cluster_id")
+        .withColumn("is_leaky", F.lit(1))
+    )
+    marked = tagged.join(leaky, "cluster_id", "left").withColumn(
+        "is_leaky", F.coalesce("is_leaky", F.lit(0))
+    )
+    n_naive = marked.groupBy(F.col("naive").alias("split")).agg(
+        F.count("*").alias("n_naive"),
+        F.sum("is_leaky").alias("n_leaky"),
+    )
+    n_safe = marked.groupBy(F.col("safe").alias("split")).agg(
+        F.count("*").alias("n_safe")
+    )
+    splits = spark.createDataFrame(
+        [("train",), ("val",), ("test",)], "split string"
+    )
+    j = (
+        splits.join(n_naive, "split", "left")
+        .join(n_safe, "split", "left")
+        .select(
+            "split",
+            F.coalesce("n_naive", F.lit(0)).alias("n_naive"),
+            F.coalesce("n_safe", F.lit(0)).alias("n_safe"),
+            F.coalesce("n_leaky", F.lit(0)).alias("n_leaky"),
+        )
+    )
+    return j.selectExpr(*_LSS_FINAL).orderBy("split")

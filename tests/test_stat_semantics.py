@@ -2693,3 +2693,79 @@ def test_eccentricity_matches_brute_force():
     got = {r["seed"]: (r["ecc_capped"], r["n_reached"], r["checksum"])
            for r in out}
     assert got == expect
+
+
+def test_leakage_safe_split_matches_brute_force():
+    """Cluster-keyed split + leakage audit replayed literally: md5
+    permille buckets (hashlib) + literal 5-gram Jaccard clustering."""
+    import hashlib
+
+    tmpl = ("the quick brown fox jumps over the lazy dog again and again "
+            "with some extra words to make shingles")
+    texts = {
+        1: tmpl + " one",
+        2: tmpl + " two",          # near-dup of 1
+        3: "completely different text about spark plans and shuffles ok",
+        4: tmpl + " three",        # near-dup of 1/2
+        5: "another standalone document with its own unique vocabulary set",
+    }
+    docs = (
+        ["doc_id BIGINT", "text VARCHAR", "lang VARCHAR",
+         "source VARCHAR", "n_chars BIGINT"],
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+    )
+    rows = _run({"documents": docs}, "q_leakage_safe_split")
+
+    def bucket(key):
+        h = hashlib.md5(f"split:{key}".encode()).hexdigest()
+        nib = [int(c, 16) for c in h[:4]]
+        return (nib[0] * 4096 + nib[1] * 256 + nib[2] * 16 + nib[3]) % 1000
+
+    def split_of(key):
+        b = bucket(key)
+        return "train" if b < 800 else ("val" if b < 900 else "test")
+
+    def shingles(t):
+        toks = [w for w in t.lower().split(" ") if w]
+        return {" ".join(toks[j:j + 5]) for j in range(len(toks) - 4)}
+
+    sh = {i: shingles(t) for i, t in texts.items()}
+    ids = sorted(texts)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    for i in ids:
+        for j in ids:
+            if i < j:
+                inter = len(sh[i] & sh[j])
+                if inter and round(
+                    inter / (len(sh[i]) + len(sh[j]) - inter), 4
+                ) >= 0.2:
+                    a, b = sorted((find(i), find(j)))
+                    parent[b] = a
+    cluster = {i: find(i) for i in ids}
+    naive = {i: split_of(i) for i in ids}
+    safe = {i: split_of(cluster[i]) for i in ids}
+    leaky_clusters = {
+        c for c in set(cluster.values())
+        if len({naive[i] for i in ids if cluster[i] == c}) > 1
+    }
+    got = {r["split"]: r for r in rows}
+    for s in ("train", "val", "test"):
+        g = got[s]
+        n_naive = sum(1 for i in ids if naive[i] == s)
+        n_safe = sum(1 for i in ids if safe[i] == s)
+        n_leaky = sum(
+            1 for i in ids if naive[i] == s and cluster[i] in leaky_clusters
+        )
+        assert g["n_docs_naive"] == n_naive, s
+        assert g["n_docs_safe"] == n_safe, s
+        assert g["n_leaky_docs"] == n_leaky, s
+    # under the cluster-keyed split every cluster lands whole: replay
+    # proves no cluster straddles the safe splits
+    for c in set(cluster.values()):
+        assert len({safe[i] for i in ids if cluster[i] == c}) == 1
