@@ -293,3 +293,99 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_tokenizer_fertility — per-language subwords-per-word under the BPE
+# ---------------------------------------------------------------------------
+
+_FERT_FINAL = (
+    "lang",
+    "CAST(n_docs AS BIGINT) AS n_docs",
+    "CAST(n_words AS BIGINT) AS n_words",
+    "CAST(n_subwords AS BIGINT) AS n_subwords",
+    "round(CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE), 6) + 0.0"
+    " AS fertility",
+    "round((CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE))"
+    " / (CAST(t_sub AS DOUBLE) / CAST(t_words AS DOUBLE)), 6) + 0.0"
+    " AS fertility_vs_corpus",
+)
+
+
+def _fertility_oracle(rounds: int = _ROUNDS) -> str:
+    return f"""
+    WITH {_bpe_cte_chain(rounds)},
+    wlen AS (
+        SELECT word,
+               len(list_filter(string_split(seq, ' '), x -> x <> '')) - 1
+                   AS n_sub
+        FROM w{rounds}
+    ),
+    doctoks AS (
+        SELECT doc_id AS doc, lang,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) AS word
+        FROM documents
+    ),
+    per_lang AS (
+        SELECT d.lang,
+               CAST(COUNT(DISTINCT d.doc) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(w.n_sub) AS BIGINT) AS n_subwords
+        FROM doctoks d JOIN wlen w ON w.word = d.word
+        GROUP BY d.lang
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_words) AS BIGINT) AS t_words,
+               CAST(SUM(n_subwords) AS BIGINT) AS t_sub
+        FROM per_lang
+    )
+    SELECT {", ".join(_FERT_FINAL)}
+    FROM per_lang CROSS JOIN tot
+    ORDER BY lang
+    """
+
+
+@query("q_tokenizer_fertility", oracle=_fertility_oracle())
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: subwords emitted per word
+    under the 6-merge BPE, and its ratio to the corpus-wide fertility
+    — THE fairness/cost metric for multilingual tokenizers (a language
+    whose fertility runs 2x the corpus pays twice the context budget
+    per word, trains on fragmented units, and is the first candidate
+    for more merges or vocab re-balancing).
+
+    Runs on the SAME vocabulary-scale merge state as
+    q_bpe_train/encode (`_merge_rounds` — one implementation); the
+    per-language rollup is one partial-agg'd join of the exploded
+    corpus against the word table; the corpus baseline is a 1-row
+    broadcast. Exact integer word/subword counts; two shared division
+    texts.
+    """
+    _gc_previous_persists()
+    docs = load_table(spark, sf_dir, "documents")
+    w, _ = _merge_rounds(_word_state(docs))
+    wlen = w.select("word", (F.size(_syms()) - 1).alias("n_sub"))
+    doctoks = docs.select(
+        F.col("doc_id").alias("doc"),
+        "lang",
+        F.explode(tokens_col(F.lower(F.col("text")))).alias("word"),
+    )
+    per_lang = (
+        doctoks.join(wlen, "word")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_subwords"),
+        )
+    )
+    tot = per_lang.agg(
+        F.sum("n_words").cast("long").alias("t_words"),
+        F.sum("n_subwords").cast("long").alias("t_sub"),
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(tot))
+        .selectExpr(*_FERT_FINAL)
+        .orderBy("lang")
+    )
