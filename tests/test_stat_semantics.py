@@ -2769,3 +2769,102 @@ def test_leakage_safe_split_matches_brute_force():
     # proves no cluster straddles the safe splits
     for c in set(cluster.values()):
         assert len({safe[i] for i in ids if cluster[i] == c}) == 1
+
+
+def test_dp_release_matches_brute_force():
+    """Laplace inverse-CDF from the md5-uniform stream, replayed with
+    hashlib — the noise mechanism itself is the thing under test."""
+    import hashlib
+
+    rows = [(1, "click", 1.0)] * 7 + [(2, "view", 1.0)] * 3
+    out = _run({"events": _events(rows)}, "q_dp_release")
+    got = {r["event_type"]: r for r in out}
+    for et, n in (("click", 7), ("view", 3)):
+        h = int(hashlib.md5(f"dp:{et}".encode()).hexdigest()[:12], 16)
+        u = (h + 0.5) / float(1 << 48)
+        lap = -(1.0 if u >= 0.5 else -1.0) * math.log(
+            1.0 - 2.0 * abs(u - 0.5)) / 0.5
+        g = got[et]
+        assert g["true_count"] == n
+        assert abs(g["noisy_count"] - (n + lap)) < 1e-4
+        assert abs(g["abs_noise"] - abs(lap)) < 1e-4
+
+
+def test_k_anonymity_matches_brute_force():
+    """Equivalence-class sizes over the QI tuple, log2-binned."""
+    # 2024-01-01 is Monday (dow 0); value buckets are $50 cents//5000.
+    rows = []
+    # class (click, dow0, bucket0): 6 users  -> log2 bin 2
+    for u in range(1, 7):
+        rows.append(("2024-01-01 10:00:00", u, "click", 10.0))
+    # class (view, dow1, bucket1): 2 users -> log2 bin 1
+    for u in (1, 2):
+        rows.append(("2024-01-02 10:00:00", u, "view", 60.0))
+    # class (purchase, dow1, bucket0): 1 user -> log2 bin 0, k<5
+    rows.append(("2024-01-02 11:00:00", 9, "purchase", 5.0))
+    # duplicate row for user 1 (same QI) must not double-count
+    rows.append(("2024-01-08 10:00:00", 1, "click", 10.0))
+    out = _run({"events": _events_ts(rows)}, "q_k_anonymity")
+
+    classes = {("click", 0, 0): 6, ("view", 1, 1): 2, ("purchase", 1, 0): 1}
+    expect = {}
+    for k in classes.values():
+        b = k.bit_length() - 1
+        e = expect.setdefault(b, [0, 0, 0])
+        e[0] += 1
+        e[1] += k
+        e[2] += k if k < 5 else 0
+    got = {r["log2_k"]: (r["n_classes"], r["n_users"],
+                         r["users_in_k_lt_5"]) for r in out}
+    assert got == {b: tuple(v) for b, v in expect.items()}
+
+
+def test_shard_planner_matches_brute_force():
+    """Consistent-hash ring vs hash-mod rebalance, replayed with
+    hashlib successor-on-ring arithmetic."""
+    import hashlib
+
+    n_docs = 40
+    docs = (
+        ["doc_id BIGINT", "text VARCHAR", "lang VARCHAR",
+         "source VARCHAR", "n_chars BIGINT"],
+        [(i, f"doc {i}", "en", "s", 5) for i in range(n_docs)],
+    )
+    out = _run({"documents": docs}, "q_shard_planner")[0]
+
+    DOM = 1 << 48
+
+    def hx(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    ring = {(s, j): hx(f"ring:{s}:{j}")
+            for s in range(9) for j in range(8)}
+
+    def assign(h, n_shards):
+        best = None
+        for (s, j), vh in ring.items():
+            if s >= n_shards:
+                continue
+            key = vh if vh >= h else vh + DOM
+            if best is None or key < best[0] or (key == best[0] and s < best[1]):
+                best = (key, s)
+        return best[1]
+
+    moved_mod = moved_ring = 0
+    loads = {}
+    for d in range(n_docs):
+        h = hx(f"shard:{d}")
+        if h % 8 != h % 9:
+            moved_mod += 1
+        r8, r9 = assign(h, 8), assign(h, 9)
+        if r8 != r9:
+            moved_ring += 1
+        loads[r8] = loads.get(r8, 0) + 1
+    assert out["n_docs"] == n_docs
+    assert abs(out["moved_mod_pct"] - 100.0 * moved_mod / n_docs) < 1e-4
+    assert abs(out["moved_ring_pct"] - 100.0 * moved_ring / n_docs) < 1e-4
+    assert out["ring8_max_shard_load"] == max(loads.values())
+    # mirrors the oracle: MIN over shards that received docs
+    assert out["ring8_min_shard_load"] == min(loads.values())
+    # the whole point: ring moves far fewer keys than mod
+    assert moved_ring < moved_mod
