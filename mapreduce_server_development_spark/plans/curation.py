@@ -589,3 +589,120 @@ def q_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("best_e4").cast("long").alias("best_e4"),
     )
     return s.selectExpr(*_MAT_FINAL).orderBy(F.col("dim").desc())
+
+
+# ---------------------------------------------------------------------------
+# q_embedding_drift — per-dimension drift between two populations
+# ---------------------------------------------------------------------------
+
+_DRIFT_TOP = 10
+
+#: Standardized mean difference per dimension from exact fixed-point
+#: sums: means/vars derive from integer (n, sx_e6, sxx_e12); the SMD
+#: is ONE shared float text, rounded to 6 BEFORE ranking (dim
+#: tie-break) so the top-k set is identical cross-engine.
+#: NULLIF guard: a constant dimension (zero pooled variance — think
+#: padding dims) must yield NULL, which sinks to the bottom of the
+#: DESC rank in both engines (NULLS LAST), never a divide-by-zero.
+_DRIFT_SMD = (
+    "round(abs(CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0)"
+    " / NULLIF(sqrt((("
+    "   (CAST(sxx0 AS DOUBLE) - CAST(sx0 AS DOUBLE) * CAST(sx0 AS DOUBLE)"
+    "    / n0) / (n0 - 1)"
+    " + (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)"
+    "    / n1) / (n1 - 1)"
+    ") / 2.0)), 0.0), 6)"
+)
+
+_DRIFT_FINAL = (
+    "CAST(dim AS BIGINT) AS dim",
+    "CAST(n0 AS BIGINT) AS n_a",
+    "CAST(n1 AS BIGINT) AS n_b",
+    "round(CAST(sx0 AS DOUBLE) / n0 / 1000000.0, 6) + 0.0 AS mean_a",
+    "round(CAST(sx1 AS DOUBLE) / n1 / 1000000.0, 6) + 0.0 AS mean_b",
+    "smd + 0.0 AS smd",
+)
+
+
+@query(
+    "q_embedding_drift",
+    oracle=f"""
+    WITH comp AS (
+        SELECT label % 2 AS grp, t.i AS dim,
+               CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS x_e6
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    agg AS (
+        SELECT grp, dim, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x_e6) AS HUGEINT) AS sx,
+               CAST(SUM(CAST(x_e6 AS HUGEINT) * x_e6) AS HUGEINT) AS sxx
+        FROM comp GROUP BY grp, dim
+    ),
+    wide AS (
+        SELECT a0.dim, a0.n AS n0, a0.sx AS sx0, a0.sxx AS sxx0,
+               a1.n AS n1, a1.sx AS sx1, a1.sxx AS sxx1
+        FROM agg a0 JOIN agg a1 ON a1.dim = a0.dim
+        WHERE a0.grp = 0 AND a1.grp = 1
+    ),
+    scored AS (SELECT *, {_DRIFT_SMD} AS smd FROM wide)
+    SELECT {", ".join(_DRIFT_FINAL)} FROM scored
+    ORDER BY smd DESC, dim LIMIT {_DRIFT_TOP}
+    """,
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding drift between two populations (even vs
+    odd labels standing in for reference vs candidate batches): the
+    standardized mean difference of every dimension, top-10 most
+    drifted — the feature-drift gate an embedding pipeline runs before
+    trusting a new encoder version or data era (dimensions with SMD
+    >> 0 mean the populations are separable and downstream ANN /
+    classifier behavior will shift).
+
+    Exactness: components are fixed-pointed (round(x*1e6)) BEFORE any
+    sum, so (n, sum, sum-of-squares) per (group, dim) are exact
+    integers under any partitioning; SMD is one shared float text
+    rounded to 6 before the rank, dim tie-break; the top-10 compiles
+    to TakeOrderedAndProject.
+
+    Scale: posexplode fans the vector relation x64 and collapses to
+    2 x 64 cells in one partial-agg'd shuffle; everything downstream
+    is cell-bounded. At 100 TB the explode never materializes — it
+    pipelines into the combiner.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        (F.col("label") % 2).alias("grp"),
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("i", "xv"),
+    ).select(
+        "grp",
+        (F.col("i") + 1).alias("dim"),
+        F.round(F.col("xv") * 1000000).cast("long").alias("x_e6"),
+    )
+    agg = comp.groupBy("grp", "dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x_e6").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("x_e6").cast("decimal(38,0)") * F.col("x_e6"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+    )
+    a0 = agg.filter("grp = 0").select(
+        "dim",
+        F.col("n").alias("n0"),
+        F.col("sx").alias("sx0"),
+        F.col("sxx").alias("sxx0"),
+    )
+    a1 = agg.filter("grp = 1").select(
+        "dim",
+        F.col("n").alias("n1"),
+        F.col("sx").alias("sx1"),
+        F.col("sxx").alias("sxx1"),
+    )
+    scored = a0.join(a1, "dim").withColumn("smd", F.expr(_DRIFT_SMD))
+    return (
+        scored.selectExpr(*_DRIFT_FINAL)
+        .orderBy(F.col("smd").desc(), "dim")
+        .limit(_DRIFT_TOP)
+    )

@@ -3073,3 +3073,49 @@ def test_clustering_coefficient_matches_brute_force():
     assert abs(out["avg_clustering"] - avg) < 1e-6
     # triangle {1,2,3} with pendant 4-1: C(2)=C(3)=1, C(1)=1/3
     assert out["n_fully_clustered"] == 2
+
+
+def test_embedding_drift_matches_brute_force():
+    """Per-dim SMD from exact e6 fixed-point sums, replayed; dim 1 is
+    engineered to drift strongly between even/odd labels."""
+    vecs = []
+    for i in range(10):
+        grp = i % 2
+        # dim1 drifts by group (with within-group noise so its pooled
+        # sd is nonzero); dim2 constant (NULL-guard path); dim3/4 mild
+        v = [(5.0 if grp else 1.0) + 0.125 * (i % 3), 2.0,
+             0.25 * (i % 3), 1.0]
+        vecs.append((i, v, i % 4))  # labels 0..3 -> grp = label % 2
+    cols = ["vec_id BIGINT", "embedding FLOAT[]", "label INTEGER"]
+    out = _run({"embeddings": (cols, vecs)}, "q_embedding_drift")
+
+    by = {}
+    for i, v, lab in vecs:
+        for d, x in enumerate(v, 1):
+            key = (lab % 2, d)
+            e6 = _rnd_half_away(x * 1e6)
+            st = by.setdefault(key, [0, 0, 0])
+            st[0] += 1
+            st[1] += e6
+            st[2] += e6 * e6
+    scored = []
+    for d in range(1, 5):
+        n0, sx0, sxx0 = by[(0, d)]
+        n1, sx1, sxx1 = by[(1, d)]
+        v0 = (sxx0 - sx0 * sx0 / n0) / (n0 - 1)
+        v1 = (sxx1 - sx1 * sx1 / n1) / (n1 - 1)
+        sd = math.sqrt((v0 + v1) / 2)
+        smd = round(abs(sx1 / n1 - sx0 / n0) / sd, 6) if sd else None
+        scored.append((d, n0, n1, sx0 / n0 / 1e6, sx1 / n1 / 1e6, smd))
+    # DESC with NULLS LAST (both engines), dim tie-break
+    scored.sort(key=lambda r: (1 if r[5] is None else 0, -(r[5] or 0), r[0]))
+    got = [(r["dim"], r["n_a"], r["n_b"]) for r in out]
+    assert got == [(d, n0, n1) for d, n0, n1, *_ in scored[:10]]
+    for r, e in zip(out, scored):
+        assert abs(r["mean_a"] - e[3]) < 1e-6
+        assert abs(r["mean_b"] - e[4]) < 1e-6
+        if e[5] is None:
+            assert r["smd"] is None
+        else:
+            assert abs(r["smd"] - e[5]) < 1e-6
+    assert out[0]["dim"] == 1  # the engineered drift dim ranks first
