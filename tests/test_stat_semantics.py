@@ -2425,7 +2425,8 @@ def test_knn_graph_matches_brute_force():
     rows = [(vid, list(v), 0) for vid, v in vecs.items()]
     out = _run({"embeddings": (cols, rows)}, "q_knn_graph")[0]
 
-    cents = {cid: vecs[cid] for cid in vecs if cid <= 16}
+    k = math.ceil(math.sqrt(len(vecs)))  # dynamic sqrt-cell count
+    cents = {cid: vecs[cid] for cid in vecs if cid <= k}
     assign = {}
     for vid, v in vecs.items():
         best = sorted(cents, key=lambda c: _rank_key(_cos(v, cents[c]), c))
