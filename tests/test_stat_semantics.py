@@ -3120,3 +3120,102 @@ def test_embedding_drift_matches_brute_force():
         else:
             assert abs(r["smd"] - e[5]) < 1e-6
     assert out[0]["dim"] == 1  # the engineered drift dim ranks first
+
+
+def test_embedding_quantization_matches_brute_force():
+    """Int8 symmetric quantization cosine audit from exact integer
+    sums, replayed with the e6/e9 fixed-point conventions."""
+    vecs = [
+        (1, [1.0, -0.5, 0.25, 0.0]),
+        (2, [0.001, 0.002, -0.003, 0.0005]),   # small-magnitude stress
+        (3, [100.0, 100.0, 100.0, 100.0]),      # exact under scaling
+        (4, [0.7, -0.3, 0.9, -0.1]),
+    ]
+    cols = ["vec_id BIGINT", "embedding FLOAT[]", "label INTEGER"]
+    out = _run(
+        {"embeddings": (cols, [(i, v, 0) for i, v in vecs])},
+        "q_embedding_quantization",
+    )[0]
+
+    import struct
+
+    def f32(x):  # parquet stores FLOAT; replay the float32 rounding
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    coses = []
+    for _, v in vecs:
+        xs = [_rnd_half_away(f32(x) * 1e6) for x in v]
+        m = max(abs(x) for x in xs)
+        if m == 0:
+            continue
+        qs = [_rnd_half_away(x * 127.0 / m) for x in xs]
+        dot = sum(x * q for x, q in zip(xs, qs))
+        x2 = sum(x * x for x in xs)
+        q2 = sum(q * q for q in qs)
+        coses.append(_rnd_half_away(1e9 * dot
+                                    / (math.sqrt(x2) * math.sqrt(q2))))
+    n = len(coses)
+    assert out["n_vectors"] == n
+    assert abs(out["mean_cosine"] - sum(coses) / n / 1e9) < 1e-6
+    assert abs(out["worst_cosine"] - min(coses) / 1e9) < 1e-6
+    assert out["n_below_999"] == sum(1 for c in coses if c < 999000000)
+    assert out["worst_cosine"] > 0.9  # int8 must not destroy geometry
+
+
+def test_group_gini_matches_brute_force():
+    """Per-nation Gini from rank-weighted integer sums."""
+    li = {1: [100.0, 100.0], 2: [1.0], 3: [399.0],  # nation A skewed
+          4: [50.0], 5: [50.0]}                      # nation B flat
+    sup_nation = {1: 0, 2: 0, 3: 0, 4: 1, 5: 1}
+    lcols = ["l_suppkey BIGINT", "l_extendedprice DOUBLE"]
+    lrows = [(s, p) for s, ps in li.items() for p in ps]
+    scols = ["s_suppkey BIGINT", "s_nationkey BIGINT"]
+    srows = [(s, n) for s, n in sup_nation.items()]
+    ncols = ["n_nationkey BIGINT", "n_name VARCHAR"]
+    nrows = [(0, "ALPHA"), (1, "BETA")]
+    out = _run(
+        {"lineitem": (lcols, lrows), "supplier": (scols, srows),
+         "nation": (ncols, nrows)},
+        "q_group_gini",
+    )
+
+    got = {r["nation"]: r for r in out}
+    names = {0: "ALPHA", 1: "BETA"}
+    by_nation = {}
+    for s, ps in li.items():
+        by_nation.setdefault(sup_nation[s], []).append(
+            sum(round(p * 100) for p in ps))
+    for nat, cents in by_nation.items():
+        cents.sort()
+        n, tot = len(cents), sum(cents)
+        wsum = sum(rk * c for rk, c in enumerate(cents, 1))
+        gini = 2.0 * wsum / (n * tot) - (n + 1.0) / n
+        g = got[names[nat]]
+        assert g["n_suppliers"] == n
+        assert abs(g["total_revenue"] - tot / 100.0) < 0.01
+        assert abs(g["gini"] - gini) < 1e-6
+    assert got["BETA"]["gini"] == 0.0  # perfectly flat market
+
+
+def test_acctbal_profile_matches_brute_force():
+    """Segment balance panel from exact integer cents."""
+    cust = [("BUILDING", 100.50), ("BUILDING", -20.25),
+            ("MACHINERY", 0.00), ("MACHINERY", 7.77),
+            ("MACHINERY", -1.00)]
+    cols = ["c_custkey BIGINT", "c_mktsegment VARCHAR", "c_acctbal DOUBLE"]
+    rows = [(i, s, b) for i, (s, b) in enumerate(cust)]
+    out = _run({"customer": (cols, rows)}, "q_acctbal_profile")
+
+    per = {}
+    for s, b in cust:
+        per.setdefault(s, []).append(round(b * 100))
+    got = {r["segment"]: r for r in out}
+    for s, bs in per.items():
+        g = got[s]
+        assert g["n_customers"] == len(bs)
+        assert g["n_negative"] == sum(1 for b in bs if b < 0)
+        assert abs(g["negative_pct"]
+                   - 100.0 * g["n_negative"] / len(bs)) < 1e-4
+        assert abs(g["mean_balance"] - sum(bs) / len(bs) / 100.0) < 1e-4
+        assert abs(g["min_balance"] - min(bs) / 100.0) < 1e-9
+        assert abs(g["max_balance"] - max(bs) / 100.0) < 1e-9
