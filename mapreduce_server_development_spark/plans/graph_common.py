@@ -66,16 +66,3 @@ def capped_po(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     return po.join(ok, "l_orderkey", "left_semi")
-
-
-def capped_po_from(po: DataFrame) -> DataFrame:
-    """Apply the whale-basket cap to an already-built distinct
-    (l_orderkey, l_partkey) relation (for callers that construct
-    ``po`` themselves, e.g. from a filtered lineitem)."""
-    ok = (
-        po.groupBy("l_orderkey")
-        .agg(F.count("*").alias("basket_n"))
-        .filter(F.col("basket_n") <= ORDER_BASKET_CAP)
-        .select("l_orderkey")
-    )
-    return po.join(ok, "l_orderkey", "left_semi")
