@@ -716,3 +716,83 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("smd").desc(), "dim")
         .limit(_DRIFT_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_truncation_loss — context-window truncation loss audit
+# ---------------------------------------------------------------------------
+
+#: Candidate context lengths (tokens). The fixture corpus tops out
+#: near 100 whitespace tokens, so the grid brackets its distribution;
+#: a production run passes its real 2k/4k/8k grid the same way.
+_TRUNC_LENS = (16, 32, 64, 128)
+
+_TRUNC_FINAL = (
+    "CAST(ctx_len AS BIGINT) AS ctx_len",
+    "CAST(n_docs AS BIGINT) AS n_docs",
+    "CAST(n_over AS BIGINT) AS n_docs_over",
+    "CAST(lost AS BIGINT) AS tokens_lost",
+    "round(CAST(lost AS DOUBLE) / CAST(tot AS DOUBLE), 6) + 0.0"
+    " AS lost_pct",
+    "round(CAST(n_over AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) + 0.0"
+    " AS docs_over_pct",
+)
+
+
+@query(
+    "q_truncation_loss",
+    oracle=f"""
+    WITH t AS (
+        SELECT CAST(len(list_filter(string_split(lower(text), ' '),
+                                    x -> x <> '')) AS BIGINT) AS n
+        FROM documents
+    ),
+    grid AS (SELECT unnest([{", ".join(str(x) for x in _TRUNC_LENS)}])
+                 AS ctx_len),
+    s AS (
+        SELECT g.ctx_len,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN t.n > g.ctx_len THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_over,
+               CAST(SUM(GREATEST(t.n - g.ctx_len, 0)) AS BIGINT) AS lost,
+               CAST(SUM(t.n) AS BIGINT) AS tot
+        FROM t CROSS JOIN grid g
+        GROUP BY g.ctx_len
+    )
+    SELECT {", ".join(_TRUNC_FINAL)} FROM s ORDER BY ctx_len
+    """,
+)
+def q_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window truncation loss audit: for each candidate
+    context length, how many documents overflow it and what fraction
+    of the corpus's tokens a truncate-at-L policy throws away — the
+    number that decides between truncation, chunking, and sequence
+    packing (q_seq_packing) before a training run commits to a
+    context size.
+
+    Exact integer token counts; the grid fan-out is a bounded
+    broadcast (|lengths| rows) over one corpus scan with map-side
+    combine; two shared division texts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.size(tokens_col(F.lower(F.col("text")))).cast("long").alias("n")
+    )
+    grid = F.broadcast(
+        spark.createDataFrame([(x,) for x in _TRUNC_LENS], "ctx_len long")
+    )
+    s = (
+        t.crossJoin(grid)
+        .groupBy("ctx_len")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n") > F.col("ctx_len"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_over"),
+            F.sum(F.greatest(F.col("n") - F.col("ctx_len"), F.lit(0)))
+            .cast("long")
+            .alias("lost"),
+            F.sum("n").cast("long").alias("tot"),
+        )
+    )
+    return s.selectExpr(*_TRUNC_FINAL).orderBy("ctx_len")

@@ -3219,3 +3219,27 @@ def test_acctbal_profile_matches_brute_force():
         assert abs(g["mean_balance"] - sum(bs) / len(bs) / 100.0) < 1e-4
         assert abs(g["min_balance"] - min(bs) / 100.0) < 1e-9
         assert abs(g["max_balance"] - max(bs) / 100.0) < 1e-9
+
+
+def test_truncation_loss_matches_brute_force():
+    """Truncate-at-L token loss across the context grid."""
+    lens = [10, 20, 40, 100, 130]  # token counts per doc
+    docs = (
+        ["doc_id BIGINT", "text VARCHAR", "lang VARCHAR",
+         "source VARCHAR", "n_chars BIGINT"],
+        [(i, " ".join(["w"] * n), "en", "s", 2 * n)
+         for i, n in enumerate(lens)],
+    )
+    rows = _run({"documents": docs}, "q_truncation_loss")
+    got = {r["ctx_len"]: r for r in rows}
+    tot = sum(lens)
+    for L in (16, 32, 64, 128):
+        over = [n for n in lens if n > L]
+        lost = sum(n - L for n in over)
+        g = got[L]
+        assert g["n_docs"] == len(lens)
+        assert g["n_docs_over"] == len(over)
+        assert g["tokens_lost"] == lost
+        assert abs(g["lost_pct"] - lost / tot) < 1e-6
+        assert abs(g["docs_over_pct"] - len(over) / len(lens)) < 1e-6
+    assert got[128]["tokens_lost"] == 2  # only the 130-token doc
