@@ -796,3 +796,96 @@ def q_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return s.selectExpr(*_TRUNC_FINAL).orderBy("ctx_len")
+
+
+# ---------------------------------------------------------------------------
+# q_rag_chunking — overlapping-chunk plan audit
+# ---------------------------------------------------------------------------
+
+#: (chunk_size, overlap) candidate configs, in tokens.
+_RAG_CONFIGS = ((32, 0), (32, 8), (64, 16))
+
+_RAG_FINAL = (
+    "CAST(chunk_size AS BIGINT) AS chunk_size",
+    "CAST(overlap AS BIGINT) AS overlap",
+    "CAST(n_docs AS BIGINT) AS n_docs",
+    "CAST(n_chunks AS BIGINT) AS n_chunks",
+    "CAST(stored AS BIGINT) AS stored_tokens",
+    "round(CAST(stored AS DOUBLE) / CAST(tot AS DOUBLE), 6) + 0.0"
+    " AS storage_blowup",
+)
+
+
+@query(
+    "q_rag_chunking",
+    oracle=f"""
+    WITH t AS (
+        SELECT CAST(len(list_filter(string_split(lower(text), ' '),
+                                    x -> x <> '')) AS BIGINT) AS n
+        FROM documents
+    ),
+    grid AS (
+        SELECT c.* FROM (VALUES {", ".join(f"({c}, {o})" for c, o in _RAG_CONFIGS)})
+            AS c(chunk_size, overlap)
+    ),
+    per AS (
+        SELECT g.chunk_size, g.overlap, t.n,
+               CASE WHEN t.n <= g.chunk_size THEN 1
+                    ELSE 1 + CAST(ceil(CAST(t.n - g.chunk_size AS DOUBLE)
+                            / (g.chunk_size - g.overlap)) AS BIGINT)
+               END AS k
+        FROM t CROSS JOIN grid g
+    ),
+    s AS (
+        SELECT chunk_size, overlap,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(k) AS BIGINT) AS n_chunks,
+               CAST(SUM(n + (k - 1) * overlap) AS BIGINT) AS stored,
+               CAST(SUM(n) AS BIGINT) AS tot
+        FROM per GROUP BY chunk_size, overlap
+    )
+    SELECT {", ".join(_RAG_FINAL)} FROM s ORDER BY chunk_size, overlap
+    """,
+)
+def q_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-chunk plan audit for retrieval indexing: for each
+    (chunk_size, overlap) config, the chunk count a sliding-window
+    splitter emits — ceil((n - C) / (C - O)) extra chunks past the
+    first — and the storage blowup from re-storing the overlapped
+    tokens (stored = n + (k-1)*O). The cost side of the RAG chunking
+    decision; the retrieval-quality side is measured downstream, but
+    the index bill is knowable before building anything.
+
+    Exact integer chunk arithmetic (the one ceil runs on a shared
+    float text over exact integers — token counts sit far below
+    2^53, so the double quotient is exact); the config grid is a
+    bounded broadcast over one corpus scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.size(tokens_col(F.lower(F.col("text")))).cast("long").alias("n")
+    )
+    grid = F.broadcast(
+        spark.createDataFrame(
+            list(_RAG_CONFIGS), "chunk_size long, overlap long"
+        )
+    )
+    per = t.crossJoin(grid).withColumn(
+        "k",
+        F.when(F.col("n") <= F.col("chunk_size"), F.lit(1)).otherwise(
+            1
+            + F.ceil(
+                (F.col("n") - F.col("chunk_size")).cast("double")
+                / (F.col("chunk_size") - F.col("overlap"))
+            ).cast("long")
+        ),
+    )
+    s = per.groupBy("chunk_size", "overlap").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("k").cast("long").alias("n_chunks"),
+        F.sum(F.col("n") + (F.col("k") - 1) * F.col("overlap"))
+        .cast("long")
+        .alias("stored"),
+        F.sum("n").cast("long").alias("tot"),
+    )
+    return s.selectExpr(*_RAG_FINAL).orderBy("chunk_size", "overlap")

@@ -824,3 +824,78 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(*_KA_FINAL)
         .orderBy("log2_k")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_temperature_mix — alpha-smoothed source sampling weights
+# ---------------------------------------------------------------------------
+
+_TMIX_ALPHA = "0.5"  # literal shared by both engines
+
+_TMIX_FINAL = (
+    "source",
+    "CAST(n_docs AS BIGINT) AS n_docs",
+    "CAST(toks AS BIGINT) AS n_tokens",
+    "round(CAST(toks AS DOUBLE) / CAST(tot AS DOUBLE), 6) + 0.0"
+    " AS natural_share",
+    f"round(pow(CAST(toks AS DOUBLE), {_TMIX_ALPHA}) / psum, 6) + 0.0"
+    " AS smoothed_share",
+    f"round((pow(CAST(toks AS DOUBLE), {_TMIX_ALPHA}) / psum)"
+    " / (CAST(toks AS DOUBLE) / CAST(tot AS DOUBLE)), 6) + 0.0"
+    " AS upsample_factor",
+)
+
+
+@query(
+    "q_temperature_mix",
+    oracle=f"""
+    WITH t AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> ''))) AS BIGINT) AS toks
+        FROM documents GROUP BY source
+    ),
+    s AS (
+        SELECT CAST(SUM(toks) AS BIGINT) AS tot,
+               SUM(pow(CAST(toks AS DOUBLE), {_TMIX_ALPHA})) AS psum
+        FROM t
+    )
+    SELECT {", ".join(_TMIX_FINAL)}
+    FROM t CROSS JOIN s
+    ORDER BY source
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights (the multilingual
+    alpha-smoothing of mBERT/XLM-R, alpha = 0.5): each source's
+    sampling share becomes tokens^alpha / sum(tokens^alpha), lifting
+    low-resource sources and damping dominant ones; the upsample
+    factor (smoothed/natural) is the repetition rate each source pays
+    — the standard knob between q_dataset_mix's fixed ratios and pure
+    proportional sampling.
+
+    Exact integer token counts per source; the alpha transform and
+    both shares are shared float texts over a |sources|-row relation
+    (psum is a |sources|-term double sum — bounded, order differences
+    ~1e-15 against the 1e-6 rounding).
+
+    Scale: one corpus scan with map-side combine to |sources| rows;
+    everything after is panel-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.text import tokens_col
+
+    t = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(tokens_col(F.lower(F.col("text")))))
+        .cast("long")
+        .alias("toks"),
+    )
+    s = t.agg(
+        F.sum("toks").cast("long").alias("tot"),
+        F.sum(F.pow(F.col("toks").cast("double"), F.lit(0.5))).alias("psum"),
+    )
+    return (
+        t.crossJoin(F.broadcast(s)).selectExpr(*_TMIX_FINAL).orderBy("source")
+    )

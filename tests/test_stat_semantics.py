@@ -3243,3 +3243,59 @@ def test_truncation_loss_matches_brute_force():
         assert abs(g["lost_pct"] - lost / tot) < 1e-6
         assert abs(g["docs_over_pct"] - len(over) / len(lens)) < 1e-6
     assert got[128]["tokens_lost"] == 2  # only the 130-token doc
+
+
+def test_temperature_mix_matches_brute_force():
+    """alpha=0.5 smoothed shares + upsample factors replayed."""
+    src = {"big": 90, "mid": 9, "small": 1}  # tokens per source
+    rows = []
+    did = 0
+    for s, toks in src.items():
+        rows.append((did, " ".join(["w"] * toks), "en", s, toks * 2))
+        did += 1
+    docs = (
+        ["doc_id BIGINT", "text VARCHAR", "lang VARCHAR",
+         "source VARCHAR", "n_chars BIGINT"],
+        rows,
+    )
+    out = _run({"documents": docs}, "q_temperature_mix")
+    got = {r["source"]: r for r in out}
+    tot = sum(src.values())
+    psum = sum(t ** 0.5 for t in src.values())
+    for s, toks in src.items():
+        g = got[s]
+        nat = toks / tot
+        smo = toks ** 0.5 / psum
+        assert g["n_tokens"] == toks
+        assert abs(g["natural_share"] - nat) < 1e-6
+        assert abs(g["smoothed_share"] - smo) < 1e-6
+        assert abs(g["upsample_factor"] - smo / nat) < 1e-6
+    # smoothing must lift the small source and damp the big one
+    assert got["small"]["upsample_factor"] > 1.0
+    assert got["big"]["upsample_factor"] < 1.0
+
+
+def test_rag_chunking_matches_brute_force():
+    """Sliding-window chunk counts + overlap storage blowup."""
+    lens = [5, 32, 33, 64, 100]
+    docs = (
+        ["doc_id BIGINT", "text VARCHAR", "lang VARCHAR",
+         "source VARCHAR", "n_chars BIGINT"],
+        [(i, " ".join(["w"] * n), "en", "s", 2 * n)
+         for i, n in enumerate(lens)],
+    )
+    out = _run({"documents": docs}, "q_rag_chunking")
+    got = {(r["chunk_size"], r["overlap"]): r for r in out}
+    tot = sum(lens)
+    for C, O in ((32, 0), (32, 8), (64, 16)):
+        n_chunks = stored = 0
+        for n in lens:
+            k = 1 if n <= C else 1 + math.ceil((n - C) / (C - O))
+            n_chunks += k
+            stored += n + (k - 1) * O
+        g = got[(C, O)]
+        assert g["n_docs"] == len(lens)
+        assert g["n_chunks"] == n_chunks
+        assert g["stored_tokens"] == stored
+        assert abs(g["storage_blowup"] - stored / tot) < 1e-6
+    assert got[(32, 0)]["storage_blowup"] == 1.0  # no overlap, no cost
