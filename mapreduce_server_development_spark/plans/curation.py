@@ -1,18 +1,24 @@
 """Corpus-curation and embedding-evaluation queries (round 7).
 
-Three operators a large-scale training-data pipeline runs before
-committing to a corpus or an embedding column:
+Operators a large-scale training-data pipeline runs before committing
+to a corpus, a context size, or an embedding column:
 
 - ``q_boilerplate_ngrams`` — per-source repeated-8-gram (template
   boilerplate) audit, the RefinedWeb/CCNet-style repeated-content
   signal computed from within-source document frequency.
-- ``q_knn_graph`` — cell-local cosine k-NN graph construction with
+- ``q_knn_graph`` — sqrt(n)-cell cosine k-NN graph construction with
   mutuality stats, the precursor to graph-based semantic dedup and
   diversity sampling.
 - ``q_matryoshka_audit`` — dimension-truncation audit: how much top-1
   retrieval agreement survives when embeddings are truncated to a
   prefix of their dimensions (the Matryoshka-representation question:
   can we store/search 8 or 16 dims instead of 64?).
+- ``q_embedding_drift`` — per-dimension standardized mean difference
+  between two vector populations (new-encoder / new-era gate).
+- ``q_truncation_loss`` — tokens a truncate-at-L policy discards per
+  candidate context length.
+- ``q_rag_chunking`` — sliding-window chunk counts and overlap storage
+  blowup per (chunk_size, overlap) config.
 
 All cosine arithmetic follows the house float discipline
 (``functions/similarity.py``): cosines are rounded to 4 decimals
