@@ -1,0 +1,438 @@
+"""Data-selection and embedding-compression queries (round 7, wave 3).
+
+The two questions a training-data pipeline answers after cleaning and
+dedup: WHICH raw documents to keep (importance resampling against a
+target domain), and HOW to store/search the embedding column at 100 TB
+(product quantization). Reference behavioral scope: the reference
+engine (ChristineWmy/MapReduce-Server-Development) provides the
+map/group/reduce substrate (``tests/testdata/exec/*``); these queries
+are the additive analytics mandated by the build brief.
+
+- ``q_dsir_weights`` — DSIR-style importance weights (Xie et al.,
+  NeurIPS 2023, "Data Selection for Language Models via Importance
+  Resampling"): hashed-bigram bag-of-words models of a target domain
+  vs the raw pool; per-document weight = sum of per-feature
+  log(p_target / p_raw).
+- ``q_pq_ann`` — product-quantization ANN audit (Jegou et al. 2011):
+  8 subspaces x 16 centroids (4-bit codes, 256 B -> 4 B per vector),
+  asymmetric-distance (ADC) top-3 vs exact L2 top-3, with recall and
+  top-1 distortion per query.
+
+Float discipline (house rules): every log/distance cell is rounded to
+a fixed number of decimals and fixed-pointed to an integer BEFORE any
+distributed sum or rank (micro-nats for logs, e4 units for squared
+distances), so both engines sum exact integers and rank
+bit-identically with id tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.similarity import _dot
+from ..functions.text import tokens_col, word_shingles
+from ..sources.tables import load_table
+from .registry import query
+from .sampling import _bucket_sql, hash_bucket
+
+# ---------------------------------------------------------------------------
+# q_dsir_weights — hashed-bigram importance weights vs a target domain
+# ---------------------------------------------------------------------------
+
+#: Feature-hash width. DSIR's paper uses 10k buckets over unigrams+
+#: bigrams; 256 keeps the oracle's bucket panel small while leaving
+#: ~50 docs/bucket of signal at the fixture scale. The bucket panel is
+#: O(width) regardless of corpus size.
+_DSIR_BUCKETS = 256
+
+#: Shared per-bucket log-ratio cell: Laplace(+1)-smoothed target and
+#: raw bucket probabilities, ln of the ratio, micro-nat fixed point.
+#: Every operand is CAST to DOUBLE before arithmetic — Spark parses a
+#: bare `1.0` literal as DECIMAL and would run the division in decimal
+#: arithmetic (silently losing the 6th significant digit before ln).
+_DSIR_CELL = (
+    "CAST(round(ln("
+    " ((CAST(ct AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + {b}.0))"
+    " / ((CAST(cr AS DOUBLE) + 1.0) / (CAST(tr AS DOUBLE) + {b}.0))"
+    ") * 1000000) AS BIGINT)"
+).format(b=_DSIR_BUCKETS)
+
+_DSIR_FINAL = (
+    "doc_id",
+    "lang",
+    "source",
+    "CAST(n_bigrams AS BIGINT) AS n_bigrams",
+    "CAST(weight AS BIGINT) AS weight_micro_nats",
+    "round(CAST(weight AS DOUBLE) / n_bigrams / 1000000.0, 4) + 0.0"
+    " AS avg_log_ratio",
+)
+
+
+@query(
+    "q_dsir_weights",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, source,
+               list_filter(string_split(lower(text), ' '), t -> t <> '')
+                   AS toks
+        FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, lang, source,
+               {_bucket_sql("dsir", "g", _DSIR_BUCKETS)} AS b
+        FROM (
+            SELECT doc_id, lang, source,
+                   unnest(list_transform(
+                       range(1, len(toks)),
+                       i -> array_to_string(toks[i:i+1], ' '))) AS g
+            FROM toks WHERE len(toks) >= 2
+        )
+    ),
+    raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM bi GROUP BY b),
+    tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct
+            FROM bi WHERE lang = 'en' GROUP BY b),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS tr,
+               CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS tt
+        FROM bi
+    ),
+    cells AS (
+        -- ct is NULL for buckets the target never emits
+        SELECT b, {_DSIR_CELL} AS cell FROM (
+            SELECT raw.b, raw.cr, COALESCE(tgt.ct, 0) AS ct, tot.tr, tot.tt
+            FROM raw LEFT JOIN tgt ON tgt.b = raw.b CROSS JOIN tot
+        )
+    ),
+    per_doc AS (
+        SELECT bi.doc_id, bi.lang, bi.source,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(c.cell) AS BIGINT) AS weight
+        FROM bi JOIN cells c ON c.b = bi.b
+        GROUP BY bi.doc_id, bi.lang, bi.source
+    )
+    SELECT {", ".join(_DSIR_FINAL)}
+    FROM per_doc
+    ORDER BY weight DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): model the target
+    domain (here lang='en', standing in for the paper's
+    Wikipedia+books target) and the raw pool as hashed-bigram
+    bag-of-words distributions over 256 feature buckets
+    (Laplace-smoothed); each document's weight is the sum over its
+    bigram OCCURRENCES of log(p_target(bucket) / p_raw(bucket)).
+    Top-20 by weight — the documents importance resampling would pull
+    into the training mix first.
+
+    Exactness: per-bucket log-ratios are micro-nat integers (one
+    shared formula text), so per-doc weights are exact integer sums;
+    ranking ties break on doc_id.
+
+    Scale: the feature space is FIXED at 256 buckets regardless of
+    corpus size (that is the point of the hashing trick), so both
+    n-gram models are one map-side-combined aggregate into a
+    256-row panel that broadcasts; the per-doc weight is one
+    doc_id-keyed aggregate over a broadcast-joined scan — no vocab
+    table, no shuffle wider than the doc panel, nothing all-pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        tokens_col(F.lower(F.col("text"))).alias("toks"),
+    )
+    bi = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.explode(word_shingles(F.col("toks"), 2)).alias("g"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            hash_bucket("dsir", F.col("g"), _DSIR_BUCKETS).alias("b"),
+        )
+    )
+    raw = bi.groupBy("b").agg(F.count("*").cast("long").alias("cr"))
+    tgt = (
+        bi.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("ct"))
+    )
+    tot = bi.agg(
+        F.count("*").cast("long").alias("tr"),
+        F.count(F.when(F.col("lang") == "en", 1)).cast("long").alias("tt"),
+    )
+    cells = (
+        raw.join(tgt, "b", "left")
+        .withColumn("ct", F.coalesce("ct", F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .selectExpr("b", f"{_DSIR_CELL} AS cell")
+    )
+    per_doc = (
+        bi.join(F.broadcast(cells), "b")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("cell").cast("long").alias("weight"),
+        )
+    )
+    return (
+        per_doc.selectExpr(*_DSIR_FINAL)
+        .orderBy(F.col("weight_micro_nats").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_pq_ann — product-quantization ANN audit (Jegou et al. 2011)
+# ---------------------------------------------------------------------------
+
+#: 64 dims -> 8 subspaces x 8 dims, 16 centroids per subspace: 4-bit
+#: codes, 4 bytes per vector vs 256 raw (64x compression). Codebook
+#: seeds are the subvectors of the 16 lowest vec_ids (ids are dense in
+#: the fixtures — the q_knn_graph convention; a real deployment swaps
+#: in q_ivf_kmeans_ann's trained quantizer).
+_PQ_M = 8
+_PQ_SUBDIM = 8
+_PQ_KS = 16
+
+_PQ_FINAL = (
+    "qid",
+    "CAST(overlap_at3 AS BIGINT) AS overlap_at3",
+    "CAST(exact_top1 AS BIGINT) AS exact_top1_d2_e4",
+    "CAST(adc_top1_true AS BIGINT) AS adc_top1_d2_e4",
+    "round(CAST(adc_top1_true AS DOUBLE)"
+    " / NULLIF(CAST(exact_top1 AS DOUBLE), 0.0), 4) + 0.0"
+    " AS top1_distortion",
+)
+
+
+@query(
+    "q_pq_ann",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id AS vid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        FROM embeddings
+    ),
+    ms AS (SELECT unnest(range(0, {_PQ_M})) AS m),
+    sub AS (
+        SELECT vid, m,
+               vv[m * {_PQ_SUBDIM} + 1 : m * {_PQ_SUBDIM} + {_PQ_SUBDIM}]
+                   AS sv
+        FROM v CROSS JOIN ms
+    ),
+    cent AS (
+        SELECT vid AS cid, m, sv AS cv FROM sub WHERE vid < {_PQ_KS}
+    ),
+    enc AS (
+        SELECT vid, m, cid FROM (
+            SELECT s.vid, s.m, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vid, s.m
+                       ORDER BY CAST(round((
+                           list_dot_product(s.sv, s.sv)
+                           + list_dot_product(c.cv, c.cv)
+                           - 2 * list_dot_product(s.sv, c.cv)) * 10000)
+                           AS BIGINT), c.cid) AS rn
+            FROM sub s JOIN cent c ON c.m = s.m
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vid AS qid, vv AS qv FROM v WHERE vid % 97 = 3),
+    qsub AS (
+        SELECT qid, m,
+               qv[m * {_PQ_SUBDIM} + 1 : m * {_PQ_SUBDIM} + {_PQ_SUBDIM}]
+                   AS qs
+        FROM q CROSS JOIN ms
+    ),
+    lut AS (
+        SELECT s.qid, s.m, c.cid,
+               CAST(round((list_dot_product(s.qs, s.qs)
+                           + list_dot_product(c.cv, c.cv)
+                           - 2 * list_dot_product(s.qs, c.cv)) * 10000)
+                   AS BIGINT) AS d2c
+        FROM qsub s JOIN cent c ON c.m = s.m
+    ),
+    adc AS (
+        SELECT l.qid, e.vid, CAST(SUM(l.d2c) AS BIGINT) AS adc_d2
+        FROM enc e JOIN lut l ON l.m = e.m AND l.cid = e.cid
+        WHERE e.vid <> l.qid
+        GROUP BY l.qid, e.vid
+    ),
+    exact AS (
+        SELECT q.qid, v.vid,
+               CAST(round((list_dot_product(q.qv, q.qv)
+                           + list_dot_product(v.vv, v.vv)
+                           - 2 * list_dot_product(q.qv, v.vv)) * 10000)
+                   AS BIGINT) AS d2
+        FROM q JOIN v ON v.vid <> q.qid
+    ),
+    et AS (SELECT qid, vid, d2,
+                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, vid)
+                      AS rn
+           FROM exact),
+    at AS (SELECT qid, vid,
+                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_d2, vid)
+                      AS rn
+           FROM adc),
+    ov AS (
+        SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS overlap
+        FROM et e JOIN at a ON a.qid = e.qid AND a.vid = e.vid
+              AND a.rn <= 3
+        WHERE e.rn <= 3
+        GROUP BY e.qid
+    ),
+    e1 AS (SELECT qid, d2 AS exact_top1 FROM et WHERE rn = 1),
+    a1 AS (
+        SELECT a.qid, x.d2 AS adc_top1_true
+        FROM at a JOIN exact x ON x.qid = a.qid AND x.vid = a.vid
+        WHERE a.rn = 1
+    ),
+    res AS (
+        SELECT q.qid, COALESCE(ov.overlap, 0) AS overlap_at3,
+               e1.exact_top1, a1.adc_top1_true
+        FROM q
+        JOIN e1 ON e1.qid = q.qid
+        JOIN a1 ON a1.qid = q.qid
+        LEFT JOIN ov ON ov.qid = q.qid
+    )
+    SELECT {", ".join(_PQ_FINAL)} FROM res ORDER BY qid
+    """,
+)
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN audit (Jegou, Douze, Schmid 2011):
+    split each 64-dim embedding into 8 subvectors, quantize each
+    against a 16-centroid subspace codebook (4-bit codes — 4 bytes per
+    vector instead of 256, the 64x compression that makes a 100 TB
+    embedding column searchable in memory), then answer top-3 nearest
+    neighbors for the deterministic query sample (vid % 97 = 3) by
+    asymmetric distance (ADC: query-to-centroid lookup tables) and
+    score against the exact squared-L2 top-3: overlap@3 and the true
+    distance of the ADC-chosen top-1 vs the exact top-1 (distortion).
+
+    Exactness: every squared distance is e4-fixed-pointed BEFORE
+    ranking (d2 = <a,a> + <b,b> - 2<a,b>, all three dots left-fold
+    deterministic); ADC totals are exact integer sums of the 8 LUT
+    cells; all ranks tie-break on vid.
+
+    Scale: the codebook is M x ks x subdim doubles (8x16x8 = 1 Ki
+    values) — broadcast, like the LUT (|queries| x 128 rows). Encoding
+    is a per-(vector, subspace) window over 16 candidates — one
+    high-cardinality-keyed shuffle, linear in the corpus; ADC scoring
+    is a broadcast-LUT hash join + one (qid, vid)-keyed partial-agg
+    sum, never a vector-by-vector distance over raw floats. The exact
+    tier (bounded |queries| broadcast nested-loop, the cosine_topk
+    sanction) exists only to MEASURE recall — production serves from
+    codes alone.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "vv"
+        ),
+    )
+    ms = spark.range(_PQ_M).select(F.col("id").cast("long").alias("m"))
+    sub = v.crossJoin(F.broadcast(ms)).select(
+        "vid",
+        "m",
+        F.slice(
+            F.col("vv"), F.col("m") * _PQ_SUBDIM + 1, _PQ_SUBDIM
+        ).alias("sv"),
+    )
+    cent = (
+        sub.filter(F.col("vid") < _PQ_KS)
+        .select(F.col("vid").alias("cid"), "m", F.col("sv").alias("cv"))
+    )
+
+    def d2_e4(a: str, b: str):
+        return (
+            F.round(
+                (
+                    _dot(F.col(a), F.col(a))
+                    + _dot(F.col(b), F.col(b))
+                    - 2 * _dot(F.col(a), F.col(b))
+                )
+                * 10000
+            ).cast("long")
+        )
+
+    enc = (
+        sub.join(F.broadcast(cent), "m")
+        .withColumn("d2", d2_e4("sv", "cv"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vid", "m").orderBy("d2", "cid")
+            ),
+        )
+        .filter("rn = 1")
+        .select("vid", "m", "cid")
+    )
+    q = v.filter(F.col("vid") % 97 == 3).select(
+        F.col("vid").alias("qid"), F.col("vv").alias("qv")
+    )
+    qsub = q.crossJoin(F.broadcast(ms)).select(
+        "qid",
+        "m",
+        F.slice(
+            F.col("qv"), F.col("m") * _PQ_SUBDIM + 1, _PQ_SUBDIM
+        ).alias("qs"),
+    )
+    lut = (
+        qsub.join(F.broadcast(cent), "m")
+        .withColumn("d2c", d2_e4("qs", "cv"))
+        .select("qid", "m", "cid", "d2c")
+    )
+    adc = (
+        enc.join(F.broadcast(lut), ["m", "cid"])
+        .filter(F.col("vid") != F.col("qid"))
+        .groupBy("qid", "vid")
+        .agg(F.sum("d2c").cast("long").alias("adc_d2"))
+    )
+    exact = (
+        v.join(F.broadcast(q), F.col("vid") != F.col("qid"))
+        .withColumn("d2", d2_e4("qv", "vv"))
+        .select("qid", "vid", "d2")
+    )
+    et = exact.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("qid").orderBy("d2", "vid")),
+    )
+    at = adc.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy("adc_d2", "vid")
+        ),
+    )
+    ov = (
+        et.filter("rn <= 3")
+        .join(
+            at.filter("rn <= 3").select("qid", "vid"), ["qid", "vid"]
+        )
+        .groupBy("qid")
+        .agg(F.count("*").cast("long").alias("overlap"))
+    )
+    e1 = et.filter("rn = 1").select("qid", F.col("d2").alias("exact_top1"))
+    a1 = (
+        at.filter("rn = 1")
+        .select("qid", "vid")
+        .join(exact, ["qid", "vid"])
+        .select("qid", F.col("d2").alias("adc_top1_true"))
+    )
+    res = (
+        q.select("qid")
+        .join(e1, "qid")
+        .join(a1, "qid")
+        .join(ov, "qid", "left")
+        .withColumn("overlap_at3", F.coalesce("overlap", F.lit(0)))
+    )
+    return res.selectExpr(*_PQ_FINAL).orderBy("qid")
