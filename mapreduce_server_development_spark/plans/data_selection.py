@@ -436,3 +436,364 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("overlap_at3", F.coalesce("overlap", F.lit(0)))
     )
     return res.selectExpr(*_PQ_FINAL).orderBy("qid")
+
+
+# ---------------------------------------------------------------------------
+# q_hard_negatives — contrastive hard-negative margin audit
+# ---------------------------------------------------------------------------
+
+_HN_FINAL = (
+    "label",
+    "CAST(n_anchors AS BIGINT) AS n_anchors",
+    "round(CAST(sum_margin AS DOUBLE) / n_anchors / 10000.0, 4) + 0.0"
+    " AS mean_margin",
+    "CAST(min_margin AS BIGINT) AS min_margin_e4",
+    "round(CAST(n_confusable AS DOUBLE) / n_anchors, 4) + 0.0"
+    " AS confusable_pct",
+)
+
+#: Shared cell-assignment CTE text (the q_knn_graph convention):
+#: ceil(sqrt(n)) seed centroids taken at the low end of the dense id
+#: space; every vector joins its max-cosine centroid (4-decimal
+#: rounds, cid tie-break).
+_CELL_CTES = """
+    v AS (
+        SELECT vec_id AS vid, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vid, label, vv,
+               sqrt(list_sum(list_transform(vv, x -> x * x))) AS nrm
+        FROM v
+    ),
+    kk AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k FROM n),
+    cent AS (SELECT vid AS cid, vv AS cv, nrm AS cnrm
+             FROM n, kk WHERE vid <= kk.k),
+    assign AS (
+        SELECT vid, label, cid, vv, nrm FROM (
+            SELECT n.vid, n.label, c.cid, n.vv, n.nrm,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.vid
+                       ORDER BY round(list_dot_product(n.vv, c.cv)
+                                      / (n.nrm * c.cnrm), 4) DESC, c.cid)
+                       AS rn
+            FROM n CROSS JOIN cent c
+        ) WHERE rn = 1
+    )
+"""
+
+
+@query(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH {_CELL_CTES},
+    pairs AS (
+        SELECT a.vid, a.label,
+               b.label = a.label AS same,
+               CAST(round(list_dot_product(a.vv, b.vv)
+                          / (a.nrm * b.nrm) * 10000) AS BIGINT) AS cos_e4,
+               b.vid AS bvid
+        FROM assign a JOIN assign b
+          ON a.cid = b.cid AND a.vid <> b.vid
+    ),
+    best AS (
+        SELECT vid, label,
+               MAX(CASE WHEN same THEN cos_e4 END) AS pos_e4,
+               MAX(CASE WHEN NOT same THEN cos_e4 END) AS neg_e4
+        FROM pairs GROUP BY vid, label
+    ),
+    m AS (
+        SELECT vid, label, pos_e4 - neg_e4 AS margin
+        FROM best WHERE pos_e4 IS NOT NULL AND neg_e4 IS NOT NULL
+    ),
+    agg AS (
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_anchors,
+               CAST(SUM(margin) AS BIGINT) AS sum_margin,
+               CAST(MIN(margin) AS BIGINT) AS min_margin,
+               CAST(SUM(CASE WHEN margin < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_confusable
+        FROM m GROUP BY label
+    )
+    SELECT {", ".join(_HN_FINAL)} FROM agg ORDER BY label
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining audit for contrastive training: for each
+    anchor vector, the hardest in-cell negative (max cosine to a
+    DIFFERENT label) against the nearest in-cell positive (max cosine
+    to the SAME label); per label, the mean/min margin and the
+    CONFUSABLE share — anchors whose hardest negative is closer than
+    their nearest positive, the pairs a contrastive fine-tune must
+    separate first (and the negatives a hard-negative miner would
+    emit).
+
+    Exactness: cosines are e4-fixed-pointed before the per-anchor MAX,
+    margins are integer differences, and cell assignment follows the
+    shared 4-decimal/cid-tie-break text — both engines agree
+    bit-for-bit.
+
+    Scale: candidate generation is the sqrt(n)-cell equi-join
+    (O(n^1.5) pair volume, the q_knn_graph boundary), never all-pairs;
+    per-anchor reduction is a (vid)-keyed MAX aggregate (map-side
+    combined), and the label panel is bounded by the label domain.
+    Anchors whose cell lacks a positive or a negative are excluded
+    (documented recall cap of nprobe=1; q_cosine_topk is the exact
+    escape hatch).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = _cell_assign(emb)
+    a = assign.select(
+        "cid", "vid", "label", F.col("vv").alias("va"), F.col("nrm").alias("na")
+    )
+    b = assign.select(
+        "cid",
+        F.col("vid").alias("bvid"),
+        F.col("label").alias("blabel"),
+        F.col("vv").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pdot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("vid") != F.col("bvid"))
+        .select(
+            "vid",
+            "label",
+            (F.col("blabel") == F.col("label")).alias("same"),
+            F.round(pdot / (F.col("na") * F.col("nb")) * 10000)
+            .cast("long")
+            .alias("cos_e4"),
+        )
+    )
+    best = pairs.groupBy("vid", "label").agg(
+        F.max(F.when(F.col("same"), F.col("cos_e4"))).alias("pos_e4"),
+        F.max(F.when(~F.col("same"), F.col("cos_e4"))).alias("neg_e4"),
+    )
+    m = best.filter(
+        F.col("pos_e4").isNotNull() & F.col("neg_e4").isNotNull()
+    ).select("label", (F.col("pos_e4") - F.col("neg_e4")).alias("margin"))
+    agg = m.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_anchors"),
+        F.sum("margin").cast("long").alias("sum_margin"),
+        F.min("margin").cast("long").alias("min_margin"),
+        F.sum(F.when(F.col("margin") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_confusable"),
+    )
+    return agg.selectExpr(*_HN_FINAL).orderBy("label")
+
+
+def _cell_assign(
+    emb: DataFrame,
+    extra: tuple = ("label",),
+    seed_col: str | None = None,
+) -> DataFrame:
+    """sqrt(n)-cell IVF assignment (vid, *extra, cid, vv, nrm) — the
+    Spark twin of the shared ``_CELL_CTES`` oracle text. ``extra``
+    holds column names or ``(name, Column)`` pairs carried through;
+    when ``seed_col`` names a boolean column produced by ``extra``,
+    the cell COUNT and the seed centroids come from that
+    subpopulation only (q_semantic_decontaminate indexes the train
+    split)."""
+    exprs, extra_out = [], []
+    for c in extra:
+        if isinstance(c, str):
+            exprs.append(c)
+            extra_out.append(c)
+        else:
+            name, col = c
+            exprs.append(col.alias(name))
+            extra_out.append(name)
+    base = emb.select(
+        F.col("vec_id").alias("vid"),
+        *exprs,
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "vv"
+        ),
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("vv"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    seed_base = base.filter(F.col(seed_col)) if seed_col else base
+    kdf = seed_base.agg(
+        F.ceil(F.sqrt(F.count("*"))).cast("long").alias("k")
+    )
+    cent = (
+        seed_base.crossJoin(F.broadcast(kdf))
+        .filter(F.col("vid") <= F.col("k"))
+        .select(
+            F.col("vid").alias("cid"),
+            F.col("vv").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    cdot = F.aggregate(
+        F.zip_with(F.col("vv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        base.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "ccos", F.round(cdot / (F.col("nrm") * F.col("cnrm")), 4)
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vid").orderBy(
+                    F.col("ccos").desc(), F.col("cid")
+                )
+            ),
+        )
+        .filter("rn = 1")
+        .select("vid", *extra_out, "cid", "vv", "nrm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_semantic_decontaminate — embedding-level train/test contamination
+# ---------------------------------------------------------------------------
+
+#: Contamination gate in e4 cosine units. The fixture embeddings carry
+#: no true near-dups (max pairwise cosine ~0.51), so the gate is set
+#: at 0.45 to exercise the flag path; a production decontamination run
+#: against real encoders uses 0.95+ (and the exact q_cosine_topk tier
+#: when a missed duplicate is unacceptable).
+_DECON_TAU_E4 = 4500
+
+#: 0.05-wide cosine bins (500 e4 units); floor() is engine-identical
+#: on doubles, including the negative-cosine bins.
+_DECON_FINAL = (
+    "CAST(bin_lo_e4 AS BIGINT) AS bin_lo_e4",
+    "CAST(n_test AS BIGINT) AS n_test",
+    f"bin_lo_e4 >= {_DECON_TAU_E4} AS contaminated",
+)
+
+
+@query(
+    "q_semantic_decontaminate",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id AS vid,
+               {_bucket_sql("decon", "vec_id", 10)} >= 9 AS is_test,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vid, is_test, vv,
+               sqrt(list_sum(list_transform(vv, x -> x * x))) AS nrm
+        FROM v
+    ),
+    kk AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k
+           FROM n WHERE NOT is_test),
+    cent AS (SELECT vid AS cid, vv AS cv, nrm AS cnrm
+             FROM n, kk WHERE vid <= kk.k AND NOT is_test),
+    assign AS (
+        SELECT vid, is_test, cid, vv, nrm FROM (
+            SELECT n.vid, n.is_test, c.cid, n.vv, n.nrm,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.vid
+                       ORDER BY round(list_dot_product(n.vv, c.cv)
+                                      / (n.nrm * c.cnrm), 4) DESC, c.cid)
+                       AS rn
+            FROM n CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    top1 AS (
+        SELECT t.vid,
+               MAX(CAST(round(list_dot_product(t.vv, r.vv)
+                              / (t.nrm * r.nrm) * 10000) AS BIGINT))
+                   AS cos_e4
+        FROM assign t JOIN assign r
+          ON r.cid = t.cid AND NOT r.is_test
+        WHERE t.is_test
+        GROUP BY t.vid
+    ),
+    bins AS (
+        SELECT CAST(floor(CAST(cos_e4 AS DOUBLE) / 500.0) AS BIGINT) * 500
+                   AS bin_lo_e4,
+               CAST(COUNT(*) AS BIGINT) AS n_test
+        FROM top1 GROUP BY 1
+    )
+    SELECT {", ".join(_DECON_FINAL)} FROM bins ORDER BY bin_lo_e4
+    """,
+)
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level train/test decontamination audit: hash-split
+    the vector corpus 90/10, index the TRAIN split into sqrt(n_train)
+    IVF cells (train-seeded centroids), and for every TEST vector take
+    its top-1 train cosine inside its cell; output the 0.05-wide
+    histogram of those top-1 cosines with the contamination gate
+    (cos >= 0.45 here; 0.95+ against a real encoder) marked per bin —
+    the semantic complement of the n-gram q_decontaminate.
+
+    Every cell that receives a test vector contains at least one train
+    vector (its seed centroid assigns to itself at cosine 1.0), so no
+    test vector goes unmatched. The nprobe=1 search is the documented
+    recall boundary; q_cosine_topk is the exact escape hatch.
+
+    Exactness: assignment uses the shared 4-decimal/cid-tie-break
+    text; top-1 cosines are e4 integers under MAX; the bin edge is a
+    floor() over doubles derived from exact integers — engine-
+    identical including negative-cosine bins.
+
+    Scale: the only pair generator is the cell-keyed test x train
+    equi-join (O(n^1.5) volume); the histogram is a bounded ~40-row
+    panel. Centroids broadcast; nothing is all-pairs.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = _cell_assign(
+        emb,
+        extra=(
+            (
+                "is_train",
+                hash_bucket("decon", F.col("vec_id"), 10) < 9,
+            ),
+        ),
+        seed_col="is_train",
+    )
+    t = assign.filter(~F.col("is_train")).select(
+        "cid", "vid", F.col("vv").alias("tv"), F.col("nrm").alias("tn")
+    )
+    r = assign.filter(F.col("is_train")).select(
+        "cid", F.col("vv").alias("rv"), F.col("nrm").alias("rn_")
+    )
+    tdot = F.aggregate(
+        F.zip_with(F.col("tv"), F.col("rv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    top1 = (
+        t.join(r, "cid")
+        .select(
+            "vid",
+            F.round(tdot / (F.col("tn") * F.col("rn_")) * 10000)
+            .cast("long")
+            .alias("cos_e4"),
+        )
+        .groupBy("vid")
+        .agg(F.max("cos_e4").alias("cos_e4"))
+    )
+    bins = (
+        top1.select(
+            (
+                F.floor(F.col("cos_e4").cast("double") / 500.0).cast("long")
+                * 500
+            ).alias("bin_lo_e4")
+        )
+        .groupBy("bin_lo_e4")
+        .agg(F.count("*").cast("long").alias("n_test"))
+    )
+    return bins.selectExpr(*_DECON_FINAL).orderBy("bin_lo_e4")
