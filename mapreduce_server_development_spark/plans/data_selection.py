@@ -797,3 +797,301 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_test"))
     )
     return bins.selectExpr(*_DECON_FINAL).orderBy("bin_lo_e4")
+
+
+# ---------------------------------------------------------------------------
+# q_cluster_balanced_sample — diversity-preserving embedding sampling
+# ---------------------------------------------------------------------------
+
+#: Sample budget as a share of the corpus (40%), split into EQUAL
+#: per-cell quotas — the diversity-preserving coreset policy: dense
+#: regions are downsampled hard, sparse regions survive intact.
+_CBS_BUDGET_PCT = 0.4
+
+_CBS_FINAL = (
+    "CAST(cid AS BIGINT) AS cid",
+    "CAST(n_in_cell AS BIGINT) AS n_in_cell",
+    "CAST(quota AS BIGINT) AS quota",
+    "CAST(n_taken AS BIGINT) AS n_taken",
+    "round(CAST(n_in_cell AS DOUBLE) / n, 4) + 0.0 AS share_before",
+    "round(CAST(n_taken AS DOUBLE) / taken_total, 4) + 0.0 AS share_after",
+)
+
+
+@query(
+    "q_cluster_balanced_sample",
+    oracle=f"""
+    WITH {_CELL_CTES},
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT cid) AS BIGINT) AS ncells
+        FROM assign
+    ),
+    q AS (
+        SELECT n, ncells,
+               CAST(ceil({_CBS_BUDGET_PCT} * n) AS BIGINT) AS budget,
+               CAST(ceil(CAST(ceil({_CBS_BUDGET_PCT} * n) AS DOUBLE)
+                         / ncells) AS BIGINT) AS quota
+        FROM tot
+    ),
+    ranked AS (
+        SELECT vid, cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cid
+                   ORDER BY md5('cbs:' || CAST(vid AS VARCHAR)), vid)
+                   AS rn
+        FROM assign
+    ),
+    percell AS (
+        SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_in_cell,
+               CAST(SUM(CASE WHEN rn <= q.quota THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_taken
+        FROM ranked CROSS JOIN q GROUP BY cid
+    ),
+    taken AS (SELECT CAST(SUM(n_taken) AS BIGINT) AS taken_total
+              FROM percell)
+    SELECT {", ".join(_CBS_FINAL)}
+    FROM percell CROSS JOIN q CROSS JOIN taken
+    ORDER BY cid
+    """,
+)
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced (diversity-preserving) sampling of the
+    embedding corpus: assign every vector to its sqrt(n) IVF cell,
+    split a 40% budget into EQUAL per-cell quotas, and take each
+    cell's quota deterministically by md5 rank — the coreset policy
+    that downsamples dense semantic regions hard while keeping sparse
+    regions intact (the diversity complement of q_stratified_sample's
+    metadata strata). Output is the per-cell ledger: population,
+    quota, taken, and each cell's corpus share before vs after — the
+    flattening a curator inspects before committing the sample.
+
+    Exactness: ranks order by md5 hex text (ASCII-lexicographic in
+    both engines) with vid tie-break; everything else is integer
+    counting and two shared division texts.
+
+    Scale: assignment is the broadcast-centroid scan (O(n * sqrt(n))
+    work, no pair blowup); the per-cell rank is a window keyed by the
+    sqrt(n)-cardinality cell id — partitions hold ~sqrt(n) rows each,
+    so no single task ever sees more than a cell; the ledgers are
+    sqrt(n)-row panels.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = _cell_assign(emb, extra=()).select("vid", "cid")
+    tot = assign.agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("cid").cast("long").alias("ncells"),
+    )
+    q = tot.select(
+        "n",
+        "ncells",
+        F.ceil(_CBS_BUDGET_PCT * F.col("n")).cast("long").alias("budget"),
+    ).withColumn(
+        "quota",
+        F.ceil(F.col("budget").cast("double") / F.col("ncells")).cast(
+            "long"
+        ),
+    )
+    ranked = assign.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("cid").orderBy(
+                F.md5(F.concat(F.lit("cbs:"), F.col("vid").cast("string"))),
+                "vid",
+            )
+        ),
+    )
+    percell = (
+        ranked.crossJoin(F.broadcast(q))
+        .groupBy("cid")
+        .agg(
+            F.count("*").cast("long").alias("n_in_cell"),
+            F.sum(
+                F.when(F.col("rn") <= F.col("quota"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_taken"),
+        )
+    )
+    taken = percell.agg(
+        F.sum("n_taken").cast("long").alias("taken_total")
+    )
+    return (
+        percell.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(taken))
+        .selectExpr(*_CBS_FINAL)
+        .orderBy("cid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_perplexity_filter — CCNet head/middle/tail perplexity bucketing
+# ---------------------------------------------------------------------------
+
+#: Shared token log-prob cell (Laplace +1 over the train split) and
+#: its unknown-token floor, micro-nats. Operands are CAST to DOUBLE
+#: first (see _DSIR_CELL: Spark parses bare decimal literals as
+#: DECIMAL and degrades the division before ln).
+_PPL_LP = (
+    "CAST(round(ln((CAST(c AS DOUBLE) + 1.0)"
+    " / (CAST(tot AS DOUBLE) + CAST(v AS DOUBLE))) * 1000000) AS BIGINT)"
+)
+_PPL_UNK = (
+    "CAST(round(ln(1.0"
+    " / (CAST(tot AS DOUBLE) + CAST(v AS DOUBLE))) * 1000000) AS BIGINT)"
+)
+
+_PPL_FINAL = (
+    "lang",
+    "bucket",
+    "CAST(n_docs AS BIGINT) AS n_docs",
+    "CAST(n_tokens AS BIGINT) AS n_tokens",
+    "round(CAST(sum_nll AS DOUBLE) / n_tokens / 1000000.0, 4) + 0.0"
+    " AS mean_nll_per_token",
+)
+
+
+@query(
+    "q_perplexity_filter",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               {_bucket_sql("ppl", "doc_id", 10)} < 8 AS is_train,
+               unnest(list_filter(string_split(lower(text), ' '),
+                      t -> t <> '')) AS tok
+        FROM documents
+    ),
+    counts AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks WHERE is_train GROUP BY tok
+    ),
+    stats AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS tot,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM counts
+    ),
+    lp AS (SELECT tok, {_PPL_LP} AS lp FROM counts CROSS JOIN stats),
+    unk AS (SELECT {_PPL_UNK} AS unk_lp FROM stats),
+    per_doc AS (
+        SELECT t.doc_id, t.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_toks,
+               CAST(SUM(-COALESCE(lp.lp, unk.unk_lp)) AS BIGINT)
+                   AS doc_nll
+        FROM toks t LEFT JOIN lp ON lp.tok = t.tok CROSS JOIN unk
+        GROUP BY t.doc_id, t.lang
+    ),
+    keyed AS (
+        SELECT doc_id, lang, n_toks, doc_nll,
+               CAST(round(CAST(doc_nll AS DOUBLE) / n_toks) AS BIGINT)
+                   AS nll_key
+        FROM per_doc
+    ),
+    ranked AS (
+        SELECT doc_id, lang, n_toks, doc_nll,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY nll_key, doc_id) AS rk,
+               CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_l
+        FROM keyed
+    ),
+    bucketed AS (
+        SELECT lang,
+               CASE WHEN 3 * rk <= n_l THEN 'head'
+                    WHEN 3 * rk <= 2 * n_l THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               n_toks, doc_nll
+        FROM ranked
+    ),
+    agg AS (
+        SELECT lang, bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+               CAST(SUM(doc_nll) AS BIGINT) AS sum_nll
+        FROM bucketed GROUP BY lang, bucket
+    )
+    SELECT {", ".join(_PPL_FINAL)} FROM agg ORDER BY lang, bucket
+    """,
+)
+def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): train a
+    Laplace-smoothed unigram LM on the 80% hash split, score every
+    document's mean negative log-likelihood per token (unknown tokens
+    get the smoothing floor), and split each language into
+    head / middle / tail perplexity terciles — CCNet's exact keep
+    policy (head+middle train, tail is discarded or down-weighted).
+    Output is the per-(lang, bucket) ledger: docs, tokens, and the
+    token-weighted mean NLL.
+
+    Exactness: token log-probs are micro-nat integers (shared text
+    with the explicit DOUBLE casts), doc NLLs are exact integer sums,
+    the tercile rank key is an integer micro-nat mean with doc_id
+    tie-break, and the tercile edges are pure integer arithmetic
+    (3*rk <= n_l) — no percentile buffering anywhere.
+
+    Scale: the LM is one token-keyed aggregate (vocab-scale, shuffled
+    not broadcast — the q_naive_bayes discipline); scoring is a
+    token-keyed join; per-lang tercile ranks ride the two-phase
+    global row_number over the (lang, key, doc_id) total order with
+    broadcast per-lang MIN offsets (the q_stratified_sample re-plan),
+    so a corpus-scale language never funnels through one task.
+    """
+    from ..functions.prefix import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        (hash_bucket("ppl", F.col("doc_id"), 10) < 8).alias("is_train"),
+        F.explode(tokens_col(F.lower(F.col("text")))).alias("tok"),
+    )
+    counts = (
+        toks.filter("is_train")
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    stats = counts.agg(
+        F.sum("c").cast("long").alias("tot"),
+        F.count("*").cast("long").alias("v"),
+    )
+    lp = counts.crossJoin(F.broadcast(stats)).selectExpr(
+        "tok", f"{_PPL_LP} AS lp"
+    )
+    unk = stats.selectExpr(f"{_PPL_UNK} AS unk_lp")
+    per_doc = (
+        toks.join(lp, "tok", "left")
+        .crossJoin(F.broadcast(unk))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_toks"),
+            F.sum(-F.coalesce("lp", "unk_lp")).cast("long").alias("doc_nll"),
+        )
+    )
+    keyed = per_doc.withColumn(
+        "nll_key",
+        F.round(F.col("doc_nll").cast("double") / F.col("n_toks")).cast(
+            "long"
+        ),
+    )
+    g = global_row_number(keyed, ["lang", "nll_key", "doc_id"], "grn")
+    offs = g.groupBy("lang").agg(
+        F.min("grn").alias("t0"),
+        F.count("*").cast("long").alias("n_l"),
+    )
+    bucketed = (
+        g.join(F.broadcast(offs), "lang")
+        .withColumn("rk", F.col("grn") - F.col("t0") + 1)
+        .select(
+            "lang",
+            F.when(3 * F.col("rk") <= F.col("n_l"), "head")
+            .when(3 * F.col("rk") <= 2 * F.col("n_l"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "n_toks",
+            "doc_nll",
+        )
+    )
+    agg = bucketed.groupBy("lang", "bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.sum("doc_nll").cast("long").alias("sum_nll"),
+    )
+    return agg.selectExpr(*_PPL_FINAL).orderBy("lang", "bucket")
