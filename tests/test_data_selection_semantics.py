@@ -1,0 +1,405 @@
+"""Brute-force semantic replays for the data-selection family.
+
+Same method as tests/test_stat_semantics.py: re-derive each operator
+with an independent pure-Python implementation on tiny hand-built
+tables, then run the QUERY'S OWN ORACLE SQL against those tables in a
+fresh DuckDB. The oracle SQL is the shared formula text (the Spark
+side evaluates the identical expressions), so a formula wrong in BOTH
+engines at once disagrees with the replay here.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+
+import duckdb
+import numpy as np
+
+from mapreduce_server_development_spark.plans import ORACLE
+
+
+def _run(tables, name):
+    con = duckdb.connect()
+    for tname, (cols, rows) in tables.items():
+        con.execute(f"CREATE TABLE {tname} ({', '.join(cols)})")
+        if rows:
+            ph = ", ".join("?" for _ in rows[0])
+            con.executemany(f"INSERT INTO {tname} VALUES ({ph})", rows)
+    res = con.sql(ORACLE[name])
+    out = [
+        dict(zip([c.lower() for c in res.columns], r)) for r in res.fetchall()
+    ]
+    con.close()
+    return out
+
+
+def _bucket(salt: str, key, buckets: int) -> int:
+    """Pure-Python replica of plans.sampling.hash_bucket."""
+    h = hashlib.md5(f"{salt}:{key}".encode()).hexdigest()
+    return (
+        int(h[0], 16) * 4096
+        + int(h[1], 16) * 256
+        + int(h[2], 16) * 16
+        + int(h[3], 16)
+    ) % buckets
+
+
+def _r(x: float) -> int:
+    """round-half-away-from-zero (both engines' round(); Python's
+    built-in round() is banker's and WOULD diverge on exact halves,
+    e.g. integer-NLL means over 2 tokens)."""
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+def _docs_table(rows):
+    """rows: (doc_id, text, lang, source)."""
+    return (
+        ["doc_id BIGINT", "text VARCHAR", "lang VARCHAR",
+         "source VARCHAR", "n_chars BIGINT"],
+        [(d, t, la, s, len(t)) for d, t, la, s in rows],
+    )
+
+
+def _emb_table(vecs, labels):
+    """vecs: list of float32-able lists; labels parallel list."""
+    return (
+        ["vec_id BIGINT", "embedding FLOAT[]", "label INTEGER"],
+        [(i, list(map(float, v)), int(l))
+         for i, (v, l) in enumerate(zip(vecs, labels))],
+    )
+
+
+def _f64(vec):
+    """float32 storage then DOUBLE promotion — what both engines see."""
+    return np.array(vec, dtype=np.float32).astype(np.float64)
+
+
+def _dot(a, b):
+    """Left-fold double dot product (list_dot_product / F.aggregate)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# q_dsir_weights
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_weights_match_brute_force():
+    rows = [
+        (1, "the cat sat on the mat", "en", "s0"),
+        (2, "the dog sat on the log", "en", "s0"),
+        (3, "the cat and the dog", "en", "s1"),
+        (4, "le chat est sur le tapis", "fr", "s1"),
+        (5, "le chien est sur le lit", "fr", "s0"),
+        (6, "der hund und die katze", "de", "s0"),
+        (7, "the cat likes the dog", "en", "s1"),
+        (8, "el gato y el perro", "es", "s0"),
+        (9, "one", "en", "s0"),  # single token: no bigrams, excluded
+    ]
+    B = 256
+    bi = []  # (doc_id, lang, bucket)
+    for d, t, la, _s in rows:
+        toks = [w for w in t.lower().split(" ") if w]
+        if len(toks) < 2:
+            continue
+        for i in range(len(toks) - 1):
+            g = " ".join(toks[i : i + 2])
+            bi.append((d, la, _bucket("dsir", g, B)))
+    cr, ct = {}, {}
+    for _d, la, b in bi:
+        cr[b] = cr.get(b, 0) + 1
+        if la == "en":
+            ct[b] = ct.get(b, 0) + 1
+    tr = sum(cr.values())
+    tt = sum(ct.values())
+    cell = {
+        b: _r(
+            math.log(
+                ((ct.get(b, 0) + 1.0) / (tt + B))
+                / ((cr[b] + 1.0) / (tr + B))
+            )
+            * 1e6
+        )
+        for b in cr
+    }
+    per = {}
+    for d, _la, b in bi:
+        w, n = per.get(d, (0, 0))
+        per[d] = (w + cell[b], n + 1)
+    expect = sorted(
+        ((d, w, n) for d, (w, n) in per.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:20]
+
+    got = _run({"documents": _docs_table(rows)}, "q_dsir_weights")
+    assert [(g["doc_id"], g["weight_micro_nats"], g["n_bigrams"])
+            for g in got] == expect
+    # en docs model the target: every en doc must outrank every non-en
+    langs = {d: la for d, _t, la, _s in rows}
+    ranked_langs = [langs[g["doc_id"]] for g in got]
+    first_non_en = next(
+        (i for i, la in enumerate(ranked_langs) if la != "en"), len(got)
+    )
+    assert all(la != "en" for la in ranked_langs[first_non_en:])
+
+
+# ---------------------------------------------------------------------------
+# q_perplexity_filter
+# ---------------------------------------------------------------------------
+
+
+def test_perplexity_filter_matches_brute_force():
+    rng = random.Random(11)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    rows = []
+    for d in range(14):
+        lang = "en" if d % 2 == 0 else "fr"
+        text = " ".join(rng.choice(words) for _ in range(rng.randint(2, 9)))
+        rows.append((d, text, lang, "s0"))
+
+    toks = []  # (doc_id, lang, is_train, tok)
+    for d, t, la, _s in rows:
+        tr = _bucket("ppl", d, 10) < 8
+        for w in t.lower().split(" "):
+            if w:
+                toks.append((d, la, tr, w))
+    counts = {}
+    for _d, _la, tr, w in toks:
+        if tr:
+            counts[w] = counts.get(w, 0) + 1
+    tot, v = sum(counts.values()), len(counts)
+    lp = {w: _r(math.log((c + 1.0) / (tot + v)) * 1e6)
+          for w, c in counts.items()}
+    unk = _r(math.log(1.0 / (tot + v)) * 1e6)
+    per = {}
+    for d, la, _tr, w in toks:
+        nll, n = per.get((d, la), (0, 0))
+        per[(d, la)] = (nll - lp.get(w, unk), n + 1)
+    keyed = [
+        (la, _r(nll / n), d, n, nll) for (d, la), (nll, n) in per.items()
+    ]
+    agg = {}
+    for la in {k[0] for k in keyed}:
+        grp = sorted([k for k in keyed if k[0] == la],
+                     key=lambda x: (x[1], x[2]))
+        n_l = len(grp)
+        for rk, (_la, _key, _d, n, nll) in enumerate(grp, start=1):
+            b = ("head" if 3 * rk <= n_l
+                 else "middle" if 3 * rk <= 2 * n_l else "tail")
+            nd, ntk, snll = agg.get((la, b), (0, 0, 0))
+            agg[(la, b)] = (nd + 1, ntk + n, snll + nll)
+    expect = sorted(
+        (la, b, nd, ntk, snll) for (la, b), (nd, ntk, snll) in agg.items()
+    )
+
+    got = _run({"documents": _docs_table(rows)}, "q_perplexity_filter")
+    assert [
+        (g["lang"], g["bucket"], g["n_docs"], g["n_tokens"],
+         _r(g["mean_nll_per_token"] * 10000))
+        for g in got
+    ] == [
+        (la, b, nd, ntk, _r(round(snll / ntk / 1e6, 4) * 10000))
+        for la, b, nd, ntk, snll in expect
+    ]
+
+
+# ---------------------------------------------------------------------------
+# shared cell-assignment replay (q_knn_graph convention)
+# ---------------------------------------------------------------------------
+
+
+def _assign(vecs, k_pop=None):
+    """vid -> (cid, vv, nrm). Seeds: vid <= ceil(sqrt(|k_pop or all|));
+    when k_pop is given, only those vids are centroid candidates."""
+    vv = {i: _f64(v) for i, v in enumerate(vecs)}
+    nrm = {i: math.sqrt(_dot(vv[i], vv[i])) for i in vv}
+    pop = k_pop if k_pop is not None else list(vv)
+    k = math.ceil(math.sqrt(len(pop)))
+    cents = [i for i in pop if i <= k]
+    out = {}
+    for i in vv:
+        best = max(
+            cents,
+            key=lambda c: (round(_dot(vv[i], vv[c]) / (nrm[i] * nrm[c]), 4),
+                           -c),
+        )
+        out[i] = (best, vv[i], nrm[i])
+    return out
+
+
+def _rand_vecs(n, rng):
+    return [[round(rng.uniform(-1, 1), 3) for _ in range(64)]
+            for _ in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# q_hard_negatives
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_match_brute_force():
+    rng = random.Random(5)
+    vecs = _rand_vecs(30, rng)
+    labels = [i % 3 for i in range(30)]
+    a = _assign(vecs)
+    best = {}
+    for i, (ci, vi, ni) in a.items():
+        pos = neg = None
+        for j, (cj, vj, nj) in a.items():
+            if i == j or ci != cj:
+                continue
+            c = _r(_dot(vi, vj) / (ni * nj) * 10000)
+            if labels[i] == labels[j]:
+                pos = c if pos is None else max(pos, c)
+            else:
+                neg = c if neg is None else max(neg, c)
+        if pos is not None and neg is not None:
+            best[i] = pos - neg
+    agg = {}
+    for i, m in best.items():
+        n, s, mn, cf = agg.get(labels[i], (0, 0, None, 0))
+        agg[labels[i]] = (
+            n + 1,
+            s + m,
+            m if mn is None else min(mn, m),
+            cf + (1 if m < 0 else 0),
+        )
+    got = _run({"embeddings": _emb_table(vecs, labels)}, "q_hard_negatives")
+    assert [(g["label"], g["n_anchors"], g["min_margin_e4"]) for g in got] \
+        == [(l, n, mn) for l, (n, s, mn, cf) in sorted(agg.items())]
+    for g in got:
+        n, s, _mn, cf = agg[g["label"]]
+        assert g["mean_margin"] == round(s / n / 10000.0, 4) + 0.0
+        assert g["confusable_pct"] == round(cf / n, 4) + 0.0
+
+
+# ---------------------------------------------------------------------------
+# q_semantic_decontaminate
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_decontaminate_matches_brute_force():
+    rng = random.Random(9)
+    vecs = _rand_vecs(40, rng)
+    labels = [0] * 40
+    is_train = {i: _bucket("decon", i, 10) < 9 for i in range(40)}
+    train_ids = [i for i in range(40) if is_train[i]]
+    a = _assign(vecs, k_pop=train_ids)
+    bins = {}
+    for i, (ci, vi, ni) in a.items():
+        if is_train[i]:
+            continue
+        top = None
+        for j in train_ids:
+            cj, vj, nj = a[j]
+            if cj != ci:
+                continue
+            c = _r(_dot(vi, vj) / (ni * nj) * 10000)
+            top = c if top is None else max(top, c)
+        assert top is not None  # seed centroid guarantees a train row
+        b = math.floor(top / 500.0) * 500
+        bins[b] = bins.get(b, 0) + 1
+    got = _run(
+        {"embeddings": _emb_table(vecs, labels)}, "q_semantic_decontaminate"
+    )
+    assert [(g["bin_lo_e4"], g["n_test"], g["contaminated"]) for g in got] \
+        == [(b, n, b >= 4500) for b, n in sorted(bins.items())]
+
+
+# ---------------------------------------------------------------------------
+# q_cluster_balanced_sample
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_balanced_sample_matches_brute_force():
+    rng = random.Random(3)
+    vecs = _rand_vecs(26, rng)
+    a = _assign(vecs)
+    cells = {}
+    for i, (c, _v, _n) in a.items():
+        cells.setdefault(c, []).append(i)
+    n = len(vecs)
+    ncells = len(cells)
+    budget = math.ceil(0.4 * n)
+    quota = math.ceil(budget / ncells)
+    taken_total = sum(min(quota, len(v)) for v in cells.values())
+    got = _run(
+        {"embeddings": _emb_table(vecs, [0] * n)},
+        "q_cluster_balanced_sample",
+    )
+    assert len(got) == ncells
+    for g in got:
+        members = cells[g["cid"]]
+        assert g["n_in_cell"] == len(members)
+        assert g["quota"] == quota
+        assert g["n_taken"] == min(quota, len(members))
+        assert g["share_before"] == round(len(members) / n, 4) + 0.0
+        assert g["share_after"] == (
+            round(min(quota, len(members)) / taken_total, 4) + 0.0
+        )
+    # the md5 rank itself: replay which members survive in one cell
+    big = max(cells, key=lambda c: len(cells[c]))
+    ordered = sorted(
+        cells[big],
+        key=lambda i: (hashlib.md5(f"cbs:{i}".encode()).hexdigest(), i),
+    )
+    assert set(ordered[:quota]) <= set(cells[big])
+
+
+# ---------------------------------------------------------------------------
+# q_pq_ann
+# ---------------------------------------------------------------------------
+
+
+def test_pq_ann_matches_brute_force():
+    rng = random.Random(17)
+    vecs = _rand_vecs(24, rng)
+    vv = {i: _f64(v) for i, v in enumerate(vecs)}
+    M, SD, KS = 8, 8, 16
+
+    def sub(v, m):
+        return v[m * SD : (m + 1) * SD]
+
+    def d2e4(a, b):
+        return _r((_dot(a, a) + _dot(b, b) - 2 * _dot(a, b)) * 10000)
+
+    cents = {(c, m): sub(vv[c], m) for c in range(KS) for m in range(M)}
+    enc = {}
+    for i in vv:
+        for m in range(M):
+            enc[(i, m)] = min(
+                range(KS),
+                key=lambda c: (d2e4(sub(vv[i], m), cents[(c, m)]), c),
+            )
+    qids = [i for i in vv if i % 97 == 3]
+    rows = []
+    for q in qids:
+        lut = {
+            (m, c): d2e4(sub(vv[q], m), cents[(c, m)])
+            for m in range(M)
+            for c in range(KS)
+        }
+        adc = {
+            i: sum(lut[(m, enc[(i, m)])] for m in range(M))
+            for i in vv
+            if i != q
+        }
+        exact = {i: d2e4(vv[q], vv[i]) for i in vv if i != q}
+        et = sorted(exact, key=lambda i: (exact[i], i))
+        at = sorted(adc, key=lambda i: (adc[i], i))
+        overlap = len(set(et[:3]) & set(at[:3]))
+        rows.append(
+            (q, overlap, exact[et[0]], exact[at[0]],
+             round(exact[at[0]] / exact[et[0]], 4) + 0.0)
+        )
+    got = _run({"embeddings": _emb_table(vecs, [0] * 24)}, "q_pq_ann")
+    assert [
+        (g["qid"], g["overlap_at3"], g["exact_top1_d2_e4"],
+         g["adc_top1_d2_e4"], g["top1_distortion"])
+        for g in got
+    ] == rows

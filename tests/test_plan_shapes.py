@@ -968,3 +968,66 @@ def test_matryoshka_single_corpus_pass_broadcast_queries(spark):
     assert "CartesianProduct" not in plan
     # post-checkpoint plan: the heavy pairs relation is an RDD scan
     assert "Scan ExistingRDD" in plan
+
+
+def test_dsir_cells_broadcast_per_doc_agg_keyed(spark):
+    """The 256-bucket log-ratio panel must broadcast into the per-doc
+    weight join (BroadcastHashJoin on the bucket key), the per-doc
+    weight must be a doc-keyed hash aggregate, and nothing may be a
+    cartesian or a window."""
+    plan = _plan(spark, "q_dsir_weights")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-20, no global sort
+
+
+def test_pq_ann_codebook_and_lut_broadcast(spark):
+    """PQ encode/ADC must ride broadcast codebook + LUT hash joins;
+    the only nested-loop is the sanctioned bounded-query exact tier;
+    the encode rank is keyed by the high-cardinality (vid, m)."""
+    plan = _plan(spark, "q_pq_ann")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(vid" in plan
+
+
+def test_hard_negatives_pairs_are_cell_keyed(spark):
+    """Hard-negative candidates must come from the cid equi-join
+    (never all-pairs); the per-anchor reduction is a vid-keyed hash
+    aggregate."""
+    plan = _plan(spark, "q_hard_negatives")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(cid" in plan
+    assert "hashpartitioning(vid" in plan
+
+
+def test_semantic_decontaminate_pairs_are_cell_keyed(spark):
+    plan = _plan(spark, "q_semantic_decontaminate")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(cid" in plan
+
+
+def test_cluster_balanced_rank_is_cell_partitioned(spark):
+    """The per-cell md5 rank must be a window partitioned by the
+    sqrt(n)-cardinality cell id — never a single global sort."""
+    plan = _plan(spark, "q_cluster_balanced_sample")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(cid" in plan
+    # the Window itself must be cid-keyed
+    import re
+
+    windows = re.findall(r"Arguments: \[row_number\(\).*", plan)
+    assert windows
+    for w in windows:
+        assert "cid" in w
+
+
+def test_perplexity_terciles_are_two_phase(spark):
+    """Per-lang tercile ranks must ride the two-phase global
+    row_number (checkpointed range-partitioned scan), not a
+    lang-partitioned window that funnels a corpus-scale language
+    through one task."""
+    plan = _plan(spark, "q_perplexity_filter")
+    assert "Scan ExistingRDD" in plan  # global_row_number checkpoint
+    assert "CartesianProduct" not in plan
