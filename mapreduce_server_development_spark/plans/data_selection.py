@@ -1095,3 +1095,319 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_nll").cast("long").alias("sum_nll"),
     )
     return agg.selectExpr(*_PPL_FINAL).orderBy("lang", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# q_epoch_plan — data-constrained epoch planning (Muennighoff et al. 2023)
+# ---------------------------------------------------------------------------
+
+#: Fitted repeated-data decay constant R_D* from "Scaling
+#: Data-Constrained Language Models" (Muennighoff et al. 2023): the
+#: value of the k-th repetition decays as exp(-R / R_D*); ~4 epochs
+#: are near-fresh, beyond that returns diminish fast.
+_EPOCH_RSTAR = 15.39
+
+#: Token budget as a multiple of the corpus (3 epochs' worth spread
+#: uniformly across sources — small sources must repeat more).
+_EPOCH_BUDGET_X = 3
+
+#: Shared effective-token text: U * (1 + R_D*(1 - exp(-R/R_D*))),
+#: DOUBLE casts first (see _DSIR_CELL).
+_EPOCH_EFF = (
+    "CAST(round(CAST(u AS DOUBLE) * (1.0 + {r} * (1.0 - exp("
+    "-CAST(epochs - 1 AS DOUBLE) / {r})))) AS BIGINT)"
+).format(r=_EPOCH_RSTAR)
+
+_EPOCH_FINAL = (
+    "source",
+    "CAST(u AS BIGINT) AS unique_tokens",
+    "CAST(target AS BIGINT) AS target_tokens",
+    "CAST(epochs AS BIGINT) AS epochs",
+    "CAST(effective AS BIGINT) AS effective_tokens",
+    "round(CAST(effective AS DOUBLE) / target, 4) + 0.0 AS utilization",
+    "epochs > 4 AS repeat_risk",
+)
+
+
+@query(
+    "q_epoch_plan",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                        t -> t <> '')) AS BIGINT) AS n
+        FROM documents
+    ),
+    per_src AS (
+        SELECT source, CAST(SUM(n) AS BIGINT) AS u
+        FROM toks GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(u) AS BIGINT) AS corpus,
+               CAST(COUNT(*) AS BIGINT) AS n_src
+        FROM per_src
+    ),
+    plan0 AS (
+        SELECT source, u,
+               CAST(floor(CAST({_EPOCH_BUDGET_X} * corpus AS DOUBLE)
+                          / n_src) AS BIGINT) AS target
+        FROM per_src CROSS JOIN tot
+    ),
+    plan1 AS (
+        SELECT source, u, target,
+               CAST(ceil(CAST(target AS DOUBLE) / u) AS BIGINT) AS epochs
+        FROM plan0
+    ),
+    plan2 AS (
+        SELECT source, u, target, epochs, {_EPOCH_EFF} AS effective
+        FROM plan1
+    )
+    SELECT {", ".join(_EPOCH_FINAL)} FROM plan2 ORDER BY source
+    """,
+)
+def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch planner (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models"): give every source an
+    equal slice of a 3x-corpus token budget; sources smaller than
+    their slice must repeat, and repeated tokens decay in value as
+    exp(-R / R_D*) with the paper's fitted R_D* = 15.39. Reports, per
+    source: unique tokens, target tokens, epochs needed, EFFECTIVE
+    tokens after decay, utilization, and the >4-epoch repeat-risk
+    flag the paper's "repeat up to ~4 epochs" rule draws.
+
+    Exactness: token counts are exact integers from one scan; the
+    three float steps (floor-share, ceil-epochs, the decay) are
+    single shared texts over DOUBLE-cast integers, each rounded back
+    to BIGINT immediately.
+
+    Scale: one map-side-combined per-source token aggregate; the plan
+    itself is arithmetic over the bounded source panel (|sources|
+    rows, broadcast totals). Nothing else scales with the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.select(
+            "source",
+            F.size(tokens_col(F.lower(F.col("text"))))
+            .cast("long")
+            .alias("n"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n").cast("long").alias("u"))
+    )
+    tot = per_src.agg(
+        F.sum("u").cast("long").alias("corpus"),
+        F.count("*").cast("long").alias("n_src"),
+    )
+    plan = (
+        per_src.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target",
+            F.floor(
+                (_EPOCH_BUDGET_X * F.col("corpus")).cast("double")
+                / F.col("n_src")
+            ).cast("long"),
+        )
+        .withColumn(
+            "epochs",
+            F.ceil(F.col("target").cast("double") / F.col("u")).cast(
+                "long"
+            ),
+        )
+        .selectExpr(
+            "source", "u", "target", "epochs", f"{_EPOCH_EFF} AS effective"
+        )
+    )
+    return plan.selectExpr(*_EPOCH_FINAL).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q_toxicity_lexicon — wordlist-based safety filter stage
+# ---------------------------------------------------------------------------
+
+#: Placeholder blocklist over the fixture vocabulary ('slow'/'big'
+#: stand in for a curated unsafe-term list; 'leak' exercises the
+#: absent-term path). A real deployment loads the curated list the
+#: same way — a bounded broadcast relation.
+_TOX_TERMS = ("slow", "big", "leak")
+
+_TOX_FINAL = (
+    "source",
+    "CAST(n_docs AS BIGINT) AS n_docs",
+    "CAST(n_flagged AS BIGINT) AS n_flagged",
+    "CAST(n_hits AS BIGINT) AS n_hits",
+    "CAST(n_tokens AS BIGINT) AS n_tokens",
+    "round(CAST(n_hits AS DOUBLE) * 1000.0 / n_tokens, 4) + 0.0"
+    " AS hits_per_1k_tokens",
+    "round(CAST(n_flagged AS DOUBLE) / n_docs, 4) + 0.0 AS flagged_pct",
+)
+
+
+@query(
+    "q_toxicity_lexicon",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               unnest(list_filter(string_split(lower(text), ' '),
+                      t -> t <> '')) AS tok
+        FROM documents
+    ),
+    lex AS (SELECT unnest(ARRAY{list(_TOX_TERMS)!r}) AS term),
+    hits AS (
+        SELECT t.doc_id, t.source, CAST(COUNT(l.term) AS BIGINT) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM toks t LEFT JOIN lex l ON l.term = t.tok
+        GROUP BY t.doc_id, t.source
+    ),
+    agg AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_flagged,
+               CAST(SUM(h) AS BIGINT) AS n_hits,
+               CAST(SUM(n) AS BIGINT) AS n_tokens
+        FROM hits GROUP BY source
+    )
+    SELECT {", ".join(_TOX_FINAL)} FROM agg ORDER BY source
+    """,
+)
+def q_toxicity_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordlist (lexicon) safety-filter stage: per source, how many
+    documents contain at least one blocklisted term, the raw hit
+    count, and the hit density per 1k tokens — the cheap first-tier
+    toxicity screen every corpus pipeline runs before any model-based
+    scorer (the placeholder 3-term list stands in for a curated
+    blocklist; absent terms exercise the no-hit path).
+
+    Scale: the lexicon is a bounded broadcast joined against the token
+    scan (hash semi-count, zero extra shuffles); per-doc then
+    per-source aggregates are key-partitioned with map-side combine.
+    Everything after is a |sources|-row panel. Integer counting
+    throughout; the two densities are shared division texts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(tokens_col(F.lower(F.col("text")))).alias("tok"),
+    )
+    lex = spark.createDataFrame(
+        [(t,) for t in _TOX_TERMS], "term string"
+    )
+    hits = (
+        toks.join(F.broadcast(lex), toks.tok == F.col("term"), "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("term").cast("long").alias("h"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+    agg = hits.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("h") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+        F.sum("h").cast("long").alias("n_hits"),
+        F.sum("n").cast("long").alias("n_tokens"),
+    )
+    return agg.selectExpr(*_TOX_FINAL).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q_vocab_coverage — tokenizer-sizing coverage-at-N curve
+# ---------------------------------------------------------------------------
+
+#: Vocabulary sizes to evaluate. The fixture vocabulary is ~31 types,
+#: so the grid is (5, 10, 20); a real tokenizer-sizing run uses
+#: (1k, 8k, 32k, 128k) — the machinery (distributed type ranks, grid
+#: join) is identical.
+_VOCAB_NS = (5, 10, 20)
+
+_VOCAB_FINAL = (
+    "CAST(n AS BIGINT) AS vocab_size",
+    "CAST(n_types AS BIGINT) AS corpus_types",
+    "CAST(covered AS BIGINT) AS covered_occurrences",
+    "CAST(total AS BIGINT) AS total_occurrences",
+    "round(CAST(covered AS DOUBLE) / total, 4) + 0.0 AS coverage",
+    "round(1.0 - CAST(covered AS DOUBLE) / total, 4) + 0.0 AS oov_rate",
+)
+
+
+@query(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split(lower(text), ' '),
+                      t -> t <> '')) AS tok
+        FROM documents
+    ),
+    counts AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok
+    ),
+    ranked AS (
+        SELECT tok, c,
+               ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rk
+        FROM counts
+    ),
+    tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM counts
+    ),
+    grid AS (SELECT unnest(ARRAY{list(_VOCAB_NS)!r}) AS n),
+    cov AS (
+        SELECT g.n, CAST(SUM(r.c) AS BIGINT) AS covered
+        FROM ranked r JOIN grid g ON r.rk <= g.n
+        GROUP BY g.n
+    )
+    SELECT {", ".join(_VOCAB_FINAL)}
+    FROM cov CROSS JOIN tot ORDER BY n
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-sizing coverage curve: rank word types by corpus
+    frequency and report, for each candidate vocabulary size N, the
+    share of token OCCURRENCES the top-N types cover (and its
+    complement, the OOV rate a word-level vocabulary of that size
+    would eat) — the readout that sizes a vocab before committing a
+    tokenizer train (complements q_heaps_law's growth curve and
+    q_zipf_fit's tail shape).
+
+    Exactness: integer occurrence counting; the rank orders by
+    (count DESC, tok) so ties are deterministic; the two ratios are
+    shared division texts.
+
+    Scale: type counts are one map-side-combined vocab-scale
+    aggregate; type ranks ride the two-phase global row_number (no
+    single-task sort); the coverage join multiplies the vocab table
+    by the BOUNDED N grid only. Nothing is corpus x corpus.
+    """
+    from ..functions.prefix import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(tokens_col(F.lower(F.col("text")))).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    ranked = global_row_number(
+        counts, [F.col("c").desc(), F.col("tok")], "rk"
+    )
+    tot = counts.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_types"),
+    )
+    grid = spark.createDataFrame([(n,) for n in _VOCAB_NS], "n long")
+    cov = (
+        ranked.crossJoin(F.broadcast(grid))
+        .filter(F.col("rk") <= F.col("n"))
+        .groupBy("n")
+        .agg(F.sum("c").cast("long").alias("covered"))
+    )
+    return (
+        cov.crossJoin(F.broadcast(tot))
+        .selectExpr(*_VOCAB_FINAL)
+        .orderBy("n")
+    )

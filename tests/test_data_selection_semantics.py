@@ -403,3 +403,102 @@ def test_pq_ann_matches_brute_force():
          g["adc_top1_d2_e4"], g["top1_distortion"])
         for g in got
     ] == rows
+
+
+# ---------------------------------------------------------------------------
+# q_epoch_plan
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_plan_matches_brute_force():
+    rows = [
+        (1, "a b c d e f g h", "en", "big"),     # 8 tokens
+        (2, "a b c d e f g h i j", "en", "big"),  # 10
+        (3, "a b", "en", "tiny"),                 # 2 -> must repeat hard
+        (4, "a b c", "fr", "mid"),                # 3
+        (5, "a b c d", "fr", "mid"),              # 4
+    ]
+    u = {}
+    for _d, t, _la, s in rows:
+        u[s] = u.get(s, 0) + len([w for w in t.split(" ") if w])
+    corpus, n_src = sum(u.values()), len(u)
+    rstar = 15.39
+    expect = {}
+    for s, uu in u.items():
+        target = math.floor(3 * corpus / n_src)
+        epochs = math.ceil(target / uu)
+        eff = _r(uu * (1.0 + rstar * (1.0 - math.exp(-(epochs - 1) / rstar))))
+        expect[s] = (uu, target, epochs, eff, epochs > 4)
+    got = _run({"documents": _docs_table(rows)}, "q_epoch_plan")
+    assert [(g["source"], g["unique_tokens"], g["target_tokens"],
+             g["epochs"], g["effective_tokens"], g["repeat_risk"])
+            for g in got] == [(s, *expect[s]) for s in sorted(expect)]
+    for g in got:
+        _uu, target, _e, eff, _risk = expect[g["source"]]
+        assert g["utilization"] == round(eff / target, 4) + 0.0
+    # the tiny source must carry the repeat-risk flag
+    assert dict((g["source"], g["repeat_risk"]) for g in got)["tiny"]
+
+
+# ---------------------------------------------------------------------------
+# q_toxicity_lexicon
+# ---------------------------------------------------------------------------
+
+
+def test_toxicity_lexicon_matches_brute_force():
+    rows = [
+        (1, "slow join big scan", "en", "s0"),    # 2 hits
+        (2, "fast clean data", "en", "s0"),       # 0 hits
+        (3, "big big big", "en", "s1"),           # 3 hits
+        (4, "tidy text", "fr", "s1"),             # 0 hits
+    ]
+    lex = {"slow", "big", "leak"}
+    agg = {}
+    for _d, t, _la, s in rows:
+        toks = [w for w in t.lower().split(" ") if w]
+        h = sum(1 for w in toks if w in lex)
+        nd, nf, nh, nt = agg.get(s, (0, 0, 0, 0))
+        agg[s] = (nd + 1, nf + (1 if h else 0), nh + h, nt + len(toks))
+    got = _run({"documents": _docs_table(rows)}, "q_toxicity_lexicon")
+    assert [(g["source"], g["n_docs"], g["n_flagged"], g["n_hits"],
+             g["n_tokens"]) for g in got] \
+        == [(s, *agg[s]) for s in sorted(agg)]
+    for g in got:
+        nd, nf, nh, nt = agg[g["source"]]
+        assert g["hits_per_1k_tokens"] == round(nh * 1000.0 / nt, 4) + 0.0
+        assert g["flagged_pct"] == round(nf / nd, 4) + 0.0
+
+
+# ---------------------------------------------------------------------------
+# q_vocab_coverage
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_coverage_matches_brute_force():
+    rng = random.Random(23)
+    words = [f"w{i:02d}" for i in range(30)]
+    # Zipf-ish: word i appears with weight ~ 1/(i+1)
+    rows = []
+    for d in range(12):
+        toks = [
+            words[min(int(rng.expovariate(0.25)), 29)]
+            for _ in range(rng.randint(5, 40))
+        ]
+        rows.append((d, " ".join(toks), "en", "s0"))
+    counts = {}
+    for _d, t, _la, _s in rows:
+        for w in t.split(" "):
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    ranked = sorted(counts, key=lambda w: (-counts[w], w))
+    total, n_types = sum(counts.values()), len(counts)
+    got = _run({"documents": _docs_table(rows)}, "q_vocab_coverage")
+    for g in got:
+        n = g["vocab_size"]
+        covered = sum(counts[w] for w in ranked[:n])
+        assert g["corpus_types"] == n_types
+        assert g["covered_occurrences"] == covered
+        assert g["total_occurrences"] == total
+        assert g["coverage"] == round(covered / total, 4) + 0.0
+        assert g["oov_rate"] == round(1.0 - covered / total, 4) + 0.0
+    assert [g["vocab_size"] for g in got] == [5, 10, 20]

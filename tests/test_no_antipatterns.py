@@ -92,7 +92,16 @@ def single_partition_windows(plan: str) -> list[str]:
     bad = []
     for tree in trees:
         for i, (depth, name, nid) in enumerate(tree):
-            if not name.startswith(("Window", "WindowInPandas")):
+            # Exact names only: "WindowGroupLimit ... Partial" is the
+            # MAP-SIDE top-k prune Spark inserts BELOW the shuffle —
+            # its subtree legitimately holds no enforcing exchange, so
+            # the walk would misattribute whatever exchange the child
+            # join contains (e.g. a broadcast side's 1-row global
+            # aggregate = Exchange SinglePartition — the false positive
+            # the cell-assignment family exposed). Every
+            # WindowGroupLimit is paired with a Window parent, which IS
+            # checked, so no coverage is lost.
+            if name not in ("Window", "WindowInPandas"):
                 continue
             for d2, n2, id2 in tree[i + 1 :]:
                 if d2 <= depth:

@@ -1031,3 +1031,28 @@ def test_perplexity_terciles_are_two_phase(spark):
     plan = _plan(spark, "q_perplexity_filter")
     assert "Scan ExistingRDD" in plan  # global_row_number checkpoint
     assert "CartesianProduct" not in plan
+
+
+def test_epoch_plan_is_bounded_panel_arithmetic(spark):
+    """One per-source token aggregate; the plan itself is arithmetic
+    over the bounded source panel — no window, no cartesian beyond
+    the broadcast 1-row totals."""
+    plan = _plan(spark, "q_epoch_plan")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_toxicity_lexicon_broadcasts_wordlist(spark):
+    plan = _plan(spark, "q_toxicity_lexicon")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_vocab_coverage_ranks_are_two_phase(spark):
+    """Type ranks must ride the two-phase global row_number
+    (checkpointed range-partitioned scan), never a single-task global
+    sort window."""
+    plan = _plan(spark, "q_vocab_coverage")
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan
