@@ -69,9 +69,10 @@ _DSIR_FINAL = (
 )
 
 
-@query(
-    "q_dsir_weights",
-    oracle=f"""
+#: Shared with the streaming twin (q_stream_dsir maintains the two
+#: bucket models as streaming state and scores the same way, so the
+#: twin's oracle is this text verbatim).
+_DSIR_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id, lang, source,
                list_filter(string_split(lower(text), ' '), t -> t <> '')
@@ -115,8 +116,62 @@ _DSIR_FINAL = (
     FROM per_doc
     ORDER BY weight DESC, doc_id
     LIMIT 20
-    """,
-)
+    """
+
+
+def _dsir_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, source, b): one row per bigram OCCURRENCE with
+    its 256-way feature-hash bucket — the shared front half of the
+    batch query and its streaming twin."""
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        tokens_col(F.lower(F.col("text"))).alias("toks"),
+    )
+    return (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.explode(word_shingles(F.col("toks"), 2)).alias("g"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            hash_bucket("dsir", F.col("g"), _DSIR_BUCKETS).alias("b"),
+        )
+    )
+
+
+def _dsir_score(bi: DataFrame, raw: DataFrame, tgt: DataFrame,
+                tot: DataFrame) -> DataFrame:
+    """Back half shared with the streaming twin: build the broadcast
+    log-ratio panel from the two bucket models and score each doc."""
+    cells = (
+        raw.join(tgt, "b", "left")
+        .withColumn("ct", F.coalesce("ct", F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .selectExpr("b", f"{_DSIR_CELL} AS cell")
+    )
+    per_doc = (
+        bi.join(F.broadcast(cells), "b")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("cell").cast("long").alias("weight"),
+        )
+    )
+    return (
+        per_doc.selectExpr(*_DSIR_FINAL)
+        .orderBy(F.col("weight_micro_nats").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@query("q_dsir_weights", oracle=_DSIR_ORACLE)
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023): model the target
     domain (here lang='en', standing in for the paper's
@@ -246,7 +301,8 @@ _PQ_FINAL = (
             FROM sub s JOIN cent c ON c.m = s.m
         ) WHERE rn = 1
     ),
-    q AS (SELECT vid AS qid, vv AS qv FROM v WHERE vid % 97 = 3),
+    q AS (SELECT vid AS qid, vv AS qv FROM v
+          WHERE vid % 97 = 3 AND vid < 1000),
     qsub AS (
         SELECT qid, m,
                qv[m * {_PQ_SUBDIM} + 1 : m * {_PQ_SUBDIM} + {_PQ_SUBDIM}]
@@ -313,7 +369,10 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a 16-centroid subspace codebook (4-bit codes — 4 bytes per
     vector instead of 256, the 64x compression that makes a 100 TB
     embedding column searchable in memory), then answer top-3 nearest
-    neighbors for the deterministic query sample (vid % 97 = 3) by
+    neighbors for the deterministic BOUNDED query panel
+    (vid % 97 = 3 and vid < 1000 — at most 11 queries at any corpus
+    size; an unbounded panel made the recall audit O(n^2/97), measured
+    21x wall-clock at 10x vectors before the cap) by
     asymmetric distance (ADC: query-to-centroid lookup tables) and
     score against the exact squared-L2 top-3: overlap@3 and the true
     distance of the ADC-chosen top-1 vs the exact top-1 (distortion).
@@ -377,7 +436,7 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("rn = 1")
         .select("vid", "m", "cid")
     )
-    q = v.filter(F.col("vid") % 97 == 3).select(
+    q = v.filter((F.col("vid") % 97 == 3) & (F.col("vid") < 1000)).select(
         F.col("vid").alias("qid"), F.col("vv").alias("qv")
     )
     qsub = q.crossJoin(F.broadcast(ms)).select(

@@ -376,7 +376,7 @@ def test_pq_ann_matches_brute_force():
                 range(KS),
                 key=lambda c: (d2e4(sub(vv[i], m), cents[(c, m)]), c),
             )
-    qids = [i for i in vv if i % 97 == 3]
+    qids = [i for i in vv if i % 97 == 3 and i < 1000]
     rows = []
     for q in qids:
         lut = {
