@@ -194,27 +194,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, no shuffle wider than the doc panel, nothing all-pairs.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        tokens_col(F.lower(F.col("text"))).alias("toks"),
-    )
-    bi = (
-        toks.filter(F.size("toks") >= 2)
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            F.explode(word_shingles(F.col("toks"), 2)).alias("g"),
-        )
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            hash_bucket("dsir", F.col("g"), _DSIR_BUCKETS).alias("b"),
-        )
-    )
+    bi = _dsir_bigrams(docs)
     raw = bi.groupBy("b").agg(F.count("*").cast("long").alias("cr"))
     tgt = (
         bi.filter(F.col("lang") == "en")
@@ -225,25 +205,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("tr"),
         F.count(F.when(F.col("lang") == "en", 1)).cast("long").alias("tt"),
     )
-    cells = (
-        raw.join(tgt, "b", "left")
-        .withColumn("ct", F.coalesce("ct", F.lit(0)))
-        .crossJoin(F.broadcast(tot))
-        .selectExpr("b", f"{_DSIR_CELL} AS cell")
-    )
-    per_doc = (
-        bi.join(F.broadcast(cells), "b")
-        .groupBy("doc_id", "lang", "source")
-        .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
-            F.sum("cell").cast("long").alias("weight"),
-        )
-    )
-    return (
-        per_doc.selectExpr(*_DSIR_FINAL)
-        .orderBy(F.col("weight_micro_nats").desc(), "doc_id")
-        .limit(20)
-    )
+    return _dsir_score(bi, raw, tgt, tot)
 
 
 # ---------------------------------------------------------------------------

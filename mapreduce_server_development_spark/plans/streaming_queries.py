@@ -2201,3 +2201,78 @@ def q_stream_timed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("has_p").alias("n_purchase"),
     )
     return s.selectExpr(*_TF_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_stream_dsir — DSIR importance models maintained by the stream
+# (streaming twin of q_dsir_weights)
+# ---------------------------------------------------------------------------
+
+#: Document-stream schema (documents.parquet carries no nano
+#: timestamps, so one schema serves both Spark 4.0 and 4.1).
+_DOCS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the documents parquet — the ingest feed a
+    curation pipeline scores continuously. ``pathGlobFilter`` scopes
+    the listing to the documents file; a growing directory or Kafka
+    topic changes nothing downstream."""
+    return (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _q_stream_dsir_oracle() -> str:
+    from .data_selection import _DSIR_ORACLE
+
+    return _DSIR_ORACLE
+
+
+@query("q_stream_dsir", oracle=_q_stream_dsir_oracle())
+def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_dsir_weights: the two DSIR n-gram models
+    (target-domain and raw-pool hashed-bigram bucket counts) are
+    maintained BY the stream as one complete-mode aggregate —
+    per-bucket occurrence counters, associative state, so micro-batch
+    order cannot change them and the availableNow run equals the batch
+    models bit-for-bit. The readout then scores the corpus against the
+    streamed models through the same shared scoring half
+    (``_dsir_score``) and must reproduce q_dsir_weights exactly —
+    the oracle IS the batch query's SQL text.
+
+    100 TB posture: state is three integers per occupied bucket
+    (<= 256 rows — the hashing trick makes it constant at any corpus
+    size); per-batch work is one partial-agg'd shuffle on the bucket
+    key. The scoring pass is the batch plan (broadcast cell panel,
+    doc-keyed aggregate) applied on demand — in production the models
+    update online and candidates are scored as they arrive.
+    """
+    from .data_selection import _dsir_bigrams, _dsir_score
+
+    stream = read_documents_stream(spark, sf_dir)
+    models = (
+        _dsir_bigrams(stream)
+        .groupBy("b")
+        .agg(
+            F.count("*").cast("long").alias("cr"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("long")
+            .alias("ct"),
+        )
+    )
+    state = _run_to_memory(models, spark, mode="complete").localCheckpoint(
+        eager=True
+    )
+    raw = state.select("b", "cr")
+    tgt = state.select("b", "ct")
+    tot = state.agg(
+        F.sum("cr").cast("long").alias("tr"),
+        F.sum("ct").cast("long").alias("tt"),
+    )
+    bi = _dsir_bigrams(load_table(spark, sf_dir, "documents"))
+    return _dsir_score(bi, raw, tgt, tot)
