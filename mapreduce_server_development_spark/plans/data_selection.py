@@ -1432,3 +1432,104 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(*_VOCAB_FINAL)
         .orderBy("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_deletion_audit — GDPR delete-propagation (cascade) audit
+# ---------------------------------------------------------------------------
+
+#: Deterministic 5% deletion cohort over customers (stand-in for a
+#: right-to-be-forgotten request list).
+_DEL_PCT_BUCKET = 5
+
+_DEL_FINAL = (
+    "tbl",
+    "CAST(n_total AS BIGINT) AS n_total",
+    "CAST(n_affected AS BIGINT) AS n_affected",
+    "round(CAST(n_affected AS DOUBLE) / n_total, 4) + 0.0"
+    " AS affected_pct",
+)
+
+
+@query(
+    "q_deletion_audit",
+    oracle=f"""
+    WITH d AS (
+        SELECT c_custkey FROM customer
+        WHERE {_bucket_sql("gdpr", "c_custkey", 100)} < {_DEL_PCT_BUCKET}
+    ),
+    o AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM d)
+    ),
+    rows_ AS (
+        SELECT 'customer' AS tbl,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_total,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_affected
+        UNION ALL
+        SELECT 'orders',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM o)
+        UNION ALL
+        SELECT 'lineitem',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+                WHERE l_orderkey IN (SELECT o_orderkey FROM o))
+        UNION ALL
+        SELECT 'events',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM events),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+                WHERE user_id IN (SELECT c_custkey FROM d))
+    )
+    SELECT {", ".join(_DEL_FINAL)} FROM rows_ ORDER BY tbl
+    """,
+)
+def q_deletion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten (GDPR deletion) propagation audit: given
+    a deterministic 5% customer deletion cohort, count the rows each
+    table loses under the full cascade — customer rows themselves,
+    their orders, those orders' lineitems, and the event stream keyed
+    by the same user ids — the blast-radius ledger a data-governance
+    run produces BEFORE executing the delete (and the row counts the
+    post-delete verification must match).
+
+    Scale: every propagation step is a key-partitioned semi-join
+    (customer->orders on custkey, orders->lineitem on orderkey,
+    events on user_id) — the delete cohort scales with the customer
+    table, so it is SHUFFLED, never broadcast; counts are
+    map-side-combined aggregates. Nothing is all-pairs and no relation
+    funnels through one task.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    d = cust.filter(
+        hash_bucket("gdpr", F.col("c_custkey"), 100) < _DEL_PCT_BUCKET
+    ).select("c_custkey")
+    o = orders.join(
+        d, orders.o_custkey == d.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    li_aff = lineitem.join(
+        o, lineitem.l_orderkey == o.o_orderkey, "left_semi"
+    )
+    ev_aff = events.join(
+        d, events.user_id == d.c_custkey, "left_semi"
+    )
+
+    def _row(tbl: str, total_df: DataFrame, aff_df: DataFrame) -> DataFrame:
+        t = total_df.agg(F.count("*").cast("long").alias("n_total"))
+        a = aff_df.agg(F.count("*").cast("long").alias("n_affected"))
+        return (
+            t.crossJoin(F.broadcast(a))
+            .withColumn("tbl", F.lit(tbl))
+            .select("tbl", "n_total", "n_affected")
+        )
+
+    rows = (
+        _row("customer", cust, d)
+        .unionByName(_row("orders", orders, o))
+        .unionByName(_row("lineitem", lineitem, li_aff))
+        .unionByName(_row("events", events, ev_aff))
+    )
+    return rows.selectExpr(*_DEL_FINAL).orderBy("tbl")

@@ -2276,3 +2276,59 @@ def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bi = _dsir_bigrams(load_table(spark, sf_dir, "documents"))
     return _dsir_score(bi, raw, tgt, tot)
+
+
+# ---------------------------------------------------------------------------
+# q_stream_toxicity — stateless ingest-time lexicon screen
+# (streaming twin of q_toxicity_lexicon)
+# ---------------------------------------------------------------------------
+
+
+def _q_stream_toxicity_oracle() -> str:
+    from .data_selection import _TOX_FINAL  # noqa: F401 - shared texts
+    from .registry import ORACLE
+
+    return ORACLE["q_toxicity_lexicon"]
+
+
+@query("q_stream_toxicity", oracle=_q_stream_toxicity_oracle())
+def q_stream_toxicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_toxicity_lexicon — the production shape of
+    a lexicon safety screen: documents are scored AT INGEST by a
+    STATELESS projection (per-doc hit and token counts against the
+    literal blocklist array; a document's tokens live in its own row,
+    so no shuffle and NO streaming state at all), appended to a file
+    sink, and the per-source ledger is the batch rollup of the sink —
+    bit-equal to the batch query, whose oracle this twin reuses
+    verbatim.
+
+    100 TB posture: zero state, zero shuffle in the stream (the ideal
+    streaming operator class — pure filter/annotate at ingest);
+    executors write part-files directly, the driver never holds rows;
+    the readout aggregates |sources| panels.
+    """
+    from .data_selection import _TOX_FINAL, _TOX_TERMS
+
+    stream = read_documents_stream(spark, sf_dir)
+    lex = F.array(*[F.lit(t) for t in _TOX_TERMS])
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda t: t != ""
+    )
+    scored = stream.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(toks, lambda t: F.array_contains(lex, t)))
+        .cast("long")
+        .alias("h"),
+        F.size(toks).cast("long").alias("n"),
+    ).filter(F.col("n") > 0)  # batch twin explodes: 0-token docs drop
+    out = _run_to_files(scored, spark)
+    agg = out.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("h") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+        F.sum("h").cast("long").alias("n_hits"),
+        F.sum("n").cast("long").alias("n_tokens"),
+    )
+    return agg.selectExpr(*_TOX_FINAL).orderBy("source")

@@ -502,3 +502,40 @@ def test_vocab_coverage_matches_brute_force():
         assert g["coverage"] == round(covered / total, 4) + 0.0
         assert g["oov_rate"] == round(1.0 - covered / total, 4) + 0.0
     assert [g["vocab_size"] for g in got] == [5, 10, 20]
+
+
+# ---------------------------------------------------------------------------
+# q_deletion_audit
+# ---------------------------------------------------------------------------
+
+
+def test_deletion_audit_matches_brute_force():
+    custkeys = list(range(40))
+    deleted = {k for k in custkeys if _bucket("gdpr", k, 100) < 5}
+    assert deleted  # fixture must exercise the cascade
+    orders = [(o, o % 40) for o in range(120)]  # (o_orderkey, o_custkey)
+    lines = [(li, li % 120) for li in range(300)]  # (id, l_orderkey)
+    events = [(e, e % 50) for e in range(200)]  # (event_id, user_id)
+    del_orders = {o for o, c in orders if c in deleted}
+    expect = {
+        "customer": (len(custkeys), len(deleted)),
+        "orders": (len(orders), len(del_orders)),
+        "lineitem": (len(lines),
+                     sum(1 for _i, ok in lines if ok in del_orders)),
+        "events": (len(events),
+                   sum(1 for _e, u in events if u in deleted)),
+    }
+    got = _run(
+        {
+            "customer": (["c_custkey BIGINT"], [(k,) for k in custkeys]),
+            "orders": (["o_orderkey BIGINT", "o_custkey BIGINT"], orders),
+            "lineitem": (["li_id BIGINT", "l_orderkey BIGINT"], lines),
+            "events": (["event_id BIGINT", "user_id BIGINT"], events),
+        },
+        "q_deletion_audit",
+    )
+    assert [(g["tbl"], g["n_total"], g["n_affected"]) for g in got] \
+        == [(t, *expect[t]) for t in sorted(expect)]
+    for g in got:
+        t, a = expect[g["tbl"]]
+        assert g["affected_pct"] == round(a / t, 4) + 0.0

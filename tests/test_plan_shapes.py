@@ -1056,3 +1056,13 @@ def test_vocab_coverage_ranks_are_two_phase(spark):
     plan = _plan(spark, "q_vocab_coverage")
     assert "CartesianProduct" not in plan
     assert "Scan ExistingRDD" in plan
+
+
+def test_deletion_audit_cascades_via_semi_joins(spark):
+    """Every propagation step must be a key-partitioned semi-join —
+    no cartesian, no window; the delete cohort scales with customers
+    so it must never be collected driver-side."""
+    plan = _plan(spark, "q_deletion_audit")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "LeftSemi" in plan
