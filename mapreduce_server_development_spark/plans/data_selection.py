@@ -1533,3 +1533,258 @@ def q_deletion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_row("events", events, ev_aff))
     )
     return rows.selectExpr(*_DEL_FINAL).orderBy("tbl")
+
+
+# ---------------------------------------------------------------------------
+# q_ivfpq_ann — IVF-PQ composite index audit (the production layout)
+# ---------------------------------------------------------------------------
+
+_IVFPQ_FINAL = (
+    "qid",
+    "CAST(cell_size AS BIGINT) AS cell_size",
+    "CAST(ov_cell AS BIGINT) AS overlap_at3_cell",
+    "CAST(ov_global AS BIGINT) AS overlap_at3_global",
+)
+
+
+@query(
+    "q_ivfpq_ann",
+    oracle=f"""
+    WITH {_CELL_CTES},
+    ms AS (SELECT unnest(range(0, {_PQ_M})) AS m),
+    sub AS (
+        SELECT vid, m,
+               vv[m * {_PQ_SUBDIM} + 1 : m * {_PQ_SUBDIM} + {_PQ_SUBDIM}]
+                   AS sv
+        FROM v CROSS JOIN ms
+    ),
+    cb AS (SELECT vid AS pcid, m, sv AS cv FROM sub WHERE vid < {_PQ_KS}),
+    enc AS (
+        SELECT vid, m, pcid FROM (
+            SELECT s.vid, s.m, c.pcid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vid, s.m
+                       ORDER BY CAST(round((
+                           list_dot_product(s.sv, s.sv)
+                           + list_dot_product(c.cv, c.cv)
+                           - 2 * list_dot_product(s.sv, c.cv)) * 10000)
+                           AS BIGINT), c.pcid) AS rn
+            FROM sub s JOIN cb c ON c.m = s.m
+        ) WHERE rn = 1
+    ),
+    q AS (
+        SELECT a.vid AS qid, a.vv AS qv, a.cid AS qcid
+        FROM assign a WHERE a.vid % 97 = 3 AND a.vid < 1000
+    ),
+    qsub AS (
+        SELECT qid, m,
+               qv[m * {_PQ_SUBDIM} + 1 : m * {_PQ_SUBDIM} + {_PQ_SUBDIM}]
+                   AS qs
+        FROM q CROSS JOIN ms
+    ),
+    lut AS (
+        SELECT s.qid, s.m, c.pcid,
+               CAST(round((list_dot_product(s.qs, s.qs)
+                           + list_dot_product(c.cv, c.cv)
+                           - 2 * list_dot_product(s.qs, c.cv)) * 10000)
+                   AS BIGINT) AS d2c
+        FROM qsub s JOIN cb c ON c.m = s.m
+    ),
+    cellmates AS (
+        SELECT q.qid, a.vid FROM q
+        JOIN assign a ON a.cid = q.qcid AND a.vid <> q.qid
+    ),
+    adc AS (
+        SELECT cm.qid, cm.vid, CAST(SUM(l.d2c) AS BIGINT) AS adc_d2
+        FROM cellmates cm
+        JOIN enc e ON e.vid = cm.vid
+        JOIN lut l ON l.qid = cm.qid AND l.m = e.m AND l.pcid = e.pcid
+        GROUP BY cm.qid, cm.vid
+    ),
+    at AS (SELECT qid, vid,
+                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_d2, vid)
+                      AS rn
+           FROM adc),
+    exact AS (
+        SELECT q.qid, v.vid,
+               CAST(round((list_dot_product(q.qv, q.qv)
+                           + list_dot_product(v.vv, v.vv)
+                           - 2 * list_dot_product(q.qv, v.vv)) * 10000)
+                   AS BIGINT) AS d2
+        FROM q JOIN v ON v.vid <> q.qid
+    ),
+    et AS (SELECT qid, vid,
+                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, vid)
+                      AS rn
+           FROM exact),
+    ect AS (
+        SELECT x.qid, x.vid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY x.qid ORDER BY x.d2, x.vid) AS rn
+        FROM exact x JOIN cellmates cm
+          ON cm.qid = x.qid AND cm.vid = x.vid
+    ),
+    ovg AS (
+        SELECT a.qid, CAST(COUNT(*) AS BIGINT) AS ov
+        FROM at a JOIN et e ON e.qid = a.qid AND e.vid = a.vid
+              AND e.rn <= 3
+        WHERE a.rn <= 3 GROUP BY a.qid
+    ),
+    ovc AS (
+        SELECT a.qid, CAST(COUNT(*) AS BIGINT) AS ov
+        FROM at a JOIN ect e ON e.qid = a.qid AND e.vid = a.vid
+              AND e.rn <= 3
+        WHERE a.rn <= 3 GROUP BY a.qid
+    ),
+    cs AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS cell_size
+           FROM cellmates GROUP BY qid),
+    res AS (
+        SELECT q.qid, cs.cell_size,
+               COALESCE(ovc.ov, 0) AS ov_cell,
+               COALESCE(ovg.ov, 0) AS ov_global
+        FROM q
+        JOIN cs ON cs.qid = q.qid
+        LEFT JOIN ovg ON ovg.qid = q.qid
+        LEFT JOIN ovc ON ovc.qid = q.qid
+    )
+    SELECT {", ".join(_IVFPQ_FINAL)} FROM res ORDER BY qid
+    """,
+)
+def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite index audit — the production ANN layout at
+    100 TB (Jegou et al. 2011; the FAISS IVF-PQ default): the sqrt(n)
+    IVF cells bound the CANDIDATE SET (search only the query's cell,
+    nprobe=1) and the 8x4-bit PQ codes bound the MEMORY (distances
+    come from the broadcast query LUTs, never raw floats). For the
+    bounded query panel, top-3 by in-cell ADC is scored two ways:
+    against the exact in-cell top-3 (isolates PQ code distortion) and
+    against the exact GLOBAL top-3 (adds the nprobe=1 cell-miss),
+    with the candidate-set size per query.
+
+    Exactness: cell assignment is the shared 4-decimal text; all
+    distances e4 integers; ranks tie-break on vid.
+
+    Scale: candidate generation is the cell equi-join (O(n^1.5)
+    volume); ADC is a broadcast-LUT hash join over the codes of the
+    query's cellmates + an integer partial-agg; the exact tiers exist
+    only to MEASURE recall (bounded panel, cosine_topk sanction).
+    Serving touches codes + one cell — ~sqrt(n) candidates x 4 bytes.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = _cell_assign(emb, extra=())
+    v = assign.select("vid", "vv")
+    ms = spark.range(_PQ_M).select(F.col("id").cast("long").alias("m"))
+    sub = v.crossJoin(F.broadcast(ms)).select(
+        "vid",
+        "m",
+        F.slice(F.col("vv"), F.col("m") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(
+            "sv"
+        ),
+    )
+    cb = sub.filter(F.col("vid") < _PQ_KS).select(
+        F.col("vid").alias("pcid"), "m", F.col("sv").alias("cv")
+    )
+
+    def d2_e4(a: str, b: str):
+        return (
+            F.round(
+                (
+                    _dot(F.col(a), F.col(a))
+                    + _dot(F.col(b), F.col(b))
+                    - 2 * _dot(F.col(a), F.col(b))
+                )
+                * 10000
+            ).cast("long")
+        )
+
+    enc = (
+        sub.join(F.broadcast(cb), "m")
+        .withColumn("d2", d2_e4("sv", "cv"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vid", "m").orderBy("d2", "pcid")
+            ),
+        )
+        .filter("rn = 1")
+        .select("vid", "m", "pcid")
+    )
+    q = assign.filter(
+        (F.col("vid") % 97 == 3) & (F.col("vid") < 1000)
+    ).select(
+        F.col("vid").alias("qid"),
+        F.col("vv").alias("qv"),
+        F.col("cid").alias("qcid"),
+    )
+    qsub = q.crossJoin(F.broadcast(ms)).select(
+        "qid",
+        "m",
+        F.slice(F.col("qv"), F.col("m") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(
+            "qs"
+        ),
+    )
+    lut = (
+        qsub.join(F.broadcast(cb), "m")
+        .withColumn("d2c", d2_e4("qs", "cv"))
+        .select("qid", "m", "pcid", "d2c")
+    )
+    cellmates = (
+        q.select("qid", "qcid")
+        .join(assign.select("cid", "vid"), F.col("cid") == F.col("qcid"))
+        .filter(F.col("vid") != F.col("qid"))
+        .select("qid", "vid")
+    )
+    adc = (
+        cellmates.join(enc, "vid")
+        .join(F.broadcast(lut), ["qid", "m", "pcid"])
+        .groupBy("qid", "vid")
+        .agg(F.sum("d2c").cast("long").alias("adc_d2"))
+    )
+    at = adc.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy("adc_d2", "vid")
+        ),
+    )
+    exact = (
+        v.join(
+            F.broadcast(q.select("qid", "qv")),
+            F.col("vid") != F.col("qid"),
+        )
+        .withColumn("d2", d2_e4("qv", "vv"))
+        .select("qid", "vid", "d2")
+    )
+    et = exact.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("qid").orderBy("d2", "vid")),
+    )
+    ect = exact.join(cellmates, ["qid", "vid"]).withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("qid").orderBy("d2", "vid")),
+    )
+    ovg = (
+        at.filter("rn <= 3")
+        .select("qid", "vid")
+        .join(et.filter("rn <= 3").select("qid", "vid"), ["qid", "vid"])
+        .groupBy("qid")
+        .agg(F.count("*").cast("long").alias("ov_global"))
+    )
+    ovc = (
+        at.filter("rn <= 3")
+        .select("qid", "vid")
+        .join(ect.filter("rn <= 3").select("qid", "vid"), ["qid", "vid"])
+        .groupBy("qid")
+        .agg(F.count("*").cast("long").alias("ov_cell"))
+    )
+    cs = cellmates.groupBy("qid").agg(
+        F.count("*").cast("long").alias("cell_size")
+    )
+    res = (
+        q.select("qid")
+        .join(cs, "qid")
+        .join(ovg, "qid", "left")
+        .join(ovc, "qid", "left")
+        .withColumn("ov_global", F.coalesce("ov_global", F.lit(0)))
+        .withColumn("ov_cell", F.coalesce("ov_cell", F.lit(0)))
+    )
+    return res.selectExpr(*_IVFPQ_FINAL).orderBy("qid")

@@ -539,3 +539,46 @@ def test_deletion_audit_matches_brute_force():
     for g in got:
         t, a = expect[g["tbl"]]
         assert g["affected_pct"] == round(a / t, 4) + 0.0
+
+
+# ---------------------------------------------------------------------------
+# q_ivfpq_ann
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_ann_matches_brute_force():
+    rng = random.Random(29)
+    vecs = _rand_vecs(30, rng)
+    vv = {i: _f64(v) for i, v in enumerate(vecs)}
+    M, SD, KS = 8, 8, 16
+    a = _assign(vecs)
+
+    def sub(v, m):
+        return v[m * SD : (m + 1) * SD]
+
+    def d2e4(x, y):
+        return _r((_dot(x, x) + _dot(y, y) - 2 * _dot(x, y)) * 10000)
+
+    cents = {(c, m): sub(vv[c], m) for c in range(KS) for m in range(M)}
+    enc = {
+        (i, m): min(range(KS),
+                    key=lambda c: (d2e4(sub(vv[i], m), cents[(c, m)]), c))
+        for i in vv for m in range(M)
+    }
+    rows = []
+    for qid in sorted(i for i in vv if i % 97 == 3 and i < 1000):
+        qcid = a[qid][0]
+        mates = [i for i in vv if a[i][0] == qcid and i != qid]
+        lut = {(m, c): d2e4(sub(vv[qid], m), cents[(c, m)])
+               for m in range(M) for c in range(KS)}
+        adc = {i: sum(lut[(m, enc[(i, m)])] for m in range(M))
+               for i in mates}
+        exact = {i: d2e4(vv[qid], vv[i]) for i in vv if i != qid}
+        at = sorted(adc, key=lambda i: (adc[i], i))[:3]
+        et = sorted(exact, key=lambda i: (exact[i], i))[:3]
+        ect = sorted(mates, key=lambda i: (exact[i], i))[:3]
+        rows.append((qid, len(mates),
+                     len(set(at) & set(ect)), len(set(at) & set(et))))
+    got = _run({"embeddings": _emb_table(vecs, [0] * 30)}, "q_ivfpq_ann")
+    assert [(g["qid"], g["cell_size"], g["overlap_at3_cell"],
+             g["overlap_at3_global"]) for g in got] == rows

@@ -1066,3 +1066,14 @@ def test_deletion_audit_cascades_via_semi_joins(spark):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "LeftSemi" in plan
+
+
+def test_ivfpq_candidates_cell_keyed_lut_broadcast(spark):
+    """IVF-PQ serving shape: candidates come from the cid equi-join,
+    ADC rides a broadcast LUT hash join over integer codes — no
+    cartesian anywhere (the exact tiers are bounded-panel
+    broadcasts)."""
+    plan = _plan(spark, "q_ivfpq_ann")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(vid" in plan
