@@ -610,6 +610,19 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.selectExpr(*_HN_FINAL).orderBy("label")
 
 
+#: Compute-form A/B at 100x vectors (200k), recorded here so the HOF
+#: fold is never "optimized" blindly: the cell family's cost is the
+#: O(n x sqrt(n)) cosine evaluation itself. (a) argmax via window ->
+#: max_by aggregate: 626s vs 630s (kept: removes the n x sqrt(n)
+#: wide-row shuffle for free); (b) unrolling the 64-term dot into a
+#: getItem chain for whole-stage codegen: 1091s — 1.7x WORSE (the
+#: ~1.5 MiB expression tree blows past JIT method limits and falls
+#: back to interpreted eval per TERM). The zip_with/aggregate fold is
+#: the measured optimum of the bit-exact forms; a production
+#: deployment that relaxes engine-replayable exactness uses the
+#: batched-gemm quantizer (q_ivf_kmeans_ann) instead.
+
+
 def _cell_assign(
     emb: DataFrame,
     extra: tuple = ("label",),
@@ -665,20 +678,25 @@ def _cell_assign(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # Argmax as a map-side-combinable aggregate, NOT a window: the
+    # broadcast join keeps every candidate row of a vector in one
+    # task, so the partial max_by collapses |centroids| rows to 1
+    # BEFORE the exchange — a window here would shuffle
+    # n x sqrt(n) rows each carrying two 64-float arrays (measured
+    # dominant at 100x vectors). Semantics identical to the oracle's
+    # ROW_NUMBER (max ccos, ties to the LOWEST cid via -cid).
     return (
         base.crossJoin(F.broadcast(cent))
         .withColumn(
             "ccos", F.round(cdot / (F.col("nrm") * F.col("cnrm")), 4)
         )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vid").orderBy(
-                    F.col("ccos").desc(), F.col("cid")
-                )
-            ),
+        .groupBy("vid")
+        .agg(
+            F.expr("max_by(cid, struct(ccos, -cid))").alias("cid"),
+            F.first("vv").alias("vv"),
+            F.first("nrm").alias("nrm"),
+            *[F.first(c).alias(c) for c in extra_out],
         )
-        .filter("rn = 1")
         .select("vid", *extra_out, "cid", "vv", "nrm")
     )
 
