@@ -1806,3 +1806,110 @@ def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ov_cell", F.coalesce("ov_cell", F.lit(0)))
     )
     return res.selectExpr(*_IVFPQ_FINAL).orderBy("qid")
+
+
+# ---------------------------------------------------------------------------
+# q_cross_source_dups — source x source duplication (syndication) matrix
+# ---------------------------------------------------------------------------
+
+_XSD_FINAL = (
+    "source_a",
+    "source_b",
+    "CAST(n_clusters AS BIGINT) AS n_shared_clusters",
+    "CAST(n_docs_a AS BIGINT) AS n_docs_a",
+    "CAST(n_docs_b AS BIGINT) AS n_docs_b",
+)
+
+
+@query(
+    "q_cross_source_dups",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, source,
+               md5(array_to_string(list_sort(list_distinct(
+                   list_filter(string_split(lower(text), ' '),
+                               t -> t <> ''))), ' ')) AS th
+        FROM documents
+    ),
+    multi AS (
+        SELECT th FROM h GROUP BY th
+        HAVING COUNT(DISTINCT source) >= 2
+    ),
+    m AS (SELECT h.th, h.source, h.doc_id
+          FROM h JOIN multi USING (th)),
+    pairs AS (
+        SELECT a.th, a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(DISTINCT a.doc_id) AS BIGINT) AS n_docs_a,
+               CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_docs_b
+        FROM m a JOIN m b
+          ON a.th = b.th AND a.source < b.source
+        GROUP BY a.th, a.source, b.source
+    )
+    SELECT source_a, source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_clusters,
+           CAST(SUM(n_docs_a) AS BIGINT) AS n_docs_a,
+           CAST(SUM(n_docs_b) AS BIGINT) AS n_docs_b
+    FROM pairs GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication (syndication/mirror) matrix:
+    vocabulary-fingerprint clusters (the q_dup_size_hist convention —
+    sorted distinct-token sets, catching reordered copies; the fixture
+    has zero byte-exact dups but dozens of these) that span TWO OR
+    MORE sources, rolled up per source pair — how many shared duplicate clusters each pair of
+    sources has and how many docs each side contributes. The
+    governance readout behind "source B mirrors source A, dedup them
+    together and down-weight B" decisions (complements
+    q_dup_rate_by_source's within-source rate and q_source_overlap's
+    vocabulary Jaccard with actual duplicated CONTENT).
+
+    Scale: content travels as md5 only; the multi-source filter is one
+    hash-keyed aggregate; the pair join is keyed by the hash and
+    bounded per cluster by the SOURCE domain (a hash in k sources
+    yields C(k,2) <= C(|sources|,2) pairs), never by cluster size —
+    doc multiplicity is pre-aggregated per (hash, source) by the
+    COUNT DISTINCT. The final panel is |sources|^2.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower(F.col("text")), " "),
+                        lambda t: t != "",
+                    )
+                )
+            ),
+            " ",
+        )
+    )
+    h = docs.select("doc_id", "source", fp.alias("th"))
+    multi = (
+        h.groupBy("th")
+        .agg(F.countDistinct("source").alias("ns"))
+        .filter("ns >= 2")
+        .select("th")
+    )
+    m = h.join(multi, "th")
+    a = m.select("th", F.col("source").alias("source_a"),
+                 F.col("doc_id").alias("da"))
+    b = m.select("th", F.col("source").alias("source_b"),
+                 F.col("doc_id").alias("db"))
+    pairs = (
+        a.join(b, "th")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("th", "source_a", "source_b")
+        .agg(
+            F.countDistinct("da").cast("long").alias("n_docs_a"),
+            F.countDistinct("db").cast("long").alias("n_docs_b"),
+        )
+    )
+    out = pairs.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("n_docs_a").cast("long").alias("n_docs_a"),
+        F.sum("n_docs_b").cast("long").alias("n_docs_b"),
+    )
+    return out.selectExpr(*_XSD_FINAL).orderBy("source_a", "source_b")

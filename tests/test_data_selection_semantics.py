@@ -582,3 +582,39 @@ def test_ivfpq_ann_matches_brute_force():
     got = _run({"embeddings": _emb_table(vecs, [0] * 30)}, "q_ivfpq_ann")
     assert [(g["qid"], g["cell_size"], g["overlap_at3_cell"],
              g["overlap_at3_global"]) for g in got] == rows
+
+
+# ---------------------------------------------------------------------------
+# q_cross_source_dups
+# ---------------------------------------------------------------------------
+
+
+def test_cross_source_dups_match_brute_force():
+    rows = [
+        (1, "b a c", "en", "s0"),     # vocab {a,b,c}
+        (2, "a b c a", "en", "s1"),   # same set, reordered + repeat
+        (3, "c b a", "en", "s2"),     # same set again: cluster spans 3
+        (4, "x y", "en", "s0"),       # vocab {x,y}
+        (5, "y x", "en", "s1"),       # same set: second cluster
+        (6, "x y", "en", "s0"),       # same set SAME source: multiplicity
+        (7, "unique words here", "en", "s2"),
+    ]
+    fp = {}
+    for d, t, _la, s in rows:
+        key = " ".join(sorted(set(w for w in t.lower().split(" ") if w)))
+        fp.setdefault(key, []).append((d, s))
+    agg = {}
+    for _k, members in fp.items():
+        if len({s for _d, s in members}) < 2:
+            continue
+        srcs = sorted({s for _d, s in members})
+        for i, sa in enumerate(srcs):
+            for sb in srcs[i + 1:]:
+                na = len({d for d, s in members if s == sa})
+                nb = len({d for d, s in members if s == sb})
+                c, xa, xb = agg.get((sa, sb), (0, 0, 0))
+                agg[(sa, sb)] = (c + 1, xa + na, xb + nb)
+    got = _run({"documents": _docs_table(rows)}, "q_cross_source_dups")
+    assert [(g["source_a"], g["source_b"], g["n_shared_clusters"],
+             g["n_docs_a"], g["n_docs_b"]) for g in got] \
+        == [(sa, sb, *agg[(sa, sb)]) for sa, sb in sorted(agg)]

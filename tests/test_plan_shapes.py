@@ -1077,3 +1077,12 @@ def test_ivfpq_candidates_cell_keyed_lut_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "hashpartitioning(vid" in plan
+
+
+def test_cross_source_dups_pairs_bounded_by_source_domain(spark):
+    """Only 32-char digests shuffle; the pair join is hash-keyed and
+    per-cluster fan-out is bounded by the source domain (doc
+    multiplicity pre-aggregated) — no cartesian, no window."""
+    plan = _plan(spark, "q_cross_source_dups")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
