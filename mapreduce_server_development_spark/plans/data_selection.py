@@ -1913,3 +1913,90 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_docs_b").cast("long").alias("n_docs_b"),
     )
     return out.selectExpr(*_XSD_FINAL).orderBy("source_a", "source_b")
+
+
+# ---------------------------------------------------------------------------
+# q_length_buckets — pad-waste audit for length-bucketed batching
+# ---------------------------------------------------------------------------
+
+#: Power-of-two bucket edges as a shared CASE text — integer-exact in
+#: both engines (a log2/pow round-trip can land on either side of an
+#: exact power cross-engine). 8192 caps the fixture comfortably.
+_LB_EDGES = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+_LB_CASE = (
+    "CASE "
+    + " ".join(f"WHEN n_toks <= {e} THEN {e}" for e in _LB_EDGES)
+    + " ELSE 16384 END"
+)
+
+_LB_FINAL = (
+    "CAST(bucket_max AS BIGINT) AS bucket_max",
+    "CAST(n_docs AS BIGINT) AS n_docs",
+    "CAST(n_tokens AS BIGINT) AS n_tokens",
+    "CAST(bucket_max * n_docs AS BIGINT) AS padded_tokens",
+    "round(1.0 - CAST(n_tokens AS DOUBLE) / (bucket_max * n_docs), 4)"
+    " + 0.0 AS waste_pct",
+)
+
+
+@query(
+    "q_length_buckets",
+    oracle=f"""
+    WITH toks AS (
+        SELECT CAST(len(list_filter(string_split(lower(text), ' '),
+                        t -> t <> '')) AS BIGINT) AS n_toks
+        FROM documents
+    ),
+    nonempty AS (SELECT n_toks FROM toks WHERE n_toks > 0),
+    b AS (SELECT n_toks, {_LB_CASE} AS bucket_max FROM nonempty),
+    per AS (
+        SELECT bucket_max,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+        FROM b GROUP BY bucket_max
+    ),
+    allrow AS (
+        SELECT CAST(MAX(n_toks) AS BIGINT) AS bucket_max,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+        FROM nonempty
+    ),
+    u AS (SELECT * FROM per UNION ALL SELECT * FROM allrow)
+    SELECT {", ".join(_LB_FINAL)} FROM u ORDER BY bucket_max, n_docs
+    """,
+)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching pad-waste audit: assign every document
+    to a power-of-two token-length bucket and report, per bucket, the
+    padded-token capacity (bucket_max x docs) against real tokens —
+    the waste a pad-to-bucket batcher eats — plus one comparison row
+    (bucket_max = the global max length) showing what UNBUCKETED
+    pad-to-max batching would waste. The batching-efficiency
+    complement of q_seq_packing's FFD packing.
+
+    Exactness: bucket edges are a shared CASE text (a log2/pow
+    round-trip can land on either side of an exact power
+    cross-engine); everything else is integer counting and one shared
+    division text.
+
+    Scale: one token-count scan, one map-side-combined aggregate per
+    grouping; output is bounded by the edge table (+1 row).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.size(tokens_col(F.lower(F.col("text"))))
+        .cast("long")
+        .alias("n_toks")
+    ).filter("n_toks > 0")
+    b = toks.selectExpr("n_toks", f"{_LB_CASE} AS bucket_max")
+    per = b.groupBy("bucket_max").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+    )
+    allrow = toks.agg(
+        F.max("n_toks").cast("long").alias("bucket_max"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+    )
+    u = per.unionByName(allrow)
+    return u.selectExpr(*_LB_FINAL).orderBy("bucket_max", "n_docs")

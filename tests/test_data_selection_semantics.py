@@ -618,3 +618,44 @@ def test_cross_source_dups_match_brute_force():
     assert [(g["source_a"], g["source_b"], g["n_shared_clusters"],
              g["n_docs_a"], g["n_docs_b"]) for g in got] \
         == [(sa, sb, *agg[(sa, sb)]) for sa, sb in sorted(agg)]
+
+
+# ---------------------------------------------------------------------------
+# q_length_buckets
+# ---------------------------------------------------------------------------
+
+
+def test_length_buckets_match_brute_force():
+    rng = random.Random(31)
+    rows = []
+    for d in range(20):
+        n = rng.randint(1, 300)
+        rows.append((d, " ".join(["w"] * n), "en", "s0"))
+    edges = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+
+    def bucket(n):
+        for e in edges:
+            if n <= e:
+                return e
+        return 16384
+
+    per = {}
+    lens = []
+    for _d, t, _la, _s in rows:
+        n = len([w for w in t.split(" ") if w])
+        if n == 0:
+            continue
+        lens.append(n)
+        nd, nt = per.get(bucket(n), (0, 0))
+        per[bucket(n)] = (nd + 1, nt + n)
+    expect = sorted(
+        [(b, nd, nt) for b, (nd, nt) in per.items()]
+        + [(max(lens), len(lens), sum(lens))]
+    )
+    got = _run({"documents": _docs_table(rows)}, "q_length_buckets")
+    assert [(g["bucket_max"], g["n_docs"], g["n_tokens"]) for g in got] \
+        == expect
+    for g in got:
+        cap = g["bucket_max"] * g["n_docs"]
+        assert g["padded_tokens"] == cap
+        assert g["waste_pct"] == round(1.0 - g["n_tokens"] / cap, 4) + 0.0
