@@ -693,11 +693,12 @@ def _cell_assign(
         .groupBy("vid")
         .agg(
             F.expr("max_by(cid, struct(ccos, -cid))").alias("cid"),
+            F.max("ccos").alias("ccos"),  # the winning (max) cosine
             F.first("vv").alias("vv"),
             F.first("nrm").alias("nrm"),
             *[F.first(c).alias(c) for c in extra_out],
         )
-        .select("vid", *extra_out, "cid", "vv", "nrm")
+        .select("vid", *extra_out, "cid", "vv", "nrm", "ccos")
     )
 
 
@@ -2000,3 +2001,109 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u = per.unionByName(allrow)
     return u.selectExpr(*_LB_FINAL).orderBy("bucket_max", "n_docs")
+
+
+# ---------------------------------------------------------------------------
+# q_incremental_ivf — index-maintenance / quantizer-drift gate
+# ---------------------------------------------------------------------------
+
+_IINC_FINAL = (
+    "CAST(cid AS BIGINT) AS cid",
+    "CAST(n_old AS BIGINT) AS n_old",
+    "CAST(n_new AS BIGINT) AS n_new",
+    "round(CAST(n_new AS DOUBLE) / n_old, 4) + 0.0 AS growth",
+    "round(CAST(s_old AS DOUBLE) / n_old / 10000.0, 4) + 0.0"
+    " AS mean_cos_old",
+    "round(CAST(s_new AS DOUBLE) / NULLIF(n_new, 0) / 10000.0, 4) + 0.0"
+    " AS mean_cos_new",
+)
+
+
+@query(
+    "q_incremental_ivf",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id AS vid,
+               {_bucket_sql("ivfinc", "vec_id", 10)} >= 9 AS is_new,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vid, is_new, vv,
+               sqrt(list_sum(list_transform(vv, x -> x * x))) AS nrm
+        FROM v
+    ),
+    kk AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k
+           FROM n WHERE NOT is_new),
+    cent AS (SELECT vid AS cid, vv AS cv, nrm AS cnrm
+             FROM n, kk WHERE vid <= kk.k AND NOT is_new),
+    assign AS (
+        SELECT vid, is_new, cid, ccos FROM (
+            SELECT n.vid, n.is_new, c.cid,
+                   round(list_dot_product(n.vv, c.cv)
+                         / (n.nrm * c.cnrm), 4) AS ccos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.vid
+                       ORDER BY round(list_dot_product(n.vv, c.cv)
+                                      / (n.nrm * c.cnrm), 4) DESC, c.cid)
+                       AS rn
+            FROM n CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    per AS (
+        SELECT cid,
+               CAST(COUNT(*) FILTER (WHERE NOT is_new) AS BIGINT) AS n_old,
+               CAST(COUNT(*) FILTER (WHERE is_new) AS BIGINT) AS n_new,
+               CAST(SUM(CAST(round(ccos * 10000) AS BIGINT))
+                    FILTER (WHERE NOT is_new) AS BIGINT) AS s_old,
+               CAST(COALESCE(SUM(CAST(round(ccos * 10000) AS BIGINT))
+                    FILTER (WHERE is_new), 0) AS BIGINT) AS s_new
+        FROM assign GROUP BY cid
+    )
+    SELECT {", ".join(_IINC_FINAL)} FROM per ORDER BY cid
+    """,
+)
+def q_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance: a 10% hash-split "new batch" of
+    vectors is assigned into the EXISTING IVF cells (seeded from the
+    old corpus only) and the per-cell ledger reports growth and
+    centroid-fit drift — mean assignment cosine of old members vs the
+    new arrivals. Falling new-member cosines or lopsided growth are
+    the "retrain the quantizer" gate every production ANN index
+    watches (the index twin of q_incremental_dedup: old x old is
+    never re-processed).
+
+    Exactness: cosines are the shared 4-decimal assignment text,
+    re-fixed-pointed to e4 integers before the per-cell sums; the
+    three ratios are shared division texts (mean_cos_new NULL for
+    cells the batch never touched).
+
+    Scale: the only corpus-scale work is the broadcast-centroid
+    assignment scan (O(n * sqrt(n_old))); the ledger is a
+    sqrt(n)-row panel. Every cell has >= 1 old member (its seed), so
+    growth never divides by zero.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = _cell_assign(
+        emb,
+        extra=(
+            ("is_old", hash_bucket("ivfinc", F.col("vec_id"), 10) < 9),
+        ),
+        seed_col="is_old",
+    )
+    cos_e4 = F.round(F.col("ccos") * 10000).cast("long")
+    per = assign.groupBy("cid").agg(
+        F.sum(F.when(F.col("is_old"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_old"),
+        F.sum(F.when(~F.col("is_old"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("is_old"), cos_e4).otherwise(0))
+        .cast("long")
+        .alias("s_old"),
+        F.sum(F.when(~F.col("is_old"), cos_e4).otherwise(0))
+        .cast("long")
+        .alias("s_new"),
+    )
+    return per.selectExpr(*_IINC_FINAL).orderBy("cid")

@@ -659,3 +659,49 @@ def test_length_buckets_match_brute_force():
         cap = g["bucket_max"] * g["n_docs"]
         assert g["padded_tokens"] == cap
         assert g["waste_pct"] == round(1.0 - g["n_tokens"] / cap, 4) + 0.0
+
+
+# ---------------------------------------------------------------------------
+# q_incremental_ivf
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_ivf_matches_brute_force():
+    rng = random.Random(37)
+    vecs = _rand_vecs(36, rng)
+    is_old = {i: _bucket("ivfinc", i, 10) < 9 for i in range(36)}
+    old_ids = [i for i in range(36) if is_old[i]]
+    assert len(old_ids) < 36  # the batch path must be exercised
+    vv = {i: _f64(v) for i, v in enumerate(vecs)}
+    nrm = {i: math.sqrt(_dot(vv[i], vv[i])) for i in vv}
+    k = math.ceil(math.sqrt(len(old_ids)))
+    cents = [i for i in old_ids if i <= k]
+    per = {}
+    for i in vv:
+        best = max(
+            cents,
+            key=lambda c: (round(_dot(vv[i], vv[c]) / (nrm[i] * nrm[c]), 4),
+                           -c),
+        )
+        ccos = round(_dot(vv[i], vv[best]) / (nrm[i] * nrm[best]), 4)
+        e4 = _r(ccos * 10000)
+        no, nn, so, sn = per.get(best, (0, 0, 0, 0))
+        if is_old[i]:
+            per[best] = (no + 1, nn, so + e4, sn)
+        else:
+            per[best] = (no, nn + 1, so, sn + e4)
+    got = _run({"embeddings": _emb_table(vecs, [0] * 36)},
+               "q_incremental_ivf")
+    assert [(g["cid"], g["n_old"], g["n_new"]) for g in got] \
+        == [(c, *per[c][:2]) for c in sorted(per)]
+    def r4(x):  # engines round HALF-AWAY at 4 decimals, not banker's
+        return _r(x * 10000) / 10000.0
+
+    for g in got:
+        no, nn, so, sn = per[g["cid"]]
+        assert g["growth"] == r4(nn / no)
+        assert g["mean_cos_old"] == r4(so / no / 10000.0)
+        if nn == 0:
+            assert g["mean_cos_new"] is None
+        else:
+            assert g["mean_cos_new"] == r4(sn / nn / 10000.0)

@@ -1086,3 +1086,14 @@ def test_cross_source_dups_pairs_bounded_by_source_domain(spark):
     plan = _plan(spark, "q_cross_source_dups")
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_incremental_ivf_is_one_assignment_scan(spark):
+    """The only corpus-scale work is the broadcast-centroid assignment
+    (max_by aggregate keyed by the vector id) — no window, no
+    cartesian; the ledger is a cid-keyed hash aggregate."""
+    plan = _plan(spark, "q_incremental_ivf")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "hashpartitioning(vid" in plan
+    assert "hashpartitioning(cid" in plan
