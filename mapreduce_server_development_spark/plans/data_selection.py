@@ -1195,7 +1195,8 @@ _EPOCH_FINAL = (
     ),
     plan1 AS (
         SELECT source, u, target,
-               CAST(ceil(CAST(target AS DOUBLE) / u) AS BIGINT) AS epochs
+               CAST(ceil(CAST(target AS DOUBLE) / NULLIF(u, 0))
+                    AS BIGINT) AS epochs
         FROM plan0
     ),
     plan2 AS (
@@ -1250,9 +1251,10 @@ def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "epochs",
-            F.ceil(F.col("target").cast("double") / F.col("u")).cast(
-                "long"
-            ),
+            F.ceil(
+                F.col("target").cast("double")
+                / F.nullif(F.col("u"), F.lit(0))
+            ).cast("long"),
         )
         .selectExpr(
             "source", "u", "target", "epochs", f"{_EPOCH_EFF} AS effective"
