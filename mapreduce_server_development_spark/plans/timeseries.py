@@ -1207,3 +1207,126 @@ def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr(_SS_TERM)).alias("bt"),
     )
     return s.selectExpr(*_SS_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_forecast_backtest — rolling-origin seasonal-naive backtesting
+# ---------------------------------------------------------------------------
+
+#: Number of rolling origins; each scores the 7 days after its cutoff
+#: with the day-minus-7 seasonal-naive forecast (every forecast input
+#: is <= the cutoff, so each window is a valid out-of-sample test).
+_FB_ORIGINS = 4
+
+_FB_FINAL = (
+    "cutoff",
+    "CAST(n_days AS BIGINT) AS n_days",
+    "round(CAST(sum_ape_micro AS DOUBLE) / CAST(n_days AS DOUBLE)"
+    " / 10000.0, 6) AS mape_pct",
+    "round(CAST(sum_err_c AS DOUBLE) / CAST(sum_actual_c AS DOUBLE)"
+    " * 100.0, 6) + 0.0 AS bias_pct",
+)
+
+
+@query(
+    "q_forecast_backtest",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM orders GROUP BY 1
+    ),
+    mx AS (SELECT MAX(day) AS max_day FROM daily),
+    grid AS (SELECT unnest(range(1, {_FB_ORIGINS} + 1)) AS i),
+    cutoffs AS (
+        SELECT CAST(max_day - INTERVAL (7 * i) DAY AS DATE) AS cutoff
+        FROM mx CROSS JOIN grid
+    ),
+    scored AS (
+        SELECT c.cutoff,
+               a.rev_c AS actual_c,
+               f.rev_c AS forecast_c,
+               CAST(round(abs(CAST(a.rev_c - f.rev_c AS DOUBLE))
+                    / CAST(a.rev_c AS DOUBLE) * 1000000) AS BIGINT)
+                   AS ape_micro
+        FROM cutoffs c
+        JOIN daily a ON a.day > c.cutoff
+              AND a.day <= CAST(c.cutoff + INTERVAL 7 DAY AS DATE)
+        JOIN daily f ON f.day = a.day - INTERVAL 7 DAY
+    ),
+    s AS (
+        SELECT cutoff,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(ape_micro) AS BIGINT) AS sum_ape_micro,
+               CAST(SUM(forecast_c - actual_c) AS BIGINT) AS sum_err_c,
+               CAST(SUM(actual_c) AS BIGINT) AS sum_actual_c
+        FROM scored GROUP BY cutoff
+    )
+    SELECT {", ".join(_FB_FINAL)} FROM s ORDER BY cutoff
+    """,
+)
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the seasonal-naive forecaster
+    (q_forecast_eval's model, validated the way a forecasting team
+    actually validates): four cutoffs stepping back a week at a time;
+    each scores ONLY the 7 days after its cutoff, and every forecast
+    input (day minus 7) is on or before the cutoff, so each window is
+    genuinely out-of-sample. Per-cutoff MAPE and signed bias reveal
+    error drift across origins — the stability signal a single
+    train/test split hides.
+
+    Exactness: integer-cent revenue, micro-rounded per-day APEs,
+    shared closed-form headline texts (the q_forecast_eval
+    discipline); the cutoff grid is derived from MAX(day), so both
+    engines see identical windows.
+
+    Scale: one orders aggregate to days; the scoring join multiplies
+    the tiny daily relation by the bounded origin grid; output is
+    |origins| rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+        .cast("long")
+        .alias("rev_c")
+    )
+    mx = daily.agg(F.max("day").alias("max_day"))
+    grid = spark.range(1, _FB_ORIGINS + 1).select(
+        F.col("id").cast("int").alias("i")
+    )
+    cutoffs = (
+        mx.crossJoin(F.broadcast(grid))
+        .select(F.date_sub(F.col("max_day"), 7 * F.col("i")).alias("cutoff"))
+    )
+    a = daily.select(F.col("day").alias("a_day"), F.col("rev_c").alias("actual_c"))
+    f_ = daily.select(F.col("day").alias("f_day"), F.col("rev_c").alias("forecast_c"))
+    scored = (
+        F.broadcast(cutoffs)
+        .join(
+            a,
+            (F.col("a_day") > F.col("cutoff"))
+            & (F.col("a_day") <= F.date_add(F.col("cutoff"), 7)),
+        )
+        .join(f_, F.col("f_day") == F.date_sub(F.col("a_day"), 7))
+        .select(
+            "cutoff",
+            "actual_c",
+            "forecast_c",
+            F.expr(
+                "CAST(round(abs(CAST(actual_c - forecast_c AS DOUBLE))"
+                " / CAST(actual_c AS DOUBLE) * 1000000) AS BIGINT)"
+            ).alias("ape_micro"),
+        )
+    )
+    s = scored.groupBy("cutoff").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("ape_micro").cast("long").alias("sum_ape_micro"),
+        F.sum(F.col("forecast_c") - F.col("actual_c"))
+        .cast("long")
+        .alias("sum_err_c"),
+        F.sum("actual_c").cast("long").alias("sum_actual_c"),
+    )
+    return s.selectExpr(*_FB_FINAL).orderBy("cutoff")

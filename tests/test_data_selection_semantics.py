@@ -705,3 +705,46 @@ def test_incremental_ivf_matches_brute_force():
             assert g["mean_cos_new"] is None
         else:
             assert g["mean_cos_new"] == r4(sn / nn / 10000.0)
+
+
+# ---------------------------------------------------------------------------
+# q_forecast_backtest
+# ---------------------------------------------------------------------------
+
+
+def test_forecast_backtest_matches_brute_force():
+    import datetime as dt
+
+    rng = random.Random(41)
+    base = dt.date(2024, 3, 1)
+    days = [base + dt.timedelta(days=i) for i in range(42)]
+    rev = {d: rng.randint(500, 5000) * 100 for d in days}  # cents
+    rows = [(d, c / 100.0) for d, c in rev.items()]
+
+    max_day = max(days)
+    expect = []
+    for i in range(1, 5):
+        cutoff = max_day - dt.timedelta(days=7 * i)
+        n = sape = serr = sact = 0
+        for d in days:
+            f = d - dt.timedelta(days=7)
+            if not (cutoff < d <= cutoff + dt.timedelta(days=7)):
+                continue
+            if f not in rev:
+                continue
+            n += 1
+            sape += _r(abs(rev[d] - rev[f]) / rev[d] * 1e6)
+            serr += rev[f] - rev[d]
+            sact += rev[d]
+        expect.append((cutoff, n, sape, serr, sact))
+    expect.sort()
+
+    got = _run(
+        {"orders": (["o_orderdate DATE", "o_totalprice DOUBLE"], rows)},
+        "q_forecast_backtest",
+    )
+    assert [(g["cutoff"], g["n_days"]) for g in got] \
+        == [(c, n) for c, n, *_ in expect]
+    for g, (_c, n, sape, serr, sact) in zip(got, expect):
+        assert g["mape_pct"] == round(sape / n / 10000.0, 6)
+        assert g["bias_pct"] == round(serr / sact * 100.0, 6) + 0.0
