@@ -2109,3 +2109,139 @@ def q_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("s_new"),
     )
     return per.selectExpr(*_IINC_FINAL).orderBy("cid")
+
+
+# ---------------------------------------------------------------------------
+# q_quality_token_curve — token retention under a quality-cutoff policy
+# ---------------------------------------------------------------------------
+
+_QTC_FINAL = (
+    "CAST(decile AS BIGINT) AS decile",
+    "CAST(n_docs_cum AS BIGINT) AS n_docs_cum",
+    "CAST(tokens_cum AS BIGINT) AS tokens_cum",
+    "round(CAST(tokens_cum AS DOUBLE) / total_tokens, 4) + 0.0"
+    " AS pct_tokens_kept",
+)
+
+
+@query(
+    "q_quality_token_curve",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_toks,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_types
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '),
+                               x -> x <> '') AS toks
+            FROM documents
+        ) WHERE len(toks) > 0
+    ),
+    scored AS (
+        SELECT doc_id, n_toks,
+               CAST(round(CAST(n_types AS DOUBLE) / n_toks * 10000)
+                    AS BIGINT) AS score_e4
+        FROM t
+    ),
+    ranked AS (
+        SELECT doc_id, n_toks,
+               ROW_NUMBER() OVER (ORDER BY score_e4 DESC, doc_id) AS rk,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM scored
+    ),
+    dec AS (
+        SELECT CAST(floor((10.0 * (rk - 1)) / n) AS BIGINT) + 1 AS decile,
+               n_toks
+        FROM ranked
+    ),
+    per AS (
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS toks
+        FROM dec GROUP BY decile
+    ),
+    tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS total_tokens FROM per),
+    cum AS (
+        SELECT a.decile,
+               CAST(SUM(b.n_docs) AS BIGINT) AS n_docs_cum,
+               CAST(SUM(b.toks) AS BIGINT) AS tokens_cum
+        FROM per a JOIN per b ON b.decile <= a.decile
+        GROUP BY a.decile
+    )
+    SELECT {", ".join(_QTC_FINAL)}
+    FROM cum CROSS JOIN tot ORDER BY decile
+    """,
+)
+def q_quality_token_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-cutoff token-retention curve: rank every document by a
+    deterministic quality proxy (type-token ratio — lexical
+    diversity), cut the ranking into deciles, and report CUMULATIVE
+    docs/tokens per decile — "keep only the top-d deciles and you
+    retain X% of the corpus tokens", the curve a data-mix planner
+    reads before committing a quality floor (pairs with
+    q_quality_floor's per-language cut and q_mix_planner's budget
+    waterfill).
+
+    Exactness: the score is an e4 integer; ranks tie-break on doc_id;
+    the decile edge is floor((10*(rk-1))/n)+1 over DOUBLE-cast
+    integers (exact for any n < 2^45); the cumulative rollup is an
+    integer self-join over the bounded 10-row decile panel.
+
+    Scale: one token scan; ranks ride the two-phase global row_number
+    (on Spark — the oracle's window form is the semantic spec); the
+    curve arithmetic never touches row-scale data again.
+    """
+    from ..functions.prefix import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", tokens_col(F.lower(F.col("text"))).alias("toks")
+    ).filter(F.size("toks") > 0)
+    scored = t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_toks"),
+        F.round(
+            F.size(F.array_distinct("toks")).cast("double")
+            / F.size("toks")
+            * 10000
+        )
+        .cast("long")
+        .alias("score_e4"),
+    )
+    g = global_row_number(
+        scored, [F.col("score_e4").desc(), F.col("doc_id")], "rk"
+    )
+    n = g.agg(F.count("*").cast("long").alias("n"))
+    dec = (
+        g.crossJoin(F.broadcast(n))
+        .select(
+            (
+                F.floor(
+                    (10.0 * (F.col("rk") - 1)) / F.col("n")
+                ).cast("long")
+                + 1
+            ).alias("decile"),
+            "n_toks",
+        )
+    )
+    per = dec.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("toks"),
+    )
+    tot = per.agg(F.sum("toks").cast("long").alias("total_tokens"))
+    a = per.select(F.col("decile").alias("d_a"))
+    cum = (
+        a.join(F.broadcast(per), F.col("decile") <= F.col("d_a"))
+        .groupBy("d_a")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs_cum"),
+            F.sum("toks").cast("long").alias("tokens_cum"),
+        )
+        .withColumnRenamed("d_a", "decile")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .selectExpr(*_QTC_FINAL)
+        .orderBy("decile")
+    )

@@ -748,3 +748,43 @@ def test_forecast_backtest_matches_brute_force():
     for g, (_c, n, sape, serr, sact) in zip(got, expect):
         assert g["mape_pct"] == round(sape / n / 10000.0, 6)
         assert g["bias_pct"] == round(serr / sact * 100.0, 6) + 0.0
+
+
+# ---------------------------------------------------------------------------
+# q_quality_token_curve
+# ---------------------------------------------------------------------------
+
+
+def test_quality_token_curve_matches_brute_force():
+    rng = random.Random(43)
+    words = [f"t{i}" for i in range(12)]
+    rows = []
+    for d in range(25):
+        n = rng.randint(3, 30)
+        rows.append((d, " ".join(rng.choice(words) for _ in range(n)),
+                     "en", "s0"))
+    scored = []
+    for d, t, _la, _s in rows:
+        toks = [w for w in t.split(" ") if w]
+        if not toks:
+            continue
+        scored.append((d, len(toks),
+                       _r(len(set(toks)) / len(toks) * 10000)))
+    ranked = sorted(scored, key=lambda x: (-x[2], x[0]))
+    n = len(ranked)
+    per = {}
+    for rk, (_d, ntk, _sc) in enumerate(ranked, start=1):
+        dec = math.floor((10.0 * (rk - 1)) / n) + 1
+        nd, tk = per.get(dec, (0, 0))
+        per[dec] = (nd + 1, tk + ntk)
+    total = sum(tk for _nd, tk in per.values())
+    got = _run({"documents": _docs_table(rows)}, "q_quality_token_curve")
+    for g in got:
+        d = g["decile"]
+        nd_cum = sum(nd for dd, (nd, _tk) in per.items() if dd <= d)
+        tk_cum = sum(tk for dd, (_nd, tk) in per.items() if dd <= d)
+        assert g["n_docs_cum"] == nd_cum
+        assert g["tokens_cum"] == tk_cum
+        assert g["pct_tokens_kept"] == round(tk_cum / total, 4) + 0.0
+    assert [g["decile"] for g in got] == sorted(per)
+    assert got[-1]["pct_tokens_kept"] == 1.0

@@ -1097,3 +1097,12 @@ def test_incremental_ivf_is_one_assignment_scan(spark):
     assert "Window" not in plan
     assert "hashpartitioning(vid" in plan
     assert "hashpartitioning(cid" in plan
+
+
+def test_quality_token_curve_ranks_two_phase(spark):
+    """Document quality ranks ride the two-phase global row_number;
+    the cumulative rollup is a bounded decile-panel self-join — no
+    cartesian, no single-task sort of the corpus."""
+    plan = _plan(spark, "q_quality_token_curve")
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
