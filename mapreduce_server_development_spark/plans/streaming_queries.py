@@ -2332,3 +2332,84 @@ def q_stream_toxicity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("n_tokens"),
     )
     return agg.selectExpr(*_TOX_FINAL).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q_stream_deletion_enforcement — GDPR tombstones applied at ingest
+# (streaming enforcement twin of q_deletion_audit's events row)
+# ---------------------------------------------------------------------------
+
+_SDEL_FINAL = (
+    "CAST(n_events AS BIGINT) AS n_events",
+    "CAST(n_suppressed AS BIGINT) AS n_suppressed",
+    "CAST(n_kept AS BIGINT) AS n_kept",
+    "round(CAST(n_suppressed AS DOUBLE) / n_events, 4) + 0.0"
+    " AS suppressed_pct",
+)
+
+
+def _q_stream_deletion_oracle() -> str:
+    from .data_selection import _DEL_PCT_BUCKET
+    from .sampling import _bucket_sql
+
+    return f"""
+    WITH d AS (
+        SELECT c_custkey FROM customer
+        WHERE {_bucket_sql("gdpr", "c_custkey", 100)} < {_DEL_PCT_BUCKET}
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(*) FILTER (
+                   WHERE user_id IN (SELECT c_custkey FROM d))
+                   AS BIGINT) AS n_suppressed
+        FROM events
+    )
+    SELECT CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_suppressed AS BIGINT) AS n_suppressed,
+           CAST(n_events - n_suppressed AS BIGINT) AS n_kept,
+           round(CAST(n_suppressed AS DOUBLE) / n_events, 4) + 0.0
+               AS suppressed_pct
+    FROM s
+    """
+
+
+@query("q_stream_deletion_enforcement", oracle=_q_stream_deletion_oracle())
+def q_stream_deletion_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR tombstone enforcement at ingest: the event stream is
+    filtered against the SAME deterministic deletion cohort as
+    q_deletion_audit (a static relation joined stream-static), each
+    row annotated suppressed/kept by a STATELESS projection and
+    appended to the file sink; the readout ledger proves enforcement
+    (suppressed + kept = all). This is the production shape of a
+    deletion pipeline: the audit (batch) sizes the blast radius, the
+    enforcement (stream) guarantees no suppressed user's events reach
+    downstream consumers from the moment the tombstone lands.
+
+    100 TB posture: zero streaming state; the cohort joins
+    stream-static (broadcast here; at cohort scale a shuffled
+    stream-static equi-join — semantics unchanged); executors write
+    part-files directly; the readout is a 1-row integer ledger.
+    """
+    from .data_selection import _DEL_PCT_BUCKET
+    from .sampling import hash_bucket
+
+    cust = load_table(spark, sf_dir, "customer")
+    d = cust.filter(
+        hash_bucket("gdpr", F.col("c_custkey"), 100) < _DEL_PCT_BUCKET
+    ).select(F.col("c_custkey").alias("del_key"))
+    stream = read_events_stream(spark, sf_dir)
+    flagged = (
+        stream.join(d, stream.user_id == d.del_key, "left")
+        .select(
+            "event_id",
+            F.col("del_key").isNotNull().alias("suppressed"),
+        )
+    )
+    out = _run_to_files(flagged, spark)
+    s = out.agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("suppressed"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_suppressed"),
+    ).withColumn("n_kept", F.col("n_events") - F.col("n_suppressed"))
+    return s.selectExpr(*_SDEL_FINAL)
