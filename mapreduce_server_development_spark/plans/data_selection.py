@@ -2245,3 +2245,79 @@ def q_quality_token_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(*_QTC_FINAL)
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_sample_bias_audit — representativeness of the 10% hash sample
+# ---------------------------------------------------------------------------
+
+_SBA_FINAL = (
+    "lang",
+    "CAST(n_full AS BIGINT) AS n_full",
+    "CAST(n_sample AS BIGINT) AS n_sample",
+    "round(CAST(n_full AS DOUBLE) / t_full, 4) + 0.0 AS full_share",
+    "round(CAST(n_sample AS DOUBLE) / t_sample, 4) + 0.0"
+    " AS sample_share",
+    "CAST(round(abs(CAST(n_sample AS DOUBLE) / t_sample"
+    " - CAST(n_full AS DOUBLE) / t_full) * 10000) AS BIGINT)"
+    " AS abs_diff_e4",
+)
+
+
+@query(
+    "q_sample_bias_audit",
+    oracle=f"""
+    WITH s AS (
+        SELECT lang,
+               {_bucket_sql("sample", "doc_id")} < 100 AS in_sample
+        FROM documents
+    ),
+    per AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_full,
+               CAST(COUNT(*) FILTER (WHERE in_sample) AS BIGINT)
+                   AS n_sample
+        FROM s GROUP BY lang
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_full) AS BIGINT) AS t_full,
+               CAST(SUM(n_sample) AS BIGINT) AS t_sample
+        FROM per
+    )
+    SELECT {", ".join(_SBA_FINAL)}
+    FROM per CROSS JOIN tot ORDER BY lang
+    """,
+)
+def q_sample_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representativeness audit of the deterministic 10% hash sample
+    (the SAME salt/threshold as q_hash_sample): per language, the
+    sample's composition share against the full corpus's, with the
+    absolute deviation in e4 units — the QA gate a sampling pipeline
+    runs before any sample-based measurement is trusted (a skewed
+    hash, a correlated key, or a biased filter shows up here first).
+
+    Scale: one scan with the bucket expression inline (no join against
+    the sample — membership is recomputed from the key, which is the
+    point of deterministic sampling), one map-side-combined per-lang
+    aggregate, and a broadcast totals row; the panel is |langs| rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "lang",
+        (hash_bucket("sample", F.col("doc_id")) < 100).alias("in_sample"),
+    )
+    per = s.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_full"),
+        F.sum(F.when(F.col("in_sample"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_sample"),
+    )
+    tot = per.agg(
+        F.sum("n_full").cast("long").alias("t_full"),
+        F.sum("n_sample").cast("long").alias("t_sample"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .selectExpr(*_SBA_FINAL)
+        .orderBy("lang")
+    )

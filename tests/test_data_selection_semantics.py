@@ -788,3 +788,30 @@ def test_quality_token_curve_matches_brute_force():
         assert g["pct_tokens_kept"] == round(tk_cum / total, 4) + 0.0
     assert [g["decile"] for g in got] == sorted(per)
     assert got[-1]["pct_tokens_kept"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# q_sample_bias_audit
+# ---------------------------------------------------------------------------
+
+
+def test_sample_bias_audit_matches_brute_force():
+    rng = random.Random(47)
+    rows = [(d, "w " * rng.randint(1, 5),
+             rng.choice(["en", "fr", "de"]), "s0") for d in range(60)]
+    per = {}
+    for d, _t, la, _s in rows:
+        nf, ns = per.get(la, (0, 0))
+        per[la] = (nf + 1, ns + (1 if _bucket("sample", d, 1000) < 100
+                                 else 0))
+    t_full = sum(nf for nf, _ns in per.values())
+    t_samp = sum(ns for _nf, ns in per.values())
+    assert t_samp > 0  # the fixture must exercise the sample path
+    got = _run({"documents": _docs_table(rows)}, "q_sample_bias_audit")
+    assert [(g["lang"], g["n_full"], g["n_sample"]) for g in got] \
+        == [(la, *per[la]) for la in sorted(per)]
+    for g in got:
+        nf, ns = per[g["lang"]]
+        assert g["full_share"] == _r(nf / t_full * 10000) / 10000.0
+        assert g["sample_share"] == _r(ns / t_samp * 10000) / 10000.0
+        assert g["abs_diff_e4"] == _r(abs(ns / t_samp - nf / t_full) * 10000)
