@@ -840,8 +840,11 @@ _TMIX_FINAL = (
     " AS natural_share",
     f"round(pow(CAST(toks AS DOUBLE), {_TMIX_ALPHA}) / psum, 6) + 0.0"
     " AS smoothed_share",
+    # NULLIF guards the 0-token source (0/0: Spark NULL vs DuckDB NaN
+    # — a cross-engine divergence on degenerate data; the q_epoch_plan
+    # convention). A zero-token source gets NULL, not NaN.
     f"round((pow(CAST(toks AS DOUBLE), {_TMIX_ALPHA}) / psum)"
-    " / (CAST(toks AS DOUBLE) / CAST(tot AS DOUBLE)), 6) + 0.0"
+    " / (CAST(NULLIF(toks, 0) AS DOUBLE) / CAST(tot AS DOUBLE)), 6) + 0.0"
     " AS upsample_factor",
 )
 

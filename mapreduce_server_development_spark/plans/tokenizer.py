@@ -52,17 +52,28 @@ _ROUNDS = 6
 #: each invocation persists one vocab-scale DataFrame per merge round
 #: (a measured 3.6x win — the state is consumed by both the next pair
 #: count and the next fold); they cannot be unpersisted at return time
-#: (the returned plan still reads them), so the NEXT invocation
-#: releases the previous one's.
-_prev_persists: list[DataFrame] = []
+#: (the returned plan still reads them), so the NEXT invocation of the
+#: SAME query releases the previous one's. The ledger is keyed by
+#: query name (q_bpe_train must not evict q_bpe_encode's live,
+#: possibly not-yet-collected state) and lock-guarded for concurrent
+#: invocation (the round-7 review flagged the shared-list form).
+_prev_persists: dict[str, list[DataFrame]] = {}
+_persists_lock = __import__("threading").Lock()
 
 
-def _gc_previous_persists() -> None:
-    while _prev_persists:
+def _gc_previous_persists(key: str) -> None:
+    with _persists_lock:
+        stale = _prev_persists.pop(key, [])
+    while stale:
         try:
-            _prev_persists.pop().unpersist()
+            stale.pop().unpersist()
         except Exception:  # noqa: BLE001 - best-effort GC
             pass
+
+
+def _record_persists(key: str, frames: list[DataFrame]) -> None:
+    with _persists_lock:
+        _prev_persists.setdefault(key, []).extend(frames)
 
 
 def _word_state(docs: DataFrame) -> DataFrame:
@@ -103,11 +114,14 @@ def _greedy_merge_fold() -> Column:
 
 
 def _merge_rounds(
-    w: DataFrame, rounds: int = _ROUNDS
+    w: DataFrame, persist_key: str, rounds: int = _ROUNDS
 ) -> tuple[DataFrame, list[DataFrame]]:
     """Run ``rounds`` BPE merge rounds on the word state; returns the
-    final state and the per-round 1-row winner DataFrames."""
+    final state and the per-round 1-row winner DataFrames. The
+    per-round persists are recorded under ``persist_key`` so the next
+    invocation of the SAME query (and only it) releases them."""
     merges: list[DataFrame] = []
+    persisted: list[DataFrame] = []
     for r in range(1, rounds + 1):
         pairs = w.select("cnt", F.explode(word_shingles(_syms(), 2)).alias("pair"))
         top = (
@@ -130,9 +144,10 @@ def _merge_rounds(
         # ReuseExchange cannot share, so the recompute compounds per
         # round. Persisting the vocab-scale state is a measured 3.6x
         # win (7.7s -> 2.2s at sf0.1, round 5 A/B); released by the
-        # next invocation's _gc_previous_persists.
+        # next same-key invocation's _gc_previous_persists.
         w = w.persist(StorageLevel.MEMORY_AND_DISK)
-        _prev_persists.append(w)
+        persisted.append(w)
+    _record_persists(persist_key, persisted)
     return w, merges
 
 
@@ -212,9 +227,9 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale argument (training runs on the Zipf-bounded word table,
     each round a pair-count aggregate + 1-row broadcast greedy fold,
     all in one lazy plan)."""
-    _gc_previous_persists()
+    _gc_previous_persists("q_bpe_train")
     docs = load_table(spark, sf_dir, "documents")
-    _, merges = _merge_rounds(_word_state(docs))
+    _, merges = _merge_rounds(_word_state(docs), "q_bpe_train")
     out = merges[0]
     for m in merges[1:]:
         out = out.unionAll(m)
@@ -265,9 +280,9 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-scale trick as training. The merge loop is the SAME
     helper q_bpe_train runs (one implementation to fix, not two).
     """
-    _gc_previous_persists()
+    _gc_previous_persists("q_bpe_encode")
     docs = load_table(spark, sf_dir, "documents")
-    w, _ = _merge_rounds(_word_state(docs))
+    w, _ = _merge_rounds(_word_state(docs), "q_bpe_encode")
     wlen = w.select("word", (F.size(_syms()) - 1).alias("n_sub"))
     doctoks = docs.select(
         F.col("doc_id").alias("doc"),
@@ -362,9 +377,9 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast. Exact integer word/subword counts; two shared division
     texts.
     """
-    _gc_previous_persists()
+    _gc_previous_persists("q_tokenizer_fertility")
     docs = load_table(spark, sf_dir, "documents")
-    w, _ = _merge_rounds(_word_state(docs))
+    w, _ = _merge_rounds(_word_state(docs), "q_tokenizer_fertility")
     wlen = w.select("word", (F.size(_syms()) - 1).alias("n_sub"))
     doctoks = docs.select(
         F.col("doc_id").alias("doc"),
