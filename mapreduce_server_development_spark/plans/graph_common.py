@@ -54,15 +54,25 @@ def capped_po(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of :func:`po_sql`: distinct (l_orderkey, l_partkey)
     pairs from orders whose basket is within ``ORDER_BASKET_CAP``.
 
-    One shuffle on ``l_orderkey`` (shared with the downstream
-    self-join) + a co-partitioned left-semi join; never a global op.
+    The cap is a COUNT window over the ``l_orderkey`` partition, not a
+    groupBy + left-semi join: the join form computed the distinct
+    ``po`` relation twice (once to derive the ok-list, once as the
+    probe side — AQE does not always reuse that exchange), which the
+    round-7 review measured as a +34% regression on q_modularity. The
+    window is one extra exchange on ``l_orderkey`` over the distinct
+    output, partitions are basket-sized (<= a few hundred rows even
+    before the cap filters them), and the output arrives already
+    hash-partitioned on ``l_orderkey`` — the key the downstream pair
+    self-join shuffles on, so that exchange is reused.
     """
+    from pyspark.sql.window import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     po = li.select("l_orderkey", "l_partkey").distinct()
-    ok = (
-        po.groupBy("l_orderkey")
-        .agg(F.count("*").alias("basket_n"))
+    return (
+        po.withColumn(
+            "basket_n", F.count("*").over(Window.partitionBy("l_orderkey"))
+        )
         .filter(F.col("basket_n") <= ORDER_BASKET_CAP)
-        .select("l_orderkey")
+        .drop("basket_n")
     )
-    return po.join(ok, "l_orderkey", "left_semi")
