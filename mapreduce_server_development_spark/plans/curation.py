@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens_col, word_shingles
 from ..sources.tables import load_table
+from .cell_common import cell_assign, cell_ctes
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -206,30 +207,7 @@ _KNN_FINAL = (
 @query(
     "q_knn_graph",
     oracle=f"""
-    WITH v AS (
-        SELECT vec_id AS vid,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
-        FROM embeddings
-    ),
-    n AS (
-        SELECT vid, vv, sqrt(list_sum(list_transform(vv, x -> x * x)))
-                   AS nrm
-        FROM v
-    ),
-    kk AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k FROM n),
-    cent AS (SELECT vid AS cid, vv AS cv, nrm AS cnrm
-             FROM n, kk WHERE vid <= kk.k),
-    assign AS (
-        SELECT vid, cid, vv, nrm FROM (
-            SELECT n.vid, c.cid, n.vv, n.nrm,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY n.vid
-                       ORDER BY round(list_dot_product(n.vv, c.cv)
-                                      / (n.nrm * c.cnrm), 4) DESC, c.cid)
-                       AS rn
-            FROM n CROSS JOIN cent c
-        ) WHERE rn = 1
-    ),
+    WITH {cell_ctes()},
     knn AS (
         SELECT vid, bvid FROM (
             SELECT a.vid, b.vid AS bvid,
@@ -239,7 +217,7 @@ _KNN_FINAL = (
                                       / (a.nrm * b.nrm), 4) DESC, b.vid)
                        AS rn
             FROM assign a JOIN assign b
-              ON a.cid = b.cid AND a.vid <> b.vid
+              ON a.cid = b.cid AND a.sub = b.sub AND a.vid <> b.vid
         ) WHERE rn <= {_KNN_K}
     ),
     und AS (
@@ -274,70 +252,31 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting with two shared division texts.
 
     Scale: the cell COUNT scales with the corpus — ceil(sqrt(n))
-    seeded cells (id-threshold seeds; ids are dense here, and a real
-    deployment swaps in q_ivf_kmeans_ann's trained quantizer) — so
-    the cell-local pairwise is O(n^1.5) total instead of the
-    O(n^2 / cells) a FIXED cell count degrades to (measured: the
-    fixed-16-cell draft ran 8.5x at 10x vectors; sqrt-cells brought
-    the pairwise volume down by ~9x at that scale). The k-NN window
-    partitions by the high-cardinality vector id; the undirected
-    reduction is one (min,max)-keyed aggregate.
+    RANK-seeded cells (robust to sparse/offset id spaces; a real
+    deployment trains them, q_cell_quantizer_train) — so the
+    cell-local pairwise is O(n^1.5) total instead of the O(n^2/cells)
+    a FIXED cell count degrades to (measured: the fixed-16-cell draft
+    ran 8.5x at 10x vectors). The (cid, sub) hot-cell split
+    (plans/cell_common.py) holds that bound under ANY cell-population
+    skew (skew stress: SCALE.md round-8 — capped pair volume on the
+    n^1.5 curve at 25k/50k/100k vectors with half the corpus in one
+    cell). The k-NN window partitions by the high-cardinality vector
+    id; the undirected reduction is one (min,max)-keyed aggregate.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.select(
-        F.col("vec_id").alias("vid"),
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
-            "v"
-        ),
-    ).withColumn(
-        "nrm",
-        F.sqrt(
-            F.aggregate(
-                F.transform(F.col("v"), lambda x: x * x),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-        ),
-    )
-    kdf = base.agg(F.ceil(F.sqrt(F.count("*"))).cast("long").alias("k"))
-    cent = (
-        base.crossJoin(F.broadcast(kdf))
-        .filter(F.col("vid") <= F.col("k"))
-        .select(
-            F.col("vid").alias("cid"),
-            F.col("v").alias("cv"),
-            F.col("nrm").alias("cnrm"),
-        )
-    )
-    cdot = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    assign = (
-        base.crossJoin(F.broadcast(cent))
-        .withColumn("ccos", F.round(cdot / (F.col("nrm") * F.col("cnrm")), 4))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vid").orderBy(
-                    F.col("ccos").desc(), F.col("cid")
-                )
-            ),
-        )
-        .filter("rn = 1")
-        .select("vid", "cid", "v", "nrm")
-    )
+    assign = cell_assign(emb, extra=())
     a = assign.select(
         "cid",
+        "sub",
         "vid",
-        F.col("v").alias("va"),
+        F.col("vv").alias("va"),
         F.col("nrm").alias("na"),
     )
     b = assign.select(
         "cid",
+        "sub",
         F.col("vid").alias("bvid"),
-        F.col("v").alias("vb"),
+        F.col("vv").alias("vb"),
         F.col("nrm").alias("nb"),
     )
     pcos = F.round(
@@ -350,7 +289,7 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         4,
     )
     knn = (
-        a.join(b, "cid")
+        a.join(b, ["cid", "sub"])
         .filter(F.col("vid") != F.col("bvid"))
         .withColumn("pcos", pcos)
         .withColumn(

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from ..functions.similarity import _dot
 from ..functions.text import tokens_col, word_shingles
 from ..sources.tables import load_table
+from .cell_common import cell_assign, cell_ctes
 from .registry import query
 from .sampling import _bucket_sql, hash_bucket
 
@@ -247,8 +248,10 @@ _PQ_FINAL = (
                    AS sv
         FROM v CROSS JOIN ms
     ),
+    seedids AS (SELECT vid FROM v ORDER BY vid LIMIT {_PQ_KS}),
     cent AS (
-        SELECT vid AS cid, m, sv AS cv FROM sub WHERE vid < {_PQ_KS}
+        SELECT s.vid AS cid, s.m, s.sv AS cv
+        FROM sub s JOIN seedids d ON d.vid = s.vid
     ),
     enc AS (
         SELECT vid, m, cid FROM (
@@ -369,9 +372,12 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vv"), F.col("m") * _PQ_SUBDIM + 1, _PQ_SUBDIM
         ).alias("sv"),
     )
-    cent = (
-        sub.filter(F.col("vid") < _PQ_KS)
-        .select(F.col("vid").alias("cid"), "m", F.col("sv").alias("cv"))
+    # Codebook seeds are the _PQ_KS lowest vec_ids by RANK (distributed
+    # top-k), not an id threshold — robust to sparse/offset id spaces
+    # (the cell_common seed convention).
+    seed_ids = v.orderBy("vid").limit(_PQ_KS).select("vid")
+    cent = sub.join(F.broadcast(seed_ids), "vid").select(
+        F.col("vid").alias("cid"), "m", F.col("sv").alias("cv")
     )
 
     def d2_e4(a: str, b: str):
@@ -473,36 +479,10 @@ _HN_FINAL = (
     " AS confusable_pct",
 )
 
-#: Shared cell-assignment CTE text (the q_knn_graph convention):
-#: ceil(sqrt(n)) seed centroids taken at the low end of the dense id
-#: space; every vector joins its max-cosine centroid (4-decimal
-#: rounds, cid tie-break).
-_CELL_CTES = """
-    v AS (
-        SELECT vec_id AS vid, label,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
-        FROM embeddings
-    ),
-    n AS (
-        SELECT vid, label, vv,
-               sqrt(list_sum(list_transform(vv, x -> x * x))) AS nrm
-        FROM v
-    ),
-    kk AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k FROM n),
-    cent AS (SELECT vid AS cid, vv AS cv, nrm AS cnrm
-             FROM n, kk WHERE vid <= kk.k),
-    assign AS (
-        SELECT vid, label, cid, vv, nrm FROM (
-            SELECT n.vid, n.label, c.cid, n.vv, n.nrm,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY n.vid
-                       ORDER BY round(list_dot_product(n.vv, c.cv)
-                                      / (n.nrm * c.cnrm), 4) DESC, c.cid)
-                       AS rn
-            FROM n CROSS JOIN cent c
-        ) WHERE rn = 1
-    )
-"""
+#: Shared cell-assignment CTE text (the q_knn_graph convention): rank
+#: seeds, hot-cell split — see plans/cell_common.py for the scale
+#: argument. ``assign`` carries (vid, label, cid, sub, vv, nrm, ccos).
+_CELL_CTES = cell_ctes(extra=(("label", "label"),))
 
 
 @query(
@@ -516,7 +496,7 @@ _CELL_CTES = """
                           / (a.nrm * b.nrm) * 10000) AS BIGINT) AS cos_e4,
                b.vid AS bvid
         FROM assign a JOIN assign b
-          ON a.cid = b.cid AND a.vid <> b.vid
+          ON a.cid = b.cid AND a.sub = b.sub AND a.vid <> b.vid
     ),
     best AS (
         SELECT vid, label,
@@ -555,21 +535,25 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared 4-decimal/cid-tie-break text — both engines agree
     bit-for-bit.
 
-    Scale: candidate generation is the sqrt(n)-cell equi-join
-    (O(n^1.5) pair volume, the q_knn_graph boundary), never all-pairs;
-    per-anchor reduction is a (vid)-keyed MAX aggregate (map-side
-    combined), and the label panel is bounded by the label domain.
-    Anchors whose cell lacks a positive or a negative are excluded
-    (documented recall cap of nprobe=1; q_cosine_topk is the exact
-    escape hatch).
+    Scale: candidate generation is the (cid, sub)-keyed equi-join —
+    rank seeds + hot-cell split per plans/cell_common.py, so the pair
+    volume is bounded at 4 * sqrt(n) * n for ANY cell-population skew,
+    never all-pairs; per-anchor reduction is a (vid)-keyed MAX
+    aggregate (map-side combined), and the label panel is bounded by
+    the label domain. Anchors whose cell (or, in a hot cell, whose
+    shard) lacks a positive or a negative are excluded (documented
+    recall cap of nprobe=1 + the shard boundary; q_cosine_topk is the
+    exact escape hatch).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    assign = _cell_assign(emb)
+    assign = _cell_assign(emb, extra=("label",))
     a = assign.select(
-        "cid", "vid", "label", F.col("vv").alias("va"), F.col("nrm").alias("na")
+        "cid", "sub", "vid", "label",
+        F.col("vv").alias("va"), F.col("nrm").alias("na"),
     )
     b = assign.select(
         "cid",
+        "sub",
         F.col("vid").alias("bvid"),
         F.col("label").alias("blabel"),
         F.col("vv").alias("vb"),
@@ -581,7 +565,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     pairs = (
-        a.join(b, "cid")
+        a.join(b, ["cid", "sub"])
         .filter(F.col("vid") != F.col("bvid"))
         .select(
             "vid",
@@ -623,83 +607,10 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: batched-gemm quantizer (q_ivf_kmeans_ann) instead.
 
 
-def _cell_assign(
-    emb: DataFrame,
-    extra: tuple = ("label",),
-    seed_col: str | None = None,
-) -> DataFrame:
-    """sqrt(n)-cell IVF assignment (vid, *extra, cid, vv, nrm) — the
-    Spark twin of the shared ``_CELL_CTES`` oracle text. ``extra``
-    holds column names or ``(name, Column)`` pairs carried through;
-    when ``seed_col`` names a boolean column produced by ``extra``,
-    the cell COUNT and the seed centroids come from that
-    subpopulation only (q_semantic_decontaminate indexes the train
-    split)."""
-    exprs, extra_out = [], []
-    for c in extra:
-        if isinstance(c, str):
-            exprs.append(c)
-            extra_out.append(c)
-        else:
-            name, col = c
-            exprs.append(col.alias(name))
-            extra_out.append(name)
-    base = emb.select(
-        F.col("vec_id").alias("vid"),
-        *exprs,
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
-            "vv"
-        ),
-    ).withColumn(
-        "nrm",
-        F.sqrt(
-            F.aggregate(
-                F.transform(F.col("vv"), lambda x: x * x),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        ),
-    )
-    seed_base = base.filter(F.col(seed_col)) if seed_col else base
-    kdf = seed_base.agg(
-        F.ceil(F.sqrt(F.count("*"))).cast("long").alias("k")
-    )
-    cent = (
-        seed_base.crossJoin(F.broadcast(kdf))
-        .filter(F.col("vid") <= F.col("k"))
-        .select(
-            F.col("vid").alias("cid"),
-            F.col("vv").alias("cv"),
-            F.col("nrm").alias("cnrm"),
-        )
-    )
-    cdot = F.aggregate(
-        F.zip_with(F.col("vv"), F.col("cv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    # Argmax as a map-side-combinable aggregate, NOT a window: the
-    # broadcast join keeps every candidate row of a vector in one
-    # task, so the partial max_by collapses |centroids| rows to 1
-    # BEFORE the exchange — a window here would shuffle
-    # n x sqrt(n) rows each carrying two 64-float arrays (measured
-    # dominant at 100x vectors). Semantics identical to the oracle's
-    # ROW_NUMBER (max ccos, ties to the LOWEST cid via -cid).
-    return (
-        base.crossJoin(F.broadcast(cent))
-        .withColumn(
-            "ccos", F.round(cdot / (F.col("nrm") * F.col("cnrm")), 4)
-        )
-        .groupBy("vid")
-        .agg(
-            F.expr("max_by(cid, struct(ccos, -cid))").alias("cid"),
-            F.max("ccos").alias("ccos"),  # the winning (max) cosine
-            F.first("vv").alias("vv"),
-            F.first("nrm").alias("nrm"),
-            *[F.first(c).alias(c) for c in extra_out],
-        )
-        .select("vid", *extra_out, "cid", "vv", "nrm", "ccos")
-    )
+#: The shared implementation now lives in plans/cell_common.py (rank
+#: seeds + hot-cell split + optional Lloyd training); this alias keeps
+#: the family call sites and tests stable.
+_cell_assign = cell_assign
 
 
 # ---------------------------------------------------------------------------
@@ -725,39 +636,17 @@ _DECON_FINAL = (
 @query(
     "q_semantic_decontaminate",
     oracle=f"""
-    WITH v AS (
-        SELECT vec_id AS vid,
-               {_bucket_sql("decon", "vec_id", 10)} >= 9 AS is_test,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
-        FROM embeddings
-    ),
-    n AS (
-        SELECT vid, is_test, vv,
-               sqrt(list_sum(list_transform(vv, x -> x * x))) AS nrm
-        FROM v
-    ),
-    kk AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k
-           FROM n WHERE NOT is_test),
-    cent AS (SELECT vid AS cid, vv AS cv, nrm AS cnrm
-             FROM n, kk WHERE vid <= kk.k AND NOT is_test),
-    assign AS (
-        SELECT vid, is_test, cid, vv, nrm FROM (
-            SELECT n.vid, n.is_test, c.cid, n.vv, n.nrm,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY n.vid
-                       ORDER BY round(list_dot_product(n.vv, c.cv)
-                                      / (n.nrm * c.cnrm), 4) DESC, c.cid)
-                       AS rn
-            FROM n CROSS JOIN cent c
-        ) WHERE rn = 1
-    ),
+    WITH {cell_ctes(
+        extra=(("is_test", _bucket_sql("decon", "vec_id", 10) + " >= 9"),),
+        seed_pred="NOT is_test",
+    )},
     top1 AS (
         SELECT t.vid,
                MAX(CAST(round(list_dot_product(t.vv, r.vv)
                               / (t.nrm * r.nrm) * 10000) AS BIGINT))
                    AS cos_e4
         FROM assign t JOIN assign r
-          ON r.cid = t.cid AND NOT r.is_test
+          ON r.cid = t.cid AND r.sub = t.sub AND NOT r.is_test
         WHERE t.is_test
         GROUP BY t.vid
     ),
@@ -779,19 +668,24 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cos >= 0.45 here; 0.95+ against a real encoder) marked per bin —
     the semantic complement of the n-gram q_decontaminate.
 
-    Every cell that receives a test vector contains at least one train
-    vector (its seed centroid assigns to itself at cosine 1.0), so no
-    test vector goes unmatched. The nprobe=1 search is the documented
-    recall boundary; q_cosine_topk is the exact escape hatch.
+    Every cell contains at least one train vector (its seed centroid
+    assigns to itself at cosine 1.0), so on balanced data no test
+    vector goes unmatched; inside a HOT cell the (cid, sub) shard
+    boundary (plans/cell_common.py) can additionally leave a test
+    vector without a train row in its shard — it drops from the
+    histogram, the same documented recall trade as every other cap.
+    The nprobe=1 search is the broader recall boundary; q_cosine_topk
+    is the exact escape hatch.
 
     Exactness: assignment uses the shared 4-decimal/cid-tie-break
     text; top-1 cosines are e4 integers under MAX; the bin edge is a
     floor() over doubles derived from exact integers — engine-
     identical including negative-cosine bins.
 
-    Scale: the only pair generator is the cell-keyed test x train
-    equi-join (O(n^1.5) volume); the histogram is a bounded ~40-row
-    panel. Centroids broadcast; nothing is all-pairs.
+    Scale: the only pair generator is the (cid, sub)-keyed test x
+    train equi-join (pair volume bounded at 4 * sqrt(n) * n under any
+    skew); the histogram is a bounded ~40-row panel. Centroids
+    broadcast; nothing is all-pairs.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     assign = _cell_assign(
@@ -805,10 +699,10 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed_col="is_train",
     )
     t = assign.filter(~F.col("is_train")).select(
-        "cid", "vid", F.col("vv").alias("tv"), F.col("nrm").alias("tn")
+        "cid", "sub", "vid", F.col("vv").alias("tv"), F.col("nrm").alias("tn")
     )
     r = assign.filter(F.col("is_train")).select(
-        "cid", F.col("vv").alias("rv"), F.col("nrm").alias("rn_")
+        "cid", "sub", F.col("vv").alias("rv"), F.col("nrm").alias("rn_")
     )
     tdot = F.aggregate(
         F.zip_with(F.col("tv"), F.col("rv"), lambda x, y: x * y),
@@ -816,7 +710,7 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     top1 = (
-        t.join(r, "cid")
+        t.join(r, ["cid", "sub"])
         .select(
             "vid",
             F.round(tdot / (F.col("tn") * F.col("rn_")) * 10000)
@@ -1579,7 +1473,9 @@ _IVFPQ_FINAL = (
                    AS sv
         FROM v CROSS JOIN ms
     ),
-    cb AS (SELECT vid AS pcid, m, sv AS cv FROM sub WHERE vid < {_PQ_KS}),
+    pqseed AS (SELECT vid FROM v ORDER BY vid LIMIT {_PQ_KS}),
+    cb AS (SELECT s.vid AS pcid, s.m, s.sv AS cv
+           FROM sub s JOIN pqseed d ON d.vid = s.vid),
     enc AS (
         SELECT vid, m, pcid FROM (
             SELECT s.vid, s.m, c.pcid,
@@ -1685,11 +1581,15 @@ def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: cell assignment is the shared 4-decimal text; all
     distances e4 integers; ranks tie-break on vid.
 
-    Scale: candidate generation is the cell equi-join (O(n^1.5)
-    volume); ADC is a broadcast-LUT hash join over the codes of the
-    query's cellmates + an integer partial-agg; the exact tiers exist
-    only to MEASURE recall (bounded panel, cosine_topk sanction).
-    Serving touches codes + one cell — ~sqrt(n) candidates x 4 bytes.
+    Scale: candidate generation is the bounded query panel's cell
+    probe — at most |panel| x max_cell pairs, i.e. <= 11n even when a
+    cell is arbitrarily hot, so the (cid, sub) split is NOT applied to
+    the probe (sharding a bounded probe only costs recall, it bounds
+    nothing new); ADC is a broadcast-LUT hash join over the codes of
+    the query's cellmates + an integer partial-agg; the exact tiers
+    exist only to MEASURE recall (bounded panel, cosine_topk
+    sanction). Serving touches codes + one cell — ~sqrt(n) candidates
+    x 4 bytes.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     assign = _cell_assign(emb, extra=())
@@ -1702,7 +1602,8 @@ def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sv"
         ),
     )
-    cb = sub.filter(F.col("vid") < _PQ_KS).select(
+    pq_seed_ids = v.orderBy("vid").limit(_PQ_KS).select("vid")
+    cb = sub.join(F.broadcast(pq_seed_ids), "vid").select(
         F.col("vid").alias("pcid"), "m", F.col("sv").alias("cv")
     )
 
@@ -2013,10 +1914,15 @@ _IINC_FINAL = (
     "CAST(cid AS BIGINT) AS cid",
     "CAST(n_old AS BIGINT) AS n_old",
     "CAST(n_new AS BIGINT) AS n_new",
-    "round(CAST(n_new AS DOUBLE) / n_old, 4) + 0.0 AS growth",
-    "round(CAST(s_old AS DOUBLE) / n_old / 10000.0, 4) + 0.0"
-    " AS mean_cos_old",
-    "round(CAST(s_new AS DOUBLE) / NULLIF(n_new, 0) / 10000.0, 4) + 0.0"
+    # No round() on these ratios: numerators and denominators are
+    # exact integers in both engines, so the IEEE divisions are
+    # bit-identical — while round() itself is the divergence hazard
+    # on exact decimal halves (s/2 cases): Spark rounds the shortest
+    # decimal repr half-up, DuckDB rounds the binary double
+    # (0.25375 -> 0.2538 vs 0.2537, caught by the round-8 oracle run).
+    "CAST(n_new AS DOUBLE) / n_old + 0.0 AS growth",
+    "CAST(s_old AS DOUBLE) / n_old / 10000.0 + 0.0 AS mean_cos_old",
+    "CAST(s_new AS DOUBLE) / NULLIF(n_new, 0) / 10000.0 + 0.0"
     " AS mean_cos_new",
 )
 
@@ -2024,34 +1930,10 @@ _IINC_FINAL = (
 @query(
     "q_incremental_ivf",
     oracle=f"""
-    WITH v AS (
-        SELECT vec_id AS vid,
-               {_bucket_sql("ivfinc", "vec_id", 10)} >= 9 AS is_new,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
-        FROM embeddings
-    ),
-    n AS (
-        SELECT vid, is_new, vv,
-               sqrt(list_sum(list_transform(vv, x -> x * x))) AS nrm
-        FROM v
-    ),
-    kk AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k
-           FROM n WHERE NOT is_new),
-    cent AS (SELECT vid AS cid, vv AS cv, nrm AS cnrm
-             FROM n, kk WHERE vid <= kk.k AND NOT is_new),
-    assign AS (
-        SELECT vid, is_new, cid, ccos FROM (
-            SELECT n.vid, n.is_new, c.cid,
-                   round(list_dot_product(n.vv, c.cv)
-                         / (n.nrm * c.cnrm), 4) AS ccos,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY n.vid
-                       ORDER BY round(list_dot_product(n.vv, c.cv)
-                                      / (n.nrm * c.cnrm), 4) DESC, c.cid)
-                       AS rn
-            FROM n CROSS JOIN cent c
-        ) WHERE rn = 1
-    ),
+    WITH {cell_ctes(
+        extra=(("is_new", _bucket_sql("ivfinc", "vec_id", 10) + " >= 9"),),
+        seed_pred="NOT is_new",
+    )},
     per AS (
         SELECT cid,
                CAST(COUNT(*) FILTER (WHERE NOT is_new) AS BIGINT) AS n_old,
@@ -2321,3 +2203,222 @@ def q_sample_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(*_SBA_FINAL)
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_hot_cell_split — forced hot-cell shard audit (the split path, live)
+# ---------------------------------------------------------------------------
+
+#: Deliberately tight tolerance (cap = 0.25 * sqrt(n) members per
+#: subcell) so the hot-cell split ENGAGES on the balanced fixture —
+#: the production queries run at cell_common.CELL_CAP_MULT = 4 and
+#: split only under real skew, which means their oracle checks never
+#: exercise the sharding arithmetic or the (cid, sub) join path. This
+#: query pins both, every round, at driver-checkable scale.
+_HCS_CAP_MULT = "0.25"
+
+_HCS_FINAL = (
+    "CAST(n_cells AS BIGINT) AS n_cells",
+    "CAST(n_subcells AS BIGINT) AS n_subcells",
+    "CAST(max_cell AS BIGINT) AS max_cell",
+    "CAST(max_subcell AS BIGINT) AS max_subcell",
+    "CAST(pairs_uncapped AS BIGINT) AS pairs_uncapped",
+    "CAST(pairs_capped AS BIGINT) AS pairs_capped",
+    "CAST(pairs_joined AS BIGINT) AS pairs_joined",
+)
+
+
+@query(
+    "q_hot_cell_split",
+    oracle=f"""
+    WITH {cell_ctes(cap_mult=_HCS_CAP_MULT)},
+    cells AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM assign GROUP BY cid),
+    subs AS (SELECT cid, sub, CAST(COUNT(*) AS BIGINT) AS scnt
+             FROM assign GROUP BY cid, sub),
+    j AS (SELECT CAST(COUNT(*) AS BIGINT) AS pairs_joined
+          FROM assign a JOIN assign b
+            ON a.cid = b.cid AND a.sub = b.sub AND a.vid <> b.vid),
+    s AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cells) AS n_cells,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM subs) AS n_subcells,
+               (SELECT MAX(cnt) FROM cells) AS max_cell,
+               (SELECT MAX(scnt) FROM subs) AS max_subcell,
+               (SELECT CAST(SUM(cnt * (cnt - 1)) AS BIGINT) FROM cells)
+                   AS pairs_uncapped,
+               (SELECT CAST(SUM(scnt * (scnt - 1)) AS BIGINT) FROM subs)
+                   AS pairs_capped,
+               (SELECT pairs_joined FROM j) AS pairs_joined
+    )
+    SELECT {", ".join(_HCS_FINAL)} FROM s
+    """,
+)
+def q_hot_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-cell split audit, with the shard tolerance forced DOWN
+    (cap = 0.25 * sqrt(n) members) so the sharding path runs live on
+    the balanced fixture: per-cell vs per-subcell population extremes,
+    the directed pair volume the cell self-join would generate
+    UNCAPPED vs under the (cid, sub) split, and the same capped volume
+    measured by actually RUNNING the (cid, sub) equi-join
+    (pairs_joined = pairs_capped by construction — a divergence means
+    the join path and the ledger arithmetic disagree, in either
+    engine). See plans/cell_common.py for the split's scale argument:
+    the capped volume is bounded by cap_mult * sqrt(n) * n for ANY
+    cell-population skew.
+
+    Exactness: everything is integer counting over the deterministic
+    (vid-arithmetic) shard assignment.
+
+    Scale: the self-join is the capped generator itself; ledgers are
+    sqrt(n)-row panels reduced to one row.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = _cell_assign(emb, extra=(), cap_mult=float(_HCS_CAP_MULT)).select(
+        "vid", "cid", "sub"
+    )
+    cells = assign.groupBy("cid").agg(F.count("*").cast("long").alias("cnt"))
+    subs = assign.groupBy("cid", "sub").agg(
+        F.count("*").cast("long").alias("scnt")
+    )
+    joined = (
+        assign.alias("a")
+        .join(
+            assign.select(
+                "cid", "sub", F.col("vid").alias("bvid")
+            ).alias("b"),
+            ["cid", "sub"],
+        )
+        .filter(F.col("vid") != F.col("bvid"))
+        .agg(F.count("*").cast("long").alias("pairs_joined"))
+    )
+    cstats = cells.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.max("cnt").alias("max_cell"),
+        F.sum(F.col("cnt") * (F.col("cnt") - 1))
+        .cast("long")
+        .alias("pairs_uncapped"),
+    )
+    sstats = subs.agg(
+        F.count("*").cast("long").alias("n_subcells"),
+        F.max("scnt").alias("max_subcell"),
+        F.sum(F.col("scnt") * (F.col("scnt") - 1))
+        .cast("long")
+        .alias("pairs_capped"),
+    )
+    return (
+        cstats.crossJoin(F.broadcast(sstats))
+        .crossJoin(F.broadcast(joined))
+        .selectExpr(*_HCS_FINAL)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_cell_quantizer_train — Lloyd refinement of the sqrt(n) quantizer
+# ---------------------------------------------------------------------------
+
+_CQT_ITERS = 2
+
+_CQT_FINAL = (
+    "CAST(stage AS BIGINT) AS stage",
+    "CAST(n_cells AS BIGINT) AS n_cells",
+    "CAST(max_cell AS BIGINT) AS max_cell",
+    "CAST(sum_ccos_e4 AS BIGINT) AS sum_ccos_e4",
+    "CAST(n_moved AS BIGINT) AS n_moved",
+)
+
+
+def _cqt_oracle() -> str:
+    stage_sqls = []
+    for r in range(_CQT_ITERS + 1):
+        moved = (
+            "0"
+            if r == 0
+            else f"""(SELECT CAST(COUNT(*) AS BIGINT)
+                 FROM assign{r} a JOIN assign{r - 1} p USING (vid)
+                 WHERE a.cid <> p.cid)"""
+        )
+        stage_sqls.append(
+            f"""SELECT {r} AS stage,
+               (SELECT CAST(COUNT(DISTINCT cid) AS BIGINT)
+                FROM assign{r}) AS n_cells,
+               (SELECT MAX(cnt) FROM (
+                    SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+                    FROM assign{r} GROUP BY cid)) AS max_cell,
+               (SELECT CAST(SUM(CAST(round(ccos * 10000) AS BIGINT))
+                            AS BIGINT)
+                FROM assign{r}) AS sum_ccos_e4,
+               {moved} AS n_moved"""
+        )
+    union = "\n        UNION ALL ".join(stage_sqls)
+    return f"""
+    WITH {cell_ctes(train_iters=_CQT_ITERS)}
+    SELECT {", ".join(_CQT_FINAL)} FROM ({union}) ORDER BY stage
+    """
+
+
+@query("q_cell_quantizer_train", oracle=_cqt_oracle())
+def q_cell_quantizer_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd (k-means) refinement of the sqrt(n)-cell quantizer, per
+    training stage: cell count (empty cells drop), the hottest cell's
+    population, the summed e4 assignment cosine (the quantizer-fit
+    objective — rising sum = vectors closer to their centroid), and
+    how many vectors changed cell vs the previous stage. This is the
+    trained-quantizer path the production deployment defaults to: the
+    rank-seeded stage-0 assignment is the bootstrap, and the stage
+    ledger shows training both improving fit AND flattening the
+    population skew the hot-cell split otherwise absorbs (the same
+    retrain gate q_incremental_ivf's drift readout watches).
+
+    Exactness: Lloyd means are rounded to 6 decimals before becoming
+    centroids (both engines train bit-identical quantizers — the
+    mean's last ulp depends on summation order); cosines follow the
+    shared 4-decimal text and are e4-fixed-pointed before the sum;
+    move counts are exact integers.
+
+    Scale: each stage is a (cell, dim)-keyed mean aggregate plus one
+    broadcast-centroid assignment scan — O(iters * n * sqrt(n)) total
+    work, no pair generation anywhere; stage ledgers are one-row
+    panels and the move count is a vid-keyed self-join of two
+    assignment relations (key-partitioned, linear).
+    """
+    from .cell_common import cell_assign_stages, cell_base, rank_seed_centroids, seed_k
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base, _ = cell_base(emb, ())
+    k = seed_k(base)
+    cent = rank_seed_centroids(base, k)
+    stages = cell_assign_stages(base, cent, (), train_iters=_CQT_ITERS)
+    out = None
+    for r, st in enumerate(stages):
+        cnts = st.groupBy("cid").agg(F.count("*").cast("long").alias("cnt"))
+        stats = st.agg(
+            F.countDistinct("cid").cast("long").alias("n_cells"),
+            F.sum(F.round(F.col("ccos") * 10000).cast("long"))
+            .cast("long")
+            .alias("sum_ccos_e4"),
+        )
+        mx = cnts.agg(F.max("cnt").alias("max_cell"))
+        if r == 0:
+            moved = stats.sparkSession.range(1).select(
+                F.lit(0).cast("long").alias("n_moved")
+            )
+        else:
+            moved = (
+                stages[r]
+                .select("vid", "cid")
+                .join(
+                    stages[r - 1].select(
+                        "vid", F.col("cid").alias("pcid")
+                    ),
+                    "vid",
+                )
+                .filter(F.col("cid") != F.col("pcid"))
+                .agg(F.count("*").cast("long").alias("n_moved"))
+            )
+        row = (
+            stats.crossJoin(F.broadcast(mx))
+            .crossJoin(F.broadcast(moved))
+            .select(F.lit(r).cast("long").alias("stage"), "*")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.selectExpr(*_CQT_FINAL).orderBy("stage")

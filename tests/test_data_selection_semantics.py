@@ -213,23 +213,27 @@ def test_perplexity_filter_matches_brute_force():
 # ---------------------------------------------------------------------------
 
 
-def _assign(vecs, k_pop=None):
-    """vid -> (cid, vv, nrm). Seeds: vid <= ceil(sqrt(|k_pop or all|));
-    when k_pop is given, only those vids are centroid candidates."""
+def _assign(vecs, k_pop=None, cap_mult=4.0):
+    """vid -> (cid, sub, vv, nrm). Seeds: the ceil(sqrt(|pop|)) LOWEST
+    pop vids by RANK (the cell_common convention — robust to sparse id
+    spaces); sub is the hot-cell shard vid % ceil(cnt / (cap_mult*k))."""
     vv = {i: _f64(v) for i, v in enumerate(vecs)}
     nrm = {i: math.sqrt(_dot(vv[i], vv[i])) for i in vv}
-    pop = k_pop if k_pop is not None else list(vv)
+    pop = sorted(k_pop if k_pop is not None else list(vv))
     k = math.ceil(math.sqrt(len(pop)))
-    cents = [i for i in pop if i <= k]
-    out = {}
+    cents = pop[:k]
+    cid = {}
     for i in vv:
-        best = max(
+        cid[i] = max(
             cents,
             key=lambda c: (round(_dot(vv[i], vv[c]) / (nrm[i] * nrm[c]), 4),
                            -c),
         )
-        out[i] = (best, vv[i], nrm[i])
-    return out
+    cnt = {}
+    for c in cid.values():
+        cnt[c] = cnt.get(c, 0) + 1
+    nsplit = {c: math.ceil(n / (cap_mult * k)) for c, n in cnt.items()}
+    return {i: (cid[i], i % nsplit[cid[i]], vv[i], nrm[i]) for i in vv}
 
 
 def _rand_vecs(n, rng):
@@ -248,10 +252,10 @@ def test_hard_negatives_match_brute_force():
     labels = [i % 3 for i in range(30)]
     a = _assign(vecs)
     best = {}
-    for i, (ci, vi, ni) in a.items():
+    for i, (ci, si, vi, ni) in a.items():
         pos = neg = None
-        for j, (cj, vj, nj) in a.items():
-            if i == j or ci != cj:
+        for j, (cj, sj, vj, nj) in a.items():
+            if i == j or ci != cj or si != sj:
                 continue
             c = _r(_dot(vi, vj) / (ni * nj) * 10000)
             if labels[i] == labels[j]:
@@ -291,13 +295,13 @@ def test_semantic_decontaminate_matches_brute_force():
     train_ids = [i for i in range(40) if is_train[i]]
     a = _assign(vecs, k_pop=train_ids)
     bins = {}
-    for i, (ci, vi, ni) in a.items():
+    for i, (ci, si, vi, ni) in a.items():
         if is_train[i]:
             continue
         top = None
         for j in train_ids:
-            cj, vj, nj = a[j]
-            if cj != ci:
+            cj, sj, vj, nj = a[j]
+            if cj != ci or sj != si:
                 continue
             c = _r(_dot(vi, vj) / (ni * nj) * 10000)
             top = c if top is None else max(top, c)
@@ -321,7 +325,7 @@ def test_cluster_balanced_sample_matches_brute_force():
     vecs = _rand_vecs(26, rng)
     a = _assign(vecs)
     cells = {}
-    for i, (c, _v, _n) in a.items():
+    for i, (c, _s, _v, _n) in a.items():
         cells.setdefault(c, []).append(i)
     n = len(vecs)
     ncells = len(cells)
@@ -675,7 +679,7 @@ def test_incremental_ivf_matches_brute_force():
     vv = {i: _f64(v) for i, v in enumerate(vecs)}
     nrm = {i: math.sqrt(_dot(vv[i], vv[i])) for i in vv}
     k = math.ceil(math.sqrt(len(old_ids)))
-    cents = [i for i in old_ids if i <= k]
+    cents = sorted(old_ids)[:k]  # rank seeds (cell_common convention)
     per = {}
     for i in vv:
         best = max(
@@ -694,17 +698,18 @@ def test_incremental_ivf_matches_brute_force():
                "q_incremental_ivf")
     assert [(g["cid"], g["n_old"], g["n_new"]) for g in got] \
         == [(c, *per[c][:2]) for c in sorted(per)]
-    def r4(x):  # engines round HALF-AWAY at 4 decimals, not banker's
-        return _r(x * 10000) / 10000.0
-
+    # Full-precision ratios (no round()): the numerators/denominators
+    # are exact integers, so the IEEE division is bit-identical across
+    # engines AND this replay — round() itself was the divergence
+    # hazard on exact decimal halves (see _IINC_FINAL).
     for g in got:
         no, nn, so, sn = per[g["cid"]]
-        assert g["growth"] == r4(nn / no)
-        assert g["mean_cos_old"] == r4(so / no / 10000.0)
+        assert g["growth"] == nn / no
+        assert g["mean_cos_old"] == so / no / 10000.0
         if nn == 0:
             assert g["mean_cos_new"] is None
         else:
-            assert g["mean_cos_new"] == r4(sn / nn / 10000.0)
+            assert g["mean_cos_new"] == sn / nn / 10000.0
 
 
 # ---------------------------------------------------------------------------
