@@ -283,3 +283,51 @@ def test_streaming_detector_flags_bad_foreachbatch(spark):
 
     plans = _plans_during(spark, run)
     assert any(single_partition_windows(p) for p in plans.values())
+
+
+@pytest.fixture(scope="module")
+def _split_events_dir(tmp_path_factory):
+    """sf0.001 events split into 4 ts-ordered events-0N.parquet files
+    (same shape as tests/test_streaming_extra.py's fixture) so the
+    sweep can capture a genuinely MULTI-micro-batch run."""
+    import os as _os
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("ap_split_events")
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet").sort_by("ts")
+    n = t.num_rows
+    cut = [0, n // 4, n // 2, 3 * n // 4, n]
+    now = _time.time()
+    for i in range(4):
+        path = str(d / f"events-0{i}.parquet")
+        pq.write_table(t.slice(cut[i], cut[i + 1] - cut[i]), path)
+        _os.utime(path, (now - 40 + 10 * i,) * 2)
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_stream_user_state", "q_stream_anomaly", "q_stream_timed_funnel"],
+)
+def test_multibatch_microbatch_plans(spark, _split_events_dir, monkeypatch, name):
+    """The three custom stateful operators under REAL multi-batch
+    arrival (maxFilesPerTrigger=1 over the split fixture): every one of
+    the 4+ micro-batch executions must pass the same three detectors —
+    the single-batch sweep above cannot see a state-store reload plan
+    that only exists from batch 2 on."""
+    import __spark_entry__ as entry
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_MAX_FILES_PER_TRIGGER", "1")
+    plans = _plans_during(
+        spark,
+        lambda: entry.queries()[name](spark, _split_events_dir).collect(),
+    )
+    # 4 source files -> at least 4 micro-batch executions (plus the
+    # sink readout); a single captured plan means the split never took.
+    assert len(plans) >= 4, (name, len(plans))
+    for eid, plan in sorted(plans.items()):
+        assert "CartesianProduct" not in plan, (name, eid)
+        assert "BatchEvalPython" not in plan, (name, eid)
+        assert not single_partition_windows(plan), (name, eid)

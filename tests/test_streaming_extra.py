@@ -113,3 +113,163 @@ def test_stream_metrics_progress_rows(spark):
     assert data_batches, "no batch reported input rows"
     assert any(r.state_rows_total > 0 for r in rows), "state never populated"
     assert all(r.trigger_duration_ms >= 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Multi-micro-batch replay (round-7 verdict ask #4): drive the REGISTERED
+# stateful queries with fixture arrival split across real micro-batches
+# (maxFilesPerTrigger=1 over a split fixture), asserting state survives
+# batch boundaries and the readout equals the single-batch run.
+# ---------------------------------------------------------------------------
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def split_events_dir(tmp_path_factory):
+    """sf0.001 events split into 4 ts-ordered files named
+    events-0N.parquet (the source glob matches events*.parquet) with
+    increasing mtimes, so availableNow + maxFilesPerTrigger=1 forms 4
+    micro-batches arriving in event-time order."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("split_events")
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    t = t.sort_by("ts")
+    n = t.num_rows
+    cut = [0, n // 4, n // 2, 3 * n // 4, n]
+    now = time.time()
+    for i in range(4):
+        path = str(d / f"events-0{i}.parquet")
+        pq.write_table(t.slice(cut[i], cut[i + 1] - cut[i]), path)
+        os.utime(path, (now - 40 + 10 * i, now - 40 + 10 * i))
+    return str(d)
+
+
+def _batch_count(spark, src_dir, monkeypatch):
+    """Prove the split fixture + env knob actually yields 4 batches."""
+    import uuid
+
+    from mapreduce_server_development_spark.plans.streaming_queries import (
+        read_events_stream,
+    )
+
+    ev = read_events_stream(spark, src_dir)
+    epochs = []
+
+    def sink(bdf, epoch_id):
+        epochs.append((epoch_id, bdf.count()))
+
+    q = (
+        ev.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/ck-{uuid.uuid4().hex}")
+        .start()
+    )
+    q.awaitTermination(180)
+    return epochs
+
+
+def test_split_fixture_yields_multiple_batches(spark, split_events_dir, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_MAX_FILES_PER_TRIGGER", "1")
+    epochs = _batch_count(spark, split_events_dir, monkeypatch)
+    assert len([e for e, n in epochs if n > 0]) == 4, epochs
+    assert sum(n for _, n in epochs) == 1000
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "q_stream_user_state",      # applyInPandasWithState (running count)
+        "q_stream_anomaly",         # applyInPandasWithState (ring buffer)
+        "q_stream_timed_funnel",    # applyInPandasWithState (state machine)
+        "q_stream_session_window",  # watermarked session windows
+        "q_stream_hourly_tumbling",
+        "q_stream_dedup",           # dropDuplicates state
+    ],
+)
+def test_multi_batch_equals_single_batch(spark, split_events_dir, monkeypatch, qname):
+    """State must survive micro-batch boundaries: each registered
+    stateful query, run with arrival split across 4 ts-ordered
+    micro-batches, must produce EXACTLY the single-batch (and
+    oracle-checked) result over the same rows."""
+    from mapreduce_server_development_spark.plans import QUERIES
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_MAX_FILES_PER_TRIGGER", raising=False)
+    single = rows(QUERIES[qname](spark, "/root/testdata/sf0.001"))
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_MAX_FILES_PER_TRIGGER", "1")
+    multi = rows(QUERIES[qname](spark, split_events_dir))
+    assert multi == single
+
+
+def test_watermark_expires_windows_mid_stream(spark, split_events_dir, monkeypatch):
+    """Append-mode watermarked tumbling windows over the split fixture:
+    closed windows must be EMITTED BEFORE the final batch (mid-stream
+    watermark expiry), and the total emitted set must equal the batch
+    aggregate for every window the final watermark passed."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_server_development_spark.plans.streaming_queries import (
+        read_events_stream,
+    )
+    from mapreduce_server_development_spark.sources.tables import load_table
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_MAX_FILES_PER_TRIGGER", "1")
+    ev = read_events_stream(spark, split_events_dir)
+    agg = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+        )
+    )
+    per_epoch: list[tuple[int, list]] = []
+
+    def sink(bdf, epoch_id):
+        per_epoch.append((epoch_id, [tuple(r) for r in bdf.collect()]))
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/ck-{uuid.uuid4().hex}")
+        .start()
+    )
+    q.awaitTermination(300)
+    nonempty = [e for e, rs in per_epoch if rs]
+    assert len(per_epoch) >= 4
+    # mid-stream expiry: some window rows arrive BEFORE the last epoch
+    assert nonempty and min(nonempty) < max(e for e, _ in per_epoch), per_epoch
+    emitted = sorted(r for _, rs in per_epoch for r in rs)
+    # every emitted window is final: it must match the batch aggregate
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    expect = {
+        (r["hour"], r["event_type"]): r["n_events"]
+        for r in (
+            batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+                "event_type",
+                "n_events",
+            )
+            .collect()
+        )
+    }
+    assert emitted, "watermark never expired any window"
+    for hour, etype, n in emitted:
+        assert expect[(hour, etype)] == n
+    # no window may be emitted twice (append-mode finality)
+    keys = [(h, e) for h, e, _ in emitted]
+    assert len(keys) == len(set(keys))
