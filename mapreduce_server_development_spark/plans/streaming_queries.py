@@ -2230,11 +2230,20 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation pipeline scores continuously. ``pathGlobFilter`` scopes
     the listing to the documents file; a growing directory or Kafka
     topic changes nothing downstream."""
-    return (
+    # recursiveFileLookup lets a replay fixture nest its arrival files
+    # inside a documents.parquet/ directory (so the batch reader sees
+    # one dataset while the stream sees N arrival units); flat driver
+    # fixtures are unaffected, and the leaf glob still scopes the
+    # listing to the documents file(s).
+    r = (
         spark.readStream.schema(_DOCS_SCHEMA)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
+        .option("pathGlobFilter", "documents*.parquet")
+        .option("recursiveFileLookup", "true")
     )
+    mft = os.environ.get("SPARK_GRAFT_STREAM_MAX_FILES_PER_TRIGGER")
+    if mft:
+        r = r.option("maxFilesPerTrigger", mft)
+    return r.parquet(sf_dir)
 
 
 def _q_stream_dsir_oracle() -> str:
@@ -2423,3 +2432,200 @@ def q_stream_deletion_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("n_suppressed"),
     ).withColumn("n_kept", F.col("n_events") - F.col("n_suppressed"))
     return s.selectExpr(*_SDEL_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_stream_minhash_dedup — near-dup detection AT INGEST (stateful LSH index)
+# ---------------------------------------------------------------------------
+
+_SMD_FINAL = (
+    "source",
+    "CAST(n_docs AS BIGINT) AS n_docs",
+    "CAST(n_candidates AS BIGINT) AS n_candidates",
+    "CAST(n_dups AS BIGINT) AS n_dups",
+    "round(CAST(n_dups AS DOUBLE) / n_docs, 4) + 0.0 AS dup_pct",
+)
+
+
+def _q_stream_minhash_dedup_oracle() -> str:
+    from .llm import _TOKS_CTE, _shingle_cte
+
+    return f"""
+    WITH {_TOKS_CTE},
+    {_shingle_cte(3)},
+    sig AS (
+        SELECT doc, seed, MIN(md5(seed || '#' || shingle)) AS h
+        FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+        GROUP BY doc, seed
+    ),
+    bands AS (
+        SELECT doc, seed // 2 AS band,
+               md5(string_agg(h, '' ORDER BY seed)) AS bh
+        FROM sig GROUP BY doc, band
+    ),
+    cand AS (
+        SELECT b.doc AS doc, MIN(a.doc) AS match
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
+        GROUP BY b.doc
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+    inter AS (
+        SELECT c.doc, c.match, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc = c.match
+        JOIN sh b ON b.doc = c.doc AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    ver AS (
+        SELECT i.doc FROM inter i
+        JOIN sizes sa ON sa.doc = i.match
+        JOIN sizes sb ON sb.doc = i.doc
+        WHERE round(CAST(n_inter AS DOUBLE)
+                    / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
+    ),
+    panel AS (
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(c.doc) AS BIGINT) AS n_candidates,
+               CAST(COUNT(v.doc) AS BIGINT) AS n_dups
+        FROM documents d
+        LEFT JOIN cand c ON c.doc = d.doc_id
+        LEFT JOIN ver v ON v.doc = d.doc_id
+        GROUP BY d.source
+    )
+    SELECT {", ".join(_SMD_FINAL)} FROM panel ORDER BY source
+    """
+
+
+@query("q_stream_minhash_dedup", oracle=_q_stream_minhash_dedup_oracle())
+def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection AT INGEST — the streaming form of
+    MinHash-LSH dedup, where a growing corpus is screened doc-by-doc
+    against everything already ingested (the production dedup mode: a
+    daily crawl never re-pairs old x old; this is the same idea at
+    per-document granularity, the 4th custom
+    ``applyInPandasWithState`` operator).
+
+    Pipeline: each arriving document computes its 16 MinHash mins and
+    8 LSH band keys as PER-ROW array expressions (a doc's shingles
+    live in its own row — zero stream-side shuffle and no streaming
+    aggregation, which Spark cannot chain before a stateful op; the
+    signature text matches q_minhash_near_dups' oracle exactly). The
+    stateful operator, keyed by (band, bandhash), maintains ONE int64
+    — the minimum doc_id ever ingested into that bucket (the LSH
+    index) — and emits (doc, bucket-min) whenever a doc lands in an
+    occupied bucket. The batch readout takes each doc's earliest
+    match (MIN over its buckets = min sharing doc id), verifies that
+    ONE candidate pair by exact shingle Jaccard >= 0.5 (the
+    first-wins ingest policy: a doc is deduped against its EARLIEST
+    colliding predecessor, not its best match — documented, mirrored
+    in the oracle), and reports the per-source ingest panel:
+    candidate rate and verified near-dup rate.
+
+    Determinism: arrival is id-ordered (in-batch sort; the
+    multi-batch replay fixture splits in order), so a bucket's state
+    min when doc d processes equals the min over ALL ids < d in that
+    bucket — exactly the batch SQL the oracle runs. Jaccard
+    verification happens in the shared batch half.
+
+    100 TB posture: state is one int64 per OCCUPIED band bucket (8
+    per distinct content cluster — this IS the production LSH index,
+    RocksDB-backed at scale); per-batch work is one shuffle on the
+    bucket key; emissions flow through the file sink (never the
+    driver); the readout's verification join touches candidate pairs
+    only, never all-pairs.
+    """
+    import pandas as pd
+
+    from ..functions.dedup import _doc_shingles
+    from ..functions.text import tokens_col, word_shingles
+
+    stream = read_documents_stream(spark, sf_dir)
+    toks = stream.select(
+        F.col("doc_id").alias("doc"),
+        word_shingles(tokens_col(F.lower(F.col("text"))), 3).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    def _seed_min(i: int):
+        # NB: a `lambda s, i=i:` default-arg closure here would be
+        # WRONG — pyspark treats a 2-parameter transform lambda as
+        # (element, index) and binds the second param to the index
+        # column, silently shadowing the seed.
+        pref = f"{i}#"
+        return F.array_min(
+            F.transform(F.col("sh"), lambda s: F.md5(F.concat(F.lit(pref), s)))
+        )
+
+    hs = [_seed_min(i) for i in range(16)]
+    bands = toks.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("long").alias("band"),
+                        F.md5(F.concat(hs[2 * j], hs[2 * j + 1])).alias("bh"),
+                    )
+                    for j in range(8)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc", "b.band", "b.bh")
+
+    def track(key, pdfs, state):
+        mn = state.get[0] if state.exists else None
+        out = []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        for doc in sorted(pdf["doc"].to_list()):
+            if mn is not None and mn < doc:
+                out.append((doc, mn))
+            if mn is None or doc < mn:
+                mn = doc
+        state.update((mn,))
+        yield pd.DataFrame(out, columns=["doc", "match"])
+
+    tracked = bands.groupBy("band", "bh").applyInPandasWithState(
+        track,
+        outputStructType="doc long, match long",
+        stateStructType="mn long",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    emitted = _run_to_files(tracked, spark)
+    cand = emitted.groupBy("doc").agg(F.min("match").alias("match"))
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs, "text", "doc_id", 3)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc").alias("match"), "shingle")
+    b = sh.select("doc", "shingle")
+    inter = (
+        cand.join(a, "match")
+        .join(b, ["doc", "shingle"])
+        .groupBy("doc", "match")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    ver = (
+        inter.join(
+            sizes.select(F.col("doc").alias("match"), F.col("n_sh").alias("n_a")),
+            "match",
+        )
+        .join(sizes.select("doc", F.col("n_sh").alias("n_b")), "doc")
+        .filter(F.round(jac, 4) >= 0.5)
+        .select("doc")
+    )
+    panel = (
+        docs.select(F.col("doc_id").alias("doc"), "source")
+        .join(cand.select("doc", F.lit(1).alias("is_cand")), "doc", "left")
+        .join(ver.select("doc", F.lit(1).alias("is_dup")), "doc", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count("is_cand").cast("long").alias("n_candidates"),
+            F.count("is_dup").cast("long").alias("n_dups"),
+        )
+    )
+    return panel.selectExpr(*_SMD_FINAL).orderBy("source")
