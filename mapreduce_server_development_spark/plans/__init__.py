@@ -32,5 +32,6 @@ from . import corpus_diversity  # noqa: E402,F401
 from . import audience  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 from . import data_selection  # noqa: E402,F401
+from . import retrieval  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]

@@ -2422,3 +2422,213 @@ def q_cell_quantizer_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.selectExpr(*_CQT_FINAL).orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# q_sq8_ann — per-dimension scalar (int8) quantization ANN audit
+# ---------------------------------------------------------------------------
+
+#: SQ8 levels (uint8 codes 0..255) — 64 dims x 1 B = 64 B/vector vs
+#: 256 B raw float32 (4x compression; the FAISS "SQ8" baseline that
+#: complements q_pq_ann's 64x PQ point on the compression/recall curve).
+_SQ_LEVELS = 255
+
+_SQ_ORACLE = f"""
+    WITH v AS (
+        SELECT vec_id AS vid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        FROM embeddings
+    ),
+    d AS (
+        SELECT vid, i AS dim, vv[i] AS x
+        FROM v CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+    ),
+    st AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM d GROUP BY dim),
+    dq AS (
+        SELECT vid, d.dim,
+               round(CASE WHEN hi = lo THEN lo
+                          ELSE lo + round((x - lo) / (hi - lo) * {_SQ_LEVELS})
+                               * (hi - lo) / {_SQ_LEVELS}.0
+                     END, 6) AS dq
+        FROM d JOIN st USING (dim)
+    ),
+    nrm AS (
+        SELECT vid,
+               sqrt(CAST(SUM(CAST(round(dq * dq * 1000000) AS BIGINT)) AS BIGINT)
+                    / 1000000.0) AS nrm
+        FROM dq GROUP BY vid
+    ),
+    qd AS (SELECT vid AS qid, dim, dq AS qdq FROM dq WHERE vid <= 5),
+    dots AS (
+        SELECT qd.qid, dq.vid,
+               CAST(SUM(CAST(round(dq.dq * qd.qdq * 1000000) AS BIGINT)) AS BIGINT)
+                   / 1000000.0 AS dot
+        FROM dq JOIN qd USING (dim)
+        WHERE dq.vid <> qd.qid
+        GROUP BY qd.qid, dq.vid
+    ),
+    cossq AS (
+        SELECT qid, dots.vid,
+               round(dot / (n1.nrm * n2.nrm), 4) + 0.0 AS cos_sq
+        FROM dots
+        JOIN nrm n1 ON n1.vid = dots.vid
+        JOIN nrm n2 ON n2.vid = dots.qid
+    ),
+    sqtop AS (
+        SELECT qid, vid FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid
+                                         ORDER BY cos_sq DESC, vid) AS rn
+            FROM cossq
+        ) WHERE rn <= 5
+    ),
+    nx AS (
+        SELECT vid, vv, sqrt(list_sum(list_transform(vv, x -> x * x))) AS xn
+        FROM v
+    ),
+    exact AS (
+        SELECT qid, vid, cosine FROM (
+            SELECT q.vid AS qid, nx.vid AS vid,
+                   round(list_dot_product(nx.vv, q.vv) / (nx.xn * q.xn), 4) + 0.0
+                       AS cosine,
+                   row_number() OVER (
+                       PARTITION BY q.vid
+                       ORDER BY round(list_dot_product(nx.vv, q.vv)
+                                      / (nx.xn * q.xn), 4) DESC, nx.vid) AS rn
+            FROM nx CROSS JOIN (SELECT * FROM nx WHERE vid <= 5) q
+            WHERE nx.vid <> q.vid
+        ) WHERE rn <= 5
+    ),
+    recall AS (
+        SELECT s.qid, COUNT(e.vid) AS hits
+        FROM sqtop s LEFT JOIN exact e ON e.qid = s.qid AND e.vid = s.vid
+        GROUP BY s.qid
+    ),
+    err AS (
+        SELECT e.qid,
+               CAST(SUM(abs(CAST(round(c.cos_sq * 10000) AS BIGINT)
+                            - CAST(round(e.cosine * 10000) AS BIGINT)))
+                    AS BIGINT) AS err_e4,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM exact e JOIN cossq c ON c.qid = e.qid AND c.vid = e.vid
+        GROUP BY e.qid
+    )
+    SELECT recall.qid AS query_id,
+           round(hits / 5.0, 2) AS recall_5,
+           round(err_e4 / (n * 10000.0), 6) AS mean_abs_cos_err
+    FROM recall JOIN err USING (qid)
+    ORDER BY query_id
+    """
+
+
+@query("q_sq8_ann", oracle=_SQ_ORACLE)
+def q_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (per-dimension int8) embedding quantization ANN audit.
+
+    SQ8 — the other classic FAISS compression point next to PQ
+    (q_pq_ann): each dimension is affinely mapped onto uint8 codes
+    ``round((x - lo_d)/(hi_d - lo_d) * 255)`` using GLOBAL per-dim
+    [lo, hi] (a 64-row broadcast), searched symmetrically on the
+    dequantized vectors, and audited per query: recall@5 of the SQ8
+    top-5 vs the exact float tier, and the mean |cosine error| over
+    the exact top-5.
+
+    Cross-engine discipline: dequantized components are rounded to 6
+    decimals, every dot/norm term is fixed-pointed to integer
+    micro-units and summed as BIGINT, cosines rounded to 4 decimals
+    before ranking, error in e4 integer units (the q_pq_ann ADC
+    pattern exactly).
+
+    Plan: one posexplode pass for the 64-row dim-stats broadcast; the
+    search is corpus x bounded-panel (the sanctioned exact-tier shape
+    — linear in n, panel <= 6); at production scale the SQ8 codes
+    would feed the IVF cell routing of q_ivfpq_ann instead of a flat
+    scan, with identical code arithmetic.
+    """
+    from ..functions.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nv = emb.select(
+        F.col("vec_id").alias("vid"), F.col("embedding").cast("array<double>").alias("vv")
+    )
+    dims = nv.select("vid", F.posexplode("vv").alias("dim", "x"))
+    st = dims.groupBy("dim").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    code = F.round((F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo")) * _SQ_LEVELS)
+    dq_val = F.round(
+        F.when(F.col("hi") == F.col("lo"), F.col("lo")).otherwise(
+            F.col("lo") + code * (F.col("hi") - F.col("lo")) / F.lit(float(_SQ_LEVELS))
+        ),
+        6,
+    )
+    dq = dims.join(F.broadcast(st), "dim").select("vid", "dim", dq_val.alias("dq"))
+    nrm = dq.groupBy("vid").agg(
+        F.sqrt(
+            F.sum(F.round(F.col("dq") * F.col("dq") * 1000000).cast("long")).cast("long")
+            / F.lit(1000000.0)
+        ).alias("nrm")
+    )
+    qd = dq.filter(F.col("vid") <= 5).select(
+        F.col("vid").alias("qid"), "dim", F.col("dq").alias("qdq")
+    )
+    dots = (
+        dq.join(F.broadcast(qd), "dim")
+        .filter(F.col("vid") != F.col("qid"))
+        .groupBy("qid", "vid")
+        .agg(
+            (
+                F.sum(F.round(F.col("dq") * F.col("qdq") * 1000000).cast("long")).cast(
+                    "long"
+                )
+                / F.lit(1000000.0)
+            ).alias("dot")
+        )
+    )
+    qnrm = nrm.filter(F.col("vid") <= 5).select(F.col("vid").alias("qid"), F.col("nrm").alias("qnrm"))
+    cossq = (
+        dots.join(nrm, "vid")
+        .join(F.broadcast(qnrm), "qid")
+        .select(
+            "qid",
+            "vid",
+            (F.lit(0.0) + F.round(F.col("dot") / (F.col("nrm") * F.col("qnrm")), 4)).alias(
+                "cos_sq"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sq").desc(), F.col("vid"))
+    sqtop = (
+        cossq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "vid")
+    )
+    exact = cosine_topk(emb, query_max_id=5, k=5).select(
+        F.col("query_id").alias("qid"), F.col("vec_id").alias("vid"), "cosine"
+    )
+    recall = (
+        sqtop.join(exact.select("qid", "vid", F.lit(1).alias("hit")), ["qid", "vid"], "left")
+        .groupBy("qid")
+        .agg(F.count("hit").alias("hits"))
+    )
+    err = (
+        exact.join(cossq, ["qid", "vid"])
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.round(F.col("cos_sq") * 10000).cast("long")
+                    - F.round(F.col("cosine") * 10000).cast("long")
+                )
+            )
+            .cast("long")
+            .alias("err_e4"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+    return (
+        recall.join(err, "qid")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.round(F.col("hits") / 5.0, 2).alias("recall_5"),
+            F.round(F.col("err_e4") / (F.col("n") * 10000.0), 6).alias("mean_abs_cos_err"),
+        )
+        .orderBy("query_id")
+    )

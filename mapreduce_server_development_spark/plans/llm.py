@@ -1608,6 +1608,79 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PPR seed set: documents with doc_id <= this (3 seeds) — the
+#: "expand from known-good/known-bad examples" curation workflow.
+_PPR_SEED_MAX_ID = 2
+
+
+def _ppr_oracle(iters: int = 8) -> str:
+    """Unrolled fixed-point PERSONALIZED PageRank oracle (teleport mass
+    returns only to the seed set) over the same 5-gram Jaccard edge
+    relation as q_pagerank. Same mechanical CTE unrolling — recursive
+    CTEs cannot aggregate over the recursive reference."""
+    seed = f"CASE WHEN n.doc_id <= {_PPR_SEED_MAX_ID} THEN 1 ELSE 0 END"
+    rounds = []
+    for k in range(1, iters + 1):
+        rounds.append(f"""r{k} AS (
+        SELECT n.doc_id AS node,
+               CAST(150000 * {seed} + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT)
+                   AS r
+        FROM documents n LEFT JOIN (
+            SELECT e.b AS node, SUM(p.r // d.deg) AS s
+            FROM e
+            JOIN deg d ON d.node = e.a
+            JOIN r{k - 1} p ON p.node = e.a
+            GROUP BY e.b
+        ) i ON i.node = n.doc_id
+    )""")
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH {_TOKS_CTE},
+    {_shingle_cte(5)},
+    {_jaccard_pairs_cte()},
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+    deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY a),
+    r0 AS (SELECT doc_id AS node,
+                  CAST(CASE WHEN doc_id <= {_PPR_SEED_MAX_ID}
+                            THEN 1000000 ELSE 0 END AS BIGINT) AS r
+           FROM documents n),
+    {chain}
+    SELECT node AS doc_id, r AS ppr_micro
+    FROM r{iters}
+    WHERE r > 0
+    ORDER BY doc_id
+    """
+
+
+@query("q_personalized_pagerank", oracle=_ppr_oracle(8))
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a 3-doc seed set over the near-dup
+    graph (8 rounds, damping 85%): random-walk-with-restart proximity
+    to known examples — the "expand a curated seed list" primitive
+    (find everything template-related to docs a reviewer already
+    labeled). Teleport mass returns ONLY to the seeds, so untouched
+    components stay at exactly 0 and are dropped from the output
+    (PPR's defining sparsity). Integer micro-unit arithmetic
+    end-to-end (``functions/graph.py personalized_pagerank_micro``);
+    the oracle unrolls all 8 rounds bit-exactly."""
+    from ..functions.graph import personalized_pagerank_micro
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.2, max_doc_freq=1000)
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    nodes = docs.select(
+        F.col("doc_id").alias("node"),
+        (F.col("doc_id") <= _PPR_SEED_MAX_ID).cast("int").alias("is_seed"),
+    )
+    return (
+        personalized_pagerank_micro(nodes, edges, iters=8, damping_pct=85)
+        .filter(F.col("ppr_micro") > 0)
+        .select(F.col("node").alias("doc_id"), "ppr_micro")
+        .orderBy("doc_id")
+    )
+
+
 def _stopword_case_sql() -> str:
     """Per-language stopword count as a DuckDB CASE over ``toks``."""
     whens = "\n                   ".join(

@@ -2629,3 +2629,38 @@ def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return panel.selectExpr(*_SMD_FINAL).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q_stream_rag_chunks — stateless ingest-time RAG chunking
+# (streaming twin of q_rag_chunks)
+# ---------------------------------------------------------------------------
+
+
+def _q_stream_rag_chunks_oracle() -> str:
+    from . import retrieval  # noqa: F401 - registers the batch twin
+    from .registry import ORACLE
+
+    return ORACLE["q_rag_chunks"]
+
+
+@query("q_stream_rag_chunks", oracle=_q_stream_rag_chunks_oracle())
+def q_stream_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_rag_chunks — the production shape of a RAG
+    ingest pipeline: documents are chunked AT INGEST by a STATELESS
+    per-row 1->N explode (a doc's tokens live in its own row — the
+    q_stream_toxicity operator class: no shuffle, NO streaming state),
+    chunk rows appended to a file sink by the executors directly, and
+    the readout is the sink ordered by (doc_id, chunk_id) — bit-equal
+    to the batch query, whose oracle this twin reuses verbatim.
+
+    100 TB posture: zero state, zero stream-side shuffle; the 1->N
+    fan-out happens inside each micro-batch's scan stage, so a
+    continuously-arriving corpus is chunked at wire speed and the
+    downstream embedding/indexing jobs consume the sink incrementally.
+    """
+    from .retrieval import chunk_documents
+
+    stream = read_documents_stream(spark, sf_dir)
+    out = _run_to_files(chunk_documents(stream), spark)
+    return out.orderBy("doc_id", "chunk_id")

@@ -382,3 +382,129 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_parts"),
     )
     return s.selectExpr(*_NEG_FINAL).orderBy("draw")
+
+
+# ---------------------------------------------------------------------------
+# q_curriculum_order — competence-based curriculum pacing by token rarity
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_curriculum_order",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id AS doc,
+               unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+                   AS term
+        FROM documents
+    ),
+    vocab AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY term
+    ),
+    total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM vocab),
+    surprisal AS (
+        SELECT term,
+               CAST(round(-ln(CAST(cnt AS DOUBLE) / t) * 1000000) AS BIGINT)
+                   AS s_micro
+        FROM vocab CROSS JOIN total
+    ),
+    per_doc AS (
+        SELECT toks.doc,
+               CAST(COUNT(*) AS BIGINT) AS n_toks,
+               CAST(round(CAST(SUM(s_micro) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                   AS diff_micro
+        FROM toks JOIN surprisal USING (term)
+        GROUP BY toks.doc
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM per_doc),
+    ranked AS (
+        SELECT doc, n_toks, diff_micro,
+               row_number() OVER (ORDER BY diff_micro, doc) AS rn
+        FROM per_doc
+    ),
+    stepped AS (
+        SELECT *, CAST(least(9, ((rn - 1) * 10) // n_docs) AS BIGINT) AS step
+        FROM ranked CROSS JOIN nd
+    )
+    SELECT step,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(MIN(diff_micro) / 1000000.0, 6) AS min_difficulty,
+           round(MAX(diff_micro) / 1000000.0, 6) AS max_difficulty,
+           round(CAST(SUM(diff_micro) AS BIGINT)
+                 / (COUNT(*) * 1000000.0), 6) AS avg_difficulty,
+           round(CAST(SUM(n_toks) AS BIGINT) / (COUNT(*) * 1.0), 2)
+               AS avg_tokens
+    FROM stepped
+    GROUP BY step
+    ORDER BY step
+    """,
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Competence-based curriculum pacing (Platanios et al., NAACL
+    2019): difficulty = a document's mean token SURPRISAL under the
+    corpus unigram LM (``-ln(count/total)`` — rare-word documents are
+    hard), documents globally ordered easy -> hard, and the schedule
+    summarized as ten pacing deciles (the "competence" steps a trainer
+    would unlock in order).
+
+    Cross-engine discipline: per-token surprisal is rounded to integer
+    MICRO-units, per-doc difficulty is the rounded integer mean of
+    those BIGINTs, and the global order is (diff_micro, doc_id) — all
+    integers, so the curriculum order is bit-identical across engines.
+    Decile stats are derived from integer sums only.
+
+    Plan: one explode -> vocab hash-agg (the unigram LM), a token ->
+    vocab equi-join (shuffle on term — vocab is Zipf-bounded but not
+    broadcastable at 100 TB), a per-doc agg, then the two-phase
+    ``global_row_number`` scan for the global curriculum rank (never a
+    single-task ORDER BY window), and a 10-row decile agg.
+    """
+    from ..functions.prefix import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(tokens_col(F.lower(F.col("text")))).alias("term"),
+    )
+    vocab = toks.groupBy("term").agg(F.count("*").cast("long").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("long").alias("t"))
+    surprisal = vocab.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(-F.log(F.col("cnt").cast("double") / F.col("t")) * 1000000)
+        .cast("long")
+        .alias("s_micro"),
+    )
+    per_doc = (
+        toks.join(surprisal, "term")
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("long").alias("n_toks"),
+            F.round(F.sum("s_micro").cast("double") / F.count("*"))
+            .cast("long")
+            .alias("diff_micro"),
+        )
+    )
+    nd = per_doc.agg(F.count("*").cast("long").alias("n_docs"))
+    ranked = global_row_number(per_doc, ["diff_micro", "doc"], out_col="rn")
+    stepped = ranked.crossJoin(F.broadcast(nd)).select(
+        "diff_micro",
+        "n_toks",
+        F.least(
+            F.lit(9).cast("long"),
+            F.floor((F.col("rn") - 1) * 10 / F.col("n_docs")),
+        ).alias("step"),
+    )
+    return (
+        stepped.groupBy("step")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.min("diff_micro") / F.lit(1000000.0), 6).alias("min_difficulty"),
+            F.round(F.max("diff_micro") / F.lit(1000000.0), 6).alias("max_difficulty"),
+            F.round(
+                F.sum("diff_micro").cast("long") / (F.count("*") * F.lit(1000000.0)), 6
+            ).alias("avg_difficulty"),
+            F.round(F.sum("n_toks").cast("long") / (F.count("*") * F.lit(1.0)), 2).alias(
+                "avg_tokens"
+            ),
+        )
+        .orderBy("step")
+    )
