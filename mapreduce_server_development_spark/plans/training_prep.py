@@ -508,3 +508,138 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("step")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_fim_transform — deterministic fill-in-the-middle training transform
+# ---------------------------------------------------------------------------
+
+#: Permille of documents FIM-transformed (the common 50% FIM rate).
+FIM_RATE_PERMILLE = 500
+
+
+def _fim_oracle() -> str:
+    from .sampling import _bucket_sql
+
+    gate = _bucket_sql("fim", "doc_id")
+    b1 = _bucket_sql("fima", "doc_id")
+    b2 = _bucket_sql("fimb", "doc_id")
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+               CASE WHEN {gate} < {FIM_RATE_PERMILLE} THEN 1 ELSE 0 END
+                   AS applied
+        FROM t WHERE len(toks) > 0
+    ),
+    cut AS (
+        SELECT doc_id, toks, n, applied,
+               CAST(1 + ({b1} * (n - 1)) // 1000 AS BIGINT) AS p1
+        FROM sized
+    ),
+    cut2 AS (
+        SELECT doc_id, toks, n, applied, p1,
+               CAST(p1 + ({b2} * (n - p1)) // 1000 AS BIGINT) AS p2
+        FROM cut
+    ),
+    pieces AS (
+        SELECT doc_id, n, applied,
+               CASE WHEN applied = 1 THEN p1 ELSE n END AS n_prefix,
+               CASE WHEN applied = 1 THEN p2 - p1 ELSE 0 END AS n_middle,
+               CASE WHEN applied = 1 THEN n - p2 ELSE 0 END AS n_suffix,
+               CASE WHEN applied = 1 THEN
+                   md5(array_to_string(
+                       ['<PRE>'] || toks[1:p1]
+                       || ['<SUF>'] || toks[p2 + 1:n]
+                       || ['<MID>'] || toks[p1 + 1:p2], ' '))
+               ELSE md5(array_to_string(toks, ' '))
+               END AS psm_hash
+        FROM cut2
+    )
+    SELECT doc_id, CAST(applied AS BIGINT) AS applied,
+           CAST(n_prefix AS BIGINT) AS n_prefix,
+           CAST(n_middle AS BIGINT) AS n_middle,
+           CAST(n_suffix AS BIGINT) AS n_suffix,
+           psm_hash
+    FROM pieces
+    ORDER BY doc_id
+    """
+
+
+@query("q_fim_transform", oracle=_fim_oracle())
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fill-in-the-middle (FIM) training transform
+    (Bavarian et al. 2022, "Efficient Training of Language Models to
+    Fill in the Middle"): 50% of documents are split at two
+    hash-derived points and re-serialized in PSM order
+    (``<PRE> prefix <SUF> suffix <MID> middle``) so the model learns
+    infilling; the other 50% stay in causal order. Split points are
+    pure functions of ``doc_id`` (the q_mlm_masking hash-Bernoulli
+    discipline): ``p1 = 1 + (b1 * (n-1)) div 1000``,
+    ``p2 = p1 + (b2 * (n - p1)) div 1000`` with b1/b2 the md5 buckets
+    — every engine, rerun, and incremental batch transforms the
+    identical documents identically (an ``rand()``-based FIM would be
+    irreproducible and break dedup-by-hash downstream).
+
+    Output is the per-doc transform ledger (piece sizes + md5 of the
+    serialized PSM text). Plan: zero-shuffle per-row JVM array ops —
+    the ideal ingest-transform class (q_rag_chunks' posture) — one
+    pass, no Python, no state.
+    """
+    from .sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks_c = tokens_col(F.lower(F.col("text")))
+    sized = docs.select(
+        "doc_id", toks_c.alias("toks"), F.size(toks_c).cast("long").alias("n")
+    ).filter(F.col("n") > 0)
+    gate = hash_bucket("fim", F.col("doc_id"))
+    b1 = hash_bucket("fima", F.col("doc_id"))
+    b2 = hash_bucket("fimb", F.col("doc_id"))
+    cut = sized.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.when(gate < FIM_RATE_PERMILLE, 1).otherwise(0).alias("applied"),
+    ).withColumn(
+        "p1",
+        (F.lit(1).cast("long") + F.floor((b1 * (F.col("n") - 1)) / 1000)).cast("long"),
+    )
+    cut2 = cut.withColumn(
+        "p2",
+        (F.col("p1") + F.floor((b2 * (F.col("n") - F.col("p1"))) / 1000)).cast("long"),
+    )
+    pre = F.slice(F.col("toks"), 1, F.col("p1").cast("int"))
+    mid = F.expr("slice(toks, CAST(p1 + 1 AS INT), CAST(p2 - p1 AS INT))")
+    suf = F.expr("slice(toks, CAST(p2 + 1 AS INT), CAST(n - p2 AS INT))")
+    psm = F.concat_ws(
+        " ",
+        F.concat(
+            F.array(F.lit("<PRE>")), pre,
+            F.array(F.lit("<SUF>")), suf,
+            F.array(F.lit("<MID>")), mid,
+        ),
+    )
+    return (
+        cut2.select(
+            "doc_id",
+            F.col("applied").cast("long").alias("applied"),
+            F.when(F.col("applied") == 1, F.col("p1")).otherwise(F.col("n")).alias(
+                "n_prefix"
+            ),
+            F.when(F.col("applied") == 1, F.col("p2") - F.col("p1"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("n_middle"),
+            F.when(F.col("applied") == 1, F.col("n") - F.col("p2"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("n_suffix"),
+            F.when(F.col("applied") == 1, F.md5(psm))
+            .otherwise(F.md5(F.concat_ws(" ", F.col("toks"))))
+            .alias("psm_hash"),
+        )
+        .orderBy("doc_id")
+    )

@@ -428,3 +428,46 @@ def test_chunk_dedup_cross_doc_only():
         assert by_doc[d]["n_shared_chunks"] == 1  # the identical first window
         assert by_doc[d]["shared_ratio"] == pytest.approx(
             round(1 / by_doc[d]["n_chunks"], 4), abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# q_fim_transform — split-point and PSM-serialization replay
+# ---------------------------------------------------------------------------
+
+
+def _bucket(salt: str, key, buckets: int = 1000) -> int:
+    """Python replica of sampling.hash_bucket (first 4 md5 nibbles)."""
+    h = hashlib.md5(f"{salt}:{key}".encode()).hexdigest()
+    nib = "0123456789abcdef"
+    v = (nib.index(h[0]) * 4096 + nib.index(h[1]) * 256
+         + nib.index(h[2]) * 16 + nib.index(h[3]))
+    return v % buckets
+
+
+def test_fim_transform_replay():
+    texts = [" ".join(f"w{i}_{j}" for j in range(5 + 7 * i)) for i in range(12)]
+    out = _run({"documents": _docs(texts)}, "q_fim_transform")
+    assert len(out) == 12
+    n_applied = 0
+    for r in out:
+        d = r["doc_id"]
+        toks = [t for t in texts[d].lower().split(" ") if t]
+        n = len(toks)
+        applied = 1 if _bucket("fim", d) < 500 else 0
+        assert r["applied"] == applied
+        if applied:
+            n_applied += 1
+            p1 = 1 + (_bucket("fima", d) * (n - 1)) // 1000
+            p2 = p1 + (_bucket("fimb", d) * (n - p1)) // 1000
+            assert (r["n_prefix"], r["n_middle"], r["n_suffix"]) == (
+                p1, p2 - p1, n - p2)
+            psm = " ".join(["<PRE>"] + toks[:p1] + ["<SUF>"] + toks[p2:]
+                           + ["<MID>"] + toks[p1:p2])
+            assert r["psm_hash"] == hashlib.md5(psm.encode()).hexdigest()
+        else:
+            assert (r["n_prefix"], r["n_middle"], r["n_suffix"]) == (n, 0, 0)
+            assert r["psm_hash"] == hashlib.md5(
+                " ".join(toks).encode()).hexdigest()
+        # piece sizes always partition the doc
+        assert r["n_prefix"] + r["n_middle"] + r["n_suffix"] == n
+    assert 0 < n_applied < 12  # the 50% gate actually splits the corpus
