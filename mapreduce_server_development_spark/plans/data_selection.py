@@ -2632,3 +2632,179 @@ def q_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ivf_nprobe_curve — recall vs probe-count sweep for the IVF index
+# ---------------------------------------------------------------------------
+
+#: Probe counts swept (a production tuning run sweeps further; 1/2/4
+#: spans the fixture's ~sqrt(n) cell count meaningfully).
+_NPROBE_LEVELS = (1, 2, 4)
+
+from .cell_common import cell_ctes as _cell_ctes_np  # noqa: E402
+
+_NPROBE_ORACLE = f"""
+    WITH {_cell_ctes_np()},
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM n),
+    q AS (SELECT vid AS qid, vv AS qv, nrm AS qnrm FROM n WHERE vid <= 5),
+    qc AS (
+        SELECT q.qid, c.cid,
+               round(list_dot_product(q.qv, c.cv) / (q.qnrm * c.cnrm), 4)
+                   AS qcos
+        FROM q CROSS JOIN cent0 c
+    ),
+    qprobe AS (
+        SELECT qid, cid, CAST(rn AS BIGINT) AS prank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY qcos DESC, cid) AS rn
+            FROM qc
+        ) WHERE rn <= {max(_NPROBE_LEVELS)}
+    ),
+    cand AS (
+        SELECT p.qid, a.vid, p.prank,
+               round(list_dot_product(a.vv, q.qv) / (a.nrm * q.qnrm), 4)
+                   AS cos
+        FROM assign a
+        JOIN qprobe p USING (cid)
+        JOIN q ON q.qid = p.qid
+        WHERE a.vid <> p.qid
+    ),
+    pr AS (SELECT CAST(unnest([{", ".join(str(p) for p in _NPROBE_LEVELS)}])
+                       AS BIGINT) AS nprobe),
+    cand3 AS (
+        SELECT pr.nprobe, c.qid, c.vid, c.cos
+        FROM cand c CROSS JOIN pr WHERE c.prank <= pr.nprobe
+    ),
+    top3 AS (
+        SELECT nprobe, qid, vid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY nprobe, qid ORDER BY cos DESC, vid) AS rn
+            FROM cand3
+        ) WHERE rn <= 3
+    ),
+    exact AS (
+        SELECT qid, vid FROM (
+            SELECT q.qid, n.vid,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY round(list_dot_product(n.vv, q.qv)
+                                      / (n.nrm * q.qnrm), 4) DESC, n.vid)
+                       AS rn
+            FROM n CROSS JOIN q
+            WHERE n.vid <> q.qid
+        ) WHERE rn <= 3
+    ),
+    hits AS (
+        SELECT t.nprobe, t.qid, COUNT(e.vid) AS hits
+        FROM top3 t LEFT JOIN exact e ON e.qid = t.qid AND e.vid = t.vid
+        GROUP BY t.nprobe, t.qid
+    ),
+    nc AS (
+        SELECT nprobe, qid, CAST(COUNT(*) AS BIGINT) AS n_cand
+        FROM cand3 GROUP BY nprobe, qid
+    )
+    SELECT nc.nprobe AS nprobe, nc.qid AS query_id, nc.n_cand,
+           round(nc.n_cand / (tot.nn * 1.0), 4) AS cand_frac,
+           round(COALESCE(h.hits, 0) / 3.0, 4) AS recall_at_3
+    FROM nc
+    LEFT JOIN hits h ON h.nprobe = nc.nprobe AND h.qid = nc.qid
+    CROSS JOIN tot
+    ORDER BY nc.nprobe, query_id
+    """
+
+
+@query("q_ivf_nprobe_curve", oracle=_NPROBE_ORACLE)
+def q_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall-vs-nprobe tuning sweep: for nprobe in {1, 2, 4},
+    search only the query's top-nprobe cells and report per query the
+    candidate count, the fraction of the corpus touched, and recall@3
+    vs the exact tier — THE curve a production deployment reads to
+    pick its recall/cost operating point (every q_ivf*/q_ivfpq query
+    fixes nprobe=1; this measures what raising it buys).
+
+    Plan: one sqrt(n)-cell assignment pass (the shared cell_common
+    machinery — rank seeds, max_by argmax), a bounded query x centroid
+    probe ranking (<= |panel| * sqrt(n) rows), then ONE candidate join
+    on cid evaluated once and reused for all probe levels via a 3-row
+    broadcast level frame (prank <= nprobe) — the index property under
+    test IS that candidates are ~nprobe/sqrt(n) of the corpus, so the
+    exact-cosine evaluation touches that fraction, never all of it.
+    """
+    from ..functions.similarity import _dot as _sdot
+    from .cell_common import _argmax_assign, cell_base, rank_seed_centroids, seed_k
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base, _ = cell_base(emb)
+    k = seed_k(base)
+    cent = rank_seed_centroids(base, k)
+    assign = _argmax_assign(base, cent, ())
+    tot = base.agg(F.count("*").cast("long").alias("nn"))
+
+    q = base.filter(F.col("vid") <= 5).select(
+        F.col("vid").alias("qid"), F.col("vv").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    qc = q.crossJoin(F.broadcast(cent)).select(
+        "qid",
+        "cid",
+        F.round(_sdot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("cnrm")), 4)
+        .alias("qcos"),
+    )
+    w_p = Window.partitionBy("qid").orderBy(F.col("qcos").desc(), F.col("cid"))
+    qprobe = (
+        qc.withColumn("prank", F.row_number().over(w_p).cast("long"))
+        .filter(F.col("prank") <= max(_NPROBE_LEVELS))
+        .select("qid", "cid", "prank")
+    )
+    cand = (
+        assign.join(F.broadcast(qprobe), "cid")
+        .filter(F.col("vid") != F.col("qid"))
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            "vid",
+            "prank",
+            F.round(
+                _sdot(F.col("vv"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")), 4
+            ).alias("cos"),
+        )
+    )
+    pr = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(p).cast("long") for p in _NPROBE_LEVELS])
+            ).alias("nprobe")
+        )
+    )
+    cand3 = cand.crossJoin(F.broadcast(pr)).filter(F.col("prank") <= F.col("nprobe"))
+    w_t = Window.partitionBy("nprobe", "qid").orderBy(F.col("cos").desc(), F.col("vid"))
+    top3 = (
+        cand3.withColumn("rn", F.row_number().over(w_t))
+        .filter(F.col("rn") <= 3)
+        .select("nprobe", "qid", "vid")
+    )
+    from ..functions.similarity import cosine_topk
+
+    exact = cosine_topk(emb, query_max_id=5, k=3).select(
+        F.col("query_id").alias("qid"), F.col("vec_id").alias("vid"),
+        F.lit(1).alias("hit"),
+    )
+    hits = (
+        top3.join(exact, ["qid", "vid"], "left")
+        .groupBy("nprobe", "qid")
+        .agg(F.count("hit").alias("hits"))
+    )
+    nc = cand3.groupBy("nprobe", "qid").agg(F.count("*").cast("long").alias("n_cand"))
+    return (
+        nc.join(hits, ["nprobe", "qid"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nprobe",
+            F.col("qid").alias("query_id"),
+            "n_cand",
+            F.round(F.col("n_cand") / (F.col("nn") * F.lit(1.0)), 4).alias("cand_frac"),
+            F.round(F.coalesce(F.col("hits"), F.lit(0)) / 3.0, 4).alias("recall_at_3"),
+        )
+        .orderBy("nprobe", "query_id")
+    )

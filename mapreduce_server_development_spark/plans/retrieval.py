@@ -158,10 +158,11 @@ def chunk_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def _rrf_oracle() -> str:
-    """DuckDB oracle for q_hybrid_rrf (shared constants inlined)."""
-    return f"""
-    WITH {_TOKS_CTE},
+def _rrf_ctes() -> str:
+    """CTE chain ending in ``fused_ranked(query_id, doc_id, lex_rank,
+    vec_rank, rrf_nano, fused_rank)`` — shared by q_hybrid_rrf and
+    q_retrieval_ndcg (one canonical copy of the fusion arithmetic)."""
+    return f"""{_TOKS_CTE},
     dl AS (
         SELECT doc, CAST(len(toks) AS BIGINT) AS dl FROM toks
     ),
@@ -247,17 +248,24 @@ def _rrf_oracle() -> str:
                                AS BIGINT), 0) AS rrf_nano
         FROM lex FULL OUTER JOIN vec
           ON lex.qid = vec.qid AND lex.doc = vec.doc
-    )
-    SELECT query_id, doc_id,
-           round(rrf_nano / 1000000000.0, 6) AS rrf,
-           lex_rank, vec_rank,
-           CAST(fused_rank AS BIGINT) AS fused_rank
-    FROM (
+    ),
+    fused_ranked AS (
         SELECT *, row_number() OVER (
                    PARTITION BY query_id ORDER BY rrf_nano DESC, doc_id)
                    AS fused_rank
         FROM fused
-    )
+    )"""
+
+
+def _rrf_oracle() -> str:
+    """DuckDB oracle for q_hybrid_rrf (shared constants inlined)."""
+    return f"""
+    WITH {_rrf_ctes()}
+    SELECT query_id, doc_id,
+           round(rrf_nano / 1000000000.0, 6) AS rrf,
+           lex_rank, vec_rank,
+           CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM fused_ranked
     WHERE fused_rank <= 5
     ORDER BY query_id, fused_rank
     """
@@ -288,6 +296,26 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index probe (postings join, never corpus x corpus); the
     final fuse is a full-outer join of two <= |panel| * 20-row legs.
     """
+    ranked = hybrid_rrf_ranked(spark, sf_dir)
+    return (
+        ranked.filter(F.col("fused_rank") <= 5)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("rrf_nano") / F.lit(1000000000.0), 6).alias("rrf"),
+            "lex_rank",
+            "vec_rank",
+            "fused_rank",
+        )
+        .orderBy("query_id", "fused_rank")
+    )
+
+
+def hybrid_rrf_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full fused ranking (query_id, doc_id, lex_rank, vec_rank,
+    rrf_nano, fused_rank) — one canonical copy of the fusion plan,
+    shared by q_hybrid_rrf (top-5 readout) and q_retrieval_ndcg (the
+    ranking-quality eval)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.col("doc_id").alias("doc"), tokens_col(F.lower(F.col("text"))).alias("toks")
@@ -368,19 +396,7 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w_f = Window.partitionBy("query_id").orderBy(F.col("rrf_nano").desc(), F.col("doc_id"))
-    return (
-        fused.withColumn("fused_rank", F.row_number().over(w_f).cast("long"))
-        .filter(F.col("fused_rank") <= 5)
-        .select(
-            "query_id",
-            "doc_id",
-            F.round(F.col("rrf_nano") / F.lit(1000000000.0), 6).alias("rrf"),
-            "lex_rank",
-            "vec_rank",
-            "fused_rank",
-        )
-        .orderBy("query_id", "fused_rank")
-    )
+    return fused.withColumn("fused_rank", F.row_number().over(w_f).cast("long"))
 
 
 @query(
@@ -446,4 +462,140 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("shared_ratio"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_retrieval_ndcg — graded ranking-quality eval of the hybrid retriever
+# ---------------------------------------------------------------------------
+
+#: DCG position discounts 1/log2(i+1) for i = 1..5 in integer
+#: MICRO-units (inlined literals — no libm log2 in either engine).
+_NDCG_W = (1000000, 630930, 500000, 430677, 386853)
+
+#: Graded-relevance depth: exact cosine top-20 defines rel = 21 - rank.
+_NDCG_TRUTH_DEPTH = 20
+
+
+def _ndcg_oracle() -> str:
+    w_list = ", ".join(str(w) for w in _NDCG_W)
+    pos_list = ", ".join(str(i + 1) for i in range(len(_NDCG_W)))
+    return f"""
+    WITH {_rrf_ctes()},
+    f5 AS (
+        SELECT query_id, doc_id, CAST(fused_rank AS BIGINT) AS fused_rank
+        FROM fused_ranked WHERE fused_rank <= 5
+    ),
+    truth AS (
+        SELECT qid, doc, CAST({_NDCG_TRUTH_DEPTH} + 1 - rn AS BIGINT) AS rel
+        FROM (
+            SELECT q.vid AS qid, nv.vid AS doc,
+                   row_number() OVER (
+                       PARTITION BY q.vid
+                       ORDER BY round(list_dot_product(nv.vv, q.vv)
+                                      / (nv.nrm * q.nrm), 4) DESC, nv.vid)
+                       AS rn
+            FROM nv CROSS JOIN (SELECT * FROM nv WHERE vid <= {_PANEL_MAX_ID}) q
+            WHERE nv.vid <> q.vid
+        ) WHERE rn <= {_NDCG_TRUTH_DEPTH}
+    ),
+    wts AS (
+        SELECT unnest([{pos_list}]) AS pos,
+               unnest([{w_list}]) AS w
+    ),
+    dcg AS (
+        SELECT f5.query_id,
+               CAST(SUM(COALESCE(t.rel, 0) * w.w) AS BIGINT) AS dcg_micro
+        FROM f5
+        JOIN wts w ON w.pos = f5.fused_rank
+        LEFT JOIN truth t ON t.qid = f5.query_id AND t.doc = f5.doc_id
+        GROUP BY f5.query_id
+    ),
+    ideal AS (
+        SELECT qid AS query_id,
+               CAST(SUM(rel * w.w) AS BIGINT) AS idcg_micro
+        FROM (
+            SELECT qid, rel, row_number() OVER (
+                       PARTITION BY qid ORDER BY rel DESC) AS pos
+            FROM truth
+        ) i
+        JOIN wts w ON w.pos = i.pos
+        WHERE i.pos <= 5
+        GROUP BY qid
+    )
+    SELECT d.query_id, d.dcg_micro, i.idcg_micro,
+           round(d.dcg_micro / (i.idcg_micro * 1.0), 6) AS ndcg
+    FROM dcg d JOIN ideal i USING (query_id)
+    ORDER BY query_id
+    """
+
+
+@query("q_retrieval_ndcg", oracle=_ndcg_oracle())
+def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@5 of the hybrid RRF retriever against graded relevance
+    from the exact cosine tier (rel = 21 - exact_rank for the top-20,
+    0 beyond) — the standard graded ranking-quality eval
+    (Jarvelin & Kekalainen 2002) that complements q_ann_recall's
+    set-overlap view: it rewards putting the MOST relevant documents
+    FIRST, not merely retrieving them.
+
+    Cross-engine discipline: the position discounts ``1/log2(i+1)``
+    are inlined integer MICRO-unit literals (no libm log2 call in
+    either engine), DCG and ideal-DCG are exact BIGINT sums, and nDCG
+    is one rounded division of two integers.
+
+    Plan: the fused ranking is the shared :func:`hybrid_rrf_ranked`
+    plan; truth is the sanctioned bounded-panel exact tier
+    (:func:`cosine_topk` at depth 20); the eval itself joins two
+    <= |panel| * 5-row frames against a 5-row weight literal.
+    """
+    ranked = hybrid_rrf_ranked(spark, sf_dir)
+    f5 = ranked.filter(F.col("fused_rank") <= 5).select(
+        "query_id", "doc_id", "fused_rank"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = cosine_topk(emb, query_max_id=_PANEL_MAX_ID, k=_NDCG_TRUTH_DEPTH).select(
+        F.col("query_id").alias("qid"),
+        F.col("vec_id").alias("doc"),
+        (F.lit(_NDCG_TRUTH_DEPTH + 1) - F.col("rank")).cast("long").alias("rel"),
+    )
+    w_arr = F.array(*[F.lit(w).cast("long") for w in _NDCG_W])
+    dcg = (
+        f5.join(
+            truth,
+            (f5.query_id == truth.qid) & (f5.doc_id == truth.doc),
+            "left",
+        )
+        .select(
+            "query_id",
+            (
+                F.coalesce(F.col("rel"), F.lit(0).cast("long"))
+                * F.element_at(w_arr, F.col("fused_rank").cast("int"))
+            ).alias("dw"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("dw").cast("long").alias("dcg_micro"))
+    )
+    w_i = Window.partitionBy("qid").orderBy(F.col("rel").desc())
+    ideal = (
+        truth.withColumn("pos", F.row_number().over(w_i))
+        .filter(F.col("pos") <= 5)
+        .select(
+            F.col("qid").alias("query_id"),
+            (F.col("rel") * F.element_at(w_arr, F.col("pos"))).alias("iw"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("iw").cast("long").alias("idcg_micro"))
+    )
+    return (
+        dcg.join(ideal, "query_id")
+        .select(
+            "query_id",
+            "dcg_micro",
+            "idcg_micro",
+            F.round(F.col("dcg_micro") / (F.col("idcg_micro") * F.lit(1.0)), 6).alias(
+                "ndcg"
+            ),
+        )
+        .orderBy("query_id")
     )

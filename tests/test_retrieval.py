@@ -471,3 +471,77 @@ def test_fim_transform_replay():
         # piece sizes always partition the doc
         assert r["n_prefix"] + r["n_middle"] + r["n_suffix"] == n
     assert 0 < n_applied < 12  # the 50% gate actually splits the corpus
+
+
+# ---------------------------------------------------------------------------
+# q_retrieval_ndcg — nDCG arithmetic replay
+# ---------------------------------------------------------------------------
+
+
+def test_ndcg_weights_are_log2_discounts():
+    from mapreduce_server_development_spark.plans.retrieval import _NDCG_W
+
+    for i, w in enumerate(_NDCG_W, 1):
+        assert w == _rha(1e6 / math.log2(i + 1))
+
+
+def test_ndcg_replay_on_hand_corpus():
+    # Embeddings arranged so query 0's exact ranking is deterministic;
+    # text made so the lexical leg is uninformative noise for doc 0's
+    # terms (every doc shares them) — nDCG still must come out exactly
+    # as the formula says given the fused ranking the oracle computes.
+    import random
+    import struct
+
+    f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]  # noqa: E731
+    rng = random.Random(11)
+    embs = [[f32(rng.uniform(-1, 1)) for _ in range(8)] for _ in range(30)]
+    texts = [f"tok{i} " + " ".join(f"w{j}" for j in range(10)) for i in range(30)]
+    emb_table = (
+        ["vec_id BIGINT", "embedding FLOAT[]", "label INTEGER"],
+        [(i, v, 0) for i, v in enumerate(embs)],
+    )
+    tables = {"documents": _docs(texts), "embeddings": emb_table}
+    ndcg_out = {r["query_id"]: r for r in _run(tables, "q_retrieval_ndcg")}
+    rrf_out = _run(tables, "q_hybrid_rrf")
+
+    # truth: exact cosine top-20 per query, rel = 21 - rank
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(sum(x * y for x, y in zip(a, b)) / (na * nb), 4)
+
+    W = [1000000, 630930, 500000, 430677, 386853]
+    for q in ndcg_out:
+        ranked = sorted(
+            ((cos(embs[d], embs[q]), d) for d in range(30) if d != q),
+            key=lambda s: (-s[0], s[1]))[:20]
+        rel = {d: 20 - i for i, (_, d) in enumerate(ranked)}
+        fused = [r["doc_id"] for r in rrf_out if r["query_id"] == q]
+        dcg = sum(rel.get(d, 0) * W[i] for i, d in enumerate(fused))
+        idcg = sum(r * w for r, w in zip(sorted(rel.values(), reverse=True), W))
+        assert ndcg_out[q]["dcg_micro"] == dcg
+        assert ndcg_out[q]["idcg_micro"] == idcg
+        assert ndcg_out[q]["ndcg"] == pytest.approx(
+            round(dcg / idcg, 6), abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# q_ivf_nprobe_curve — monotonicity invariants
+# ---------------------------------------------------------------------------
+
+
+def test_nprobe_curve_monotone_on_fixture(spark, duck):
+    """On the real sf0.001 fixture: recall and candidate volume are
+    non-decreasing in nprobe for every query, and nprobe=4 recall
+    dominates nprobe=1 in aggregate."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["q_ivf_nprobe_curve"](spark, SF_SMOKE).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, {})[r.nprobe] = r
+    for q, lv in by_q.items():
+        assert lv[1].n_cand <= lv[2].n_cand <= lv[4].n_cand
+        assert lv[1].recall_at_3 <= lv[2].recall_at_3 <= lv[4].recall_at_3
+        assert lv[1].cand_frac < 1.0  # probing 1 cell never scans everything
