@@ -1164,3 +1164,222 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return s.selectExpr(*_EQ_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_pca_top_component — embedding anisotropy via fixed-point power iteration
+# ---------------------------------------------------------------------------
+
+#: Power-iteration rounds. 6 is enough to separate the top component
+#: on the fixture spectra; the output is DEFINED as the 6-round
+#: estimate (deterministic), not the converged limit.
+_PCA_ITERS = 6
+#: Fixed start vector component: 64 dims at 0.125 each (unit L2 norm,
+#: exactly representable in binary — no rounding at round 0).
+_PCA_V0 = 0.125
+
+
+def _pca_oracle(iters: int = _PCA_ITERS) -> str:
+    """Unrolled power iteration: round t computes per-vector scores
+    ``s = sum_d round(xc_d * v_d * 1e9)`` (BIGINT), per-dim inflow
+    ``w_d = sum_x round((s/1e9) * xc_d * 1e6)`` (BIGINT), then
+    max-abs-normalizes ``v' = round(w / max|w|, 6)`` — every distributed
+    sum is over exact integers (the pagerank/HITS discipline)."""
+    rounds = []
+    for t in range(1, iters + 1):
+        rounds.append(f"""s{t} AS MATERIALIZED (
+        SELECT vid,
+               CAST(SUM(CAST(round(xc * vd * 1000000000) AS BIGINT)) AS BIGINT)
+                   AS s_nano
+        FROM xc JOIN v{t - 1} USING (dim) GROUP BY vid
+    ),
+    w{t} AS MATERIALIZED (
+        SELECT dim,
+               CAST(SUM(CAST(round((s_nano / 1000000000.0) * xc * 1000000)
+                             AS BIGINT)) AS BIGINT) AS w
+        FROM xc JOIN s{t} USING (vid) GROUP BY dim
+    ),
+    m{t} AS (SELECT MAX(ABS(w)) AS m FROM w{t}),
+    v{t} AS MATERIALIZED (SELECT dim, round(w / (m * 1.0), 6) AS vd
+                         FROM w{t} CROSS JOIN m{t})""")
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH raw AS (
+        SELECT vec_id AS vid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        FROM embeddings
+    ),
+    d AS (
+        SELECT vid, i AS dim, vv[i] AS x
+        FROM raw CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+    ),
+    mu AS (SELECT dim, round(AVG(x), 6) AS mu FROM d GROUP BY dim),
+    xc AS MATERIALIZED (
+        SELECT vid, d.dim, round(x - mu, 6) AS xc
+        FROM d JOIN mu USING (dim)
+    ),
+    nn AS (SELECT CAST(COUNT(DISTINCT vid) AS BIGINT) AS n FROM xc),
+    v0 AS (SELECT dim, {_PCA_V0} AS vd FROM mu),
+    {chain},
+    vn AS (
+        SELECT CAST(SUM(CAST(round(vd * vd * 1000000) AS BIGINT)) AS BIGINT)
+                   AS vn2_micro
+        FROM v{iters}
+    ),
+    ray AS (
+        SELECT CAST(SUM(CAST(round((s_nano / 1000000000.0)
+                                   * (s_nano / 1000000000.0) * 1000000)
+                             AS BIGINT)) AS BIGINT) AS ssum_micro
+        FROM s{iters}
+    ),
+    tv AS (
+        SELECT CAST(SUM(CAST(round(xc * xc * 1000000) AS BIGINT)) AS BIGINT)
+                   AS tsum_micro
+        FROM xc
+    ),
+    stats AS (
+        SELECT round(ssum_micro / ((n - 1) * (vn2_micro / 1000000.0)
+                                   * 1000000.0), 6) AS top_eigenvalue,
+               round(tsum_micro / ((n - 1) * 1000000.0), 6) AS total_variance,
+               round((ssum_micro * 1000000.0) / (vn2_micro * 1.0)
+                     / (tsum_micro * 1.0), 6) AS top_pc_share
+        FROM ray CROSS JOIN vn CROSS JOIN tv CROSS JOIN nn
+    )
+    SELECT CAST(v.dim - 1 AS BIGINT) AS dim, v.vd AS loading,
+           s.top_eigenvalue, s.total_variance, s.top_pc_share
+    FROM v{iters} v CROSS JOIN stats s
+    ORDER BY ABS(v.vd) DESC, v.dim
+    LIMIT 5
+    """
+
+
+@query("q_pca_top_component", oracle=_pca_oracle())
+def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding anisotropy audit: the top principal component of the
+    centered embedding matrix by {_PCA_ITERS}-round POWER ITERATION
+    (Mises & Pollaczek-Geiringer 1929; the anisotropy lens of
+    Ethayarajh 2019 / Mu & Viswanath 2018 "All-but-the-Top") — a
+    healthy embedding space spreads variance across components, while
+    a collapsed/rogue-dimension space concentrates it in one: the
+    ``top_pc_share`` column is the fraction of total variance the top
+    component explains, and the 5 largest |loading| dims name the
+    dominant directions a whitening pass would remove.
+
+    Cross-engine discipline: centered components, per-round scores and
+    inflows are all fixed-pointed to integers before every distributed
+    sum (nano for scores, micro elsewhere — the pagerank/HITS pattern);
+    normalization is max-abs (an integer max), so all {_PCA_ITERS}
+    rounds are bit-identical across engines and the oracle unrolls
+    them as chained CTEs. The output is DEFINED as the fixed-round
+    estimate — deterministic, no convergence probe.
+
+    Plan: one posexplode pass for (vid, dim, xc); each round is two
+    integer hash-aggs (per-vector score, per-dim inflow) against a
+    64-row broadcast direction vector, localCheckpoint()ed so the plan
+    stays O(1) in rounds. Linear in corpus size per round; the driver
+    only ever holds 64-row direction panels.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    raw = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").cast("array<double>").alias("vv"),
+    )
+    d = raw.select("vid", F.posexplode("vv").alias("dim", "x"))
+    mu = d.groupBy("dim").agg(F.round(F.avg("x"), 6).alias("mu"))
+    xc = (
+        d.join(F.broadcast(mu), "dim")
+        .select("vid", "dim", F.round(F.col("x") - F.col("mu"), 6).alias("xc"))
+        .localCheckpoint(eager=True)
+    )
+    nn = xc.agg(F.countDistinct("vid").cast("long").alias("n"))
+
+    v = mu.select("dim", F.lit(_PCA_V0).alias("vd"))
+    s = None
+    for _ in range(_PCA_ITERS):
+        s = (
+            xc.join(F.broadcast(v), "dim")
+            .groupBy("vid")
+            .agg(
+                F.sum(F.round(F.col("xc") * F.col("vd") * 1000000000).cast("long"))
+                .cast("long")
+                .alias("s_nano")
+            )
+        )
+        w = (
+            xc.join(s, "vid")
+            .groupBy("dim")
+            .agg(
+                F.sum(
+                    F.round(
+                        (F.col("s_nano") / F.lit(1000000000.0)) * F.col("xc") * 1000000
+                    ).cast("long")
+                )
+                .cast("long")
+                .alias("w")
+            )
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .select("dim", F.round(F.col("w") / (F.col("m") * F.lit(1.0)), 6).alias("vd"))
+            .localCheckpoint(eager=True)
+        )
+
+    vn = v.agg(
+        F.sum(F.round(F.col("vd") * F.col("vd") * 1000000).cast("long"))
+        .cast("long")
+        .alias("vn2_micro")
+    )
+    ray = s.agg(
+        F.sum(
+            F.round(
+                (F.col("s_nano") / F.lit(1000000000.0))
+                * (F.col("s_nano") / F.lit(1000000000.0))
+                * 1000000
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("ssum_micro")
+    )
+    tv = xc.agg(
+        F.sum(F.round(F.col("xc") * F.col("xc") * 1000000).cast("long"))
+        .cast("long")
+        .alias("tsum_micro")
+    )
+    stats = (
+        ray.crossJoin(F.broadcast(vn))
+        .crossJoin(F.broadcast(tv))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.round(
+                F.col("ssum_micro")
+                / (
+                    (F.col("n") - 1)
+                    * (F.col("vn2_micro") / F.lit(1000000.0))
+                    * F.lit(1000000.0)
+                ),
+                6,
+            ).alias("top_eigenvalue"),
+            F.round(
+                F.col("tsum_micro") / ((F.col("n") - 1) * F.lit(1000000.0)), 6
+            ).alias("total_variance"),
+            F.round(
+                (F.col("ssum_micro") * F.lit(1000000.0))
+                / (F.col("vn2_micro") * F.lit(1.0))
+                / (F.col("tsum_micro") * F.lit(1.0)),
+                6,
+            ).alias("top_pc_share"),
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            F.col("vd").alias("loading"),
+            "top_eigenvalue",
+            "total_variance",
+            "top_pc_share",
+        )
+        .orderBy(F.abs(F.col("loading")).desc(), "dim")
+        .limit(5)
+    )

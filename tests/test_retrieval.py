@@ -545,3 +545,66 @@ def test_nprobe_curve_monotone_on_fixture(spark, duck):
         assert lv[1].n_cand <= lv[2].n_cand <= lv[4].n_cand
         assert lv[1].recall_at_3 <= lv[2].recall_at_3 <= lv[4].recall_at_3
         assert lv[1].cand_frac < 1.0  # probing 1 cell never scans everything
+
+
+# ---------------------------------------------------------------------------
+# q_pca_top_component — power-iteration estimate vs numpy eigendecomposition
+# ---------------------------------------------------------------------------
+
+
+def test_pca_top_component_matches_numpy():
+    import struct
+
+    import numpy as np
+
+    f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]  # noqa: E731
+    rng = np.random.RandomState(3)
+    # Strong rank-1 structure + small isotropic noise: the 6-round
+    # power iteration must land on the dominant direction.
+    direction = rng.randn(64)
+    direction /= np.linalg.norm(direction)
+    coeffs = rng.randn(200) * 3.0
+    X = np.outer(coeffs, direction) + rng.randn(200, 64) * 0.1
+    embs = [[f32(v) for v in row] for row in X]
+    emb_table = (
+        ["vec_id BIGINT", "embedding FLOAT[]", "label INTEGER"],
+        [(i, v, 0) for i, v in enumerate(embs)],
+    )
+    out = _run({"embeddings": emb_table}, "q_pca_top_component")
+    assert len(out) == 5
+
+    Xf = np.array(embs)
+    Xc = Xf - Xf.mean(axis=0)
+    cov = Xc.T @ Xc / (len(embs) - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    lam, top = evals[-1], evecs[:, -1]
+
+    r = out[0]
+    assert r["top_eigenvalue"] == pytest.approx(lam, rel=0.02)
+    assert r["total_variance"] == pytest.approx(np.trace(cov), rel=0.01)
+    assert r["top_pc_share"] == pytest.approx(lam / np.trace(cov), rel=0.02)
+    # the reported top-|loading| dims are the eigenvector's top dims
+    # (up to global sign), with matching normalized magnitudes
+    top_dims = set(np.argsort(-np.abs(top))[:5])
+    assert {r["dim"] for r in out} == top_dims
+    scale = np.abs(top).max()
+    for r in out:
+        assert abs(r["loading"]) == pytest.approx(
+            abs(top[r["dim"]]) / scale, abs=0.01)
+
+
+def test_pca_share_is_low_on_isotropic_noise():
+    import struct
+
+    import numpy as np
+
+    f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]  # noqa: E731
+    rng = np.random.RandomState(9)
+    X = rng.randn(200, 64)
+    emb_table = (
+        ["vec_id BIGINT", "embedding FLOAT[]", "label INTEGER"],
+        [(i, [f32(v) for v in row], 0) for i, row in enumerate(X)],
+    )
+    out = _run({"embeddings": emb_table}, "q_pca_top_component")
+    # isotropic data: no dominant component (share near 1/64, far from 1)
+    assert out[0]["top_pc_share"] < 0.1
