@@ -599,3 +599,206 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_mmr_diversify — Maximal Marginal Relevance re-ranking of the top-10
+# ---------------------------------------------------------------------------
+
+#: MMR trade-off lambda as integer permille (0.7 relevance / 0.3
+#: diversity — the Carbonell & Goldstein default region) and the
+#: candidate/selection depths.
+_MMR_LAMBDA_MILLI = 700
+_MMR_CAND = 10
+_MMR_SELECT = 5
+
+
+def _mmr_oracle() -> str:
+    """Unrolled MMR selection. All arithmetic is INTEGER: rel4/sim4
+    are round(cosine * 1e4) ints and the MMR objective is
+    ``700 * rel4 - 300 * max_sim4`` — no float anywhere after the
+    rounded cosines, so selection order is trivially engine-exact."""
+    lam = _MMR_LAMBDA_MILLI
+    rounds = []
+    for t in range(1, _MMR_SELECT + 1):
+        prev = f"sel{t - 1}"
+        rounds.append(f"""ms{t} AS MATERIALIZED (
+        SELECT s.qid, s.did, MAX(p.sim4) AS max_sim4
+        FROM (SELECT c.qid, c.did FROM cand c
+              WHERE NOT EXISTS (SELECT 1 FROM {prev} z
+                                WHERE z.qid = c.qid AND z.did = c.did)) s
+        JOIN sims p ON p.qid = s.qid AND p.a_did = s.did
+        JOIN {prev} z ON z.qid = p.qid AND z.did = p.b_did
+        GROUP BY s.qid, s.did
+    ),
+    pick{t} AS MATERIALIZED (
+        SELECT qid, did, rel4 FROM (
+            SELECT c.qid, c.did, c.rel4,
+                   row_number() OVER (
+                       PARTITION BY c.qid
+                       ORDER BY {lam} * c.rel4
+                                - {1000 - lam} * COALESCE(m.max_sim4, 0) DESC,
+                                c.did) AS rn
+            FROM cand c
+            LEFT JOIN ms{t} m ON m.qid = c.qid AND m.did = c.did
+            WHERE NOT EXISTS (SELECT 1 FROM {prev} z
+                              WHERE z.qid = c.qid AND z.did = c.did)
+        ) WHERE rn = 1
+    ),
+    sel{t} AS MATERIALIZED (
+        SELECT qid, did, snum FROM {prev}
+        UNION ALL
+        SELECT qid, did, {t} AS snum FROM pick{t}
+    )""")
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH v AS (
+        SELECT vec_id AS vid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        FROM embeddings
+    ),
+    nv AS (
+        SELECT vid, vv, sqrt(list_sum(list_transform(vv, x -> x * x))) AS nrm
+        FROM v
+    ),
+    cand AS MATERIALIZED (
+        SELECT qid, did, rel4 FROM (
+            SELECT q.vid AS qid, nv.vid AS did,
+                   CAST(round(list_dot_product(nv.vv, q.vv)
+                              / (nv.nrm * q.nrm) * 10000) AS BIGINT) AS rel4,
+                   row_number() OVER (
+                       PARTITION BY q.vid
+                       ORDER BY round(list_dot_product(nv.vv, q.vv)
+                                      / (nv.nrm * q.nrm), 4) DESC, nv.vid)
+                       AS rn
+            FROM nv CROSS JOIN (SELECT * FROM nv WHERE vid <= {_PANEL_MAX_ID}) q
+            WHERE nv.vid <> q.vid
+        ) WHERE rn <= {_MMR_CAND}
+    ),
+    sims AS MATERIALIZED (
+        SELECT a.qid, a.did AS a_did, b.did AS b_did,
+               CAST(round(list_dot_product(na.vv, nb.vv)
+                          / (na.nrm * nb.nrm) * 10000) AS BIGINT) AS sim4
+        FROM cand a
+        JOIN cand b ON b.qid = a.qid AND b.did <> a.did
+        JOIN nv na ON na.vid = a.did
+        JOIN nv nb ON nb.vid = b.did
+    ),
+    sel0 AS (SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS did,
+                    CAST(NULL AS BIGINT) AS snum WHERE 1 = 0),
+    {chain}
+    SELECT s.qid AS query_id, s.did AS doc_id,
+           CAST(s.snum AS BIGINT) AS mmr_rank,
+           round(c.rel4 / 10000.0, 4) AS rel
+    FROM sel{_MMR_SELECT} s
+    JOIN cand c ON c.qid = s.qid AND c.did = s.did
+    ORDER BY query_id, mmr_rank
+    """
+
+
+@query("q_mmr_diversify", oracle=_mmr_oracle())
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick 5 of each query's exact-cosine top-10 by
+    ``0.7 * relevance - 0.3 * max-similarity-to-already-picked`` — the
+    diversity-aware re-rank every retrieval stack runs so five
+    near-identical chunks don't fill the context window. Pure INTEGER
+    objective (``700 * rel4 - 300 * max_sim4`` over e4-rounded
+    cosines), so the greedy selection order is engine-exact and the
+    oracle unrolls the 5 picks as MATERIALIZED CTEs.
+
+    Plan: candidate generation is the sanctioned bounded-panel exact
+    tier (:func:`cosine_topk` at depth 10) — the only corpus-touching
+    stage; the candidate-pair similarity matrix and all 5 selection
+    rounds run on <= |panel| * 10-row broadcast frames.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = cosine_topk(emb, query_max_id=_PANEL_MAX_ID, k=_MMR_CAND).select(
+        F.col("query_id").alias("qid"),
+        F.col("vec_id").alias("did"),
+        F.round(F.col("cosine") * 10000).cast("long").alias("rel4"),
+    )
+    nv = emb.select(
+        F.col("vec_id").alias("vid"), F.col("embedding").cast("array<double>").alias("vv")
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("vv"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    cvec = nv.join(
+        F.broadcast(cand.select("qid", "did").withColumnRenamed("did", "vid")), "vid"
+    ).select("qid", F.col("vid").alias("did"), "vv", "nrm")
+    from ..functions.similarity import _dot as _sdot
+
+    b = cvec.select(
+        F.col("qid"),
+        F.col("did").alias("b_did"),
+        F.col("vv").alias("bvv"),
+        F.col("nrm").alias("bnrm"),
+    )
+    sims = (
+        cvec.join(F.broadcast(b), "qid")
+        .filter(F.col("did") != F.col("b_did"))
+        .select(
+            "qid",
+            F.col("did").alias("a_did"),
+            "b_did",
+            F.round(
+                _sdot(F.col("vv"), F.col("bvv")) / (F.col("nrm") * F.col("bnrm")) * 10000
+            )
+            .cast("long")
+            .alias("sim4"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cand = cand.localCheckpoint(eager=True)
+
+    lam, inv = _MMR_LAMBDA_MILLI, 1000 - _MMR_LAMBDA_MILLI
+    sel = None  # (qid, did, snum)
+    for t in range(1, _MMR_SELECT + 1):
+        if sel is None:
+            remaining = cand
+        else:
+            remaining = cand.join(sel.select("qid", "did"), ["qid", "did"], "left_anti")
+        if sel is None:
+            scored = remaining.withColumn("max_sim4", F.lit(0).cast("long"))
+        else:
+            ms = (
+                sims.withColumnRenamed("a_did", "did")
+                .join(
+                    sel.select("qid", F.col("did").alias("b_did")),
+                    ["qid", "b_did"],
+                )
+                .groupBy("qid", "did")
+                .agg(F.max("sim4").alias("max_sim4"))
+            )
+            scored = remaining.join(ms, ["qid", "did"], "left").withColumn(
+                "max_sim4", F.coalesce(F.col("max_sim4"), F.lit(0).cast("long"))
+            )
+        w = Window.partitionBy("qid").orderBy(
+            (F.lit(lam) * F.col("rel4") - F.lit(inv) * F.col("max_sim4")).desc(),
+            F.col("did"),
+        )
+        pick = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("qid", "did", F.lit(t).cast("long").alias("snum"))
+        )
+        sel = pick if sel is None else sel.unionAll(pick)
+        sel = sel.localCheckpoint(eager=True)
+
+    return (
+        sel.join(cand, ["qid", "did"])
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("did").alias("doc_id"),
+            F.col("snum").alias("mmr_rank"),
+            F.round(F.col("rel4") / 10000.0, 4).alias("rel"),
+        )
+        .orderBy("query_id", "mmr_rank")
+    )

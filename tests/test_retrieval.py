@@ -608,3 +608,57 @@ def test_pca_share_is_low_on_isotropic_noise():
     out = _run({"embeddings": emb_table}, "q_pca_top_component")
     # isotropic data: no dominant component (share near 1/64, far from 1)
     assert out[0]["top_pc_share"] < 0.1
+
+
+# ---------------------------------------------------------------------------
+# q_mmr_diversify — greedy MMR replay
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_greedy_replay():
+    import struct
+
+    import numpy as np
+
+    f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]  # noqa: E731
+    rng = np.random.RandomState(5)
+    X = rng.randn(40, 16)
+    # two tight clusters near query 0 so diversity actually bites
+    X[10:15] = X[10] + rng.randn(5, 16) * 0.01
+    X[20:25] = X[20] + rng.randn(5, 16) * 0.01
+    embs = [[f32(v) for v in row] for row in X]
+    emb_table = (
+        ["vec_id BIGINT", "embedding FLOAT[]", "label INTEGER"],
+        [(i, v, 0) for i, v in enumerate(embs)],
+    )
+    out = _run({"embeddings": emb_table}, "q_mmr_diversify")
+
+    def cos4(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return _rha(sum(x * y for x, y in zip(a, b)) / (na * nb) * 1e4)
+
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        # reference: exact top-10 candidates, then greedy MMR
+        cand = sorted(
+            ((cos4(embs[d], embs[q]), d) for d in range(40) if d != q),
+            key=lambda s: (-round(s[0] / 1e4, 4), s[1]))[:10]
+        rel = {d: r for r, d in cand}
+        sel = []
+        for _ in range(5):
+            best = None
+            for d in rel:
+                if d in sel:
+                    continue
+                ms = max((cos4(embs[d], embs[s]) for s in sel), default=0)
+                score = (700 * rel[d] - 300 * ms, -d)
+                if best is None or score > best[0]:
+                    best = (score, d)
+            sel.append(best[1])
+        got = [r["doc_id"] for r in sorted(rows, key=lambda r: r["mmr_rank"])]
+        assert got == sel, f"query {q}: {got} != {sel}"
+        # rank 1 is the pure-relevance argmax
+        assert got[0] == cand[0][1]
