@@ -1200,7 +1200,7 @@ def _pca_oracle(iters: int = _PCA_ITERS) -> str:
         FROM xc JOIN s{t} USING (vid) GROUP BY dim
     ),
     m{t} AS (SELECT MAX(ABS(w)) AS m FROM w{t}),
-    v{t} AS MATERIALIZED (SELECT dim, round(w / (m * 1.0), 6) AS vd
+    v{t} AS MATERIALIZED (SELECT dim, round(w / NULLIF(m * 1.0, 0.0), 6) AS vd
                          FROM w{t} CROSS JOIN m{t})""")
     chain = ",\n    ".join(rounds)
     return f"""
@@ -1238,11 +1238,12 @@ def _pca_oracle(iters: int = _PCA_ITERS) -> str:
         FROM xc
     ),
     stats AS (
-        SELECT round(ssum_micro / ((n - 1) * (vn2_micro / 1000000.0)
-                                   * 1000000.0), 6) AS top_eigenvalue,
-               round(tsum_micro / ((n - 1) * 1000000.0), 6) AS total_variance,
-               round((ssum_micro * 1000000.0) / (vn2_micro * 1.0)
-                     / (tsum_micro * 1.0), 6) AS top_pc_share
+        SELECT round(ssum_micro / NULLIF((n - 1) * (vn2_micro / 1000000.0)
+                                         * 1000000.0, 0.0), 6) AS top_eigenvalue,
+               round(tsum_micro / NULLIF((n - 1) * 1000000.0, 0.0), 6)
+                   AS total_variance,
+               round((ssum_micro * 1000000.0) / NULLIF(vn2_micro * 1.0, 0.0)
+                     / NULLIF(tsum_micro * 1.0, 0.0), 6) AS top_pc_share
         FROM ray CROSS JOIN vn CROSS JOIN tv CROSS JOIN nn
     )
     SELECT CAST(v.dim - 1 AS BIGINT) AS dim, v.vd AS loading,
@@ -1321,7 +1322,12 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
         v = (
             w.crossJoin(F.broadcast(m))
-            .select("dim", F.round(F.col("w") / (F.col("m") * F.lit(1.0)), 6).alias("vd"))
+            .select(
+                "dim",
+                F.round(
+                    F.col("w") / F.nullif(F.col("m") * F.lit(1.0), F.lit(0.0)), 6
+                ).alias("vd"),
+            )
             .localCheckpoint(eager=True)
         )
 
@@ -1353,20 +1359,23 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.round(
                 F.col("ssum_micro")
-                / (
+                / F.nullif(
                     (F.col("n") - 1)
                     * (F.col("vn2_micro") / F.lit(1000000.0))
-                    * F.lit(1000000.0)
+                    * F.lit(1000000.0),
+                    F.lit(0.0),
                 ),
                 6,
             ).alias("top_eigenvalue"),
             F.round(
-                F.col("tsum_micro") / ((F.col("n") - 1) * F.lit(1000000.0)), 6
+                F.col("tsum_micro")
+                / F.nullif((F.col("n") - 1) * F.lit(1000000.0), F.lit(0.0)),
+                6,
             ).alias("total_variance"),
             F.round(
                 (F.col("ssum_micro") * F.lit(1000000.0))
-                / (F.col("vn2_micro") * F.lit(1.0))
-                / (F.col("tsum_micro") * F.lit(1.0)),
+                / F.nullif(F.col("vn2_micro") * F.lit(1.0), F.lit(0.0))
+                / F.nullif(F.col("tsum_micro") * F.lit(1.0), F.lit(0.0)),
                 6,
             ).alias("top_pc_share"),
         )

@@ -662,3 +662,22 @@ def test_mmr_greedy_replay():
         assert got == sel, f"query {q}: {got} != {sel}"
         # rank 1 is the pure-relevance argmax
         assert got[0] == cand[0][1]
+
+
+def test_pca_degenerate_corpora_null_not_divergent():
+    # n = 1 (the (n-1) divisor is 0) and a zero-variance corpus (every
+    # round inflow is 0, so max|w| = 0): both must yield NULLs in the
+    # oracle — the same value Spark's null-on-div-by-zero produces —
+    # never IEEE inf (a cross-engine hash divergence).
+    one = (["vec_id BIGINT", "embedding FLOAT[]", "label INTEGER"],
+           [(0, [0.5] * 64, 0)])
+    out = _run({"embeddings": one}, "q_pca_top_component")
+    assert len(out) == 5
+    assert all(r["top_eigenvalue"] is None for r in out)
+    assert all(r["total_variance"] is None for r in out)
+
+    const = (["vec_id BIGINT", "embedding FLOAT[]", "label INTEGER"],
+             [(i, [0.5] * 64, 0) for i in range(10)])
+    out2 = _run({"embeddings": const}, "q_pca_top_component")
+    assert all(r["loading"] is None for r in out2)
+    assert all(r["top_pc_share"] is None for r in out2)
