@@ -308,10 +308,9 @@ _CF_TOPK = 3
 _CF_MIN_SUPPORT = 2  # classic min-support: singleton co-occurrences are noise
 
 
-@query(
-    "q_item_cf",
-    oracle=f"""
-    WITH bought AS (
+#: Shared CF CTE chain ending in ranked(item, neighbor, c, cos2_e6, rk)
+#: — one canonical copy for q_item_cf and q_rec_coverage.
+_CF_CTES = f"""bought AS (
         SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     ),
@@ -347,7 +346,13 @@ _CF_MIN_SUPPORT = 2  # classic min-support: singleton co-occurrences are noise
                    ORDER BY cos2_e6 DESC, c DESC, neighbor
                ) AS rk
         FROM both_dirs
-    )
+    )"""
+
+
+@query(
+    "q_item_cf",
+    oracle=f"""
+    WITH {_CF_CTES}
     SELECT CAST(item AS BIGINT) AS item, CAST(neighbor AS BIGINT) AS neighbor,
            c AS common_customers, CAST(cos2_e6 AS BIGINT) AS cos2_e6,
            CAST(rk AS INTEGER) AS rk
@@ -372,6 +377,25 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediate ≤ 1e6·c, int64-safe even at 1e10 customers (a naive
     1e6·c² overflows there); both engines truncate identically.
     """
+    _, _, ranked = _cf_frames(spark, sf_dir)
+    return (
+        ranked.filter(F.col("rk") <= _CF_TOPK)
+        .select(
+            F.col("item").cast("long").alias("item"),
+            F.col("neighbor").cast("long").alias("neighbor"),
+            F.col("c").alias("common_customers"),
+            F.col("cos2_e6").cast("long").alias("cos2_e6"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("item", "rk")
+    )
+
+
+def _cf_frames(spark: SparkSession, sf_dir: str):
+    """(kept, pop, ranked) — the shared CF pipeline (Spark twin of
+    ``_CF_CTES``): capped customer baskets, item popularities, and the
+    per-item neighbor ranking. One canonical copy for q_item_cf and
+    q_rec_coverage."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     bought = (
@@ -420,18 +444,8 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("item").orderBy(
         F.col("cos2_e6").desc(), F.col("c").desc(), "neighbor"
     )
-    return (
-        both.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _CF_TOPK)
-        .select(
-            F.col("item").cast("long").alias("item"),
-            F.col("neighbor").cast("long").alias("neighbor"),
-            F.col("c").alias("common_customers"),
-            F.col("cos2_e6").cast("long").alias("cos2_e6"),
-            F.col("rk").cast("int").alias("rk"),
-        )
-        .orderBy("item", "rk")
-    )
+    ranked = both.withColumn("rk", F.row_number().over(w))
+    return kept, pop, ranked
 
 
 # ---------------------------------------------------------------------------
@@ -1104,3 +1118,131 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr(_MOD_TERM)).alias("q_e12"),
     )
     return s.selectExpr(*_MOD_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_rec_coverage — recommender coverage / novelty / popularity-bias eval
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_rec_coverage",
+    oracle=f"""
+    WITH {_CF_CTES},
+    topn AS (
+        SELECT item, neighbor, cos2_e6 FROM ranked WHERE rk <= {_CF_TOPK}
+    ),
+    nu AS (SELECT CAST(COUNT(DISTINCT cust) AS BIGINT) AS nu FROM kept),
+    cat AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS ncat,
+               CAST(SUM(p) AS BIGINT) AS sum_cat_p
+        FROM pop
+    ),
+    cand AS (
+        SELECT k.cust, t.neighbor AS rec, MAX(t.cos2_e6) AS score
+        FROM kept k JOIN topn t ON t.item = k.part
+        WHERE NOT EXISTS (SELECT 1 FROM kept o
+                          WHERE o.cust = k.cust AND o.part = t.neighbor)
+        GROUP BY k.cust, t.neighbor
+    ),
+    recs AS (
+        SELECT cust, rec FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY cust ORDER BY score DESC, rec) AS rn
+            FROM cand
+        ) WHERE rn <= 3
+    ),
+    rp AS (
+        SELECT r.cust, r.rec, p.p FROM recs r JOIN pop p ON p.part = r.rec
+    ),
+    agg AS (
+        SELECT CAST(COUNT(DISTINCT cust) AS BIGINT) AS n_users,
+               CAST(COUNT(*) AS BIGINT) AS n_recs,
+               CAST(COUNT(DISTINCT rec) AS BIGINT) AS n_items,
+               CAST(SUM(p) AS BIGINT) AS sum_rec_p,
+               CAST(SUM(CAST(round(-ln(p / (nu.nu * 1.0)) * 1000000)
+                             AS BIGINT)) AS BIGINT) AS nov_micro
+        FROM rp CROSS JOIN nu
+    )
+    SELECT n_users AS n_users_served, n_recs,
+           round(n_items / (cat.ncat * 1.0), 4) AS catalog_coverage,
+           round((sum_rec_p * cat.ncat * 1.0)
+                 / (n_recs * cat.sum_cat_p * 1.0), 4) AS popularity_lift,
+           round(nov_micro / (n_recs * 1000000.0), 4) AS mean_novelty_nats
+    FROM agg CROSS JOIN cat
+    """,
+)
+def q_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommender-quality panel for the item-CF recommender: serve
+    every customer their top-3 unowned neighbors of owned items, then
+    report the metrics a recsys eval tracks beyond accuracy (Castells
+    et al., "Novelty and Diversity in Recommender Systems"):
+    catalog COVERAGE (share of the catalog ever recommended — a
+    recommender that only pushes bestsellers scores near 0),
+    POPULARITY LIFT (mean popularity of recommended items vs the
+    catalog mean — >1 = popularity bias), and mean self-information
+    NOVELTY ``-ln(pop/users)`` in nats.
+
+    Shares the CF pipeline verbatim with q_item_cf (``_cf_frames`` /
+    ``_CF_CTES``). Rec generation fans out each capped basket by at
+    most 3 neighbors per owned item (bounded), anti-joins ownership,
+    and ranks per customer — the window is partitioned by the
+    high-cardinality customer key. Novelty terms are micro-nat
+    integers before the sum (engine-exact mean).
+    """
+    from pyspark.sql import Window
+
+    kept, pop, ranked = _cf_frames(spark, sf_dir)
+    topn = ranked.filter(F.col("rk") <= _CF_TOPK).select(
+        "item", "neighbor", "cos2_e6"
+    )
+    nu = kept.agg(F.countDistinct("cust").cast("long").alias("nu"))
+    cat = pop.agg(
+        F.count("*").cast("long").alias("ncat"),
+        F.sum("p").cast("long").alias("sum_cat_p"),
+    )
+    cand = (
+        kept.join(topn, kept["part"] == topn["item"])
+        .select("cust", F.col("neighbor").alias("rec"), "cos2_e6")
+        .join(
+            kept.select("cust", F.col("part").alias("rec")),
+            ["cust", "rec"],
+            "left_anti",
+        )
+        .groupBy("cust", "rec")
+        .agg(F.max("cos2_e6").alias("score"))
+    )
+    w = Window.partitionBy("cust").orderBy(F.col("score").desc(), F.col("rec"))
+    recs = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("cust", "rec")
+    )
+    rp = recs.join(pop.withColumnRenamed("part", "rec"), "rec")
+    agg = rp.crossJoin(F.broadcast(nu)).agg(
+        F.countDistinct("cust").cast("long").alias("n_users"),
+        F.count("*").cast("long").alias("n_recs"),
+        F.countDistinct("rec").cast("long").alias("n_items"),
+        F.sum("p").cast("long").alias("sum_rec_p"),
+        F.sum(
+            F.round(-F.log(F.col("p") / (F.col("nu") * F.lit(1.0))) * 1000000).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("nov_micro"),
+    )
+    return agg.crossJoin(F.broadcast(cat)).select(
+        F.col("n_users").alias("n_users_served"),
+        "n_recs",
+        F.round(F.col("n_items") / (F.col("ncat") * F.lit(1.0)), 4).alias(
+            "catalog_coverage"
+        ),
+        F.round(
+            (F.col("sum_rec_p") * F.col("ncat") * F.lit(1.0))
+            / (F.col("n_recs") * F.col("sum_cat_p") * F.lit(1.0)),
+            4,
+        ).alias("popularity_lift"),
+        F.round(F.col("nov_micro") / (F.col("n_recs") * F.lit(1000000.0)), 4).alias(
+            "mean_novelty_nats"
+        ),
+    )

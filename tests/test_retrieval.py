@@ -681,3 +681,29 @@ def test_pca_degenerate_corpora_null_not_divergent():
     out2 = _run({"embeddings": const}, "q_pca_top_component")
     assert all(r["loading"] is None for r in out2)
     assert all(r["top_pc_share"] is None for r in out2)
+
+
+# ---------------------------------------------------------------------------
+# q_rec_coverage — coverage/novelty arithmetic replay on a hand graph
+# ---------------------------------------------------------------------------
+
+
+def test_rec_coverage_hand_fixture():
+    # baskets: c1{1,2} c2{1,2} c3{1,3} c4{2,3} — only pair (1,2) has
+    # support >= 2, so recs are c3<-2 and c4<-1; c1/c2 own everything
+    # recommendable.
+    orders = (["o_orderkey BIGINT", "o_custkey BIGINT"],
+              [(10, 1), (20, 2), (30, 3), (40, 4)])
+    li_rows = [(10, 1), (10, 2), (20, 1), (20, 2),
+               (30, 1), (30, 3), (40, 2), (40, 3)]
+    lineitem = (["l_orderkey BIGINT", "l_partkey BIGINT"], li_rows)
+    out = _run({"orders": orders, "lineitem": lineitem}, "q_rec_coverage")
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_users_served"] == 2 and r["n_recs"] == 2
+    # pop: p1=3 p2=3 p3=2; catalog 3 items, sum 8; recs hit items {1,2}
+    assert r["catalog_coverage"] == pytest.approx(round(2 / 3, 4))
+    assert r["popularity_lift"] == pytest.approx(round((6 * 3) / (2 * 8), 4))
+    nov = _rha(-math.log(3 / 4) * 1e6)
+    assert r["mean_novelty_nats"] == pytest.approx(
+        round(2 * nov / (2 * 1e6), 4), abs=1e-9)
