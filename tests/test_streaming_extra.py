@@ -321,3 +321,21 @@ def test_stream_minhash_dedup_multi_batch(spark, split_docs_dir, monkeypatch):
     assert multi == single
     # sanity: the fixture corpus actually contains near-dups to find
     assert sum(r[3] for r in single) > 0  # n_dups column
+
+
+def test_stream_rag_chunks_multi_batch(spark, split_docs_dir, monkeypatch):
+    """Stateless ingest chunking must be batch-boundary-invariant:
+    chunk rows produced across 4 micro-batches equal the single-batch
+    (oracle-checked) chunk relation exactly — per-row 1->N transforms
+    may never observe arrival framing."""
+    from mapreduce_server_development_spark.plans import QUERIES
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_MAX_FILES_PER_TRIGGER", raising=False)
+    single = rows(QUERIES["q_stream_rag_chunks"](spark, "/root/testdata/sf0.001"))
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_MAX_FILES_PER_TRIGGER", "1")
+    multi = rows(QUERIES["q_stream_rag_chunks"](spark, split_docs_dir))
+    assert multi == single
+    assert len(single) > len(set(r[0] for r in single))  # real 1->N fan-out
