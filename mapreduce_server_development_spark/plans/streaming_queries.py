@@ -2542,6 +2542,12 @@ def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokens_col, word_shingles
 
     stream = read_documents_stream(spark, sf_dir)
+    # The 16 per-row MinHash mins are the expensive stage and run in
+    # the micro-batch SCAN tasks — one arrival file would compute all
+    # signatures on one core. Spread the batch before the signature
+    # expressions; state semantics are unaffected (the stateful op
+    # re-groups by bucket key and track() sorts in-batch).
+    stream = stream.repartition(spark.sparkContext.defaultParallelism)
     toks = stream.select(
         F.col("doc_id").alias("doc"),
         word_shingles(tokens_col(F.lower(F.col("text"))), 3).alias("sh"),
