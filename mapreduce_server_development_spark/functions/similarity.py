@@ -227,7 +227,11 @@ def embedding_near_dup_pairs(
     Returns (vec_a, vec_b, cosine) with vec_a < vec_b.
     """
     sig_bits = num_bands * bits_per_band
-    base = emb.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
+    # The 32-plane signature is the expensive per-row stage and runs in
+    # the scan tasks — a single-file corpus would hash every vector on
+    # one core (see cell_common.cell_base). Spread first.
+    spread = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    base = spread.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
     base = base.withColumn("nrm", _norm(F.col("v"))).withColumn(
         "sig", lsh_signature(F.col("v"), sig_bits, dim)
     )

@@ -152,7 +152,16 @@ def cell_base(
             name, col = c
             exprs.append(col.alias(name))
             extra_out.append(name)
-    base = emb.select(
+    # The family's dominant stage is the centroid argmax — a broadcast
+    # crossJoin whose parallelism equals the PROBE side's task count,
+    # i.e. the scan's. A single-file (single-row-group) corpus scans as
+    # ONE task and serializes every n x sqrt(n) cosine on one core;
+    # spreading the base relation first makes the argmax use the whole
+    # cluster. Results are unaffected (argmax is a deterministic
+    # max_by; seeds are a rank top-k; Lloyd means were already
+    # summation-order-rounded).
+    spread = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    base = spread.select(
         F.col("vec_id").alias("vid"), *exprs, _as_double_vec().alias("vv")
     ).withColumn("nrm", _norm("vv"))
     return base, tuple(extra_out)
