@@ -53,6 +53,16 @@ def _as_double(col):
     return F.col(col).cast("array<double>")
 
 
+def _spread(emb):
+    """Round-robin repartition to defaultParallelism. Every entry point
+    here computes expensive per-row expressions (signatures, dots) or
+    broadcast-probe joins in the SCAN stage, whose task count is the
+    file layout's — a single-row-group corpus file scans as ONE task
+    and serializes the whole stage on one core. Results are unaffected
+    (all downstream ranking uses rounded scores with id tie-breaks)."""
+    return emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+
+
 def cosine_topk(
     emb: DataFrame,
     query_max_id: int = 5,
@@ -68,7 +78,7 @@ def cosine_topk(
     """
     from pyspark.sql.window import Window
 
-    base = emb.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
+    base = _spread(emb).select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
     base = base.withColumn("nrm", _norm(F.col("v")))
     q = base.filter(F.col("vid") <= query_max_id).select(
         F.col("vid").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
@@ -125,7 +135,7 @@ def ivf_topk(
     """
     from pyspark.sql.window import Window
 
-    base = emb.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
+    base = _spread(emb).select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
     base = base.withColumn("nrm", _norm(F.col("v")))
     cent = base.filter(F.col("vid") <= nlist).select(
         F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
@@ -227,11 +237,7 @@ def embedding_near_dup_pairs(
     Returns (vec_a, vec_b, cosine) with vec_a < vec_b.
     """
     sig_bits = num_bands * bits_per_band
-    # The 32-plane signature is the expensive per-row stage and runs in
-    # the scan tasks — a single-file corpus would hash every vector on
-    # one core (see cell_common.cell_base). Spread first.
-    spread = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
-    base = spread.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
+    base = _spread(emb).select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
     base = base.withColumn("nrm", _norm(F.col("v"))).withColumn(
         "sig", lsh_signature(F.col("v"), sig_bits, dim)
     )
@@ -303,7 +309,7 @@ def lsh_bucket_topk(
     """
     from pyspark.sql.window import Window
 
-    base = emb.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
+    base = _spread(emb).select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
     base = base.withColumn("nrm", _norm(F.col("v"))).withColumn(
         "bucket", lsh_signature(F.col("v"), num_planes, dim)
     )
@@ -370,7 +376,7 @@ def semantic_dedup_flags(
     """
     from pyspark.sql.window import Window
 
-    base = emb.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
+    base = _spread(emb).select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
     base = base.withColumn("nrm", _norm(F.col("v")))
     cent = base.filter(F.col("vid") <= nlist).select(
         F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")

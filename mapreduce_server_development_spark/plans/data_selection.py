@@ -2547,7 +2547,9 @@ def q_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.similarity import cosine_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    nv = emb.select(
+    # Spread the scan (single-row-group file = one task) so the
+    # quantize/dequantize per-dim expressions parallelize.
+    nv = emb.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("vec_id").alias("vid"), F.col("embedding").cast("array<double>").alias("vv")
     )
     dims = nv.select("vid", F.posexplode("vv").alias("dim", "x"))

@@ -1287,9 +1287,14 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = raw.select("vid", F.posexplode("vv").alias("dim", "x"))
     mu = d.groupBy("dim").agg(F.round(F.avg("x"), 6).alias("mu"))
+    # Spread before checkpointing: the posexplode inherits the scan's
+    # task count (ONE for a single-row-group file), and every power
+    # round re-reads xc at the checkpoint's partitioning — without the
+    # repartition all 6 rounds' map work would run on one core.
     xc = (
         d.join(F.broadcast(mu), "dim")
         .select("vid", "dim", F.round(F.col("x") - F.col("mu"), 6).alias("xc"))
+        .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint(eager=True)
     )
     nn = xc.agg(F.countDistinct("vid").cast("long").alias("n"))
