@@ -437,7 +437,9 @@ def q_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.select(
+    # Spread the scan: the 4 truncation cosines run per candidate row
+    # in the broadcast-probe stage (single-row-group file = one task).
+    base = emb.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("vec_id").alias("vid"),
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
             "v"

@@ -986,7 +986,8 @@ def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     base = (
-        emb.filter(F.col("vec_id") % _KNN_MOD != 7)
+        emb.repartition(spark.sparkContext.defaultParallelism)
+        .filter(F.col("vec_id") % _KNN_MOD != 7)
         .select(F.col("vec_id").alias("bid"), ivec.alias("v"))
         .withColumn("b2", n2)
         .withColumnRenamed("v", "bv")
