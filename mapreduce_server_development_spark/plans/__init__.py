@@ -33,5 +33,6 @@ from . import audience  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 from . import data_selection  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
+from . import robust_eval  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]
