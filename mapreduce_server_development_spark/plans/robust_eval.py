@@ -549,3 +549,732 @@ def q_conformal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("alpha_pct").desc())
     )
+
+
+# ---------------------------------------------------------------------------
+# q_permutation_test — deterministic randomization test for a mean difference
+# ---------------------------------------------------------------------------
+
+#: Monte-Carlo replicates; p-value granularity is 1/(B+1) = 0.01.
+_PM_REPS = 99
+
+#: Reps per md5: 4 hex chars (16 bits) each -> 8 slots per hash, so a
+#: row hashes ceil(99/8) = 13 times total (counter-mode, the
+#: q_bootstrap_ci discipline).
+_PM_SLOTS = 8
+_PM_BLOCKS = (_PM_REPS + _PM_SLOTS - 1) // _PM_SLOTS
+
+#: The two compared groups (mean order value by priority).
+_PM_A = "1-URGENT"
+_PM_B = "5-LOW"
+
+
+def _pm_oracle() -> str:
+    h = "md5('pm:' || CAST(blk AS VARCHAR) || ':' || CAST(k AS VARCHAR))"
+
+    def nib(d: str) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {d}, 1)) - 1)"
+
+    u16 = (
+        f"({nib('slot * 4 + 1')} * 4096 + {nib('slot * 4 + 2')} * 256"
+        f" + {nib('slot * 4 + 3')} * 16 + {nib('slot * 4 + 4')})"
+    )
+    return f"""
+    WITH o AS (
+        SELECT o_orderkey AS k, {_CENTS} AS cents,
+               (o_orderpriority = '{_PM_A}') AS is_a
+        FROM orders
+        WHERE o_orderpriority IN ('{_PM_A}', '{_PM_B}')
+    ),
+    counts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (WHERE is_a) AS BIGINT) AS n_a,
+               CAST(SUM(cents) FILTER (WHERE is_a) AS BIGINT) AS s_a,
+               CAST(SUM(cents) FILTER (WHERE NOT is_a) AS BIGINT) AS s_b
+        FROM o
+    ),
+    obs AS (
+        SELECT n_a, n - n_a AS n_b,
+               CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / (n - n_a)
+                   AS diff_obs
+        FROM counts
+    ),
+    blocks AS (SELECT unnest(range(0, {_PM_BLOCKS})) AS blk),
+    slots AS (SELECT unnest(range(0, {_PM_SLOTS})) AS slot),
+    hashed AS (SELECT k, cents, blk, {h} AS h FROM o, blocks),
+    fan AS (
+        SELECT blk * {_PM_SLOTS} + slot AS rep, cents,
+               {u16} AS u
+        FROM hashed, slots
+        WHERE blk * {_PM_SLOTS} + slot < {_PM_REPS}
+    ),
+    per_rep AS (
+        SELECT rep,
+               CAST(SUM(cents) FILTER (WHERE u * c.n < c.n_a * 65536)
+                    AS BIGINT) AS sa,
+               CAST(COUNT(*) FILTER (WHERE u * c.n < c.n_a * 65536)
+                    AS BIGINT) AS na,
+               CAST(SUM(cents) FILTER (WHERE u * c.n >= c.n_a * 65536)
+                    AS BIGINT) AS sb,
+               CAST(COUNT(*) FILTER (WHERE u * c.n >= c.n_a * 65536)
+                    AS BIGINT) AS nb
+        FROM fan CROSS JOIN counts c
+        GROUP BY rep
+    ),
+    extreme AS (
+        SELECT CAST(COUNT(*) FILTER (WHERE
+                   abs(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+                   >= abs(ob.diff_obs)) AS BIGINT) AS n_extreme
+        FROM per_rep CROSS JOIN obs ob
+    )
+    SELECT ob.n_a, ob.n_b,
+           round(ob.diff_obs / 100.0, 4) AS diff_obs_dollars,
+           CAST({_PM_REPS} AS BIGINT) AS n_reps,
+           e.n_extreme,
+           round((1.0 + e.n_extreme) / (1 + {_PM_REPS}), 6) AS p_value
+    FROM obs ob CROSS JOIN extreme e
+    """
+
+
+@query("q_permutation_test", oracle=_pm_oracle())
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Monte-Carlo randomization test (Fisher 1935;
+    Dwass 1957) for the mean-order-value difference between URGENT and
+    LOW priority orders: 99 null replicates re-draw each order's group
+    independently with the observed group share, via counter-mode md5
+    (16 hash bits per replicate, 8 replicates per digest — the
+    q_bootstrap_ci hashing discipline), and the p-value is the
+    add-one-smoothed share of replicates whose |mean difference|
+    reaches the observed one.
+
+    Unconditional draw (group SIZES vary binomially per replicate
+    rather than being fixed margins) — the standard Monte-Carlo
+    approximation whose null includes the margin randomness; the
+    assignment test ``u * N < n_a * 65536`` is exact integer
+    arithmetic, so replicate membership is bit-identical cross-engine.
+    Replicate means are single float divisions of exact integer sums,
+    so the >= comparison agrees cross-engine too.
+
+    Scale: the fan-out is n x 99 weighted rows partial-aggregated to
+    99 replicate rows before any shuffle (map-side combine); hashing
+    is counter-mode (13 digests per row, not 99); no window, no
+    collect, no data-scale state.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.filter(
+        F.col("o_orderpriority").isin(_PM_A, _PM_B)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(_CENTS).alias("cents"),
+        (F.col("o_orderpriority") == _PM_A).alias("is_a"),
+    )
+    counts = o.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("is_a"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s_a"),
+        F.sum(F.when(~F.col("is_a"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s_b"),
+    )
+    obs = counts.selectExpr(
+        "n_a",
+        "n - n_a AS n_b",
+        "CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / (n - n_a)"
+        " AS diff_obs",
+    )
+    h = F.md5(
+        F.concat(
+            F.lit("pm:"),
+            F.col("blk").cast("string"),
+            F.lit(":"),
+            F.col("k").cast("string"),
+        )
+    )
+    fan = (
+        o.select(
+            "k",
+            "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(_PM_BLOCKS - 1))).alias("blk"),
+        )
+        .select("cents", "blk", h.alias("h"))
+        .select(
+            "cents",
+            "blk",
+            F.explode(F.sequence(F.lit(0), F.lit(_PM_SLOTS - 1))).alias("slot"),
+            "h",
+        )
+        .filter(F.col("blk") * _PM_SLOTS + F.col("slot") < _PM_REPS)
+        .select(
+            (F.col("blk") * _PM_SLOTS + F.col("slot")).alias("rep"),
+            "cents",
+            F.conv(F.expr("substring(h, slot * 4 + 1, 4)"), 16, 10)
+            .cast("long")
+            .alias("u"),
+        )
+    )
+    pa = F.col("u") * F.col("n") < F.col("n_a") * 65536
+    per_rep = (
+        fan.crossJoin(F.broadcast(counts))
+        .groupBy("rep")
+        .agg(
+            F.sum(F.when(pa, F.col("cents")).otherwise(0)).cast("long").alias("sa"),
+            F.sum(F.when(pa, 1).otherwise(0)).cast("long").alias("na"),
+            F.sum(F.when(~pa, F.col("cents")).otherwise(0)).cast("long").alias("sb"),
+            F.sum(F.when(~pa, 1).otherwise(0)).cast("long").alias("nb"),
+        )
+    )
+    extreme = (
+        per_rep.crossJoin(F.broadcast(obs))
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(
+                        F.col("sa").cast("double") / F.col("na")
+                        - F.col("sb").cast("double") / F.col("nb")
+                    )
+                    >= F.abs(F.col("diff_obs")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_extreme")
+        )
+    )
+    return (
+        obs.crossJoin(F.broadcast(extreme))
+        .selectExpr(
+            "n_a",
+            "n_b",
+            "round(diff_obs / 100.0, 4) AS diff_obs_dollars",
+            f"CAST({_PM_REPS} AS BIGINT) AS n_reps",
+            "n_extreme",
+            f"round((1 + CAST(n_extreme AS DOUBLE)) / (1 + {_PM_REPS}), 6)"
+            " AS p_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_fisher_exact — exact hypergeometric test of a 2x2 table
+# ---------------------------------------------------------------------------
+
+#: ln(k!) in e8 nats for k = 2..20 (exact lgamma, precomputed); k <= 1
+#: is 0 by definition; Stirling's series covers k >= 21 with error
+#: < 1e-12 nats (verified against lgamma in tests).
+_LF_SMALL = (
+    (2, 69314718), (3, 179175947), (4, 317805383), (5, 478749174),
+    (6, 657925121), (7, 852516136), (8, 1060460290), (9, 1280182748),
+    (10, 1510441257), (11, 1750230785), (12, 1998721450), (13, 2255216385),
+    (14, 2519122118), (15, 2789927138), (16, 3067186011), (17, 3350507345),
+    (18, 3639544521), (19, 3933988419), (20, 4233561646),
+)
+
+#: 0.5 * ln(2*pi), enough digits that both engines parse the same double.
+_LN_SQRT_2PI = "0.91893853320467274178032973640562"
+
+#: Inclusion slack in e8 nat units (1e-6 nats): tables whose log
+#: probability is within the slack of the observed one are counted in
+#: BOTH engines, absorbing sub-1e-7-nat cross-engine ln() ulp drift.
+_FE_SLACK = 100
+
+#: Enumeration spread: the support [lo, hi] is strided over this many
+#: buckets so no single task generates the whole range at large SF.
+_FE_BUCKETS = 1024
+
+_FE_A = "l_returnflag = 'R'"
+_FE_B = "l_quantity >= 25"
+
+
+def _lf_e8(x: str, big: str) -> str:
+    """Shared SQL text: ln(x!) quantized to e8 nats as ``big``
+    (DECIMAL(38,0) Spark-side, HUGEINT DuckDB-side). Exact lookup for
+    x <= 20, Stirling series with three correction terms beyond."""
+    small = " ".join(f"WHEN {x} = {k} THEN {v}" for k, v in _LF_SMALL)
+    d = f"CAST({x} AS DOUBLE)"
+    stirl = (
+        f"round((({d} + 0.5) * ln({d}) - {d} + {_LN_SQRT_2PI}"
+        f" + 1 / (12 * {d}) - 1 / (360 * {d} * {d} * {d})"
+        f" + 1 / (1260 * {d} * {d} * {d} * {d} * {d})) * 100000000)"
+    )
+    return f"CAST(CASE WHEN {x} <= 1 THEN 0 {small} ELSE {stirl} END AS {big})"
+
+
+def _fe_logp(k: str, big: str) -> str:
+    """log P(hypergeometric = k) in e8 nats, minus the table-constant
+    part (which cancels in the inclusion comparison)."""
+    parts = [
+        _lf_e8(k, big),
+        _lf_e8(f"(r1 - {k})", big),
+        _lf_e8(f"(c1 - {k})", big),
+        _lf_e8(f"(n - r1 - c1 + {k})", big),
+    ]
+    return "(0 - " + " - ".join(parts) + ")"
+
+
+def _fe_oracle() -> str:
+    big = "HUGEINT"
+    return f"""
+    WITH cells AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (WHERE {_FE_A}) AS BIGINT) AS r1,
+               CAST(COUNT(*) FILTER (WHERE {_FE_B}) AS BIGINT) AS c1,
+               CAST(COUNT(*) FILTER (WHERE ({_FE_A}) AND ({_FE_B}))
+                    AS BIGINT) AS a_obs
+        FROM lineitem
+    ),
+    bounds AS (
+        SELECT *,
+               greatest(CAST(0 AS BIGINT), r1 + c1 - n) AS lo,
+               least(r1, c1) AS hi,
+               {_lf_e8('r1', big)} + {_lf_e8('(n - r1)', big)}
+               + {_lf_e8('c1', big)} + {_lf_e8('(n - c1)', big)}
+               - {_lf_e8('n', big)} AS const_e8,
+               {_fe_logp('a_obs', big)} AS rel_obs_e8
+        FROM cells
+    ),
+    enum AS (
+        SELECT b.*, unnest(range(b.lo, b.hi + 1)) AS k FROM bounds b
+    ),
+    terms AS (
+        SELECT n, r1, c1, a_obs, lo, hi,
+               CAST(round(exp(CAST(const_e8 + {_fe_logp('k', big)} AS DOUBLE)
+                              / 100000000) * 1000000000000000) AS BIGINT)
+                   AS term_e15
+        FROM enum
+        WHERE {_fe_logp('k', big)} <= rel_obs_e8 + {_FE_SLACK}
+    )
+    SELECT n, r1, c1, a_obs,
+           round(CAST(r1 AS DOUBLE) * c1 / n, 4) AS expected_a,
+           CAST(hi - lo + 1 AS BIGINT) AS n_support,
+           round(CAST(SUM(term_e15) AS DOUBLE) / 1000000000000000, 6)
+               AS p_two_sided
+    FROM terms
+    GROUP BY n, r1, c1, a_obs, lo, hi
+    """
+
+
+@query("q_fisher_exact", oracle=_fe_oracle())
+def q_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's exact test (Fisher 1934) of independence between
+    return flag R and bulk quantity (l_quantity >= 25) on the
+    lineitem 2x2 table:
+    two-sided p = the sum of hypergeometric probabilities of every
+    table (same margins) no more likely than the observed one.
+
+    Exactness posture: log-factorials are e8-quantized integers —
+    exact lgamma lookup for k <= 20, Stirling with three corrections
+    beyond (error < 1e-12 nats at k >= 21, pinned by a lgamma replay
+    test) — so the inclusion comparison is integer arithmetic with a
+    1e-6-nat slack absorbing ln() ulp drift between engines; the
+    per-table probability is one exp() of the exact-integer log,
+    quantized to e15 BEFORE the exact integer sum (the
+    corpus_stats.py ln-quantization discipline).
+
+    Scale: one scan aggregates the table to 4 scalars; the
+    enumeration relation is the hypergeometric support [lo, hi],
+    generated as {_FE_BUCKETS} strided sequences so no single task
+    materializes the range (support grows with the smaller margin —
+    each row is a handful of closed-form float ops, a distributed
+    scan, not a quadratic anywhere).
+    """
+    big = "DECIMAL(38,0)"
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.expr(_FE_A), 1).otherwise(0)).cast("long").alias("r1"),
+        F.sum(F.when(F.expr(_FE_B), 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.expr(f"({_FE_A}) AND ({_FE_B})"), 1).otherwise(0))
+        .cast("long")
+        .alias("a_obs"),
+    )
+    bounds = cells.selectExpr(
+        "*",
+        "greatest(CAST(0 AS BIGINT), r1 + c1 - n) AS lo",
+        "least(r1, c1) AS hi",
+        f"{_lf_e8('r1', big)} + {_lf_e8('(n - r1)', big)}"
+        f" + {_lf_e8('c1', big)} + {_lf_e8('(n - c1)', big)}"
+        f" - {_lf_e8('n', big)} AS const_e8",
+        f"{_fe_logp('a_obs', big)} AS rel_obs_e8",
+    )
+    grid = bounds.sparkSession.range(0, _FE_BUCKETS).select(
+        F.col("id").alias("b")
+    )
+    enum = (
+        grid.crossJoin(F.broadcast(bounds))
+        .select(
+            "*",
+            F.explode(
+                F.when(
+                    F.col("lo") + F.col("b") <= F.col("hi"),
+                    F.expr(f"sequence(lo + b, hi, CAST({_FE_BUCKETS} AS BIGINT))"),
+                ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+            ).alias("k"),
+        )
+    )
+    terms = enum.filter(
+        F.expr(f"{_fe_logp('k', big)} <= rel_obs_e8 + {_FE_SLACK}")
+    ).selectExpr(
+        "n",
+        "r1",
+        "c1",
+        "a_obs",
+        "lo",
+        "hi",
+        f"CAST(round(exp(CAST(const_e8 + {_fe_logp('k', big)} AS DOUBLE)"
+        f" / 100000000) * 1000000000000000) AS BIGINT) AS term_e15",
+    )
+    return (
+        terms.groupBy("n", "r1", "c1", "a_obs", "lo", "hi")
+        .agg(F.sum("term_e15").cast("long").alias("s"))
+        .selectExpr(
+            "n",
+            "r1",
+            "c1",
+            "a_obs",
+            "round(CAST(r1 AS DOUBLE) * c1 / n, 4) AS expected_a",
+            "CAST(hi - lo + 1 AS BIGINT) AS n_support",
+            "round(CAST(s AS DOUBLE) / 1000000000000000, 6) AS p_two_sided",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_als_rank1 — rank-1 alternating least squares recommender
+# ---------------------------------------------------------------------------
+
+#: Customer panel whose recommendations are read out (hash-rank draw).
+_ALS_PANEL = 5
+
+#: Recommendations returned per panel customer.
+_ALS_TOPK = 3
+
+#: Fixed-point scale for the factors (e6 units).
+_ALS_E6 = 1_000_000
+
+_ALS_RATINGS = """
+    SELECT o.o_custkey AS cust, l.l_partkey AS part,
+           CAST(COUNT(*) AS BIGINT) AS r
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+"""
+
+
+def _als_oracle() -> str:
+    e6 = _ALS_E6
+    return f"""
+    WITH ratings AS ({_ALS_RATINGS}),
+    u1 AS (
+        SELECT cust,
+               CAST(CAST(SUM(r) AS HUGEINT) * {e6} // COUNT(*) AS BIGINT)
+                   AS u_e6
+        FROM ratings GROUP BY cust
+    ),
+    v1 AS (
+        SELECT part,
+               CAST(SUM(CAST(r AS HUGEINT) * u.u_e6) * {e6} * {e6}
+                    // SUM(CAST(u.u_e6 AS HUGEINT) * u.u_e6) AS BIGINT)
+                   AS v_e6
+        FROM ratings t JOIN u1 u USING (cust)
+        GROUP BY part
+    ),
+    u2 AS (
+        SELECT cust,
+               CAST(SUM(CAST(r AS HUGEINT) * v.v_e6) * {e6} * {e6}
+                    // SUM(CAST(v.v_e6 AS HUGEINT) * v.v_e6) AS BIGINT)
+                   AS u_e6
+        FROM ratings t JOIN v1 v USING (part)
+        GROUP BY cust
+    ),
+    panel AS (
+        SELECT cust FROM u2
+        ORDER BY md5('als:' || CAST(cust AS VARCHAR)) LIMIT {_ALS_PANEL}
+    ),
+    scored AS (
+        SELECT p.cust, v.part,
+               CAST(CAST(u.u_e6 AS HUGEINT) * v.v_e6 // {e6} AS BIGINT)
+                   AS score_e6
+        FROM panel p
+        JOIN u2 u USING (cust)
+        CROSS JOIN v1 v
+        WHERE NOT EXISTS (SELECT 1 FROM ratings t
+                          WHERE t.cust = p.cust AND t.part = v.part)
+    ),
+    ranked AS (
+        SELECT cust, part, score_e6,
+               ROW_NUMBER() OVER (PARTITION BY cust
+                                  ORDER BY score_e6 DESC, part) AS rec_rank
+        FROM scored
+    )
+    SELECT cust AS cust_key, rec_rank, part AS part_key, score_e6,
+           round(CAST(score_e6 AS DOUBLE) / {e6}, 6) AS score
+    FROM ranked WHERE rec_rank <= {_ALS_TOPK}
+    ORDER BY cust_key, rec_rank
+    """
+
+
+@query("q_als_rank1", oracle=_als_oracle())
+def q_als_rank1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-1 alternating least squares on the customer x part
+    purchase-count matrix (the observed-entry least-squares shape of
+    Hu, Koren & Volinsky 2008): with v fixed, each customer's factor
+    has the closed form u_c = sum(r*v)/sum(v^2) over that customer's
+    observed parts, and symmetrically for v — three alternations
+    (u <- 1-init v, v <- u, u <- v) in e6 fixed point. The readout is
+    the top-3 unowned parts for a 5-customer hash-rank panel, scored
+    u*v — the matrix-factorization recommender next to the
+    neighborhood model ``q_item_cf`` (whose coverage/novelty panel
+    ``q_rec_coverage`` audits the same surface).
+
+    Exactness: every update is an exact integer floor division of
+    DECIMAL(38,0)/HUGEINT products (numerators reach r*u_e6*1e12 ~
+    1e24 at 100 TB — past int64, inside DECIMAL(38,0)); no float
+    enters any factor, only the final display division.
+
+    Scale: ratings is one key-partitioned lineitem-orders join and
+    group-by; each alternation is one join (on cust or part) plus one
+    partial-agg'd group-by — never a cross of the factor spaces; the
+    scoring cross is |panel| x |parts| with the 5-row panel broadcast,
+    and the ownership exclusion is a left-anti join on the panel's own
+    ratings. Per-customer top-k is a partitioned window.
+    """
+    e6 = _ALS_E6
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), F.col("o_custkey").alias("cust")
+    )
+    ratings = (
+        li.join(orders, "okey")
+        .groupBy("cust", "part")
+        .agg(F.count("*").cast("long").alias("r"))
+    )
+    u1 = ratings.groupBy("cust").agg(
+        F.expr(
+            f"CAST(CAST(SUM(r) AS DECIMAL(38,0)) * {e6} DIV COUNT(*) AS BIGINT)"
+        ).alias("u_e6")
+    )
+    v1 = (
+        ratings.join(u1, "cust")
+        .groupBy("part")
+        .agg(
+            F.expr(
+                f"CAST(SUM(CAST(r AS DECIMAL(38,0)) * u_e6) * {e6} * {e6}"
+                f" DIV SUM(CAST(u_e6 AS DECIMAL(38,0)) * u_e6) AS BIGINT)"
+            ).alias("v_e6")
+        )
+    )
+    u2 = (
+        ratings.join(v1, "part")
+        .groupBy("cust")
+        .agg(
+            F.expr(
+                f"CAST(SUM(CAST(r AS DECIMAL(38,0)) * v_e6) * {e6} * {e6}"
+                f" DIV SUM(CAST(v_e6 AS DECIMAL(38,0)) * v_e6) AS BIGINT)"
+            ).alias("u_e6")
+        )
+    )
+    panel = (
+        u2.orderBy(F.md5(F.concat(F.lit("als:"), F.col("cust").cast("string"))))
+        .limit(_ALS_PANEL)
+        .select("cust", "u_e6")
+    )
+    scored = (
+        v1.crossJoin(F.broadcast(panel))
+        .join(ratings.select("cust", "part"), ["cust", "part"], "left_anti")
+        .selectExpr(
+            "cust",
+            "part",
+            f"CAST(CAST(u_e6 AS DECIMAL(38,0)) * v_e6 DIV {e6} AS BIGINT)"
+            " AS score_e6",
+        )
+    )
+    w = Window.partitionBy("cust").orderBy(F.col("score_e6").desc(), "part")
+    return (
+        scored.withColumn("rec_rank", F.row_number().over(w))
+        .filter(F.col("rec_rank") <= _ALS_TOPK)
+        .selectExpr(
+            "cust AS cust_key",
+            "rec_rank",
+            "part AS part_key",
+            "score_e6",
+            f"round(CAST(score_e6 AS DOUBLE) / {e6}, 6) AS score",
+        )
+        .orderBy("cust_key", "rec_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_kneser_ney — interpolated Kneser-Ney bigram LM scoring
+# ---------------------------------------------------------------------------
+
+#: Absolute discount d = 3/4 (the Chen & Goodman fixed-discount
+#: baseline), kept rational so probabilities stay exact integers.
+_KN_D_NUM, _KN_D_DEN = 3, 4
+
+
+def _kn_oracle() -> str:
+    from .sampling import _bucket_sql
+
+    is_old = f"({_bucket_sql('inc', 'doc_id')} % 10 < 8)"
+    return f"""
+    WITH tokd AS (
+        SELECT doc_id AS doc, {is_old} AS is_old,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+        FROM documents
+    ),
+    train_bi AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM (
+            SELECT string_split(bg, ' ')[1] AS w1,
+                   string_split(bg, ' ')[2] AS w2
+            FROM (
+                SELECT unnest(list_transform(range(1, len(toks)),
+                                             i -> toks[i] || ' ' || toks[i + 1]))
+                           AS bg
+                FROM tokd WHERE is_old
+            )
+        ) GROUP BY w1, w2
+    ),
+    lefts AS (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS n1f
+        FROM train_bi GROUP BY w1
+    ),
+    rights AS (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b
+        FROM train_bi GROUP BY w2
+    ),
+    tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM train_bi),
+    docbi AS (
+        SELECT doc,
+               string_split(bg, ' ')[1] AS w1,
+               string_split(bg, ' ')[2] AS w2
+        FROM (
+            SELECT doc,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i + 1])) AS bg
+            FROM tokd
+        )
+    ),
+    scored AS (
+        SELECT d.doc,
+               CAST(round(ln(
+                   CAST(CASE WHEN l.c1 IS NOT NULL THEN greatest(
+                            greatest({_KN_D_DEN} * COALESCE(b.c12, 0)
+                                     - {_KN_D_NUM}, 0) * n.t
+                            + {_KN_D_NUM} * l.n1f * COALESCE(r.n1b, 0), 1)
+                        ELSE 2 * greatest(COALESCE(r.n1b, 0), 1) END AS DOUBLE)
+                   / CAST(CASE WHEN l.c1 IS NOT NULL
+                               THEN {_KN_D_DEN} * l.c1 * n.t
+                               ELSE {_KN_D_DEN} * n.t END AS DOUBLE))
+                   * 10000) AS BIGINT) AS lp
+        FROM docbi d
+        LEFT JOIN train_bi b ON b.w1 = d.w1 AND b.w2 = d.w2
+        LEFT JOIN lefts l ON l.w1 = d.w1
+        LEFT JOIN rights r ON r.w2 = d.w2
+        CROSS JOIN tt n
+    ),
+    per_doc AS (
+        SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(lp) AS BIGINT) AS score_tenk
+        FROM scored GROUP BY doc
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           COALESCE(p.score_tenk, 0) AS score_tenk,
+           CAST(FLOOR(CAST(p.score_tenk AS DOUBLE) * 100
+                      / NULLIF(p.n_bigrams, 0)) AS BIGINT) AS avg_lp_e6
+    FROM documents d LEFT JOIN per_doc p ON p.doc = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@query("q_kneser_ney", oracle=_kn_oracle())
+def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM scoring (Kneser & Ney 1995;
+    Chen & Goodman 1999) with fixed discount d = 3/4: P(w2|w1) =
+    (max(c12 - d, 0) + d * N1+(w1,.) * Pcont(w2)) / c1, where the
+    continuation unigram Pcont(w2) = N1+(.,w2) / |bigram types| —
+    trained on the same 80% hash split as ``q_backoff_lm_score`` so
+    the two LMs' document scores are directly comparable. Out-of-model
+    branches: an unseen-w1 bigram scores Pcont(w2)/2 (floored at
+    1/(2T)); a seen-w1 bigram floors at 1/(4*c1*T) so no log is ever
+    of zero.
+
+    Exactness: with d = 3/4 every probability is the exact rational
+    (max(4*c12-3,0)*T + 3*N1f*N1b) / (4*c1*T) of integer counts; the
+    single float step per bigram is round(ln(num/den)*1e4) -> BIGINT
+    (the corpus_stats.py quantization discipline) before the exact
+    per-doc integer sum.
+
+    Scale: count tables are vocabulary-scale, partial-aggregated;
+    scoring is three key-partitioned left joins plus a 1-row broadcast
+    total; the per-doc sum shuffles on doc. No UDF anywhere.
+    """
+    from ..functions.text import tokens_col, word_shingles
+    from .sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    tokd = spread.select(
+        F.col("doc_id").alias("doc"),
+        ((hash_bucket("inc", F.col("doc_id")) % 10) < 8).alias("is_old"),
+        tokens_col(F.lower(F.col("text"))).alias("toks"),
+    )
+    bi = tokd.select(
+        "doc",
+        "is_old",
+        F.explode(word_shingles(F.col("toks"), 2)).alias("bg"),
+    ).select(
+        "doc",
+        "is_old",
+        F.split("bg", " ")[0].alias("w1"),
+        F.split("bg", " ")[1].alias("w2"),
+    )
+    train_bi = (
+        bi.filter("is_old").groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    )
+    lefts = train_bi.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("n1f"),
+    )
+    rights = train_bi.groupBy("w2").agg(F.count("*").cast("long").alias("n1b"))
+    tt = train_bi.agg(F.count("*").cast("long").alias("t"))
+    lp = F.expr(
+        f"""CAST(round(ln(
+            CAST(CASE WHEN c1 IS NOT NULL THEN greatest(
+                     greatest({_KN_D_DEN} * COALESCE(c12, 0)
+                              - {_KN_D_NUM}, 0) * t
+                     + {_KN_D_NUM} * n1f * COALESCE(n1b, 0), 1)
+                 ELSE 2 * greatest(COALESCE(n1b, 0), 1) END AS DOUBLE)
+            / CAST(CASE WHEN c1 IS NOT NULL
+                        THEN {_KN_D_DEN} * c1 * t
+                        ELSE {_KN_D_DEN} * t END AS DOUBLE))
+            * 10000) AS BIGINT)"""
+    ).alias("lp")
+    per_doc = (
+        bi.join(train_bi, ["w1", "w2"], "left")
+        .join(lefts, "w1", "left")
+        .join(rights, "w2", "left")
+        .crossJoin(F.broadcast(tt))
+        .select("doc", lp)
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("lp").cast("long").alias("score_tenk"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, docs.doc_id == per_doc.doc, "left")
+        .selectExpr(
+            "doc_id",
+            "COALESCE(n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams",
+            "COALESCE(score_tenk, CAST(0 AS BIGINT)) AS score_tenk",
+            "CAST(FLOOR(CAST(score_tenk AS DOUBLE) * 100"
+            " / NULLIF(n_bigrams, 0)) AS BIGINT) AS avg_lp_e6",
+        )
+        .orderBy("doc_id")
+    )
