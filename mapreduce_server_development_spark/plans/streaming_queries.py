@@ -122,7 +122,7 @@ def _gc_previous_sinks(spark: SparkSession) -> None:
 
 
 @contextmanager
-def _stream_partitions(spark: SparkSession):
+def _stream_partitions(spark: SparkSession, state_partitions: int | None = None):
     """Pin ``spark.sql.shuffle.partitions`` (= streaming state-partition
     count, fixed at first checkpoint) for the duration of a streaming
     run, restoring the batch setting afterwards.
@@ -135,11 +135,20 @@ def _stream_partitions(spark: SparkSession):
     SPARK_GRAFT_STREAM_STATE_PARTITIONS so per-partition state fits one
     executor (state partitioning is by key hash, so correctness is
     unaffected — this is purely a parallelism/overhead tradeoff).
+
+    ``state_partitions`` overrides the default for operators whose cost
+    profile INVERTS the 8-partition tradeoff: an
+    ``applyInPandasWithState`` op pays per-GROUP Python overhead (tens
+    of thousands of Arrow round-trips), which scales down with cores,
+    not with state-store commits — q_stream_minhash_dedup measured
+    14.1s @ 8 -> 9.2s @ 32 warm at sf0.1 (BENCH_AB.json). The env var
+    still wins when set (cluster operators know their state layout).
     """
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
+    default = str(state_partitions) if state_partitions else "8"
     spark.conf.set(
-        key, os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+        key, os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", default)
     )
     try:
         yield
@@ -169,7 +178,12 @@ def _run_to_memory(df: DataFrame, spark: SparkSession, mode: str = "complete") -
     return spark.table(name)
 
 
-def _run_to_files(df: DataFrame, spark: SparkSession, on_start=None) -> DataFrame:
+def _run_to_files(
+    df: DataFrame,
+    spark: SparkSession,
+    on_start=None,
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Run a bounded append-mode stream to a parquet file sink and read
     it back — executors write part-files directly; the driver never
     holds the row set, so output size is unbounded (the production path
@@ -180,7 +194,7 @@ def _run_to_files(df: DataFrame, spark: SparkSession, on_start=None) -> DataFram
     root = tempfile.mkdtemp(prefix="stream_file_sink_")
     _prev_sink_roots.append(root)
     out, ckpt = f"{root}/out", f"{root}/ckpt"
-    with _stream_partitions(spark):
+    with _stream_partitions(spark, state_partitions):
         q = (
             df.writeStream.format("parquet")
             .option("path", out)
@@ -2580,15 +2594,21 @@ def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def track(key, pdfs, state):
         mn = state.get[0] if state.exists else None
+        docs: list[int] = []
+        for pdf in pdfs:
+            docs.extend(pdf["doc"].to_list())
+        docs.sort()
         out = []
-        pdf = pd.concat(list(pdfs), ignore_index=True)
-        for doc in sorted(pdf["doc"].to_list()):
+        for doc in docs:
             if mn is not None and mn < doc:
                 out.append((doc, mn))
             if mn is None or doc < mn:
                 mn = doc
         state.update((mn,))
-        yield pd.DataFrame(out, columns=["doc", "match"])
+        # Most buckets emit nothing in a batch: skipping the empty
+        # DataFrame construction is a measured win at 40k groups.
+        if out:
+            yield pd.DataFrame(out, columns=["doc", "match"])
 
     tracked = bands.groupBy("band", "bh").applyInPandasWithState(
         track,
@@ -2597,7 +2617,10 @@ def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf="NoTimeout",
     )
-    emitted = _run_to_files(tracked, spark)
+    emitted = _run_to_files(
+        tracked, spark,
+        state_partitions=spark.sparkContext.defaultParallelism,
+    )
     cand = emitted.groupBy("doc").agg(F.min("match").alias("match"))
 
     docs = load_table(spark, sf_dir, "documents")
