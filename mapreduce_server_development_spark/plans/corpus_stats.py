@@ -2394,3 +2394,246 @@ def q_nb_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r2p"),
     )
     return s.selectExpr(*_AUC_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_nb_crossval — 5-fold cross-validated NB accuracy (complement trick)
+# ---------------------------------------------------------------------------
+
+#: Fold count; fold(doc) = hash_bucket('nbcv', doc_id, 5).
+_NBCV_FOLDS = 5
+
+_NBCV_FINAL = (
+    "CAST(fold AS BIGINT) AS fold",
+    "CAST(n_docs AS BIGINT) AS n_docs",
+    "CAST(n_correct AS BIGINT) AS n_correct",
+    "round(CAST(n_correct AS DOUBLE) / n_docs, 6) AS accuracy",
+)
+
+
+def _nbcv_oracle() -> str:
+    from .sampling import _bucket_sql
+
+    fold = _bucket_sql("nbcv", "doc_id", _NBCV_FOLDS)
+    return f"""
+    WITH split AS (
+        SELECT doc_id, source, {fold} AS fold,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    toks AS (SELECT doc_id, source, fold, unnest(toks) AS tok FROM split),
+    tokc AS (
+        SELECT fold, source, tok, CAST(COUNT(*) AS BIGINT) AS cf
+        FROM toks GROUP BY 1, 2, 3
+    ),
+    gcnt AS (
+        SELECT source, tok, CAST(SUM(cf) AS BIGINT) AS cg
+        FROM tokc GROUP BY 1, 2
+    ),
+    tcf AS (SELECT fold, source, SUM(cf) AS tf FROM tokc GROUP BY 1, 2),
+    tcg AS (SELECT source, SUM(cg) AS tg FROM gcnt GROUP BY 1),
+    folds AS (SELECT unnest(range(0, {_NBCV_FOLDS})) AS fold),
+    tot AS (
+        SELECT f.fold, g.source, g.tg - COALESCE(t.tf, 0) AS tot_train
+        FROM folds f CROSS JOIN tcg g
+        LEFT JOIN tcf t ON t.fold = f.fold AND t.source = g.source
+    ),
+    tk AS (SELECT tok, SUM(cf) AS c FROM tokc GROUP BY tok),
+    tkf AS (SELECT fold, tok, SUM(cf) AS c FROM tokc GROUP BY 1, 2),
+    excl AS (
+        SELECT tkf.fold, COUNT(*) AS n_excl
+        FROM tkf JOIN tk ON tk.tok = tkf.tok AND tk.c = tkf.c
+        GROUP BY tkf.fold
+    ),
+    vtot AS (SELECT COUNT(*) AS v FROM tk),
+    vf AS (
+        SELECT f.fold, vt.v - COALESCE(e.n_excl, 0) AS v
+        FROM folds f CROSS JOIN vtot vt
+        LEFT JOIN excl e ON e.fold = f.fold
+    ),
+    dcf AS (SELECT fold, source, COUNT(*) AS ndf FROM split GROUP BY 1, 2),
+    dcg AS (SELECT source, COUNT(*) AS ndg FROM split GROUP BY 1),
+    nall AS (SELECT COUNT(*) AS n, COUNT(DISTINCT source) AS k FROM split),
+    prior AS (
+        SELECT f.fold, g.source,
+               CAST(round(ln((g.ndg - COALESCE(d.ndf, 0) + 1.0)
+                             / (a.n - nf.nf + a.k)) * 1000000) AS BIGINT) AS plp
+        FROM folds f CROSS JOIN dcg g CROSS JOIN nall a
+        LEFT JOIN dcf d ON d.fold = f.fold AND d.source = g.source
+        JOIN (SELECT fold, SUM(ndf) AS nf FROM dcf GROUP BY fold) nf
+             ON nf.fold = f.fold
+    ),
+    cls AS (SELECT DISTINCT source AS cand FROM split),
+    scored AS (
+        SELECT t.doc_id, t.fold, c.cand,
+               SUM(CAST(round(ln(
+                   (COALESCE(g.cg, 0) - COALESCE(tc.cf, 0) + 1.0)
+                   / (tt.tot_train + v.v)) * 1000000) AS BIGINT)) AS tok_lp
+        FROM toks t
+        CROSS JOIN cls c
+        LEFT JOIN gcnt g ON g.source = c.cand AND g.tok = t.tok
+        LEFT JOIN tokc tc ON tc.fold = t.fold AND tc.source = c.cand
+                          AND tc.tok = t.tok
+        JOIN tot tt ON tt.fold = t.fold AND tt.source = c.cand
+        JOIN vf v ON v.fold = t.fold
+        GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+        SELECT s.doc_id, s.fold, s.cand, s.tok_lp + p.plp AS score,
+               ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                                  ORDER BY s.tok_lp + p.plp DESC, s.cand) AS rk
+        FROM scored s JOIN prior p ON p.fold = s.fold AND p.source = s.cand
+    ),
+    pred AS (SELECT doc_id, cand AS predicted FROM ranked WHERE rk = 1),
+    acc AS (
+        SELECT sp.fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) FILTER (WHERE pr.predicted = sp.source)
+                    AS BIGINT) AS n_correct
+        FROM split sp JOIN pred pr ON pr.doc_id = sp.doc_id
+        GROUP BY sp.fold
+    )
+    SELECT {", ".join(_NBCV_FINAL)} FROM acc ORDER BY fold
+    """
+
+
+@query("q_nb_crossval", oracle=_nbcv_oracle())
+def q_nb_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated accuracy of the multinomial NB source
+    classifier — the evaluation q_naive_bayes's single 80/20 split
+    cannot give (per-fold variance separates model skill from split
+    luck). Implemented with the COMPLEMENT trick: token counts are
+    aggregated ONCE per (fold, class, token); fold f's training model
+    is the global counts minus fold f's own (c_train = cg - cf,
+    tot_train = tg - tf, vocab_f = |vocab| - |fold-exclusive tokens|),
+    so 5 models cost ONE aggregation pass instead of five training
+    runs — the way distributed CV should be expressed. Laplace
+    smoothing unifies seen/unseen tokens ((c_train + 1)/(tot_train +
+    v_f)) and the class prior ((n_docs_train + 1)/(N_train + k)), so
+    no branch ever logs zero.
+
+    Exactness: per-token and prior logs are e6-quantized BEFORE the
+    per-doc integer SUM (the q_naive_bayes discipline); the argmax
+    tie-breaks on class name.
+
+    Scale: one token-count aggregate (map-side combined) + vocab-scale
+    fold/class panels; scoring joins test tokens against the count
+    tables on the token key (model shuffled, never collected); the
+    per-doc argmax is a window over |classes| rows per doc.
+    """
+    from .sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = docs.select(
+        "doc_id",
+        "source",
+        hash_bucket("nbcv", F.col("doc_id"), _NBCV_FOLDS).alias("fold"),
+        F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "").alias(
+            "toks"
+        ),
+    )
+    toks = split.select("doc_id", "source", "fold", F.explode("toks").alias("tok"))
+    tokc = toks.groupBy("fold", "source", "tok").agg(
+        F.count("*").cast("long").alias("cf")
+    )
+    glob = tokc.groupBy("source", "tok").agg(F.sum("cf").cast("long").alias("cg"))
+    tcf = tokc.groupBy("fold", "source").agg(F.sum("cf").alias("tf"))
+    tcg = glob.groupBy("source").agg(F.sum("cg").alias("tg"))
+    folds = spark.range(0, _NBCV_FOLDS).select(F.col("id").cast("long").alias("fold"))
+    tot = (
+        folds.crossJoin(tcg)
+        .join(tcf, ["fold", "source"], "left")
+        .select(
+            "fold",
+            "source",
+            (F.col("tg") - F.coalesce("tf", F.lit(0))).alias("tot_train"),
+        )
+    )
+    tk = tokc.groupBy("tok").agg(F.sum("cf").alias("c"))
+    tkf = tokc.groupBy("fold", "tok").agg(F.sum("cf").alias("c"))
+    excl = (
+        tkf.join(tk.withColumnRenamed("c", "c_all"), "tok")
+        .filter(F.col("c") == F.col("c_all"))
+        .groupBy("fold")
+        .agg(F.count("*").alias("n_excl"))
+    )
+    vtot = tk.agg(F.count("*").alias("v"))
+    vf = (
+        folds.crossJoin(F.broadcast(vtot))
+        .join(excl, "fold", "left")
+        .select(
+            "fold", (F.col("v") - F.coalesce("n_excl", F.lit(0))).alias("v")
+        )
+    )
+    dcf = split.groupBy("fold", "source").agg(F.count("*").alias("ndf"))
+    dcg = split.groupBy("source").agg(F.count("*").alias("ndg"))
+    nall = split.agg(
+        F.count("*").alias("n"), F.countDistinct("source").alias("k")
+    )
+    nf = dcf.groupBy("fold").agg(F.sum("ndf").alias("nf"))
+    prior = (
+        folds.crossJoin(dcg)
+        .crossJoin(F.broadcast(nall))
+        .join(dcf, ["fold", "source"], "left")
+        .join(nf, "fold")
+        .select(
+            "fold",
+            "source",
+            F.expr(
+                "CAST(round(ln((ndg - COALESCE(ndf, 0) + 1.0)"
+                " / (n - nf + k)) * 1000000) AS BIGINT)"
+            ).alias("plp"),
+        )
+    )
+    cls = split.select(F.col("source").alias("cand")).distinct()
+    scored = (
+        toks.select("doc_id", "fold", "tok")
+        .crossJoin(F.broadcast(cls))
+        .join(
+            glob.select(F.col("source").alias("cand"), "tok", "cg"),
+            ["cand", "tok"],
+            "left",
+        )
+        .join(
+            tokc.select("fold", F.col("source").alias("cand"), "tok", "cf"),
+            ["fold", "cand", "tok"],
+            "left",
+        )
+        .join(
+            F.broadcast(tot.select("fold", F.col("source").alias("cand"), "tot_train")),
+            ["fold", "cand"],
+        )
+        .join(F.broadcast(vf), "fold")
+        .groupBy("doc_id", "fold", "cand")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(ln((COALESCE(cg, 0) - COALESCE(cf, 0) + 1.0)"
+                    " / (tot_train + v)) * 1000000) AS BIGINT)"
+                )
+            ).alias("tok_lp")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tok_lp") + F.col("plp")).desc(), F.col("cand")
+    )
+    pred = (
+        scored.join(
+            F.broadcast(prior.select("fold", F.col("source").alias("cand"), "plp")),
+            ["fold", "cand"],
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select("doc_id", F.col("cand").alias("predicted"))
+    )
+    acc = (
+        split.select("doc_id", "fold", "source")
+        .join(pred, "doc_id")
+        .groupBy("fold")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("predicted") == F.col("source"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+        )
+    )
+    return acc.selectExpr(*_NBCV_FINAL).orderBy("fold")

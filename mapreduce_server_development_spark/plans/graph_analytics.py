@@ -1246,3 +1246,201 @@ def q_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_novelty_nats"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_betweenness — bounded-radius Brandes betweenness from a seed panel
+# ---------------------------------------------------------------------------
+
+#: Seed panel size (hash-rank draw) and BFS radius. Brandes' dependency
+#: accumulation is exact within the radius; the panel + radius bound is
+#: the standard approximation regime (Brandes & Pich 2007).
+_BC_SEEDS = 3
+_BC_HOPS = 3
+
+#: Top-N vertices reported by accumulated dependency.
+_BC_TOPN = 10
+
+_BC_FINAL = (
+    "CAST(v AS BIGINT) AS part_key",
+    "CAST(bc_e9 AS BIGINT) AS bc_e9",
+    "round(CAST(bc_e9 AS DOUBLE) / 1000000000, 6) AS betweenness",
+)
+
+
+def _bc_oracle() -> str:
+    lines = [f"WITH {_edges_sql(2)},"]
+    lines.append(f"""
+    seeds AS (
+        SELECT src AS seed FROM (SELECT DISTINCT src FROM sym)
+        ORDER BY md5('btw:' || CAST(src AS VARCHAR)), src
+        LIMIT {_BC_SEEDS}
+    ),
+    d0 AS (SELECT seed, seed AS v, CAST(1 AS HUGEINT) AS sig FROM seeds)""")
+    vis = ["d0"]
+    for r in range(1, _BC_HOPS + 1):
+        prev = f"d{r - 1}"
+        anti = " AND ".join(
+            f"NOT EXISTS (SELECT 1 FROM {t} WHERE {t}.seed = c.seed"
+            f" AND {t}.v = c.v)"
+            for t in vis
+        )
+        lines.append(f""",
+    c{r} AS (
+        SELECT f.seed, s.dst AS v, SUM(f.sig) AS sig
+        FROM {prev} f JOIN sym s ON s.src = f.v
+        GROUP BY 1, 2
+    ),
+    d{r} AS (SELECT c.seed, c.v, c.sig FROM c{r} c WHERE {anti}),
+    p{r} AS (
+        SELECT f.seed, f.v AS p, f.sig AS sig_p, d.v AS v, d.sig AS sig_v
+        FROM {prev} f
+        JOIN sym s ON s.src = f.v
+        JOIN d{r} d ON d.seed = f.seed AND d.v = s.dst
+    )""")
+        vis.append(f"d{r}")
+    # Backward accumulation: delta at radius H is 0; each inner level's
+    # per-edge term floor(sig_p * (1e9 + delta_v) / sig_v) is an exact
+    # integer in both engines before the SUM.
+    lines.append(f""",
+    del{_BC_HOPS - 1} AS (
+        SELECT seed, p AS v,
+               SUM(CAST(sig_p AS HUGEINT) * 1000000000 // sig_v) AS delta
+        FROM p{_BC_HOPS} GROUP BY 1, 2
+    )""")
+    for r in range(_BC_HOPS - 2, 0, -1):
+        lines.append(f""",
+    del{r} AS (
+        SELECT pr.seed, pr.p AS v,
+               SUM(CAST(pr.sig_p AS HUGEINT)
+                   * (1000000000 + COALESCE(dl.delta, 0)) // pr.sig_v) AS delta
+        FROM p{r + 1} pr
+        LEFT JOIN del{r + 1} dl ON dl.seed = pr.seed AND dl.v = pr.v
+        GROUP BY 1, 2
+    )""")
+    deltas = " UNION ALL ".join(
+        f"SELECT seed, v, delta FROM del{r}" for r in range(1, _BC_HOPS)
+    )
+    lines.append(f""",
+    bc AS (
+        SELECT v, CAST(SUM(delta) AS BIGINT) AS bc_e9
+        FROM ({deltas}) GROUP BY v
+    ),
+    top AS (SELECT v, bc_e9 FROM bc ORDER BY bc_e9 DESC, v LIMIT {_BC_TOPN})
+    SELECT {", ".join(_BC_FINAL)} FROM top ORDER BY bc_e9 DESC, part_key""")
+    return "".join(lines)
+
+
+@query("q_betweenness", oracle=_bc_oracle())
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-radius Brandes betweenness (Brandes 2001; the seed-panel
+    + radius bound is the Brandes & Pich 2007 approximation regime) on
+    the capped co-purchase graph: forward BFS from 3 hash-rank seeds
+    accumulates shortest-path counts sigma per (seed, vertex) level by
+    level; the backward pass accumulates the dependency delta(v) =
+    sum over successors w of (sigma_v / sigma_w) * (1 + delta(w)),
+    and a vertex's betweenness is its dependency summed over seeds.
+    The top-10 vertices by accumulated dependency are reported — the
+    brokerage ranking none of the existing centralities (PageRank,
+    HITS, eccentricity, degree) measures.
+
+    Exactness: sigma is an exact integer path count (HUGEINT /
+    DECIMAL(38,0) — path counts multiply along levels); each per-edge
+    backward term is the exact floor division
+    ``sig_p * (1e9 + delta_w) DIV sig_w`` quantized BEFORE the SUM
+    (round-before-sum discipline; all operands positive, so Spark's
+    truncating DIV == DuckDB's flooring //), making every delta an
+    exact integer cross-engine.
+
+    Scale: |seeds| x the BFS frontier cost — every step is a
+    key-partitioned equi-join on the current frontier (checkpointed,
+    the q_copurchase_bfs discipline); the backward pass walks the
+    same bounded predecessor relations in reverse. No window, no
+    collect, no all-pairs anything.
+    """
+    e = _copurchase_edges(spark, sf_dir, 2)
+    sym = _sym(e).localCheckpoint(eager=True)
+    seeds = (
+        sym.select("src")
+        .distinct()
+        .orderBy(
+            F.md5(F.concat(F.lit("btw:"), F.col("src").cast("string"))),
+            "src",
+        )
+        .limit(_BC_SEEDS)
+        .select(F.col("src").alias("seed"))
+    )
+    levels = [
+        seeds.select(
+            "seed",
+            F.col("seed").alias("v"),
+            F.lit(1).cast("decimal(38,0)").alias("sig"),
+        ).localCheckpoint(eager=True)
+    ]
+    preds = {}
+    visited = levels[0].select("seed", "v")
+    for r in range(1, _BC_HOPS + 1):
+        prev = levels[r - 1]
+        cand = (
+            prev.join(sym, prev["v"] == sym["src"])
+            .groupBy("seed", F.col("dst").alias("nv"))
+            .agg(F.sum("sig").alias("sig"))
+            .withColumnRenamed("nv", "v")
+        )
+        new = (
+            cand.join(visited, ["seed", "v"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        preds[r] = (
+            prev.select("seed", F.col("v").alias("p"), F.col("sig").alias("sig_p"))
+            .join(sym, F.col("p") == sym["src"])
+            .join(
+                new.select(
+                    F.col("seed").alias("nseed"),
+                    F.col("v"),
+                    F.col("sig").alias("sig_v"),
+                ),
+                (F.col("dst") == F.col("v")) & (F.col("seed") == F.col("nseed")),
+            )
+            .select("seed", "p", "sig_p", "v", "sig_v")
+        )
+        levels.append(new)
+        visited = visited.union(new.select("seed", "v"))
+    term_leaf = F.expr(
+        "CAST(sig_p AS DECIMAL(38,0)) * 1000000000 DIV sig_v"
+    )
+    deltas = {
+        _BC_HOPS - 1: preds[_BC_HOPS]
+        .groupBy("seed", F.col("p").alias("v"))
+        .agg(F.sum(term_leaf).cast("decimal(38,0)").alias("delta"))
+        .localCheckpoint(eager=True)
+    }
+    for r in range(_BC_HOPS - 2, 0, -1):
+        term = F.expr(
+            "CAST(sig_p AS DECIMAL(38,0))"
+            " * (1000000000 + COALESCE(delta, 0)) DIV sig_v"
+        )
+        deltas[r] = (
+            preds[r + 1]
+            .join(
+                deltas[r + 1].select(
+                    "seed", F.col("v"), F.col("delta")
+                ),
+                ["seed", "v"],
+                "left",
+            )
+            .groupBy("seed", F.col("p").alias("v"))
+            .agg(F.sum(term).cast("decimal(38,0)").alias("delta"))
+            .localCheckpoint(eager=True)
+        )
+    all_d = None
+    for r in range(1, _BC_HOPS):
+        d = deltas[r].select("v", "delta")
+        all_d = d if all_d is None else all_d.union(d)
+    bc = all_d.groupBy("v").agg(F.sum("delta").cast("long").alias("bc_e9"))
+    return (
+        bc.orderBy(F.col("bc_e9").desc(), "v")
+        .limit(_BC_TOPN)
+        .selectExpr(*_BC_FINAL)
+        .orderBy(F.col("bc_e9").desc(), "part_key")
+    )

@@ -1,7 +1,10 @@
 """Robust-statistics & evaluation wave: RANSAC trend, histogram-based
 outlier scores, split-conformal forecast intervals, a deterministic
-randomization test, Fisher's exact test, rank-1 implicit ALS, and an
-interpolated Kneser–Ney bigram LM.
+randomization test, Fisher's exact test, rank-1 implicit ALS, an
+interpolated Kneser–Ney bigram LM, 3-round AdaBoost over decision
+stumps, and grid quantile regression. (The same wave adds
+``q_betweenness`` to graph_analytics.py and ``q_nb_crossval`` to
+corpus_stats.py, next to their families.)
 
 No reference counterpart (the reference engine's surface is the
 executable map/reduce plane over text lines, SURVEY.md §1.2); every
@@ -1277,4 +1280,521 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / NULLIF(n_bigrams, 0)) AS BIGINT) AS avg_lp_e6",
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_adaboost_stumps — 3-round AdaBoost over decision stumps
+# ---------------------------------------------------------------------------
+
+#: Boosting rounds; row weights after round t take exactly 2^t values
+#: (one per correctness bit-pattern), which is what makes distributed
+#: AdaBoost exactly aggregable.
+_AB_ROUNDS = 3
+
+#: Candidate stumps: 3 features x 9 decile-style bin thresholds x 2
+#: polarities = 54, evaluated by one bounded fan-out join per round.
+_AB_THRS = tuple(range(1, 10))
+
+_AB_FEATS = ("qty", "price_c", "disc_h")
+
+_AB_FINAL = (
+    "CAST(round AS BIGINT) AS round",
+    "feature",
+    "CAST(thr_bin AS BIGINT) AS thr_bin",
+    "CAST(polarity AS BIGINT) AS polarity",
+    "round(CAST(err_w AS DOUBLE) / w_total, 6) AS err_rate",
+    "CAST(alpha_e9 AS BIGINT) AS alpha_e9",
+    "round(CAST(n_correct AS DOUBLE) / n_rows, 6) AS train_accuracy",
+)
+
+#: Stump prediction on a binned row: polarity * sign(bin >= thr).
+_AB_PRED = "(pol * (CASE WHEN {b} >= thr THEN 1 ELSE -1 END))"
+
+#: alpha = 0.5 * ln((W - err)/err) in e9 units, with err clamped to
+#: [1, W-1] e9-units so a perfect stump cannot log 0 or infinity.
+_AB_ALPHA = (
+    "CAST(round(0.5 * ln((CAST(w_total AS DOUBLE) - ec) / ec)"
+    " * 1000000000) AS BIGINT)"
+)
+
+
+def _ab_bin(f: str) -> str:
+    return f"CAST((({f} - mn_{f}) * 10) {{div}} (mx_{f} - mn_{f} + 1) AS INT)"
+
+
+def _ab_oracle() -> str:
+    div = "//"
+    b = {f: _ab_bin(f).format(div=div) for f in _AB_FEATS}
+    bin_case = ("CASE fid WHEN 0 THEN b0 WHEN 1 THEN b1 ELSE b2 END")
+    pred = _AB_PRED.format(b=bin_case)
+    thrs = ", ".join(f"({t})" for t in _AB_THRS)
+    parts = [f"""
+    WITH feats AS (
+        SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+               CAST(round(l_discount * 100) AS BIGINT) AS disc_h,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END AS y
+        FROM lineitem
+    ),
+    rng AS (
+        SELECT MIN(qty) AS mn_qty, MAX(qty) AS mx_qty,
+               MIN(price_c) AS mn_price_c, MAX(price_c) AS mx_price_c,
+               MIN(disc_h) AS mn_disc_h, MAX(disc_h) AS mx_disc_h
+        FROM feats
+    ),
+    rows_b AS (
+        SELECT {b['qty']} AS b0, {b['price_c']} AS b1, {b['disc_h']} AS b2, y
+        FROM feats CROSS JOIN rng
+    ),
+    cand AS (
+        SELECT fid, thr, pol
+        FROM (SELECT unnest(range(0, 3)) AS fid),
+             (SELECT unnest([{", ".join(str(t) for t in _AB_THRS)}]) AS thr),
+             (SELECT unnest([1, -1]) AS pol)
+    )"""]
+    bits_so_far: list[str] = []
+    for t in range(1, _AB_ROUNDS + 1):
+        bit_cols = ", ".join(bits_so_far)
+        bit_sel = (bit_cols + ", ") if bits_so_far else ""
+        bit_grp = ("," + bit_cols) if bits_so_far else ""
+        # Rows annotated with the correctness bits of rounds < t.
+        ann = "rows_b"
+        for u in range(1, t):
+            ann = f"""(
+        SELECT r.*, (({pred.replace('thr', f's{u}.thr').replace('pol', f's{u}.pol').replace('fid', f's{u}.fid')}) = r.y) AS bit{u}
+        FROM {ann} r CROSS JOIN stump{u} s{u}
+    )"""
+        if t == 1:
+            pw = "SELECT CAST(1000000000 AS HUGEINT) AS w"
+            w_expr = "pw.w"
+            pw_join = "CROSS JOIN pw1 pw"
+        else:
+            w_expr = "pw.w"
+            conds = " AND ".join(f"pw.bit{u} = g.bit{u}" for u in range(1, t))
+            pw_join = f"JOIN pw{t} pw ON {conds}"
+        parts.append(f""",
+    grp{t} AS (
+        SELECT c.fid, c.thr, c.pol, {bit_sel}
+               ({pred.replace('fid', 'c.fid').replace('thr', 'c.thr').replace('pol', 'c.pol')} <> y) AS mis,
+               CAST(COUNT(*) AS HUGEINT) AS cnt
+        FROM {ann} r CROSS JOIN cand c
+        GROUP BY c.fid, c.thr, c.pol{bit_grp}, mis
+    )""")
+        if t == 1:
+            parts.append(""",
+    pw1 AS (SELECT CAST(1000000000 AS HUGEINT) AS w)""")
+        g_alias_bits = "g." + ", g.".join(bits_so_far) if bits_so_far else ""
+        parts.append(f""",
+    err{t} AS (
+        SELECT g.fid, g.thr, g.pol,
+               SUM(CASE WHEN g.mis THEN {w_expr} * g.cnt ELSE 0 END) AS err_w,
+               SUM({w_expr} * g.cnt) AS w_total
+        FROM grp{t} g {pw_join}
+        GROUP BY g.fid, g.thr, g.pol
+    ),
+    stump{t} AS (
+        SELECT fid, thr, pol, err_w, w_total,
+               {_AB_ALPHA.replace('ec', f'LEAST(GREATEST(CAST(err_w AS DOUBLE) / 1000000000, 1), CAST(w_total AS DOUBLE) / 1000000000 - 1)')} AS alpha_e9
+        FROM err{t} ORDER BY err_w, fid, thr, pol LIMIT 1
+    )""")
+        if t < _AB_ROUNDS:
+            combos = []
+            for mask in range(2 ** t):
+                bits = [(mask >> u) & 1 for u in range(t)]
+                signed = " + ".join(
+                    f"({'-' if bits[u - 1] else ''}s{u}.alpha_e9)"
+                    for u in range(1, t + 1)
+                )
+                combos.append(
+                    "SELECT "
+                    + ", ".join(
+                        f"CAST({bits[u - 1]} AS BOOLEAN) AS bit{u}"
+                        for u in range(1, t + 1)
+                    )
+                    + f", CAST(round(exp(({signed}) / 1000000000.0)"
+                    f" * 1000000000) AS HUGEINT) AS w FROM "
+                    + ", ".join(f"stump{u} s{u}" for u in range(1, t + 1))
+                )
+            parts.append(f""",
+    pw{t + 1} AS ({" UNION ALL ".join(combos)})""")
+        bits_so_far.append(f"bit{t}")
+    # Ensemble training accuracy from the 2^ROUNDS pattern counts.
+    ann = "rows_b"
+    for u in range(1, _AB_ROUNDS + 1):
+        ann = f"""(
+        SELECT r.*, (({_AB_PRED.format(b='CASE s{u}.fid WHEN 0 THEN b0 WHEN 1 THEN b1 ELSE b2 END'.format(u=u)).replace('thr', f's{u}.thr').replace('pol', f's{u}.pol')}) = r.y) AS bit{u}
+        FROM {ann} r CROSS JOIN stump{u} s{u}
+    )"""
+    margin = " + ".join(
+        f"(CASE WHEN p.bit{u} THEN 1 ELSE -1 END) * s{u}.alpha_e9"
+        for u in range(1, _AB_ROUNDS + 1)
+    )
+    stump_from = ", ".join(f"stump{u} s{u}" for u in range(1, _AB_ROUNDS + 1))
+    bitcols = ", ".join(f"bit{u}" for u in range(1, _AB_ROUNDS + 1))
+    feat_case = "CASE fid WHEN 0 THEN 'qty' WHEN 1 THEN 'price_c' ELSE 'disc_h' END"
+    rounds_sel = " UNION ALL ".join(
+        f"SELECT {u} AS round, {feat_case} AS feature, thr AS thr_bin,"
+        f" pol AS polarity, err_w, w_total, alpha_e9 FROM stump{u}"
+        for u in range(1, _AB_ROUNDS + 1)
+    )
+    parts.append(f""",
+    pats AS (
+        SELECT {bitcols}, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM {ann} GROUP BY {bitcols}
+    ),
+    final AS (
+        SELECT CAST(SUM(CASE WHEN ({margin}) > 0 THEN p.cnt ELSE 0 END)
+                    AS BIGINT) AS n_correct,
+               CAST(SUM(p.cnt) AS BIGINT) AS n_rows
+        FROM pats p, {stump_from}
+    ),
+    rounds AS ({rounds_sel})
+    SELECT {", ".join(_AB_FINAL)}
+    FROM rounds CROSS JOIN final ORDER BY round""")
+    return "".join(parts)
+
+
+@query("q_adaboost_stumps", oracle=_ab_oracle())
+def q_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round discrete AdaBoost (Freund & Schapire 1997) over
+    decision stumps on three lineitem features, predicting the return
+    flag. The distributed-exactness insight: after round t every row's
+    weight is exp(-y * sum alpha_tau h_tau(x)) — a function of ONLY
+    its t-bit correctness pattern, so the weighted error of all 54
+    candidate stumps aggregates EXACTLY from (candidate, bit-pattern,
+    mispredict) counts joined against a 2^t-row pattern-weight table.
+    No per-row weight state, no driver loop over rows — three bounded
+    fan-out aggregations (row x 54 candidates, map-side combined).
+
+    Exactness: stump selection minimizes an exact integer weighted
+    error (pattern weights e9-quantized after ONE exp of an exact
+    integer alpha sum — round-before-sum); alpha = 0.5*ln((W-e)/e) of
+    exact integer sums, clamped to [1, W-1] weight units so a perfect
+    stump cannot log 0; ensemble accuracy is recovered exactly from
+    the 2^3 pattern counts and the integer alphas.
+
+    Scale: 5 scans of the relation (min/max, three round fan-outs,
+    the final pattern pass), each partial-aggregated to at most
+    54 * 2^t * 2 cells; every joined panel (candidates, stumps,
+    pattern weights) is broadcast-sized by construction.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = li.selectExpr(
+        "CAST(round(l_quantity) AS BIGINT) AS qty",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c",
+        "CAST(round(l_discount * 100) AS BIGINT) AS disc_h",
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END AS y",
+    )
+    rng = feats.agg(
+        *[
+            f
+            for c in _AB_FEATS
+            for f in (
+                F.min(c).alias(f"mn_{c}"),
+                F.max(c).alias(f"mx_{c}"),
+            )
+        ]
+    )
+    b = {f: _ab_bin(f).format(div="DIV") for f in _AB_FEATS}
+    rows_b = (
+        feats.crossJoin(F.broadcast(rng))
+        .selectExpr(
+            f"{b['qty']} AS b0",
+            f"{b['price_c']} AS b1",
+            f"{b['disc_h']} AS b2",
+            "y",
+        )
+        .localCheckpoint(eager=True)
+    )
+    cand = spark.createDataFrame(
+        [(fid, thr, pol) for fid in range(3) for thr in _AB_THRS for pol in (1, -1)],
+        "fid int, thr int, pol int",
+    )
+    bin_case = "CASE fid WHEN 0 THEN b0 WHEN 1 THEN b1 ELSE b2 END"
+    pred = _AB_PRED.format(b=bin_case)
+
+    def stump_pred(u: int) -> str:
+        return (
+            _AB_PRED.format(b=f"CASE s{u}fid WHEN 0 THEN b0 WHEN 1 THEN b1 ELSE b2 END")
+            .replace("thr", f"s{u}thr")
+            .replace("pol", f"s{u}pol")
+        )
+
+    def choose(err: DataFrame) -> DataFrame:
+        alpha = _AB_ALPHA.replace(
+            "ec",
+            "LEAST(GREATEST(CAST(err_w AS DOUBLE) / 1000000000, 1),"
+            " CAST(w_total AS DOUBLE) / 1000000000 - 1)",
+        )
+        return (
+            err.orderBy("err_w", "fid", "thr", "pol")
+            .limit(1)
+            .selectExpr("fid", "thr", "pol", "err_w", "w_total", f"{alpha} AS alpha_e9")
+            .localCheckpoint(eager=True)
+        )
+
+    ann = rows_b
+    stumps: list[DataFrame] = []
+    for t in range(1, _AB_ROUNDS + 1):
+        bits = [f"bit{u}" for u in range(1, t)]
+        grp = (
+            ann.crossJoin(F.broadcast(cand))
+            .selectExpr("fid", "thr", "pol", *bits, f"({pred} <> y) AS mis")
+            .groupBy("fid", "thr", "pol", *bits, "mis")
+            .agg(F.count("*").cast("decimal(38,0)").alias("cnt"))
+        )
+        if t == 1:
+            weighted = grp.withColumn(
+                "w", F.lit(1000000000).cast("decimal(38,0)")
+            )
+        else:
+            pw = stumps_pw  # noqa: F821 - bound at the end of the prior loop
+            weighted = grp.join(F.broadcast(pw), bits)
+        err = weighted.groupBy("fid", "thr", "pol").agg(
+            F.sum(
+                F.when(F.col("mis"), F.col("w") * F.col("cnt")).otherwise(
+                    F.lit(0).cast("decimal(38,0)")
+                )
+            ).alias("err_w"),
+            F.sum(F.col("w") * F.col("cnt")).alias("w_total"),
+        )
+        stump = choose(err)
+        stumps.append(stump)
+        # Annotate rows with this round's correctness bit for the
+        # next fan-out (and the final pattern pass).
+        s = stump.selectExpr(
+            f"fid AS s{t}fid", f"thr AS s{t}thr", f"pol AS s{t}pol"
+        )
+        ann = ann.crossJoin(F.broadcast(s)).selectExpr(
+            "b0", "b1", "b2", "y", *bits,
+            f"(({stump_pred(t)}) = y) AS bit{t}",
+        )
+        if t < _AB_ROUNDS:
+            grid_rows = [
+                tuple(bool((mask >> u) & 1) for u in range(t))
+                for mask in range(2**t)
+            ]
+            grid = spark.createDataFrame(
+                grid_rows, ", ".join(f"bit{u + 1} boolean" for u in range(t))
+            )
+            alphas = stumps[0].selectExpr("alpha_e9 AS a1")
+            for u in range(2, t + 1):
+                alphas = alphas.crossJoin(
+                    stumps[u - 1].selectExpr(f"alpha_e9 AS a{u}")
+                )
+            signed = " + ".join(
+                f"(CASE WHEN bit{u} THEN -a{u} ELSE a{u} END)"
+                for u in range(1, t + 1)
+            )
+            stumps_pw = (
+                grid.crossJoin(F.broadcast(alphas))
+                .selectExpr(
+                    *[f"bit{u + 1}" for u in range(t)],
+                    f"CAST(round(exp(({signed}) / 1000000000.0)"
+                    " * 1000000000) AS DECIMAL(38,0)) AS w",
+                )
+            )
+    bitcols = [f"bit{u}" for u in range(1, _AB_ROUNDS + 1)]
+    pats = ann.groupBy(*bitcols).agg(F.count("*").cast("long").alias("cnt"))
+    alphas = stumps[0].selectExpr("alpha_e9 AS a1")
+    for u in range(2, _AB_ROUNDS + 1):
+        alphas = alphas.crossJoin(stumps[u - 1].selectExpr(f"alpha_e9 AS a{u}"))
+    margin = " + ".join(
+        f"(CASE WHEN bit{u} THEN 1 ELSE -1 END) * a{u}"
+        for u in range(1, _AB_ROUNDS + 1)
+    )
+    final = (
+        pats.crossJoin(F.broadcast(alphas))
+        .agg(
+            F.sum(F.expr(f"CASE WHEN ({margin}) > 0 THEN cnt ELSE 0 END"))
+            .cast("long")
+            .alias("n_correct"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+        )
+    )
+    feat_case = (
+        "CASE fid WHEN 0 THEN 'qty' WHEN 1 THEN 'price_c' ELSE 'disc_h' END"
+    )
+    rounds = None
+    for u, st in enumerate(stumps, 1):
+        r = st.selectExpr(
+            f"{u} AS round",
+            f"{feat_case} AS feature",
+            "thr AS thr_bin",
+            "pol AS polarity",
+            "err_w",
+            "w_total",
+            "alpha_e9",
+        )
+        rounds = r if rounds is None else rounds.union(r)
+    return (
+        rounds.crossJoin(F.broadcast(final))
+        .selectExpr(*_AB_FINAL)
+        .orderBy("round")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_quantile_reg — grid quantile regression of the monthly revenue trend
+# ---------------------------------------------------------------------------
+
+#: Slope grid: the OLS slope scaled by 80..120% in steps of 2 — a
+#: 21-candidate calendar-bounded search space centered on the
+#: least-squares solution.
+_QR_GRID = tuple(range(80, 121, 2))
+
+#: Quantiles fit, as integer percents.
+_QR_TAUS = (25, 50, 75)
+
+_QR_FINAL = (
+    "CAST(tau AS BIGINT) AS tau_pct",
+    "round(CAST(slope_c AS DOUBLE) / 100, 6) AS slope_dollars",
+    "round(CAST(icept_c AS DOUBLE) / 100, 2) AS intercept_dollars",
+    "round(CAST(avg_loss_c100 AS DOUBLE) / 10000, 4) AS avg_pinball_dollars",
+)
+
+
+def _qr_oracle() -> str:
+    grid = ", ".join(f"({j})" for j in _QR_GRID)
+    taus = ", ".join(f"({t})" for t in _QR_TAUS)
+    return f"""
+    WITH monthly AS ({_RS_MONTHLY.format(cents=_CENTS)}),
+    fit AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(m) AS HUGEINT) AS sm,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(m AS HUGEINT) * y) AS HUGEINT) AS smy,
+               CAST(SUM(CAST(m AS HUGEINT) * m) AS HUGEINT) AS smm
+        FROM monthly
+    ),
+    s0 AS (
+        SELECT CAST(FLOOR(CAST(n * smy - sm * sy AS DOUBLE)
+                          / CAST(n * smm - sm * sm AS DOUBLE)) AS BIGINT) AS s0_c,
+               CAST(n AS BIGINT) AS n
+        FROM fit
+    ),
+    slopes AS (
+        SELECT CAST(FLOOR(CAST(s0_c AS DOUBLE) * j / 100) AS BIGINT) AS slope_c, n
+        FROM s0 CROSS JOIN (SELECT unnest([{", ".join(str(j) for j in _QR_GRID)}]) AS j)
+    ),
+    resid AS (
+        SELECT s.slope_c, s.n, p.m, p.y - s.slope_c * p.m AS r
+        FROM slopes s CROSS JOIN monthly p
+    ),
+    ranked AS (
+        SELECT slope_c, n, m, r,
+               ROW_NUMBER() OVER (PARTITION BY slope_c ORDER BY r, m) AS rn
+        FROM resid
+    ),
+    taus(tau) AS (VALUES {taus}),
+    icept AS (
+        SELECT t.tau, k.slope_c, k.r AS icept_c
+        FROM taus t JOIN ranked k ON k.rn = (t.tau * k.n + 99) // 100
+    ),
+    loss AS (
+        SELECT i.tau, i.slope_c, i.icept_c,
+               SUM(CASE WHEN x.r > i.icept_c
+                        THEN CAST(i.tau AS HUGEINT) * (x.r - i.icept_c)
+                        ELSE CAST(i.tau - 100 AS HUGEINT) * (x.r - i.icept_c)
+                   END) AS l100,
+               MAX(x.n) AS n
+        FROM icept i JOIN resid x ON x.slope_c = i.slope_c
+        GROUP BY 1, 2, 3
+    ),
+    best AS (
+        SELECT tau, slope_c, icept_c,
+               CAST(l100 // n AS BIGINT) AS avg_loss_c100,
+               ROW_NUMBER() OVER (PARTITION BY tau
+                                  ORDER BY l100, slope_c) AS rk
+        FROM loss
+    )
+    SELECT {", ".join(_QR_FINAL)} FROM best WHERE rk = 1 ORDER BY tau_pct
+    """
+
+
+@query("q_quantile_reg", oracle=_qr_oracle())
+def q_quantile_reg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid quantile regression (Koenker & Bassett 1978 pinball loss)
+    of the monthly revenue trend at tau = 25/50/75%: candidate slopes
+    are the OLS slope scaled 80-120%; for each slope the optimal
+    intercept at quantile tau is EXACTLY the tau-quantile of the
+    residuals (the subgradient condition), picked as an exact order
+    statistic; the winner minimizes the exact integer pinball loss.
+    The median fit (tau=50) is the L1 trend line — the robust
+    companion to q_ransac_trend (consensus) and q_theil_sen
+    (median-of-slopes), and the quartile fits bound the trend's
+    spread.
+
+    Exactness: residuals are exact int64 cents (slope grid and OLS
+    center floored from shared doubles of exact integer sums —
+    FLOOR(double) agrees cross-engine on identical doubles regardless
+    of sign, unlike integer DIV vs //); the pinball loss is an exact
+    HUGEINT/DECIMAL(38,0) sum in tau-percent units; the reported
+    average is an exact floor division.
+
+    Scale: one orders aggregate to ~84 calendar months; everything
+    after runs on |grid| x |months| ~ 1.8k rows (windows partitioned
+    by slope candidate, never single-partition over data).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (
+            (F.year(F.col("o_orderdate").cast("date")) - 1992) * 12
+            + F.month(F.col("o_orderdate").cast("date"))
+            - 1
+        ).alias("m")
+    ).agg(F.sum(F.expr(_CENTS)).cast("long").alias("y"))
+    fit = monthly.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("m").cast("decimal(38,0)").alias("sm"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("CAST(m AS DECIMAL(38,0)) * y")).alias("smy"),
+        F.sum(F.expr("CAST(m AS DECIMAL(38,0)) * m")).alias("smm"),
+    )
+    s0 = fit.selectExpr(
+        "CAST(FLOOR(CAST(n * smy - sm * sy AS DOUBLE)"
+        " / CAST(n * smm - sm * sm AS DOUBLE)) AS BIGINT) AS s0_c",
+        "CAST(n AS BIGINT) AS n",
+    )
+    jgrid = spark.createDataFrame([(j,) for j in _QR_GRID], "j int")
+    slopes = (
+        F.broadcast(s0)
+        .crossJoin(F.broadcast(jgrid))
+        .selectExpr(
+            "CAST(FLOOR(CAST(s0_c AS DOUBLE) * j / 100) AS BIGINT) AS slope_c",
+            "n",
+        )
+    )
+    resid = monthly.crossJoin(F.broadcast(slopes)).select(
+        "slope_c", "n", "m", (F.col("y") - F.col("slope_c") * F.col("m")).alias("r")
+    )
+    w = Window.partitionBy("slope_c").orderBy("r", "m")
+    ranked = resid.withColumn("rn", F.row_number().over(w))
+    taus = spark.createDataFrame([(t,) for t in _QR_TAUS], "tau int")
+    icept = (
+        F.broadcast(taus)
+        .join(ranked, F.expr("rn = (tau * n + 99) DIV 100"))
+        .select("tau", "slope_c", F.col("r").alias("icept_c"))
+    )
+    loss = (
+        resid.join(F.broadcast(icept), "slope_c")
+        .groupBy("tau", "slope_c", "icept_c")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN r > icept_c"
+                    " THEN CAST(tau AS DECIMAL(38,0)) * (r - icept_c)"
+                    " ELSE CAST(tau - 100 AS DECIMAL(38,0)) * (r - icept_c) END"
+                )
+            ).alias("l100"),
+            F.max("n").alias("n"),
+        )
+    )
+    wb = Window.partitionBy("tau").orderBy("l100", "slope_c")
+    best = loss.selectExpr(
+        "tau", "slope_c", "icept_c", "CAST(l100 DIV n AS BIGINT) AS avg_loss_c100", "l100"
+    ).withColumn("rk", F.row_number().over(wb))
+    return (
+        best.filter("rk = 1").selectExpr(*_QR_FINAL).orderBy("tau_pct")
     )
