@@ -1314,7 +1314,7 @@ _AB_PRED = "(pol * (CASE WHEN {b} >= thr THEN 1 ELSE -1 END))"
 #: alpha = 0.5 * ln((W - err)/err) in e9 units, with err clamped to
 #: [1, W-1] e9-units so a perfect stump cannot log 0 or infinity.
 _AB_ALPHA = (
-    "CAST(round(0.5 * ln((CAST(w_total AS DOUBLE) - ec) / ec)"
+    "CAST(round(0.5 * ln((CAST(w_total AS DOUBLE) / 1000000000 - ec) / ec)"
     " * 1000000000) AS BIGINT)"
 )
 

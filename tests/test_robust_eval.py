@@ -402,3 +402,276 @@ def test_kneser_ney_replay():
             assert r["avg_lp_e6"] == math.floor(
                 r["score_tenk"] * 100 / len(pairs)
             )
+
+
+# ---------------------------------------------------------------------------
+# q_betweenness — pure-Python Brandes replay on a hand-built graph
+# ---------------------------------------------------------------------------
+
+
+def test_betweenness_replay():
+    # Build a co-purchase graph (support >= 2): a path 1-2-3-4 plus a
+    # spur 3-5. Vertex 3 should out-broker everyone.
+    baskets = [(1, 2), (1, 2), (2, 3), (2, 3), (3, 4), (3, 4), (3, 5), (3, 5)]
+    rows = []
+    for ok, (p1, p2) in enumerate(baskets):
+        rows.append((ok, p1, 1, 1, 100.0, 0.0, "N"))
+        rows.append((ok, p2, 2, 1, 100.0, 0.0, "N"))
+    out = _run({"lineitem": _lineitem(rows)}, "q_betweenness")
+
+    edges = {(1, 2), (2, 3), (3, 4), (3, 5)}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seeds = sorted(
+        adj, key=lambda v: (hashlib.md5(f"btw:{v}".encode()).hexdigest(), v)
+    )[:3]
+    H = 3
+    bc = {}
+    for s in seeds:
+        dist, sig = {s: 0}, {s: 1}
+        levels = {0: [s]}
+        for r in range(1, H + 1):
+            levels[r] = []
+            agg = {}
+            for p in levels[r - 1]:
+                for w in adj.get(p, ()):
+                    if w not in dist:
+                        agg[w] = agg.get(w, 0) + sig[p]
+            for w, sg in agg.items():
+                dist[w] = r
+                sig[w] = sg
+                levels[r].append(w)
+        delta = {}
+        for r in range(H, 1, -1):
+            contrib = {}
+            for v in levels[r]:
+                for p in adj.get(v, ()):
+                    if dist.get(p) == r - 1:
+                        term = sig[p] * (10**9 + delta.get((r, v), 0)) // sig[v]
+                        contrib[p] = contrib.get(p, 0) + term
+            for p, d in contrib.items():
+                delta[(r - 1, p)] = d
+        for (r, v), d in delta.items():
+            if r >= 1:
+                bc[v] = bc.get(v, 0) + d
+    expect = sorted(bc.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r["part_key"], r["bc_e9"]) for r in out]
+    assert got == expect
+    assert got[0][0] == 3  # the broker vertex
+
+
+# ---------------------------------------------------------------------------
+# q_nb_crossval — pure-Python complement-trick replay
+# ---------------------------------------------------------------------------
+
+
+def test_nb_crossval_replay():
+    import duckdb as _d  # only for table loading symmetry; replay is pure
+
+    texts = {
+        0: ("news", "stocks fell sharply today"),
+        1: ("news", "markets rallied on earnings today"),
+        2: ("blog", "my cat loves sunny windows"),
+        3: ("blog", "sunny days make the cat happy"),
+        4: ("news", "earnings beat forecasts stocks rallied"),
+        5: ("blog", "happy cat sunny mood"),
+        6: ("news", "stocks slid on weak forecasts"),
+        7: ("blog", "windows and cats and naps"),
+    }
+    tables = {
+        "documents": (
+            ["doc_id BIGINT", "text VARCHAR", "lang VARCHAR",
+             "source VARCHAR", "n_chars BIGINT"],
+            [(i, t, "en", src, len(t)) for i, (src, t) in texts.items()],
+        )
+    }
+    out = _run(tables, "q_nb_crossval")
+
+    folds = {i: _bucket("nbcv", i) % 5 if False else None for i in texts}
+    # hash_bucket with buckets=5: nibble sum % 5.
+    def b5(i):
+        h = hashlib.md5(f"nbcv:{i}".encode()).hexdigest()
+        nib = [int(c, 16) for c in h[:4]]
+        return (nib[0] * 4096 + nib[1] * 256 + nib[2] * 16 + nib[3]) % 5
+
+    folds = {i: b5(i) for i in texts}
+    classes = sorted({src for src, _ in texts.values()})
+    toks = {i: t.lower().split() for i, (_, t) in texts.items()}
+
+    def rha(x):
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    acc = {}
+    for f in sorted({*folds.values()}):
+        train = [i for i in texts if folds[i] != f]
+        test = [i for i in texts if folds[i] == f]
+        cnt, tot = {}, {}
+        vocab = set()
+        for i in train:
+            src = texts[i][0]
+            for tk in toks[i]:
+                cnt[(src, tk)] = cnt.get((src, tk), 0) + 1
+                tot[src] = tot.get(src, 0) + 1
+                vocab.add(tk)
+        v = len(vocab)
+        n_train = len(train)
+        correct = 0
+        for i in test:
+            best = None
+            for c in classes:
+                nd = sum(1 for j in train if texts[j][0] == c)
+                score = rha(
+                    math.log((nd + 1) / (n_train + len(classes))) * 1e6
+                )
+                for tk in toks[i]:
+                    score += rha(
+                        math.log(
+                            (cnt.get((c, tk), 0) + 1) / (tot.get(c, 0) + v)
+                        )
+                        * 1e6
+                    )
+                key = (-score, c)
+                if best is None or key < best:
+                    best = key
+            if best[1] == texts[i][0]:
+                correct += 1
+        acc[f] = (len(test), correct)
+    got = {r["fold"]: (r["n_docs"], r["n_correct"]) for r in out}
+    assert got == acc
+
+
+# ---------------------------------------------------------------------------
+# q_adaboost_stumps — pure-Python boosted-stump replay
+# ---------------------------------------------------------------------------
+
+
+def test_adaboost_replay():
+    # Returnflag correlates with bulk quantity, with noise rows that
+    # force a non-trivial second round.
+    rows = []
+    k = 0
+    for qty, price, disc, rf, cnt in (
+        (40, 5000.0, 0.05, "R", 8),
+        (10, 1000.0, 0.01, "N", 8),
+        (40, 1000.0, 0.01, "N", 2),
+        (10, 5000.0, 0.08, "R", 2),
+    ):
+        for _ in range(cnt):
+            rows.append((k, 1, 1, qty, price, disc, rf))
+            k += 1
+    out = _run({"lineitem": _lineitem(rows)}, "q_adaboost_stumps")
+    assert [r["round"] for r in out] == [1, 2, 3]
+
+    feats = [
+        (int(q), int(round(p * 100)), int(round(d * 100)),
+         1 if rf == "R" else -1)
+        for (_, _, _, q, p, d, rf) in rows
+    ]
+    mn = [min(f[i] for f in feats) for i in range(3)]
+    mx = [max(f[i] for f in feats) for i in range(3)]
+    bins = [
+        tuple(((f[i] - mn[i]) * 10) // (mx[i] - mn[i] + 1) for i in range(3))
+        for f in feats
+    ]
+    ys = [f[3] for f in feats]
+    cands = [(fid, thr, pol) for fid in range(3) for thr in range(1, 10)
+             for pol in (1, -1)]
+
+    def rha(x):
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    E9 = 10**9
+    w = [E9] * len(feats)
+    chosen = []
+    for t in range(3):
+        best = None
+        for (fid, thr, pol) in cands:
+            err = sum(
+                w[i]
+                for i in range(len(feats))
+                if (pol * (1 if bins[i][fid] >= thr else -1)) != ys[i]
+            )
+            key = (err, fid, thr, pol)
+            if best is None or key < best:
+                best = key
+        err, fid, thr, pol = best
+        W = sum(w)
+        ec = min(max(err / E9, 1), W / E9 - 1)
+        alpha = rha(0.5 * math.log((W / E9 - ec) / ec) * E9)
+        chosen.append((fid, thr, pol, err, W, alpha))
+        # Re-derive weights from the bit-pattern closed form (exactly
+        # as the query does), not incrementally.
+        sofar = chosen
+        for i in range(len(feats)):
+            signed = 0
+            for (cfid, cthr, cpol, _, _, calpha) in sofar:
+                bit = (cpol * (1 if bins[i][cfid] >= cthr else -1)) == ys[i]
+                signed += -calpha if bit else calpha
+            w[i] = rha(math.exp(signed / E9) * E9)
+    for r, (fid, thr, pol, err, W, alpha) in zip(out, chosen):
+        assert r["feature"] == ("qty", "price_c", "disc_h")[fid]
+        assert (r["thr_bin"], r["polarity"]) == (thr, pol)
+        assert abs(r["err_rate"] - round(err / W, 6)) < 1e-9
+        assert r["alpha_e9"] == alpha
+    n_corr = 0
+    for i in range(len(feats)):
+        margin = 0
+        for (cfid, cthr, cpol, _, _, calpha) in chosen:
+            bit = (cpol * (1 if bins[i][cfid] >= cthr else -1)) == ys[i]
+            margin += calpha if bit else -calpha
+        n_corr += margin > 0
+    assert all(
+        abs(r["train_accuracy"] - round(n_corr / len(feats), 6)) < 1e-9
+        for r in out
+    )
+    assert n_corr / len(feats) >= 0.8  # boosting actually fits the pattern
+
+
+# ---------------------------------------------------------------------------
+# q_quantile_reg — pure-Python pinball replay
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_reg_replay():
+    import datetime
+
+    # 24 months of linear revenue with asymmetric spikes: the median
+    # fit must ignore the spikes that pull OLS up.
+    cents = {}
+    for m in range(24):
+        cents[m] = 1_000_000 + 50_000 * m + (400_000 if m % 6 == 0 else 0)
+    rows = []
+    for m, c in cents.items():
+        y, mo = divmod(m, 12)
+        rows.append((m, 1, c / 100.0, f"{1992 + y}-{mo + 1:02d}-10", "1-URGENT"))
+    out = _run({"orders": _orders(rows)}, "q_quantile_reg")
+    assert [r["tau_pct"] for r in out] == [25, 50, 75]
+
+    ms = sorted(cents)
+    n = len(ms)
+    sm = sum(ms)
+    sy = sum(cents.values())
+    smy = sum(m * cents[m] for m in ms)
+    smm = sum(m * m for m in ms)
+    s0 = math.floor((n * smy - sm * sy) / (n * smm - sm * sm))
+    for r in out:
+        tau = r["tau_pct"]
+        best = None
+        for j in range(80, 121, 2):
+            s = math.floor(s0 * j / 100)
+            resid = sorted((cents[m] - s * m, m) for m in ms)
+            q_idx = (tau * n + 99) // 100
+            b = resid[q_idx - 1][0]
+            l100 = sum(
+                tau * (rr - b) if rr > b else (tau - 100) * (rr - b)
+                for rr, _ in resid
+            )
+            key = (l100, s)
+            if best is None or key < best:
+                best = (l100, s, b)
+        l100, s, b = best
+        assert abs(r["slope_dollars"] - round(s / 100, 6)) < 1e-9
+        assert abs(r["intercept_dollars"] - round(b / 100, 2)) < 1e-9
+        assert abs(r["avg_pinball_dollars"] - round((l100 // n) / 10000, 4)) < 1e-9
