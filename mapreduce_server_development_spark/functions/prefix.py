@@ -141,3 +141,67 @@ def global_row_number(
         .withColumn(out_col, F.row_number().over(w).cast("long") + F.col(_OFF))
         .drop(_PID, _OFF)
     )
+
+
+def global_running_min(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "running_min",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = min of ``value_col`` over all rows with
+    ``order_col`` <= this row's (inclusive prefix minimum in the global
+    order; the order key must be unique) — the same two-phase scan as
+    :func:`global_running_sum` with min in place of sum: per-partition
+    minima (one scalar each) cumulate on the driver into prior-prefix
+    offsets, and each row takes the lesser of its local running min and
+    its partition's offset. Needed by CUSUM-style control statistics,
+    where S_t = P_t - min(0, min_{tau<=t} P_tau) turns the sequential
+    recurrence into two distributed prefix passes.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    part = (
+        df.repartitionByRange(n, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals_df = part.groupBy(_PID).agg(F.min(value_col).alias("t"))
+    min_type = totals_df.schema["t"].dataType
+    totals = totals_df.collect()
+    by_pid = {r[_PID]: r["t"] for r in totals}
+    offsets: dict[int, object] = {}
+    acc: object = None
+    for pid in sorted(by_pid):
+        offsets[pid] = acc
+        m = by_pid[pid]
+        acc = m if acc is None else min(acc, m)
+
+    from pyspark.sql import types as T
+
+    off_df = df.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()],
+        T.StructType(
+            [
+                T.StructField(_PID, T.IntegerType()),
+                T.StructField(_OFF, min_type),
+            ]
+        ),
+    )
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = F.min(value_col).over(w)
+    return (
+        part.join(F.broadcast(off_df), _PID)
+        .withColumn(
+            out_col,
+            F.when(F.col(_OFF).isNull(), local).otherwise(
+                F.least(local, F.col(_OFF))
+            ),
+        )
+        .drop(_PID, _OFF)
+    )

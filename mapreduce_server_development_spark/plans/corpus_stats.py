@@ -2523,6 +2523,9 @@ def q_nb_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sampling import hash_bucket
 
     docs = load_table(spark, sf_dir, "documents")
+    # Single-file fixture scans are one task; spread before the token
+    # explode + class fan-out (the session-4 scan-stage finding).
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     split = docs.select(
         "doc_id",
         "source",

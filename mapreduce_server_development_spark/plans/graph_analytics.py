@@ -1255,7 +1255,7 @@ def q_rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Seed panel size (hash-rank draw) and BFS radius. Brandes' dependency
 #: accumulation is exact within the radius; the panel + radius bound is
 #: the standard approximation regime (Brandes & Pich 2007).
-_BC_SEEDS = 3
+_BC_SEEDS = 5
 _BC_HOPS = 3
 
 #: Top-N vertices reported by accumulated dependency.
@@ -1269,7 +1269,7 @@ _BC_FINAL = (
 
 
 def _bc_oracle() -> str:
-    lines = [f"WITH {_edges_sql(2)},"]
+    lines = [f"WITH {_edges_sql(1)},"]
     lines.append(f"""
     seeds AS (
         SELECT src AS seed FROM (SELECT DISTINCT src FROM sym)
@@ -1358,7 +1358,7 @@ def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     same bounded predecessor relations in reverse. No window, no
     collect, no all-pairs anything.
     """
-    e = _copurchase_edges(spark, sf_dir, 2)
+    e = _copurchase_edges(spark, sf_dir, 1)
     sym = _sym(e).localCheckpoint(eager=True)
     seeds = (
         sym.select("src")

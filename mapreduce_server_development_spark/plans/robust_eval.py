@@ -1505,6 +1505,10 @@ def q_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{b['disc_h']} AS b2",
             "y",
         )
+        # Spread before checkpointing: the checkpoint pins partitioning,
+        # and every round's 54x candidate fan-out inherits it (a
+        # single-file fixture scan would pin it at ~3 tasks).
+        .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint(eager=True)
     )
     cand = spark.createDataFrame(

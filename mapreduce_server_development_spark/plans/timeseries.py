@@ -1330,3 +1330,176 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("actual_c").cast("long").alias("sum_actual_c"),
     )
     return s.selectExpr(*_FB_FINAL).orderBy("cutoff")
+
+
+# ---------------------------------------------------------------------------
+# q_cusum — two-sided CUSUM control chart over daily revenue
+# ---------------------------------------------------------------------------
+
+#: In-control baseline: the first calendar year of the series.
+_CS_BASE_END = "1993-01-01"
+
+#: Allowance K = sigma/2 and decision interval H = 5*sigma (the
+#: textbook tabular-CUSUM tuning, Montgomery SPC), both floored to
+#: integer cents from the baseline sigma.
+_CS_K_DIV = 2
+_CS_H_MULT = 5
+
+_CS_FINAL = (
+    "CAST(n_days AS BIGINT) AS n_days",
+    "CAST(n_base AS BIGINT) AS n_base",
+    "round(CAST(mu0_c AS DOUBLE) / 100, 2) AS mu0_dollars",
+    "round(CAST(sigma_c AS DOUBLE) / 100, 2) AS sigma_dollars",
+    "CAST(n_alarm_hi AS BIGINT) AS n_alarm_hi",
+    "CAST(n_alarm_lo AS BIGINT) AS n_alarm_lo",
+    "CAST(first_alarm_hi AS DATE) AS first_alarm_hi",
+    "CAST(first_alarm_lo AS DATE) AS first_alarm_lo",
+    "round(CAST(max_s_hi AS DOUBLE) / 100, 2) AS max_s_hi_dollars",
+    "round(CAST(max_s_lo AS DOUBLE) / 100, 2) AS max_s_lo_dollars",
+)
+
+
+@query(
+    "q_cusum",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM({_CENTS}) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_base,
+               CAST(SUM(x) // COUNT(*) AS BIGINT) AS mu0_c,
+               CAST(FLOOR(sqrt(
+                   (CAST(COUNT(*) AS DOUBLE) * SUM(CAST(x AS HUGEINT) * x)
+                    - CAST(SUM(x) AS DOUBLE) * SUM(x))
+                   / (CAST(COUNT(*) AS DOUBLE) * (COUNT(*) - 1))
+               )) AS BIGINT) AS sigma_c
+        FROM daily WHERE day < DATE '{_CS_BASE_END}'
+    ),
+    par AS (
+        SELECT n_base, mu0_c, sigma_c,
+               sigma_c // {_CS_K_DIV} AS k_c,
+               sigma_c * {_CS_H_MULT} AS h_c
+        FROM base
+    ),
+    pre AS (
+        SELECT d.day, p.*,
+               SUM(d.x - p.mu0_c - p.k_c)
+                   OVER (ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS pu,
+               SUM(p.mu0_c - p.k_c - d.x)
+                   OVER (ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS pl
+        FROM daily d CROSS JOIN par p
+    ),
+    s AS (
+        SELECT *,
+               pu - LEAST(CAST(0 AS BIGINT),
+                          MIN(pu) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING))
+                   AS s_hi,
+               pl - LEAST(CAST(0 AS BIGINT),
+                          MIN(pl) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING))
+                   AS s_lo
+        FROM pre
+    )
+    SELECT {", ".join(_CS_FINAL)} FROM (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               MAX(n_base) AS n_base, MAX(mu0_c) AS mu0_c,
+               MAX(sigma_c) AS sigma_c,
+               CAST(COUNT(*) FILTER (WHERE s_hi > h_c) AS BIGINT) AS n_alarm_hi,
+               CAST(COUNT(*) FILTER (WHERE s_lo > h_c) AS BIGINT) AS n_alarm_lo,
+               MIN(day) FILTER (WHERE s_hi > h_c) AS first_alarm_hi,
+               MIN(day) FILTER (WHERE s_lo > h_c) AS first_alarm_lo,
+               MAX(s_hi) AS max_s_hi, MAX(s_lo) AS max_s_lo
+        FROM s
+    )
+    """,
+)
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided tabular CUSUM control chart (Page 1954; Montgomery's
+    SPC tuning K = sigma/2, H = 5*sigma) over daily revenue, with the
+    first calendar year as the in-control baseline: S+_t = max(0,
+    S+_(t-1) + x_t - mu0 - K) and the symmetric S-, the ONLINE
+    monitoring statistic next to the retrospective q_changepoint.
+
+    The distributed form: the sequential max(0, ...) recurrence
+    rewrites exactly as S_t = P_t - min(0, min_(tau<=t) P_tau) where
+    P is the running sum of the drift-adjusted deltas — two prefix
+    passes (``global_running_sum`` + the new ``global_running_min``,
+    both two-phase scans), no sequential state, no single-task window.
+
+    Exactness: deltas and prefix sums are exact integer cents; mu0 is
+    an exact floor division and sigma/K/H are floored to integer cents
+    from one shared double sqrt, so every comparison (alarm test, max)
+    is integer arithmetic.
+
+    Scale: one orders aggregate to calendar days; both prefix passes
+    run on the bounded daily relation with driver traffic of one
+    scalar per partition.
+    """
+    from ..functions.prefix import global_running_min, global_running_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.expr(_CENTS)).cast("long").alias("x")
+    )
+    base = daily.filter(F.col("day") < F.lit(_CS_BASE_END).cast("date")).agg(
+        F.count("*").cast("long").alias("n_base"),
+        F.expr("CAST(SUM(x) DIV COUNT(*) AS BIGINT)").alias("mu0_c"),
+        F.expr(
+            "CAST(FLOOR(sqrt("
+            "(CAST(COUNT(*) AS DOUBLE) * SUM(CAST(x AS DECIMAL(38,0)) * x)"
+            " - CAST(SUM(x) AS DOUBLE) * SUM(x))"
+            " / (CAST(COUNT(*) AS DOUBLE) * (COUNT(*) - 1))"
+            ")) AS BIGINT)"
+        ).alias("sigma_c"),
+    )
+    par = base.selectExpr(
+        "n_base",
+        "mu0_c",
+        "sigma_c",
+        f"sigma_c DIV {_CS_K_DIV} AS k_c",
+        f"sigma_c * {_CS_H_MULT} AS h_c",
+    )
+    pre = daily.crossJoin(F.broadcast(par)).select(
+        "day",
+        "n_base",
+        "mu0_c",
+        "sigma_c",
+        "h_c",
+        (F.col("x") - F.col("mu0_c") - F.col("k_c")).alias("du"),
+        (F.col("mu0_c") - F.col("k_c") - F.col("x")).alias("dl"),
+    )
+    pre = global_running_sum(pre, "day", "du", out_col="pu")
+    pre = global_running_sum(pre, "day", "dl", out_col="pl")
+    pre = global_running_min(pre, "day", "pu", out_col="pu_min")
+    pre = global_running_min(pre, "day", "pl", out_col="pl_min")
+    s = pre.selectExpr(
+        "day",
+        "n_base",
+        "mu0_c",
+        "sigma_c",
+        "h_c",
+        "pu - LEAST(CAST(0 AS BIGINT), pu_min) AS s_hi",
+        "pl - LEAST(CAST(0 AS BIGINT), pl_min) AS s_lo",
+    )
+    agg = s.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.max("n_base").alias("n_base"),
+        F.max("mu0_c").alias("mu0_c"),
+        F.max("sigma_c").alias("sigma_c"),
+        F.sum(F.when(F.col("s_hi") > F.col("h_c"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_alarm_hi"),
+        F.sum(F.when(F.col("s_lo") > F.col("h_c"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_alarm_lo"),
+        F.min(F.when(F.col("s_hi") > F.col("h_c"), F.col("day"))).alias(
+            "first_alarm_hi"
+        ),
+        F.min(F.when(F.col("s_lo") > F.col("h_c"), F.col("day"))).alias(
+            "first_alarm_lo"
+        ),
+        F.max("s_hi").alias("max_s_hi"),
+        F.max("s_lo").alias("max_s_lo"),
+    )
+    return agg.selectExpr(*_CS_FINAL)

@@ -426,7 +426,7 @@ def test_betweenness_replay():
         adj.setdefault(b, set()).add(a)
     seeds = sorted(
         adj, key=lambda v: (hashlib.md5(f"btw:{v}".encode()).hexdigest(), v)
-    )[:3]
+    )[:5]
     H = 3
     bc = {}
     for s in seeds:
