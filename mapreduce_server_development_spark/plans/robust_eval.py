@@ -1802,3 +1802,152 @@ def q_quantile_reg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         best.filter("rk = 1").selectExpr(*_QR_FINAL).orderBy("tau_pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_cluster_bootstrap — customer-clustered bootstrap CI for the mean
+# ---------------------------------------------------------------------------
+
+#: Replicates (order statistics 2 and 49 of 50 = the 95% interval).
+_CB_REPS = 50
+
+
+@query(
+    "q_cluster_bootstrap",
+    oracle=f"""
+    WITH cl AS (
+        SELECT o_custkey AS cust,
+               CAST(SUM({_CENTS}) AS BIGINT) AS s_c,
+               CAST(COUNT(*) AS BIGINT) AS n_c
+        FROM orders GROUP BY 1
+    ),
+    blocks AS (SELECT unnest(range(0, {(_CB_REPS + 31) // 32})) AS blk),
+    js AS (SELECT unnest(range(0, 32)) AS j),
+    hashed AS (
+        SELECT s_c, n_c, blk, md5('cb:' || blk || ':' || cust) AS h
+        FROM cl, blocks
+    ),
+    w AS (
+        SELECT blk * 32 + j AS rep, s_c, n_c,
+               CASE WHEN d < 6 THEN 0 WHEN d < 12 THEN 1
+                    WHEN d < 15 THEN 2 ELSE 3 END AS wt
+        FROM (SELECT s_c, n_c, blk, j,
+                     strpos('0123456789abcdef',
+                            substr(h, CAST(j + 1 AS INT), 1)) - 1 AS d
+              FROM hashed, js WHERE blk * 32 + j < {_CB_REPS})
+    ),
+    per_rep AS (
+        SELECT rep, SUM(wt * s_c) AS s, SUM(wt * n_c) AS n FROM w GROUP BY rep
+    ),
+    means AS (SELECT rep,
+                     CAST(CAST(s AS HUGEINT) * 100 // n AS BIGINT)
+                         AS mean_c2 FROM per_rep),
+    ranked AS (SELECT mean_c2, ROW_NUMBER() OVER (ORDER BY mean_c2) AS rk
+               FROM means)
+    SELECT
+        CAST({_CB_REPS} AS BIGINT) AS n_reps,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM cl) AS n_clusters,
+        (SELECT round(CAST(SUM(s_c) AS DOUBLE) / SUM(n_c) / 100, 2) FROM cl)
+            AS mean_est,
+        (SELECT round(mean_c2 / 10000.0, 2) FROM ranked WHERE rk = 2) AS ci_lo,
+        (SELECT round(mean_c2 / 10000.0, 2) FROM ranked WHERE rk = {_CB_REPS - 1})
+            AS ci_hi
+    """,
+)
+def q_cluster_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-CLUSTERED bootstrap 95% CI for the mean order value
+    (Field & Welsh 2007; the survey-sampling rule: resample CLUSTERS,
+    not rows, when observations within a customer are correlated).
+    Same deterministic Poisson-bootstrap machinery as q_bootstrap_ci —
+    counter-mode md5, quantized-Poisson(1) weights {0,1,2,3} with
+    probabilities {6,6,3,1}/16 — but the weight attaches to a
+    customer's ENTIRE order set (pre-aggregated to one (sum, count)
+    row per customer), so within-customer correlation widens the
+    interval the row-level bootstrap understates.
+
+    Exactness: per-replicate means are exact integer floor divisions
+    (hundredths of a cent); CI endpoints are exact order statistics
+    (ranks 2 and 49 of 50); the rank filter compiles to
+    TakeOrderedAndProject (no single-partition window).
+
+    Scale: one orders aggregate to the customer relation, then the
+    replicate fan-out runs on CLUSTER-level rows (|customers|, far
+    below row scale) with map-side partial aggregation to 50 rows.
+    """
+    n_blocks = (_CB_REPS + 31) // 32
+    orders = load_table(spark, sf_dir, "orders")
+    cl = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.sum(F.expr(_CENTS)).cast("long").alias("s_c"),
+        F.count("*").cast("long").alias("n_c"),
+    )
+    h = F.md5(
+        F.concat(
+            F.lit("cb:"),
+            F.col("blk").cast("string"),
+            F.lit(":"),
+            F.col("cust").cast("string"),
+        )
+    )
+    d = F.conv(F.expr("substring(h, j + 1, 1)"), 16, 10).cast("int").alias("d")
+    wt = (
+        F.when(F.col("d") < 6, 0)
+        .when(F.col("d") < 12, 1)
+        .when(F.col("d") < 15, 2)
+        .otherwise(3)
+    )
+    per_rep = (
+        cl.select(
+            "cust",
+            "s_c",
+            "n_c",
+            F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("blk"),
+        )
+        .select("s_c", "n_c", "blk", h.alias("h"))
+        .select(
+            "s_c",
+            "n_c",
+            "blk",
+            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"),
+            "h",
+        )
+        .filter(F.col("blk") * 32 + F.col("j") < _CB_REPS)
+        .select((F.col("blk") * 32 + F.col("j")).alias("rep"), "s_c", "n_c", d)
+        .select("rep", "s_c", "n_c", wt.alias("wt"))
+        .groupBy("rep")
+        .agg(
+            F.sum(F.col("wt") * F.col("s_c")).alias("s"),
+            F.sum(F.col("wt") * F.col("n_c")).alias("n"),
+        )
+    )
+    means = per_rep.selectExpr(
+        "CAST(CAST(s AS DECIMAL(38,0)) * 100 DIV n AS BIGINT) AS mean_c2"
+    )
+    lo = (
+        means.orderBy("mean_c2")
+        .limit(2)
+        .agg(F.max("mean_c2").alias("v"))
+        .selectExpr("round(CAST(v AS DOUBLE) / 10000, 2) AS ci_lo")
+    )
+    hi = (
+        means.orderBy(F.col("mean_c2").desc())
+        .limit(2)
+        .agg(F.min("mean_c2").alias("v"))
+        .selectExpr("round(CAST(v AS DOUBLE) / 10000, 2) AS ci_hi")
+    )
+    est = cl.agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.expr(
+            "round(CAST(SUM(s_c) AS DOUBLE) / SUM(n_c) / 100, 2)"
+        ).alias("mean_est"),
+    )
+    return (
+        est.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .selectExpr(
+            f"CAST({_CB_REPS} AS BIGINT) AS n_reps",
+            "n_clusters",
+            "mean_est",
+            "ci_lo",
+            "ci_hi",
+        )
+    )

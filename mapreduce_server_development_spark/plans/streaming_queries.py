@@ -2693,3 +2693,143 @@ def q_stream_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_documents_stream(spark, sf_dir)
     out = _run_to_files(chunk_documents(stream), spark)
     return out.orderBy("doc_id", "chunk_id")
+
+
+# ---------------------------------------------------------------------------
+# q_stream_conformal — ingest-time conformal anomaly gate per event type
+# ---------------------------------------------------------------------------
+
+_SCF_FINAL = (
+    "event_type",
+    "CAST(n_events AS BIGINT) AS n_events",
+    "CAST(n_flagged AS BIGINT) AS n_flagged",
+    "round(CAST(n_flagged AS DOUBLE) / n_events, 6) AS flag_rate",
+    "round(CAST(med_c AS DOUBLE) / 100, 2) AS median_dollars",
+    "round(CAST(q_hat_c AS DOUBLE) / 100, 2) AS q_hat_dollars",
+)
+
+_SCF_MODEL_SQL = """
+    ev AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+        FROM events
+    ),
+    rk AS (
+        SELECT event_type, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY v, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM (SELECT event_type, v,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY v) AS event_id
+              FROM ev)
+    ),
+    med AS (
+        SELECT event_type, v AS med_c FROM rk WHERE rn = (n + 1) // 2
+    ),
+    resid AS (
+        SELECT e.event_type, abs(e.v - m.med_c) AS r
+        FROM ev e JOIN med m USING (event_type)
+    ),
+    rrk AS (
+        SELECT event_type, r,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY r) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM resid
+    ),
+    model AS (
+        SELECT k.event_type, m.med_c, k.r AS q_hat_c
+        FROM rrk k JOIN med m USING (event_type)
+        WHERE k.rn = LEAST((9 * (k.n + 1) + 9) // 10, k.n)
+    )
+"""
+
+
+def _q_stream_conformal_oracle() -> str:
+    return f"""
+    WITH {_SCF_MODEL_SQL},
+    flags AS (
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(*) FILTER (WHERE abs(e.v - m.med_c) > m.q_hat_c)
+                    AS BIGINT) AS n_flagged,
+               MAX(m.med_c) AS med_c, MAX(m.q_hat_c) AS q_hat_c
+        FROM ev e JOIN model m USING (event_type)
+        GROUP BY e.event_type
+    )
+    SELECT {", ".join(_SCF_FINAL)} FROM flags ORDER BY event_type
+    """
+
+
+@query("q_stream_conformal", oracle=_q_stream_conformal_oracle())
+def q_stream_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time conformal anomaly gate — the streaming deployment
+    of the split-conformal idea (q_conformal_forecast): a per-type
+    model panel (median value, 90th-percentile absolute residual as
+    the conformal radius q_hat) is trained BATCH-side and broadcast
+    into the stream; every arriving event is flagged statelessly when
+    |value - median| > q_hat, and the per-type flag-rate panel is the
+    stream's associative aggregate (complete mode — micro-batch order
+    cannot change it). In production the panel comes from the
+    reference window and the stream is live traffic; on the fixture
+    both sides read the same events, so the oracle is the exact batch
+    computation.
+
+    Exactness: the median is the exact lower-median order statistic
+    (rank (n+1) DIV 2, value+arrival tie-break) and q_hat the exact
+    ceil(0.9(n+1))-th absolute residual, both integer cents — the
+    flag comparison is pure integer arithmetic.
+
+    Scale: the model panel is |event_types| rows (broadcast); the
+    stream side is a stateless projection + join and one partial-
+    agg'd count per type — no streaming state beyond the panel
+    aggregate, the q_stream_toxicity operator class.
+    """
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    ev = events.select(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
+    )
+    wt = Window.partitionBy("event_type").orderBy("v")
+    ranked = ev.withColumn("rn", F.row_number().over(wt)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    med = ranked.filter(F.expr("rn = (n + 1) DIV 2")).select(
+        "event_type", F.col("v").alias("med_c")
+    )
+    resid = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("v") - F.col("med_c")).alias("r")
+    )
+    wr = Window.partitionBy("event_type").orderBy("r")
+    model = (
+        resid.withColumn("rn", F.row_number().over(wr))
+        .withColumn("n", F.count("*").over(Window.partitionBy("event_type")))
+        .filter(F.expr("rn = LEAST((9 * (n + 1) + 9) DIV 10, n)"))
+        .select("event_type", F.col("r").alias("q_hat_c"))
+        .join(F.broadcast(med), "event_type")
+        .localCheckpoint(eager=True)
+    )
+    stream = read_events_stream(spark, sf_dir)
+    flags = (
+        stream.select(
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
+        )
+        .join(F.broadcast(model), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("v") - F.col("med_c")) > F.col("q_hat_c"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_flagged"),
+            F.max("med_c").alias("med_c"),
+            F.max("q_hat_c").alias("q_hat_c"),
+        )
+    )
+    out = _run_to_memory(flags, spark, mode="complete")
+    return out.selectExpr(*_SCF_FINAL).orderBy("event_type")

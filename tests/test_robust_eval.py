@@ -675,3 +675,146 @@ def test_quantile_reg_replay():
         assert abs(r["slope_dollars"] - round(s / 100, 6)) < 1e-9
         assert abs(r["intercept_dollars"] - round(b / 100, 2)) < 1e-9
         assert abs(r["avg_pinball_dollars"] - round((l100 // n) / 10000, 4)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# q_cusum — pure-Python sequential-recurrence replay
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_replay():
+    import datetime
+
+    # Baseline year in control around 2000.00; a +5-sigma-ish upward
+    # shift mid-1993 and a dip late 1993.
+    base = datetime.date(1992, 1, 1)
+    days = {}
+    for t in range(500):
+        d = base + datetime.timedelta(days=t)
+        x = 200000 + (t % 7) * 1000
+        if 420 <= t < 450:
+            x += 40000
+        if 470 <= t < 480:
+            x -= 40000
+        days[d] = x
+    rows = [
+        (i, 1, x / 100.0, d.isoformat(), "1-URGENT")
+        for i, (d, x) in enumerate(sorted(days.items()))
+    ]
+    out = _run({"orders": _orders(rows)}, "q_cusum")
+    assert len(out) == 1
+    r = out[0]
+
+    basevals = [x for d, x in days.items() if d < datetime.date(1993, 1, 1)]
+    nb = len(basevals)
+    mu0 = sum(basevals) // nb
+    # exact variance via integer sums, like the query:
+    sx = sum(basevals)
+    sxx = sum(v * v for v in basevals)
+    sigma = math.floor(math.sqrt((nb * sxx - float(sx) * sx) / (nb * (nb - 1))))
+    k, h = sigma // 2, sigma * 5
+    s_hi = s_lo = 0
+    n_hi = n_lo = 0
+    first_hi = first_lo = None
+    max_hi = max_lo = 0
+    for d in sorted(days):
+        x = days[d]
+        s_hi = max(0, s_hi + x - mu0 - k)
+        s_lo = max(0, s_lo + mu0 - k - x)
+        if s_hi > h:
+            n_hi += 1
+            first_hi = first_hi or d
+        if s_lo > h:
+            n_lo += 1
+            first_lo = first_lo or d
+        max_hi, max_lo = max(max_hi, s_hi), max(max_lo, s_lo)
+    assert r["n_base"] == nb
+    assert abs(r["mu0_dollars"] - round(mu0 / 100, 2)) < 1e-9
+    assert abs(r["sigma_dollars"] - round(sigma / 100, 2)) < 1e-9
+    assert (r["n_alarm_hi"], r["n_alarm_lo"]) == (n_hi, n_lo)
+    assert (r["first_alarm_hi"], r["first_alarm_lo"]) == (first_hi, first_lo)
+    assert abs(r["max_s_hi_dollars"] - round(max_hi / 100, 2)) < 1e-9
+    assert abs(r["max_s_lo_dollars"] - round(max_lo / 100, 2)) < 1e-9
+    assert n_hi > 0 and n_lo > 0  # both engineered shifts alarmed
+
+
+# ---------------------------------------------------------------------------
+# q_cluster_bootstrap — md5-weight replay
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_bootstrap_replay():
+    # 6 customers with very different order-value levels: the cluster
+    # CI must reproduce the exact md5-derived weights.
+    rows = []
+    ok = 0
+    for cust in range(1, 7):
+        for _ in range(4):
+            rows.append((ok, cust, cust * 1000.0, "1995-03-01", "1-URGENT"))
+            ok += 1
+    out = _run({"orders": _orders(rows)}, "q_cluster_bootstrap")
+    assert len(out) == 1
+    r = out[0]
+
+    clusters = {}
+    for (okey, cust, price, _, _) in rows:
+        c = int(round(price * 100))
+        s, n = clusters.get(cust, (0, 0))
+        clusters[cust] = (s + c, n + 1)
+    means = []
+    for rep in range(50):
+        blk, j = divmod(rep, 32)
+        s = n = 0
+        for cust, (sc, nc) in clusters.items():
+            h = hashlib.md5(f"cb:{blk}:{cust}".encode()).hexdigest()
+            d = int(h[j], 16)
+            wt = 0 if d < 6 else 1 if d < 12 else 2 if d < 15 else 3
+            s += wt * sc
+            n += wt * nc
+        means.append(s * 100 // n)
+    means.sort()
+    assert r["n_clusters"] == 6
+    assert abs(r["ci_lo"] - round(means[1] / 10000, 2)) < 1e-9
+    assert abs(r["ci_hi"] - round(means[48] / 10000, 2)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# q_stream_conformal — batch-equivalent model replay
+# ---------------------------------------------------------------------------
+
+
+def test_stream_conformal_model():
+    # Two event types with known medians/q_hats; flag counts replayed.
+    rows = []
+    eid = 0
+    for et, vals in (
+        ("purchase", [10, 10, 12, 14, 100]),
+        ("view", [1, 2, 3]),
+    ):
+        for v in vals:
+            rows.append((eid, "2024-01-01 00:00:00", 1, et, float(v), "{}"))
+            eid += 1
+    tables = {
+        "events": (
+            ["event_id BIGINT", "ts TIMESTAMP", "user_id BIGINT",
+             "event_type VARCHAR", "value DOUBLE", "props VARCHAR"],
+            rows,
+        )
+    }
+    out = _run(tables, "q_stream_conformal")
+    got = {r["event_type"]: r for r in out}
+
+    for et, vals in (("purchase", [10, 10, 12, 14, 100]),
+                     ("view", [1, 2, 3])):
+        cs = sorted(int(v * 100) for v in vals)
+        n = len(cs)
+        med = cs[(n + 1) // 2 - 1]
+        resid = sorted(abs(c - med) for c in cs)
+        q_idx = min((9 * (n + 1) + 9) // 10, n)
+        q_hat = resid[q_idx - 1]
+        flagged = sum(1 for c in cs if abs(c - med) > q_hat)
+        g = got[et]
+        assert g["n_events"] == n
+        assert abs(g["median_dollars"] - round(med / 100, 2)) < 1e-9
+        assert abs(g["q_hat_dollars"] - round(q_hat / 100, 2)) < 1e-9
+        assert g["n_flagged"] == flagged
