@@ -2640,3 +2640,159 @@ def q_nb_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return acc.selectExpr(*_NBCV_FINAL).orderBy("fold")
+
+
+# ---------------------------------------------------------------------------
+# q_lsa_topic — top LSA direction of the TF-IDF doc-term matrix
+# ---------------------------------------------------------------------------
+
+#: Power-iteration rounds on A^T A (weights are nonnegative, so the
+#: iteration converges to the top singular direction from the uniform
+#: start without sign flips).
+_LSA_ROUNDS = 3
+
+#: Fixed-point scale for the iterate and the weights.
+_LSA_E6 = 1_000_000
+
+#: Top terms reported by loading.
+_LSA_TOPN = 10
+
+_LSA_FINAL = (
+    "term",
+    "CAST(v AS BIGINT) AS loading_e6",
+    "round(CAST(v AS DOUBLE) / 1000000, 6) AS loading",
+)
+
+
+def _lsa_oracle() -> str:
+    rounds = []
+    prev_v = "v0"
+    for r in range(1, _LSA_ROUNDS + 1):
+        rounds.append(f"""u{r}r AS (
+        SELECT a.doc, SUM(CAST(a.w AS HUGEINT) * v.v) AS s
+        FROM a JOIN {prev_v} v ON v.term = a.term GROUP BY a.doc
+    ),
+    u{r} AS (
+        SELECT doc, CAST({_LSA_E6} * s // MAX(s) OVER () AS BIGINT) AS u
+        FROM u{r}r
+    ),
+    v{r}r AS (
+        SELECT a.term, SUM(CAST(a.w AS HUGEINT) * u.u) AS s
+        FROM a JOIN u{r} u ON u.doc = a.doc GROUP BY a.term
+    ),
+    v{r} AS (
+        SELECT term, CAST({_LSA_E6} * s // MAX(s) OVER () AS BIGINT) AS v
+        FROM v{r}r
+    )""")
+        prev_v = f"v{r}"
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH tf AS (
+        SELECT doc_id AS doc, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      t -> t <> '')) AS tok
+            FROM documents
+        ) GROUP BY 1, 2
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    a AS MATERIALIZED (
+        SELECT tf.doc, tf.term,
+               CAST(round(tf.tf * ln(CAST(nd.n AS DOUBLE) / df.df)
+                          * {_LSA_E6}) AS BIGINT) AS w
+        FROM tf JOIN df ON df.term = tf.term CROSS JOIN nd
+        WHERE df.df < nd.n
+    ),
+    v0 AS (SELECT DISTINCT term, CAST({_LSA_E6} AS BIGINT) AS v FROM a),
+    {chain},
+    top AS (
+        SELECT term, v FROM v{_LSA_ROUNDS}
+        ORDER BY v DESC, term LIMIT {_LSA_TOPN}
+    )
+    SELECT {", ".join(_LSA_FINAL)} FROM top ORDER BY loading_e6 DESC, term
+    """
+
+
+@query("q_lsa_topic", oracle=_lsa_oracle())
+def q_lsa_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top latent-semantic direction (Deerwester et al. 1990 LSA) of
+    the TF-IDF document-term matrix by power iteration on A^T A: the
+    10 highest-loading terms name the corpus's dominant topic — the
+    text-side counterpart of q_pca_top_component (which audits the
+    embedding space) and the spectral summary next to q_tfidf_topk's
+    per-document keywords.
+
+    Exactness: TF-IDF weights are e6-quantized integers (q_tfidf_topk's
+    formula text); each half-round inflow sum is DECIMAL(38,0)/HUGEINT
+    and is max-normalized in exact integer arithmetic (``1e6*s DIV
+    max(s)`` — the q_hits discipline; all quantities nonnegative, so
+    truncating DIV == flooring //); the oracle unrolls every round
+    with the ``MAX(s) OVER ()`` window form (a scalar subquery makes
+    DuckDB re-inline the CTE chain per round — the q_hits finding).
+    Terms appearing in every document carry zero idf and are dropped
+    identically in both engines.
+
+    Scale: each half-round is one term- or doc-keyed equi-join over
+    the sparse triple relation plus a partial-agg'd sum — 2 shuffles
+    per round, linear in nnz(A), never a dense matrix; the normalizing
+    max is a 1-row broadcast; the top-10 compiles to
+    TakeOrderedAndProject.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    tf = (
+        spread.select(
+            F.col("doc_id").alias("doc"),
+            F.explode(
+                F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+            ).alias("term"),
+        )
+        .groupBy("doc", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    nd = docs.agg(F.count("*").cast("long").alias("n"))
+    a = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("df") < F.col("n"))
+        .selectExpr(
+            "doc",
+            "term",
+            f"CAST(round(tf * ln(CAST(n AS DOUBLE) / df) * {_LSA_E6})"
+            " AS BIGINT) AS w",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def _normalize(raw: DataFrame, key: str, out: str) -> DataFrame:
+        raw = raw.localCheckpoint(eager=True)
+        mx = raw.agg(F.max("s").alias("mx"))
+        return raw.crossJoin(F.broadcast(mx)).selectExpr(
+            key, f"CAST({_LSA_E6} * s DIV mx AS BIGINT) AS {out}"
+        )
+
+    v = a.select("term").distinct().select(
+        "term", F.lit(_LSA_E6).cast("long").alias("v")
+    )
+    for _ in range(_LSA_ROUNDS):
+        u_raw = (
+            a.join(v, "term")
+            .groupBy("doc")
+            .agg(F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * v")).alias("s"))
+        )
+        u = _normalize(u_raw, "doc", "u")
+        v_raw = (
+            a.join(u, "doc")
+            .groupBy("term")
+            .agg(F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * u")).alias("s"))
+        )
+        v = _normalize(v_raw, "term", "v")
+    return (
+        v.orderBy(F.col("v").desc(), "term")
+        .limit(_LSA_TOPN)
+        .selectExpr(*_LSA_FINAL)
+        .orderBy(F.col("loading_e6").desc(), "term")
+    )

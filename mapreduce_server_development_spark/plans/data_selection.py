@@ -172,6 +172,99 @@ def _dsir_score(bi: DataFrame, raw: DataFrame, tgt: DataFrame,
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# q_importance_ess — effective-sample-size diagnostics for DSIR weights
+# ---------------------------------------------------------------------------
+
+_ESS_FINAL = (
+    "source",
+    "CAST(n_docs AS BIGINT) AS n_docs",
+    "round(CAST(s1 AS DOUBLE) * s1 / s2, 2) AS ess",
+    "round(CAST(s1 AS DOUBLE) * s1 / s2 / n_docs, 6) AS ess_frac",
+    "round(CAST(1000000000000 AS DOUBLE) / s1, 6) AS max_weight_share",
+)
+
+
+def _ess_oracle() -> str:
+    # Reuse _DSIR_ORACLE's CTE chain up to (and including) per_doc.
+    head = _DSIR_ORACLE[: _DSIR_ORACLE.rindex("SELECT ")]
+    head = head[: head.rindex(")") + 1]
+    return f"""{head},
+    mx AS (SELECT source, MAX(weight) AS mw FROM per_doc GROUP BY source),
+    wq AS (
+        SELECT p.source,
+               CAST(round(exp((p.weight - m.mw) / 1000000.0)
+                          * 1000000000000) AS HUGEINT) AS w
+        FROM per_doc p JOIN mx m USING (source)
+    ),
+    panel AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               SUM(w) AS s1, SUM(w * w) AS s2
+        FROM wq GROUP BY source
+    )
+    SELECT {", ".join(_ESS_FINAL)} FROM panel ORDER BY source
+    """
+
+
+@query("q_importance_ess", oracle=_ess_oracle())
+def q_importance_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-sample-size diagnostics for the DSIR importance
+    weights (Kong 1992 ESS = (sum w)^2 / sum w^2), per source: the
+    panel a data-mixing team reads before importance RESAMPLING —
+    ESS near n means near-uniform weights (resampling changes
+    little); ESS near 1 means one document dominates and the
+    resampled mix collapses. Also reports the largest single
+    document's weight share.
+
+    Exactness: per-doc log-weights are the exact micro-nat integers
+    of q_dsir_weights (shared pipeline); weights are exponentiated
+    SHIFT-INVARIANTLY (w - max per source, so the largest weight is
+    exactly 1.0) and e12-quantized BEFORE the exact integer sums, so
+    ESS is a ratio of exact integers with one shared division text.
+
+    Scale: the weight pipeline is q_dsir_weights' (256-bucket
+    broadcast panel, doc-keyed aggregate); the diagnostics add one
+    |sources|-row aggregate on top.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bi = _dsir_bigrams(docs)
+    raw = bi.groupBy("b").agg(F.count("*").cast("long").alias("cr"))
+    tgt = (
+        bi.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("ct"))
+    )
+    tot = bi.agg(
+        F.count("*").cast("long").alias("tr"),
+        F.count(F.when(F.col("lang") == "en", 1)).cast("long").alias("tt"),
+    )
+    cells = (
+        raw.join(tgt, "b", "left")
+        .withColumn("ct", F.coalesce("ct", F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .selectExpr("b", f"{_DSIR_CELL} AS cell")
+    )
+    per_doc = (
+        bi.join(F.broadcast(cells), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("cell").cast("long").alias("weight"))
+    )
+    mx = per_doc.groupBy("source").agg(F.max("weight").alias("mw"))
+    wq = per_doc.join(F.broadcast(mx), "source").selectExpr(
+        "source",
+        "CAST(round(exp((weight - mw) / 1000000.0)"
+        " * 1000000000000) AS DECIMAL(38,0)) AS w",
+    )
+    panel = wq.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("w").alias("s1"),
+        F.sum(F.expr("w * w")).alias("s2"),
+    )
+    return panel.selectExpr(*_ESS_FINAL).orderBy("source")
+
+
 @query("q_dsir_weights", oracle=_DSIR_ORACLE)
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023): model the target

@@ -1336,8 +1336,9 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_cusum — two-sided CUSUM control chart over daily revenue
 # ---------------------------------------------------------------------------
 
-#: In-control baseline: the first calendar year of the series.
-_CS_BASE_END = "1993-01-01"
+#: In-control baseline: the first 365 days of the series (derived
+#: from MIN(day) — the fixture's date range varies by SF).
+_CS_BASE_DAYS = 365
 
 #: Allowance K = sigma/2 and decision interval H = 5*sigma (the
 #: textbook tabular-CUSUM tuning, Montgomery SPC), both floored to
@@ -1367,6 +1368,7 @@ _CS_FINAL = (
                CAST(SUM({_CENTS}) AS BIGINT) AS x
         FROM orders GROUP BY 1
     ),
+    mnd AS (SELECT MIN(day) AS min_day FROM daily),
     base AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n_base,
                CAST(SUM(x) // COUNT(*) AS BIGINT) AS mu0_c,
@@ -1375,7 +1377,8 @@ _CS_FINAL = (
                     - CAST(SUM(x) AS DOUBLE) * SUM(x))
                    / (CAST(COUNT(*) AS DOUBLE) * (COUNT(*) - 1))
                )) AS BIGINT) AS sigma_c
-        FROM daily WHERE day < DATE '{_CS_BASE_END}'
+        FROM daily, mnd
+        WHERE day < CAST(min_day + INTERVAL {_CS_BASE_DAYS} DAY AS DATE)
     ),
     par AS (
         SELECT n_base, mu0_c, sigma_c,
@@ -1442,7 +1445,10 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
         F.sum(F.expr(_CENTS)).cast("long").alias("x")
     )
-    base = daily.filter(F.col("day") < F.lit(_CS_BASE_END).cast("date")).agg(
+    mnd = daily.agg(F.min("day").alias("min_day"))
+    base = daily.crossJoin(F.broadcast(mnd)).filter(
+        F.col("day") < F.date_add(F.col("min_day"), _CS_BASE_DAYS)
+    ).agg(
         F.count("*").cast("long").alias("n_base"),
         F.expr("CAST(SUM(x) DIV COUNT(*) AS BIGINT)").alias("mu0_c"),
         F.expr(
@@ -1503,3 +1509,124 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("s_lo").alias("max_s_lo"),
     )
     return agg.selectExpr(*_CS_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# q_price_index — Laspeyres / Paasche / Fisher monthly price indices
+# ---------------------------------------------------------------------------
+
+#: Base period: the first 365 days of shipments (derived from
+#: MIN(l_shipdate) — the fixture's date range varies by SF).
+_PI_BASE_DAYS = 365
+
+_PI_FINAL = (
+    "CAST(m AS BIGINT) AS month_idx",
+    "CAST(n_parts AS BIGINT) AS n_parts",
+    "round(CAST(l_num AS DOUBLE) / l_den, 6) AS laspeyres",
+    "round(CAST(p_num AS DOUBLE) / p_den, 6) AS paasche",
+    "round(sqrt((CAST(l_num AS DOUBLE) / l_den)"
+    " * (CAST(p_num AS DOUBLE) / p_den)), 6) AS fisher",
+)
+
+_PI_EXT_C = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+_PI_QTY = "CAST(round(l_quantity) AS BIGINT)"
+
+
+@query(
+    "q_price_index",
+    oracle=f"""
+    WITH mnd AS (
+        SELECT MIN(CAST(l_shipdate AS DATE)) AS min_day FROM lineitem
+    ),
+    base AS (
+        SELECT l_partkey AS part,
+               CAST(SUM({_PI_QTY}) AS BIGINT) AS qb,
+               CAST(SUM({_PI_EXT_C}) // SUM({_PI_QTY}) AS BIGINT) AS ub
+        FROM lineitem, mnd
+        WHERE CAST(l_shipdate AS DATE)
+              < CAST(min_day + INTERVAL {_PI_BASE_DAYS} DAY AS DATE)
+        GROUP BY 1
+    ),
+    cur AS (
+        SELECT (year(CAST(l_shipdate AS DATE)) - 1992) * 12
+               + month(CAST(l_shipdate AS DATE)) - 1 AS m,
+               l_partkey AS part,
+               CAST(SUM({_PI_QTY}) AS BIGINT) AS qt,
+               CAST(SUM({_PI_EXT_C}) // SUM({_PI_QTY}) AS BIGINT) AS ut
+        FROM lineitem GROUP BY 1, 2
+    ),
+    matched AS (
+        SELECT c.m, c.part, b.qb, b.ub, c.qt, c.ut
+        FROM cur c JOIN base b ON b.part = c.part
+    ),
+    idx AS (
+        SELECT m, CAST(COUNT(*) AS BIGINT) AS n_parts,
+               SUM(CAST(qb AS HUGEINT) * ut) AS l_num,
+               SUM(CAST(qb AS HUGEINT) * ub) AS l_den,
+               SUM(CAST(qt AS HUGEINT) * ut) AS p_num,
+               SUM(CAST(qt AS HUGEINT) * ub) AS p_den
+        FROM matched GROUP BY m
+    )
+    SELECT {", ".join(_PI_FINAL)} FROM idx ORDER BY m
+    """,
+)
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly Laspeyres, Paasche, and Fisher price indices over the
+    part catalog (the CPI construction, Fisher 1922): base-period
+    (first 365 shipment days) quantities and unit prices per part; each month's index
+    compares that month's unit prices against base prices, weighted
+    by base-year quantities (Laspeyres), current-month quantities
+    (Paasche), and their geometric mean (Fisher's ideal index). Only
+    parts present in BOTH the base year and the month enter that
+    month's basket (the matched-sample convention), with the matched
+    part count reported.
+
+    Exactness: unit prices are exact integer floor divisions of cent
+    sums by quantity sums (all positive); the four index sums are
+    exact DECIMAL(38,0)/HUGEINT products; each index is one float
+    division (Fisher one sqrt of their product), identical text in
+    both engines.
+
+    Scale: two (part[, month])-keyed partial-agg'd passes over
+    lineitem; the index join shuffles on part (the base relation is
+    part-catalog-scale, co-partitioned); output is calendar-bounded.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    mnd = li.agg(F.min(F.col("l_shipdate").cast("date")).alias("min_day"))
+    base = (
+        li.crossJoin(F.broadcast(mnd))
+        .filter(
+            F.col("l_shipdate").cast("date")
+            < F.date_add(F.col("min_day"), _PI_BASE_DAYS)
+        )
+        .groupBy(F.col("l_partkey").alias("part"))
+        .agg(
+            F.sum(F.expr(_PI_QTY)).cast("long").alias("sq"),
+            F.sum(F.expr(_PI_EXT_C)).cast("long").alias("se"),
+        )
+        .selectExpr("part", "sq AS qb", "CAST(se DIV sq AS BIGINT) AS ub")
+    )
+    cur = (
+        li.groupBy(
+            (
+                (F.year(F.col("l_shipdate").cast("date")) - 1992) * 12
+                + F.month(F.col("l_shipdate").cast("date"))
+                - 1
+            ).alias("m"),
+            F.col("l_partkey").alias("part"),
+        )
+        .agg(
+            F.sum(F.expr(_PI_QTY)).cast("long").alias("sq"),
+            F.sum(F.expr(_PI_EXT_C)).cast("long").alias("se"),
+        )
+        .selectExpr("m", "part", "sq AS qt", "CAST(se DIV sq AS BIGINT) AS ut")
+    )
+    matched = cur.join(base, "part")
+    idx = matched.groupBy("m").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum(F.expr("CAST(qb AS DECIMAL(38,0)) * ut")).alias("l_num"),
+        F.sum(F.expr("CAST(qb AS DECIMAL(38,0)) * ub")).alias("l_den"),
+        F.sum(F.expr("CAST(qt AS DECIMAL(38,0)) * ut")).alias("p_num"),
+        F.sum(F.expr("CAST(qt AS DECIMAL(38,0)) * ub")).alias("p_den"),
+    )
+    return idx.selectExpr(*_PI_FINAL).orderBy("month_idx")

@@ -705,7 +705,11 @@ def test_cusum_replay():
     assert len(out) == 1
     r = out[0]
 
-    basevals = [x for d, x in days.items() if d < datetime.date(1993, 1, 1)]
+    min_day = min(days)
+    basevals = [
+        x for d, x in days.items()
+        if d < min_day + datetime.timedelta(days=365)
+    ]
     nb = len(basevals)
     mu0 = sum(basevals) // nb
     # exact variance via integer sums, like the query:
@@ -818,3 +822,133 @@ def test_stream_conformal_model():
         assert abs(g["median_dollars"] - round(med / 100, 2)) < 1e-9
         assert abs(g["q_hat_dollars"] - round(q_hat / 100, 2)) < 1e-9
         assert g["n_flagged"] == flagged
+
+
+# ---------------------------------------------------------------------------
+# q_price_index — hand-computed index replay
+# ---------------------------------------------------------------------------
+
+
+def test_price_index_replay():
+    # Two parts; part 1 doubles in price in month 13, part 2 is flat.
+    # Base = first 365 days (months 0-11).
+    rows = []
+    ok = 0
+    for m in range(15):
+        y, mo = divmod(m, 12)
+        d = f"{1995 + y}-{mo + 1:02d}-10"
+        p1 = 200.0 if m < 13 else 400.0
+        rows.append((ok, 1, 1, 2, 2 * p1, 0.0, "N", d)); ok += 1
+        rows.append((ok, 2, 1, 5, 5 * 100.0, 0.0, "N", d)); ok += 1
+    tables = {
+        "lineitem": (
+            ["l_orderkey BIGINT", "l_partkey BIGINT", "l_suppkey BIGINT",
+             "l_linenumber BIGINT", "l_quantity DOUBLE",
+             "l_extendedprice DOUBLE", "l_discount DOUBLE", "l_tax DOUBLE",
+             "l_returnflag VARCHAR", "l_linestatus VARCHAR",
+             "l_shipdate DATE"],
+            [(okey, pk, 1, ln, q, ep, di, 0.0, rf, "F", d)
+             for (okey, pk, ln, q, ep, di, rf, d) in rows],
+        )
+    }
+    out = _run(tables, "q_price_index")
+    by_m = {r["month_idx"]: r for r in out}
+    # Base: qb1=2*12=24, ub1=20000c; qb2=5*12=60, ub2=10000c.
+    # Month 14 (0-based idx (1996-03)): ut1=40000, ut2=10000.
+    m14 = by_m[(1996 - 1992) * 12 + 3 - 1]
+    lasp = (24 * 40000 + 60 * 10000) / (24 * 20000 + 60 * 10000)
+    assert abs(m14["laspeyres"] - round(lasp, 6)) < 1e-9
+    # Paasche with current-month quantities (2 and 5).
+    paa = (2 * 40000 + 5 * 10000) / (2 * 20000 + 5 * 10000)
+    assert abs(m14["paasche"] - round(paa, 6)) < 1e-9
+    assert abs(m14["fisher"] - round(math.sqrt(lasp * paa), 6)) < 1e-9
+    # A pre-shift month indexes at exactly 1.
+    m5 = by_m[(1995 - 1992) * 12 + 6 - 1]
+    assert m5["laspeyres"] == 1.0 and m5["paasche"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# q_importance_ess — ESS identities
+# ---------------------------------------------------------------------------
+
+
+def test_importance_ess_identities():
+    # One source whose docs are all duplicates of the same text must
+    # have identical weights -> ESS == n and max share == 1/n; the
+    # mixed source sits strictly between 1 and n.
+    uni = ["the cat sat on the mat"] * 4
+    mix = ["alpha beta gamma delta", "the the the the the",
+           "epsilon zeta eta theta", "one two three four"]
+    rows = []
+    for i, t in enumerate(uni):
+        rows.append((i, t, "en", "uniform", len(t)))
+    for i, t in enumerate(mix):
+        rows.append((100 + i, t, "fr", "mixed", len(t)))
+    tables = {
+        "documents": (
+            ["doc_id BIGINT", "text VARCHAR", "lang VARCHAR",
+             "source VARCHAR", "n_chars BIGINT"],
+            rows,
+        )
+    }
+    out = _run(tables, "q_importance_ess")
+    got = {r["source"]: r for r in out}
+    u = got["uniform"]
+    assert u["n_docs"] == 4
+    assert abs(u["ess"] - 4.0) < 1e-6
+    assert abs(u["max_weight_share"] - 0.25) < 1e-6
+    m = got["mixed"]
+    assert 1.0 <= m["ess"] <= 4.0
+    assert m["max_weight_share"] >= 0.25
+
+
+# ---------------------------------------------------------------------------
+# q_lsa_topic — spectral sanity on a two-block corpus
+# ---------------------------------------------------------------------------
+
+
+def test_lsa_topic_replay():
+    # Exact integer replay of the max-normalized power iteration.
+    texts = [
+        "market stocks bonds yields",
+        "market stocks inflation rates",
+        "bonds yields inflation market",
+        "cat dog fish",
+        "dog fish bird",
+        "cat bird dog",
+    ]
+    out = _run({"documents": _docs(texts)}, "q_lsa_topic")
+    assert len(out) == 10
+
+    E6 = 10**6
+    n = len(texts)
+    tf = {}
+    for d, t in enumerate(texts):
+        for tok in t.split():
+            tf[(d, tok)] = tf.get((d, tok), 0) + 1
+    df = {}
+    for (d, tok) in tf:
+        df[tok] = df.get(tok, 0) + 1
+    A = {
+        (d, tok): round(c * math.log(n / df[tok]) * E6)
+        for (d, tok), c in tf.items()
+        if df[tok] < n
+    }
+    terms = sorted({tok for _, tok in A})
+    v = {tok: E6 for tok in terms}
+    for _ in range(3):
+        u = {}
+        for (d, tok), w in A.items():
+            u[d] = u.get(d, 0) + w * v[tok]
+        mu = max(u.values())
+        u = {d: E6 * x // mu for d, x in u.items()}
+        vr = {}
+        for (d, tok), w in A.items():
+            vr[tok] = vr.get(tok, 0) + w * u[d]
+        mv = max(vr.values())
+        v = {tok: E6 * x // mv for tok, x in vr.items()}
+    expect = sorted(v.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r["term"], r["loading_e6"]) for r in out]
+    assert got == sorted(got, key=lambda kv: (-kv[1], kv[0]))
+    assert got == expect
+    assert out[0]["loading"] == 1.0  # max-normalized top loading
