@@ -1951,3 +1951,207 @@ def q_cluster_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_aqp_audit — approximate-query-processing error audit (sample + CLT)
+# ---------------------------------------------------------------------------
+
+#: Sample rate: hash bucket < 100 of 1000 = a reproducible 10% sample
+#: (the q_hash_sample convention, distinct salt).
+_AQP_BUCKETS = 100
+
+#: z for the 95% CLT interval.
+_AQP_Z = "1.959964"
+
+
+def _aqp_oracle() -> str:
+    from .sampling import _bucket_sql
+
+    in_sample = f"({_bucket_sql('aqp', 'o_orderkey')} < {_AQP_BUCKETS})"
+    return f"""
+    WITH o AS (
+        SELECT {_CENTS} AS c, {in_sample} AS in_s FROM orders
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (WHERE in_s) AS BIGINT) AS m,
+               CAST(SUM(c) AS BIGINT) AS true_sum_c,
+               CAST(SUM(c) FILTER (WHERE in_s) AS BIGINT) AS samp_sum_c,
+               CAST(SUM(CAST(c AS HUGEINT) * c) FILTER (WHERE in_s)
+                    AS HUGEINT) AS samp_sumsq
+        FROM o
+    ),
+    est AS (
+        SELECT n, m, true_sum_c,
+               CAST(n AS DOUBLE) / m * samp_sum_c AS est_sum_c,
+               CAST(n AS DOUBLE) / m
+               * sqrt((CAST(samp_sumsq AS DOUBLE)
+                       - CAST(samp_sum_c AS DOUBLE) * samp_sum_c / m)
+                      / (m - 1) * m * (1 - CAST(m AS DOUBLE) / n))
+                   AS se_sum_c
+        FROM s
+    )
+    SELECT n AS n_rows, m AS n_sampled,
+           round(CAST(true_sum_c AS DOUBLE) / 100, 2) AS true_sum,
+           round(est_sum_c / 100.0, 2) AS est_sum,
+           round((est_sum_c - true_sum_c) / CAST(true_sum_c AS DOUBLE), 6)
+               AS rel_err,
+           round(est_sum_c / 100.0 - {_AQP_Z} * se_sum_c / 100.0, 2)
+               AS ci_lo,
+           round(est_sum_c / 100.0 + {_AQP_Z} * se_sum_c / 100.0, 2)
+               AS ci_hi,
+           (abs(est_sum_c - true_sum_c) <= {_AQP_Z} * se_sum_c) AS ci_covers
+    FROM est
+    """
+
+
+@query("q_aqp_audit", oracle=_aqp_oracle())
+def q_aqp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-query-processing audit (the BlinkDB/sampling-
+    estimator contract, Agarwal et al. 2013): estimate total revenue
+    from the reproducible 10% hash sample with the Horvitz-Thompson
+    scale-up n/m * sample_sum, attach the finite-population-corrected
+    95% CLT interval, and AUDIT it against the exact full-data total —
+    the relative error and whether the interval covers the truth.
+    This is the validation run that decides whether dashboards may
+    serve off the sample at 100 TB (where the full scan is the cost).
+
+    Exactness: all sums are exact integers (cents; sum of squares in
+    DECIMAL(38,0)/HUGEINT); the estimator, standard error, and
+    coverage test are shared float expression texts over those exact
+    sums, so the boolean and the rounded outputs agree cross-engine.
+
+    Scale: ONE scan computes both the truth and the sample moments
+    (conditional aggregation on the hash predicate — membership is a
+    pure projection, the q_hash_sample property); output is one row.
+    """
+    from .sampling import hash_bucket
+
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.expr(_CENTS).alias("c"),
+        (hash_bucket("aqp", F.col("o_orderkey")) < _AQP_BUCKETS).alias("in_s"),
+    )
+    s = o.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("in_s"), 1).otherwise(0)).cast("long").alias("m"),
+        F.sum("c").cast("long").alias("true_sum_c"),
+        F.sum(F.when(F.col("in_s"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("samp_sum_c"),
+        F.sum(
+            F.when(F.col("in_s"), F.expr("CAST(c AS DECIMAL(38,0)) * c"))
+        ).alias("samp_sumsq"),
+    )
+    est = s.selectExpr(
+        "n",
+        "m",
+        "true_sum_c",
+        "CAST(n AS DOUBLE) / m * samp_sum_c AS est_sum_c",
+        "CAST(n AS DOUBLE) / m"
+        " * sqrt((CAST(samp_sumsq AS DOUBLE)"
+        " - CAST(samp_sum_c AS DOUBLE) * samp_sum_c / m)"
+        " / (m - 1) * m * (1 - CAST(m AS DOUBLE) / n)) AS se_sum_c",
+    )
+    return est.selectExpr(
+        "n AS n_rows",
+        "m AS n_sampled",
+        "round(CAST(true_sum_c AS DOUBLE) / 100, 2) AS true_sum",
+        "round(est_sum_c / 100.0, 2) AS est_sum",
+        "round((est_sum_c - true_sum_c) / CAST(true_sum_c AS DOUBLE), 6)"
+        " AS rel_err",
+        f"round(est_sum_c / 100.0 - {_AQP_Z} * se_sum_c / 100.0, 2) AS ci_lo",
+        f"round(est_sum_c / 100.0 + {_AQP_Z} * se_sum_c / 100.0, 2) AS ci_hi",
+        f"(abs(est_sum_c - true_sum_c) <= {_AQP_Z} * se_sum_c) AS ci_covers",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_neyman_allocation — optimal stratified-sampling design table
+# ---------------------------------------------------------------------------
+
+#: Total sampling budget allocated across strata.
+_NA_BUDGET = 1000
+
+
+@query(
+    "q_neyman_allocation",
+    oracle=f"""
+    WITH st AS (
+        SELECT o_orderpriority AS stratum,
+               CAST(COUNT(*) AS BIGINT) AS n_h,
+               CAST(SUM({_CENTS}) AS BIGINT) AS s1,
+               CAST(SUM(CAST({_CENTS} AS HUGEINT) * {_CENTS}) AS HUGEINT)
+                   AS s2
+        FROM orders GROUP BY 1
+    ),
+    sd AS (
+        SELECT stratum, n_h,
+               sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_h)
+                    / (n_h - 1)) AS sd_c
+        FROM st
+    ),
+    tot AS (
+        SELECT SUM(n_h) AS n, SUM(n_h * sd_c) AS w_total FROM sd
+    )
+    SELECT s.stratum,
+           s.n_h,
+           round(s.sd_c / 100, 2) AS sd_dollars,
+           CAST(round({_NA_BUDGET} * CAST(s.n_h AS DOUBLE) / t.n) AS BIGINT)
+               AS proportional_n,
+           CAST(round({_NA_BUDGET} * s.n_h * s.sd_c / t.w_total) AS BIGINT)
+               AS neyman_n,
+           round(s.n_h * s.sd_c / t.w_total, 6) AS neyman_share
+    FROM sd s CROSS JOIN tot t
+    ORDER BY s.stratum
+    """,
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling design (Neyman 1934): given
+    a fixed budget of {_NA_BUDGET} sampled orders, allocate to each
+    priority stratum proportionally to N_h * sigma_h — the allocation
+    minimizing the stratified estimator's variance — next to the
+    naive proportional allocation for comparison. This is the design
+    table that turns q_stratified_sample from "proportional by
+    default" into a variance-optimal plan.
+
+    Exactness: per-stratum moments are exact integer sums (cents,
+    DECIMAL(38,0)/HUGEINT sum of squares); sigma, the shares, and the
+    rounded allocations are shared float texts over those sums.
+
+    Scale: one partial-agg'd scan to |strata| rows; the totals panel
+    is a 1-row broadcast.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    st = orders.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count("*").cast("long").alias("n_h"),
+        F.sum(F.expr(_CENTS)).cast("long").alias("s1"),
+        F.sum(F.expr(f"CAST({_CENTS} AS DECIMAL(38,0)) * {_CENTS}")).alias(
+            "s2"
+        ),
+    )
+    sd = st.selectExpr(
+        "stratum",
+        "n_h",
+        "sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_h)"
+        " / (n_h - 1)) AS sd_c",
+    )
+    tot = sd.agg(
+        F.sum("n_h").alias("n"),
+        F.sum(F.col("n_h") * F.col("sd_c")).alias("w_total"),
+    )
+    return (
+        sd.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "stratum",
+            "n_h",
+            "round(sd_c / 100, 2) AS sd_dollars",
+            f"CAST(round({_NA_BUDGET} * CAST(n_h AS DOUBLE) / n) AS BIGINT)"
+            " AS proportional_n",
+            f"CAST(round({_NA_BUDGET} * n_h * sd_c / w_total) AS BIGINT)"
+            " AS neyman_n",
+            "round(n_h * sd_c / w_total, 6) AS neyman_share",
+        )
+        .orderBy("stratum")
+    )

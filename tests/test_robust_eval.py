@@ -952,3 +952,47 @@ def test_lsa_topic_replay():
     assert got == sorted(got, key=lambda kv: (-kv[1], kv[0]))
     assert got == expect
     assert out[0]["loading"] == 1.0  # max-normalized top loading
+
+
+# ---------------------------------------------------------------------------
+# q_aqp_audit / q_neyman_allocation — estimator replays
+# ---------------------------------------------------------------------------
+
+
+def test_aqp_audit_replay():
+    rows = [(k, 1, 100.0 + k, "1995-02-01", "1-URGENT") for k in range(200)]
+    out = _run({"orders": _orders(rows)}, "q_aqp_audit")
+    assert len(out) == 1
+    r = out[0]
+
+    cents = {k: int(round((100.0 + k) * 100)) for k in range(200)}
+    in_s = {k: _bucket("aqp", k) < 100 for k in cents}
+    n, m = len(cents), sum(in_s.values())
+    true_sum = sum(cents.values())
+    samp = [c for k, c in cents.items() if in_s[k]]
+    ssum, ssq = sum(samp), sum(c * c for c in samp)
+    est = n / m * ssum
+    se = n / m * math.sqrt((ssq - ssum * ssum / m) / (m - 1) * m * (1 - m / n))
+    assert (r["n_rows"], r["n_sampled"]) == (n, m)
+    assert abs(r["true_sum"] - round(true_sum / 100, 2)) < 1e-9
+    assert abs(r["est_sum"] - round(est / 100, 2)) < 1e-6
+    assert abs(r["rel_err"] - round((est - true_sum) / true_sum, 6)) < 1e-9
+    assert r["ci_covers"] == (abs(est - true_sum) <= 1.959964 * se)
+
+
+def test_neyman_allocation_replay():
+    # Two strata: same size, one 10x the spread -> Neyman gives it
+    # ~10x the budget; proportional splits evenly.
+    rows = []
+    k = 0
+    for i in range(40):
+        rows.append((k, 1, 1000.0 + (i % 5), "1995-02-01", "1-URGENT")); k += 1
+    for i in range(40):
+        rows.append((k, 1, 1000.0 + (i % 5) * 10, "1995-02-01", "5-LOW")); k += 1
+    out = _run({"orders": _orders(rows)}, "q_neyman_allocation")
+    got = {r["stratum"]: r for r in out}
+    hi, lo = got["5-LOW"], got["1-URGENT"]
+    assert hi["proportional_n"] == lo["proportional_n"] == 500
+    assert abs(hi["neyman_n"] + lo["neyman_n"] - 1000) <= 1
+    assert hi["neyman_n"] > 800  # the high-variance stratum dominates
+    assert abs(hi["sd_dollars"] - 10 * lo["sd_dollars"]) < 0.05
