@@ -2155,3 +2155,458 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_rbo — rank-biased overlap between the exact and unnormalized tiers
+# ---------------------------------------------------------------------------
+
+#: Query panel size (hash-rank draw) and ranking depth.
+_RBO_QN = 5
+_RBO_D = 10
+
+#: Per-item RBO weight w(m) = sum_{d=m..10} 0.9^(d-1)/d in e12 units
+#: (an item whose ranks are (ra, rb) first counts toward agreement at
+#: depth max(ra, rb) and at every deeper truncation) — precomputed so
+#: the per-query RBO is an exact integer sum; RBO = 0.1 * sum / 1e12.
+_RBO_W = (
+    2354163994257, 1354163994257, 904163994257, 634163994257,
+    451913994257, 320693994257, 222278994257, 146358851400,
+    86571738900, 38742048900,
+)
+
+
+def _rbo_w_case(m: str) -> str:
+    branches = " ".join(
+        f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_RBO_W)
+    )
+    return f"(CASE {m} {branches} END)"
+
+
+def _rbo_oracle() -> str:
+    return f"""
+    WITH v AS (
+        SELECT vec_id AS vid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vid, vv,
+               sqrt(list_sum(list_transform(vv, x -> x * x))) AS nrm
+        FROM v
+    ),
+    q AS (
+        SELECT vid AS qid, vv AS qv, nrm AS qn FROM n
+        ORDER BY md5('rbo:' || CAST(vid AS VARCHAR)), vid LIMIT {_RBO_QN}
+    ),
+    scored AS (
+        SELECT q.qid, n.vid,
+               round(list_dot_product(q.qv, n.vv) / (q.qn * n.nrm), 4)
+                   AS cosv,
+               round(list_dot_product(q.qv, n.vv), 4) AS dotv
+        FROM q JOIN n ON n.vid <> q.qid
+    ),
+    ra AS (
+        SELECT qid, vid, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY cosv DESC, vid) AS r
+        FROM scored
+    ),
+    rb AS (
+        SELECT qid, vid, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY dotv DESC, vid) AS r
+        FROM scored
+    ),
+    inter AS (
+        SELECT a.qid, GREATEST(a.r, b.r) AS m
+        FROM ra a JOIN rb b ON b.qid = a.qid AND b.vid = a.vid
+        WHERE a.r <= {_RBO_D} AND b.r <= {_RBO_D}
+    ),
+    per_q AS (
+        SELECT q.qid,
+               CAST(COALESCE(SUM({_rbo_w_case('i.m')}), 0) AS BIGINT) AS s_e12
+        FROM q LEFT JOIN inter i ON i.qid = q.qid
+        GROUP BY q.qid
+    )
+    SELECT qid AS query_vid,
+           round(0.1 * s_e12 / 1000000000000.0, 6) AS rbo
+    FROM per_q ORDER BY qid
+    """
+
+
+@query("q_rbo", oracle=_rbo_oracle())
+def q_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010; p = 0.9,
+    truncated at depth 10) between two retrieval tiers for a 5-query
+    hash panel: the exact-cosine ranking vs the UNNORMALIZED
+    dot-product ranking (the cheap scorer a serving stack is tempted
+    to use). RBO is the top-weighted list-similarity the plain
+    recall@k audits (q_ann_recall, q_sq8_ann) cannot express — it
+    rewards agreeing at rank 1 far more than agreeing at rank 10, so
+    it is the right metric for "would users notice the cheap scorer".
+
+    Exactness: both scores are 4-decimal-rounded with vid tie-breaks
+    (the similarity-family discipline); each intersecting item
+    contributes a PRECOMPUTED e12-integer weight w(max(ra, rb)) =
+    sum_(d>=max) 0.9^(d-1)/d, so the per-query RBO is an exact
+    integer sum with one shared final division.
+
+    Scale: the query side is a broadcast {_RBO_QN}-row panel (the
+    sanctioned bounded fan-out of q_cosine_topk); rankings are
+    windows partitioned by query id; the intersection join is over
+    two depth-10 lists per query.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    spread = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    n = spread.select(
+        F.col("vec_id").alias("vid"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vv"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("vv"), lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ),
+    )
+    q = (
+        n.orderBy(F.md5(F.concat(F.lit("rbo:"), F.col("vid").cast("string"))), "vid")
+        .limit(_RBO_QN)
+        .select(
+            F.col("vid").alias("qid"),
+            F.col("vv").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("vv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = (
+        n.crossJoin(F.broadcast(q))
+        .filter(F.col("vid") != F.col("qid"))
+        .select(
+            "qid",
+            "vid",
+            F.round(dot / (F.col("qn") * F.col("nrm")), 4).alias("cosv"),
+            F.round(dot, 4).alias("dotv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wa = Window.partitionBy("qid").orderBy(F.col("cosv").desc(), "vid")
+    wb = Window.partitionBy("qid").orderBy(F.col("dotv").desc(), "vid")
+    ra = scored.withColumn("r", F.row_number().over(wa)).filter(
+        F.col("r") <= _RBO_D
+    ).select("qid", "vid", F.col("r").alias("ra"))
+    rb = scored.withColumn("r", F.row_number().over(wb)).filter(
+        F.col("r") <= _RBO_D
+    ).select("qid", "vid", F.col("r").alias("rb"))
+    inter = ra.join(rb, ["qid", "vid"]).selectExpr(
+        "qid", f"{_rbo_w_case('GREATEST(ra, rb)')} AS w"
+    )
+    per_q = (
+        q.select("qid")
+        .join(inter, "qid", "left")
+        .groupBy("qid")
+        .agg(F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("s_e12"))
+    )
+    return per_q.selectExpr(
+        "qid AS query_vid",
+        "round(0.1 * s_e12 / 1000000000000.0, 6) AS rbo",
+    ).orderBy("query_vid")
+
+
+# ---------------------------------------------------------------------------
+# q_cooks_distance — influence diagnostics for the monthly revenue OLS
+# ---------------------------------------------------------------------------
+
+#: Most influential months reported.
+_CD_TOPN = 5
+
+#: Residual-square quantization (cents^2 * 1e4) before the s^2 sum.
+_CD_E4 = 10_000
+
+
+def _cd_oracle() -> str:
+    return f"""
+    WITH monthly AS ({_RS_MONTHLY.format(cents=_CENTS)}),
+    fit AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(m) AS HUGEINT) AS sm,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(CAST(m AS HUGEINT) * y) AS HUGEINT) AS smy,
+               CAST(SUM(CAST(m AS HUGEINT) * m) AS HUGEINT) AS smm
+        FROM monthly
+    ),
+    par AS (
+        SELECT n, sm,
+               n * smm - sm * sm AS den,
+               n * smy - sm * sy AS slope_num,
+               sy * smm - sm * smy AS icept_num
+        FROM fit
+    ),
+    pt AS (
+        SELECT p.m, p.y, r.n, r.den,
+               CAST(p.y AS HUGEINT) * r.den
+                   - (r.icept_num + r.slope_num * p.m) AS e_den,
+               r.n * p.m - r.sm AS devm
+        FROM monthly p CROSS JOIN par r
+    ),
+    ss AS (
+        SELECT SUM(CAST(round(
+                   (CAST(e_den AS DOUBLE) / den)
+                   * (CAST(e_den AS DOUBLE) / den) * {_CD_E4})
+               AS HUGEINT)) AS s2_e4,
+               MAX(n) AS n
+        FROM pt
+    ),
+    d AS (
+        SELECT pt.m,
+               CAST(pt.e_den AS DOUBLE) / pt.den AS e_c,
+               1.0 / pt.n + CAST(pt.devm AS DOUBLE) * pt.devm
+                   / (CAST(pt.n AS DOUBLE) * pt.den) AS h,
+               CAST(ss.s2_e4 AS DOUBLE) / {_CD_E4} / (pt.n - 2) AS s2
+        FROM pt CROSS JOIN ss
+    ),
+    cook AS (
+        SELECT m, e_c, h,
+               e_c * e_c * h / (2 * s2 * (1 - h) * (1 - h)) AS cd
+        FROM d
+    ),
+    top AS (
+        SELECT * FROM cook
+        ORDER BY round(cd, 6) DESC, m LIMIT {_CD_TOPN}
+    )
+    SELECT CAST(m AS BIGINT) AS month_idx,
+           round(e_c / 100, 2) AS residual_dollars,
+           round(h, 6) AS leverage,
+           round(cd, 6) AS cooks_d
+    FROM top ORDER BY cooks_d DESC, month_idx
+    """
+
+
+@query("q_cooks_distance", oracle=_cd_oracle())
+def q_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cook's distance influence diagnostics (Cook 1977) for the
+    monthly-revenue OLS trend: per month the residual, the leverage
+    h_i = 1/n + (m_i - mbar)^2 / Sxx (closed form for simple
+    regression), and D_i = e_i^2 h_i / (2 s^2 (1 - h_i)^2); the 5
+    most influential months are reported — the regression-diagnostics
+    companion to q_ols_regression that names WHICH observations drive
+    the fit (robust alternatives: q_theil_sen, q_ransac_trend,
+    q_quantile_reg).
+
+    Exactness: residuals stay exact integers SCALED BY the
+    determinant den = n*smm - sm^2 (e_i * den is an exact
+    DECIMAL(38,0) expression, so no float enters before the shared
+    division text); leverages are exact-integer rationals divided
+    once; s^2 sums e4-quantized residual squares exactly. The top-5
+    sort key is the ROUNDED D (shared text), so ranking agrees
+    cross-engine even at float ulps.
+
+    Scale: one orders aggregate to ~84 months; everything after is
+    calendar-bounded with 1-row broadcast panels.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (
+            (F.year(F.col("o_orderdate").cast("date")) - 1992) * 12
+            + F.month(F.col("o_orderdate").cast("date"))
+            - 1
+        ).alias("m")
+    ).agg(F.sum(F.expr(_CENTS)).cast("long").alias("y"))
+    fit = monthly.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("m").cast("decimal(38,0)").alias("sm"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("CAST(m AS DECIMAL(38,0)) * y")).alias("smy"),
+        F.sum(F.expr("CAST(m AS DECIMAL(38,0)) * m")).alias("smm"),
+    )
+    par = fit.selectExpr(
+        "n",
+        "sm",
+        "n * smm - sm * sm AS den",
+        "n * smy - sm * sy AS slope_num",
+        "sy * smm - sm * smy AS icept_num",
+    )
+    pt = monthly.crossJoin(F.broadcast(par)).selectExpr(
+        "m",
+        "n",
+        "den",
+        "CAST(y AS DECIMAL(38,0)) * den"
+        " - (icept_num + slope_num * m) AS e_den",
+        "n * m - sm AS devm",
+    )
+    ss = pt.agg(
+        F.sum(
+            F.expr(
+                f"CAST(round((CAST(e_den AS DOUBLE) / den)"
+                f" * (CAST(e_den AS DOUBLE) / den) * {_CD_E4})"
+                " AS DECIMAL(38,0))"
+            )
+        ).alias("s2_e4"),
+        F.max("n").alias("n2"),
+    )
+    d = pt.crossJoin(F.broadcast(ss)).selectExpr(
+        "m",
+        "CAST(e_den AS DOUBLE) / den AS e_c",
+        "1.0 / n + CAST(devm AS DOUBLE) * devm"
+        " / (CAST(n AS DOUBLE) * den) AS h",
+        f"CAST(s2_e4 AS DOUBLE) / {_CD_E4} / (n - 2) AS s2",
+    )
+    cook = d.selectExpr(
+        "m", "e_c", "h", "e_c * e_c * h / (2 * s2 * (1 - h) * (1 - h)) AS cd"
+    )
+    return (
+        cook.orderBy(F.round(F.col("cd"), 6).desc(), "m")
+        .limit(_CD_TOPN)
+        .selectExpr(
+            "CAST(m AS BIGINT) AS month_idx",
+            "round(e_c / 100, 2) AS residual_dollars",
+            "round(h, 6) AS leverage",
+            "round(cd, 6) AS cooks_d",
+        )
+        .orderBy(F.col("cooks_d").desc(), "month_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_watermark_lateness — event-lateness audit for the watermark choice
+# ---------------------------------------------------------------------------
+
+#: Candidate watermark delays (seconds) whose drop rates are reported.
+_WL_DELAYS = (60, 300, 900)
+
+#: Simulated transport-jitter span (seconds) — the deterministic
+#: arrival model (the fixture itself arrives in perfect time order).
+_WL_JITTER_S = 600
+
+#: Lateness histogram bucket upper bounds (seconds; last is open).
+_WL_BUCKETS = (0, 60, 300, 900)
+
+
+def _wl_oracle() -> str:
+    bucket = (
+        "CASE WHEN late_s <= 0 THEN 0"
+        + "".join(
+            f" WHEN late_s <= {b} THEN {b}" for b in _WL_BUCKETS[1:]
+        )
+        + " ELSE 999999 END"
+    )
+    drops = ", ".join(
+        f"CAST(COUNT(*) FILTER (WHERE late_s > {d}) AS BIGINT)"
+        f" AS dropped_{d}s" for d in _WL_DELAYS
+    )
+    rates = ", ".join(
+        f"round(CAST(t.dropped_{d}s AS DOUBLE) / t.n_total, 6)"
+        f" AS drop_rate_{d}s" for d in _WL_DELAYS
+    )
+    dcols = ", ".join(f"t.dropped_{d}s" for d in _WL_DELAYS)
+    from .sampling import _bucket_sql
+
+    jitter = f"({_bucket_sql('arr', 'event_id', _WL_JITTER_S)})"
+    return f"""
+    WITH ev AS (
+        SELECT event_id, epoch_us(ts) AS us,
+               epoch_us(ts) + {jitter} * 1000000 AS arr_us
+        FROM events
+    ),
+    run AS (
+        SELECT event_id,
+               (MAX(us) OVER (ORDER BY arr_us, event_id
+                              ROWS UNBOUNDED PRECEDING) - us)
+               // 1000000 AS late_s
+        FROM ev
+    ),
+    b AS (SELECT {bucket} AS bucket_s, late_s FROM run),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total, {drops} FROM b
+    ),
+    per_bucket AS (
+        SELECT bucket_s, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM b GROUP BY bucket_s
+    )
+    SELECT CAST(p.bucket_s AS BIGINT) AS bucket_s,
+           p.n_events,
+           {dcols},
+           {rates}
+    FROM per_bucket p CROSS JOIN tot t ORDER BY bucket_s
+    """
+
+
+@query("q_watermark_lateness", oracle=_wl_oracle())
+def q_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-lateness audit — the measurement behind a watermark-delay
+    choice. The fixture's events arrive in perfect event-time order
+    (event_id == time order, zero inversions), so arrival is modeled
+    with a DETERMINISTIC transport-jitter: arrival = event-time +
+    md5-hash jitter in [0, 600s) (documented synthetic arrival model,
+    reproducible in both engines). In arrival order, each event's
+    lateness is (max event-time seen so far) - (its event-time); the
+    histogram
+    of lateness plus the exact drop count/rate at candidate watermark
+    delays {60s, 5min, 15min} is the table that says what
+    `withWatermark` would discard. (The drop columns repeat per
+    histogram row — they are whole-stream scalars joined onto the
+    bucket panel.)
+
+    Exactness: event times are exact integer microseconds
+    (unix_micros / epoch_us on the canonical timestamp); the running
+    maximum is an exact integer prefix statistic; all buckets, drops
+    and rates are integer arithmetic plus one shared division text.
+
+    Scale: the prefix maximum runs as the two-phase
+    ``global_running_min`` scan on negated times (per-partition
+    scalars to the driver, never a single-task window — this is a
+    DATA-SCALE prefix, unlike the calendar-bounded CUSUM); everything
+    after is one partial-agg'd pass to a 5-bucket panel.
+    """
+    from ..functions.prefix import global_row_number, global_running_min
+    from .sampling import hash_bucket
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_id", F.unix_micros(F.col("ts")).alias("us")
+    ).withColumn(
+        "arr_us",
+        F.col("us")
+        + hash_bucket("arr", F.col("event_id"), _WL_JITTER_S) * 1000000,
+    ).withColumn("neg_us", -F.col("us"))
+    ev = global_row_number(ev, ["arr_us", "event_id"], out_col="arr_rn")
+    run = global_running_min(ev, "arr_rn", "neg_us", out_col="neg_max")
+    late = run.selectExpr("(-neg_max - us) DIV 1000000 AS late_s")
+    bucket = (
+        "CASE WHEN late_s <= 0 THEN 0"
+        + "".join(f" WHEN late_s <= {b} THEN {b}" for b in _WL_BUCKETS[1:])
+        + " ELSE 999999 END"
+    )
+    tot = late.agg(
+        F.count("*").cast("long").alias("n_total"),
+        *[
+            F.sum(F.when(F.col("late_s") > d, 1).otherwise(0))
+            .cast("long")
+            .alias(f"dropped_{d}s")
+            for d in _WL_DELAYS
+        ],
+    )
+    b = late.selectExpr(f"{bucket} AS bucket_s")
+    per_bucket = b.groupBy("bucket_s").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    rates = [
+        f"round(CAST(dropped_{d}s AS DOUBLE) / n_total, 6)"
+        f" AS drop_rate_{d}s"
+        for d in _WL_DELAYS
+    ]
+    return (
+        per_bucket.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "CAST(bucket_s AS BIGINT) AS bucket_s",
+            "n_events",
+            *[f"dropped_{d}s" for d in _WL_DELAYS],
+            *rates,
+        )
+        .orderBy("bucket_s")
+    )

@@ -996,3 +996,121 @@ def test_neyman_allocation_replay():
     assert abs(hi["neyman_n"] + lo["neyman_n"] - 1000) <= 1
     assert hi["neyman_n"] > 800  # the high-variance stratum dominates
     assert abs(hi["sd_dollars"] - 10 * lo["sd_dollars"]) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# q_rbo / q_cooks_distance / q_watermark_lateness — wave-5 replays
+# ---------------------------------------------------------------------------
+
+
+def test_rbo_weights_are_exact():
+    # The e12 weight table must equal sum_{d=m..10} 0.9^(d-1)/d.
+    from mapreduce_server_development_spark.plans.robust_eval import _RBO_W
+
+    for m in range(1, 11):
+        w = sum(0.9 ** (d - 1) / d for d in range(m, 11))
+        assert _RBO_W[m - 1] == round(w * 1e12)
+
+
+def test_rbo_identical_and_disjoint():
+    # Identical rankings -> RBO = (1-p) * sum p^(d-1) (agreement 1 at
+    # every depth); vectors engineered so cosine and dot orders match
+    # (equal norms) for one query and diverge for none.
+    import duckdb as _d
+
+    rows = []
+    # 12 vectors on a circle (unit norm): cosine order == dot order.
+    for i in range(12):
+        ang = i * 0.3
+        rows.append((i, [math.cos(ang), math.sin(ang)], 0))
+    con = _d.connect()
+    con.execute("CREATE TABLE embeddings (vec_id BIGINT, embedding FLOAT[], label INT)")
+    con.executemany("INSERT INTO embeddings VALUES (?, ?, ?)", rows)
+    from mapreduce_server_development_spark.plans import ORACLE
+
+    out = [dict(zip([c.lower() for c in r.columns], t))
+           for r in [con.sql(ORACLE["q_rbo"])]
+           for t in r.fetchall()]
+    con.close()
+    full = 0.1 * sum(0.9 ** (d - 1) for d in range(1, 11))
+    for r in out:
+        assert abs(r["rbo"] - round(full, 6)) < 1e-9
+
+
+def test_cooks_distance_replay():
+    # Linear revenue with one wild month: that month must top Cook's D.
+    months = {m: 1_000_000 + 10_000 * m for m in range(20)}
+    months[7] = 5_000_000
+    rows = []
+    for m, c in months.items():
+        y, mo = divmod(m, 12)
+        rows.append((m, 1, c / 100.0, f"{1992 + y}-{mo + 1:02d}-05", "1-URGENT"))
+    out = _run({"orders": _orders(rows)}, "q_cooks_distance")
+    assert len(out) == 5
+    assert out[0]["month_idx"] == 7
+
+    n = len(months)
+    sm = sum(months)
+    sy = sum(months.values())
+    smy = sum(m * c for m, c in months.items())
+    smm = sum(m * m for m in months)
+    den = n * smm - sm * sm
+    slope_num = n * smy - sm * sy
+    icept_num = sy * smm - sm * smy
+    e = {m: (c * den - (icept_num + slope_num * m)) / den
+         for m, c in months.items()}
+    h = {m: 1 / n + (n * m - sm) ** 2 / (n * den) for m in months}
+    s2 = sum(round(e[m] * e[m] * 1e4) for m in months) / 1e4 / (n - 2)
+    cd = {m: e[m] ** 2 * h[m] / (2 * s2 * (1 - h[m]) ** 2) for m in months}
+    expect = sorted(months, key=lambda m: (-round(cd[m], 6), m))[:5]
+    assert [r["month_idx"] for r in out] == expect
+    for r in out:
+        m = r["month_idx"]
+        assert abs(r["cooks_d"] - round(cd[m], 6)) < 1e-9
+        assert abs(r["leverage"] - round(h[m], 6)) < 1e-9
+
+
+def test_watermark_lateness_replay():
+    # Hash-jittered arrival replayed event by event.
+    rows = []
+    for i in range(60):
+        rows.append((i, f"2024-01-01 00:{i:02d}:00", 1, "view", 1.0, "{}"))
+    tables = {
+        "events": (
+            ["event_id BIGINT", "ts TIMESTAMP", "user_id BIGINT",
+             "event_type VARCHAR", "value DOUBLE", "props VARCHAR"],
+            rows,
+        )
+    }
+    out = _run(tables, "q_watermark_lateness")
+
+    base = 1704067200_000000  # 2024-01-01 00:00:00 UTC in micros
+    ev = []
+    for i in range(60):
+        us = base + i * 60 * 1_000_000
+        # hash_bucket(salt, key, 600): 4-nibble value % 600
+        h = hashlib.md5(f"arr:{i}".encode()).hexdigest()
+        nib = [int(c, 16) for c in h[:4]]
+        jit = (nib[0] * 4096 + nib[1] * 256 + nib[2] * 16 + nib[3]) % 600
+        ev.append((us + jit * 1_000_000, i, us))
+    ev.sort()
+    mx = -1
+    lates = []
+    for arr, i, us in ev:
+        mx = max(mx, us)
+        lates.append((mx - us) // 1_000_000)
+    n = len(lates)
+    drops = {d: sum(1 for x in lates if x > d) for d in (60, 300, 900)}
+    buckets = {}
+    for x in lates:
+        b = 0 if x <= 0 else 60 if x <= 60 else 300 if x <= 300 else \
+            900 if x <= 900 else 999999
+        buckets[b] = buckets.get(b, 0) + 1
+    got = {r["bucket_s"]: r for r in out}
+    assert {b: r["n_events"] for b, r in got.items()} == buckets
+    any_row = next(iter(got.values()))
+    for d in (60, 300, 900):
+        assert any_row[f"dropped_{d}s"] == drops[d]
+        assert abs(any_row[f"drop_rate_{d}s"] - round(drops[d] / n, 6)) < 1e-9
+    # The jitter model actually produces late data on an in-order feed.
+    assert sum(v for b, v in buckets.items() if b > 0) > 0
