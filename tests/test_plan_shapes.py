@@ -1106,3 +1106,71 @@ def test_quality_token_curve_ranks_two_phase(spark):
     plan = _plan(spark, "q_quality_token_curve")
     assert "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Session-5 robust-eval wave
+# ---------------------------------------------------------------------------
+
+
+def test_hbos_top20_is_take_ordered(spark):
+    plan = _plan(spark, "q_hbos_outliers")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hbos_bin_maps_broadcast(spark):
+    # The three 10-row bin-score panels must join broadcast-side, not
+    # shuffle the scored relation.
+    plan = _plan(spark, "q_hbos_outliers")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_permutation_fanout_partial_aggregates(spark):
+    # The 99-replicate fan-out must map-side combine (partial_sum
+    # before the exchange) so the shuffle carries replicate rows, not
+    # row-scale data.
+    plan = _plan(spark, "q_permutation_test")
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_ransac_anchor_panel_is_take_ordered(spark):
+    plan = _plan(spark, "q_ransac_trend")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_adaboost_candidate_panel_broadcasts(spark):
+    # The 54-candidate stump grid and every pattern-weight panel join
+    # as broadcasts; the fan-out aggregate partial-combines.
+    plan = _plan(spark, "q_adaboost_stumps")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_als_scoring_panel_broadcasts(spark):
+    # The 5-customer readout panel is the broadcast side of the
+    # |parts|-scale scoring join; ownership exclusion is an anti-join.
+    plan = _plan(spark, "q_als_rank1")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+
+
+def test_kneser_ney_model_joins_stay_on_token_key(spark):
+    """With size-based auto-broadcast off (i.e. at a scale where the
+    vocabulary is not "small"), the model joins degrade to shuffle
+    joins on the token key — the model is never forced through the
+    driver — while the EXPLICITLY hinted 1-row type-total panel still
+    broadcasts (the q5 broadcast-discipline pattern)."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "q_kneser_ney")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "BroadcastNestedLoopJoin" in plan  # the hinted 1-row T panel
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_lsa_top_terms_take_ordered(spark):
+    plan = _plan(spark, "q_lsa_topic")
+    assert "TakeOrderedAndProject" in plan
