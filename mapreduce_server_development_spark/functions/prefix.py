@@ -176,6 +176,11 @@ def global_running_min(
     for pid in sorted(by_pid):
         offsets[pid] = acc
         m = by_pid[pid]
+        # A partition whose values are all NULL yields a NULL minimum;
+        # it contributes nothing to downstream prefixes (same as an
+        # empty partition), so skip it rather than min(acc, None).
+        if m is None:
+            continue
         acc = m if acc is None else min(acc, m)
 
     from pyspark.sql import types as T

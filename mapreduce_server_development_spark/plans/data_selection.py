@@ -73,7 +73,10 @@ _DSIR_FINAL = (
 #: Shared with the streaming twin (q_stream_dsir maintains the two
 #: bucket models as streaming state and scores the same way, so the
 #: twin's oracle is this text verbatim).
-_DSIR_ORACLE = f"""
+# The CTE chain through per_doc is shared by _DSIR_ORACLE and
+# _ess_oracle (which extends it with ESS diagnostics) — a module
+# constant, so neither oracle slices the other's finished SQL string.
+_DSIR_CTES = f"""
     WITH toks AS (
         SELECT doc_id, lang, source,
                list_filter(string_split(lower(text), ' '), t -> t <> '')
@@ -112,7 +115,9 @@ _DSIR_ORACLE = f"""
                CAST(SUM(c.cell) AS BIGINT) AS weight
         FROM bi JOIN cells c ON c.b = bi.b
         GROUP BY bi.doc_id, bi.lang, bi.source
-    )
+    )"""
+
+_DSIR_ORACLE = f"""{_DSIR_CTES}
     SELECT {", ".join(_DSIR_FINAL)}
     FROM per_doc
     ORDER BY weight DESC, doc_id
@@ -188,10 +193,9 @@ _ESS_FINAL = (
 
 
 def _ess_oracle() -> str:
-    # Reuse _DSIR_ORACLE's CTE chain up to (and including) per_doc.
-    head = _DSIR_ORACLE[: _DSIR_ORACLE.rindex("SELECT ")]
-    head = head[: head.rindex(")") + 1]
-    return f"""{head},
+    # Compose the shared CTE chain (through per_doc) with the ESS
+    # diagnostics CTEs.
+    return f"""{_DSIR_CTES},
     mx AS (SELECT source, MAX(weight) AS mw FROM per_doc GROUP BY source),
     wq AS (
         SELECT p.source,

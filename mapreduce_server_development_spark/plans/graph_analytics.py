@@ -1335,7 +1335,7 @@ def _bc_oracle() -> str:
 def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-radius Brandes betweenness (Brandes 2001; the seed-panel
     + radius bound is the Brandes & Pich 2007 approximation regime) on
-    the capped co-purchase graph: forward BFS from 3 hash-rank seeds
+    the capped co-purchase graph: forward BFS from 5 hash-rank seeds
     accumulates shortest-path counts sigma per (seed, vertex) level by
     level; the backward pass accumulates the dependency delta(v) =
     sum over successors w of (sigma_v / sigma_w) * (1 + delta(w)),

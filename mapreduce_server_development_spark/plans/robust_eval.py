@@ -877,7 +877,7 @@ def q_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one scan aggregates the table to 4 scalars; the
     enumeration relation is the hypergeometric support [lo, hi],
-    generated as {_FE_BUCKETS} strided sequences so no single task
+    generated as 1024 (_FE_BUCKETS) strided sequences so no single task
     materializes the range (support grows with the smaller margin —
     each row is a handful of closed-form float ops, a distributed
     scan, not a quadratic anywhere).
@@ -2109,7 +2109,7 @@ _NA_BUDGET = 1000
 )
 def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neyman-optimal stratified sampling design (Neyman 1934): given
-    a fixed budget of {_NA_BUDGET} sampled orders, allocate to each
+    a fixed budget of 1000 (_NA_BUDGET) sampled orders, allocate to each
     priority stratum proportionally to N_h * sigma_h — the allocation
     minimizing the stratified estimator's variance — next to the
     naive proportional allocation for comparison. This is the design
@@ -2250,7 +2250,7 @@ def q_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum_(d>=max) 0.9^(d-1)/d, so the per-query RBO is an exact
     integer sum with one shared final division.
 
-    Scale: the query side is a broadcast {_RBO_QN}-row panel (the
+    Scale: the query side is a broadcast 5-row (_RBO_QN) panel (the
     sanctioned bounded fan-out of q_cosine_topk); rankings are
     windows partitioned by query id; the intersection join is over
     two depth-10 lists per query.

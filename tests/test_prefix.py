@@ -50,6 +50,28 @@ def test_empty_and_single_row(spark):
     assert global_running_sum(one, "k", "v").collect()[0]["running_sum"] == 42
 
 
+def test_running_min_with_null_partitions(spark):
+    """A partition whose values are all NULL yields a NULL partition
+    minimum; the driver cumulation must treat it as a no-op (like an
+    empty partition), never min(acc, None). With many partitions and
+    few rows, some partitions hold only the NULL rows."""
+    from mapreduce_server_development_spark.functions.prefix import (
+        global_running_min,
+    )
+
+    rows = [(1, 7), (2, None), (3, None), (4, 5), (5, None), (6, 9)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r["k"]: r["running_min"]
+        for r in global_running_min(df, "k", "v", num_partitions=6).collect()
+    }
+    # prefix minima over non-null values; NULL rows inherit the prior
+    # prefix min (Spark's min() ignores NULLs)
+    assert got[1] == 7
+    assert got[4] == 5
+    assert got[6] == 5
+
+
 def test_row_number_matches_sequential(spark):
     from mapreduce_server_development_spark.functions.prefix import global_row_number
 
