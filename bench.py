@@ -11,6 +11,20 @@ Each query is driven to completion with a count-style action (foreach
 noop) so results are computed but never collected to the driver.
 All Spark chatter goes to stderr; the JSON line is the only stdout.
 
+Measurement discipline (round-8 verdict ask #1):
+- every query is timed once in the sweep (its COLD, first-invocation
+  time, recorded per-query as ``first``);
+- anything over 5s is re-run once (transient GC/host-noise floor);
+- the 10 slowest get a THIRD run, INTERLEAVED with a fixed control
+  query (q1_pricing_summary) whose per-interleave times ride
+  BENCH_DETAIL as ``control_runs`` — if the control drifts, the tail
+  reruns were taken on a noisy host and round-over-round deltas are
+  not attributable to plans;
+- the HEADLINE ``queries`` value is the MEDIAN of a query's runs
+  (min-of-runs was the old headline; it hid the third run and made
+  regressions ambiguous), with ``first``/``min``/``median``/``runs``
+  all recorded per-query in BENCH_DETAIL's ``per_query``.
+
 Usage: python bench.py [query ...]   # subset by name, default all
 """
 
@@ -26,10 +40,20 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
+CONTROL_QUERY = "q1_pricing_summary"
+
 
 def _sf_of(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     return float(m.group(1)) if m else 0.0
+
+
+def _median(xs: list[float]) -> float:
+    rs = sorted(xs)
+    n = len(rs)
+    if n % 2:
+        return rs[n // 2]
+    return round((rs[n // 2 - 1] + rs[n // 2]) / 2, 2)
 
 
 def main() -> int:
@@ -48,10 +72,27 @@ def main() -> int:
         return 2
     spark = get_spark(app_name="bench")
 
+    def run_once(name: str) -> float | None:
+        """One timed evaluation; cache cleared OUTSIDE the timer so
+        every run starts from the same cold cache. Returns None on
+        failure."""
+        t0 = time.time()
+        try:
+            # foreach forces full evaluation on executors; nothing is
+            # shipped to the driver (collect would skew the timing and
+            # break at scale).
+            queries[name](spark, sf_dir).foreach(lambda _: None)
+            t = round(time.time() - t0, 2)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            return None
+        spark.catalog.clearCache()
+        return t
+
     # JVM/codegen warmup so the first timed query isn't charged for it.
-    first = next(iter(queries.values()))
+    first_q = next(iter(queries.values()))
     try:
-        first(spark, sf_dir).foreach(lambda _: None)
+        first_q(spark, sf_dir).foreach(lambda _: None)
     except Exception:  # noqa: BLE001 - warmup is best-effort
         pass
     # Warmup may persist intermediates; the first TIMED query is that
@@ -59,87 +100,88 @@ def main() -> int:
     # the same cold cache as every other.
     spark.catalog.clearCache()
 
-    timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
-    for name, fn in queries.items():
+    failed: list[str] = []
+    for name in queries:
         if only and name not in only:
             continue
-        t0 = time.time()
-        try:
-            # foreach forces full evaluation on executors; nothing is
-            # shipped to the driver (collect would skew the timing and
-            # break at scale).
-            fn(spark, sf_dir).foreach(lambda _: None)
-            timings[name] = round(time.time() - t0, 2)
-            runs[name] = [timings[name]]
-        except Exception as e:  # noqa: BLE001
-            print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
-            timings[name] = -1.0
-        # Isolation: a few queries persist() intermediates (minhash
-        # shingles etc.) and a long single-session sweep would
-        # otherwise accumulate storage memory, GC-thrashing later
-        # heavy queries. Clearing is outside the timer — each query
-        # re-persists what it needs inside its own timed run.
-        spark.catalog.clearCache()
+        t = run_once(name)
+        if t is None:
+            failed.append(name)
+        else:
+            runs[name] = [t]
 
     # Noise control: a single-pass sweep occasionally charges one heavy
     # query a 3-4x transient (GC pause / host noise landing mid-query —
     # observed as a different victim each run). Re-run anything over 5s
-    # once and keep the min — the standard repeated-measurement floor,
-    # bounded to the handful of genuinely heavy queries.
-    for name, t in list(timings.items()):
-        if t > 5.0 and (not only or name in only):
-            t0 = time.time()
-            try:
-                queries[name](spark, sf_dir).foreach(lambda _: None)
-                r = round(time.time() - t0, 2)
-                runs[name].append(r)
-                timings[name] = min(t, r)
-            except Exception:  # noqa: BLE001 - keep the first measurement
-                pass
-            spark.catalog.clearCache()
+    # once — the standard repeated-measurement floor, bounded to the
+    # handful of genuinely heavy queries.
+    for name, rs in list(runs.items()):
+        if rs[0] > 5.0:
+            t = run_once(name)
+            if t is not None:
+                rs.append(t)
 
-    # Tail medians (round-7 verdict ask #6): single warm runs make a
-    # ~2s delta on a tail query ambiguous between plan cost and host
-    # noise. The 10 slowest queries get a THIRD run; median + spread
-    # ride BENCH_DETAIL so round-over-round tail comparisons are
-    # attributable. Headline `queries` stays min-of-runs (continuity
-    # with prior rounds); comparisons should prefer `tail_medians`.
-    tail_medians: dict[str, dict] = {}
-    tail = sorted(
-        (n for n, t in timings.items() if t >= 0),
-        key=lambda n: timings[n],
-        reverse=True,
-    )[:10]
+    # Tail medians + interleaved control (round-8 verdict ask #1): the
+    # 10 slowest queries get a THIRD run, with the fixed control query
+    # timed between each, so host noise during the rerun block is
+    # visible as control drift rather than silently inflating (or
+    # deflating) a tail query's number.
+    control_runs: list[float] = []
+    tail = sorted(runs, key=lambda n: _median(runs[n]), reverse=True)[:10]
     for name in tail:
-        while len(runs.get(name, [])) < 3:
-            t0 = time.time()
-            try:
-                queries[name](spark, sf_dir).foreach(lambda _: None)
-                runs[name].append(round(time.time() - t0, 2))
-            except Exception:  # noqa: BLE001
+        if CONTROL_QUERY in queries and not only:
+            c = run_once(CONTROL_QUERY)
+            if c is not None:
+                control_runs.append(c)
+        while len(runs[name]) < 3:
+            t = run_once(name)
+            if t is None:
                 break
-            spark.catalog.clearCache()
-        rs = sorted(runs.get(name, []))
-        if rs:
-            tail_medians[name] = {
-                "runs": runs[name],
-                "median": rs[len(rs) // 2],
-                "spread": round(rs[-1] - rs[0], 2),
-            }
+            runs[name].append(t)
+
+    # Headline per-query seconds: median of runs (1, 2, or 3 runs).
+    timings = {n: _median(rs) for n, rs in runs.items()}
+    for n in failed:
+        timings[n] = -1.0
+    per_query = {
+        n: {
+            "first": rs[0],
+            "min": min(rs),
+            "median": _median(rs),
+            "runs": rs,
+        }
+        for n, rs in runs.items()
+    }
+    tail_medians = {
+        n: {
+            "runs": runs[n],
+            "median": _median(runs[n]),
+            "spread": round(max(runs[n]) - min(runs[n]), 2),
+        }
+        for n in tail
+    }
 
     total = round(sum(t for t in timings.values() if t >= 0), 2)
-    failed = sorted(n for n, t in timings.items() if t < 0)
     sf = _sf_of(sf_dir)
     compact = {"separators": (",", ":")}
     detail = {
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
+        "headline": "median_of_runs",
         "queries": timings,
+        "per_query": per_query,
         "tail_medians": tail_medians,
+        "control_query": CONTROL_QUERY,
+        "control_runs": control_runs,
+        "control_spread": (
+            round(max(control_runs) - min(control_runs), 2)
+            if control_runs
+            else None
+        ),
         "n_failed": len(failed),
-        "failed": failed,
+        "failed": sorted(failed),
         "sf": sf,
     }
     # Solo-rerun A/B book (tools/regression_ab.py) — embedded so the
@@ -171,13 +213,15 @@ def main() -> int:
                 "metric": "total_query_seconds",
                 "value": total,
                 "unit": "sec",
+                "headline": "median_of_runs",
                 "queries": slowest,
                 "n_queries": len(timings),
                 # A broken query must never read as a perf win: its -1
                 # sentinel drops out of the total, so the failure list
                 # rides the driver-visible summary line explicitly.
                 "n_failed": len(failed),
-                "failed": failed,
+                "failed": sorted(failed),
+                "control_spread": detail["control_spread"],
                 "queries_detail": "BENCH_DETAIL.json",
                 "sf": sf,
             },
