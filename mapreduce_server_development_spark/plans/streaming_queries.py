@@ -2549,6 +2549,15 @@ def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket key; emissions flow through the file sink (never the
     driver); the readout's verification join touches candidate pairs
     only, never all-pairs.
+
+    Cost profile (BENCH_AB `q_stream_minhash_dedup_cold_start`): the
+    first invocation in a session pays ~5s of ONE-TIME JVM JIT/codegen
+    for the tokenize/shingle/16-way-md5 expression chain plus
+    state-store/sink init; the warm floor is dominated by
+    ``applyInPandasWithState``'s per-GROUP Python overhead (~3 ms
+    core-time x ~38k occupied buckets at sf0.1) — per-arrival cost,
+    the right trade for an ingest pipeline that amortizes the session
+    forever.
     """
     import pandas as pd
 
