@@ -354,3 +354,246 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("pmi").desc(), "bigram").limit(30)
+
+
+# ---------------------------------------------------------------------------
+# q_exact_substring_spans — Lee et al. 2022 ExactSubstr dedup spans
+# ---------------------------------------------------------------------------
+
+#: Gram width for run detection (a repeated substring of >= _XS_L
+#: tokens exists iff a diagonal run of consecutive matching _XS_K-grams
+#: of length >= _XS_L - _XS_K + 1 exists between the two documents).
+_XS_K = 8
+#: Minimum span length in TOKENS to count as a duplicated substring
+#: (Lee et al. use 50 BPE tokens; 32 words on this fixture's ~54-token
+#: documents is the comparable operating point).
+_XS_L = 32
+#: Hot-fingerprint cap: grams with more corpus-wide occurrences are
+#: excluded from pairing (boilerplate — q_boilerplate_ngrams' domain),
+#: bounding per-gram pair fan-out at _XS_HOT^2. Mirrored in the oracle;
+#: spans broken by an excluded gram may split below _XS_L (documented
+#: recall contract).
+_XS_HOT = 64
+
+_XS_FINAL = (
+    "source",
+    "CAST(n_docs AS BIGINT) AS n_docs",
+    "CAST(n_docs_hit AS BIGINT) AS n_docs_hit",
+    "CAST(total_tokens AS BIGINT) AS total_tokens",
+    "CAST(dup_tokens AS BIGINT) AS dup_tokens",
+    "CAST(n_spans AS BIGINT) AS n_spans",
+    "round(CAST(dup_tokens AS DOUBLE) / total_tokens, 6) AS dup_mass",
+)
+
+
+@query(
+    "q_exact_substring_spans",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    grams AS (
+        SELECT doc, u.pos AS pos, substr(md5(u.gram), 1, 16) AS gh
+        FROM (
+            SELECT doc,
+                   unnest(list_transform(
+                       range(1, len(toks) - {_XS_K} + 2),
+                       i -> {{'pos': i - 1,
+                             'gram': array_to_string(toks[i:i+{_XS_K - 1}], ' ')}})) AS u
+            FROM toks)
+    ),
+    keep AS (
+        SELECT gh FROM grams GROUP BY gh
+        HAVING COUNT(*) <= {_XS_HOT} AND MIN(doc) <> MAX(doc)
+    ),
+    g2 AS (SELECT g.doc, g.pos, g.gh FROM grams g JOIN keep USING (gh)),
+    pairs AS (
+        SELECT a.doc AS da, a.pos AS pa, b.doc AS db, b.pos AS pb
+        FROM g2 a JOIN g2 b USING (gh)
+        WHERE a.doc < b.doc
+    ),
+    runs AS (
+        SELECT da, db, pa - pb AS diag, pa, pb,
+               pa - ROW_NUMBER() OVER (PARTITION BY da, db, pa - pb
+                                       ORDER BY pa) AS grp
+    FROM pairs
+    ),
+    spans AS (
+        SELECT da, db, MIN(pa) AS sa, MIN(pb) AS sb,
+               COUNT(*) + {_XS_K} - 1 AS span_len
+        FROM runs GROUP BY da, db, diag, grp
+        HAVING COUNT(*) + {_XS_K} - 1 >= {_XS_L}
+    ),
+    iv AS (
+        SELECT da AS doc, sa AS s, sa + span_len AS e FROM spans
+        UNION ALL
+        SELECT db AS doc, sb AS s, sb + span_len AS e FROM spans
+    ),
+    isl AS (
+        SELECT doc, s, e,
+               CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w
+                    THEN 1 ELSE 0 END AS ni
+        FROM iv
+        WINDOW w AS (PARTITION BY doc ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    isl2 AS (
+        SELECT doc, s, e,
+               SUM(ni) OVER (PARTITION BY doc ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS island
+        FROM isl
+    ),
+    merged AS (
+        SELECT doc, island, MAX(e) - MIN(s) AS cov
+        FROM isl2 GROUP BY doc, island
+    ),
+    per_doc AS (
+        SELECT doc, SUM(cov) AS dup_toks, COUNT(*) AS n_sp
+        FROM merged GROUP BY doc
+    ),
+    base AS (
+        SELECT d.doc_id AS doc, d.source, len(t.toks) AS n_toks
+        FROM documents d JOIN toks t ON t.doc = d.doc_id
+    ),
+    panel AS (
+        SELECT b.source,
+               COUNT(*) AS n_docs,
+               COUNT(p.doc) AS n_docs_hit,
+               SUM(b.n_toks) AS total_tokens,
+               COALESCE(SUM(p.dup_toks), 0) AS dup_tokens,
+               COALESCE(SUM(p.n_sp), 0) AS n_spans
+        FROM base b LEFT JOIN per_doc p ON p.doc = b.doc
+        GROUP BY b.source
+    )
+    SELECT {", ".join(_XS_FINAL)} FROM panel ORDER BY source
+    """,
+)
+def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): detect VERBATIM token spans of
+    >= 32 tokens shared between two DIFFERENT documents and report the
+    per-source duplicated-span mass — the canonical span-level dedup
+    that production corpus cleaning runs alongside MinHash doc-level
+    dedup. Unlike q_dup_ngram_spans (coverage by any cross-doc 8-gram,
+    L=8), this requires a SAME-PARTNER contiguous run: 8-grams at
+    positions (a, i+t) and (b, j+t) matching for every t — i.e. a true
+    repeated substring, the suffix-array result re-expressed as
+    equi-joins (a repeated substring of length >= L exists iff a
+    diagonal run of >= L-7 consecutive matching 8-grams exists).
+
+    Pipeline: positional 8-grams keyed by 64-bit md5 prefixes; grams
+    occurring > 64 times corpus-wide are excluded (the hot-fingerprint
+    cap, mirrored in the oracle — boilerplate grams belong to
+    q_boilerplate_ngrams; a span interrupted by an excluded gram may
+    split below L, the documented recall contract); the gram self-join
+    pairs occurrences (fan-out bounded at cap^2 per gram); runs are
+    gaps-and-islands per (doc_a, doc_b, diagonal = pos_a - pos_b);
+    spans >= 32 tokens project coverage intervals onto BOTH documents;
+    per-doc interval union (the q_dup_ngram_spans window) merges
+    overlaps before the per-source mass rollup. Within-doc repeats are
+    out of scope (q_repetition_stats' domain).
+
+    100 TB posture: every join is a key equi-join (gh; then grouped
+    windows on (da, db, diag) and doc — never global); the pair
+    relation is bounded by cap^2 x |duplicated grams|, never
+    all-pairs; the gram relation carries 16-byte keys, not text.
+    Production would swap md5 for xxhash64; md5 keeps the DuckDB
+    oracle bit-identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # Single-row-group fixture => single scan task; spread before the
+    # per-row gram/md5 expressions (session-4 discipline).
+    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    toks = spread.select(
+        "doc_id", "source", tokens_col(F.lower(F.col("text"))).alias("toks")
+    )
+    grams = toks.select(
+        F.col("doc_id").alias("doc"),
+        F.posexplode(word_shingles(F.col("toks"), _XS_K)).alias("pos", "gram"),
+    ).select("doc", "pos", F.substring(F.md5("gram"), 1, 16).alias("gh"))
+    keep = (
+        grams.groupBy("gh")
+        .agg(
+            F.count("*").alias("c"),
+            F.min("doc").alias("d0"),
+            F.max("doc").alias("d1"),
+        )
+        .filter((F.col("c") <= _XS_HOT) & (F.col("d0") != F.col("d1")))
+        .select("gh")
+    )
+    # g2 feeds both sides of the pair self-join — persist so the
+    # gram+filter pipeline runs once (duplicated-gram relation is
+    # vocabulary-scale, far below the corpus).
+    g2 = grams.join(keep, "gh").persist()
+    a = g2.select(
+        F.col("gh"), F.col("doc").alias("da"), F.col("pos").alias("pa")
+    )
+    b = g2.select(
+        F.col("gh"), F.col("doc").alias("db"), F.col("pos").alias("pb")
+    )
+    pairs = (
+        a.join(b, "gh")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "pa", "db", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w_run = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    runs = pairs.withColumn(
+        "grp", F.col("pa") - F.row_number().over(w_run)
+    )
+    spans = (
+        runs.groupBy("da", "db", "diag", "grp")
+        .agg(
+            F.min("pa").alias("sa"),
+            F.min("pb").alias("sb"),
+            (F.count("*") + _XS_K - 1).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= _XS_L)
+    )
+    iv = spans.select(
+        F.col("da").alias("doc"),
+        F.col("sa").alias("s"),
+        (F.col("sa") + F.col("span_len")).alias("e"),
+    ).unionAll(
+        spans.select(
+            F.col("db").alias("doc"),
+            F.col("sb").alias("s"),
+            (F.col("sb") + F.col("span_len")).alias("e"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy("doc")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("doc")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_end = F.max("e").over(w_prev)
+    isl = iv.withColumn(
+        "ni",
+        F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0),
+    ).withColumn("island", F.sum("ni").over(w_cum))
+    merged = isl.groupBy("doc", "island").agg(
+        (F.max("e") - F.min("s")).alias("cov")
+    )
+    per_doc = merged.groupBy("doc").agg(
+        F.sum("cov").alias("dup_toks"), F.count("*").alias("n_sp")
+    )
+    base = toks.select(
+        F.col("doc_id").alias("doc"),
+        "source",
+        F.size("toks").cast("long").alias("n_toks"),
+    )
+    panel = (
+        base.join(per_doc, "doc", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("dup_toks").alias("n_docs_hit"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.coalesce(F.sum("dup_toks"), F.lit(0)).alias("dup_tokens"),
+            F.coalesce(F.sum("n_sp"), F.lit(0)).alias("n_spans"),
+        )
+    )
+    return panel.selectExpr(*_XS_FINAL).orderBy("source")

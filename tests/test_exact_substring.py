@@ -1,0 +1,199 @@
+"""q_exact_substring_spans (Lee et al. 2022 ExactSubstr dedup) —
+brute-force third-implementation replay on engineered fixtures, the
+hot-fingerprint-cap recall contract, and live-fixture invariants.
+
+The pure-Python reference finds cross-doc verbatim runs by DIAGONAL
+SCAN over raw token lists — no grams, no hashes, no SQL — so agreement
+checks the shared oracle formula independently of both engines."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import duckdb
+
+from mapreduce_server_development_spark.plans import ORACLE
+
+K, L, CAP = 8, 32, 64
+
+
+def _docs_table(rows):
+    """rows: list of (doc_id, tokens, source)."""
+    return (
+        ["doc_id BIGINT", "text VARCHAR", "lang VARCHAR",
+         "source VARCHAR", "n_chars BIGINT"],
+        [(d, " ".join(toks), "en", src, len(" ".join(toks)))
+         for d, toks, src in rows],
+    )
+
+
+def _run_oracle(rows):
+    cols, data = _docs_table(rows)
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE documents ({', '.join(cols)})")
+    ph = ", ".join("?" for _ in cols)
+    con.executemany(f"INSERT INTO documents VALUES ({ph})", data)
+    res = con.sql(ORACLE["q_exact_substring_spans"])
+    out = [dict(zip([c.lower() for c in res.columns], r))
+           for r in res.fetchall()]
+    con.close()
+    return out
+
+
+def _reference_panel(rows):
+    """Independent implementation: per doc pair, scan every diagonal of
+    the token grid for runs of matching ALLOWED 8-grams; spans >= L
+    project intervals onto both docs; per-doc interval union; per-source
+    rollup. Mirrors the operator's documented semantics (incl. the
+    hot-gram cap and the cross-doc-only contract)."""
+    toks = {d: t for d, t, _ in rows}
+    src = {d: s for d, _, s in rows}
+    occ: Counter = Counter()
+    docs_of: defaultdict = defaultdict(set)
+    grams = {}
+    for d, ts in toks.items():
+        gs = [" ".join(ts[i:i + K]) for i in range(len(ts) - K + 1)]
+        grams[d] = gs
+        for g in gs:
+            occ[g] += 1
+            docs_of[g].add(d)
+
+    def allowed(g):
+        return occ[g] <= CAP and len(docs_of[g]) >= 2
+
+    intervals: defaultdict = defaultdict(list)
+    ids = sorted(toks)
+    for ia, da in enumerate(ids):
+        for db in ids[ia + 1:]:
+            ga, gb = grams[da], grams[db]
+            for diag in range(-(len(gb) - 1), len(ga)):
+                run, start = 0, None
+                for pa in range(max(0, diag), min(len(ga), len(gb) + diag)):
+                    pb = pa - diag
+                    if ga[pa] == gb[pb] and allowed(ga[pa]):
+                        if run == 0:
+                            start = pa
+                        run += 1
+                    else:
+                        if run and run + K - 1 >= L:
+                            intervals[da].append((start, start + run + K - 1))
+                            intervals[db].append(
+                                (start - diag, start - diag + run + K - 1))
+                        run = 0
+                if run and run + K - 1 >= L:
+                    intervals[da].append((start, start + run + K - 1))
+                    intervals[db].append(
+                        (start - diag, start - diag + run + K - 1))
+
+    per_doc = {}
+    for d, iv in intervals.items():
+        iv.sort()
+        merged = []
+        for s, e in iv:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        per_doc[d] = (sum(e - s for s, e in merged), len(merged))
+
+    panel = {}
+    for d in ids:
+        s = src[d]
+        p = panel.setdefault(
+            s, {"n_docs": 0, "n_docs_hit": 0, "total_tokens": 0,
+                "dup_tokens": 0, "n_spans": 0})
+        p["n_docs"] += 1
+        p["total_tokens"] += len(toks[d])
+        if d in per_doc:
+            p["n_docs_hit"] += 1
+            p["dup_tokens"] += per_doc[d][0]
+            p["n_spans"] += per_doc[d][1]
+    return panel
+
+
+def _u(prefix, n):
+    return [f"{prefix}_{i}" for i in range(n)]
+
+
+def test_replay_engineered_spans():
+    S = _u("s", 40)        # 40-token shared block (>= L)
+    T = _u("t", 20)        # 20-token shared block (< L)
+    W = _u("w", 58)        # doc4 carries all; doc5 its head, doc6 its tail
+    R = _u("r", 40)        # within-doc repeat only
+    rows = [
+        (0, _u("a", 10) + S + _u("b", 10), "alpha"),
+        (1, _u("c", 7) + S + _u("d", 12), "alpha"),
+        (2, _u("e", 10) + T + _u("f", 10), "alpha"),
+        (3, _u("g", 10) + T + _u("h", 10), "beta"),
+        (4, _u("i", 5) + W + _u("j", 6), "beta"),
+        (5, _u("k", 9) + W[:35] + _u("l", 9), "beta"),
+        (6, _u("m", 4) + W[25:] + _u("n", 11), "beta"),
+        (7, _u("o", 5) + R + _u("p", 3) + R + _u("q", 4), "gamma"),
+        (8, _u("z", 45), "gamma"),
+    ]
+    got = {r["source"]: r for r in _run_oracle(rows)}
+    want = _reference_panel(rows)
+    assert set(got) == set(want)
+    for s, w in want.items():
+        g = got[s]
+        for k2, v in w.items():
+            assert g[k2] == v, (s, k2, g, w)
+    # the engineered expectations themselves (belt and braces):
+    # alpha: docs 0,1 share the 40-token block; the 20-token block is
+    # below L; beta: doc4's two overlapping spans merge to one 58-token
+    # island; gamma: within-doc repeats never count.
+    assert got["alpha"]["n_docs_hit"] == 2
+    assert got["alpha"]["dup_tokens"] == 80
+    assert got["alpha"]["n_spans"] == 2
+    assert got["beta"]["n_docs_hit"] == 3
+    assert got["beta"]["dup_tokens"] == 58 + 35 + 33
+    assert got["beta"]["n_spans"] == 3
+    assert got["gamma"]["dup_tokens"] == 0
+
+
+def test_hot_gram_cap_recall_contract():
+    """One corpus-hot 8-gram inside an otherwise-unique shared 40-token
+    span splits the diagonal run below L on both sides — the documented
+    recall cost of the cap. Without the hot filler docs the same pair
+    yields the full span."""
+    A, G, B = _u("a", 20), _u("g", 8), _u("b", 12)
+    span = A + G + B  # 40 tokens, G at offset 20
+    pair = [
+        (0, _u("x", 6) + span + _u("y", 6), "s0"),
+        (1, _u("v", 9) + span + _u("u", 3), "s0"),
+    ]
+    fillers = [(10 + i, _u(f"f{i}", 12) + G + _u(f"e{i}", 12), "noise")
+               for i in range(70)]
+
+    # control: cap inactive (G occurs twice) -> full 40-token span
+    control = {r["source"]: r for r in _run_oracle(pair)}
+    assert control["s0"]["dup_tokens"] == 80
+    assert control["s0"]["n_spans"] == 2
+
+    # with 70 hot fillers G occurs 72 > 64 times -> excluded; the run
+    # splits into 27- and 19-token fragments, both below L
+    capped = {r["source"]: r for r in _run_oracle(pair + fillers)}
+    assert capped["s0"]["dup_tokens"] == 0
+    assert capped["noise"]["dup_tokens"] == 0
+    # the reference agrees on the capped corpus too
+    want = _reference_panel(pair + fillers)
+    for s, w in want.items():
+        for k2, v in w.items():
+            assert capped[s][k2] == v, (s, k2)
+
+
+def test_fixture_invariants(spark):
+    from mapreduce_server_development_spark.plans import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    rows = QUERIES["q_exact_substring_spans"](spark, SF_SMOKE).collect()
+    assert rows
+    assert any(r.dup_tokens > 0 for r in rows)
+    for r in rows:
+        assert 0 <= r.dup_tokens <= r.total_tokens, r
+        # every merged island covers at least one full L-token span
+        assert r.dup_tokens >= L * r.n_spans, r
+        assert r.n_docs_hit <= r.n_docs, r
+        if r.n_spans == 0:
+            assert r.dup_tokens == 0 and r.n_docs_hit == 0, r
