@@ -68,8 +68,14 @@ def _stream_reader(spark: SparkSession, schema):
     multi-micro-batch replay tests drive the REGISTERED queries with
     state crossing real batch boundaries (round-7 verdict ask #4)
     without a second implementation of any operator."""
-    r = spark.readStream.schema(schema).option(
-        "pathGlobFilter", "events*.parquet"
+    # recursiveFileLookup lets a replay fixture nest its arrival files
+    # inside an events.parquet/ directory (the split_docs_dir layout:
+    # the batch reader sees one dataset while the stream sees N
+    # arrival units); flat driver fixtures are unaffected.
+    r = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events*.parquet")
+        .option("recursiveFileLookup", "true")
     )
     mft = os.environ.get("SPARK_GRAFT_STREAM_MAX_FILES_PER_TRIGGER")
     if mft:
@@ -645,7 +651,10 @@ def q_stream_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     polls until the terminated query's events have drained. Metrics
     VALUES are runtime-dependent (durations, rows/sec), so the
     correctness bar is the stable schema + non-empty progress rows —
-    asserted in tests — not a value oracle.
+    asserted in tests — not a value oracle. Likewise no multi-batch
+    invariance test: the output is one row PER MICRO-BATCH, so its
+    row set depends on arrival framing BY DESIGN (every other
+    streaming query has a batch-boundary-invariance test).
     """
     import time as _time
 
