@@ -204,10 +204,9 @@ _KNN_FINAL = (
 )
 
 
-@query(
-    "q_knn_graph",
-    oracle=f"""
-    WITH {cell_ctes()},
+def _knn_oracle(train_iters: int = 0) -> str:
+    return f"""
+    WITH {cell_ctes(train_iters=train_iters)},
     knn AS (
         SELECT vid, bvid FROM (
             SELECT a.vid, b.vid AS bvid,
@@ -234,8 +233,10 @@ _KNN_FINAL = (
         FROM und
     )
     SELECT {", ".join(_KNN_FINAL)} FROM s
-    """,
-)
+    """
+
+
+@query("q_knn_graph", oracle=_knn_oracle())
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine k-NN graph (k=3) over the embedding corpus, searched
     within IVF cells (the label-purity/ANN scale boundary — never
@@ -263,8 +264,31 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell). The k-NN window partitions by the high-cardinality vector
     id; the undirected reduction is one (min,max)-keyed aggregate.
     """
+    return _knn_graph_df(spark, sf_dir, train_iters=0)
+
+
+@query("q_knn_graph_trained", oracle=_knn_oracle(train_iters=1))
+def q_knn_graph_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_knn_graph with ONE Lloyd training pass on the cell quantizer
+    (train_iters=1) — the trained-quantizer path exercised under a
+    full downstream consumer, not just the fit audit
+    (q_cell_quantizer_train). Training moves the rank-seeded centroids
+    toward the corpus's density modes, flattening the cell-population
+    skew the (cid, sub) split otherwise absorbs and tightening
+    cell-local neighborhoods (fit/recall delta vs the seeded twin
+    recorded in BENCH_AB `knn_graph_trained_delta`). Same output
+    schema, same exactness discipline (6-decimal Lloyd means,
+    4-decimal cosines), same O(n^1.5) bound; training adds one
+    (cell, dim)-keyed aggregate plus one reassignment scan.
+    """
+    return _knn_graph_df(spark, sf_dir, train_iters=1)
+
+
+def _knn_graph_df(
+    spark: SparkSession, sf_dir: str, train_iters: int
+) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    assign = cell_assign(emb, extra=())
+    assign = cell_assign(emb, extra=(), train_iters=train_iters)
     a = assign.select(
         "cid",
         "sub",
