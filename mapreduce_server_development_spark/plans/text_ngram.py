@@ -386,10 +386,10 @@ _XS_FINAL = (
 )
 
 
-@query(
-    "q_exact_substring_spans",
-    oracle=f"""
-    WITH {_TOKS_CTE},
+#: Shared CTE chain (grams -> hot-cap keep -> pairs -> diagonal runs
+#: -> spans >= _XS_L) composed by q_exact_substring_spans and
+#: q_dedup_span_removal.
+_XS_CTES = f"""{_TOKS_CTE},
     grams AS (
         SELECT doc, u.pos AS pos, substr(md5(u.gram), 1, 16) AS gh
         FROM (
@@ -421,11 +421,23 @@ _XS_FINAL = (
                COUNT(*) + {_XS_K} - 1 AS span_len
         FROM runs GROUP BY da, db, diag, grp
         HAVING COUNT(*) + {_XS_K} - 1 >= {_XS_L}
-    ),
+    )"""
+
+
+@query(
+    "q_exact_substring_spans",
+    oracle=f"""
+    WITH {_XS_CTES},
     iv AS (
-        SELECT da AS doc, sa AS s, sa + span_len AS e FROM spans
-        UNION ALL
-        SELECT db AS doc, sb AS s, sb + span_len AS e FROM spans
+        -- DISTINCT: identical intervals from different partners are
+        -- redundant for the union AND would make the island windows'
+        -- (s, e) ordering non-total (two tie orders across the two
+        -- window evaluations can split one island into two)
+        SELECT DISTINCT doc, s, e FROM (
+            SELECT da AS doc, sa AS s, sa + span_len AS e FROM spans
+            UNION ALL
+            SELECT db AS doc, sb AS s, sb + span_len AS e FROM spans
+        )
     ),
     isl AS (
         SELECT doc, s, e,
@@ -499,6 +511,26 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Production would swap md5 for xxhash64; md5 keeps the DuckDB
     oracle bit-identical.
     """
+    toks, spans = _xs_spans(spark, sf_dir)
+    iv = spans.select(
+        F.col("da").alias("doc"),
+        F.col("sa").alias("s"),
+        (F.col("sa") + F.col("span_len")).alias("e"),
+    ).unionAll(
+        spans.select(
+            F.col("db").alias("doc"),
+            F.col("sb").alias("s"),
+            (F.col("sb") + F.col("span_len")).alias("e"),
+        )
+    )
+    panel = _xs_panel(toks, iv, hit_cols=("n_docs_hit", "dup_tokens", "n_spans"))
+    return panel.selectExpr(*_XS_FINAL).orderBy("source")
+
+
+def _xs_spans(spark: SparkSession, sf_dir: str):
+    """(toks, spans) — the shared gram/pair/run pipeline of the span
+    audit and the removal transform; spans has
+    (da, db, diag, grp, sa, sb, span_len) with da < db."""
     docs = load_table(spark, sf_dir, "documents")
     # Single-row-group fixture => single scan task; spread before the
     # per-row gram/md5 expressions (session-4 discipline).
@@ -548,17 +580,18 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("span_len") >= _XS_L)
     )
-    iv = spans.select(
-        F.col("da").alias("doc"),
-        F.col("sa").alias("s"),
-        (F.col("sa") + F.col("span_len")).alias("e"),
-    ).unionAll(
-        spans.select(
-            F.col("db").alias("doc"),
-            F.col("sb").alias("s"),
-            (F.col("sb") + F.col("span_len")).alias("e"),
-        )
-    )
+    return toks, spans
+
+
+def _xs_panel(toks, iv, hit_cols):
+    """Interval-union iv per doc, then the per-source rollup with the
+    given (docs-hit, tokens, spans) output column names. iv is
+    deduplicated first: identical intervals from different partners
+    are redundant for the union and would make the island windows'
+    (s, e) ordering non-total (ties ordered independently by the two
+    window evaluations can split one island into two)."""
+    c_hit, c_tok, c_sp = hit_cols
+    iv = iv.distinct()
     w_prev = (
         Window.partitionBy("doc")
         .orderBy("s", "e")
@@ -585,15 +618,112 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size("toks").cast("long").alias("n_toks"),
     )
-    panel = (
+    return (
         base.join(per_doc, "doc", "left")
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
-            F.count("dup_toks").alias("n_docs_hit"),
+            F.count("dup_toks").alias(c_hit),
             F.sum("n_toks").alias("total_tokens"),
-            F.coalesce(F.sum("dup_toks"), F.lit(0)).alias("dup_tokens"),
-            F.coalesce(F.sum("n_sp"), F.lit(0)).alias("n_spans"),
+            F.coalesce(F.sum("dup_toks"), F.lit(0)).alias(c_tok),
+            F.coalesce(F.sum("n_sp"), F.lit(0)).alias(c_sp),
         )
     )
-    return panel.selectExpr(*_XS_FINAL).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_span_removal — the ExactSubstr removal transform
+# ---------------------------------------------------------------------------
+
+_XSR_FINAL = (
+    "source",
+    "CAST(n_docs AS BIGINT) AS n_docs",
+    "CAST(n_docs_cleaned AS BIGINT) AS n_docs_cleaned",
+    "CAST(total_tokens AS BIGINT) AS tokens_before",
+    "CAST(tokens_removed AS BIGINT) AS tokens_removed",
+    "CAST(total_tokens - tokens_removed AS BIGINT) AS tokens_after",
+    "CAST(n_spans_removed AS BIGINT) AS n_spans_removed",
+    "round(CAST(tokens_removed AS DOUBLE) / total_tokens, 6) AS pct_removed",
+)
+
+
+@query(
+    "q_dedup_span_removal",
+    oracle=f"""
+    WITH {_XS_CTES},
+    iv AS (
+        -- DISTINCT: see q_exact_substring_spans' iv note
+        SELECT DISTINCT db AS doc, sb AS s, sb + span_len AS e FROM spans
+    ),
+    isl AS (
+        SELECT doc, s, e,
+               CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w
+                    THEN 1 ELSE 0 END AS ni
+        FROM iv
+        WINDOW w AS (PARTITION BY doc ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    isl2 AS (
+        SELECT doc, s, e,
+               SUM(ni) OVER (PARTITION BY doc ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS island
+        FROM isl
+    ),
+    merged AS (
+        SELECT doc, island, MAX(e) - MIN(s) AS cov
+        FROM isl2 GROUP BY doc, island
+    ),
+    per_doc AS (
+        SELECT doc, SUM(cov) AS dup_toks, COUNT(*) AS n_sp
+        FROM merged GROUP BY doc
+    ),
+    base AS (
+        SELECT d.doc_id AS doc, d.source, len(t.toks) AS n_toks
+        FROM documents d JOIN toks t ON t.doc = d.doc_id
+    ),
+    panel AS (
+        SELECT b.source,
+               COUNT(*) AS n_docs,
+               COUNT(p.doc) AS n_docs_cleaned,
+               SUM(b.n_toks) AS total_tokens,
+               COALESCE(SUM(p.dup_toks), 0) AS tokens_removed,
+               COALESCE(SUM(p.n_sp), 0) AS n_spans_removed
+        FROM base b LEFT JOIN per_doc p ON p.doc = b.doc
+        GROUP BY b.source
+    )
+    SELECT {", ".join(_XSR_FINAL)} FROM panel ORDER BY source
+    """,
+)
+def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr REMOVAL transform (the action to
+    q_exact_substring_spans' audit): excise every duplicated span
+    >= 32 tokens from the LATER document of each sharing pair,
+    keeping the earliest copy in the corpus — Lee et al. 2022's
+    "remove all but one occurrence" policy made deterministic by
+    doc_id order (the same first-wins-by-id contract as the streaming
+    LSH dedup index). Reports the per-source removal ledger: docs
+    cleaned, tokens before/removed/after.
+
+    Shares the gram/pair/diagonal-run pipeline verbatim with the
+    audit (``_xs_spans`` / the ``_XS_CTES`` oracle chain); the only
+    difference is that coverage intervals project onto the db (later)
+    side ONLY, so the kept first copy contributes no removal. A doc
+    that is the earliest of one pair and the later of another still
+    keeps its role per-pair — exactly one copy of every duplicated
+    span survives corpus-wide along each sharing chain.
+
+    100 TB posture: identical to the audit (cap^2-bounded pair
+    fan-out, per-doc interval-union windows); the removal ledger adds
+    one per-source aggregate.
+    """
+    toks, spans = _xs_spans(spark, sf_dir)
+    iv = spans.select(
+        F.col("db").alias("doc"),
+        F.col("sb").alias("s"),
+        (F.col("sb") + F.col("span_len")).alias("e"),
+    )
+    panel = _xs_panel(
+        toks, iv, hit_cols=("n_docs_cleaned", "tokens_removed", "n_spans_removed")
+    )
+    return panel.selectExpr(*_XSR_FINAL).orderBy("source")

@@ -197,3 +197,66 @@ def test_fixture_invariants(spark):
         assert r.n_docs_hit <= r.n_docs, r
         if r.n_spans == 0:
             assert r.dup_tokens == 0 and r.n_docs_hit == 0, r
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_span_removal — first-wins removal policy
+# ---------------------------------------------------------------------------
+
+
+def _run_removal_oracle(rows):
+    cols, data = _docs_table(rows)
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE documents ({', '.join(cols)})")
+    ph = ", ".join("?" for _ in cols)
+    con.executemany(f"INSERT INTO documents VALUES ({ph})", data)
+    res = con.sql(ORACLE["q_dedup_span_removal"])
+    out = [dict(zip([c.lower() for c in res.columns], r))
+           for r in res.fetchall()]
+    con.close()
+    return out
+
+
+def test_removal_keeps_first_copy():
+    """Two docs sharing a 40-token span: the EARLIER doc keeps it, the
+    later doc loses exactly those 40 tokens. Three docs chained on the
+    same span: exactly one copy (the earliest) survives corpus-wide."""
+    S = _u("s", 40)
+    S2 = _u("s2", 40)  # the chain's own block, distinct from the pair's
+    rows = [
+        (0, _u("a", 10) + S + _u("b", 10), "pairsrc"),
+        (1, _u("c", 7) + S + _u("d", 12), "pairsrc"),
+        (10, _u("e", 5) + S2 + _u("f", 5), "chainsrc"),
+        (11, _u("g", 8) + S2 + _u("h", 4), "chainsrc"),
+        (12, _u("i", 3) + S2 + _u("j", 9), "chainsrc"),
+    ]
+    got = {r["source"]: r for r in _run_removal_oracle(rows)}
+    p = got["pairsrc"]
+    assert p["n_docs_cleaned"] == 1          # doc 0 keeps its copy
+    assert p["tokens_removed"] == 40
+    assert p["tokens_after"] == p["tokens_before"] - 40
+    c = got["chainsrc"]
+    assert c["n_docs_cleaned"] == 2          # docs 11, 12 cleaned
+    assert c["tokens_removed"] == 80         # one surviving copy (doc 10)
+    assert c["pct_removed"] > 0
+
+
+def test_removal_never_exceeds_audit_mass(spark):
+    """Per source: tokens_removed (later-side only) <= the audit's
+    dup_tokens (both sides), and the ledger is internally consistent."""
+    from mapreduce_server_development_spark.plans import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    audit = {r.source: r for r in
+             QUERIES["q_exact_substring_spans"](spark, SF_SMOKE).collect()}
+    removal = {r.source: r for r in
+               QUERIES["q_dedup_span_removal"](spark, SF_SMOKE).collect()}
+    assert set(audit) == set(removal)
+    assert any(r.tokens_removed > 0 for r in removal.values())
+    for s, r in removal.items():
+        a = audit[s]
+        assert r.tokens_before == a.total_tokens, s
+        assert r.tokens_removed <= a.dup_tokens, s
+        assert r.tokens_after == r.tokens_before - r.tokens_removed, s
+        assert r.n_docs_cleaned <= a.n_docs_hit, s
