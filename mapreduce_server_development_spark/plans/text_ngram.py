@@ -727,3 +727,222 @@ def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks, iv, hit_cols=("n_docs_cleaned", "tokens_removed", "n_spans_removed")
     )
     return panel.selectExpr(*_XSR_FINAL).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q_decontaminate_spans — span-level train-vs-eval contamination
+# ---------------------------------------------------------------------------
+
+_XD_FINAL = (
+    "source",
+    "CAST(n_train_docs AS BIGINT) AS n_train_docs",
+    "CAST(n_contaminated AS BIGINT) AS n_contaminated",
+    "CAST(train_tokens AS BIGINT) AS train_tokens",
+    "CAST(contam_tokens AS BIGINT) AS contam_tokens",
+    "round(CAST(contam_tokens AS DOUBLE) / train_tokens, 6) AS contam_frac",
+    "CAST(n_eval_docs_hit AS BIGINT) AS n_eval_docs_hit",
+)
+
+
+def _xd_oracle() -> str:
+    from .sampling import _bucket_sql
+
+    bucket = _bucket_sql("split", "doc_id")
+    return f"""
+    WITH {_TOKS_CTE},
+    tagged AS (
+        SELECT doc_id AS doc,
+               CASE WHEN {bucket} < 800 THEN 'train'
+                    WHEN {bucket} >= 900 THEN 'test'
+                    ELSE 'val' END AS split
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc, u.pos AS pos, substr(md5(u.gram), 1, 16) AS gh
+        FROM (
+            SELECT doc,
+                   unnest(list_transform(
+                       range(1, len(toks) - {_XS_K} + 2),
+                       i -> {{'pos': i - 1,
+                             'gram': array_to_string(toks[i:i+{_XS_K - 1}], ' ')}})) AS u
+            FROM toks)
+    ),
+    gs AS (
+        SELECT g.doc, g.pos, g.gh, t.split
+        FROM grams g JOIN tagged t USING (doc)
+    ),
+    keep AS (
+        SELECT gh FROM gs GROUP BY gh
+        HAVING COUNT(*) <= {_XS_HOT}
+           AND SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) > 0
+           AND SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) > 0
+    ),
+    ev AS (SELECT doc, pos, gh FROM gs JOIN keep USING (gh)
+           WHERE split = 'test'),
+    tr AS (SELECT doc, pos, gh FROM gs JOIN keep USING (gh)
+           WHERE split = 'train'),
+    pairs AS (
+        SELECT ev.doc AS ta, ev.pos AS pa, tr.doc AS tb, tr.pos AS pb
+        FROM ev JOIN tr USING (gh)
+    ),
+    runs AS (
+        SELECT ta, tb, pa - pb AS diag, pb,
+               pb - ROW_NUMBER() OVER (PARTITION BY ta, tb, pa - pb
+                                       ORDER BY pb) AS grp
+        FROM pairs
+    ),
+    spans AS (
+        SELECT ta, tb, MIN(pb) AS sb, COUNT(*) + {_XS_K} - 1 AS span_len
+        FROM runs GROUP BY ta, tb, diag, grp
+        HAVING COUNT(*) + {_XS_K} - 1 >= {_XS_L}
+    ),
+    iv AS (
+        SELECT DISTINCT tb AS doc, sb AS s, sb + span_len AS e FROM spans
+    ),
+    isl AS (
+        SELECT doc, s, e,
+               CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w
+                    THEN 1 ELSE 0 END AS ni
+        FROM iv
+        WINDOW w AS (PARTITION BY doc ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    isl2 AS (
+        SELECT doc, s, e,
+               SUM(ni) OVER (PARTITION BY doc ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS island
+        FROM isl
+    ),
+    merged AS (
+        SELECT doc, island, MAX(e) - MIN(s) AS cov
+        FROM isl2 GROUP BY doc, island
+    ),
+    per_doc AS (
+        SELECT doc, SUM(cov) AS contam_toks FROM merged GROUP BY doc
+    ),
+    hits AS (
+        SELECT s.tb AS doc, d.source, s.ta
+        FROM spans s JOIN documents d ON d.doc_id = s.tb
+    ),
+    evhit AS (
+        SELECT source, COUNT(DISTINCT ta) AS n_eval_docs_hit
+        FROM hits GROUP BY source
+    ),
+    base AS (
+        SELECT d.doc_id AS doc, d.source, len(t.toks) AS n_toks
+        FROM documents d
+        JOIN toks t ON t.doc = d.doc_id
+        JOIN tagged g ON g.doc = d.doc_id
+        WHERE g.split = 'train'
+    ),
+    panel AS (
+        SELECT b.source,
+               COUNT(*) AS n_train_docs,
+               COUNT(p.doc) AS n_contaminated,
+               SUM(b.n_toks) AS train_tokens,
+               COALESCE(SUM(p.contam_toks), 0) AS contam_tokens
+        FROM base b LEFT JOIN per_doc p ON p.doc = b.doc
+        GROUP BY b.source
+    )
+    SELECT {", ".join(_XD_FINAL)}
+    FROM (SELECT pn.*, COALESCE(e.n_eval_docs_hit, 0) AS n_eval_docs_hit
+          FROM panel pn LEFT JOIN evhit e USING (source))
+    ORDER BY source
+    """
+
+
+@query("q_decontaminate_spans", oracle=_xd_oracle())
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level train-vs-eval decontamination (the ExactSubstr form
+    of q_decontaminate's shingle-overlap screen): flag TRAIN documents
+    containing a VERBATIM >= 32-token span that also appears in a TEST
+    (eval) document of the deterministic hash split — the "don't train
+    on test" gate GPT-3/OLMo-class contamination analyses run, where
+    shingle overlap alone over-flags (one shared 8-gram) and doc-level
+    dedup under-flags (a test question embedded in a long train doc).
+    Reports the per-source contamination ledger over TRAIN docs:
+    contaminated docs, covered train tokens, distinct eval docs hit.
+
+    Pipeline: the q_exact_substring_spans gram/diagonal-run machinery
+    with the pair relation RESTRICTED to test x train (asymmetric:
+    runs are grouped on the train-side positions, coverage projects
+    onto the train side only); the hot-fingerprint cap additionally
+    requires a gram to occur in BOTH splits before pairing. Split
+    membership is the engine-shared md5 hash bucket
+    (``sampling.hash_bucket``), so both engines agree on train/test.
+
+    100 TB posture: the eval side is ~10% of the corpus and only
+    grams occurring in BOTH splits pair (a production run would build
+    the eval gram index once and broadcast it); everything else is
+    the audit's cap^2-bounded equi-join discipline.
+    """
+    from .sampling import hash_bucket
+
+    toks, _ = _xs_spans(spark, sf_dir)  # reuse the spread tokenization
+    b = hash_bucket("split", F.col("doc_id"))
+    split = (
+        F.when(b < 800, "train").when(b >= 900, "test").otherwise("val")
+    ).alias("split")
+    tagged = toks.select("doc_id", split)
+    grams = toks.select(
+        F.col("doc_id").alias("doc"),
+        F.posexplode(word_shingles(F.col("toks"), _XS_K)).alias("pos", "gram"),
+    ).select("doc", "pos", F.substring(F.md5("gram"), 1, 16).alias("gh"))
+    gs = grams.join(
+        tagged.select(F.col("doc_id").alias("doc"), "split"), "doc"
+    )
+    keep = (
+        gs.groupBy("gh")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("ct"),
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("cr"),
+        )
+        .filter((F.col("c") <= _XS_HOT) & (F.col("ct") > 0) & (F.col("cr") > 0))
+        .select("gh")
+    )
+    g2 = gs.join(keep, "gh").persist()
+    ev = g2.filter(F.col("split") == "test").select(
+        "gh", F.col("doc").alias("ta"), F.col("pos").alias("pa")
+    )
+    tr = g2.filter(F.col("split") == "train").select(
+        "gh", F.col("doc").alias("tb"), F.col("pos").alias("pb")
+    )
+    pairs = ev.join(tr, "gh").select(
+        "ta", "pa", "tb", "pb", (F.col("pa") - F.col("pb")).alias("diag")
+    )
+    w_run = Window.partitionBy("ta", "tb", "diag").orderBy("pb")
+    runs = pairs.withColumn("grp", F.col("pb") - F.row_number().over(w_run))
+    spans = (
+        runs.groupBy("ta", "tb", "diag", "grp")
+        .agg(
+            F.min("pb").alias("sb"),
+            (F.count("*") + _XS_K - 1).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= _XS_L)
+    )
+    iv = spans.select(
+        F.col("tb").alias("doc"),
+        F.col("sb").alias("s"),
+        (F.col("sb") + F.col("span_len")).alias("e"),
+    )
+    train_toks = toks.join(
+        tagged.filter(F.col("split") == "train").select("doc_id"), "doc_id"
+    )
+    panel = _xs_panel(
+        train_toks, iv,
+        hit_cols=("n_contaminated", "contam_tokens", "n_spans_drop"),
+    ).withColumnRenamed("n_docs", "n_train_docs").withColumnRenamed(
+        "total_tokens", "train_tokens"
+    )
+    docs_src = toks.select(F.col("doc_id").alias("tb"), "source")
+    evhit = (
+        spans.join(docs_src, "tb")
+        .groupBy("source")
+        .agg(F.countDistinct("ta").alias("n_eval_docs_hit"))
+    )
+    out = panel.join(evhit, "source", "left").withColumn(
+        "n_eval_docs_hit", F.coalesce("n_eval_docs_hit", F.lit(0))
+    )
+    return out.selectExpr(*_XD_FINAL).orderBy("source")

@@ -260,3 +260,157 @@ def test_removal_never_exceeds_audit_mass(spark):
         assert r.tokens_removed <= a.dup_tokens, s
         assert r.tokens_after == r.tokens_before - r.tokens_removed, s
         assert r.n_docs_cleaned <= a.n_docs_hit, s
+
+
+# ---------------------------------------------------------------------------
+# q_decontaminate_spans — span-level train-vs-eval contamination
+# ---------------------------------------------------------------------------
+
+
+def _split_of(doc_id: int) -> str:
+    import hashlib
+
+    h = hashlib.md5(f"split:{doc_id}".encode()).hexdigest()
+    b = int(h[:4], 16) % 1000
+    return "train" if b < 800 else ("test" if b >= 900 else "val")
+
+
+def _run_decontam_oracle(rows):
+    cols, data = _docs_table(rows)
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE documents ({', '.join(cols)})")
+    ph = ", ".join("?" for _ in cols)
+    con.executemany(f"INSERT INTO documents VALUES ({ph})", data)
+    res = con.sql(ORACLE["q_decontaminate_spans"])
+    out = [dict(zip([c.lower() for c in res.columns], r))
+           for r in res.fetchall()]
+    con.close()
+    return out
+
+
+def _decontam_reference(rows):
+    """Independent diagonal-scan reference with the split restriction:
+    pairs are test x train only; grams must be corpus-cold (<= CAP)
+    and occur in BOTH splits; coverage projects onto the train doc."""
+    toks = {d: t for d, t, _ in rows}
+    src = {d: s for d, _, s in rows}
+    occ: Counter = Counter()
+    split_of_gram: defaultdict = defaultdict(set)
+    grams = {}
+    for d, ts in toks.items():
+        gs = [" ".join(ts[i:i + K]) for i in range(len(ts) - K + 1)]
+        grams[d] = gs
+        for g in gs:
+            occ[g] += 1
+            split_of_gram[g].add(_split_of(d))
+
+    def allowed(g):
+        return (occ[g] <= CAP and "test" in split_of_gram[g]
+                and "train" in split_of_gram[g])
+
+    intervals: defaultdict = defaultdict(list)
+    eval_hits: defaultdict = defaultdict(set)
+    tests = [d for d in toks if _split_of(d) == "test"]
+    trains = [d for d in toks if _split_of(d) == "train"]
+    for ta in tests:
+        for tb in trains:
+            ga, gb = grams[ta], grams[tb]
+            for diag in range(-(len(gb) - 1), len(ga)):
+                run, start_pb = 0, None
+                for pa in range(max(0, diag), min(len(ga), len(gb) + diag)):
+                    pb = pa - diag
+                    if ga[pa] == gb[pb] and allowed(ga[pa]):
+                        if run == 0:
+                            start_pb = pb
+                        run += 1
+                    else:
+                        if run and run + K - 1 >= L:
+                            intervals[tb].append(
+                                (start_pb, start_pb + run + K - 1))
+                            eval_hits[src[tb]].add(ta)
+                        run = 0
+                if run and run + K - 1 >= L:
+                    intervals[tb].append((start_pb, start_pb + run + K - 1))
+                    eval_hits[src[tb]].add(ta)
+
+    per_doc = {}
+    for d, iv in intervals.items():
+        merged = []
+        for s, e in sorted(set(iv)):
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        per_doc[d] = sum(e - s for s, e in merged)
+
+    panel = {}
+    for d in trains:
+        s = src[d]
+        p = panel.setdefault(
+            s, {"n_train_docs": 0, "n_contaminated": 0, "train_tokens": 0,
+                "contam_tokens": 0, "n_eval_docs_hit": 0})
+        p["n_train_docs"] += 1
+        p["train_tokens"] += len(toks[d])
+        if d in per_doc:
+            p["n_contaminated"] += 1
+            p["contam_tokens"] += per_doc[d]
+    for s, p in panel.items():
+        p["n_eval_docs_hit"] = len(eval_hits.get(s, set()))
+    return panel
+
+
+def test_decontam_replay_engineered():
+    """A test-split doc shares a 40-token span with a train-split doc
+    -> the TRAIN doc is flagged with exactly the span's coverage;
+    train-train sharing is NOT contamination."""
+    # find concrete ids in each split (the hash is fixed, ids are data)
+    tests = [i for i in range(200) if _split_of(i) == "test"][:2]
+    trains = [i for i in range(200) if _split_of(i) == "train"][:4]
+    S, S3 = _u("s", 40), _u("u", 40)
+    rows = [
+        (tests[0], _u("a", 6) + S + _u("b", 5), "evalsrc"),
+        (trains[0], _u("c", 9) + S + _u("d", 7), "hitsrc"),
+        # train-train sharing: not contamination
+        (trains[1], _u("e", 4) + S3 + _u("f", 8), "cleansrc"),
+        (trains[2], _u("g", 6) + S3 + _u("h", 3), "cleansrc"),
+        (trains[3], _u("z", 50), "cleansrc"),
+    ]
+    got = {r["source"]: r for r in _run_decontam_oracle(rows)}
+    want = _decontam_reference(rows)
+    assert set(got) == set(want)
+    for s, w in want.items():
+        for k2, v in w.items():
+            assert got[s][k2] == v, (s, k2, got[s], w)
+    assert got["hitsrc"]["n_contaminated"] == 1
+    assert got["hitsrc"]["contam_tokens"] == 40
+    assert got["hitsrc"]["n_eval_docs_hit"] == 1
+    assert got["cleansrc"]["n_contaminated"] == 0
+
+
+def test_decontam_fixture_agrees_with_reference(spark):
+    """Full pure-Python replay on the live sf0.001 fixture."""
+    import duckdb as _dd
+
+    from mapreduce_server_development_spark.plans import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    con = _dd.connect()
+    docs = con.sql(
+        f"SELECT doc_id, text, source FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    rows = [(d, [t for t in txt.lower().split(" ") if t], s)
+            for d, txt, s in docs]
+    want = _decontam_reference(rows)
+    got = {r.source: r for r in
+           QUERIES["q_decontaminate_spans"](spark, SF_SMOKE).collect()}
+    # sources with no train docs do not appear
+    assert set(got) == {s for s in want if want[s]["n_train_docs"] > 0}
+    for s, w in want.items():
+        if w["n_train_docs"] == 0:
+            continue
+        g = got[s]
+        for k2, v in w.items():
+            assert g[k2] == v, (s, k2, g, w)
