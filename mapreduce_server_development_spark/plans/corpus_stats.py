@@ -2796,3 +2796,242 @@ def q_lsa_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(*_LSA_FINAL)
         .orderBy(F.col("loading_e6").desc(), "term")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_nb_learning_curve — accuracy vs training-data fraction
+# ---------------------------------------------------------------------------
+
+#: Training fractions in hash deciles (decile 9 is the held-out test
+#: set): model f trains on deciles 0..f-1 = 10f% of the corpus.
+_NBLC_FRACS = (1, 2, 4, 8, 9)
+
+_NBLC_FINAL = (
+    "CAST(f AS BIGINT) AS n_deciles",
+    "CAST(f * 10 AS BIGINT) AS train_pct",
+    "CAST(n_train AS BIGINT) AS n_train_docs",
+    "CAST(n_test AS BIGINT) AS n_test_docs",
+    "CAST(n_correct AS BIGINT) AS n_correct",
+    "round(CAST(n_correct AS DOUBLE) / n_test, 6) AS accuracy",
+)
+
+
+def _nblc_oracle() -> str:
+    from .sampling import _bucket_sql
+
+    dec = _bucket_sql("nblc", "doc_id", 10)
+    fracs = ", ".join(str(f) for f in _NBLC_FRACS)
+    return f"""
+    WITH toks0 AS (
+        SELECT doc_id, source, {dec} AS dec,
+               list_filter(string_split(lower(text), ' '), t -> t <> '')
+                   AS toks
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, source, dec, unnest(toks) AS tok FROM toks0
+    ),
+    fr AS (SELECT unnest([{fracs}]) AS f),
+    tokc AS (
+        SELECT dec, source, tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks WHERE dec < 9 GROUP BY 1, 2, 3
+    ),
+    cf AS (
+        SELECT fr.f, t.source, t.tok, SUM(t.c) AS c
+        FROM tokc t JOIN fr ON t.dec < fr.f
+        GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT f, source, SUM(c) AS tot FROM cf GROUP BY 1, 2),
+    voc AS (
+        SELECT fr.f, COUNT(DISTINCT t.tok) AS v
+        FROM tokc t JOIN fr ON t.dec < fr.f GROUP BY 1
+    ),
+    dtr AS (
+        SELECT fr.f, d.source, CAST(COUNT(*) AS BIGINT) AS nd
+        FROM toks0 d JOIN fr ON d.dec < fr.f
+        GROUP BY 1, 2
+    ),
+    ntr AS (SELECT f, SUM(nd) AS n FROM dtr GROUP BY f),
+    -- candidate classes PER FRACTION: a model trained on data with
+    -- zero examples of a class cannot predict it (the class enters
+    -- the curve once its first training doc appears)
+    cls AS (SELECT f, source AS cand FROM dtr),
+    kk AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS k FROM cls GROUP BY f),
+    prior AS (
+        SELECT c.f, c.cand,
+               CAST(round(ln((dt.nd + 1.0) / (nt.n + kk.k))
+                          * 1000000) AS BIGINT) AS plp
+        FROM cls c
+        JOIN dtr dt ON dt.f = c.f AND dt.source = c.cand
+        JOIN ntr nt ON nt.f = c.f
+        JOIN kk ON kk.f = c.f
+    ),
+    test AS (SELECT doc_id, source, tok FROM toks WHERE dec = 9),
+    scored AS (
+        SELECT te.doc_id, c.f, c.cand,
+               SUM(CAST(round(ln((COALESCE(cf.c, 0) + 1.0)
+                                 / (COALESCE(tt.tot, 0) + v.v)) * 1000000)
+                        AS BIGINT)) AS tok_lp
+        FROM test te CROSS JOIN cls c
+        LEFT JOIN cf ON cf.f = c.f AND cf.source = c.cand
+                    AND cf.tok = te.tok
+        LEFT JOIN tot tt ON tt.f = c.f AND tt.source = c.cand
+        JOIN voc v ON v.f = c.f
+        GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+        SELECT s.doc_id, s.f, s.cand,
+               ROW_NUMBER() OVER (PARTITION BY s.doc_id, s.f
+                                  ORDER BY s.tok_lp + p.plp DESC, s.cand)
+                   AS rk
+        FROM scored s JOIN prior p ON p.f = s.f AND p.cand = s.cand
+    ),
+    truth AS (SELECT DISTINCT doc_id, source FROM test),
+    acc AS (
+        SELECT r.f,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(COUNT(*) FILTER (WHERE r.cand = t.source) AS BIGINT)
+                   AS n_correct
+        FROM ranked r JOIN truth t USING (doc_id)
+        WHERE r.rk = 1 GROUP BY r.f
+    )
+    SELECT {", ".join(_NBLC_FINAL)}
+    FROM acc JOIN ntr USING (f),
+         LATERAL (SELECT ntr.n AS n_train) _
+    ORDER BY f
+    """
+
+
+@query("q_nb_learning_curve", oracle=_nblc_oracle())
+def q_nb_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-scaling (learning) curve of the NB source classifier:
+    held-out accuracy at 10/20/40/80/90% of the training corpus — the
+    measurement behind every "how much data do we actually need"
+    decision and the data-ablation readout scaling-law work plots
+    (Kaplan et al. 2020 regime, here with the engine's exact NB).
+
+    Implemented with the q_nb_crossval discipline inverted: token
+    counts are aggregated ONCE per (decile, class, token); the model
+    for fraction f is the CUMULATIVE sum over deciles < f (a 5-row
+    broadcast non-equi join), so 5 nested models cost one training
+    aggregation. Decile 9 is the fixed held-out test set; Laplace
+    smoothing and the e6-quantized-ln-before-integer-sum exactness
+    discipline are q_naive_bayes's verbatim.
+
+    Scale: one (decile, class, token) aggregate (map-side combined);
+    scoring joins test tokens against the cumulative count table on
+    (f, class, token); the per-doc argmax is a window over |classes|
+    rows per (doc, fraction).
+    """
+    from .sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    toks0 = docs.select(
+        "doc_id",
+        "source",
+        hash_bucket("nblc", F.col("doc_id"), 10).alias("dec"),
+        tokens_col(F.lower(F.col("text"))).alias("toks"),
+    )
+    toks = toks0.select(
+        "doc_id", "source", "dec", F.explode("toks").alias("tok")
+    )
+    fr = docs.sparkSession.createDataFrame(
+        [(f,) for f in _NBLC_FRACS], "f long"
+    )
+    tokc = (
+        toks.filter(F.col("dec") < 9)
+        .groupBy("dec", "source", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    cf = (
+        tokc.join(F.broadcast(fr), tokc["dec"] < fr["f"])
+        .groupBy("f", "source", "tok")
+        .agg(F.sum("c").alias("c"))
+    )
+    tot = cf.groupBy("f", "source").agg(F.sum("c").alias("tot"))
+    voc = (
+        tokc.join(F.broadcast(fr), tokc["dec"] < fr["f"])
+        .groupBy("f")
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    dtr = (
+        toks0.filter(F.col("dec") < 9)
+        .join(F.broadcast(fr), toks0["dec"] < fr["f"])
+        .groupBy("f", "source")
+        .agg(F.count("*").cast("long").alias("nd"))
+    )
+    ntr = dtr.groupBy("f").agg(F.sum("nd").alias("n"))
+    # candidate classes PER FRACTION: only classes with >= 1 training
+    # doc can be predicted (the class enters the curve once its first
+    # training doc appears)
+    cls = dtr.select("f", F.col("source").alias("cand"))
+    kk = cls.groupBy("f").agg(F.count("*").cast("long").alias("k"))
+    prior = (
+        cls.join(dtr.withColumnRenamed("source", "cand"), ["f", "cand"])
+        .join(ntr, "f")
+        .join(kk, "f")
+        .select(
+            "f",
+            "cand",
+            F.round(
+                F.log(
+                    (F.col("nd") + F.lit(1.0))
+                    / (F.col("n") + F.col("k")).cast("double")
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("plp"),
+        )
+    )
+    test = toks.filter(F.col("dec") == 9).select("doc_id", "source", "tok")
+    scored = (
+        test.crossJoin(F.broadcast(cls))
+        .join(
+            cf.withColumnRenamed("source", "cand").withColumnRenamed("c", "cc"),
+            ["f", "cand", "tok"],
+            "left",
+        )
+        .join(tot.withColumnRenamed("source", "cand"), ["f", "cand"], "left")
+        .join(F.broadcast(voc), "f")
+        .groupBy("doc_id", "f", "cand")
+        .agg(
+            F.sum(
+                F.round(
+                    F.log(
+                        (F.coalesce("cc", F.lit(0)) + F.lit(1.0))
+                        / (F.coalesce("tot", F.lit(0)) + F.col("v"))
+                        .cast("double")
+                    )
+                    * 1000000
+                ).cast("long")
+            ).alias("tok_lp")
+        )
+    )
+    ranked = (
+        scored.join(F.broadcast(prior), ["f", "cand"])
+        .withColumn("score", F.col("tok_lp") + F.col("plp"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id", "f").orderBy(
+                    F.col("score").desc(), "cand"
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    truth = test.select("doc_id", "source").distinct()
+    acc = (
+        ranked.join(truth, "doc_id")
+        .groupBy("f")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(F.when(F.col("cand") == F.col("source"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+        )
+    )
+    out = acc.join(ntr.withColumnRenamed("n", "n_train"), "f")
+    return out.selectExpr(*_NBLC_FINAL).orderBy("f")
