@@ -2851,3 +2851,203 @@ def q_stream_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(flags, spark, mode="complete")
     return out.selectExpr(*_SCF_FINAL).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q_stream_decontaminate_spans — span-contamination screening AT INGEST
+# ---------------------------------------------------------------------------
+
+
+def _xsd_stream_oracle() -> str:
+    from .sampling import _bucket_sql
+    from .text_ngram import _XS_HOT, _XS_K, _XS_L
+
+    bucket = _bucket_sql("split", "doc_id")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id AS doc,
+               list_filter(string_split(lower(text), ' '), t -> t <> '')
+                   AS toks
+        FROM documents
+    ),
+    tagged AS (
+        SELECT doc_id AS doc,
+               CASE WHEN {bucket} >= 900 THEN 'test' ELSE 'other' END AS split
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc, u.pos AS pos, substr(md5(u.gram), 1, 16) AS gh
+        FROM (
+            SELECT doc,
+                   unnest(list_transform(
+                       range(1, len(toks) - {_XS_K} + 2),
+                       i -> {{'pos': i - 1,
+                             'gram': array_to_string(toks[i:i+{_XS_K - 1}], ' ')}})) AS u
+            FROM toks)
+    ),
+    evidx AS (
+        SELECT g.doc, g.pos, g.gh
+        FROM grams g JOIN tagged t USING (doc) WHERE t.split = 'test'
+    ),
+    keep AS (
+        SELECT gh FROM evidx GROUP BY gh HAVING COUNT(*) <= {_XS_HOT}
+    ),
+    ev2 AS (
+        SELECT e.doc AS ta, e.pos AS pa, e.gh
+        FROM evidx e JOIN keep USING (gh)
+    ),
+    arr AS (
+        SELECT g.doc AS tb, g.pos AS pb, g.gh
+        FROM grams g JOIN keep USING (gh)
+    ),
+    pairs AS (
+        SELECT ta, pa, tb, pb FROM ev2 JOIN arr USING (gh) WHERE ta <> tb
+    ),
+    runs AS (
+        SELECT tb, ta, pa - pb AS diag, pb,
+               pb - ROW_NUMBER() OVER (PARTITION BY tb, ta, pa - pb
+                                       ORDER BY pb) AS grp
+        FROM pairs
+    ),
+    spans AS (
+        SELECT tb FROM runs GROUP BY tb, ta, diag, grp
+        HAVING COUNT(*) + {_XS_K} - 1 >= {_XS_L}
+    ),
+    flagged AS (SELECT DISTINCT tb FROM spans),
+    panel AS (
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(f.tb) AS BIGINT) AS n_flagged
+        FROM documents d LEFT JOIN flagged f ON f.tb = d.doc_id
+        GROUP BY d.source
+    )
+    SELECT source, n_docs, n_flagged,
+           round(CAST(n_flagged AS DOUBLE) / n_docs, 6) AS flag_rate
+    FROM panel ORDER BY source
+    """
+
+
+@query("q_stream_decontaminate_spans", oracle=_xsd_stream_oracle())
+def q_stream_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level eval-contamination screening AT INGEST (the
+    streaming form of q_decontaminate_spans, and the gate a training
+    pipeline actually deploys: every arriving document is checked for
+    a verbatim >= 32-token overlap with the BENCHMARK/EVAL set before
+    it can enter the training corpus). The eval-set gram index is
+    STATIC — built once from the test hash split, hot grams (> 64
+    index occurrences) dropped at index-build time — so the screen
+    needs NO streaming state: each micro-batch joins its arrivals'
+    positional grams against the index and detects same-partner
+    diagonal runs with plain batch ops inside ``foreachBatch`` (the
+    q_stream_mv execution class), appending one (doc, source, flag)
+    row per arrival to the file sink. Batch-boundary invariant by
+    construction (an arriving doc's grams live in its own batch; the
+    index never changes), which the multi-batch replay test pins.
+
+    Contract: an arrival is flagged if it shares a >= 32-token
+    verbatim span with an eval doc OTHER THAN ITSELF (eval docs
+    re-arriving are not self-contaminated). The cap lives on the
+    INDEX side only — arrival-side corpus frequencies are unknowable
+    at ingest time (the honest production form; the batch
+    q_decontaminate_spans audits with the corpus-wide cap).
+
+    100 TB posture: eval sets are small (benchmarks), so the index is
+    a bounded relation a real deployment broadcasts; per-batch work
+    is one gram equi-join + per-(arrival, eval, diag) grouped windows;
+    zero state, sink written by executors.
+    """
+    from ..functions.text import tokens_col, word_shingles
+    from .sampling import hash_bucket
+    from .text_ngram import _XS_HOT, _XS_K, _XS_L
+
+    docs = load_table(spark, sf_dir, "documents")
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    is_test = hash_bucket("split", F.col("doc_id")) >= 900
+    ev_grams = (
+        spread.filter(is_test)
+        .select(
+            F.col("doc_id").alias("ta"),
+            F.posexplode(
+                word_shingles(tokens_col(F.lower(F.col("text"))), _XS_K)
+            ).alias("pa", "gram"),
+        )
+        .select("ta", "pa", F.substring(F.md5("gram"), 1, 16).alias("gh"))
+    )
+    keep = (
+        ev_grams.groupBy("gh")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") <= _XS_HOT)
+        .select("gh")
+    )
+    # The static index: bounded (eval sets are small) — pinned once so
+    # every micro-batch joins the same relation without recompute.
+    ev2 = ev_grams.join(keep, "gh").localCheckpoint(eager=True)
+
+    _gc_previous_sinks(spark)
+    root = tempfile.mkdtemp(prefix="stream_xsd_")
+    _prev_sink_roots.append(root)
+    out_dir = f"{root}/out"
+
+    def screen(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        b = batch_df.repartition(
+            batch_df.sparkSession.sparkContext.defaultParallelism
+        )
+        base = b.select(
+            "doc_id", "source", tokens_col(F.lower(F.col("text"))).alias("toks")
+        )
+        grams = base.select(
+            F.col("doc_id").alias("tb"),
+            F.posexplode(word_shingles(F.col("toks"), _XS_K)).alias(
+                "pb", "gram"
+            ),
+        ).select("tb", "pb", F.substring(F.md5("gram"), 1, 16).alias("gh"))
+        pairs = grams.join(ev2, "gh").filter(F.col("ta") != F.col("tb"))
+        w = W.partitionBy("tb", "ta", F.col("pa") - F.col("pb")).orderBy("pb")
+        spans = (
+            pairs.withColumn("grp", F.col("pb") - F.row_number().over(w))
+            .groupBy("tb", "ta", (F.col("pa") - F.col("pb")).alias("diag"), "grp")
+            .agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") + _XS_K - 1 >= _XS_L)
+            .select("tb")
+            .distinct()
+        )
+        (
+            base.select("doc_id", "source")
+            .join(
+                spans.withColumnRenamed("tb", "doc_id").withColumn(
+                    "flag", F.lit(1)
+                ),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id", "source", F.coalesce("flag", F.lit(0)).alias("flag")
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    stream = read_documents_stream(spark, sf_dir)
+    with _stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(screen)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = spark.read.parquet(out_dir)
+    panel = out.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("flag").cast("long").alias("n_flagged"),
+    )
+    return panel.select(
+        "source",
+        "n_docs",
+        "n_flagged",
+        F.round(F.col("n_flagged").cast("double") / F.col("n_docs"), 6).alias(
+            "flag_rate"
+        ),
+    ).orderBy("source")

@@ -434,3 +434,19 @@ def test_multi_batch_docs_queries(spark, split_docs_dir, monkeypatch, qname):
     monkeypatch.setenv("SPARK_GRAFT_STREAM_MAX_FILES_PER_TRIGGER", "1")
     multi = rows(QUERIES[qname](spark, split_docs_dir))
     assert multi == single
+
+
+def test_stream_decontaminate_spans_multi_batch(spark, split_docs_dir, monkeypatch):
+    """The ingest-time span-contamination screen is stateless against
+    a STATIC eval index: 4 micro-batches must reproduce the
+    single-batch (oracle-checked) panel exactly."""
+    from mapreduce_server_development_spark.plans import QUERIES
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_MAX_FILES_PER_TRIGGER", raising=False)
+    single = rows(QUERIES["q_stream_decontaminate_spans"](spark, "/root/testdata/sf0.001"))
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_MAX_FILES_PER_TRIGGER", "1")
+    multi = rows(QUERIES["q_stream_decontaminate_spans"](spark, split_docs_dir))
+    assert multi == single
