@@ -2610,3 +2610,127 @@ def q_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_s")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_wasserstein_distance — exact 1-D earth-mover distance between two
+# empirical price distributions (distributed order statistics)
+# ---------------------------------------------------------------------------
+
+_W1_FINAL = (
+    "CAST(n_a AS BIGINT) AS n_a",
+    "CAST(n_b AS BIGINT) AS n_b",
+    "CAST(n_support AS BIGINT) AS n_support",
+    "round(CAST(num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b) / 100, 4)"
+    " AS w1_dollars",
+    "round(CAST(sum_a AS DOUBLE) / n_a / 100, 4) AS mean_a_dollars",
+    "round(CAST(sum_b AS DOUBLE) / n_b / 100, 4) AS mean_b_dollars",
+)
+
+_W1_ORACLE = f"""
+    WITH v AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+               l_returnflag AS fl
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ),
+    sup AS (
+        SELECT v,
+               CAST(SUM(CASE WHEN fl = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS na,
+               CAST(SUM(CASE WHEN fl = 'N' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nb
+        FROM v GROUP BY v
+    ),
+    cum AS (
+        SELECT v, na, nb,
+               SUM(na) OVER w AS cuma, SUM(nb) OVER w AS cumb,
+               LEAD(v) OVER (ORDER BY v) AS v_next
+        FROM sup WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)
+    ),
+    tots AS (
+        SELECT SUM(na) AS n_a, SUM(nb) AS n_b,
+               CAST(COUNT(*) AS BIGINT) AS n_support,
+               SUM(v * na) AS sum_a, SUM(v * nb) AS sum_b
+        FROM sup
+    ),
+    w1 AS (
+        SELECT SUM(CAST(abs(c.cuma * t.n_b - c.cumb * t.n_a)
+                        AS DECIMAL(38,0)) * (c.v_next - c.v)) AS num
+        FROM cum c CROSS JOIN tots t WHERE c.v_next IS NOT NULL
+    )
+    SELECT {", ".join(_W1_FINAL)} FROM w1 CROSS JOIN tots
+    """
+
+
+@query("q_wasserstein_distance", oracle=_W1_ORACLE)
+def q_wasserstein_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth-mover) distance between the
+    extended-price distributions of RETURNED ('R') and kept ('N')
+    line items — the distribution-shift metric ML monitoring uses
+    when PSI/KL's binning hides tail movement (W1 integrates the full
+    CDF gap and reads in DOLLARS: the average price movement needed
+    to turn one distribution into the other).
+
+    Exactness: W1 = integral |F_A - F_B| dt over the integer-cent
+    support = sum over adjacent distinct values of
+    |cumA*n_B - cumB*n_A| * gap / (n_A*n_B) — an exact DECIMAL(38,0)
+    integer sum with ONE shared final division text.
+
+    Scale: the support relation (distinct cent values with per-group
+    counts) is one hash aggregate; cumulative counts ride TWO
+    two-phase ``global_running_sum`` scans and the adjacent-value
+    gaps come from a ``global_row_number`` self-join on rank+1 — no
+    single-task global window anywhere (the engine's distributed
+    order-statistics discipline); the readout is one scalar
+    aggregate.
+    """
+    from ..functions.prefix import global_running_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.filter(F.col("l_returnflag").isin("R", "N")).select(
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("v"),
+        F.col("l_returnflag").alias("fl"),
+    )
+    sup = v.groupBy("v").agg(
+        F.sum(F.when(F.col("fl") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("fl") == "N", 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    ranked = global_row_number(sup, ["v"], out_col="rn")
+    cum = global_running_sum(
+        global_running_sum(ranked, "v", "na", out_col="cuma"),
+        "v",
+        "nb",
+        out_col="cumb",
+    )
+    nxt = ranked.select(
+        (F.col("rn") - 1).alias("rn"), F.col("v").alias("v_next")
+    )
+    tots = sup.agg(
+        F.sum("na").alias("n_a"),
+        F.sum("nb").alias("n_b"),
+        F.count("*").cast("long").alias("n_support"),
+        F.sum(F.col("v") * F.col("na")).alias("sum_a"),
+        F.sum(F.col("v") * F.col("nb")).alias("sum_b"),
+    )
+    terms = (
+        cum.join(nxt, "rn")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            (
+                F.abs(
+                    F.col("cuma").cast("decimal(38,0)") * F.col("n_b")
+                    - F.col("cumb").cast("decimal(38,0)") * F.col("n_a")
+                )
+                * (F.col("v_next") - F.col("v"))
+            ).alias("term")
+        )
+    )
+    num = terms.agg(F.sum("term").alias("num"))
+    return num.crossJoin(F.broadcast(tots)).selectExpr(*_W1_FINAL)

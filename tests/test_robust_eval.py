@@ -1114,3 +1114,52 @@ def test_watermark_lateness_replay():
         assert abs(any_row[f"drop_rate_{d}s"] - round(drops[d] / n, 6)) < 1e-9
     # The jitter model actually produces late data on an in-order feed.
     assert sum(v for b, v in buckets.items() if b > 0) > 0
+
+
+# ---------------------------------------------------------------------------
+# q_wasserstein_distance — exact 1-D earth-mover replay
+# ---------------------------------------------------------------------------
+
+
+def test_wasserstein_replay():
+    """Independent W1: integrate |F_A - F_B| over the cent grid by
+    brute force (unit steps), plus two hand-checkable cases."""
+    import random
+
+    rng = random.Random(31)
+    a_vals = [round(rng.uniform(10, 100), 2) for _ in range(40)]
+    b_vals = [round(rng.uniform(20, 120), 2) for _ in range(25)]
+    rows = []
+    for i, v in enumerate(a_vals):
+        rows.append((i, i, 1, 1.0, v, 0.0, "R"))
+    for i, v in enumerate(b_vals):
+        rows.append((1000 + i, i, 1, 1.0, v, 0.0, "N"))
+    # an 'A'-flag row must be ignored entirely
+    rows.append((5000, 1, 1, 1.0, 999.99, 0.0, "A"))
+
+    out = _run({"lineitem": _lineitem(rows)}, "q_wasserstein_distance")[0]
+    assert out["n_a"] == 40 and out["n_b"] == 25
+
+    # brute-force reference on the integer-cent grid
+    a = sorted(int(round(v * 100)) for v in a_vals)
+    b = sorted(int(round(v * 100)) for v in b_vals)
+
+    def cdf(xs, t):
+        import bisect
+
+        return bisect.bisect_right(xs, t) / len(xs)
+
+    lo, hi = min(a + b), max(a + b)
+    w1_cents = sum(abs(cdf(a, t) - cdf(b, t)) for t in range(lo, hi))
+    assert abs(out["w1_dollars"] - w1_cents / 100) < 1e-6
+
+    # identical distributions -> 0
+    rows2 = [(i, i, 1, 1.0, 50.0, 0.0, "R") for i in range(5)]
+    rows2 += [(100 + i, i, 1, 1.0, 50.0, 0.0, "N") for i in range(3)]
+    out2 = _run({"lineitem": _lineitem(rows2)}, "q_wasserstein_distance")[0]
+    assert out2["w1_dollars"] == 0.0
+
+    # point masses at 10 and 25 dollars -> W1 = 15
+    rows3 = [(1, 1, 1, 1.0, 10.0, 0.0, "R"), (2, 1, 1, 1.0, 25.0, 0.0, "N")]
+    out3 = _run({"lineitem": _lineitem(rows3)}, "q_wasserstein_distance")[0]
+    assert out3["w1_dollars"] == 15.0
