@@ -1151,7 +1151,8 @@ def test_wasserstein_replay():
 
     lo, hi = min(a + b), max(a + b)
     w1_cents = sum(abs(cdf(a, t) - cdf(b, t)) for t in range(lo, hi))
-    assert abs(out["w1_dollars"] - w1_cents / 100) < 1e-6
+    # the query rounds to 4 decimals -> half-ulp tolerance
+    assert abs(out["w1_dollars"] - w1_cents / 100) <= 5.001e-05
 
     # identical distributions -> 0
     rows2 = [(i, i, 1, 1.0, 50.0, 0.0, "R") for i in range(5)]
