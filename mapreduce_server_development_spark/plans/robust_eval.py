@@ -2621,8 +2621,10 @@ _W1_FINAL = (
     "CAST(n_a AS BIGINT) AS n_a",
     "CAST(n_b AS BIGINT) AS n_b",
     "CAST(n_support AS BIGINT) AS n_support",
-    "round(CAST(num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b) / 100, 4)"
-    " AS w1_dollars",
+    # COALESCE: a single distinct support value leaves no adjacent-gap
+    # terms (v_next NULL everywhere) -> the distance is exactly 0
+    "round(CAST(COALESCE(num, 0) AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b)"
+    " / 100, 4) AS w1_dollars",
     "round(CAST(sum_a AS DOUBLE) / n_a / 100, 4) AS mean_a_dollars",
     "round(CAST(sum_b AS DOUBLE) / n_b / 100, 4) AS mean_b_dollars",
 )
