@@ -827,6 +827,88 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_l_diversity — sensitive-attribute diversity inside QI classes
+# ---------------------------------------------------------------------------
+
+_LD_FINAL = (
+    "CAST(l AS BIGINT) AS l_distinct",
+    "CAST(n_classes AS BIGINT) AS n_classes",
+    "CAST(n_orders AS BIGINT) AS n_orders",
+    "CAST(n_homogeneous AS BIGINT) AS orders_in_homogeneous_class",
+)
+
+
+@query(
+    "q_l_diversity",
+    oracle="""
+    WITH rows_ AS (
+        SELECT o.o_orderkey,
+               o.o_orderpriority AS pri,
+               CAST(strftime(o.o_orderdate, '%Y%m') AS BIGINT) AS ym,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) // 2000000
+                   AS pbucket,
+               c.c_mktsegment AS seg
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    classes AS (
+        SELECT pri, ym, pbucket,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(COUNT(DISTINCT seg) AS BIGINT) AS l
+        FROM rows_ GROUP BY pri, ym, pbucket
+    )
+    SELECT CAST(l AS BIGINT) AS l_distinct,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(k) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN l = 1 THEN k ELSE 0 END) AS BIGINT)
+               AS orders_in_homogeneous_class
+    FROM classes GROUP BY l ORDER BY l
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007 — the
+    k-anonymity follow-up): within each quasi-identifier equivalence
+    class of an order export (priority, order month, $20k price
+    bucket), how many DISTINCT values of the sensitive attribute (the
+    customer's market segment) appear. A class with l = 1 is
+    HOMOGENEOUS: k-anonymity can hold while every member still leaks
+    the same sensitive value — the attack l-diversity exists to
+    catch. Reports the class histogram by l with the order count
+    sitting in homogeneous classes (the suppression work list).
+
+    Determinism: classes, k, and l are exact integers (year-month
+    key, floor-div price buckets, distinct counts).
+
+    Scale: one orders-to-customer equi-join (shuffle on custkey), one
+    class-keyed aggregate with a distinct count, one <=|segments|-row
+    rollup.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rows = o.join(c, o["o_custkey"] == c["c_custkey"]).selectExpr(
+        "o_orderpriority AS pri",
+        "CAST(date_format(o_orderdate, 'yyyyMM') AS BIGINT) AS ym",
+        "CAST(round(o_totalprice * 100) AS BIGINT) DIV 2000000 AS pbucket",
+        "c_mktsegment AS seg",
+    )
+    classes = rows.groupBy("pri", "ym", "pbucket").agg(
+        F.count("*").cast("long").alias("k"),
+        F.countDistinct("seg").cast("long").alias("l"),
+    )
+    return (
+        classes.groupBy("l")
+        .agg(
+            F.count("*").cast("long").alias("n_classes"),
+            F.sum("k").cast("long").alias("n_orders"),
+            F.sum(F.when(F.col("l") == 1, F.col("k")).otherwise(0))
+            .cast("long")
+            .alias("n_homogeneous"),
+        )
+        .selectExpr(*_LD_FINAL)
+        .orderBy("l_distinct")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_temperature_mix — alpha-smoothed source sampling weights
 # ---------------------------------------------------------------------------
 
