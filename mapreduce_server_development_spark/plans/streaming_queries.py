@@ -3038,6 +3038,12 @@ def q_stream_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        # No arrivals yet (zero micro-batches): an empty panel, not a
+        # read error — the gate's steady-state readout on a quiet feed.
+        return spark.createDataFrame(
+            [], "source string, n_docs long, n_flagged long, flag_rate double"
+        )
     out = spark.read.parquet(out_dir)
     panel = out.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),

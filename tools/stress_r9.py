@@ -124,6 +124,16 @@ def main() -> int:
             "source",
             "n_chars",
         ).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+        # the docs STREAM reader lists leaf files matching
+        # documents*.parquet — rename Spark's part-files to match
+        import os as _os
+
+        ddir = f"{out_dir}/documents.parquet"
+        parts = sorted(
+            f for f in _os.listdir(ddir) if f.endswith(".parquet")
+        )
+        for i, f in enumerate(parts):
+            _os.rename(f"{ddir}/{f}", f"{ddir}/documents-{i:03d}.parquet")
 
         key = f"x{r}"
         results[key] = {}
