@@ -1398,3 +1398,127 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("loading")).desc(), "dim")
         .limit(5)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_target_encoding — leakage-safe out-of-fold categorical encoding
+# ---------------------------------------------------------------------------
+
+_TE_FOLDS = 5
+_TE_SMOOTH = 20  # smoothing prior weight (pseudo-rows of global mean)
+
+_TE_FINAL = (
+    "brand",
+    "CAST(fold AS BIGINT) AS fold",
+    "CAST(n_fold AS BIGINT) AS n_fold_rows",
+    "CAST(n_oof AS BIGINT) AS n_oof_rows",
+    # smoothed out-of-fold mean: (sum_oof + m * global_mean) / (n_oof + m)
+    "round((CAST(sum_oof AS DOUBLE) + "
+    f"{_TE_SMOOTH} * (CAST(g_sum AS DOUBLE) / g_n)) / (n_oof + {_TE_SMOOTH})"
+    " / 100, 4) AS encoding_dollars",
+    "round(CAST(g_sum AS DOUBLE) / g_n / 100, 4) AS global_mean_dollars",
+)
+
+
+def _te_oracle() -> str:
+    bucket = _bucket_sql("tenc", "l_orderkey * 10 + l_linenumber", _TE_FOLDS)
+    return f"""
+    WITH rows_ AS (
+        SELECT p.p_brand AS brand,
+               {bucket} AS fold,
+               CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT) AS rev
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    bf AS (
+        SELECT brand, fold,
+               CAST(COUNT(*) AS BIGINT) AS n_fold,
+               CAST(SUM(rev) AS BIGINT) AS sum_fold
+        FROM rows_ GROUP BY brand, fold
+    ),
+    bg AS (
+        SELECT brand, SUM(n_fold) AS n_b, SUM(sum_fold) AS sum_b FROM bf
+        GROUP BY brand
+    ),
+    g AS (SELECT SUM(n_b) AS g_n, SUM(sum_b) AS g_sum FROM bg),
+    folds AS (SELECT unnest(range(0, {_TE_FOLDS})) AS fold),
+    panel AS (
+        SELECT bg.brand, folds.fold,
+               COALESCE(bf.n_fold, 0) AS n_fold,
+               bg.n_b - COALESCE(bf.n_fold, 0) AS n_oof,
+               bg.sum_b - COALESCE(bf.sum_fold, 0) AS sum_oof,
+               g.g_n, g.g_sum
+        FROM bg CROSS JOIN folds CROSS JOIN g
+        LEFT JOIN bf ON bf.brand = bg.brand AND bf.fold = folds.fold
+    )
+    SELECT {", ".join(_TE_FINAL)} FROM panel ORDER BY brand, fold
+    """
+
+
+@query("q_target_encoding", oracle=_te_oracle())
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe target encoding of a categorical feature (part
+    brand -> mean line revenue), the out-of-fold form (Micci-Barreca
+    2001 smoothing; the fold discipline of q_nb_crossval applied to
+    feature engineering): the encoding a fold's rows RECEIVE is
+    computed from every OTHER fold's rows, so the feature never leaks
+    its own row's target — the difference between a valid encoded
+    feature and a train-time mirage. Emits the (brand, fold) design
+    table: fold/out-of-fold row counts and the smoothed encoding next
+    to the global mean (the prior it shrinks toward — rare brands get
+    pulled in, popular brands keep their own signal).
+
+    Exactness: per-(brand, fold) revenue sums are exact integer cents
+    (the complement trick makes the out-of-fold sums exact
+    subtractions, ONE aggregation for all 5 folds); the smoothed mean
+    is one shared float text over those integers, round 4.
+
+    Scale: one lineitem-to-part equi-join, one (brand, fold) partial
+    aggregate, a |brands| x 5 broadcast panel — the encoding table a
+    production job would broadcast back onto the fact rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rows = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
+        F.col("p_brand").alias("brand"),
+        hash_bucket(
+            "tenc",
+            F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+            _TE_FOLDS,
+        ).alias("fold"),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        )
+        .cast("long")
+        .alias("rev"),
+    )
+    bf = rows.groupBy("brand", "fold").agg(
+        F.count("*").cast("long").alias("n_fold"),
+        F.sum("rev").cast("long").alias("sum_fold"),
+    )
+    bg = bf.groupBy("brand").agg(
+        F.sum("n_fold").alias("n_b"), F.sum("sum_fold").alias("sum_b")
+    )
+    g = bg.agg(
+        F.sum("n_b").alias("g_n"), F.sum("sum_b").alias("g_sum")
+    )
+    folds = li.sparkSession.range(_TE_FOLDS).select(
+        F.col("id").cast("long").alias("fold")
+    )
+    panel = (
+        bg.crossJoin(F.broadcast(folds))
+        .crossJoin(F.broadcast(g))
+        .join(bf, ["brand", "fold"], "left")
+        .select(
+            "brand",
+            "fold",
+            F.coalesce("n_fold", F.lit(0)).alias("n_fold"),
+            (F.col("n_b") - F.coalesce("n_fold", F.lit(0))).alias("n_oof"),
+            (F.col("sum_b") - F.coalesce("sum_fold", F.lit(0))).alias(
+                "sum_oof"
+            ),
+            "g_n",
+            "g_sum",
+        )
+    )
+    return panel.selectExpr(*_TE_FINAL).orderBy("brand", "fold")

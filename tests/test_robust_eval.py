@@ -1164,3 +1164,72 @@ def test_wasserstein_replay():
     rows3 = [(1, 1, 1, 1.0, 10.0, 0.0, "R"), (2, 1, 1, 1.0, 25.0, 0.0, "N")]
     out3 = _run({"lineitem": _lineitem(rows3)}, "q_wasserstein_distance")[0]
     assert out3["w1_dollars"] == 15.0
+
+
+# ---------------------------------------------------------------------------
+# q_target_encoding — leakage-safe out-of-fold encoding replay
+# ---------------------------------------------------------------------------
+
+
+def test_target_encoding_replay():
+    """Independent replay: per (brand, fold), the encoding must be the
+    smoothed mean of all OTHER folds' rows — verified by brute force
+    per fold, including the never-leaks property (a fold's own rows
+    excluded) and the rare-category shrink toward the global mean."""
+    from collections import defaultdict
+
+    def fold_of(ok, ln):
+        h = hashlib.md5(f"tenc:{ok * 10 + ln}".encode()).hexdigest()
+        return int(h[:4], 16) % 5
+
+    # brand A: popular (50 rows, mean ~20.00); brand B: rare (2 rows,
+    # mean 1000.00 -> must shrink hard toward the global mean)
+    li_rows, part_rows = [], []
+    part_rows.append((1, "A"))
+    part_rows.append((2, "B"))
+    k = 0
+    for i in range(50):
+        k += 1
+        li_rows.append((k, 1, 1, 1.0, 20.0 + (i % 3), 0.0, "N"))
+    for i in range(2):
+        k += 1
+        li_rows.append((k, 2, 1, 1.0, 1000.0, 0.0, "N"))
+
+    tables = {
+        "lineitem": _lineitem(li_rows),
+        "part": (
+            ["p_partkey BIGINT", "p_brand VARCHAR"],
+            part_rows,
+        ),
+    }
+    out = _run(tables, "q_target_encoding")
+    assert len(out) == 10  # 2 brands x 5 folds
+
+    # brute-force expectation
+    rows = []
+    for (ok, pk, ln, q, ep, di, rf) in li_rows:
+        brand = "A" if pk == 1 else "B"
+        rows.append((brand, fold_of(ok, ln), int(round(ep * (1 - di) * 100))))
+    g_sum = sum(r[2] for r in rows)
+    g_n = len(rows)
+    by_bf = defaultdict(lambda: [0, 0])
+    by_b = defaultdict(lambda: [0, 0])
+    for b, f, rev in rows:
+        by_bf[(b, f)][0] += 1
+        by_bf[(b, f)][1] += rev
+        by_b[b][0] += 1
+        by_b[b][1] += rev
+    for r in out:
+        b, f = r["brand"], r["fold"]
+        nf, sf_ = by_bf.get((b, f), [0, 0])
+        n_oof = by_b[b][0] - nf
+        sum_oof = by_b[b][1] - sf_
+        want = (sum_oof + 20 * (g_sum / g_n)) / (n_oof + 20) / 100
+        assert r["n_fold_rows"] == nf, (b, f)
+        assert r["n_oof_rows"] == n_oof, (b, f)
+        assert abs(r["encoding_dollars"] - want) <= 5.1e-05, (b, f, r, want)
+        if b == "B":
+            # rare category: encoding must sit between the global mean
+            # and the raw category mean (shrinkage), far below 1000
+            assert r["encoding_dollars"] < 300
+            assert r["encoding_dollars"] >= r["global_mean_dollars"] - 0.01
