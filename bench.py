@@ -90,11 +90,22 @@ def main() -> int:
         return t
 
     # JVM/codegen warmup so the first timed query isn't charged for it.
-    first_q = next(iter(queries.values()))
-    try:
-        first_q(spark, sf_dir).foreach(lambda _: None)
-    except Exception:  # noqa: BLE001 - warmup is best-effort
-        pass
+    # Beyond the generic first-query warmup, exercise the expression
+    # chains whole query FAMILIES share — tokenize/shingle/md5 (text
+    # dedup) and the array dot product (similarity) — because their
+    # interpreted pre-JIT cost otherwise lands on whichever family
+    # member happens to run first (measured: the identical batch
+    # signature chain runs 5.6s cold vs 0.7s warm; BENCH_AB
+    # `q_stream_minhash_dedup_cold_start`).
+    warmups = [next(iter(queries))]
+    for w in ("q_doc_fingerprint", "q_cosine_topk"):
+        if w in queries:
+            warmups.append(w)
+    for w in warmups:
+        try:
+            queries[w](spark, sf_dir).foreach(lambda _: None)
+        except Exception:  # noqa: BLE001 - warmup is best-effort
+            pass
     # Warmup may persist intermediates; the first TIMED query is that
     # same query and would reuse them — clear so query 1 starts from
     # the same cold cache as every other.
