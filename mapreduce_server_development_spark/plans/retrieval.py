@@ -802,3 +802,109 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "mmr_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_retrieval_mrr — mean reciprocal rank of the hybrid retriever
+# ---------------------------------------------------------------------------
+
+_MRR_DEPTH = 10
+
+_MRR_FINAL = (
+    "query_id",
+    "CAST(truth_doc AS BIGINT) AS truth_doc",
+    "CAST(rank_in_fused AS BIGINT) AS rank_in_fused",
+    "CAST(rr_micro AS BIGINT) AS rr_micro",
+    "CAST(mrr_micro AS BIGINT) AS mrr_micro",
+)
+
+
+def _mrr_oracle() -> str:
+    return f"""
+    WITH {_rrf_ctes()},
+    truth1 AS (
+        SELECT qid, doc FROM (
+            SELECT q.vid AS qid, nv.vid AS doc,
+                   row_number() OVER (
+                       PARTITION BY q.vid
+                       ORDER BY round(list_dot_product(nv.vv, q.vv)
+                                      / (nv.nrm * q.nrm), 4) DESC, nv.vid)
+                       AS rn
+            FROM nv CROSS JOIN (SELECT * FROM nv WHERE vid <= {_PANEL_MAX_ID}) q
+            WHERE nv.vid <> q.vid
+        ) WHERE rn = 1
+    ),
+    rr AS (
+        SELECT t.qid AS query_id, t.doc AS truth_doc,
+               CASE WHEN f.fused_rank <= {_MRR_DEPTH}
+                    THEN CAST(f.fused_rank AS BIGINT) END AS rank_in_fused,
+               CASE WHEN f.fused_rank <= {_MRR_DEPTH}
+                    THEN 1000000 // f.fused_rank ELSE 0 END AS rr_micro
+        FROM truth1 t
+        LEFT JOIN fused_ranked f
+          ON f.query_id = t.qid AND f.doc_id = t.doc
+    ),
+    m AS (
+        SELECT CAST(SUM(rr_micro) // COUNT(*) AS BIGINT) AS mrr_micro FROM rr
+    )
+    SELECT {", ".join(_MRR_FINAL)} FROM rr CROSS JOIN m ORDER BY query_id
+    """
+
+
+@query("q_retrieval_mrr", oracle=_mrr_oracle())
+def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank (MRR@10) of the hybrid RRF retriever — the
+    known-item-search eval next to q_retrieval_ndcg's graded one: for
+    each panel query, where does the single most-relevant document
+    (the exact-cosine top-1) land in the fused ranking? Reports the
+    per-query reciprocal rank (0 when the truth doc misses the top
+    10) and the panel MRR.
+
+    Exactness: reciprocal ranks are exact integer floor divisions
+    (1e6 // rank); the MRR is an exact integer mean; the fused
+    ranking and the exact-cosine truth reuse the 4-decimal-rounded
+    cosine + id-tiebreak discipline verbatim
+    (``hybrid_rrf_ranked`` / ``cosine_topk`` — one canonical copy of
+    each plan).
+
+    Scale: the fusion plan is q_hybrid_rrf's (postings-bounded BM25
+    leg + broadcast-panel cosine leg); the eval adds a 5-row join.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = cosine_topk(emb, query_max_id=_PANEL_MAX_ID, k=1).select(
+        F.col("query_id").alias("qid"), F.col("vec_id").alias("truth_doc")
+    )
+    fused = hybrid_rrf_ranked(spark, sf_dir)
+    rr = (
+        truth.join(
+            fused,
+            (fused["query_id"] == truth["qid"])
+            & (fused["doc_id"] == truth["truth_doc"]),
+            "left",
+        )
+        .select(
+            truth["qid"].alias("query_id"),
+            "truth_doc",
+            F.when(
+                F.col("fused_rank") <= _MRR_DEPTH, F.col("fused_rank")
+            ).alias("rank_in_fused"),
+            F.when(
+                F.col("fused_rank") <= _MRR_DEPTH,
+                (F.lit(1000000).cast("long") / F.col("fused_rank")).cast(
+                    "long"
+                ),
+            )
+            .otherwise(0)
+            .alias("rr_micro"),
+        )
+    )
+    m = rr.agg(
+        (F.sum("rr_micro") - F.sum("rr_micro") % F.count("*"))
+        .alias("s"),
+        F.count("*").alias("n"),
+    ).select(
+        (F.col("s") / F.col("n")).cast("long").alias("mrr_micro")
+    )
+    return rr.crossJoin(F.broadcast(m)).selectExpr(*_MRR_FINAL).orderBy(
+        "query_id"
+    )
