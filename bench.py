@@ -11,19 +11,23 @@ Each query is driven to completion with a count-style action (foreach
 noop) so results are computed but never collected to the driver.
 All Spark chatter goes to stderr; the JSON line is the only stdout.
 
-Measurement discipline (round-8 verdict ask #1):
+Measurement discipline (round-8 ask #1, hardened per round-9 ask #1):
 - every query is timed once in the sweep (its COLD, first-invocation
   time, recorded per-query as ``first``);
 - anything over 5s is re-run once (transient GC/host-noise floor);
-- the 10 slowest get a THIRD run, INTERLEAVED with a fixed control
-  query (q1_pricing_summary) whose per-interleave times ride
-  BENCH_DETAIL as ``control_runs`` — if the control drifts, the tail
-  reruns were taken on a noisy host and round-over-round deltas are
-  not attributable to plans;
-- the HEADLINE ``queries`` value is the MEDIAN of a query's runs
-  (min-of-runs was the old headline; it hid the third run and made
-  regressions ambiguous), with ``first``/``min``/``median``/``runs``
-  all recorded per-query in BENCH_DETAIL's ``per_query``.
+- the 10 slowest get FIVE total runs, each tail-block run INTERLEAVED
+  with a fixed control query (q1_pricing_summary). After the block,
+  any tail run whose adjacent control exceeded 2x the control median
+  is DISCARDED as host noise and re-run (bounded retries); discarded
+  runs ride BENCH_DETAIL as ``discarded_runs`` so the trim is
+  auditable. With 5 gated runs, one noise outlier can no longer land
+  in the median slot (round 9: q_rec_coverage [8.85, 13.28, 53.14]
+  reported 13.28 while its min BEAT round 8);
+- the HEADLINE ``queries`` value is the MEDIAN of a query's accepted
+  runs; ``first``/``min``/``median``/``runs`` all ride
+  BENCH_DETAIL's ``per_query``, and BOTH totals (``value`` = sum of
+  medians, ``total_min`` = sum of mins) are emitted for cross-round
+  comparability.
 
 Usage: python bench.py [query ...]   # subset by name, default all
 """
@@ -52,7 +56,7 @@ def _median(xs: list[float]) -> float:
     rs = sorted(xs)
     n = len(rs)
     if n % 2:
-        return rs[n // 2]
+        return round(rs[n // 2], 2)
     return round((rs[n // 2 - 1] + rs[n // 2]) / 2, 2)
 
 
@@ -82,12 +86,15 @@ def main() -> int:
             # shipped to the driver (collect would skew the timing and
             # break at scale).
             queries[name](spark, sf_dir).foreach(lambda _: None)
-            t = round(time.time() - t0, 2)
+            return round(time.time() - t0, 2)
         except Exception as e:  # noqa: BLE001
             print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
             return None
-        spark.catalog.clearCache()
-        return t
+        finally:
+            # A failed query's persisted intermediates must not stay
+            # cached and inflate (or deflate) later queries' timings —
+            # clear unconditionally, success or failure.
+            spark.catalog.clearCache()
 
     # JVM/codegen warmup so the first timed query isn't charged for it.
     # Beyond the generic first-query warmup, exercise the expression
@@ -101,6 +108,11 @@ def main() -> int:
     for w in ("q_doc_fingerprint", "q_cosine_topk"):
         if w in queries:
             warmups.append(w)
+    # Queries fully executed here record a WARM (not cold) ``first``
+    # value — flagged per-query as ``warm_first`` and listed in
+    # BENCH_DETAIL's ``warmed`` so round-over-round cold-time
+    # comparisons don't misread them.
+    warmed = set(warmups)
     for w in warmups:
         try:
             queries[w](spark, sf_dir).foreach(lambda _: None)
@@ -133,25 +145,76 @@ def main() -> int:
             if t is not None:
                 rs.append(t)
 
-    # Tail medians + interleaved control (round-8 verdict ask #1): the
-    # 10 slowest queries get a THIRD run, with the fixed control query
-    # timed between each, so host noise during the rerun block is
-    # visible as control drift rather than silently inflating (or
-    # deflating) a tail query's number.
+    # Tail trimmed medians + interleaved control (round-9 verdict ask
+    # #1): the 10 slowest queries get FIVE total runs. Every tail-block
+    # run is preceded by the fixed control query; after the block, any
+    # run whose adjacent control exceeded 2x the control median is
+    # host-noise by definition — DISCARD it and re-run (bounded
+    # retries). With 3 runs one outlier landed in the median slot;
+    # with 5 control-gated runs it cannot.
+    TAIL_RUNS = 5
     control_runs: list[float] = []
     tail = sorted(runs, key=lambda n: _median(runs[n]), reverse=True)[:10]
-    for name in tail:
-        if CONTROL_QUERY in queries and not only:
-            c = run_once(CONTROL_QUERY)
-            if c is not None:
-                control_runs.append(c)
-        while len(runs[name]) < 3:
-            t = run_once(name)
-            if t is None:
-                break
-            runs[name].append(t)
+    # (control_time, run_time) pairs collected in the tail block; sweep
+    # runs have no adjacent control and are never trimmed.
+    tail_pairs: dict[str, list[tuple[float, float]]] = {n: [] for n in tail}
+    use_control = CONTROL_QUERY in queries and not only
 
-    # Headline per-query seconds: median of runs (1, 2, or 3 runs).
+    def _tail_run(name: str) -> tuple[float, float] | None:
+        c = run_once(CONTROL_QUERY) if use_control else None
+        t = run_once(name)
+        if t is None:
+            return None
+        if c is None:
+            # No control available: accept unconditionally (gate needs
+            # a control observation to trim against).
+            runs[name].append(t)
+            return (-1.0, t)
+        control_runs.append(c)
+        tail_pairs[name].append((c, t))
+        runs[name].append(t)
+        return (c, t)
+
+    # Interleave ROUNDS across the tail queries (not 5 back-to-back
+    # runs of one query) so a transient noise window taints at most one
+    # run per query, not one query's whole sample.
+    for _ in range(TAIL_RUNS):
+        for name in tail:
+            if len(runs[name]) >= TAIL_RUNS:
+                continue
+            if _tail_run(name) is None:
+                break
+
+    # Trim: a tail run is host-noise if its adjacent control exceeded
+    # 2x the control median. Re-run each discarded slot (fresh control
+    # + query), up to 2 retries per slot.
+    discarded_runs: dict[str, list[dict]] = {}
+    if control_runs:
+        def _gate(c: float) -> bool:
+            return c <= 2 * _median(control_runs)
+
+        for name in tail:
+            for c, t in list(tail_pairs[name]):
+                if _gate(c):
+                    continue
+                discarded_runs.setdefault(name, []).append(
+                    {"run": t, "control": c}
+                )
+                tail_pairs[name].remove((c, t))
+                runs[name].remove(t)
+                for _ in range(2):  # bounded retry for the slot
+                    pair = _tail_run(name)
+                    if pair is None:
+                        break
+                    if pair[0] < 0 or _gate(pair[0]):
+                        break
+                    discarded_runs[name].append(
+                        {"run": pair[1], "control": pair[0]}
+                    )
+                    tail_pairs[name].remove(pair)
+                    runs[name].remove(pair[1])
+
+    # Headline per-query seconds: median of accepted runs.
     timings = {n: _median(rs) for n, rs in runs.items()}
     for n in failed:
         timings[n] = -1.0
@@ -161,6 +224,7 @@ def main() -> int:
             "min": min(rs),
             "median": _median(rs),
             "runs": rs,
+            **({"warm_first": True} if n in warmed else {}),
         }
         for n, rs in runs.items()
     }
@@ -169,21 +233,29 @@ def main() -> int:
             "runs": runs[n],
             "median": _median(runs[n]),
             "spread": round(max(runs[n]) - min(runs[n]), 2),
+            "discarded": discarded_runs.get(n, []),
         }
         for n in tail
     }
 
     total = round(sum(t for t in timings.values() if t >= 0), 2)
+    total_min = round(
+        sum(min(rs) for n, rs in runs.items() if timings[n] >= 0), 2
+    )
     sf = _sf_of(sf_dir)
     compact = {"separators": (",", ":")}
     detail = {
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
-        "headline": "median_of_runs",
+        "headline": "trimmed_median_of_runs",
+        "total_min": total_min,
         "queries": timings,
         "per_query": per_query,
+        "warmed": sorted(warmed),
         "tail_medians": tail_medians,
+        "tail_runs_target": TAIL_RUNS,
+        "discarded_runs": discarded_runs,
         "control_query": CONTROL_QUERY,
         "control_runs": control_runs,
         "control_spread": (
@@ -224,7 +296,8 @@ def main() -> int:
                 "metric": "total_query_seconds",
                 "value": total,
                 "unit": "sec",
-                "headline": "median_of_runs",
+                "headline": "trimmed_median_of_runs",
+                "total_min": total_min,
                 "queries": slowest,
                 "n_queries": len(timings),
                 # A broken query must never read as a perf win: its -1

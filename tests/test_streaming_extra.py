@@ -4,6 +4,8 @@ DataFrame with an epoch id for idempotent retry handling."""
 
 from __future__ import annotations
 
+from .conftest import SF_SMOKE
+
 
 def test_foreach_batch_sink(spark, tmp_path):
     import uuid
@@ -12,7 +14,7 @@ def test_foreach_batch_sink(spark, tmp_path):
 
     from mapreduce_server_development_spark.sources.tables import load_table
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF_SMOKE
     # availableNow bounded stream over the events parquet
     ev = load_table(spark, sf, "events")
     schema = ev.schema
@@ -101,7 +103,7 @@ def test_stream_metrics_progress_rows(spark):
     a populated state operator (the watermarked agg keeps state)."""
     from mapreduce_server_development_spark.plans.registry import QUERIES
 
-    df = QUERIES["q_stream_metrics"](spark, "/root/testdata/sf0.001")
+    df = QUERIES["q_stream_metrics"](spark, SF_SMOKE)
     assert df.schema.simpleString() == (
         "struct<batch_id:bigint,num_input_rows:bigint,"
         "trigger_duration_ms:bigint,state_rows_total:bigint,"
@@ -202,7 +204,7 @@ def test_multi_batch_equals_single_batch(spark, split_events_dir, monkeypatch, q
         return sorted(tuple(r) for r in df.collect())
 
     monkeypatch.delenv("SPARK_GRAFT_STREAM_MAX_FILES_PER_TRIGGER", raising=False)
-    single = rows(QUERIES[qname](spark, "/root/testdata/sf0.001"))
+    single = rows(QUERIES[qname](spark, SF_SMOKE))
     monkeypatch.setenv("SPARK_GRAFT_STREAM_MAX_FILES_PER_TRIGGER", "1")
     multi = rows(QUERIES[qname](spark, split_events_dir))
     assert multi == single
@@ -253,7 +255,7 @@ def test_watermark_expires_windows_mid_stream(spark, split_events_dir, monkeypat
     assert nonempty and min(nonempty) < max(e for e, _ in per_epoch), per_epoch
     emitted = sorted(r for _, rs in per_epoch for r in rs)
     # every emitted window is final: it must match the batch aggregate
-    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    batch = load_table(spark, SF_SMOKE, "events")
     expect = {
         (r["hour"], r["event_type"]): r["n_events"]
         for r in (
@@ -315,7 +317,7 @@ def test_stream_minhash_dedup_multi_batch(spark, split_docs_dir, monkeypatch):
         return sorted(tuple(r) for r in df.collect())
 
     monkeypatch.delenv("SPARK_GRAFT_STREAM_MAX_FILES_PER_TRIGGER", raising=False)
-    single = rows(QUERIES["q_stream_minhash_dedup"](spark, "/root/testdata/sf0.001"))
+    single = rows(QUERIES["q_stream_minhash_dedup"](spark, SF_SMOKE))
     monkeypatch.setenv("SPARK_GRAFT_STREAM_MAX_FILES_PER_TRIGGER", "1")
     multi = rows(QUERIES["q_stream_minhash_dedup"](spark, split_docs_dir))
     assert multi == single
@@ -334,7 +336,7 @@ def test_stream_rag_chunks_multi_batch(spark, split_docs_dir, monkeypatch):
         return sorted(tuple(r) for r in df.collect())
 
     monkeypatch.delenv("SPARK_GRAFT_STREAM_MAX_FILES_PER_TRIGGER", raising=False)
-    single = rows(QUERIES["q_stream_rag_chunks"](spark, "/root/testdata/sf0.001"))
+    single = rows(QUERIES["q_stream_rag_chunks"](spark, SF_SMOKE))
     monkeypatch.setenv("SPARK_GRAFT_STREAM_MAX_FILES_PER_TRIGGER", "1")
     multi = rows(QUERIES["q_stream_rag_chunks"](spark, split_docs_dir))
     assert multi == single
@@ -416,7 +418,7 @@ def test_multi_batch_equals_single_batch_wave2(
         return sorted(tuple(r) for r in df.collect())
 
     monkeypatch.delenv("SPARK_GRAFT_STREAM_MAX_FILES_PER_TRIGGER", raising=False)
-    single = rows(QUERIES[qname](spark, "/root/testdata/sf0.001"))
+    single = rows(QUERIES[qname](spark, SF_SMOKE))
     monkeypatch.setenv("SPARK_GRAFT_STREAM_MAX_FILES_PER_TRIGGER", "1")
     multi = rows(QUERIES[qname](spark, split_all_dir))
     assert multi == single
@@ -430,7 +432,7 @@ def test_multi_batch_docs_queries(spark, split_docs_dir, monkeypatch, qname):
         return sorted(tuple(r) for r in df.collect())
 
     monkeypatch.delenv("SPARK_GRAFT_STREAM_MAX_FILES_PER_TRIGGER", raising=False)
-    single = rows(QUERIES[qname](spark, "/root/testdata/sf0.001"))
+    single = rows(QUERIES[qname](spark, SF_SMOKE))
     monkeypatch.setenv("SPARK_GRAFT_STREAM_MAX_FILES_PER_TRIGGER", "1")
     multi = rows(QUERIES[qname](spark, split_docs_dir))
     assert multi == single
@@ -446,7 +448,7 @@ def test_stream_decontaminate_spans_multi_batch(spark, split_docs_dir, monkeypat
         return sorted(tuple(r) for r in df.collect())
 
     monkeypatch.delenv("SPARK_GRAFT_STREAM_MAX_FILES_PER_TRIGGER", raising=False)
-    single = rows(QUERIES["q_stream_decontaminate_spans"](spark, "/root/testdata/sf0.001"))
+    single = rows(QUERIES["q_stream_decontaminate_spans"](spark, SF_SMOKE))
     monkeypatch.setenv("SPARK_GRAFT_STREAM_MAX_FILES_PER_TRIGGER", "1")
     multi = rows(QUERIES["q_stream_decontaminate_spans"](spark, split_docs_dir))
     assert multi == single
