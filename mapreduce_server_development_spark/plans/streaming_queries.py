@@ -2461,6 +2461,12 @@ def q_stream_deletion_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame
 # q_stream_minhash_dedup — near-dup detection AT INGEST (stateful LSH index)
 # ---------------------------------------------------------------------------
 
+# Stateful-op shard count for the streaming LSH index: per-group
+# Python invocation cost amortizes over ~(occupied buckets / shards)
+# buckets per group; raise at scale so a shard's state slice stays
+# O(batch/shards). Output is invariant to this value.
+_SMD_SHARDS = 2048
+
 _SMD_FINAL = (
     "source",
     "CAST(n_docs AS BIGINT) AS n_docs",
@@ -2535,16 +2541,24 @@ def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     live in its own row — zero stream-side shuffle and no streaming
     aggregation, which Spark cannot chain before a stateful op; the
     signature text matches q_minhash_near_dups' oracle exactly). The
-    stateful operator, keyed by (band, bandhash), maintains ONE int64
-    — the minimum doc_id ever ingested into that bucket (the LSH
-    index) — and emits (doc, bucket-min) whenever a doc lands in an
-    occupied bucket. The batch readout takes each doc's earliest
-    match (MIN over its buckets = min sharing doc id), verifies that
-    ONE candidate pair by exact shingle Jaccard >= 0.5 (the
-    first-wins ingest policy: a doc is deduped against its EARLIEST
-    colliding predecessor, not its best match — documented, mirrored
-    in the oracle), and reports the per-source ingest panel:
-    candidate rate and verified near-dup rate.
+    stateful operator is keyed by a SHARD of the bucket space —
+    ``pmod(xxhash64(band:bandhash), 2048)`` — and each shard's state
+    holds the index slice for its buckets (parallel arrays bucket-key
+    -> min doc_id ever ingested). Per bucket the logic is unchanged:
+    emit (doc, bucket-min) whenever a doc lands in an occupied
+    bucket. Sharding exists purely to amortize
+    ``applyInPandasWithState``'s per-GROUP Python overhead: keying by
+    raw bucket meant ~38k group invocations per micro-batch at sf0.1
+    (~4s of pure per-group fixed cost, the round-9 verdict's top perf
+    item); 2048 shards cut invocations ~18x while the per-bucket
+    state volume (one int64 + one 35-byte key per occupied bucket)
+    is IDENTICAL — it is merely grouped. The batch readout takes
+    each doc's earliest match (MIN over its buckets = min sharing doc
+    id), verifies that ONE candidate pair by exact shingle Jaccard
+    >= 0.5 (the first-wins ingest policy: a doc is deduped against
+    its EARLIEST colliding predecessor, not its best match —
+    documented, mirrored in the oracle), and reports the per-source
+    ingest panel: candidate rate and verified near-dup rate.
 
     Determinism: arrival is id-ordered (in-batch sort; the
     multi-batch replay fixture splits in order), so a bucket's state
@@ -2552,21 +2566,24 @@ def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket — exactly the batch SQL the oracle runs. Jaccard
     verification happens in the shared batch half.
 
-    100 TB posture: state is one int64 per OCCUPIED band bucket (8
-    per distinct content cluster — this IS the production LSH index,
-    RocksDB-backed at scale); per-batch work is one shuffle on the
-    bucket key; emissions flow through the file sink (never the
+    100 TB posture: total state is one int64 per OCCUPIED band bucket
+    (8 per distinct content cluster — this IS the production LSH
+    index, RocksDB-backed at scale); per-batch work is one shuffle on
+    the shard key; emissions flow through the file sink (never the
     driver); the readout's verification join touches candidate pairs
-    only, never all-pairs.
+    only, never all-pairs. The shard count is the state-granularity
+    dial: higher shard counts mean smaller per-group state rows
+    (less rewrite amplification per micro-batch when the index
+    dwarfs a batch), lower counts mean fewer Python invocations —
+    at 100 TB raise ``_SMD_SHARDS`` so a shard's slice stays
+    O(batch-rows/shards); any value yields identical output.
 
-    Cost profile (BENCH_AB `q_stream_minhash_dedup_cold_start`): the
-    first invocation in a session pays ~5s of ONE-TIME JVM JIT/codegen
-    for the tokenize/shingle/16-way-md5 expression chain plus
-    state-store/sink init; the warm floor is dominated by
-    ``applyInPandasWithState``'s per-GROUP Python overhead (~3 ms
-    core-time x ~38k occupied buckets at sf0.1) — per-arrival cost,
-    the right trade for an ingest pipeline that amortizes the session
-    forever.
+    Cost profile (BENCH_AB `q_stream_minhash_dedup_cold_start`, r9):
+    the first invocation in a session pays ~5s of ONE-TIME JVM
+    JIT/codegen for the tokenize/shingle/16-way-md5 expression chain
+    plus state-store/sink init; the r9 warm floor was dominated by
+    ~38k per-bucket group invocations — removed by the shard key
+    (BENCH_AB `smd_shard_state_key`, r10).
     """
     import pandas as pd
 
@@ -2595,43 +2612,53 @@ def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     hs = [_seed_min(i) for i in range(16)]
+    # Bucket identity is (band, bandhash) — carried as ONE string key
+    # so the shard state's index dict needs a single column of keys.
     bands = toks.select(
         "doc",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(j).cast("long").alias("band"),
-                        F.md5(F.concat(hs[2 * j], hs[2 * j + 1])).alias("bh"),
+                    F.concat(
+                        F.lit(f"{j}:"),
+                        F.md5(F.concat(hs[2 * j], hs[2 * j + 1])),
                     )
                     for j in range(8)
                 ]
             )
-        ).alias("b"),
-    ).select("doc", "b.band", "b.bh")
+        ).alias("bk"),
+    ).withColumn("shard", F.pmod(F.xxhash64("bk"), F.lit(_SMD_SHARDS)))
 
     def track(key, pdfs, state):
-        mn = state.get[0] if state.exists else None
-        docs: list[int] = []
-        for pdf in pdfs:
-            docs.extend(pdf["doc"].to_list())
-        docs.sort()
+        # Shard state: the LSH-index slice for this shard's buckets,
+        # as parallel arrays (bucket key -> min doc id ever seen).
+        if state.exists:
+            bks, mns = state.get
+            idx = dict(zip(bks, mns))
+        else:
+            idx = {}
+        parts = [pdf[["doc", "bk"]] for pdf in pdfs]
+        pdf = pd.concat(parts) if len(parts) > 1 else parts[0]
+        # Ascending doc order within the shard preserves ascending
+        # order within every bucket — the arrival-order contract.
+        pdf = pdf.sort_values("doc")
         out = []
-        for doc in docs:
+        for doc, bk in zip(pdf["doc"].to_list(), pdf["bk"].to_list()):
+            mn = idx.get(bk)
             if mn is not None and mn < doc:
                 out.append((doc, mn))
             if mn is None or doc < mn:
-                mn = doc
-        state.update((mn,))
-        # Most buckets emit nothing in a batch: skipping the empty
-        # DataFrame construction is a measured win at 40k groups.
+                idx[bk] = doc
+        state.update((list(idx.keys()), list(idx.values())))
+        # Most shards emit nothing in a batch: skipping the empty
+        # DataFrame construction is a measured win.
         if out:
             yield pd.DataFrame(out, columns=["doc", "match"])
 
-    tracked = bands.groupBy("band", "bh").applyInPandasWithState(
+    tracked = bands.groupBy("shard").applyInPandasWithState(
         track,
         outputStructType="doc long, match long",
-        stateStructType="mn long",
+        stateStructType="bks array<string>, mns array<long>",
         outputMode="append",
         timeoutConf="NoTimeout",
     )
