@@ -2931,14 +2931,24 @@ def _xsd_stream_oracle() -> str:
         SELECT ta, pa, tb, pb FROM ev2 JOIN arr USING (gh) WHERE ta <> tb
     ),
     runs AS (
+        -- bridged gaps-and-islands (step <= K stays one run; the
+        -- skipped grams are index-hot-capped but verbatim-matched)
         SELECT tb, ta, pa - pb AS diag, pb,
-               pb - ROW_NUMBER() OVER (PARTITION BY tb, ta, pa - pb
-                                       ORDER BY pb) AS grp
+               CASE WHEN pb - LAG(pb) OVER (PARTITION BY tb, ta, pa - pb
+                                            ORDER BY pb) <= {_XS_K}
+                    THEN 0 ELSE 1 END AS ni
         FROM pairs
     ),
+    runs2 AS (
+        SELECT tb, ta, diag, pb,
+               SUM(ni) OVER (PARTITION BY tb, ta, diag ORDER BY pb
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS grp
+        FROM runs
+    ),
     spans AS (
-        SELECT tb FROM runs GROUP BY tb, ta, diag, grp
-        HAVING COUNT(*) + {_XS_K} - 1 >= {_XS_L}
+        SELECT tb FROM runs2 GROUP BY tb, ta, diag, grp
+        HAVING MAX(pb) - MIN(pb) + {_XS_K} >= {_XS_L}
     ),
     flagged AS (SELECT DISTINCT tb FROM spans),
     panel AS (
@@ -3031,12 +3041,16 @@ def q_stream_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).select("tb", "pb", F.substring(F.md5("gram"), 1, 16).alias("gh"))
         pairs = grams.join(ev2, "gh").filter(F.col("ta") != F.col("tb"))
+        # Bridged gaps-and-islands, as in text_ngram._xs_spans.
         w = W.partitionBy("tb", "ta", F.col("pa") - F.col("pb")).orderBy("pb")
+        w_cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        step = F.col("pb") - F.lag("pb").over(w)
         spans = (
-            pairs.withColumn("grp", F.col("pb") - F.row_number().over(w))
+            pairs.withColumn("ni", F.when(step <= _XS_K, 0).otherwise(1))
+            .withColumn("grp", F.sum("ni").over(w_cum))
             .groupBy("tb", "ta", (F.col("pa") - F.col("pb")).alias("diag"), "grp")
-            .agg(F.count("*").alias("cnt"))
-            .filter(F.col("cnt") + _XS_K - 1 >= _XS_L)
+            .agg((F.max("pb") - F.min("pb") + _XS_K).alias("span_len"))
+            .filter(F.col("span_len") >= _XS_L)
             .select("tb")
             .distinct()
         )

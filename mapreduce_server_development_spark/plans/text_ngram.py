@@ -370,9 +370,16 @@ _XS_K = 8
 _XS_L = 32
 #: Hot-fingerprint cap: grams with more corpus-wide occurrences are
 #: excluded from pairing (boilerplate — q_boilerplate_ngrams' domain),
-#: bounding per-gram pair fan-out at _XS_HOT^2. Mirrored in the oracle;
-#: spans broken by an excluded gram may split below _XS_L (documented
-#: recall contract).
+#: bounding per-gram pair fan-out at _XS_HOT^2. Mirrored in the oracle.
+#: Runs BRIDGE gaps of <= _XS_K - 1 consecutive excluded grams: two
+#: matching grams at diagonal positions pa and pa + s with s <= _XS_K
+#: cover token windows whose union [pa, pa + s + _XS_K - 1] is
+#: contiguous, so every token between them is verbatim-matched and the
+#: intermediate grams can only be missing because the cap excluded
+#: them — the bridge is EXACT (zero false coverage; see
+#: tools/xs_recall.py for the measured recall it restores). Hot
+#: inserts longer than 2*_XS_K - 2 tokens still split the span (the
+#: residual recall contract, quantified in SCALE.md).
 _XS_HOT = 64
 
 _XS_FINAL = (
@@ -411,16 +418,27 @@ _XS_CTES = f"""{_TOKS_CTE},
         WHERE a.doc < b.doc
     ),
     runs AS (
+        -- bridged gaps-and-islands: a step of <= K between consecutive
+        -- matched positions on a diagonal keeps the run alive (the
+        -- skipped grams are hot-capped but verbatim-matched — exact)
         SELECT da, db, pa - pb AS diag, pa, pb,
-               pa - ROW_NUMBER() OVER (PARTITION BY da, db, pa - pb
-                                       ORDER BY pa) AS grp
+               CASE WHEN pa - LAG(pa) OVER (PARTITION BY da, db, pa - pb
+                                            ORDER BY pa) <= {_XS_K}
+                    THEN 0 ELSE 1 END AS ni
     FROM pairs
+    ),
+    runs2 AS (
+        SELECT da, db, diag, pa, pb,
+               SUM(ni) OVER (PARTITION BY da, db, diag ORDER BY pa
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS grp
+        FROM runs
     ),
     spans AS (
         SELECT da, db, MIN(pa) AS sa, MIN(pb) AS sb,
-               COUNT(*) + {_XS_K} - 1 AS span_len
-        FROM runs GROUP BY da, db, diag, grp
-        HAVING COUNT(*) + {_XS_K} - 1 >= {_XS_L}
+               MAX(pa) - MIN(pa) + {_XS_K} AS span_len
+        FROM runs2 GROUP BY da, db, diag, grp
+        HAVING MAX(pa) - MIN(pa) + {_XS_K} >= {_XS_L}
     )"""
 
 
@@ -495,10 +513,13 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pipeline: positional 8-grams keyed by 64-bit md5 prefixes; grams
     occurring > 64 times corpus-wide are excluded (the hot-fingerprint
     cap, mirrored in the oracle — boilerplate grams belong to
-    q_boilerplate_ngrams; a span interrupted by an excluded gram may
-    split below L, the documented recall contract); the gram self-join
-    pairs occurrences (fan-out bounded at cap^2 per gram); runs are
-    gaps-and-islands per (doc_a, doc_b, diagonal = pos_a - pos_b);
+    q_boilerplate_ngrams); the gram self-join pairs occurrences
+    (fan-out bounded at cap^2 per gram); runs are BRIDGED
+    gaps-and-islands per (doc_a, doc_b, diagonal = pos_a - pos_b) —
+    steps of <= K between matched positions stay one run, exactly
+    recovering spans interrupted by capped grams (hot inserts longer
+    than 2K-2 tokens still split: the residual recall contract,
+    measured in SCALE.md / tools/xs_recall.py);
     spans >= 32 tokens project coverage intervals onto BOTH documents;
     per-doc interval union (the q_dup_ngram_spans window) merges
     overlaps before the per-source mass rollup. Within-doc repeats are
@@ -567,16 +588,20 @@ def _xs_spans(spark: SparkSession, sf_dir: str):
         .filter(F.col("da") < F.col("db"))
         .select("da", "pa", "db", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
     )
+    # Bridged gaps-and-islands (see the _XS_HOT note): consecutive
+    # matched positions on a diagonal with step <= K stay one run.
     w_run = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    w_cum = w_run.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    step = F.col("pa") - F.lag("pa").over(w_run)
     runs = pairs.withColumn(
-        "grp", F.col("pa") - F.row_number().over(w_run)
-    )
+        "ni", F.when(step <= _XS_K, 0).otherwise(1)
+    ).withColumn("grp", F.sum("ni").over(w_cum))
     spans = (
         runs.groupBy("da", "db", "diag", "grp")
         .agg(
             F.min("pa").alias("sa"),
             F.min("pb").alias("sb"),
-            (F.count("*") + _XS_K - 1).alias("span_len"),
+            (F.max("pa") - F.min("pa") + _XS_K).alias("span_len"),
         )
         .filter(F.col("span_len") >= _XS_L)
     )
@@ -786,15 +811,26 @@ def _xd_oracle() -> str:
         FROM ev JOIN tr USING (gh)
     ),
     runs AS (
+        -- bridged gaps-and-islands over the train-side positions
+        -- (same exactness argument as _XS_CTES)
         SELECT ta, tb, pa - pb AS diag, pb,
-               pb - ROW_NUMBER() OVER (PARTITION BY ta, tb, pa - pb
-                                       ORDER BY pb) AS grp
+               CASE WHEN pb - LAG(pb) OVER (PARTITION BY ta, tb, pa - pb
+                                            ORDER BY pb) <= {_XS_K}
+                    THEN 0 ELSE 1 END AS ni
         FROM pairs
     ),
+    runs2 AS (
+        SELECT ta, tb, diag, pb,
+               SUM(ni) OVER (PARTITION BY ta, tb, diag ORDER BY pb
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS grp
+        FROM runs
+    ),
     spans AS (
-        SELECT ta, tb, MIN(pb) AS sb, COUNT(*) + {_XS_K} - 1 AS span_len
-        FROM runs GROUP BY ta, tb, diag, grp
-        HAVING COUNT(*) + {_XS_K} - 1 >= {_XS_L}
+        SELECT ta, tb, MIN(pb) AS sb,
+               MAX(pb) - MIN(pb) + {_XS_K} AS span_len
+        FROM runs2 GROUP BY ta, tb, diag, grp
+        HAVING MAX(pb) - MIN(pb) + {_XS_K} >= {_XS_L}
     ),
     iv AS (
         SELECT DISTINCT tb AS doc, sb AS s, sb + span_len AS e FROM spans
@@ -913,12 +949,16 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ta", "pa", "tb", "pb", (F.col("pa") - F.col("pb")).alias("diag")
     )
     w_run = Window.partitionBy("ta", "tb", "diag").orderBy("pb")
-    runs = pairs.withColumn("grp", F.col("pb") - F.row_number().over(w_run))
+    w_cum = w_run.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    step = F.col("pb") - F.lag("pb").over(w_run)
+    runs = pairs.withColumn(
+        "ni", F.when(step <= _XS_K, 0).otherwise(1)
+    ).withColumn("grp", F.sum("ni").over(w_cum))
     spans = (
         runs.groupBy("ta", "tb", "diag", "grp")
         .agg(
             F.min("pb").alias("sb"),
-            (F.count("*") + _XS_K - 1).alias("span_len"),
+            (F.max("pb") - F.min("pb") + _XS_K).alias("span_len"),
         )
         .filter(F.col("span_len") >= _XS_L)
     )

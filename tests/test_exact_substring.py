@@ -67,23 +67,25 @@ def _reference_panel(rows):
         for db in ids[ia + 1:]:
             ga, gb = grams[da], grams[db]
             for diag in range(-(len(gb) - 1), len(ga)):
-                run, start = 0, None
-                for pa in range(max(0, diag), min(len(ga), len(gb) + diag)):
-                    pb = pa - diag
-                    if ga[pa] == gb[pb] and allowed(ga[pa]):
-                        if run == 0:
-                            start = pa
-                        run += 1
+                # matched (allowed) gram positions on this diagonal,
+                # grouped with the BRIDGE: steps <= K stay one run
+                matched = [
+                    pa
+                    for pa in range(max(0, diag),
+                                    min(len(ga), len(gb) + diag))
+                    if ga[pa] == gb[pa - diag] and allowed(ga[pa])
+                ]
+                groups: list[list[int]] = []
+                for pa in matched:
+                    if groups and pa - groups[-1][-1] <= K:
+                        groups[-1].append(pa)
                     else:
-                        if run and run + K - 1 >= L:
-                            intervals[da].append((start, start + run + K - 1))
-                            intervals[db].append(
-                                (start - diag, start - diag + run + K - 1))
-                        run = 0
-                if run and run + K - 1 >= L:
-                    intervals[da].append((start, start + run + K - 1))
-                    intervals[db].append(
-                        (start - diag, start - diag + run + K - 1))
+                        groups.append([pa])
+                for g in groups:
+                    cov = g[-1] - g[0] + K
+                    if cov >= L:
+                        intervals[da].append((g[0], g[0] + cov))
+                        intervals[db].append((g[0] - diag, g[0] - diag + cov))
 
     per_doc = {}
     for d, iv in intervals.items():
@@ -152,10 +154,13 @@ def test_replay_engineered_spans():
 
 
 def test_hot_gram_cap_recall_contract():
-    """One corpus-hot 8-gram inside an otherwise-unique shared 40-token
-    span splits the diagonal run below L on both sides — the documented
-    recall cost of the cap. Without the hot filler docs the same pair
-    yields the full span."""
+    """The gap BRIDGE recovers spans interrupted by a short hot
+    region: one corpus-hot 8-gram inside an otherwise-unique shared
+    40-token span drops one gram position from the diagonal (a step
+    of 2 <= K between the surviving matches), so the bridged run
+    still reports the full span. A hot insert LONGER than 2K-2
+    tokens leaves a gap > K and still splits — the residual recall
+    contract."""
     A, G, B = _u("a", 20), _u("g", 8), _u("b", 12)
     span = A + G + B  # 40 tokens, G at offset 20
     pair = [
@@ -170,16 +175,35 @@ def test_hot_gram_cap_recall_contract():
     assert control["s0"]["dup_tokens"] == 80
     assert control["s0"]["n_spans"] == 2
 
-    # with 70 hot fillers G occurs 72 > 64 times -> excluded; the run
-    # splits into 27- and 19-token fragments, both below L
+    # with 70 hot fillers G occurs 72 > 64 times -> excluded; the
+    # BRIDGE spans the 1-gram gap and the full 40-token span survives
     capped = {r["source"]: r for r in _run_oracle(pair + fillers)}
-    assert capped["s0"]["dup_tokens"] == 0
+    assert capped["s0"]["dup_tokens"] == 80
+    assert capped["s0"]["n_spans"] == 2
     assert capped["noise"]["dup_tokens"] == 0
     # the reference agrees on the capped corpus too
     want = _reference_panel(pair + fillers)
     for s, w in want.items():
         for k2, v in w.items():
             assert capped[s][k2] == v, (s, k2)
+
+    # residual contract: a 16-token hot block excludes 9 consecutive
+    # gram positions (16 - K + 1) — a gap > K the bridge must NOT
+    # cross; the 20/12-token flanks both fall below L.
+    H = _u("h", 16)
+    span2 = A + H + B  # 48 tokens, H at offset 20
+    pair2 = [
+        (0, _u("x", 6) + span2 + _u("y", 6), "s0"),
+        (1, _u("v", 9) + span2 + _u("u", 3), "s0"),
+    ]
+    fillers2 = [(10 + i, _u(f"f{i}", 12) + H + _u(f"e{i}", 12), "noise")
+                for i in range(70)]
+    capped2 = {r["source"]: r for r in _run_oracle(pair2 + fillers2)}
+    assert capped2["s0"]["dup_tokens"] == 0
+    want2 = _reference_panel(pair2 + fillers2)
+    for s, w in want2.items():
+        for k2, v in w.items():
+            assert capped2[s][k2] == v, (s, k2)
 
 
 def test_fixture_invariants(spark):
@@ -316,22 +340,24 @@ def _decontam_reference(rows):
         for tb in trains:
             ga, gb = grams[ta], grams[tb]
             for diag in range(-(len(gb) - 1), len(ga)):
-                run, start_pb = 0, None
-                for pa in range(max(0, diag), min(len(ga), len(gb) + diag)):
-                    pb = pa - diag
-                    if ga[pa] == gb[pb] and allowed(ga[pa]):
-                        if run == 0:
-                            start_pb = pb
-                        run += 1
+                # bridged: train-side steps <= K stay one run
+                matched = [
+                    pa - diag
+                    for pa in range(max(0, diag),
+                                    min(len(ga), len(gb) + diag))
+                    if ga[pa] == gb[pa - diag] and allowed(ga[pa])
+                ]
+                groups: list[list[int]] = []
+                for pb in matched:
+                    if groups and pb - groups[-1][-1] <= K:
+                        groups[-1].append(pb)
                     else:
-                        if run and run + K - 1 >= L:
-                            intervals[tb].append(
-                                (start_pb, start_pb + run + K - 1))
-                            eval_hits[src[tb]].add(ta)
-                        run = 0
-                if run and run + K - 1 >= L:
-                    intervals[tb].append((start_pb, start_pb + run + K - 1))
-                    eval_hits[src[tb]].add(ta)
+                        groups.append([pb])
+                for g in groups:
+                    cov = g[-1] - g[0] + K
+                    if cov >= L:
+                        intervals[tb].append((g[0], g[0] + cov))
+                        eval_hits[src[tb]].add(ta)
 
     per_doc = {}
     for d, iv in intervals.items():
