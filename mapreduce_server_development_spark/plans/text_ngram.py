@@ -755,6 +755,174 @@ def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_dedup_apply — the cleaned-corpus transform (reconstructed documents)
+# ---------------------------------------------------------------------------
+
+_XSA_FINAL = (
+    "source",
+    "CAST(n_docs AS BIGINT) AS n_docs",
+    "CAST(n_docs_changed AS BIGINT) AS n_docs_changed",
+    "CAST(tokens_after AS BIGINT) AS tokens_after",
+    "corpus_md5",
+)
+
+
+@query(
+    "q_dedup_apply",
+    oracle=f"""
+    WITH {_XS_CTES},
+    iv AS (
+        -- removal projects onto the LATER (db) doc only: first-wins
+        SELECT DISTINCT db AS doc, sb AS s, sb + span_len AS e FROM spans
+    ),
+    isl AS (
+        SELECT doc, s, e,
+               CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w
+                    THEN 1 ELSE 0 END AS ni
+        FROM iv
+        WINDOW w AS (PARTITION BY doc ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    isl2 AS (
+        SELECT doc, s, e,
+               SUM(ni) OVER (PARTITION BY doc ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS island
+        FROM isl
+    ),
+    cov AS (
+        SELECT doc, island, MIN(s) AS s, MAX(e) AS e
+        FROM isl2 GROUP BY doc, island
+    ),
+    toks_pos AS (
+        SELECT doc, u.pos AS pos, u.tok AS tok
+        FROM (
+            SELECT doc,
+                   unnest(list_transform(range(1, len(toks) + 1),
+                       i -> {{'pos': i - 1, 'tok': toks[i]}})) AS u
+            FROM toks)
+    ),
+    kept AS (
+        SELECT tp.doc, tp.pos, tp.tok FROM toks_pos tp
+        WHERE NOT EXISTS (SELECT 1 FROM cov c
+                          WHERE c.doc = tp.doc
+                            AND tp.pos >= c.s AND tp.pos < c.e)
+    ),
+    clean AS (
+        SELECT doc, string_agg(tok, ' ' ORDER BY pos) AS txt,
+               COUNT(*) AS n_after
+        FROM kept GROUP BY doc
+    ),
+    perdoc AS (
+        SELECT d.doc_id AS doc, d.source,
+               md5(COALESCE(c.txt, '')) AS doc_md5,
+               COALESCE(c.n_after, 0) AS n_after,
+               CASE WHEN v.doc IS NULL THEN 0 ELSE 1 END AS changed
+        FROM documents d
+        LEFT JOIN clean c ON c.doc = d.doc_id
+        LEFT JOIN (SELECT DISTINCT doc FROM cov) v ON v.doc = d.doc_id
+    ),
+    panel AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               SUM(changed) AS n_docs_changed,
+               SUM(n_after) AS tokens_after,
+               md5(string_agg(doc_md5, '' ORDER BY doc)) AS corpus_md5
+        FROM perdoc GROUP BY source
+    )
+    SELECT {", ".join(_XSA_FINAL)} FROM panel ORDER BY source
+    """,
+)
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaned-corpus TRANSFORM: materialize what
+    q_dedup_span_removal only ledgers — each document's post-removal
+    text (tokens minus the first-wins removal intervals), verified
+    end-to-end by per-source md5 checksums over the reconstructed
+    documents (md5 of each doc's cleaned text, then md5 of the
+    doc-id-ordered concatenation of those digests), plus post-clean
+    token counts. This is the query a production ExactSubstr pass
+    actually ships — the ledger audits it; this one IS the output.
+
+    Shares ``_xs_spans`` / ``_XS_CTES`` verbatim with the audit and
+    the ledger; removal intervals project onto the later (db) doc
+    only and are interval-unioned per doc before excision, so
+    overlapping spans from different partners excise once. A doc's
+    cleaned text is its TOKENIZED form (lowercased,
+    whitespace-joined) minus covered positions — both engines
+    reconstruct from the same token relation, making the checksum an
+    exact cross-engine witness of every byte of the cleaned corpus.
+    A fully-covered doc cleans to the empty string (md5('') — kept,
+    not dropped: corpus row identity survives the transform).
+
+    100 TB posture: the interval set per doc is tiny (bounded by
+    spans hitting that doc), carried as a sorted array into a
+    JVM-side higher-order ``filter`` over the token array — no
+    explode of the token relation, no Python; the checksum rollup is
+    one per-source aggregate over doc-level digests (the
+    doc-id-ordered ``string_agg``'s Spark twin sorts the collected
+    (doc, md5) structs per source — group cardinality is per-source
+    doc counts, the same panel every other XS query aggregates).
+    """
+    toks, spans = _xs_spans(spark, sf_dir)
+    iv = spans.select(
+        F.col("db").alias("doc"),
+        F.col("sb").alias("s"),
+        (F.col("sb") + F.col("span_len")).alias("e"),
+    ).distinct()
+    w_prev = (
+        Window.partitionBy("doc")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("doc")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_end = F.max("e").over(w_prev)
+    isl = iv.withColumn(
+        "ni",
+        F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0),
+    ).withColumn("island", F.sum("ni").over(w_cum))
+    cov = (
+        isl.groupBy("doc", "island")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy("doc")
+        .agg(F.array_sort(F.collect_list(F.struct("s", "e"))).alias("ivs"))
+    )
+    base = toks.join(
+        cov, toks["doc_id"] == cov["doc"], "left"
+    ).select("doc_id", "source", "toks", "ivs")
+    ivs = F.coalesce(F.col("ivs"), F.array())
+    cleaned = F.filter(
+        "toks",
+        lambda t, i: ~F.exists(ivs, lambda v: (i >= v["s"]) & (i < v["e"])),
+    )
+    perdoc = base.select(
+        "doc_id",
+        "source",
+        F.md5(F.array_join(cleaned, " ")).alias("doc_md5"),
+        F.size(cleaned).cast("long").alias("n_after"),
+        F.when(F.col("ivs").isNull(), 0).otherwise(1).alias("changed"),
+    )
+    panel = perdoc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("changed").alias("n_docs_changed"),
+        F.sum("n_after").alias("tokens_after"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "doc_md5"))),
+                    lambda x: x["doc_md5"],
+                ),
+                "",
+            )
+        ).alias("corpus_md5"),
+    )
+    return panel.selectExpr(*_XSA_FINAL).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
 # q_decontaminate_spans — span-level train-vs-eval contamination
 # ---------------------------------------------------------------------------
 

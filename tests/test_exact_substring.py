@@ -287,6 +287,149 @@ def test_removal_never_exceeds_audit_mass(spark):
 
 
 # ---------------------------------------------------------------------------
+# q_dedup_apply — the cleaned-corpus transform
+# ---------------------------------------------------------------------------
+
+
+def _apply_reference(rows):
+    """Pure-Python reconstruction: bridged diagonal scan, removal
+    intervals onto the LATER doc only, interval union, token excision,
+    md5 per doc, per-source doc-id-ordered digest-of-digests."""
+    import hashlib
+
+    toks = {d: t for d, t, _ in rows}
+    src = {d: s for d, _, s in rows}
+    occ: Counter = Counter()
+    docs_of: defaultdict = defaultdict(set)
+    grams = {}
+    for d, ts in toks.items():
+        gs = [" ".join(ts[i:i + K]) for i in range(len(ts) - K + 1)]
+        grams[d] = gs
+        for g in gs:
+            occ[g] += 1
+            docs_of[g].add(d)
+
+    def allowed(g):
+        return occ[g] <= CAP and len(docs_of[g]) >= 2
+
+    intervals: defaultdict = defaultdict(list)
+    ids = sorted(toks)
+    for ia, da in enumerate(ids):
+        for db in ids[ia + 1:]:
+            ga, gb = grams[da], grams[db]
+            for diag in range(-(len(gb) - 1), len(ga)):
+                matched = [
+                    pa
+                    for pa in range(max(0, diag),
+                                    min(len(ga), len(gb) + diag))
+                    if ga[pa] == gb[pa - diag] and allowed(ga[pa])
+                ]
+                groups: list[list[int]] = []
+                for pa in matched:
+                    if groups and pa - groups[-1][-1] <= K:
+                        groups[-1].append(pa)
+                    else:
+                        groups.append([pa])
+                for g in groups:
+                    cov = g[-1] - g[0] + K
+                    if cov >= L:
+                        # later doc (db) only: first-wins
+                        intervals[db].append((g[0] - diag, g[0] - diag + cov))
+
+    panel: dict = {}
+    per_source_digests: defaultdict = defaultdict(list)
+    for d in ids:
+        iv = sorted(set(intervals.get(d, [])))
+        merged: list[list[int]] = []
+        for s, e in iv:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        kept = [
+            t for i, t in enumerate(toks[d])
+            if not any(s <= i < e for s, e in merged)
+        ]
+        txt = " ".join(kept)
+        sname = src[d]
+        p = panel.setdefault(
+            sname, {"n_docs": 0, "n_docs_changed": 0, "tokens_after": 0})
+        p["n_docs"] += 1
+        p["n_docs_changed"] += 1 if merged else 0
+        p["tokens_after"] += len(kept)
+        per_source_digests[sname].append(
+            (d, hashlib.md5(txt.encode()).hexdigest()))
+    for sname, pairs in per_source_digests.items():
+        cat = "".join(md for _, md in sorted(pairs))
+        panel[sname]["corpus_md5"] = hashlib.md5(cat.encode()).hexdigest()
+    return panel
+
+
+def _run_apply_oracle(rows):
+    cols, data = _docs_table(rows)
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE documents ({', '.join(cols)})")
+    ph = ", ".join("?" for _ in cols)
+    con.executemany(f"INSERT INTO documents VALUES ({ph})", data)
+    res = con.sql(ORACLE["q_dedup_apply"])
+    out = [dict(zip([c.lower() for c in res.columns], r))
+           for r in res.fetchall()]
+    con.close()
+    return out
+
+
+def test_apply_reconstruction_replay():
+    """Engineered corpus: the cleaned-text checksums from the oracle
+    pipeline equal an independent pure-Python reconstruction —
+    first-wins excision, chained spans, an untouched doc, and a
+    bridge-recovered span all exercised."""
+    S, S2, G = _u("s", 40), _u("s2", 40), _u("g", 8)
+    bspan = _u("ba", 16) + G + _u("bb", 16)  # 40 tokens, hot gram inside
+    rows = [
+        (0, _u("a", 10) + S + _u("b", 10), "pairsrc"),
+        (1, _u("c", 7) + S + _u("d", 12), "pairsrc"),
+        (10, _u("e", 5) + S2 + _u("f", 5), "chainsrc"),
+        (11, _u("g2", 8) + S2 + _u("h", 4), "chainsrc"),
+        (12, _u("i", 3) + S2 + _u("j", 9), "chainsrc"),
+        (20, _u("z", 45), "quietsrc"),
+        (30, _u("x", 6) + bspan + _u("y", 6), "bridgesrc"),
+        (31, _u("v", 9) + bspan + _u("u", 3), "bridgesrc"),
+    ] + [(100 + i, _u(f"f{i}", 12) + G + _u(f"e{i}", 12), "noise")
+         for i in range(70)]
+    got = {r["source"]: r for r in _run_apply_oracle(rows)}
+    want = _apply_reference(rows)
+    assert set(got) == set(want)
+    for s, w in want.items():
+        for k2, v in w.items():
+            assert got[s][k2] == v, (s, k2, got[s], w)
+    # belt and braces on the engineered expectations
+    assert got["pairsrc"]["n_docs_changed"] == 1
+    assert got["chainsrc"]["n_docs_changed"] == 2
+    assert got["quietsrc"]["n_docs_changed"] == 0
+    assert got["bridgesrc"]["n_docs_changed"] == 1  # bridge-recovered
+
+
+def test_apply_agrees_with_ledger(spark):
+    """On the live fixture: tokens_after from the transform equals
+    tokens_before - tokens_removed from the ledger, per source."""
+    from mapreduce_server_development_spark.plans import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    ledger = {r.source: r for r in
+              QUERIES["q_dedup_span_removal"](spark, SF_SMOKE).collect()}
+    applied = {r.source: r for r in
+               QUERIES["q_dedup_apply"](spark, SF_SMOKE).collect()}
+    assert set(ledger) == set(applied)
+    for s, a in applied.items():
+        led = ledger[s]
+        assert a.n_docs == led.n_docs, s
+        assert a.n_docs_changed == led.n_docs_cleaned, s
+        assert a.tokens_after == led.tokens_after, s
+        assert len(a.corpus_md5) == 32, s
+
+
+# ---------------------------------------------------------------------------
 # q_decontaminate_spans — span-level train-vs-eval contamination
 # ---------------------------------------------------------------------------
 
