@@ -162,6 +162,7 @@ def _cmd_start(args: argparse.Namespace) -> int:
                 str(args.port),
                 "--pidfile",
                 args.pidfile,
+                *(["--warmup"] if args.warmup else []),
             ],
             stdin=subprocess.DEVNULL,
             stdout=logf,
@@ -234,7 +235,9 @@ def _cmd_restart(args: argparse.Namespace) -> int:
 
 
 def _cmd_daemon(args: argparse.Namespace) -> int:
-    return daemonmod.serve(port=args.port, pidfile=args.pidfile)
+    return daemonmod.serve(
+        port=args.port, pidfile=args.pidfile, warmup=args.warmup
+    )
 
 
 def _add_daemon_opts(p: argparse.ArgumentParser) -> None:
@@ -243,6 +246,11 @@ def _add_daemon_opts(p: argparse.ArgumentParser) -> None:
     p.add_argument("--pidfile", default=daemonmod.DEFAULT_PIDFILE)
     p.add_argument("--timeout", type=float, default=60.0,
                    help="seconds to wait for start/stop")
+    p.add_argument("--warmup", action="store_true",
+                   help="pre-JIT the engine's hot expression chains at "
+                        "daemon startup (session.warmup_expressions), so "
+                        "the first job skips the fresh-JVM interpreted "
+                        "path; a few seconds once per session")
 
 
 def main(argv: list[str] | None = None) -> int:

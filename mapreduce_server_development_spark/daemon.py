@@ -157,12 +157,25 @@ def _recv_json(conn: socket.socket) -> dict | None:
     return msg if isinstance(msg, dict) else None
 
 
-def serve(port: int = DEFAULT_PORT, pidfile: str = DEFAULT_PIDFILE) -> int:
-    """Run the daemon loop until a shutdown message or SIGTERM/SIGINT."""
+def serve(
+    port: int = DEFAULT_PORT,
+    pidfile: str = DEFAULT_PIDFILE,
+    warmup: bool = False,
+) -> int:
+    """Run the daemon loop until a shutdown message or SIGTERM/SIGINT.
+
+    ``warmup=True`` (CLI ``--warmup``, or ``SPARK_GRAFT_WARMUP=1``)
+    runs :func:`session.warmup_expressions` before the socket opens,
+    so the first submitted job never pays the fresh-JVM interpreted
+    expression-path cost (measured table in SCALE.md)."""
     from .operators.mapreduce import run_job
-    from .session import get_spark
+    from .session import get_spark, warmup_expressions
 
     spark = get_spark(app_name="mapreduce-spark-daemon")
+    if warmup and os.environ.get("SPARK_GRAFT_WARMUP", "") != "1":
+        # (get_spark already warmed when the env var is set)
+        chains = warmup_expressions(spark)
+        print(f"warmed expression chains: {', '.join(chains)}", flush=True)
     jobs: queue.Queue[dict | None] = queue.Queue()
 
     def worker() -> None:

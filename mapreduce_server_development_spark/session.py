@@ -80,4 +80,96 @@ def get_spark(
     )
     for k, v in state_store_confs().items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if os.environ.get("SPARK_GRAFT_WARMUP", "") == "1":
+        warmup_expressions(spark)
+    return spark
+
+
+def warmup_expressions(spark: SparkSession, rows: int = 8_000) -> list[str]:
+    """Opt-in JIT pre-warm of the engine's hottest shared expression
+    chains, on SYNTHETIC in-memory data (no fixture dependency).
+
+    A fresh JVM runs Catalyst expression code interpreted until HotSpot
+    compiles it; the tokenize/shingle/16-way-md5 chain the text-dedup
+    family shares was measured at 5.6s cold vs 0.72s warm (BENCH_AB
+    `q_stream_minhash_dedup_cold_start`), and the x100 ExactSubstr
+    stress paid ~85s of one-time interpreted-path warm-up in a fresh
+    session (BENCH_AB `stress_exact_substring`). bench.py has warmed
+    these chains before timing since round 9; this is the same warm-up
+    as a PRODUCT feature, so a production ingest daemon's FIRST job
+    doesn't pay it either. Enable with ``SPARK_GRAFT_WARMUP=1`` (any
+    ``get_spark`` caller) or ``serve(warmup=True)`` / the daemon
+    CLI's ``--warmup`` flag. Cost: a few seconds once per session
+    (cold/warm table in SCALE.md, BENCH_AB `warmup_hook_ab`).
+
+    Chains exercised (each driven to completion executor-side):
+    - tokenize -> 3-shingle -> 16-way seeded md5 array mins (the
+      MinHash/fingerprint family: q_minhash_*, q_doc_fingerprint,
+      q_stream_minhash_dedup);
+    - positional 8-gram -> md5 prefix (the ExactSubstr span family);
+    - zip_with/aggregate array dot product + norm (the
+      similarity/ANN family: q_cosine_topk, IVF/PQ tiers).
+
+    Returns the list of warmed chain names (for logging/tests).
+    """
+    from pyspark.sql import functions as F
+
+    from .functions.text import tokens_col, word_shingles
+
+    # ~12 pseudo-random tokens per row from a 97-word vocabulary:
+    # enough shingle/md5 volume to push the chain through C2.
+    base = spark.range(rows).select(
+        F.concat_ws(
+            " ",
+            F.array(
+                *[
+                    F.concat(
+                        F.lit("w"),
+                        ((F.col("id") * (p * 2 + 1)) % 97).cast("string"),
+                    )
+                    for p in range(12)
+                ]
+            ),
+        ).alias("text")
+    )
+    toks = base.select(tokens_col(F.lower(F.col("text"))).alias("toks"))
+    sh = toks.select(word_shingles(F.col("toks"), 3).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    mins = sh.select(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("sh"),
+                    # default-arg closure would shadow the index param —
+                    # build the prefix outside (same note as the
+                    # production signature chain).
+                    (lambda pref: lambda s: F.md5(F.concat(F.lit(pref), s)))(
+                        f"{i}#"
+                    ),
+                )
+            ).alias(f"h{i}")
+            for i in range(16)
+        ]
+    )
+    mins.foreach(lambda _: None)
+
+    grams = toks.select(
+        F.posexplode(word_shingles(F.col("toks"), 8)).alias("pos", "gram")
+    ).select("pos", F.substring(F.md5("gram"), 1, 16).alias("gh"))
+    grams.foreach(lambda _: None)
+
+    vecs = spark.range(rows).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: ((F.col("id") + i) % 13).cast("double") / 13.0,
+        ).alias("v")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    vecs.select((dot / F.sqrt(dot)).alias("cos")).foreach(lambda _: None)
+    return ["minhash_md5", "gram_md5", "array_dot"]

@@ -44,13 +44,20 @@ def test_daemon_lifecycle_and_remote_submit(tmp_path):
     (FIFO) → byte-exact golden outputs → stop → status."""
     port = _free_port()
     pidfile = str(tmp_path / "daemon.pid")
-    opts = ["--port", str(port), "--pidfile", pidfile]
+    # --warmup: the opt-in startup JIT pre-warm (r9 verdict ask #5)
+    # rides the normal lifecycle — its log line is asserted below.
+    opts = ["--port", str(port), "--pidfile", pidfile, "--warmup"]
 
     res = _cli("start", *opts)
     assert res.returncode == 0, res.stderr[-2000:]
     try:
         res = _cli("status", *opts)
         assert "manager running" in res.stdout
+
+        # the startup hook ran before the socket opened (start polls
+        # the pidfile, which is written after warmup completes)
+        log = (tmp_path / "daemon.log").read_text()
+        assert "warmed expression chains: minhash_md5, gram_md5, array_dot" in log
 
         # Reference parity: starting twice is an error (bin/mapreduce:48-55).
         res = _cli("start", *opts)
@@ -236,3 +243,13 @@ def test_console_script_trio(tmp_path):
         import importlib
 
         assert callable(getattr(importlib.import_module(mod), func))
+
+
+def test_warmup_expressions_unit(spark):
+    """The product warm-up hook runs on synthetic in-memory data (no
+    fixture dependency), is idempotent, and names its chains."""
+    from mapreduce_server_development_spark.session import warmup_expressions
+
+    chains = warmup_expressions(spark, rows=500)
+    assert chains == ["minhash_md5", "gram_md5", "array_dot"]
+    assert warmup_expressions(spark, rows=500) == chains
