@@ -318,6 +318,11 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M = 8
 _PQ_SUBDIM = 8
 _PQ_KS = 16
+#: IVF-PQ codebook size: 256 centroids per subspace (8-bit codes, the
+#: FAISS IVF-PQ default) over RESIDUAL subvectors — tight clusters need
+#: both the residual re-centering and the full 8-bit codebook to
+#: separate near-equidistant cellmates (BENCH_AB ann_clustered_recall).
+_IVFPQ_KS = 256
 
 _PQ_FINAL = (
     "qid",
@@ -1564,16 +1569,38 @@ _IVFPQ_FINAL = (
     oracle=f"""
     WITH {_CELL_CTES},
     ms AS (SELECT unnest(range(0, {_PQ_M})) AS m),
+    -- RESIDUAL encoding (Jegou et al. 2011 sec. V): PQ codes quantize
+    -- v - centroid(cell(v)), not v — within a tight cluster the raw
+    -- subvectors are nearly identical and the codebook cannot separate
+    -- them (measured 15% top-3 overlap on the clustered fixture);
+    -- residuals re-center each cell at the origin. The centroid is the
+    -- cell's SEED vector (cent0) — deterministic in both engines.
+    rv AS (
+        SELECT a.vid,
+               list_transform(range(1, len(a.vv) + 1),
+                              i -> a.vv[i] - c.cv[i]) AS rv
+        FROM assign a JOIN cent0 c USING (cid)
+    ),
     sub AS (
         SELECT vid, m,
-               vv[m * {_PQ_SUBDIM} + 1 : m * {_PQ_SUBDIM} + {_PQ_SUBDIM}]
+               rv[m * {_PQ_SUBDIM} + 1 : m * {_PQ_SUBDIM} + {_PQ_SUBDIM}]
                    AS sv
-        FROM v CROSS JOIN ms
+        FROM rv CROSS JOIN ms
     ),
-    pqseed AS (SELECT vid FROM v ORDER BY vid LIMIT {_PQ_KS}),
+    -- PQ training rows: the {_IVFPQ_KS} lowest-vid vectors AFTER the
+    -- kk.k IVF seeds — a seed's residual is the zero vector, so
+    -- training on the seed range would degenerate the codebook
+    pqseed AS (
+        SELECT vid FROM (
+            SELECT vid, ROW_NUMBER() OVER (ORDER BY vid) AS rn FROM v
+        ) s, kk WHERE s.rn > kk.k AND s.rn <= kk.k + {_IVFPQ_KS}
+    ),
     cb AS (SELECT s.vid AS pcid, s.m, s.sv AS cv
            FROM sub s JOIN pqseed d ON d.vid = s.vid),
-    enc AS (
+    -- one Lloyd pass on the sampled codebook: assign, re-fit each
+    -- codeword as the 6-decimal per-dimension member mean, drop
+    -- empties (the _lloyd_centroids determinism discipline)
+    enc0 AS (
         SELECT vid, m, pcid FROM (
             SELECT s.vid, s.m, c.pcid,
                    ROW_NUMBER() OVER (
@@ -1586,15 +1613,51 @@ _IVFPQ_FINAL = (
             FROM sub s JOIN cb c ON c.m = s.m
         ) WHERE rn = 1
     ),
+    dm AS (
+        SELECT e.m, e.pcid, u.pos, round(avg(u.val), 6) AS mu
+        FROM enc0 e
+        JOIN sub s ON s.vid = e.vid AND s.m = e.m,
+        LATERAL (
+            SELECT unnest(list_transform(
+                range(1, len(s.sv) + 1),
+                i -> {{'pos': i, 'val': s.sv[i]}})) AS u
+        )
+        GROUP BY e.m, e.pcid, u.pos
+    ),
+    cb1 AS (
+        SELECT m, pcid, list(mu ORDER BY pos) AS cv
+        FROM dm GROUP BY m, pcid
+    ),
+    enc AS (
+        SELECT vid, m, pcid FROM (
+            SELECT s.vid, s.m, c.pcid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vid, s.m
+                       ORDER BY CAST(round((
+                           list_dot_product(s.sv, s.sv)
+                           + list_dot_product(c.cv, c.cv)
+                           - 2 * list_dot_product(s.sv, c.cv)) * 10000)
+                           AS BIGINT), c.pcid) AS rn
+            FROM sub s JOIN cb1 c ON c.m = s.m
+        ) WHERE rn = 1
+    ),
     q AS (
         SELECT a.vid AS qid, a.vv AS qv, a.cid AS qcid
         FROM assign a WHERE a.vid % 97 = 3 AND a.vid < 1000
     ),
+    -- query residual w.r.t. the PROBED cell's centroid (nprobe=1:
+    -- the query's own cell, shared by every cellmate)
+    qr AS (
+        SELECT q.qid,
+               list_transform(range(1, len(q.qv) + 1),
+                              i -> q.qv[i] - c.cv[i]) AS rqv
+        FROM q JOIN cent0 c ON c.cid = q.qcid
+    ),
     qsub AS (
         SELECT qid, m,
-               qv[m * {_PQ_SUBDIM} + 1 : m * {_PQ_SUBDIM} + {_PQ_SUBDIM}]
+               rqv[m * {_PQ_SUBDIM} + 1 : m * {_PQ_SUBDIM} + {_PQ_SUBDIM}]
                    AS qs
-        FROM q CROSS JOIN ms
+        FROM qr CROSS JOIN ms
     ),
     lut AS (
         SELECT s.qid, s.m, c.pcid,
@@ -1602,7 +1665,7 @@ _IVFPQ_FINAL = (
                            + list_dot_product(c.cv, c.cv)
                            - 2 * list_dot_product(s.qs, c.cv)) * 10000)
                    AS BIGINT) AS d2c
-        FROM qsub s JOIN cb c ON c.m = s.m
+        FROM qsub s JOIN cb1 c ON c.m = s.m
     ),
     cellmates AS (
         SELECT q.qid, a.vid FROM q
@@ -1668,15 +1731,30 @@ def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composite index audit — the production ANN layout at
     100 TB (Jegou et al. 2011; the FAISS IVF-PQ default): the sqrt(n)
     IVF cells bound the CANDIDATE SET (search only the query's cell,
-    nprobe=1) and the 8x4-bit PQ codes bound the MEMORY (distances
-    come from the broadcast query LUTs, never raw floats). For the
-    bounded query panel, top-3 by in-cell ADC is scored two ways:
-    against the exact in-cell top-3 (isolates PQ code distortion) and
-    against the exact GLOBAL top-3 (adds the nprobe=1 cell-miss),
-    with the candidate-set size per query.
+    nprobe=1) and the 8x8-bit PQ codes bound the MEMORY (distances
+    come from the broadcast query LUTs, never raw floats). The full
+    standard formulation (r10, closing the r9 clustered-distortion
+    finding): codes quantize the RESIDUAL v - centroid(cell(v))
+    (Jegou sec. V; the centroid is the cell's rank-seed vector —
+    deterministic in both engines), the codebook is sampled from the
+    lowest NON-SEED vids (a seed's residual is the zero vector) and
+    re-fit by one Lloyd pass, and the query LUT is built from the
+    query's own residual. On the 25-tight-cluster fixture this took
+    mean top-3 overlap from 0.45/3 in-cell, 0.18/3 global (raw-vector
+    4-bit codes, r9) to 1.18/3 and 0.73/3 (BENCH_AB
+    `ann_clustered_recall`) — still below SQ8's 93% recall@5, which
+    remains the first-choice compressed tier for TIGHTLY clustered
+    corpora when 8x more memory per vector is acceptable; IVF-PQ is
+    the memory-floor tier. For the bounded query panel, top-3 by
+    in-cell ADC is scored two ways: against the exact in-cell top-3
+    (isolates PQ code distortion) and against the exact GLOBAL top-3
+    (adds the nprobe=1 cell-miss), with the candidate-set size per
+    query.
 
     Exactness: cell assignment is the shared 4-decimal text; all
-    distances e4 integers; ranks tie-break on vid.
+    distances e4 integers; ranks tie-break on vid (codeword argmin is
+    a map-side min_by, not a window); Lloyd re-fit means are 6-decimal
+    rounds (the _lloyd_centroids determinism discipline).
 
     Scale: candidate generation is the bounded query panel's cell
     probe — at most |panel| x max_cell pairs, i.e. <= 11n even when a
@@ -1688,46 +1766,107 @@ def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     sanction). Serving touches codes + one cell — ~sqrt(n) candidates
     x 4 bytes.
     """
+    from .cell_common import cell_base, rank_seed_centroids, seed_k
+
     emb = load_table(spark, sf_dir, "embeddings")
-    assign = _cell_assign(emb, extra=())
+    # assign feeds five branches (residuals, queries, cellmates, exact,
+    # cell sizes): persist the small panel so the centroid-argmax chain
+    # runs once, not per branch.
+    assign = _cell_assign(emb, extra=()).persist()
     v = assign.select("vid", "vv")
+    # Residual encoding (Jegou et al. 2011 sec. V): PQ quantizes
+    # v - centroid(cell(v)). The centroid panel is the rank-seed
+    # vectors — ~sqrt(n) rows, broadcast; deterministic (no mean).
+    base, _ = cell_base(emb)
+    k = seed_k(base)
+    cent = rank_seed_centroids(base, k).select("cid", "cv")
+    rv = assign.join(F.broadcast(cent), "cid").select(
+        "vid", F.zip_with("vv", "cv", lambda x, y: x - y).alias("rv")
+    )
     ms = spark.range(_PQ_M).select(F.col("id").cast("long").alias("m"))
-    sub = v.crossJoin(F.broadcast(ms)).select(
+    sub = rv.crossJoin(F.broadcast(ms)).select(
         "vid",
         "m",
-        F.slice(F.col("vv"), F.col("m") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(
+        F.slice(F.col("rv"), F.col("m") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(
             "sv"
         ),
     )
-    pq_seed_ids = v.orderBy("vid").limit(_PQ_KS).select("vid")
-    cb = sub.join(F.broadcast(pq_seed_ids), "vid").select(
-        F.col("vid").alias("pcid"), "m", F.col("sv").alias("cv")
+    # PQ training rows: the _PQ_KS lowest-vid vectors AFTER the k IVF
+    # seeds (a seed's residual is zero — training on the seed range
+    # would degenerate the codebook). Two chained top-k's, both
+    # TakeOrderedAndProject.
+    pq_seed_ids = (
+        v.orderBy("vid")
+        .limit(k + _IVFPQ_KS)
+        .orderBy(F.desc("vid"))
+        .limit(_IVFPQ_KS)
+        .select("vid")
     )
+    def _udot(a: str, b: str):
+        # Unrolled fixed-width dot product: element_at arithmetic stays
+        # inside whole-stage codegen, unlike the interpreted
+        # zip_with/aggregate HOF chain — measured 3x on the n x M x 256
+        # codeword-assignment relation. Left-to-right addition keeps
+        # the IEEE result identical to the aggregate form (and to
+        # DuckDB's list_dot_product).
+        s = F.element_at(F.col(a), 1) * F.element_at(F.col(b), 1)
+        for i in range(2, _PQ_SUBDIM + 1):
+            s = s + F.element_at(F.col(a), i) * F.element_at(F.col(b), i)
+        return s
 
-    def d2_e4(a: str, b: str):
+    # Squared norms once per subvector/codeword row, not once per
+    # candidate pair.
+    sub = sub.withColumn("sn", _udot("sv", "sv"))
+    cb = sub.join(F.broadcast(pq_seed_ids), "vid").select(
+        F.col("vid").alias("pcid"),
+        "m",
+        F.col("sv").alias("cv"),
+        F.col("sn").alias("cn"),
+    ).persist()  # 2048-row codebook, broadcast into enc AND lut
+
+    def d2_e4(sn: str, cn: str, a: str, b: str):
         return (
             F.round(
-                (
-                    _dot(F.col(a), F.col(a))
-                    + _dot(F.col(b), F.col(b))
-                    - 2 * _dot(F.col(a), F.col(b))
-                )
-                * 10000
+                (F.col(sn) + F.col(cn) - 2 * _udot(a, b)) * 10000
             ).cast("long")
         )
 
-    enc = (
-        sub.join(F.broadcast(cb), "m")
-        .withColumn("d2", d2_e4("sv", "cv"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vid", "m").orderBy("d2", "pcid")
-            ),
+    # Nearest codeword per (vid, m): a map-side-combinable min_by
+    # aggregate over the broadcast codebook join, NOT a window — the
+    # n x M x 256 candidate relation never crosses an exchange at full
+    # width (the _argmax_assign discipline).
+    def _nearest(rel, book):
+        return (
+            rel.join(F.broadcast(book), "m")
+            .withColumn("d2", d2_e4("sn", "cn", "sv", "cv"))
+            .groupBy("vid", "m")
+            .agg(F.expr("min_by(pcid, struct(d2, pcid))").alias("pcid"))
         )
-        .filter("rn = 1")
-        .select("vid", "m", "pcid")
+
+    # One Lloyd pass on the codebook (the standard PQ training step):
+    # assign every residual subvector to its nearest sampled codeword,
+    # re-fit each codeword as the per-dimension mean of its members
+    # (6-decimal rounds — the _lloyd_centroids determinism discipline),
+    # drop empty codewords. Sampled codewords alone leave the tight-
+    # cluster residual distribution under-covered (BENCH_AB
+    # ann_clustered_recall tracks the trained-vs-sampled delta).
+    enc0 = _nearest(sub, cb)
+    dm = (
+        enc0.join(sub, ["vid", "m"])
+        .select("m", "pcid", F.posexplode("sv").alias("pos", "val"))
+        .groupBy("m", "pcid", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("mu"))
     )
+    cb1 = (
+        dm.groupBy("m", "pcid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("pm"))
+        .select(
+            "m", "pcid", F.transform(F.col("pm"), lambda s: s["mu"]).alias("cv")
+        )
+        .withColumn("cn", _udot("cv", "cv"))
+        .persist()
+    )
+    enc = _nearest(sub, cb1)
     q = assign.filter(
         (F.col("vid") % 97 == 3) & (F.col("vid") < 1000)
     ).select(
@@ -1735,16 +1874,23 @@ def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vv").alias("qv"),
         F.col("cid").alias("qcid"),
     )
-    qsub = q.crossJoin(F.broadcast(ms)).select(
+    # query residual w.r.t. the probed cell's centroid (nprobe=1)
+    qr = q.join(
+        F.broadcast(cent), F.col("cid") == F.col("qcid")
+    ).select(
+        "qid", F.zip_with("qv", "cv", lambda x, y: x - y).alias("rqv")
+    )
+    qsub = qr.crossJoin(F.broadcast(ms)).select(
         "qid",
         "m",
-        F.slice(F.col("qv"), F.col("m") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(
+        F.slice(F.col("rqv"), F.col("m") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(
             "qs"
         ),
     )
+    qsub = qsub.withColumn("qn", _udot("qs", "qs"))
     lut = (
-        qsub.join(F.broadcast(cb), "m")
-        .withColumn("d2c", d2_e4("qs", "cv"))
+        qsub.join(F.broadcast(cb1), "m")
+        .withColumn("d2c", d2_e4("qn", "cn", "qs", "cv"))
         .select("qid", "m", "pcid", "d2c")
     )
     cellmates = (
@@ -1765,12 +1911,22 @@ def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("qid").orderBy("adc_d2", "vid")
         ),
     )
+    # exact recall tiers: full 64-dim vectors, the original HOF dot
+    # (bounded panel — |panel| x n rows, not the hot stage)
+    d2_exact = F.round(
+        (
+            _dot(F.col("qv"), F.col("qv"))
+            + _dot(F.col("vv"), F.col("vv"))
+            - 2 * _dot(F.col("qv"), F.col("vv"))
+        )
+        * 10000
+    ).cast("long")
     exact = (
         v.join(
             F.broadcast(q.select("qid", "qv")),
             F.col("vid") != F.col("qid"),
         )
-        .withColumn("d2", d2_e4("qv", "vv"))
+        .withColumn("d2", d2_exact)
         .select("qid", "vid", "d2")
     )
     et = exact.withColumn(

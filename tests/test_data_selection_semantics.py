@@ -551,30 +551,58 @@ def test_deletion_audit_matches_brute_force():
 
 
 def test_ivfpq_ann_matches_brute_force():
+    """Residual IVF-PQ (r10 semantics): PQ codes quantize
+    v - seedvec(cell(v)); the codebook is sampled from the lowest
+    NON-SEED vids then re-fit by one Lloyd pass (6-decimal per-dim
+    member means, empties dropped); the query LUT is built from the
+    query's residual. 120 vectors -> k=11 seeds, two query panels,
+    cells big enough that the encoding actually discriminates."""
     rng = random.Random(29)
-    vecs = _rand_vecs(30, rng)
+    N = 120
+    vecs = _rand_vecs(N, rng)
     vv = {i: _f64(v) for i, v in enumerate(vecs)}
-    M, SD, KS = 8, 8, 16
+    M, SD, KS = 8, 8, 256
     a = _assign(vecs)
+    k = math.ceil(math.sqrt(N))
 
     def sub(v, m):
-        return v[m * SD : (m + 1) * SD]
+        return list(v[m * SD : (m + 1) * SD])
 
     def d2e4(x, y):
         return _r((_dot(x, x) + _dot(y, y) - 2 * _dot(x, y)) * 10000)
 
-    cents = {(c, m): sub(vv[c], m) for c in range(KS) for m in range(M)}
+    def r6(x: float) -> float:
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+    resid = {i: [x - y for x, y in zip(vv[i], vv[a[i][0]])] for i in vv}
+    train = sorted(vv)[k : k + KS]
+    cb0 = {(c, m): sub(resid[c], m) for c in train for m in range(M)}
+    enc0 = {
+        (i, m): min(train,
+                    key=lambda c: (d2e4(sub(resid[i], m), cb0[(c, m)]), c))
+        for i in vv for m in range(M)
+    }
+    cb1 = {}
+    for c in train:
+        for m in range(M):
+            members = [sub(resid[i], m) for i in vv if enc0[(i, m)] == c]
+            if members:
+                cb1[(c, m)] = [
+                    r6(sum(ms[d] for ms in members) / len(members))
+                    for d in range(SD)
+                ]
+    codes = sorted({c for c, _ in cb1})
     enc = {
-        (i, m): min(range(KS),
-                    key=lambda c: (d2e4(sub(vv[i], m), cents[(c, m)]), c))
+        (i, m): min((c for c in codes if (c, m) in cb1),
+                    key=lambda c: (d2e4(sub(resid[i], m), cb1[(c, m)]), c))
         for i in vv for m in range(M)
     }
     rows = []
     for qid in sorted(i for i in vv if i % 97 == 3 and i < 1000):
         qcid = a[qid][0]
         mates = [i for i in vv if a[i][0] == qcid and i != qid]
-        lut = {(m, c): d2e4(sub(vv[qid], m), cents[(c, m)])
-               for m in range(M) for c in range(KS)}
+        lut = {(m, c): d2e4(sub(resid[qid], m), cb1[(c, m)])
+               for m in range(M) for c in codes if (c, m) in cb1}
         adc = {i: sum(lut[(m, enc[(i, m)])] for m in range(M))
                for i in mates}
         exact = {i: d2e4(vv[qid], vv[i]) for i in vv if i != qid}
@@ -583,7 +611,7 @@ def test_ivfpq_ann_matches_brute_force():
         ect = sorted(mates, key=lambda i: (exact[i], i))[:3]
         rows.append((qid, len(mates),
                      len(set(at) & set(ect)), len(set(at) & set(et))))
-    got = _run({"embeddings": _emb_table(vecs, [0] * 30)}, "q_ivfpq_ann")
+    got = _run({"embeddings": _emb_table(vecs, [0] * N)}, "q_ivfpq_ann")
     assert [(g["qid"], g["cell_size"], g["overlap_at3_cell"],
              g["overlap_at3_global"]) for g in got] == rows
 
