@@ -393,10 +393,10 @@ _XS_FINAL = (
 )
 
 
-#: Shared CTE chain (grams -> hot-cap keep -> pairs -> diagonal runs
-#: -> spans >= _XS_L) composed by q_exact_substring_spans and
-#: q_dedup_span_removal.
-_XS_CTES = f"""{_TOKS_CTE},
+#: Gram half of the chain (toks -> grams -> hot-cap keep -> g2),
+#: shared by the full-corpus pair relation below AND the
+#: restricted-pair variants (incremental old/new).
+_XS_G2_CTES = f"""{_TOKS_CTE},
     grams AS (
         SELECT doc, u.pos AS pos, substr(md5(u.gram), 1, 16) AS gh
         FROM (
@@ -411,7 +411,12 @@ _XS_CTES = f"""{_TOKS_CTE},
         SELECT gh FROM grams GROUP BY gh
         HAVING COUNT(*) <= {_XS_HOT} AND MIN(doc) <> MAX(doc)
     ),
-    g2 AS (SELECT g.doc, g.pos, g.gh FROM grams g JOIN keep USING (gh)),
+    g2 AS (SELECT g.doc, g.pos, g.gh FROM grams g JOIN keep USING (gh))"""
+
+#: Shared CTE chain (grams -> hot-cap keep -> pairs -> diagonal runs
+#: -> spans >= _XS_L) composed by q_exact_substring_spans and
+#: q_dedup_span_removal.
+_XS_CTES = f"""{_XS_G2_CTES},
     pairs AS (
         SELECT a.doc AS da, a.pos AS pa, b.doc AS db, b.pos AS pb
         FROM g2 a JOIN g2 b USING (gh)
@@ -548,10 +553,11 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return panel.selectExpr(*_XS_FINAL).orderBy("source")
 
 
-def _xs_spans(spark: SparkSession, sf_dir: str):
-    """(toks, spans) — the shared gram/pair/run pipeline of the span
-    audit and the removal transform; spans has
-    (da, db, diag, grp, sa, sb, span_len) with da < db."""
+def _xs_g2(spark: SparkSession, sf_dir: str):
+    """(toks, g2) — spread tokenization plus the hot-capped positional
+    gram relation (persisted: it feeds both sides of every pair
+    self-join), shared by the full-corpus span pipeline and the
+    restricted-pair variants (incremental old/new)."""
     docs = load_table(spark, sf_dir, "documents")
     # Single-row-group fixture => single scan task; spread before the
     # per-row gram/md5 expressions (session-4 discipline).
@@ -576,7 +582,14 @@ def _xs_spans(spark: SparkSession, sf_dir: str):
     # g2 feeds both sides of the pair self-join — persist so the
     # gram+filter pipeline runs once (duplicated-gram relation is
     # vocabulary-scale, far below the corpus).
-    g2 = grams.join(keep, "gh").persist()
+    return toks, grams.join(keep, "gh").persist()
+
+
+def _xs_spans(spark: SparkSession, sf_dir: str):
+    """(toks, spans) — the shared gram/pair/run pipeline of the span
+    audit and the removal transform; spans has
+    (da, db, diag, grp, sa, sb, span_len) with da < db."""
+    toks, g2 = _xs_g2(spark, sf_dir)
     a = g2.select(
         F.col("gh"), F.col("doc").alias("da"), F.col("pos").alias("pa")
     )
@@ -1154,3 +1167,407 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_eval_docs_hit", F.coalesce("n_eval_docs_hit", F.lit(0))
     )
     return out.selectExpr(*_XD_FINAL).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# round-10 span-family completion: incremental ExactSubstr, the
+# cross-source copy matrix, and the dup-span length histogram
+# ---------------------------------------------------------------------------
+
+
+def _island_cov(iv, keys: tuple[str, ...]):
+    """DISTINCT + interval union per key group (the _xs_panel window
+    pair, factored for non-doc groupings): one row per merged island
+    with its token coverage."""
+    iv = iv.distinct()
+    w_prev = (
+        Window.partitionBy(*keys)
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_end = F.max("e").over(w_prev)
+    isl = iv.withColumn(
+        "ni",
+        F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0),
+    ).withColumn("island", F.sum("ni").over(w_cum))
+    return isl.groupBy(*keys, "island").agg(
+        (F.max("e") - F.min("s")).alias("cov")
+    )
+
+
+def _xsi_new_sql() -> str:
+    """Deterministic old/new split for the incremental span dedup:
+    ~20% of docs are NEW arrivals by the engine-shared md5 hash bucket
+    (an id-modulo split would alias with the fixtures' strided
+    source layout and turn whole sources "new")."""
+    from .sampling import _bucket_sql
+
+    return f"{_bucket_sql('incr', 'doc')} >= 800"
+
+_XSI_FINAL = (
+    "source",
+    "CAST(n_new AS BIGINT) AS n_new",
+    "CAST(n_new_hit AS BIGINT) AS n_new_hit",
+    "CAST(new_tokens AS BIGINT) AS new_tokens",
+    "CAST(dup_tokens AS BIGINT) AS dup_tokens",
+    "round(CAST(dup_tokens AS DOUBLE) / new_tokens, 6) AS dup_mass",
+)
+
+
+@query(
+    "q_exact_substring_incremental",
+    oracle=f"""
+    WITH {_XS_G2_CTES},
+    nf AS (SELECT doc, ({_xsi_new_sql()}) AS is_new FROM toks),
+    pairs AS (
+        -- arrivals pair against the settled corpus and against
+        -- EARLIER arrivals only: old x old never pairs (the whole
+        -- point of incremental dedup)
+        SELECT a.doc AS da, a.pos AS pa, b.doc AS db, b.pos AS pb
+        FROM g2 a
+        JOIN g2 b USING (gh)
+        JOIN nf na ON na.doc = a.doc
+        JOIN nf nb ON nb.doc = b.doc
+        WHERE nb.is_new AND a.doc <> b.doc
+          AND (NOT na.is_new OR a.doc < b.doc)
+    ),
+    runs AS (
+        SELECT db, da, pa - pb AS diag, pb,
+               CASE WHEN pb - LAG(pb) OVER (PARTITION BY db, da, pa - pb
+                                            ORDER BY pb) <= {_XS_K}
+                    THEN 0 ELSE 1 END AS ni
+        FROM pairs
+    ),
+    runs2 AS (
+        SELECT db, da, diag, pb,
+               SUM(ni) OVER (PARTITION BY db, da, diag ORDER BY pb
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS grp
+        FROM runs
+    ),
+    spans AS (
+        SELECT db, MIN(pb) AS sb, MAX(pb) - MIN(pb) + {_XS_K} AS span_len
+        FROM runs2 GROUP BY db, da, diag, grp
+        HAVING MAX(pb) - MIN(pb) + {_XS_K} >= {_XS_L}
+    ),
+    iv AS (SELECT DISTINCT db AS doc, sb AS s, sb + span_len AS e FROM spans),
+    isl AS (
+        SELECT doc, s, e,
+               CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w
+                    THEN 1 ELSE 0 END AS ni
+        FROM iv
+        WINDOW w AS (PARTITION BY doc ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    isl2 AS (
+        SELECT doc, s, e,
+               SUM(ni) OVER (PARTITION BY doc ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS island
+        FROM isl
+    ),
+    merged AS (
+        SELECT doc, island, MAX(e) - MIN(s) AS cov
+        FROM isl2 GROUP BY doc, island
+    ),
+    per_doc AS (SELECT doc, SUM(cov) AS dup_toks FROM merged GROUP BY doc),
+    base AS (
+        SELECT d.doc_id AS doc, d.source, len(t.toks) AS n_toks
+        FROM documents d
+        JOIN toks t ON t.doc = d.doc_id
+        JOIN nf ON nf.doc = d.doc_id
+        WHERE nf.is_new
+    ),
+    panel AS (
+        SELECT b.source,
+               COUNT(*) AS n_new,
+               COUNT(p.doc) AS n_new_hit,
+               SUM(b.n_toks) AS new_tokens,
+               COALESCE(SUM(p.dup_toks), 0) AS dup_tokens
+        FROM base b LEFT JOIN per_doc p ON p.doc = b.doc
+        GROUP BY b.source
+    )
+    SELECT {", ".join(_XSI_FINAL)} FROM panel ORDER BY source
+    """,
+)
+def q_exact_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ExactSubstr dedup — the DAILY-CRAWL operating mode
+    Lee et al. 2022 dedup runs in production: a ~20% batch of NEW
+    arrivals (deterministic md5 hash-bucket split, decorrelated from
+    the source layout) is span-deduped
+    against the SETTLED corpus and against earlier arrivals, and
+    old x old never pairs (those were deduped when they arrived).
+    Reports the per-source arrival ledger: new docs, flagged docs,
+    duplicated-token mass on the arrival side (the tokens a first-wins
+    ingest would excise before appending to the corpus).
+
+    Shares the gram/hot-cap relation (``_XS_G2_CTES`` /
+    ``_xs_g2``) verbatim with the audit; only the PAIR predicate
+    changes: ``b`` must be new, and an old partner pairs regardless
+    of id order while a new partner pairs only if earlier
+    (first-wins among arrivals). Runs/bridge/union are the family's
+    bridged gaps-and-islands on the ARRIVAL side.
+
+    100 TB posture: THE scale property of incremental dedup — pair
+    volume is |new grams| x cap, never |corpus|^2; a daily batch at
+    1% of corpus size costs ~1% of the full audit's join, and the
+    settled corpus contributes only its gram index (in production,
+    a pre-built parquet relation keyed by gh). Within-batch and
+    batch-vs-corpus semantics are identical to the full audit's
+    first-wins restriction, so repeated application over arrival
+    order converges to the batch answer.
+    """
+    from .sampling import hash_bucket
+
+    toks, g2 = _xs_g2(spark, sf_dir)
+    is_new = hash_bucket("incr", F.col("doc")) >= 800
+    a = g2.select(
+        "gh", F.col("doc").alias("da"), F.col("pos").alias("pa"),
+        is_new.alias("a_new"),
+    )
+    b = g2.filter(is_new).select(
+        "gh", F.col("doc").alias("db"), F.col("pos").alias("pb")
+    )
+    pairs = (
+        a.join(b, "gh")
+        .filter(
+            (F.col("da") != F.col("db"))
+            & (~F.col("a_new") | (F.col("da") < F.col("db")))
+        )
+        .select("da", "pa", "db", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w_run = Window.partitionBy("db", "da", "diag").orderBy("pb")
+    w_cum = w_run.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    step = F.col("pb") - F.lag("pb").over(w_run)
+    spans = (
+        pairs.withColumn("ni", F.when(step <= _XS_K, 0).otherwise(1))
+        .withColumn("grp", F.sum("ni").over(w_cum))
+        .groupBy("db", "da", "diag", "grp")
+        .agg(
+            F.min("pb").alias("sb"),
+            (F.max("pb") - F.min("pb") + _XS_K).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= _XS_L)
+    )
+    iv = spans.select(
+        F.col("db").alias("doc"),
+        F.col("sb").alias("s"),
+        (F.col("sb") + F.col("span_len")).alias("e"),
+    )
+    new_toks = toks.filter(hash_bucket("incr", F.col("doc_id")) >= 800)
+    panel = _xs_panel(new_toks, iv, hit_cols=("n_new_hit", "dup_tokens", "n_sp"))
+    panel = panel.withColumnRenamed("n_docs", "n_new").withColumnRenamed(
+        "total_tokens", "new_tokens"
+    )
+    return panel.selectExpr(*_XSI_FINAL).orderBy("source")
+
+
+_XSM_FINAL = (
+    "src_from",
+    "src_to",
+    "CAST(n_doc_pairs AS BIGINT) AS n_doc_pairs",
+    "CAST(copied_tokens AS BIGINT) AS copied_tokens",
+)
+
+
+@query(
+    "q_span_copy_matrix",
+    oracle=f"""
+    WITH {_XS_CTES},
+    src AS (SELECT doc_id AS doc, source FROM documents),
+    iv AS (
+        -- coverage on the LATER doc, grouped by the EARLIER side's
+        -- source: "how many of db's tokens are copies of src_from"
+        SELECT DISTINCT sa.source AS src_from, s.db AS doc,
+               s.sb AS s, s.sb + s.span_len AS e
+        FROM spans s JOIN src sa ON sa.doc = s.da
+    ),
+    isl AS (
+        SELECT src_from, doc, s, e,
+               CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w
+                    THEN 1 ELSE 0 END AS ni
+        FROM iv
+        WINDOW w AS (PARTITION BY src_from, doc ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    isl2 AS (
+        SELECT src_from, doc, s, e,
+               SUM(ni) OVER (PARTITION BY src_from, doc ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS island
+        FROM isl
+    ),
+    merged AS (
+        SELECT src_from, doc, island, MAX(e) - MIN(s) AS cov
+        FROM isl2 GROUP BY src_from, doc, island
+    ),
+    mass AS (
+        SELECT m.src_from, sb.source AS src_to, SUM(m.cov) AS copied_tokens
+        FROM merged m JOIN src sb ON sb.doc = m.doc
+        GROUP BY m.src_from, sb.source
+    ),
+    prs AS (
+        SELECT sa.source AS src_from, sb.source AS src_to,
+               COUNT(*) AS n_doc_pairs
+        FROM (SELECT DISTINCT da, db FROM spans) p
+        JOIN src sa ON sa.doc = p.da
+        JOIN src sb ON sb.doc = p.db
+        GROUP BY sa.source, sb.source
+    )
+    SELECT {", ".join(_XSM_FINAL)}
+    FROM mass JOIN prs USING (src_from, src_to)
+    ORDER BY src_from, src_to
+    """,
+)
+def q_span_copy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source span-copy matrix — WHO copies from WHOM: for every
+    (src_from, src_to) source pair, the number of document pairs
+    sharing a verbatim >= 32-token span (earlier doc in src_from,
+    later in src_to) and the copied-token mass on the later side
+    (per-(doc, src_from) interval union, so overlapping spans from
+    many src_from partners count once). The curation signal behind
+    source-level dedup ordering and license forensics: a row with
+    large mass and src_from <> src_to is syndication/mirroring; the
+    diagonal is within-source boilerplate.
+
+    Shares ``_xs_spans`` verbatim; adds one source join on each side
+    of the span relation and a (src_from, doc)-grouped interval
+    union. 100 TB posture: identical to the audit (the span relation
+    is already computed; the matrix is a bounded |sources|^2 rollup).
+    """
+    toks, spans = _xs_spans(spark, sf_dir)
+    src = toks.select(F.col("doc_id").alias("doc"), "source")
+    iv = (
+        spans.join(
+            src.select(
+                F.col("doc").alias("da"), F.col("source").alias("src_from")
+            ),
+            "da",
+        )
+        .select(
+            "src_from",
+            F.col("db").alias("doc"),
+            F.col("sb").alias("s"),
+            (F.col("sb") + F.col("span_len")).alias("e"),
+        )
+    )
+    merged = _island_cov(iv, ("src_from", "doc"))
+    mass = (
+        merged.join(src, "doc")
+        .groupBy("src_from", F.col("source").alias("src_to"))
+        .agg(F.sum("cov").alias("copied_tokens"))
+    )
+    prs = (
+        spans.select("da", "db")
+        .distinct()
+        .join(
+            src.select(
+                F.col("doc").alias("da"), F.col("source").alias("src_from")
+            ),
+            "da",
+        )
+        .join(
+            src.select(
+                F.col("doc").alias("db"), F.col("source").alias("src_to")
+            ),
+            "db",
+        )
+        .groupBy("src_from", "src_to")
+        .agg(F.count("*").alias("n_doc_pairs"))
+    )
+    out = mass.join(prs, ["src_from", "src_to"])
+    return out.selectExpr(*_XSM_FINAL).orderBy("src_from", "src_to")
+
+
+_XSH_FINAL = (
+    "source",
+    "CAST(len_bin AS BIGINT) AS len_bin",
+    "CAST(n_islands AS BIGINT) AS n_islands",
+    "CAST(dup_tokens AS BIGINT) AS dup_tokens",
+)
+
+
+@query(
+    "q_dup_span_length_hist",
+    oracle=f"""
+    WITH {_XS_CTES},
+    iv AS (
+        SELECT DISTINCT doc, s, e FROM (
+            SELECT da AS doc, sa AS s, sa + span_len AS e FROM spans
+            UNION ALL
+            SELECT db AS doc, sb AS s, sb + span_len AS e FROM spans
+        )
+    ),
+    isl AS (
+        SELECT doc, s, e,
+               CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w
+                    THEN 1 ELSE 0 END AS ni
+        FROM iv
+        WINDOW w AS (PARTITION BY doc ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    isl2 AS (
+        SELECT doc, s, e,
+               SUM(ni) OVER (PARTITION BY doc ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS island
+        FROM isl
+    ),
+    merged AS (
+        SELECT doc, island, MAX(e) - MIN(s) AS cov
+        FROM isl2 GROUP BY doc, island
+    ),
+    binned AS (
+        SELECT d.source, CAST(floor(log2(m.cov)) AS BIGINT) AS len_bin,
+               m.cov
+        FROM merged m JOIN documents d ON d.doc_id = m.doc
+    )
+    SELECT source, len_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(cov) AS BIGINT) AS dup_tokens
+    FROM binned GROUP BY source, len_bin
+    ORDER BY source, len_bin
+    """,
+)
+def q_dup_span_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned histogram of MERGED duplicated-span lengths per
+    source (island coverage from the ExactSubstr audit, both sides) —
+    the shape diagnostic behind choosing L: a corpus whose dup mass
+    sits in bin 5 (32-63 tokens) has fragmentary duplication that a
+    higher L would miss entirely, while mass in bins 7+ is wholesale
+    document copying that doc-level MinHash already catches. The bin
+    edges are exact (floor(log2(cov)) over integer coverage — log2 of
+    a power of two is exact IEEE in both engines).
+
+    Shares ``_xs_spans`` + the audit's per-doc interval union
+    verbatim; adds one bounded (source, bin) rollup.
+    """
+    toks, spans = _xs_spans(spark, sf_dir)
+    iv = spans.select(
+        F.col("da").alias("doc"),
+        F.col("sa").alias("s"),
+        (F.col("sa") + F.col("span_len")).alias("e"),
+    ).unionAll(
+        spans.select(
+            F.col("db").alias("doc"),
+            F.col("sb").alias("s"),
+            (F.col("sb") + F.col("span_len")).alias("e"),
+        )
+    )
+    merged = _island_cov(iv, ("doc",))
+    src = toks.select(F.col("doc_id").alias("doc"), "source")
+    out = (
+        merged.join(src, "doc")
+        .withColumn("len_bin", F.floor(F.log2("cov")).cast("long"))
+        .groupBy("source", "len_bin")
+        .agg(
+            F.count("*").alias("n_islands"),
+            F.sum("cov").alias("dup_tokens"),
+        )
+    )
+    return out.selectExpr(*_XSH_FINAL).orderBy("source", "len_bin")

@@ -583,3 +583,105 @@ def test_decontam_fixture_agrees_with_reference(spark):
         g = got[s]
         for k2, v in w.items():
             assert g[k2] == v, (s, k2, g, w)
+
+
+# ---------------------------------------------------------------------------
+# round-10 span-family: incremental, copy matrix, length histogram
+# ---------------------------------------------------------------------------
+
+
+def _incr_new(doc_id: int) -> bool:
+    import hashlib
+
+    h = hashlib.md5(f"incr:{doc_id}".encode()).hexdigest()
+    return int(h[:4], 16) % 1000 >= 800
+
+
+def _run_named(rows, name):
+    cols, data = _docs_table(rows)
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE documents ({', '.join(cols)})")
+    ph = ", ".join("?" for _ in cols)
+    con.executemany(f"INSERT INTO documents VALUES ({ph})", data)
+    res = con.sql(ORACLE[name])
+    out = [dict(zip([c.lower() for c in res.columns], r))
+           for r in res.fetchall()]
+    con.close()
+    return out
+
+
+def test_incremental_pairs_only_arrivals():
+    """Old->new removal happens regardless of id order; old x old
+    sharing is invisible; new x new is first-wins."""
+    olds = [i for i in range(300) if not _incr_new(i)]
+    news = [i for i in range(300) if _incr_new(i)]
+    S1, S2, S3 = _u("s1", 40), _u("s2", 40), _u("s3", 40)
+    hi_old = [o for o in olds if o > news[0]][0]
+    rows = [
+        # old doc with HIGHER id than the new doc: still wins (the
+        # settled corpus keeps its copy; the arrival is deduped)
+        (news[0], _u("a", 5) + S1 + _u("b", 6), "arrsrc"),
+        (hi_old, _u("c", 8) + S1 + _u("d", 4), "oldsrc"),
+        # old x old sharing: no arrival involved -> ledger silent
+        (olds[0], _u("e", 6) + S2 + _u("f", 5), "oldsrc"),
+        (olds[1], _u("g", 4) + S2 + _u("h", 7), "oldsrc"),
+        # new x new: first-wins by id among arrivals
+        (news[1], _u("i", 5) + S3 + _u("j", 5), "arrsrc"),
+        (news[2], _u("k", 7) + S3 + _u("l", 3), "arrsrc"),
+    ]
+    got = {r["source"]: r for r in
+           _run_named(rows, "q_exact_substring_incremental")}
+    assert set(got) == {"arrsrc"}  # panel covers arrivals only
+    a = got["arrsrc"]
+    assert a["n_new"] == 3
+    # news[0] deduped against hi_old; the later of news[1]/news[2]
+    # deduped against the earlier; the earlier arrival keeps its copy
+    assert a["n_new_hit"] == 2
+    assert a["dup_tokens"] == 80
+
+
+def test_copy_matrix_direction_and_diagonal():
+    S, T = _u("s", 40), _u("t", 40)
+    rows = [
+        (0, _u("a", 5) + S + _u("b", 6), "srcA"),   # earlier
+        (10, _u("c", 8) + S + _u("d", 4), "srcB"),  # later: A -> B
+        (20, _u("e", 6) + T + _u("f", 5), "srcC"),
+        (21, _u("g", 4) + T + _u("h", 7), "srcC"),  # diagonal C -> C
+    ]
+    got = {(r["src_from"], r["src_to"]): r
+           for r in _run_named(rows, "q_span_copy_matrix")}
+    assert set(got) == {("srcA", "srcB"), ("srcC", "srcC")}
+    assert got[("srcA", "srcB")]["n_doc_pairs"] == 1
+    assert got[("srcA", "srcB")]["copied_tokens"] == 40
+    assert got[("srcC", "srcC")]["copied_tokens"] == 40
+
+
+def test_length_hist_bins_and_mass_tie_to_audit(spark):
+    S40, S70 = _u("s", 40), _u("w", 70)
+    rows = [
+        (0, _u("a", 5) + S40 + _u("b", 6), "sA"),
+        (1, _u("c", 8) + S40 + _u("d", 4), "sA"),
+        (2, _u("e", 6) + S70 + _u("f", 5), "sB"),
+        (3, _u("g", 4) + S70 + _u("h", 7), "sB"),
+    ]
+    got = {(r["source"], r["len_bin"]): r
+           for r in _run_named(rows, "q_dup_span_length_hist")}
+    # 40 tokens -> bin 5 (32..63); 70 tokens -> bin 6 (64..127)
+    assert got[("sA", 5)]["n_islands"] == 2
+    assert got[("sA", 5)]["dup_tokens"] == 80
+    assert got[("sB", 6)]["dup_tokens"] == 140
+    assert set(got) == {("sA", 5), ("sB", 6)}
+
+    # live fixture: histogram mass per source == audit dup_tokens
+    from mapreduce_server_development_spark.plans import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    audit = {r.source: r.dup_tokens for r in
+             QUERIES["q_exact_substring_spans"](spark, SF_SMOKE).collect()}
+    hist = QUERIES["q_dup_span_length_hist"](spark, SF_SMOKE).collect()
+    per_src: dict = {}
+    for r in hist:
+        per_src[r.source] = per_src.get(r.source, 0) + r.dup_tokens
+    for s, tot in per_src.items():
+        assert tot == audit[s], s
