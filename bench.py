@@ -182,8 +182,9 @@ def main() -> int:
         for name in tail:
             if len(runs[name]) >= TAIL_RUNS:
                 continue
-            if _tail_run(name) is None:
-                break
+            # a failed rerun skips THIS query this round, not the
+            # round's remaining tail queries
+            _tail_run(name)
 
     # Trim: a tail run is host-noise if its adjacent control exceeded
     # 2x the control median. Re-run each discarded slot (fresh control
