@@ -324,6 +324,14 @@ _PQ_KS = 16
 #: separate near-equidistant cellmates (BENCH_AB ann_clustered_recall).
 _IVFPQ_KS = 256
 
+
+def _pqtrain_sql() -> str:
+    """DuckDB text of the IVF-PQ Lloyd-training sample bucket (~25%
+    of vids when compared < 250), over the ``sub`` alias ``s``."""
+    from .sampling import _bucket_sql
+
+    return _bucket_sql("pqtrain", "s.vid")
+
 _PQ_FINAL = (
     "qid",
     "CAST(overlap_at3 AS BIGINT) AS overlap_at3",
@@ -1597,9 +1605,10 @@ _IVFPQ_FINAL = (
     ),
     cb AS (SELECT s.vid AS pcid, s.m, s.sv AS cv
            FROM sub s JOIN pqseed d ON d.vid = s.vid),
-    -- one Lloyd pass on the sampled codebook: assign, re-fit each
-    -- codeword as the 6-decimal per-dimension member mean, drop
-    -- empties (the _lloyd_centroids determinism discipline)
+    -- one Lloyd pass on the sampled codebook, trained on a ~25%
+    -- hash-sampled training set: assign, re-fit each codeword as the
+    -- 6-decimal per-dimension member mean, drop empties (the
+    -- _lloyd_centroids determinism discipline)
     enc0 AS (
         SELECT vid, m, pcid FROM (
             SELECT s.vid, s.m, c.pcid,
@@ -1611,6 +1620,7 @@ _IVFPQ_FINAL = (
                            - 2 * list_dot_product(s.sv, c.cv)) * 10000)
                            AS BIGINT), c.pcid) AS rn
             FROM sub s JOIN cb c ON c.m = s.m
+            WHERE {_pqtrain_sql()} < 250
         ) WHERE rn = 1
     ),
     dm AS (
@@ -1738,11 +1748,16 @@ def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Jegou sec. V; the centroid is the cell's rank-seed vector —
     deterministic in both engines), the codebook is sampled from the
     lowest NON-SEED vids (a seed's residual is the zero vector) and
-    re-fit by one Lloyd pass, and the query LUT is built from the
-    query's own residual. On the 25-tight-cluster fixture this took
-    mean top-3 overlap from 0.45/3 in-cell, 0.18/3 global (raw-vector
-    4-bit codes, r9) to 1.18/3 and 0.73/3 (BENCH_AB
-    `ann_clustered_recall`) — still below SQ8's 93% recall@5, which
+    re-fit by one Lloyd pass over a ~25% hash-sampled training set
+    (codebooks train on a sample, never the corpus — the FAISS
+    practice; training cost is sample-bounded at any corpus size),
+    and the query LUT is built from the query's own residual. On the
+    25-tight-cluster fixture this took mean top-3 overlap from 0.45/3
+    in-cell, 0.18/3 global (raw-vector 4-bit codes, r9) to 1.0/3 and
+    0.64/3 (1.18/0.73 when Lloyd trains on the full corpus — the
+    sample costs ~0.1 of overlap and 40% of the query's wall-clock;
+    BENCH_AB `ann_clustered_recall`) — still below SQ8's 93%
+    recall@5, which
     remains the first-choice compressed tier for TIGHTLY clustered
     corpora when 8x more memory per vector is acceptable; IVF-PQ is
     the memory-floor tier. For the bounded query panel, top-3 by
@@ -1844,13 +1859,19 @@ def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # One Lloyd pass on the codebook (the standard PQ training step):
-    # assign every residual subvector to its nearest sampled codeword,
-    # re-fit each codeword as the per-dimension mean of its members
-    # (6-decimal rounds — the _lloyd_centroids determinism discipline),
-    # drop empty codewords. Sampled codewords alone leave the tight-
-    # cluster residual distribution under-covered (BENCH_AB
-    # ann_clustered_recall tracks the trained-vs-sampled delta).
-    enc0 = _nearest(sub, cb)
+    # assign a ~25% hash-sampled TRAINING SET of residual subvectors
+    # to the nearest sampled codeword (codebooks train on a sample,
+    # never the corpus — the FAISS practice and the 100 TB posture:
+    # training cost is |sample| x M x 256, independent of corpus
+    # growth), re-fit each codeword as the per-dimension member mean
+    # (6-decimal rounds — the _lloyd_centroids determinism
+    # discipline), drop empty codewords. Sampled codewords alone
+    # leave the tight-cluster residual distribution under-covered
+    # (BENCH_AB ann_clustered_recall tracks the trained delta).
+    from .sampling import hash_bucket
+
+    tsub = sub.filter(hash_bucket("pqtrain", F.col("vid")) < 250)
+    enc0 = _nearest(tsub, cb)
     dm = (
         enc0.join(sub, ["vid", "m"])
         .select("m", "pcid", F.posexplode("sv").alias("pos", "val"))

@@ -574,18 +574,25 @@ def test_ivfpq_ann_matches_brute_force():
     def r6(x: float) -> float:
         return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
 
+    def _pqtrain(vid: int) -> bool:
+        import hashlib
+
+        h = hashlib.md5(f"pqtrain:{vid}".encode()).hexdigest()
+        return int(h[:4], 16) % 1000 < 250
+
     resid = {i: [x - y for x, y in zip(vv[i], vv[a[i][0]])] for i in vv}
     train = sorted(vv)[k : k + KS]
+    tset = [i for i in vv if _pqtrain(i)]  # ~25% Lloyd training sample
     cb0 = {(c, m): sub(resid[c], m) for c in train for m in range(M)}
     enc0 = {
         (i, m): min(train,
                     key=lambda c: (d2e4(sub(resid[i], m), cb0[(c, m)]), c))
-        for i in vv for m in range(M)
+        for i in tset for m in range(M)
     }
     cb1 = {}
     for c in train:
         for m in range(M):
-            members = [sub(resid[i], m) for i in vv if enc0[(i, m)] == c]
+            members = [sub(resid[i], m) for i in tset if enc0[(i, m)] == c]
             if members:
                 cb1[(c, m)] = [
                     r6(sum(ms[d] for ms in members) / len(members))
