@@ -3035,3 +3035,275 @@ def q_nb_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = acc.join(ntr.withColumnRenamed("n", "n_train"), "f")
     return out.selectExpr(*_NBLC_FINAL).orderBy("f")
+
+
+# ---------------------------------------------------------------------------
+# round-10 classifier-eval completion: PR curve, average precision,
+# and the group-fairness audit — all riding the shared NB pipeline
+# ---------------------------------------------------------------------------
+
+_PRC_FINAL = (
+    "CAST(score AS BIGINT) AS score",
+    "CAST(n_block AS BIGINT) AS n_block",
+    "CAST(n_pos_block AS BIGINT) AS n_pos_block",
+    "CAST(cum_pos AS BIGINT) AS cum_pos",
+    "CAST(cum_all AS BIGINT) AS cum_all",
+    "round(CAST(cum_pos AS DOUBLE) / cum_all, 6) + 0.0 AS precision_at",
+    "round(CAST(cum_pos AS DOUBLE) / np, 6) + 0.0 AS recall_at",
+)
+
+
+def _pr_blocks_cte() -> str:
+    """Score-block PR prefix: per distinct NB score of the target
+    class (descending), block counts and cumulative pos/all."""
+    return f"""{_nb_common_cte()},
+    tgt AS (SELECT MIN(source) AS cls FROM split WHERE is_train),
+    sc AS (
+        SELECT r.doc_id, r.score,
+               CASE WHEN sp.source = t.cls THEN 1 ELSE 0 END AS pos
+        FROM ranked r
+        JOIN split sp ON sp.doc_id = r.doc_id
+        CROSS JOIN tgt t
+        WHERE r.cand = t.cls
+    ),
+    vc AS (
+        SELECT score,
+               CAST(SUM(pos) AS BIGINT) AS n_pos_block,
+               CAST(COUNT(*) AS BIGINT) AS n_block
+        FROM sc GROUP BY score
+    ),
+    cum AS (
+        SELECT score, n_pos_block, n_block,
+               SUM(n_pos_block) OVER (ORDER BY score DESC) AS cum_pos,
+               SUM(n_block) OVER (ORDER BY score DESC) AS cum_all
+        FROM vc
+    ),
+    tot AS (SELECT SUM(n_pos_block) AS np,
+                   SUM(n_block - n_pos_block) AS nn
+            FROM vc)"""
+
+
+@query(
+    "q_pr_curve",
+    oracle=f"""{_pr_blocks_cte()}
+    SELECT {", ".join(_PRC_FINAL)}
+    FROM cum, tot ORDER BY score DESC
+    """,
+)
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall curve of the NB classifier for the
+    alphabetically-first training class — one row per DISTINCT score
+    (a tie block), descending: sweeping the decision threshold down
+    the block list traces exactly the operating points a deployment
+    can choose (cutting inside a tie block is not a realizable
+    threshold, so blocks are the honest curve). Complements
+    q_nb_auc's ROC view where class imbalance hides minority-class
+    precision collapse.
+
+    Exactness: NB scores are exact integer micro-nats; the cumulative
+    counts come from the two-phase distributed running sum keyed on
+    the (unique) score value, so every precision/recall point is a
+    ratio of exact integers rounded once.
+
+    Scale: rides ``_nb_scored``; the block relation is
+    |distinct scores| <= |test docs|; two prefix scans + one scalar
+    broadcast — no single-task global window.
+    """
+    from ..functions.prefix import global_running_sum
+
+    split, scored = _nb_scored(spark, sf_dir)
+    tgt = split.filter("is_train").agg(F.min("source").alias("cls"))
+    sc = (
+        scored.crossJoin(F.broadcast(tgt))
+        .filter(F.col("cand") == F.col("cls"))
+        .join(split.select("doc_id", F.col("source").alias("actual")), "doc_id")
+        .select(
+            "score",
+            F.when(F.col("actual") == F.col("cls"), 1).otherwise(0).alias("pos"),
+        )
+    )
+    vc = sc.groupBy("score").agg(
+        F.sum("pos").cast("long").alias("n_pos_block"),
+        F.count("*").cast("long").alias("n_block"),
+    ).withColumn("neg_score", -F.col("score"))
+    cum = global_running_sum(vc, "neg_score", "n_pos_block", out_col="cum_pos")
+    cum = global_running_sum(cum, "neg_score", "n_block", out_col="cum_all")
+    tot = vc.agg(
+        F.sum("n_pos_block").alias("np"),
+        F.sum(F.col("n_block") - F.col("n_pos_block")).alias("nn"),
+    )
+    out = cum.crossJoin(F.broadcast(tot))
+    return out.selectExpr(*_PRC_FINAL).orderBy(F.col("score").desc())
+
+
+_AP_FINAL = (
+    "cls AS target_class",
+    "CAST(np AS BIGINT) AS n_pos",
+    "CAST(nn AS BIGINT) AS n_neg",
+    "round(CAST(ap_e9 AS DOUBLE) / np / 1e9, 6) + 0.0 AS avg_precision",
+)
+
+
+@query(
+    "q_avg_precision",
+    oracle=f"""{_pr_blocks_cte()},
+    terms AS (
+        -- fixed-point each block's contribution BEFORE the sum (the
+        -- backoff-LM discipline): n_pos_block * precision_at, e9
+        SELECT CAST(round(CAST(n_pos_block AS DOUBLE) * cum_pos
+                          * 1000000000.0 / cum_all) AS BIGINT) AS t_e9
+        FROM cum
+    ),
+    s AS (
+        SELECT (SELECT MIN(source) FROM split WHERE is_train) AS cls,
+               (SELECT np FROM tot) AS np,
+               (SELECT nn FROM tot) AS nn,
+               CAST(SUM(t_e9) AS BIGINT) AS ap_e9
+        FROM terms
+    )
+    SELECT {", ".join(_AP_FINAL)} FROM s
+    """,
+)
+def q_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (tie-aware AP) of the NB classifier for the
+    alphabetically-first training class: sum over score blocks of
+    (positives in block) x (precision at the block), divided by total
+    positives — the area under q_pr_curve's realizable operating
+    points and the single-number companion to q_nb_auc (AP weights
+    the minority class where AUC does not).
+
+    Exactness: each block's term is fixed-pointed to e9 BEFORE the
+    distributed sum (summing raw doubles would be summation-order
+    dependent across engines), so AP is an exact integer ratio
+    rounded once.
+    """
+    from ..functions.prefix import global_running_sum
+
+    split, scored = _nb_scored(spark, sf_dir)
+    tgt = split.filter("is_train").agg(F.min("source").alias("cls"))
+    sc = (
+        scored.crossJoin(F.broadcast(tgt))
+        .filter(F.col("cand") == F.col("cls"))
+        .join(split.select("doc_id", F.col("source").alias("actual")), "doc_id")
+        .select(
+            "cls",
+            "score",
+            F.when(F.col("actual") == F.col("cls"), 1).otherwise(0).alias("pos"),
+        )
+    )
+    vc = sc.groupBy("cls", "score").agg(
+        F.sum("pos").cast("long").alias("n_pos_block"),
+        F.count("*").cast("long").alias("n_block"),
+    ).withColumn("neg_score", -F.col("score"))
+    cum = global_running_sum(vc, "neg_score", "n_pos_block", out_col="cum_pos")
+    cum = global_running_sum(cum, "neg_score", "n_block", out_col="cum_all")
+    terms = cum.select(
+        "cls",
+        "n_pos_block",
+        F.round(
+            F.col("n_pos_block").cast("double")
+            * F.col("cum_pos")
+            * 1000000000.0
+            / F.col("cum_all")
+        )
+        .cast("long")
+        .alias("t_e9"),
+        (F.col("n_block") - F.col("n_pos_block")).alias("n_neg_block"),
+    )
+    s = terms.agg(
+        F.max("cls").alias("cls"),
+        F.sum("n_pos_block").cast("long").alias("np"),
+        F.sum("n_neg_block").cast("long").alias("nn"),
+        F.sum("t_e9").cast("long").alias("ap_e9"),
+    )
+    return s.selectExpr(*_AP_FINAL)
+
+
+_FAIR_FINAL = (
+    "lang",
+    "CAST(n_docs AS BIGINT) AS n_docs",
+    "round(CAST(act_pos AS DOUBLE) / n_docs, 6) + 0.0 AS base_rate",
+    "round(CAST(pred_pos AS DOUBLE) / n_docs, 6) + 0.0 AS pred_pos_rate",
+    "round(CAST(tp AS DOUBLE) / NULLIF(act_pos, 0), 6) + 0.0 AS tpr",
+    "round(CAST(fp AS DOUBLE) / NULLIF(n_docs - act_pos, 0), 6) + 0.0 AS fpr",
+)
+
+
+@query(
+    "q_fairness_audit",
+    oracle=f"""{_nb_common_cte()},
+    tgt AS (SELECT MIN(source) AS cls FROM split WHERE is_train),
+    pred AS (SELECT doc_id, cand AS predicted FROM ranked WHERE rk = 1),
+    ev AS (
+        SELECT d.lang,
+               CASE WHEN sp.source = t.cls THEN 1 ELSE 0 END AS actual,
+               CASE WHEN pr.predicted = t.cls THEN 1 ELSE 0 END AS predp
+        FROM split sp
+        JOIN pred pr ON pr.doc_id = sp.doc_id
+        JOIN documents d ON d.doc_id = sp.doc_id
+        CROSS JOIN tgt t
+        WHERE NOT sp.is_train
+    ),
+    panel AS (
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(actual) AS act_pos,
+               SUM(predp) AS pred_pos,
+               SUM(actual * predp) AS tp,
+               SUM((1 - actual) * predp) AS fp
+        FROM ev GROUP BY lang
+    )
+    SELECT {", ".join(_FAIR_FINAL)} FROM panel ORDER BY lang
+    """,
+)
+def q_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-fairness audit of the NB classifier across the corpus's
+    language groups — the governance panel a production quality/
+    safety classifier ships with before it gates training data:
+    per-language selection rate of the positive class (demographic
+    parity), true-positive rate and false-positive rate (equalized
+    odds), and the group's actual base rate (a parity gap over groups
+    with different base rates is expected; TPR/FPR gaps are not). A
+    classifier whose FPR is 3x higher for one language silently
+    deletes that language's data.
+
+    Positive class = the alphabetically-first training class (the
+    q_nb_auc / q_pr_curve convention, so the three evals describe the
+    same deployment). Rates are ratios of exact integer counts
+    rounded once; groups with no actual positives (or negatives)
+    yield NULL tpr (fpr) in both engines via NULLIF.
+
+    Scale: rides ``_nb_scored`` + one argmax window per doc over
+    |classes| rows; the audit itself is one lang-keyed aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    split, scored = _nb_scored(spark, sf_dir)
+    tgt = split.filter("is_train").agg(F.min("source").alias("cls"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand"))
+    pred = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select("doc_id", F.col("cand").alias("predicted"))
+    )
+    ev = (
+        split.filter(~F.col("is_train"))
+        .select("doc_id", "source")
+        .join(pred, "doc_id")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .crossJoin(F.broadcast(tgt))
+        .select(
+            "lang",
+            F.when(F.col("source") == F.col("cls"), 1).otherwise(0).alias("actual"),
+            F.when(F.col("predicted") == F.col("cls"), 1)
+            .otherwise(0)
+            .alias("predp"),
+        )
+    )
+    panel = ev.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("actual").alias("act_pos"),
+        F.sum("predp").alias("pred_pos"),
+        F.sum(F.col("actual") * F.col("predp")).alias("tp"),
+        F.sum((1 - F.col("actual")) * F.col("predp")).alias("fp"),
+    )
+    return panel.selectExpr(*_FAIR_FINAL).orderBy("lang")

@@ -3299,3 +3299,90 @@ def test_rag_chunking_matches_brute_force():
         assert g["stored_tokens"] == stored
         assert abs(g["storage_blowup"] - stored / tot) < 1e-6
     assert got[(32, 0)]["storage_blowup"] == 1.0  # no overlap, no cost
+
+
+def _pr_blocks_replay():
+    """Score blocks (desc) for the alphabetically-first class from the
+    replayed integer NB scores: [(score, n_block, n_pos_block,
+    cum_pos, cum_all)]."""
+    _, test, _, scores, _, classes = _nb_replay()
+    cls = min(classes)
+    pairs = [(scores[i][cls], 1 if a == cls else 0)
+             for i, (a, _) in test.items()]
+    blocks = {}
+    for s, p in pairs:
+        nb, npb = blocks.get(s, (0, 0))
+        blocks[s] = (nb + 1, npb + p)
+    out, cp, ca = [], 0, 0
+    for s in sorted(blocks, reverse=True):
+        nb, npb = blocks[s]
+        cp += npb
+        ca += nb
+        out.append((s, nb, npb, cp, ca))
+    return cls, pairs, out
+
+
+def test_pr_curve_matches_pure_python():
+    rows = _run({"documents": _nb_docs_table()}, "q_pr_curve")
+    _, pairs, blocks = _pr_blocks_replay()
+    np_ = sum(p for _, p in pairs)
+    assert len(rows) == len(blocks)
+    for r, (s, nb, npb, cp, ca) in zip(rows, blocks):
+        assert r["score"] == s
+        assert r["n_block"] == nb and r["n_pos_block"] == npb
+        assert r["cum_pos"] == cp and r["cum_all"] == ca
+        assert abs(r["precision_at"] - round(cp / ca, 6)) < 1e-9
+        assert abs(r["recall_at"] - round(cp / np_, 6)) < 1e-9
+    assert rows[-1]["recall_at"] == 1.0  # the curve ends at full recall
+
+
+def test_avg_precision_matches_pure_python():
+    out = _run({"documents": _nb_docs_table()}, "q_avg_precision")[0]
+    cls, pairs, blocks = _pr_blocks_replay()
+    np_ = sum(p for _, p in pairs)
+    ap_e9 = sum(round(npb * cp * 1e9 / ca) for _, _, npb, cp, ca in blocks)
+    assert out["target_class"] == cls
+    assert out["n_pos"] == np_
+    assert out["n_neg"] == len(pairs) - np_
+    assert abs(out["avg_precision"] - round(ap_e9 / np_ / 1e9, 6)) < 1e-9
+
+
+def test_fairness_audit_matches_pure_python():
+    """Per-lang demographic-parity / equalized-odds panel replayed in
+    pure Python; langs assigned so one group holds the positive and
+    the other does not (exercising the NULL-fpr/tpr paths)."""
+    texts, test, preds, _, _, classes = _nb_replay()
+    cls = min(classes)
+    lang_of = {i: ("de" if i % 2 else "fr") for i in texts}
+    docs = (
+        ["doc_id BIGINT", "text VARCHAR", "lang VARCHAR",
+         "source VARCHAR", "n_chars BIGINT"],
+        [(i, t, lang_of[i], s, len(t)) for i, (s, t) in texts.items()],
+    )
+    rows = {r["lang"]: r for r in _run({"documents": docs},
+                                       "q_fairness_audit")}
+    want: dict = {}
+    for i, (actual, _) in test.items():
+        g = want.setdefault(lang_of[i],
+                            {"n": 0, "ap": 0, "pp": 0, "tp": 0, "fp": 0})
+        a = 1 if actual == cls else 0
+        p = 1 if preds[i] == cls else 0
+        g["n"] += 1
+        g["ap"] += a
+        g["pp"] += p
+        g["tp"] += a * p
+        g["fp"] += (1 - a) * p
+    assert set(rows) == set(want)
+    for lang, g in want.items():
+        r = rows[lang]
+        assert r["n_docs"] == g["n"]
+        assert abs(r["base_rate"] - round(g["ap"] / g["n"], 6)) < 1e-9
+        assert abs(r["pred_pos_rate"] - round(g["pp"] / g["n"], 6)) < 1e-9
+        if g["ap"]:
+            assert abs(r["tpr"] - round(g["tp"] / g["ap"], 6)) < 1e-9
+        else:
+            assert r["tpr"] is None
+        if g["n"] - g["ap"]:
+            assert abs(r["fpr"] - round(g["fp"] / (g["n"] - g["ap"]), 6)) < 1e-9
+        else:
+            assert r["fpr"] is None
