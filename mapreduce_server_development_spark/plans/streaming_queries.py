@@ -3098,3 +3098,140 @@ def q_stream_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flag_rate"
         ),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q_stream_ivf_assign — ingest-time ANN cell routing (streaming twin of
+# the cell_common coarse quantizer)
+# ---------------------------------------------------------------------------
+
+_EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the embeddings parquet — the vector-ingest
+    feed an ANN index routes continuously (same reader contract as
+    ``read_documents_stream``: leaf glob + recursive lookup so replay
+    fixtures can nest arrival files)."""
+    r = (
+        spark.readStream.schema(_EMB_SCHEMA)
+        .option("pathGlobFilter", "embeddings*.parquet")
+        .option("recursiveFileLookup", "true")
+    )
+    mft = os.environ.get("SPARK_GRAFT_STREAM_MAX_FILES_PER_TRIGGER")
+    if mft:
+        r = r.option("maxFilesPerTrigger", mft)
+    return r.parquet(sf_dir)
+
+
+def _q_stream_ivf_assign_oracle() -> str:
+    from .cell_common import cell_ctes
+
+    return f"""
+    WITH {cell_ctes()}
+    SELECT cid,
+           CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+           CAST(SUM(CAST(round(ccos * 10000) AS BIGINT)) AS BIGINT)
+               AS sum_ccos_e4
+    FROM assign GROUP BY cid ORDER BY cid
+    """
+
+
+@query("q_stream_ivf_assign", oracle=_q_stream_ivf_assign_oracle())
+def q_stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time IVF cell routing — the streaming half of every
+    cell_common ANN query: arriving vectors are assigned to their
+    max-cosine coarse-quantizer cell AT INGEST, so the downstream
+    index (q_ivf_ann / q_ivfpq_ann's postings lists) grows
+    incrementally instead of being rebuilt. The quantizer (the
+    rank-seed centroid panel, ~sqrt(n) rows) is pinned ONCE from the
+    settled corpus and broadcast into every micro-batch — the screen
+    itself is STATELESS (the q_stream_mv execution class: per-batch
+    argmax inside ``foreachBatch``, appended to a file sink by the
+    executors). Readout: per-cell arrival counts and the exact e4
+    cosine mass (sum of round(ccos*1e4) integers — no
+    summation-order float risk), i.e. the cell-population panel the
+    batch coarse quantizer produces, which the oracle computes
+    directly from the shared cell CTEs.
+
+    100 TB posture: the centroid panel is the ONLY shared state and
+    is broadcast-sized by construction (sqrt(n)); per-batch work is
+    one broadcast crossJoin + map-side max_by argmax (the
+    _argmax_assign discipline — no window, no shuffle of raw
+    vectors); arrival rows append to the sink partitioned by nothing
+    the driver touches. Batch-boundary invariant by construction
+    (per-row stateless screen), pinned by the multi-batch replay
+    test.
+    """
+    from .cell_common import cell_base, rank_seed_centroids, seed_k
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base, _ = cell_base(emb)
+    k = seed_k(base)
+    cent = rank_seed_centroids(base, k).localCheckpoint(eager=True)
+
+    _gc_previous_sinks(spark)
+    root = tempfile.mkdtemp(prefix="stream_ivfassign_")
+    _prev_sink_roots.append(root)
+    out_dir = f"{root}/out"
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.repartition(
+            batch_df.sparkSession.sparkContext.defaultParallelism
+        )
+        vv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        nrm = F.sqrt(
+            F.aggregate(
+                F.transform(F.col("vv"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        rows = b.select(
+            F.col("vec_id").alias("vid"), vv.alias("vv")
+        ).withColumn("nrm", nrm)
+        dot = F.aggregate(
+            F.zip_with(F.col("vv"), F.col("cv"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        ccos = F.round(dot / (F.col("nrm") * F.col("cnrm")), 4)
+        (
+            rows.crossJoin(F.broadcast(cent))
+            .withColumn("ccos", ccos)
+            .groupBy("vid")
+            .agg(
+                F.expr("max_by(cid, struct(ccos, -cid))").alias("cid"),
+                F.max("ccos").alias("ccos"),
+            )
+            .select(
+                "vid",
+                "cid",
+                F.round(F.col("ccos") * 10000).cast("long").alias("ccos_e4"),
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    stream = read_embeddings_stream(spark, sf_dir)
+    with _stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(route)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame(
+            [], "cid long, n_arrivals long, sum_ccos_e4 long"
+        )
+    out = spark.read.parquet(out_dir)
+    return (
+        out.groupBy("cid")
+        .agg(
+            F.count("*").cast("long").alias("n_arrivals"),
+            F.sum("ccos_e4").cast("long").alias("sum_ccos_e4"),
+        )
+        .orderBy("cid")
+    )

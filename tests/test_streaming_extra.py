@@ -452,3 +452,48 @@ def test_stream_decontaminate_spans_multi_batch(spark, split_docs_dir, monkeypat
     monkeypatch.setenv("SPARK_GRAFT_STREAM_MAX_FILES_PER_TRIGGER", "1")
     multi = rows(QUERIES["q_stream_decontaminate_spans"](spark, split_docs_dir))
     assert multi == single
+
+
+@pytest.fixture(scope="module")
+def split_emb_dir(tmp_path_factory):
+    """sf0.001 embeddings split into 4 vec_id-ordered arrival files
+    nested inside an embeddings.parquet directory (the split_docs_dir
+    convention: batch reader sees one dataset, stream sees 4 arrival
+    units)."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("split_emb")
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet").sort_by(
+        "vec_id"
+    )
+    n = t.num_rows
+    cut = [0, n // 4, n // 2, 3 * n // 4, n]
+    now = time.time()
+    (d / "embeddings.parquet").mkdir()
+    for i in range(4):
+        path = str(d / "embeddings.parquet" / f"embeddings-0{i}.parquet")
+        pq.write_table(t.slice(cut[i], cut[i + 1] - cut[i]), path)
+        os.utime(path, (now - 40 + 10 * i,) * 2)
+    return str(d)
+
+
+def test_stream_ivf_assign_multi_batch(spark, split_emb_dir, monkeypatch):
+    """The ingest-time cell router is stateless per row, so a 4-batch
+    replay must equal the single-batch run exactly (and the quantizer
+    panel is pinned from the batch table, identical in both)."""
+    from mapreduce_server_development_spark.plans import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    def rows(df):
+        return sorted((r.cid, r.n_arrivals, r.sum_ccos_e4)
+                      for r in df.collect())
+
+    single = rows(QUERIES["q_stream_ivf_assign"](spark, SF_SMOKE))
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_MAX_FILES_PER_TRIGGER", "1")
+    multi = rows(QUERIES["q_stream_ivf_assign"](spark, split_emb_dir))
+    assert multi == single
+    assert sum(n for _, n, _ in single) > 0
