@@ -3307,3 +3307,194 @@ def q_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((1 - F.col("actual")) * F.col("predp")).alias("fp"),
     )
     return panel.selectExpr(*_FAIR_FINAL).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# q_bm25_tuning — the (k1, b) parameter grid scored by exact nDCG@10
+# ---------------------------------------------------------------------------
+
+#: BM25 tuning grid (k1 x b) around the Robertson defaults.
+_BM25_GRID = [(0.9, 0.4), (0.9, 0.75), (1.2, 0.4), (1.2, 0.75),
+              (1.5, 0.4), (1.5, 0.75)]
+
+_BMT_FINAL = (
+    "CAST(k1 AS DOUBLE) AS k1",
+    "CAST(b AS DOUBLE) AS b",
+    "CAST(n_ranked AS BIGINT) AS n_ranked",
+    "round(CAST(dcg_e6 AS DOUBLE) / CAST(idcg_e6 AS DOUBLE), 6) + 0.0"
+    " AS ndcg10",
+    "CAST(top1_doc AS BIGINT) AS top1_doc",
+)
+
+_BM25_GRID_SQL = ", ".join(f"({k1}, {b})" for k1, b in _BM25_GRID)
+
+
+@query(
+    "q_bm25_tuning",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id AS doc,
+               unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+                   AS tok
+        FROM documents
+    ),
+    dl AS (
+        SELECT doc_id AS doc,
+               CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+                    AS BIGINT) AS dl
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE tok IN ({_TERMS_SQL}) GROUP BY doc, tok
+    ),
+    dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    g AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    params AS (SELECT * FROM (VALUES {_BM25_GRID_SQL}) AS p(k1, b)),
+    contrib AS (
+        SELECT p.k1, p.b, tf.doc,
+               CAST(round(
+                   ln((g.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                   * tf.tf * (p.k1 + 1.0)
+                   / (tf.tf + p.k1 * (1.0 - p.b + p.b * dl.dl / g.avgdl))
+                   * 1000000) AS BIGINT) AS c
+        FROM tf
+        JOIN dfreq d USING (tok)
+        JOIN dl ON dl.doc = tf.doc
+        CROSS JOIN g CROSS JOIN params p
+    ),
+    scores AS (
+        SELECT k1, b, doc, CAST(SUM(c) AS BIGINT) AS s_e6
+        FROM contrib GROUP BY k1, b, doc
+    ),
+    rel AS (
+        SELECT doc, CAST(COUNT(DISTINCT tok) AS BIGINT) AS rel FROM tf
+        GROUP BY doc
+    ),
+    ranked AS (
+        SELECT s.k1, s.b, s.doc, r.rel,
+               ROW_NUMBER() OVER (PARTITION BY s.k1, s.b
+                                  ORDER BY s.s_e6 DESC, s.doc) AS rk
+        FROM scores s JOIN rel r ON r.doc = s.doc
+    ),
+    dcg AS (
+        SELECT k1, b,
+               CAST(SUM(CAST(round((pow(2.0, rel) - 1.0) / log2(rk + 1.0)
+                                   * 1000000) AS BIGINT)) AS BIGINT)
+                   AS dcg_e6,
+               CAST(COUNT(*) AS BIGINT) AS n_ranked,
+               CAST(MIN(CASE WHEN rk = 1 THEN doc END) AS BIGINT)
+                   AS top1_doc
+        FROM ranked WHERE rk <= 10 GROUP BY k1, b
+    ),
+    ideal AS (
+        SELECT doc, rel,
+               ROW_NUMBER() OVER (ORDER BY rel DESC, doc) AS rk
+        FROM rel
+    ),
+    idcg AS (
+        SELECT CAST(SUM(CAST(round((pow(2.0, rel) - 1.0) / log2(rk + 1.0)
+                                   * 1000000) AS BIGINT)) AS BIGINT)
+                   AS idcg_e6
+        FROM ideal WHERE rk <= 10
+    )
+    SELECT {", ".join(_BMT_FINAL)}
+    FROM dcg CROSS JOIN idcg
+    ORDER BY k1, b
+    """,
+)
+def q_bm25_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1, b) tuning curve — the full Robertson scorer evaluated
+    over a 3x2 parameter grid and scored by exact graded nDCG@10, the
+    operating-point sweep a retrieval deployment runs before fixing
+    its scorer (q_ivf_nprobe_curve's class: the tuning curve IS the
+    query). Relevance is deterministic and label-free: rel(doc) =
+    number of distinct query terms the doc contains (0-3), the
+    natural graded relevance of a conjunctive term set; the ideal
+    ranking is rel-descending.
+
+    Exactness: per-term contributions AND per-position DCG gains are
+    fixed-pointed to integer micro-units BEFORE their distributed
+    sums (the q_bm25 discipline extended to the gain sum); ranks
+    tie-break on doc_id; nDCG is one integer ratio rounded at the
+    end.
+
+    Scale: the tf relation (docs containing a query term) is the only
+    per-doc work and is computed ONCE for all 6 grid points (the grid
+    joins after aggregation — a 6-row broadcast); rankings are
+    per-(k1, b) grouped windows over the candidate set, never the
+    corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks_arr = tokens_col(F.lower(F.col("text")))
+    dl = docs.select(
+        F.col("doc_id").alias("doc"), F.size(toks_arr).cast("long").alias("dl")
+    )
+    tf = (
+        docs.select(F.col("doc_id").alias("doc"), F.explode(toks_arr).alias("tok"))
+        .filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc", "tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    g = dl.agg(
+        F.count("*").cast("long").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    params = spark.createDataFrame(_BM25_GRID, "k1 double, b double")
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + F.col("k1") * (
+        1.0 - F.col("b") + F.col("b") * F.col("dl") / F.col("avgdl")
+    )
+    contrib = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc")
+        .crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(params))
+        .select(
+            "k1",
+            "b",
+            "doc",
+            F.round(idf * F.col("tf") * (F.col("k1") + 1.0) / denom * 1000000)
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    scores = contrib.groupBy("k1", "b", "doc").agg(
+        F.sum("c").cast("long").alias("s_e6")
+    )
+    rel = tf.groupBy("doc").agg(
+        F.countDistinct("tok").cast("long").alias("rel")
+    )
+    w = Window.partitionBy("k1", "b").orderBy(F.col("s_e6").desc(), "doc")
+    gain = (
+        F.round(
+            (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+            / F.log2(F.col("rk") + 1.0)
+            * 1000000
+        ).cast("long")
+    )
+    ranked = (
+        scores.join(rel, "doc")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+    )
+    dcg = ranked.groupBy("k1", "b").agg(
+        F.sum(gain).cast("long").alias("dcg_e6"),
+        F.count("*").cast("long").alias("n_ranked"),
+        F.min(F.when(F.col("rk") == 1, F.col("doc"))).cast("long").alias(
+            "top1_doc"
+        ),
+    )
+    w_ideal = Window.orderBy(F.col("rel").desc(), "doc")
+    idcg = (
+        rel.withColumn("rk", F.row_number().over(w_ideal))
+        .filter(F.col("rk") <= 10)
+        .agg(F.sum(gain).cast("long").alias("idcg_e6"))
+    )
+    out = dcg.crossJoin(F.broadcast(idcg))
+    return out.selectExpr(*_BMT_FINAL).orderBy("k1", "b")

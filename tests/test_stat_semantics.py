@@ -3386,3 +3386,56 @@ def test_fairness_audit_matches_pure_python():
             assert abs(r["fpr"] - round(g["fp"] / (g["n"] - g["ap"]), 6)) < 1e-9
         else:
             assert r["fpr"] is None
+
+
+def test_bm25_tuning_matches_brute_force():
+    """The (k1, b) grid scored by graded nDCG@10, replayed in Python
+    with the same fixed-point discipline (e6 contributions AND e6
+    per-position gains)."""
+    texts = {
+        1: "the filter keeps the window open",
+        2: "stream stream stream filter",
+        3: "no match here at all",
+        4: "filter window stream filter window",
+        5: "window",
+    }
+    docs = (
+        ["doc_id BIGINT", "text VARCHAR", "lang VARCHAR",
+         "source VARCHAR", "n_chars BIGINT"],
+        [(i, t, "en", "web", len(t)) for i, t in texts.items()],
+    )
+    rows = _run({"documents": docs}, "q_bm25_tuning")
+    toks = {i: t.split() for i, t in texts.items()}
+    n_docs = len(texts)
+    avgdl = sum(len(v) for v in toks.values()) / n_docs
+    terms = ["filter", "window", "stream"]
+    df = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    rel = {i: sum(1 for t in terms if t in v) for i, v in toks.items()
+           if any(t in v for t in terms)}
+
+    def gain(r, rk):
+        return round((2.0 ** r - 1.0) / math.log2(rk + 1.0) * 1e6)
+
+    ideal = sorted(rel.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    idcg = sum(gain(r, rk + 1) for rk, (_, r) in enumerate(ideal))
+    got = {(r["k1"], r["b"]): r for r in rows}
+    for k1, b in [(0.9, 0.4), (0.9, 0.75), (1.2, 0.4), (1.2, 0.75),
+                  (1.5, 0.4), (1.5, 0.75)]:
+        s_e6 = {}
+        for i in rel:
+            s = 0
+            for t in terms:
+                tf = toks[i].count(t)
+                if not tf:
+                    continue
+                idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                s += round(idf * tf * (k1 + 1.0)
+                           / (tf + k1 * (1.0 - b + b * len(toks[i]) / avgdl))
+                           * 1e6)
+            s_e6[i] = s
+        order = sorted(s_e6.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        dcg = sum(gain(rel[i], rk + 1) for rk, (i, _) in enumerate(order))
+        r = got[(k1, b)]
+        assert r["n_ranked"] == len(order), (k1, b)
+        assert r["top1_doc"] == order[0][0], (k1, b)
+        assert abs(r["ndcg10"] - round(dcg / idcg, 6)) < 1e-9, (k1, b)
