@@ -11,23 +11,34 @@ Each query is driven to completion with a count-style action (foreach
 noop) so results are computed but never collected to the driver.
 All Spark chatter goes to stderr; the JSON line is the only stdout.
 
-Measurement discipline (round-8 ask #1, hardened per round-9 ask #1):
-- every query is timed once in the sweep (its COLD, first-invocation
-  time, recorded per-query as ``first``);
-- anything over 5s is re-run once (transient GC/host-noise floor);
-- the 10 slowest get FIVE total runs, each tail-block run INTERLEAVED
-  with a fixed control query (q1_pricing_summary). After the block,
-  any tail run whose adjacent control exceeded 2x the control median
-  is DISCARDED as host noise and re-run (bounded retries); discarded
-  runs ride BENCH_DETAIL as ``discarded_runs`` so the trim is
-  auditable. With 5 gated runs, one noise outlier can no longer land
-  in the median slot (round 9: q_rec_coverage [8.85, 13.28, 53.14]
-  reported 13.28 while its min BEAT round 8);
-- the HEADLINE ``queries`` value is the MEDIAN of a query's accepted
-  runs; ``first``/``min``/``median``/``runs`` all ride
-  BENCH_DETAIL's ``per_query``, and BOTH totals (``value`` = sum of
-  medians, ``total_min`` = sum of mins) are emitted for cross-round
-  comparability.
+Measurement discipline (round-10 verdict asks #1/#7; supersedes the
+round-8/9 tail-only gating):
+- EVERY query is timed twice back-to-back in the sweep — a COLD
+  first invocation (``first``) and a WARM second run — so a
+  per-query median is never a lone cold sample;
+- a fixed control query (q1_pricing_summary) is timed 3x at sweep
+  start; the noise gate is FROZEN at 2x that baseline median before
+  any gated decision is made (a drifting threshold made the r10
+  trim depend on processing order — ADVICE bench.py:194);
+- the control is re-timed after every ~25-query sweep segment; a
+  control reading over the frozen gate means host noise landed in
+  that segment, so the WHOLE segment's runs are discarded (kept in
+  ``discarded_runs`` for audit) and the segment is re-run once.
+  In r10, 339 queries were timed by a single un-gated cold run and
+  a 1.07s -> 3.16s control drift landed straight in the headline
+  (official 955.4s vs quiet-host 810.5s on identical code);
+- the 10 slowest then get up to FIVE total runs, each tail run
+  interleaved with the control and gated against the SAME frozen
+  threshold (discard + bounded per-slot retry, auditable);
+- every timed run (query or control) carries a global sequence
+  number ``seq`` so warm-up slope and noise windows are decodable
+  from BENCH_DETAIL alone without knowing run order conventions:
+  ``per_query.runs`` / ``control_runs`` entries are ``{"t": sec,
+  "seq": n}``;
+- the HEADLINE ``queries`` value is the MEDIAN of a query's
+  accepted runs; BOTH totals (``value`` = sum of medians,
+  ``total_min`` = sum of mins) are emitted, plus ``total_first``
+  (sum of cold runs) so the cold premium is attributed explicitly.
 
 Usage: python bench.py [query ...]   # subset by name, default all
 """
@@ -45,6 +56,9 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 CONTROL_QUERY = "q1_pricing_summary"
+SEGMENT = 25          # sweep queries per control reading
+BASELINE_RUNS = 3     # control runs that freeze the gate
+TAIL_RUNS = 5         # total runs for the 10 slowest
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -76,17 +90,21 @@ def main() -> int:
         return 2
     spark = get_spark(app_name="bench")
 
-    def run_once(name: str) -> float | None:
+    seq_counter = [0]
+
+    def run_once(name: str) -> tuple[float, int] | None:
         """One timed evaluation; cache cleared OUTSIDE the timer so
-        every run starts from the same cold cache. Returns None on
-        failure."""
+        every run starts from the same cold cache. Returns (seconds,
+        global sequence number) or None on failure."""
+        seq_counter[0] += 1
+        seq = seq_counter[0]
         t0 = time.time()
         try:
             # foreach forces full evaluation on executors; nothing is
             # shipped to the driver (collect would skew the timing and
             # break at scale).
             queries[name](spark, sf_dir).foreach(lambda _: None)
-            return round(time.time() - t0, 2)
+            return round(time.time() - t0, 2), seq
         except Exception as e:  # noqa: BLE001
             print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
             return None
@@ -123,61 +141,108 @@ def main() -> int:
     # the same cold cache as every other.
     spark.catalog.clearCache()
 
-    runs: dict[str, list[float]] = {}
+    # accepted runs per query: list of (seconds, seq)
+    runs: dict[str, list[tuple[float, int]]] = {}
+    # first-ever (cold) run per query, even if later discarded.
+    first_run: dict[str, float] = {}
     failed: list[str] = []
-    for name in queries:
-        if only and name not in only:
-            continue
-        t = run_once(name)
-        if t is None:
-            failed.append(name)
-        else:
-            runs[name] = [t]
-
-    # Noise control: a single-pass sweep occasionally charges one heavy
-    # query a 3-4x transient (GC pause / host noise landing mid-query —
-    # observed as a different victim each run). Re-run anything over 5s
-    # once — the standard repeated-measurement floor, bounded to the
-    # handful of genuinely heavy queries.
-    for name, rs in list(runs.items()):
-        if rs[0] > 5.0:
-            t = run_once(name)
-            if t is not None:
-                rs.append(t)
-
-    # Tail trimmed medians + interleaved control (round-9 verdict ask
-    # #1): the 10 slowest queries get FIVE total runs. Every tail-block
-    # run is preceded by the fixed control query; after the block, any
-    # run whose adjacent control exceeded 2x the control median is
-    # host-noise by definition — DISCARD it and re-run (bounded
-    # retries). With 3 runs one outlier landed in the median slot;
-    # with 5 control-gated runs it cannot.
-    TAIL_RUNS = 5
-    control_runs: list[float] = []
-    tail = sorted(runs, key=lambda n: _median(runs[n]), reverse=True)[:10]
-    # (control_time, run_time) pairs collected in the tail block; sweep
-    # runs have no adjacent control and are never trimmed.
-    tail_pairs: dict[str, list[tuple[float, float]]] = {n: [] for n in tail}
+    discarded_runs: dict[str, list[dict]] = {}
+    control_runs: list[dict] = []
     use_control = CONTROL_QUERY in queries and not only
 
-    def _tail_run(name: str) -> tuple[float, float] | None:
-        c = run_once(CONTROL_QUERY) if use_control else None
-        t = run_once(name)
-        if t is None:
+    def _control() -> float | None:
+        if not use_control:
             return None
-        if c is None:
-            # No control available: accept unconditionally (gate needs
-            # a control observation to trim against).
-            runs[name].append(t)
-            return (-1.0, t)
-        control_runs.append(c)
-        tail_pairs[name].append((c, t))
-        runs[name].append(t)
-        return (c, t)
+        r = run_once(CONTROL_QUERY)
+        if r is None:
+            return None
+        control_runs.append({"t": r[0], "seq": r[1]})
+        return r[0]
 
-    # Interleave ROUNDS across the tail queries (not 5 back-to-back
-    # runs of one query) so a transient noise window taints at most one
-    # run per query, not one query's whole sample.
+    # Freeze the noise gate BEFORE any gated decision: 3 control runs
+    # at sweep start, threshold = 2x their median, never updated. The
+    # r10 running-median gate drifted upward as noisy controls
+    # accumulated, making accept/reject depend on processing order.
+    gate_threshold: float | None = None
+    if use_control:
+        base = [c for c in (_control() for _ in range(BASELINE_RUNS)) if c is not None]
+        if base:
+            gate_threshold = round(2 * _median(base), 2)
+
+    def _gate_ok(c: float | None) -> bool:
+        return c is None or gate_threshold is None or c <= gate_threshold
+
+    def _pair(name: str) -> bool:
+        """Cold+warm back-to-back runs; returns False if the cold run
+        failed (query marked failed)."""
+        a = run_once(name)
+        if a is None:
+            if name not in runs:
+                failed.append(name)
+            return False
+        first_run.setdefault(name, a[0])
+        runs.setdefault(name, []).append(a)
+        b = run_once(name)
+        if b is not None:
+            runs[name].append(b)
+        return True
+
+    # Sweep in ~25-query segments, control-gated at segment close. A
+    # noisy closing control discards the segment's runs (auditable) and
+    # re-runs the segment ONCE; a second noisy control accepts the
+    # retry runs flagged gate_failed (bounded — no unbounded retry
+    # under sustained host load).
+    names = [n for n in queries if not only or n in only]
+    segments: list[dict] = []
+    for seg_start in range(0, len(names), SEGMENT):
+        seg = names[seg_start:seg_start + SEGMENT]
+        seg_rec: dict = {"queries": [seg[0], seg[-1]], "n": len(seg)}
+        for name in seg:
+            _pair(name)
+        c = _control()
+        seg_rec["control"] = c
+        if not _gate_ok(c):
+            # host noise landed somewhere in this segment: park every
+            # run from it and measure again.
+            for name in seg:
+                if name in runs and runs[name]:
+                    discarded_runs.setdefault(name, []).extend(
+                        {"run": t, "seq": s, "control": c, "why": "segment"}
+                        for t, s in runs[name]
+                    )
+                    runs[name] = []
+            for name in seg:
+                if name not in failed:
+                    _pair(name)
+            c2 = _control()
+            seg_rec["retry_control"] = c2
+            if not _gate_ok(c2):
+                seg_rec["gate_failed"] = True
+        segments.append(seg_rec)
+
+    # Tail trimmed medians + interleaved control: the 10 slowest get
+    # up to FIVE total runs, each tail run preceded by the control and
+    # gated against the SAME frozen threshold.
+    def _med(name: str) -> float:
+        return _median([t for t, _ in runs[name]]) if runs.get(name) else 0.0
+
+    tail = sorted((n for n in runs if runs[n]), key=_med, reverse=True)[:10]
+    tail_pairs: dict[str, list[tuple[float | None, tuple[float, int]]]] = {
+        n: [] for n in tail
+    }
+
+    def _tail_run(name: str) -> tuple[float | None, tuple[float, int]] | None:
+        c = _control()
+        r = run_once(name)
+        if r is None:
+            return None
+        tail_pairs[name].append((c, r))
+        runs[name].append(r)
+        return (c, r)
+
+    # Interleave ROUNDS across the tail queries (not back-to-back runs
+    # of one query) so a transient noise window taints at most one run
+    # per query, not one query's whole sample.
     for _ in range(TAIL_RUNS):
         for name in tail:
             if len(runs[name]) >= TAIL_RUNS:
@@ -187,82 +252,89 @@ def main() -> int:
             _tail_run(name)
 
     # Trim: a tail run is host-noise if its adjacent control exceeded
-    # 2x the control median. Re-run each discarded slot (fresh control
-    # + query), up to 2 retries per slot.
-    discarded_runs: dict[str, list[dict]] = {}
-    if control_runs:
-        def _gate(c: float) -> bool:
-            return c <= 2 * _median(control_runs)
-
-        for name in tail:
-            for c, t in list(tail_pairs[name]):
-                if _gate(c):
-                    continue
-                discarded_runs.setdefault(name, []).append(
-                    {"run": t, "control": c}
+    # the frozen gate. Re-run each discarded slot (fresh control +
+    # query), up to 2 retries per slot.
+    for name in tail:
+        for c, r in list(tail_pairs[name]):
+            if _gate_ok(c):
+                continue
+            discarded_runs.setdefault(name, []).append(
+                {"run": r[0], "seq": r[1], "control": c, "why": "tail"}
+            )
+            tail_pairs[name].remove((c, r))
+            runs[name].remove(r)
+            for _ in range(2):  # bounded retry for the slot
+                pair = _tail_run(name)
+                if pair is None:
+                    break
+                if _gate_ok(pair[0]):
+                    break
+                discarded_runs[name].append(
+                    {"run": pair[1][0], "seq": pair[1][1],
+                     "control": pair[0], "why": "tail"}
                 )
-                tail_pairs[name].remove((c, t))
-                runs[name].remove(t)
-                for _ in range(2):  # bounded retry for the slot
-                    pair = _tail_run(name)
-                    if pair is None:
-                        break
-                    if pair[0] < 0 or _gate(pair[0]):
-                        break
-                    discarded_runs[name].append(
-                        {"run": pair[1], "control": pair[0]}
-                    )
-                    tail_pairs[name].remove(pair)
-                    runs[name].remove(pair[1])
+                tail_pairs[name].remove(pair)
+                runs[name].remove(pair[1])
 
-    # Headline per-query seconds: median of accepted runs.
-    timings = {n: _median(rs) for n, rs in runs.items()}
+    accepted = {n: rs for n, rs in runs.items() if rs}
+    # Headline per-query seconds: median of accepted runs (>=2 per
+    # query — never a lone cold sample).
+    timings = {n: _median([t for t, _ in rs]) for n, rs in accepted.items()}
     for n in failed:
         timings[n] = -1.0
     per_query = {
         n: {
-            "first": rs[0],
-            "min": min(rs),
-            "median": _median(rs),
-            "runs": rs,
+            "first": first_run.get(n, rs[0][0]),
+            "min": min(t for t, _ in rs),
+            "median": _median([t for t, _ in rs]),
+            "runs": [{"t": t, "seq": s} for t, s in rs],
             **({"warm_first": True} if n in warmed else {}),
         }
-        for n, rs in runs.items()
+        for n, rs in accepted.items()
     }
     tail_medians = {
         n: {
-            "runs": runs[n],
-            "median": _median(runs[n]),
-            "spread": round(max(runs[n]) - min(runs[n]), 2),
+            "runs": [{"t": t, "seq": s} for t, s in runs[n]],
+            "median": _med(n),
+            "spread": round(
+                max(t for t, _ in runs[n]) - min(t for t, _ in runs[n]), 2
+            ),
             "discarded": discarded_runs.get(n, []),
         }
         for n in tail
+        if runs.get(n)
     }
 
     total = round(sum(t for t in timings.values() if t >= 0), 2)
     total_min = round(
-        sum(min(rs) for n, rs in runs.items() if timings[n] >= 0), 2
+        sum(min(t for t, _ in rs) for rs in accepted.values()), 2
     )
+    total_first = round(
+        sum(first_run.get(n, rs[0][0]) for n, rs in accepted.items()), 2
+    )
+    control_ts = [c["t"] for c in control_runs]
     sf = _sf_of(sf_dir)
     compact = {"separators": (",", ":")}
     detail = {
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
-        "headline": "trimmed_median_of_runs",
+        "headline": "gated_median_of_cold_plus_warm_runs",
         "total_min": total_min,
+        "total_first": total_first,
         "queries": timings,
         "per_query": per_query,
         "warmed": sorted(warmed),
+        "segments": segments,
+        "segment_size": SEGMENT,
         "tail_medians": tail_medians,
         "tail_runs_target": TAIL_RUNS,
         "discarded_runs": discarded_runs,
         "control_query": CONTROL_QUERY,
         "control_runs": control_runs,
+        "gate_threshold": gate_threshold,
         "control_spread": (
-            round(max(control_runs) - min(control_runs), 2)
-            if control_runs
-            else None
+            round(max(control_ts) - min(control_ts), 2) if control_ts else None
         ),
         "n_failed": len(failed),
         "failed": sorted(failed),
@@ -297,8 +369,9 @@ def main() -> int:
                 "metric": "total_query_seconds",
                 "value": total,
                 "unit": "sec",
-                "headline": "trimmed_median_of_runs",
+                "headline": "gated_median_of_cold_plus_warm_runs",
                 "total_min": total_min,
+                "total_first": total_first,
                 "queries": slowest,
                 "n_queries": len(timings),
                 # A broken query must never read as a perf win: its -1
@@ -306,6 +379,7 @@ def main() -> int:
                 # rides the driver-visible summary line explicitly.
                 "n_failed": len(failed),
                 "failed": sorted(failed),
+                "gate_threshold": gate_threshold,
                 "control_spread": detail["control_spread"],
                 "queries_detail": "BENCH_DETAIL.json",
                 "sf": sf,
