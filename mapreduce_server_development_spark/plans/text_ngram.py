@@ -776,7 +776,7 @@ _XSA_FINAL = (
     "CAST(n_docs AS BIGINT) AS n_docs",
     "CAST(n_docs_changed AS BIGINT) AS n_docs_changed",
     "CAST(tokens_after AS BIGINT) AS tokens_after",
-    "corpus_md5",
+    "corpus_digest",
 )
 
 
@@ -836,11 +836,23 @@ _XSA_FINAL = (
         LEFT JOIN (SELECT DISTINCT doc FROM cov) v ON v.doc = d.doc_id
     ),
     panel AS (
+        -- order-free commutative corpus digest: each doc's md5 split
+        -- into four 32-bit hex words, summed exactly per source (sum
+        -- is HUGEINT here / DECIMAL(38,0) on the Spark side) — no
+        -- per-group array, no ordering dependence, same cross-engine
+        -- witness of every cleaned byte
         SELECT source,
                COUNT(*) AS n_docs,
                SUM(changed) AS n_docs_changed,
                SUM(n_after) AS tokens_after,
-               md5(string_agg(doc_md5, '' ORDER BY doc)) AS corpus_md5
+               CAST(SUM(('0x' || substr(doc_md5, 1, 8))::BIGINT) AS VARCHAR)
+               || '-' ||
+               CAST(SUM(('0x' || substr(doc_md5, 9, 8))::BIGINT) AS VARCHAR)
+               || '-' ||
+               CAST(SUM(('0x' || substr(doc_md5, 17, 8))::BIGINT) AS VARCHAR)
+               || '-' ||
+               CAST(SUM(('0x' || substr(doc_md5, 25, 8))::BIGINT) AS VARCHAR)
+                   AS corpus_digest
         FROM perdoc GROUP BY source
     )
     SELECT {", ".join(_XSA_FINAL)} FROM panel ORDER BY source
@@ -850,11 +862,12 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cleaned-corpus TRANSFORM: materialize what
     q_dedup_span_removal only ledgers — each document's post-removal
     text (tokens minus the first-wins removal intervals), verified
-    end-to-end by per-source md5 checksums over the reconstructed
-    documents (md5 of each doc's cleaned text, then md5 of the
-    doc-id-ordered concatenation of those digests), plus post-clean
-    token counts. This is the query a production ExactSubstr pass
-    actually ships — the ledger audits it; this one IS the output.
+    end-to-end by per-source checksums over the reconstructed
+    documents (md5 of each doc's cleaned text, split into four 32-bit
+    words and summed exactly per source — an order-free commutative
+    digest), plus post-clean token counts. This is the query a
+    production ExactSubstr pass actually ships — the ledger audits
+    it; this one IS the output.
 
     Shares ``_xs_spans`` / ``_XS_CTES`` verbatim with the audit and
     the ledger; removal intervals project onto the later (db) doc
@@ -871,10 +884,14 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans hitting that doc), carried as a sorted array into a
     JVM-side higher-order ``filter`` over the token array — no
     explode of the token relation, no Python; the checksum rollup is
-    one per-source aggregate over doc-level digests (the
-    doc-id-ordered ``string_agg``'s Spark twin sorts the collected
-    (doc, md5) structs per source — group cardinality is per-source
-    doc counts, the same panel every other XS query aggregates).
+    an order-FREE commutative digest — each doc's md5 split into four
+    32-bit words, summed per source as exact DECIMAL(38,0)/HUGEINT —
+    so the per-source aggregate carries four integers of state, never
+    a per-group array (the r10 ``collect_list``-sort-concat form
+    materialized one array row of ALL doc digests per source — a
+    multi-GB row for a billion-doc source; any reordering or
+    single-byte change of any cleaned doc still changes the digest,
+    so the cross-engine witness property is preserved).
     """
     toks, spans = _xs_spans(spark, sf_dir)
     iv = spans.select(
@@ -918,19 +935,20 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(cleaned).cast("long").alias("n_after"),
         F.when(F.col("ivs").isNull(), 0).otherwise(1).alias("changed"),
     )
+    def _word(i: int):
+        # 32-bit md5 word -> exact decimal so a billion-doc source's
+        # sum never overflows (sum over DECIMAL(38,0) stays exact)
+        return F.conv(
+            F.substring("doc_md5", 8 * i + 1, 8), 16, 10
+        ).cast("decimal(38,0)")
+
     panel = perdoc.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("changed").alias("n_docs_changed"),
         F.sum("n_after").alias("tokens_after"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("doc_id", "doc_md5"))),
-                    lambda x: x["doc_md5"],
-                ),
-                "",
-            )
-        ).alias("corpus_md5"),
+        F.concat_ws(
+            "-", *(F.sum(_word(i)).cast("string") for i in range(4))
+        ).alias("corpus_digest"),
     )
     return panel.selectExpr(*_XSA_FINAL).orderBy("source")
 

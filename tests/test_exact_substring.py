@@ -360,8 +360,14 @@ def _apply_reference(rows):
         per_source_digests[sname].append(
             (d, hashlib.md5(txt.encode()).hexdigest()))
     for sname, pairs in per_source_digests.items():
-        cat = "".join(md for _, md in sorted(pairs))
-        panel[sname]["corpus_md5"] = hashlib.md5(cat.encode()).hexdigest()
+        # order-free commutative digest: four 32-bit md5 words summed
+        # per source (order of iteration deliberately NOT sorted here
+        # — the digest must not depend on it)
+        sums = [0, 0, 0, 0]
+        for _, md in pairs:
+            for i in range(4):
+                sums[i] += int(md[8 * i:8 * i + 8], 16)
+        panel[sname]["corpus_digest"] = "-".join(str(s) for s in sums)
     return panel
 
 
@@ -426,7 +432,10 @@ def test_apply_agrees_with_ledger(spark):
         assert a.n_docs == led.n_docs, s
         assert a.n_docs_changed == led.n_docs_cleaned, s
         assert a.tokens_after == led.tokens_after, s
-        assert len(a.corpus_md5) == 32, s
+        # four dash-joined non-negative word sums, each < n_docs * 2^32
+        words = a.corpus_digest.split("-")
+        assert len(words) == 4, s
+        assert all(w.isdigit() and int(w) < a.n_docs * 2**32 for w in words), s
 
 
 # ---------------------------------------------------------------------------
