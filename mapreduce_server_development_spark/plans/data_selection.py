@@ -1564,6 +1564,160 @@ def q_deletion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_ivfpq_ann — IVF-PQ composite index audit (the production layout)
 # ---------------------------------------------------------------------------
 
+def _pq_udot(a: str, b: str):
+    # Unrolled fixed-width dot product: element_at arithmetic stays
+    # inside whole-stage codegen, unlike the interpreted
+    # zip_with/aggregate HOF chain — measured 3x on the n x M x 256
+    # codeword-assignment relation. Left-to-right addition keeps
+    # the IEEE result identical to the aggregate form (and to
+    # DuckDB's list_dot_product).
+    s = F.element_at(F.col(a), 1) * F.element_at(F.col(b), 1)
+    for i in range(2, _PQ_SUBDIM + 1):
+        s = s + F.element_at(F.col(a), i) * F.element_at(F.col(b), i)
+    return s
+
+
+def _pq_d2e4(sn: str, cn: str, a: str, b: str):
+    """e4-integer squared L2 distance from precomputed squared norms."""
+    return (
+        F.round((F.col(sn) + F.col(cn) - 2 * _pq_udot(a, b)) * 10000)
+        .cast("long")
+    )
+
+
+def _ivfpq_index(spark: SparkSession, sf_dir: str):
+    """Shared IVF-PQ index build (the Spark twin of ``_IVFPQ_CTES``):
+    sqrt(n) cell assignment, residual subvectors, Lloyd-trained 8-bit
+    codebook on a ~25% hash sample, corpus codes, the bounded query
+    panel, and the exact global distance tier. Returns
+    ``(assign, cent, cb1, enc, q, ms, exact)``; q_ivfpq_ann builds
+    the single-probe ADC on top, q_ivfpq_nprobe_curve the
+    multi-probe ADC — both quantize with the IDENTICAL codebook."""
+    from .cell_common import cell_base, rank_seed_centroids, seed_k
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # assign feeds five branches (residuals, queries, cellmates, exact,
+    # cell sizes): persist the small panel so the centroid-argmax chain
+    # runs once, not per branch.
+    assign = _cell_assign(emb, extra=()).persist()
+    v = assign.select("vid", "vv")
+    # Residual encoding (Jegou et al. 2011 sec. V): PQ quantizes
+    # v - centroid(cell(v)). The centroid panel is the rank-seed
+    # vectors — ~sqrt(n) rows, broadcast; deterministic (no mean).
+    base, _ = cell_base(emb)
+    k = seed_k(base)
+    cent = rank_seed_centroids(base, k).select("cid", "cv", "cnrm")
+    rv = assign.join(F.broadcast(cent.select("cid", "cv")), "cid").select(
+        "vid", F.zip_with("vv", "cv", lambda x, y: x - y).alias("rv")
+    )
+    ms = spark.range(_PQ_M).select(F.col("id").cast("long").alias("m"))
+    sub = rv.crossJoin(F.broadcast(ms)).select(
+        "vid",
+        "m",
+        F.slice(F.col("rv"), F.col("m") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(
+            "sv"
+        ),
+    )
+    # PQ training rows: the _PQ_KS lowest-vid vectors AFTER the k IVF
+    # seeds (a seed's residual is zero — training on the seed range
+    # would degenerate the codebook). Anti-join against the seed vids
+    # then take the lowest — mirrors the oracle's rank window
+    # (rn in (k, k+KS]) for ANY corpus size; the previous chained
+    # asc-limit/desc-limit trick diverged when n < k + _IVFPQ_KS,
+    # admitting zero-residual seeds into the codebook (ADVICE r10).
+    # Both top-k's are TakeOrderedAndProject; the seed panel is a
+    # broadcast anti-join, no global window.
+    pq_seed_ids = (
+        v.join(
+            F.broadcast(v.orderBy("vid").limit(k).select("vid")),
+            "vid",
+            "left_anti",
+        )
+        .orderBy("vid")
+        .limit(_IVFPQ_KS)
+        .select("vid")
+    )
+    # Squared norms once per subvector/codeword row, not once per
+    # candidate pair.
+    sub = sub.withColumn("sn", _pq_udot("sv", "sv"))
+    cb = sub.join(F.broadcast(pq_seed_ids), "vid").select(
+        F.col("vid").alias("pcid"),
+        "m",
+        F.col("sv").alias("cv"),
+        F.col("sn").alias("cn"),
+    ).persist()  # 2048-row codebook, broadcast into enc AND lut
+
+    # Nearest codeword per (vid, m): a map-side-combinable min_by
+    # aggregate over the broadcast codebook join, NOT a window — the
+    # n x M x 256 candidate relation never crosses an exchange at full
+    # width (the _argmax_assign discipline).
+    def _nearest(rel, book):
+        return (
+            rel.join(F.broadcast(book), "m")
+            .withColumn("d2", _pq_d2e4("sn", "cn", "sv", "cv"))
+            .groupBy("vid", "m")
+            .agg(F.expr("min_by(pcid, struct(d2, pcid))").alias("pcid"))
+        )
+
+    # One Lloyd pass on the codebook (the standard PQ training step):
+    # assign a ~25% hash-sampled TRAINING SET of residual subvectors
+    # to the nearest sampled codeword (codebooks train on a sample,
+    # never the corpus — the FAISS practice and the 100 TB posture:
+    # training cost is |sample| x M x 256, independent of corpus
+    # growth), re-fit each codeword as the per-dimension member mean
+    # (6-decimal rounds — the _lloyd_centroids determinism
+    # discipline), drop empty codewords. Sampled codewords alone
+    # leave the tight-cluster residual distribution under-covered
+    # (BENCH_AB ann_clustered_recall tracks the trained delta).
+    from .sampling import hash_bucket
+
+    tsub = sub.filter(hash_bucket("pqtrain", F.col("vid")) < 250)
+    enc0 = _nearest(tsub, cb)
+    dm = (
+        enc0.join(sub, ["vid", "m"])
+        .select("m", "pcid", F.posexplode("sv").alias("pos", "val"))
+        .groupBy("m", "pcid", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("mu"))
+    )
+    cb1 = (
+        dm.groupBy("m", "pcid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("pm"))
+        .select(
+            "m", "pcid", F.transform(F.col("pm"), lambda s: s["mu"]).alias("cv")
+        )
+        .withColumn("cn", _pq_udot("cv", "cv"))
+        .persist()
+    )
+    enc = _nearest(sub, cb1)
+    q = assign.filter(
+        (F.col("vid") % 97 == 3) & (F.col("vid") < 1000)
+    ).select(
+        F.col("vid").alias("qid"),
+        F.col("vv").alias("qv"),
+        F.col("cid").alias("qcid"),
+        F.col("nrm").alias("qnrm"),
+    )
+    # exact recall tier: full 64-dim vectors, the original HOF dot
+    # (bounded panel — |panel| x n rows, not the hot stage)
+    d2_exact = F.round(
+        (
+            _dot(F.col("qv"), F.col("qv"))
+            + _dot(F.col("vv"), F.col("vv"))
+            - 2 * _dot(F.col("qv"), F.col("vv"))
+        )
+        * 10000
+    ).cast("long")
+    exact = (
+        v.join(
+            F.broadcast(q.select("qid", "qv")),
+            F.col("vid") != F.col("qid"),
+        )
+        .withColumn("d2", d2_exact)
+        .select("qid", "vid", "d2")
+    )
+    return assign, cent, cb1, enc, q, ms, exact
+
+
 _IVFPQ_FINAL = (
     "qid",
     "CAST(cell_size AS BIGINT) AS cell_size",
@@ -1571,11 +1725,11 @@ _IVFPQ_FINAL = (
     "CAST(ov_global AS BIGINT) AS overlap_at3_global",
 )
 
-
-@query(
-    "q_ivfpq_ann",
-    oracle=f"""
-    WITH {_CELL_CTES},
+# Shared IVF-PQ oracle chain (index build + query panel + exact
+# global tier) — q_ivfpq_ann appends the single-probe ADC, the
+# nprobe curve appends the multi-probe ADC. Kept as one text so both
+# oracles quantize with the IDENTICAL codebook.
+_IVFPQ_CTES = f"""
     ms AS (SELECT unnest(range(0, {_PQ_M})) AS m),
     -- RESIDUAL encoding (Jegou et al. 2011 sec. V): PQ codes quantize
     -- v - centroid(cell(v)), not v — within a tight cluster the raw
@@ -1652,9 +1806,28 @@ _IVFPQ_FINAL = (
         ) WHERE rn = 1
     ),
     q AS (
-        SELECT a.vid AS qid, a.vv AS qv, a.cid AS qcid
+        SELECT a.vid AS qid, a.vv AS qv, a.cid AS qcid, a.nrm AS qnrm
         FROM assign a WHERE a.vid % 97 = 3 AND a.vid < 1000
     ),
+    exact AS (
+        SELECT q.qid, v.vid,
+               CAST(round((list_dot_product(q.qv, q.qv)
+                           + list_dot_product(v.vv, v.vv)
+                           - 2 * list_dot_product(q.qv, v.vv)) * 10000)
+                   AS BIGINT) AS d2
+        FROM q JOIN v ON v.vid <> q.qid
+    ),
+    et AS (SELECT qid, vid,
+                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, vid)
+                      AS rn
+           FROM exact)"""
+
+
+@query(
+    "q_ivfpq_ann",
+    oracle=f"""
+    WITH {_CELL_CTES},
+    {_IVFPQ_CTES},
     -- query residual w.r.t. the PROBED cell's centroid (nprobe=1:
     -- the query's own cell, shared by every cellmate)
     qr AS (
@@ -1692,18 +1865,6 @@ _IVFPQ_FINAL = (
                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_d2, vid)
                       AS rn
            FROM adc),
-    exact AS (
-        SELECT q.qid, v.vid,
-               CAST(round((list_dot_product(q.qv, q.qv)
-                           + list_dot_product(v.vv, v.vv)
-                           - 2 * list_dot_product(q.qv, v.vv)) * 10000)
-                   AS BIGINT) AS d2
-        FROM q JOIN v ON v.vid <> q.qid
-    ),
-    et AS (SELECT qid, vid,
-                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, vid)
-                      AS rn
-           FROM exact),
     ect AS (
         SELECT x.qid, x.vid,
                ROW_NUMBER() OVER (
@@ -1781,123 +1942,10 @@ def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     sanction). Serving touches codes + one cell — ~sqrt(n) candidates
     x 4 bytes.
     """
-    from .cell_common import cell_base, rank_seed_centroids, seed_k
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    # assign feeds five branches (residuals, queries, cellmates, exact,
-    # cell sizes): persist the small panel so the centroid-argmax chain
-    # runs once, not per branch.
-    assign = _cell_assign(emb, extra=()).persist()
-    v = assign.select("vid", "vv")
-    # Residual encoding (Jegou et al. 2011 sec. V): PQ quantizes
-    # v - centroid(cell(v)). The centroid panel is the rank-seed
-    # vectors — ~sqrt(n) rows, broadcast; deterministic (no mean).
-    base, _ = cell_base(emb)
-    k = seed_k(base)
-    cent = rank_seed_centroids(base, k).select("cid", "cv")
-    rv = assign.join(F.broadcast(cent), "cid").select(
-        "vid", F.zip_with("vv", "cv", lambda x, y: x - y).alias("rv")
-    )
-    ms = spark.range(_PQ_M).select(F.col("id").cast("long").alias("m"))
-    sub = rv.crossJoin(F.broadcast(ms)).select(
-        "vid",
-        "m",
-        F.slice(F.col("rv"), F.col("m") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(
-            "sv"
-        ),
-    )
-    # PQ training rows: the _PQ_KS lowest-vid vectors AFTER the k IVF
-    # seeds (a seed's residual is zero — training on the seed range
-    # would degenerate the codebook). Two chained top-k's, both
-    # TakeOrderedAndProject.
-    pq_seed_ids = (
-        v.orderBy("vid")
-        .limit(k + _IVFPQ_KS)
-        .orderBy(F.desc("vid"))
-        .limit(_IVFPQ_KS)
-        .select("vid")
-    )
-    def _udot(a: str, b: str):
-        # Unrolled fixed-width dot product: element_at arithmetic stays
-        # inside whole-stage codegen, unlike the interpreted
-        # zip_with/aggregate HOF chain — measured 3x on the n x M x 256
-        # codeword-assignment relation. Left-to-right addition keeps
-        # the IEEE result identical to the aggregate form (and to
-        # DuckDB's list_dot_product).
-        s = F.element_at(F.col(a), 1) * F.element_at(F.col(b), 1)
-        for i in range(2, _PQ_SUBDIM + 1):
-            s = s + F.element_at(F.col(a), i) * F.element_at(F.col(b), i)
-        return s
-
-    # Squared norms once per subvector/codeword row, not once per
-    # candidate pair.
-    sub = sub.withColumn("sn", _udot("sv", "sv"))
-    cb = sub.join(F.broadcast(pq_seed_ids), "vid").select(
-        F.col("vid").alias("pcid"),
-        "m",
-        F.col("sv").alias("cv"),
-        F.col("sn").alias("cn"),
-    ).persist()  # 2048-row codebook, broadcast into enc AND lut
-
-    def d2_e4(sn: str, cn: str, a: str, b: str):
-        return (
-            F.round(
-                (F.col(sn) + F.col(cn) - 2 * _udot(a, b)) * 10000
-            ).cast("long")
-        )
-
-    # Nearest codeword per (vid, m): a map-side-combinable min_by
-    # aggregate over the broadcast codebook join, NOT a window — the
-    # n x M x 256 candidate relation never crosses an exchange at full
-    # width (the _argmax_assign discipline).
-    def _nearest(rel, book):
-        return (
-            rel.join(F.broadcast(book), "m")
-            .withColumn("d2", d2_e4("sn", "cn", "sv", "cv"))
-            .groupBy("vid", "m")
-            .agg(F.expr("min_by(pcid, struct(d2, pcid))").alias("pcid"))
-        )
-
-    # One Lloyd pass on the codebook (the standard PQ training step):
-    # assign a ~25% hash-sampled TRAINING SET of residual subvectors
-    # to the nearest sampled codeword (codebooks train on a sample,
-    # never the corpus — the FAISS practice and the 100 TB posture:
-    # training cost is |sample| x M x 256, independent of corpus
-    # growth), re-fit each codeword as the per-dimension member mean
-    # (6-decimal rounds — the _lloyd_centroids determinism
-    # discipline), drop empty codewords. Sampled codewords alone
-    # leave the tight-cluster residual distribution under-covered
-    # (BENCH_AB ann_clustered_recall tracks the trained delta).
-    from .sampling import hash_bucket
-
-    tsub = sub.filter(hash_bucket("pqtrain", F.col("vid")) < 250)
-    enc0 = _nearest(tsub, cb)
-    dm = (
-        enc0.join(sub, ["vid", "m"])
-        .select("m", "pcid", F.posexplode("sv").alias("pos", "val"))
-        .groupBy("m", "pcid", "pos")
-        .agg(F.round(F.avg("val"), 6).alias("mu"))
-    )
-    cb1 = (
-        dm.groupBy("m", "pcid")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("pm"))
-        .select(
-            "m", "pcid", F.transform(F.col("pm"), lambda s: s["mu"]).alias("cv")
-        )
-        .withColumn("cn", _udot("cv", "cv"))
-        .persist()
-    )
-    enc = _nearest(sub, cb1)
-    q = assign.filter(
-        (F.col("vid") % 97 == 3) & (F.col("vid") < 1000)
-    ).select(
-        F.col("vid").alias("qid"),
-        F.col("vv").alias("qv"),
-        F.col("cid").alias("qcid"),
-    )
+    assign, cent, cb1, enc, q, ms, exact = _ivfpq_index(spark, sf_dir)
     # query residual w.r.t. the probed cell's centroid (nprobe=1)
     qr = q.join(
-        F.broadcast(cent), F.col("cid") == F.col("qcid")
+        F.broadcast(cent.select("cid", "cv")), F.col("cid") == F.col("qcid")
     ).select(
         "qid", F.zip_with("qv", "cv", lambda x, y: x - y).alias("rqv")
     )
@@ -1908,10 +1956,10 @@ def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qs"
         ),
     )
-    qsub = qsub.withColumn("qn", _udot("qs", "qs"))
+    qsub = qsub.withColumn("qn", _pq_udot("qs", "qs"))
     lut = (
         qsub.join(F.broadcast(cb1), "m")
-        .withColumn("d2c", d2_e4("qn", "cn", "qs", "cv"))
+        .withColumn("d2c", _pq_d2e4("qn", "cn", "qs", "cv"))
         .select("qid", "m", "pcid", "d2c")
     )
     cellmates = (
@@ -1931,24 +1979,6 @@ def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(
             Window.partitionBy("qid").orderBy("adc_d2", "vid")
         ),
-    )
-    # exact recall tiers: full 64-dim vectors, the original HOF dot
-    # (bounded panel — |panel| x n rows, not the hot stage)
-    d2_exact = F.round(
-        (
-            _dot(F.col("qv"), F.col("qv"))
-            + _dot(F.col("vv"), F.col("vv"))
-            - 2 * _dot(F.col("qv"), F.col("vv"))
-        )
-        * 10000
-    ).cast("long")
-    exact = (
-        v.join(
-            F.broadcast(q.select("qid", "qv")),
-            F.col("vid") != F.col("qid"),
-        )
-        .withColumn("d2", d2_exact)
-        .select("qid", "vid", "d2")
     )
     et = exact.withColumn(
         "rn",
@@ -1984,6 +2014,290 @@ def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ov_cell", F.coalesce("ov_cell", F.lit(0)))
     )
     return res.selectExpr(*_IVFPQ_FINAL).orderBy("qid")
+
+
+# ---------------------------------------------------------------------------
+# q_ivfpq_nprobe_curve — multi-probe IVF-PQ overlap-vs-touch curve
+# ---------------------------------------------------------------------------
+
+_IVFPQ_NPROBES = (1, 2, 4)
+_IVFPQ_RERANK_R = 96
+
+_IVFPQ_NP_FINAL = (
+    "qid",
+    "CAST(nprobe AS BIGINT) AS nprobe",
+    "CAST(n_candidates AS BIGINT) AS n_candidates",
+    "CAST(ov_adc AS BIGINT) AS overlap_at3_adc",
+    "CAST(ov_rerank AS BIGINT) AS overlap_at3_rerank",
+)
+
+
+@query(
+    "q_ivfpq_nprobe_curve",
+    oracle=f"""
+    WITH {_CELL_CTES},
+    {_IVFPQ_CTES},
+    -- probe ranking per query: the ASSIGNMENT metric (4-decimal
+    -- cosine, lowest-cid tie-break), so prank 1 IS the query's own
+    -- cell and the nprobe=1 row reproduces q_ivfpq_ann's candidate
+    -- set exactly
+    probes AS (
+        SELECT qid, cid, prank FROM (
+            SELECT q.qid, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY round(list_dot_product(q.qv, c.cv)
+                                      / (q.qnrm * c.cnrm), 4) DESC,
+                                c.cid) AS prank
+            FROM q CROSS JOIN cent0 c
+        ) WHERE prank <= {max(_IVFPQ_NPROBES)}
+    ),
+    -- the standard multi-probe IVF-PQ LUT: the query residual is
+    -- taken w.r.t. EACH probed centroid, because every candidate's
+    -- code quantizes the residual w.r.t. its OWN cell's centroid
+    qrp AS (
+        SELECT p.qid, p.cid, p.prank,
+               list_transform(range(1, len(q.qv) + 1),
+                              i -> q.qv[i] - c.cv[i]) AS rqv
+        FROM probes p
+        JOIN q ON q.qid = p.qid
+        JOIN cent0 c ON c.cid = p.cid
+    ),
+    qsubp AS (
+        SELECT qid, cid, prank, m,
+               rqv[m * {_PQ_SUBDIM} + 1 : m * {_PQ_SUBDIM} + {_PQ_SUBDIM}]
+                   AS qs
+        FROM qrp CROSS JOIN ms
+    ),
+    lutp AS (
+        SELECT s.qid, s.cid, s.prank, s.m, c.pcid,
+               CAST(round((list_dot_product(s.qs, s.qs)
+                           + list_dot_product(c.cv, c.cv)
+                           - 2 * list_dot_product(s.qs, c.cv)) * 10000)
+                   AS BIGINT) AS d2c
+        FROM qsubp s JOIN cb1 c ON c.m = s.m
+    ),
+    cands AS (
+        SELECT p.qid, p.cid, p.prank, a.vid
+        FROM probes p JOIN assign a ON a.cid = p.cid AND a.vid <> p.qid
+    ),
+    adcp AS (
+        SELECT cm.qid, cm.prank, cm.vid,
+               CAST(SUM(l.d2c) AS BIGINT) AS adc_d2
+        FROM cands cm
+        JOIN enc e ON e.vid = cm.vid
+        JOIN lutp l ON l.qid = cm.qid AND l.cid = cm.cid
+                   AND l.m = e.m AND l.pcid = e.pcid
+        GROUP BY cm.qid, cm.prank, cm.vid
+    ),
+    lvls AS (SELECT unnest([{", ".join(str(n) for n in _IVFPQ_NPROBES)}])
+                 AS nprobe),
+    al AS (
+        SELECT a.qid, lv.nprobe, a.vid, a.adc_d2
+        FROM adcp a CROSS JOIN lvls lv WHERE a.prank <= lv.nprobe
+    ),
+    atp AS (
+        SELECT qid, nprobe, vid,
+               ROW_NUMBER() OVER (PARTITION BY qid, nprobe
+                                  ORDER BY adc_d2, vid) AS rn
+        FROM al
+    ),
+    ovp AS (
+        SELECT a.qid, a.nprobe, CAST(COUNT(*) AS BIGINT) AS ov
+        FROM atp a JOIN et e ON e.qid = a.qid AND e.vid = a.vid
+              AND e.rn <= 3
+        WHERE a.rn <= 3 GROUP BY a.qid, a.nprobe
+    ),
+    -- exact re-rank tier (the FAISS refine/IVFPQR pattern): the ADC
+    -- shortlist's top-{_IVFPQ_RERANK_R} get exact distances from the
+    -- raw vectors; only these R rows per (query, nprobe) ever touch
+    -- floats at serve time
+    shortp AS (
+        SELECT qid, nprobe, vid FROM atp WHERE rn <= {_IVFPQ_RERANK_R}
+    ),
+    rrp AS (
+        SELECT s.qid, s.nprobe, s.vid,
+               ROW_NUMBER() OVER (PARTITION BY s.qid, s.nprobe
+                                  ORDER BY x.d2, s.vid) AS rrn
+        FROM shortp s JOIN exact x ON x.qid = s.qid AND x.vid = s.vid
+    ),
+    ovr AS (
+        SELECT r.qid, r.nprobe, CAST(COUNT(*) AS BIGINT) AS ovr
+        FROM rrp r JOIN et e ON e.qid = r.qid AND e.vid = r.vid
+              AND e.rn <= 3
+        WHERE r.rrn <= 3 GROUP BY r.qid, r.nprobe
+    ),
+    ncp AS (
+        SELECT qid, nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates
+        FROM al GROUP BY qid, nprobe
+    ),
+    resp AS (
+        SELECT q.qid, lv.nprobe,
+               COALESCE(ncp.n_candidates, 0) AS n_candidates,
+               COALESCE(ovp.ov, 0) AS ov_adc,
+               COALESCE(ovr.ovr, 0) AS ov_rerank
+        FROM q CROSS JOIN lvls lv
+        LEFT JOIN ncp ON ncp.qid = q.qid AND ncp.nprobe = lv.nprobe
+        LEFT JOIN ovp ON ovp.qid = q.qid AND ovp.nprobe = lv.nprobe
+        LEFT JOIN ovr ON ovr.qid = q.qid AND ovr.nprobe = lv.nprobe
+    )
+    SELECT {", ".join(_IVFPQ_NP_FINAL)} FROM resp ORDER BY qid, nprobe
+    """,
+)
+def q_ivfpq_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF-PQ overlap-vs-touch curve with an exact
+    re-rank tier — the nprobe dial for the ADC path (r10 verdict ask
+    #4). The standard multi-probe formulation (Jegou et al. 2011;
+    the FAISS nprobe parameter): probe the nprobe nearest cells, and
+    rebuild the query LUT PER PROBED CELL from the query's residual
+    w.r.t. THAT cell's centroid, because each candidate's code
+    quantizes the residual w.r.t. its own cell's centroid — one
+    global LUT would compare residuals in different frames.
+
+    Measured honestly on the clustered fixture, multi-probe alone
+    does NOT close the global gap: coverage of the exact top-3 rises
+    to 3/3 by nprobe=4 but pure-ADC overlap stays ~0.64/3 flat —
+    8x8-bit code distortion, not cell-miss, binds at the RANKING
+    stage once the right candidates are present (the r10 verdict's
+    cell-miss attribution held only for the coverage component). The
+    production answer is the FAISS refine (IVFPQR) pattern, shipped
+    here as the second tier: ADC ranks the candidate codes, the
+    top-R (R = ``_IVFPQ_RERANK_R`` = 96) get exact distances from
+    raw vectors, and top-3 comes from the re-rank — so serve-time
+    float fetches are bounded by R per query, not by the candidate
+    count.
+
+    Probe ranking uses the assignment metric (4-decimal cosine,
+    lowest-cid tie-break), so prank 1 is the query's own cell and
+    the nprobe=1 rows reproduce q_ivfpq_ann's candidate set exactly;
+    per (query, nprobe in {1, 2, 4}) the output reports the
+    candidate count (touch) plus top-3 overlap against the exact
+    GLOBAL top-3 for BOTH tiers (overlap_at3_adc /
+    overlap_at3_rerank). Index build, codebook, and codes are shared
+    verbatim with q_ivfpq_ann (``_ivfpq_index`` / ``_IVFPQ_CTES``).
+
+    Scale: probing is the same broadcast-centroid-panel ranking as
+    assignment (per query, ~sqrt(n) rows reduced by a per-qid
+    window over the tiny panel); candidates are nprobe x max_cell
+    per query; the per-cell LUTs are |panel| x nprobe x M x 256
+    broadcast rows; the re-rank tier touches R raw vectors per
+    (query, nprobe). Serving cost scales linearly in nprobe with no
+    new unbounded stage.
+    """
+    assign, cent, cb1, enc, q, ms, exact = _ivfpq_index(spark, sf_dir)
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "ccos",
+            F.round(_dot(F.col("qv"), F.col("cv"))
+                    / (F.col("qnrm") * F.col("cnrm")), 4),
+        )
+        .withColumn(
+            "prank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("ccos"), "cid")
+            ),
+        )
+        .filter(F.col("prank") <= max(_IVFPQ_NPROBES))
+        .select("qid", "cid", "prank")
+    )
+    # per-probed-cell query residual -> per-cell LUT
+    qrp = (
+        probes.join(q.select("qid", "qv"), "qid")
+        .join(F.broadcast(cent.select("cid", "cv")), "cid")
+        .select(
+            "qid", "cid", "prank",
+            F.zip_with("qv", "cv", lambda x, y: x - y).alias("rqv"),
+        )
+    )
+    qsubp = qrp.crossJoin(F.broadcast(ms)).select(
+        "qid",
+        "cid",
+        "prank",
+        "m",
+        F.slice(F.col("rqv"), F.col("m") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(
+            "qs"
+        ),
+    )
+    qsubp = qsubp.withColumn("qn", _pq_udot("qs", "qs"))
+    lutp = (
+        qsubp.join(F.broadcast(cb1), "m")
+        .withColumn("d2c", _pq_d2e4("qn", "cn", "qs", "cv"))
+        .select("qid", "cid", "m", "pcid", "d2c")
+    )
+    cands = (
+        probes.join(assign.select("cid", "vid"), "cid")
+        .filter(F.col("vid") != F.col("qid"))
+        .select("qid", "cid", "prank", "vid")
+    )
+    adcp = (
+        cands.join(enc, "vid")
+        .join(F.broadcast(lutp), ["qid", "cid", "m", "pcid"])
+        .groupBy("qid", "prank", "vid")
+        .agg(F.sum("d2c").cast("long").alias("adc_d2"))
+    )
+    lvls = (
+        spark.range(1, max(_IVFPQ_NPROBES) + 1)
+        .filter(F.col("id").isin(*_IVFPQ_NPROBES))
+        .select(F.col("id").cast("long").alias("nprobe"))
+    )
+    al = adcp.crossJoin(F.broadcast(lvls)).filter(
+        F.col("prank") <= F.col("nprobe")
+    )
+    atp = al.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("qid", "nprobe").orderBy("adc_d2", "vid")
+        ),
+    )
+    et = exact.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("qid").orderBy("d2", "vid")),
+    )
+    et3 = et.filter("rn <= 3").select("qid", "vid")
+    ovp = (
+        atp.filter("rn <= 3")
+        .select("qid", "nprobe", "vid")
+        .join(et3, ["qid", "vid"])
+        .groupBy("qid", "nprobe")
+        .agg(F.count("*").cast("long").alias("ov_adc"))
+    )
+    # exact re-rank tier (FAISS refine/IVFPQR): only the ADC top-R
+    # per (query, nprobe) get exact distances — at serve time these
+    # are the only raw-vector fetches; here the bounded exact panel
+    # already carries d2, so the shortlist just joins it
+    rrp = (
+        atp.filter(F.col("rn") <= _IVFPQ_RERANK_R)
+        .select("qid", "nprobe", "vid")
+        .join(exact, ["qid", "vid"])
+        .withColumn(
+            "rrn",
+            F.row_number().over(
+                Window.partitionBy("qid", "nprobe").orderBy("d2", "vid")
+            ),
+        )
+    )
+    ovr = (
+        rrp.filter("rrn <= 3")
+        .select("qid", "nprobe", "vid")
+        .join(et3, ["qid", "vid"])
+        .groupBy("qid", "nprobe")
+        .agg(F.count("*").cast("long").alias("ov_rerank"))
+    )
+    ncp = al.groupBy("qid", "nprobe").agg(
+        F.count("*").cast("long").alias("n_candidates")
+    )
+    resp = (
+        q.select("qid")
+        .crossJoin(F.broadcast(lvls))
+        .join(ncp, ["qid", "nprobe"], "left")
+        .join(ovp, ["qid", "nprobe"], "left")
+        .join(ovr, ["qid", "nprobe"], "left")
+        .withColumn("n_candidates", F.coalesce("n_candidates", F.lit(0)))
+        .withColumn("ov_adc", F.coalesce("ov_adc", F.lit(0)))
+        .withColumn("ov_rerank", F.coalesce("ov_rerank", F.lit(0)))
+    )
+    return resp.selectExpr(*_IVFPQ_NP_FINAL).orderBy("qid", "nprobe")
 
 
 # ---------------------------------------------------------------------------

@@ -154,6 +154,27 @@ def main() -> int:
     res["ivfpq"]["note"] = "overlap_at3_* are counts out of 3"
     print("ivfpq", res["ivfpq"], flush=True)
 
+    # --- multi-probe IVF-PQ ADC: overlap-vs-touch curve (r10 ask #4) ---
+    pnc = [r.asDict() for r in
+           queries["q_ivfpq_nprobe_curve"](spark, OUT_DIR).collect()]
+    by_np = {}
+    for d in pnc:
+        by_np.setdefault(f"nprobe={d['nprobe']}", []).append(d)
+    res["ivfpq_nprobe_curve"] = {
+        k: {
+            "overlap_at3_adc": round(
+                sum(d["overlap_at3_adc"] for d in v) / len(v), 4),
+            "overlap_at3_rerank": round(
+                sum(d["overlap_at3_rerank"] for d in v) / len(v), 4),
+            "n_cand": round(sum(d["n_candidates"] for d in v) / len(v), 4),
+            "cand_frac": round(
+                sum(d["n_candidates"] for d in v) / len(v) / N, 4),
+        }
+        for k, v in sorted(by_np.items())
+    }
+    print("ivfpq_nprobe_curve", json.dumps(res["ivfpq_nprobe_curve"]),
+          flush=True)
+
     res["n_queries"] = n_q
     book_path = REPO / "BENCH_AB.json"
     book = json.loads(book_path.read_text())
