@@ -1385,6 +1385,293 @@ def q_exact_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     return panel.selectExpr(*_XSI_FINAL).orderBy("source")
 
 
+# ---------------------------------------------------------------------------
+# Materialized settled-corpus gram index + the index-consuming twin
+# ---------------------------------------------------------------------------
+
+
+def xs_gram_index_path(sf_dir: str) -> str:
+    """Deterministic per-dataset location for the materialized
+    settled-corpus gram index, fingerprinted by the documents
+    parquet's file listing (name, size, mtime) so a corpus swapped
+    under the same path (the stress tools do this) can never serve a
+    stale index."""
+    import hashlib
+    import os
+
+    h = hashlib.md5(sf_dir.encode())
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(doc_path):
+        for name in sorted(os.listdir(doc_path)):
+            st = os.stat(os.path.join(doc_path, name))
+            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    elif os.path.exists(doc_path):
+        st = os.stat(doc_path)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return f"/tmp/spark_graft_xs_index/{h.hexdigest()[:16]}"
+
+
+def build_xs_gram_index(spark: SparkSession, sf_dir: str,
+                        out_dir: str | None = None) -> str:
+    """Materialize the SETTLED corpus's positional gram index — the
+    production nightly artifact the daily-crawl incremental dedup
+    consumes (the q_exact_substring_incremental docstring's "in
+    production, a pre-built parquet relation keyed by gh", now real).
+    Two relations:
+
+    - ``postings`` (gh, doc, pos): the settled docs' positional
+      grams, pre-partitioned by gh so the arrival-side equi-join
+      reads co-located keys;
+    - ``stats`` (gh, c, d0, d1): per-gram settled occurrence count
+      and doc-id range — the sufficient statistics to reconstitute
+      the corpus-wide hot cap once the arrival batch's own counts
+      are added (count and min/max are commutative monoids, so the
+      settled side never needs re-scanning).
+
+    Idempotent: skips the build when the fingerprinted index already
+    exists. Returns the index directory."""
+    import os
+
+    out = out_dir or xs_gram_index_path(sf_dir)
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    from .sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    spread = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
+    settled = spread.filter(hash_bucket("incr", F.col("doc_id")) < 800)
+    grams = settled.select(
+        F.col("doc_id").alias("doc"),
+        F.posexplode(
+            word_shingles(tokens_col(F.lower(F.col("text"))), _XS_K)
+        ).alias("pos", "gram"),
+    ).select("doc", "pos", F.substring(F.md5("gram"), 1, 16).alias("gh"))
+    grams.repartition(32, "gh").write.mode("overwrite").parquet(
+        f"{out}/postings"
+    )
+    (
+        spark.read.parquet(f"{out}/postings")
+        .groupBy("gh")
+        .agg(
+            F.count("*").alias("c"),
+            F.min("doc").alias("d0"),
+            F.max("doc").alias("d1"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out}/stats")
+    )
+    with open(os.path.join(out, "_DONE"), "w") as fh:
+        fh.write("ok\n")
+    return out
+
+
+@query(
+    "q_exact_substring_incremental_indexed",
+    oracle=f"""
+    WITH {_XS_G2_CTES},
+    nf AS (SELECT doc, ({_xsi_new_sql()}) AS is_new FROM toks),
+    pairs AS (
+        SELECT a.doc AS da, a.pos AS pa, b.doc AS db, b.pos AS pb
+        FROM g2 a
+        JOIN g2 b USING (gh)
+        JOIN nf na ON na.doc = a.doc
+        JOIN nf nb ON nb.doc = b.doc
+        WHERE nb.is_new AND a.doc <> b.doc
+          AND (NOT na.is_new OR a.doc < b.doc)
+    ),
+    runs AS (
+        SELECT db, da, pa - pb AS diag, pb,
+               CASE WHEN pb - LAG(pb) OVER (PARTITION BY db, da, pa - pb
+                                            ORDER BY pb) <= {_XS_K}
+                    THEN 0 ELSE 1 END AS ni
+        FROM pairs
+    ),
+    runs2 AS (
+        SELECT db, da, diag, pb,
+               SUM(ni) OVER (PARTITION BY db, da, diag ORDER BY pb
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS grp
+        FROM runs
+    ),
+    spans AS (
+        SELECT db, MIN(pb) AS sb, MAX(pb) - MIN(pb) + {_XS_K} AS span_len
+        FROM runs2 GROUP BY db, da, diag, grp
+        HAVING MAX(pb) - MIN(pb) + {_XS_K} >= {_XS_L}
+    ),
+    iv AS (SELECT DISTINCT db AS doc, sb AS s, sb + span_len AS e FROM spans),
+    isl AS (
+        SELECT doc, s, e,
+               CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w
+                    THEN 1 ELSE 0 END AS ni
+        FROM iv
+        WINDOW w AS (PARTITION BY doc ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    isl2 AS (
+        SELECT doc, s, e,
+               SUM(ni) OVER (PARTITION BY doc ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS island
+        FROM isl
+    ),
+    merged AS (
+        SELECT doc, island, MAX(e) - MIN(s) AS cov
+        FROM isl2 GROUP BY doc, island
+    ),
+    per_doc AS (SELECT doc, SUM(cov) AS dup_toks FROM merged GROUP BY doc),
+    base AS (
+        SELECT d.doc_id AS doc, d.source, len(t.toks) AS n_toks
+        FROM documents d
+        JOIN toks t ON t.doc = d.doc_id
+        JOIN nf ON nf.doc = d.doc_id
+        WHERE nf.is_new
+    ),
+    panel AS (
+        SELECT b.source,
+               COUNT(*) AS n_new,
+               COUNT(p.doc) AS n_new_hit,
+               SUM(b.n_toks) AS new_tokens,
+               COALESCE(SUM(p.dup_toks), 0) AS dup_tokens
+        FROM base b LEFT JOIN per_doc p ON p.doc = b.doc
+        GROUP BY b.source
+    )
+    SELECT {", ".join(_XSI_FINAL)} FROM panel ORDER BY source
+    """,
+)
+def q_exact_substring_incremental_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The INDEX-CONSUMING twin of q_exact_substring_incremental
+    (r10 verdict ask #5): instead of recomputing the settled
+    corpus's gram relation every run, the daily-crawl dedup reads
+    the materialized settled index (``build_xs_gram_index`` — built
+    once, reused across arrival batches) and computes grams ONLY for
+    the ~20% arrival batch. Output is identical by construction —
+    the oracle is the same SQL, and tests assert row-level equality
+    with the recompute twin.
+
+    The corpus-wide hot cap is reconstituted from monoid stats:
+    per-gram settled (count, min_doc, max_doc) from the index,
+    outer-merged with the arrival batch's own counts — so
+    ``keep`` (count <= 64 AND >= 2 distinct docs) is exactly the
+    full-recompute predicate without touching settled text. Settled
+    postings are then semi-joined down to the arrival batch's gram
+    keys BEFORE pairing: the settled side contributes index I/O
+    proportional to the MATCHED keys, never a re-tokenization.
+
+    100 TB posture: the production property the recompute twin only
+    documents — a daily batch costs |new grams| x cap pair fan-out
+    plus one filtered scan of a gh-partitioned parquet index; the
+    settled corpus's text is never read again. The index itself is
+    maintained by appending each settled batch's postings and
+    merging stats (count/min/max are commutative), i.e. the builder
+    re-run incrementally."""
+    import os
+
+    from .sampling import hash_bucket
+
+    idx = build_xs_gram_index(spark, sf_dir)
+    post_old = spark.read.parquet(os.path.join(idx, "postings"))
+    stats_old = spark.read.parquet(os.path.join(idx, "stats")).select(
+        "gh",
+        F.col("c").alias("c_old"),
+        F.col("d0").alias("d0_old"),
+        F.col("d1").alias("d1_old"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    spread = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
+    is_new = hash_bucket("incr", F.col("doc_id")) >= 800
+    toks = spread.select(
+        "doc_id", "source", tokens_col(F.lower(F.col("text"))).alias("toks"),
+        is_new.alias("is_new"),
+    )
+    grams_new = (
+        toks.filter("is_new")
+        .select(
+            F.col("doc_id").alias("doc"),
+            F.posexplode(word_shingles(F.col("toks"), _XS_K)).alias(
+                "pos", "gram"
+            ),
+        )
+        .select("doc", "pos", F.substring(F.md5("gram"), 1, 16).alias("gh"))
+        .persist()
+    )
+    stats_new = grams_new.groupBy("gh").agg(
+        F.count("*").alias("c_new"),
+        F.min("doc").alias("d0_new"),
+        F.max("doc").alias("d1_new"),
+    )
+    # corpus-wide hot cap from monoid-merged stats: count sums,
+    # doc range min/maxes — bit-identical to the recompute's keep
+    keep = (
+        stats_new.join(stats_old, "gh", "full_outer")
+        .select(
+            "gh",
+            (F.coalesce("c_new", F.lit(0)) + F.coalesce("c_old", F.lit(0)))
+            .alias("c"),
+            F.least("d0_new", "d0_old").alias("d0"),
+            F.greatest("d1_new", "d1_old").alias("d1"),
+        )
+        .filter((F.col("c") <= _XS_HOT) & (F.col("d0") != F.col("d1")))
+        .select("gh")
+    )
+    g2_new = grams_new.join(keep, "gh").persist()
+    # settled postings narrowed to the ARRIVAL batch's kept gram keys
+    # before pairing — the index scan is the only settled-side cost
+    new_keys = g2_new.select("gh").distinct()
+    g2_old = post_old.join(new_keys, "gh")
+    a = g2_old.select(
+        "gh", F.col("doc").alias("da"), F.col("pos").alias("pa"),
+        F.lit(False).alias("a_new"),
+    ).unionByName(
+        g2_new.select(
+            "gh", F.col("doc").alias("da"), F.col("pos").alias("pa"),
+            F.lit(True).alias("a_new"),
+        )
+    )
+    b = g2_new.select(
+        "gh", F.col("doc").alias("db"), F.col("pos").alias("pb")
+    )
+    pairs = (
+        a.join(b, "gh")
+        .filter(
+            (F.col("da") != F.col("db"))
+            & (~F.col("a_new") | (F.col("da") < F.col("db")))
+        )
+        .select(
+            "da", "pa", "db", "pb", (F.col("pa") - F.col("pb")).alias("diag")
+        )
+    )
+    w_run = Window.partitionBy("db", "da", "diag").orderBy("pb")
+    w_cum = w_run.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    step = F.col("pb") - F.lag("pb").over(w_run)
+    spans = (
+        pairs.withColumn("ni", F.when(step <= _XS_K, 0).otherwise(1))
+        .withColumn("grp", F.sum("ni").over(w_cum))
+        .groupBy("db", "da", "diag", "grp")
+        .agg(
+            F.min("pb").alias("sb"),
+            (F.max("pb") - F.min("pb") + _XS_K).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= _XS_L)
+    )
+    iv = spans.select(
+        F.col("db").alias("doc"),
+        F.col("sb").alias("s"),
+        (F.col("sb") + F.col("span_len")).alias("e"),
+    )
+    new_toks = toks.filter("is_new").select("doc_id", "source", "toks")
+    panel = _xs_panel(new_toks, iv, hit_cols=("n_new_hit", "dup_tokens", "n_sp"))
+    panel = panel.withColumnRenamed("n_docs", "n_new").withColumnRenamed(
+        "total_tokens", "new_tokens"
+    )
+    return panel.selectExpr(*_XSI_FINAL).orderBy("source")
+
+
 _XSM_FINAL = (
     "src_from",
     "src_to",

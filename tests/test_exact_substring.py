@@ -649,6 +649,40 @@ def test_incremental_pairs_only_arrivals():
     assert a["dup_tokens"] == 80
 
 
+def test_incremental_index_twin_invariance(spark):
+    """The index-consuming twin reproduces the recompute twin's
+    output row-for-row on the live fixture, with the settled gram
+    index materialized (and reused) via build_xs_gram_index."""
+    import os
+
+    from mapreduce_server_development_spark.plans import QUERIES
+    from mapreduce_server_development_spark.plans.text_ngram import (
+        build_xs_gram_index,
+        xs_gram_index_path,
+    )
+
+    from .conftest import SF_SMOKE
+
+    recompute = sorted(
+        tuple(r) for r in
+        QUERIES["q_exact_substring_incremental"](spark, SF_SMOKE).collect()
+    )
+    indexed = sorted(
+        tuple(r) for r in
+        QUERIES["q_exact_substring_incremental_indexed"](
+            spark, SF_SMOKE
+        ).collect()
+    )
+    assert indexed == recompute
+    # the build is idempotent: a second call reuses the _DONE index
+    idx = build_xs_gram_index(spark, SF_SMOKE)
+    assert idx == xs_gram_index_path(SF_SMOKE)
+    assert os.path.exists(os.path.join(idx, "_DONE"))
+    mtime = os.path.getmtime(os.path.join(idx, "_DONE"))
+    assert build_xs_gram_index(spark, SF_SMOKE) == idx
+    assert os.path.getmtime(os.path.join(idx, "_DONE")) == mtime
+
+
 def test_copy_matrix_direction_and_diagonal():
     S, T = _u("s", 40), _u("t", 40)
     rows = [

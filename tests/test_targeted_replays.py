@@ -1,0 +1,808 @@
+"""Pure-Python replays of relational-plane queries (r10 verdict ask
+#3: shrink the blanket-only verification set).
+
+Each test recomputes a registered query's full result from the
+sf0.001 parquet fixture with plain Python (pyarrow load, Decimal
+exact sums, hand-rolled joins/windows) and asserts row-level equality
+with the Spark output — a third, engine-free implementation of the
+semantics, independent of both Catalyst and DuckDB. Decimal
+arithmetic mirrors the engines' DECIMAL(16,4) discipline (exact,
+order-free); doubles are compared bit-tight (rel 1e-12) because the
+replay performs the same correctly-rounded operations.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from collections import defaultdict
+from datetime import datetime
+from decimal import ROUND_HALF_UP, Decimal
+from functools import lru_cache
+
+import pyarrow.parquet as pq
+
+from .conftest import SF_SMOKE
+
+D0001 = Decimal("0.0001")
+
+
+def dec4(x) -> Decimal:
+    """double -> DECIMAL(16,4), the engines' cast (half-up)."""
+    return Decimal(str(x)).quantize(D0001, rounding=ROUND_HALF_UP)
+
+
+def rnd(x: float, n: int) -> float:
+    """Half-up rounding (Spark's F.round / DuckDB round), not
+    Python's banker's round."""
+    q = Decimal(1).scaleb(-n)
+    return float(Decimal(str(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+@lru_cache(maxsize=None)
+def tbl(name: str):
+    return tuple(
+        tuple(sorted(r.items()))
+        for r in pq.read_table(f"{SF_SMOKE}/{name}.parquet").to_pylist()
+    )
+
+
+def rows(name: str) -> list[dict]:
+    return [dict(r) for r in tbl(name)]
+
+
+def _key(v):
+    if v is None:
+        return (0,)
+    if isinstance(v, bool):
+        return (1, v)
+    if isinstance(v, (int, float, Decimal)):
+        return (2, float(v))
+    return (3, str(v))
+
+
+def _sorted(rows_, cols):
+    return sorted(rows_, key=lambda r: tuple(_key(r[c]) for c in cols))
+
+
+def assert_equal(spark, name: str, replay: list[dict]) -> None:
+    """Spark result == replay, order-free, floats compared tight."""
+    from mapreduce_server_development_spark.plans import QUERIES
+
+    got = [r.asDict() for r in QUERIES[name](spark, SF_SMOKE).collect()]
+    assert len(got) == len(replay), (name, len(got), len(replay))
+    if not got:
+        return
+    cols = sorted(got[0])
+    assert {c for c in cols} == set(replay[0]), (name, cols, sorted(replay[0]))
+    for g, w in zip(_sorted(got, cols), _sorted(replay, cols)):
+        for c in cols:
+            gv, wv = g[c], w[c]
+            if isinstance(gv, float) and isinstance(wv, (int, float)):
+                assert math.isclose(gv, wv, rel_tol=1e-12, abs_tol=1e-12), (
+                    name, c, g, w)
+            else:
+                assert gv == wv, (name, c, g, w)
+
+
+def ext_disc(li: dict) -> Decimal:
+    return dec4(li["l_extendedprice"]) * (Decimal(1) - dec4(li["l_discount"]))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H plans
+# ---------------------------------------------------------------------------
+
+
+def test_replay_q3_shipping_priority(spark):
+    cutoff = datetime(1998, 3, 15)
+    cust = {c["c_custkey"] for c in rows("customer")
+            if c["c_mktsegment"] == "BUILDING"}
+    orders = {o["o_orderkey"]: o for o in rows("orders")
+              if o["o_custkey"] in cust and o["o_orderdate"] < cutoff}
+    acc: dict = defaultdict(Decimal)
+    for li in rows("lineitem"):
+        o = orders.get(li["l_orderkey"])
+        if o and li["l_shipdate"] > cutoff:
+            acc[(li["l_orderkey"], o["o_orderdate"])] += ext_disc(li)
+    out = [
+        {"l_orderkey": k, "revenue": float(v),
+         "orderdate": d.strftime("%Y-%m-%d")}
+        for (k, d), v in acc.items()
+    ]
+    out.sort(key=lambda r: (-r["revenue"], r["l_orderkey"]))
+    assert_equal(spark, "q3_shipping_priority", out[:10])
+
+
+def test_replay_q4_order_priority(spark):
+    lines = defaultdict(list)
+    for li in rows("lineitem"):
+        lines[li["l_orderkey"]].append(li["l_shipdate"])
+    cnt: dict = defaultdict(int)
+    for o in rows("orders"):
+        if (datetime(1996, 1, 1) <= o["o_orderdate"] < datetime(1996, 7, 1)
+                and any(s > o["o_orderdate"]
+                        for s in lines.get(o["o_orderkey"], ()))):
+            cnt[o["o_orderpriority"]] += 1
+    assert_equal(spark, "q4_order_priority", [
+        {"o_orderpriority": k, "order_count": v} for k, v in cnt.items()
+    ])
+
+
+def test_replay_q6_forecast_revenue(spark):
+    tot, n = Decimal(0), 0
+    for li in rows("lineitem"):
+        if (datetime(1996, 1, 1) <= li["l_shipdate"] < datetime(1997, 1, 1)
+                and 0.03 <= li["l_discount"] <= 0.07
+                and li["l_quantity"] < 24):
+            tot += dec4(li["l_extendedprice"]) * dec4(li["l_discount"])
+            n += 1
+    assert_equal(spark, "q6_forecast_revenue",
+                 [{"revenue": float(tot), "n_items": n}])
+
+
+def test_replay_q10_returned_items(spark):
+    nat = {n["n_nationkey"]: n["n_name"] for n in rows("nation")}
+    cust = {c["c_custkey"]: c for c in rows("customer")}
+    orders = {o["o_orderkey"]: o["o_custkey"] for o in rows("orders")}
+    acc: dict = defaultdict(Decimal)
+    for li in rows("lineitem"):
+        if li["l_returnflag"] != "R":
+            continue
+        ck = orders.get(li["l_orderkey"])
+        if ck is None or ck not in cust:
+            continue
+        c = cust[ck]
+        acc[(ck, c["c_name"], nat[c["c_nationkey"]])] += ext_disc(li)
+    out = [
+        {"c_custkey": k[0], "c_name": k[1], "n_name": k[2],
+         "revenue": float(v)}
+        for k, v in acc.items()
+    ]
+    out.sort(key=lambda r: (-r["revenue"], r["c_custkey"]))
+    assert_equal(spark, "q10_returned_items", out[:20])
+
+
+def test_replay_q12_priority_by_status(spark):
+    pri = {o["o_orderkey"]: o["o_orderpriority"] for o in rows("orders")}
+    hi: dict = defaultdict(int)
+    lo: dict = defaultdict(int)
+    for li in rows("lineitem"):
+        if not (datetime(1996, 1, 1) <= li["l_shipdate"]
+                < datetime(1997, 1, 1)):
+            continue
+        p = pri.get(li["l_orderkey"])
+        if p is None:
+            continue
+        if p in ("1-URGENT", "2-HIGH"):
+            hi[li["l_linestatus"]] += 1
+        else:
+            lo[li["l_linestatus"]] += 1
+    keys = set(hi) | set(lo)
+    assert_equal(spark, "q12_priority_by_status", [
+        {"l_linestatus": k, "high_line_count": hi[k], "low_line_count": lo[k]}
+        for k in keys
+    ])
+
+
+def test_replay_q13_order_distribution(spark):
+    per_cust: dict = {c["c_custkey"]: 0 for c in rows("customer")}
+    for o in rows("orders"):
+        if o["o_orderpriority"] != "1-URGENT" and o["o_custkey"] in per_cust:
+            per_cust[o["o_custkey"]] += 1
+    dist: dict = defaultdict(int)
+    for v in per_cust.values():
+        dist[v] += 1
+    assert_equal(spark, "q13_order_distribution", [
+        {"c_count": k, "custdist": v} for k, v in dist.items()
+    ])
+
+
+def test_replay_q14_promo_revenue(spark):
+    ptype = {p["p_partkey"]: p["p_type"] for p in rows("part")}
+    promo, total = Decimal(0), Decimal(0)
+    for li in rows("lineitem"):
+        if not (datetime(1996, 1, 1) <= li["l_shipdate"]
+                < datetime(1996, 2, 1)):
+            continue
+        t = ptype.get(li["l_partkey"])
+        if t is None:
+            continue
+        v = ext_disc(li)
+        total += v
+        if t == "PROMO":
+            promo += v
+    assert_equal(spark, "q14_promo_revenue", [
+        {"promo_revenue_pct": 100.0 * float(promo) / float(total)}
+    ])
+
+
+def test_replay_q15_top_supplier(spark):
+    rev: dict = defaultdict(Decimal)
+    for li in rows("lineitem"):
+        if datetime(1996, 1, 1) <= li["l_shipdate"] < datetime(1996, 4, 1):
+            rev[li["l_suppkey"]] += ext_disc(li)
+    mx = max(rev.values())
+    out = [
+        {"s_suppkey": s["s_suppkey"], "s_name": s["s_name"],
+         "total_revenue": float(rev[s["s_suppkey"]])}
+        for s in rows("supplier")
+        if rev.get(s["s_suppkey"]) == mx
+    ]
+    assert_equal(spark, "q15_top_supplier", out)
+
+
+def test_replay_q18_large_orders(spark):
+    qty: dict = defaultdict(Decimal)
+    for li in rows("lineitem"):
+        qty[li["l_orderkey"]] += dec4(li["l_quantity"])
+    cname = {c["c_custkey"]: c["c_name"] for c in rows("customer")}
+    out = []
+    for o in rows("orders"):
+        q = qty.get(o["o_orderkey"], Decimal(0))
+        if q > 300 and o["o_orderkey"] in qty:
+            out.append({
+                "c_name": cname[o["o_custkey"]],
+                "o_orderkey": o["o_orderkey"],
+                "orderdate": o["o_orderdate"].strftime("%Y-%m-%d"),
+                "o_totalprice": o["o_totalprice"],
+                "total_qty": float(q),
+            })
+    assert_equal(spark, "q18_large_orders", out)
+
+
+def test_replay_q19_disjunctive_join(spark):
+    part = {p["p_partkey"]: p for p in rows("part")}
+    tot, n = Decimal(0), 0
+    for li in rows("lineitem"):
+        p = part.get(li["l_partkey"])
+        if p is None:
+            continue
+        q = li["l_quantity"]
+        hit = (
+            (p["p_brand"] == "Brand#1" and 1 <= p["p_size"] <= 15
+             and 1 <= q <= 25)
+            or (p["p_brand"] == "Brand#2" and 10 <= p["p_size"] <= 30
+                and 10 <= q <= 40)
+            or (p["p_type"] == "PROMO" and 1 <= p["p_size"] <= 20
+                and 20 <= q <= 50)
+        )
+        if hit:
+            tot += ext_disc(li)
+            n += 1
+    assert_equal(spark, "q19_disjunctive_join",
+                 [{"revenue": float(tot), "n_lines": n}])
+
+
+def test_replay_q8_market_share(spark):
+    nat = {n["n_nationkey"]: n for n in rows("nation")}
+    reg = {r["r_regionkey"]: r["r_name"] for r in rows("region")}
+    part = {p["p_partkey"]: p["p_type"] for p in rows("part")}
+    cust = {c["c_custkey"]: c["c_nationkey"] for c in rows("customer")}
+    supp = {s["s_suppkey"]: s["s_nationkey"] for s in rows("supplier")}
+    orders = {o["o_orderkey"]: o for o in rows("orders")}
+    num: dict = defaultdict(Decimal)
+    den: dict = defaultdict(Decimal)
+    for li in rows("lineitem"):
+        if part.get(li["l_partkey"]) != "ECONOMY":
+            continue
+        o = orders.get(li["l_orderkey"])
+        if o is None or not (datetime(1996, 1, 1) <= o["o_orderdate"]
+                             < datetime(1998, 1, 1)):
+            continue
+        cn = nat[cust[o["o_custkey"]]]
+        if reg[cn["n_regionkey"]] != "ASIA":
+            continue
+        sn = nat[supp[li["l_suppkey"]]]["n_name"]
+        v = ext_disc(li)
+        y = o["o_orderdate"].year
+        den[y] += v
+        if sn == "NATION_2":
+            num[y] += v
+    assert_equal(spark, "q8_market_share", [
+        {"o_year": y, "mkt_share": float(num[y]) / float(den[y])}
+        for y in den
+    ])
+
+
+def test_replay_q9_product_profit(spark):
+    nat = {n["n_nationkey"]: n["n_name"] for n in rows("nation")}
+    part = {p["p_partkey"]: p for p in rows("part")}
+    supp = {s["s_suppkey"]: s["s_nationkey"] for s in rows("supplier")}
+    acc: dict = defaultdict(Decimal)
+    for li in rows("lineitem"):
+        p = part.get(li["l_partkey"])
+        if p is None or "widget" not in p["p_name"]:
+            continue
+        profit = (ext_disc(li)
+                  - dec4(p["p_retailprice"]) * dec4(li["l_quantity"]))
+        acc[(nat[supp[li["l_suppkey"]]], li["l_shipdate"].year)] += profit
+    assert_equal(spark, "q9_product_profit", [
+        {"nation": k[0], "o_year": k[1], "sum_profit": float(v)}
+        for k, v in acc.items()
+    ])
+
+
+def test_replay_q16_supplier_count(spark):
+    bad = {s["s_suppkey"] for s in rows("supplier") if s["s_acctbal"] < 1000}
+    part = {p["p_partkey"]: p for p in rows("part")}
+    sizes = {1, 4, 9, 14, 19, 24, 29, 34, 39, 44, 49}
+    supps: dict = defaultdict(set)
+    for li in rows("lineitem"):
+        p = part.get(li["l_partkey"])
+        if (p is None or p["p_brand"] == "Brand#1" or p["p_type"] == "PROMO"
+                or p["p_size"] not in sizes or li["l_suppkey"] in bad):
+            continue
+        supps[(p["p_brand"], p["p_type"], p["p_size"])].add(li["l_suppkey"])
+    assert_equal(spark, "q16_supplier_count", [
+        {"p_brand": k[0], "p_type": k[1], "p_size": k[2],
+         "supplier_cnt": len(v)}
+        for k, v in supps.items()
+    ])
+
+
+def test_replay_q20_qty_threshold_suppliers(spark):
+    part = {p["p_partkey"]: p for p in rows("part")}
+    ps: dict = defaultdict(Decimal)
+    for li in rows("lineitem"):
+        p = part.get(li["l_partkey"])
+        if (p is None or not p["p_name"].startswith("small")
+                or not (datetime(1997, 1, 1) <= li["l_shipdate"]
+                        < datetime(1998, 1, 1))):
+            continue
+        ps[(li["l_partkey"], li["l_suppkey"])] += dec4(li["l_quantity"])
+    pt: dict = defaultdict(Decimal)
+    for (pk, _), q in ps.items():
+        pt[pk] += q
+    nat = {n["n_nationkey"]: n["n_name"] for n in rows("nation")}
+    supp = {s["s_suppkey"]: s for s in rows("supplier")}
+    out = {
+        (sk, supp[sk]["s_name"], nat[supp[sk]["s_nationkey"]])
+        for (pk, sk), q in ps.items()
+        if float(q) > 0.3 * float(pt[pk])
+    }
+    assert_equal(spark, "q20_qty_threshold_suppliers", [
+        {"suppkey": k[0], "supp_name": k[1], "nation": k[2]} for k in out
+    ])
+
+
+# ---------------------------------------------------------------------------
+# Join / aggregate / set / scalar plans
+# ---------------------------------------------------------------------------
+
+
+def test_replay_q_distinct_agg(spark):
+    parts: dict = defaultdict(set)
+    supps: dict = defaultdict(set)
+    n: dict = defaultdict(int)
+    for li in rows("lineitem"):
+        f = li["l_returnflag"]
+        parts[f].add(li["l_partkey"])
+        supps[f].add(li["l_suppkey"])
+        n[f] += 1
+    assert_equal(spark, "q_distinct_agg", [
+        {"l_returnflag": f, "distinct_parts": len(parts[f]),
+         "distinct_supps": len(supps[f]), "n_rows": n[f]}
+        for f in n
+    ])
+
+
+def test_replay_q_rollup(spark):
+    acc: dict = defaultdict(lambda: [Decimal(0), 0])
+    for li in rows("lineitem"):
+        for key in (
+            (li["l_returnflag"], li["l_linestatus"]),
+            (li["l_returnflag"], None),
+            (None, None),
+        ):
+            a = acc[key]
+            a[0] += dec4(li["l_quantity"])
+            a[1] += 1
+    assert_equal(spark, "q_rollup", [
+        {"l_returnflag": k[0], "l_linestatus": k[1],
+         "sum_qty": float(v[0]), "n": v[1]}
+        for k, v in acc.items()
+    ])
+
+
+def test_replay_q_cube(spark):
+    acc: dict = defaultdict(lambda: [Decimal(0), 0])
+    for o in rows("orders"):
+        for key in (
+            (o["o_orderstatus"], o["o_orderpriority"]),
+            (o["o_orderstatus"], None),
+            (None, o["o_orderpriority"]),
+            (None, None),
+        ):
+            a = acc[key]
+            a[0] += dec4(o["o_totalprice"])
+            a[1] += 1
+    assert_equal(spark, "q_cube", [
+        {"o_orderstatus": k[0], "o_orderpriority": k[1],
+         "total": float(v[0]), "n": v[1]}
+        for k, v in acc.items()
+    ])
+
+
+def test_replay_q_grouping_sets(spark):
+    acc: dict = defaultdict(lambda: [Decimal(0), 0])
+    for li in rows("lineitem"):
+        for key in (
+            (li["l_returnflag"], li["l_linestatus"], 0, 0),
+            (None, li["l_linestatus"], 1, 0),
+            (None, None, 1, 1),
+        ):
+            a = acc[key]
+            a[0] += dec4(li["l_quantity"])
+            a[1] += 1
+    assert_equal(spark, "q_grouping_sets", [
+        {"l_returnflag": k[0], "l_linestatus": k[1], "g_flag": k[2],
+         "g_status": k[3], "sum_qty": float(v[0]), "n": v[1]}
+        for k, v in acc.items()
+    ])
+
+
+def test_replay_q_case_agg(spark):
+    acc: dict = defaultdict(lambda: [0, 0, Decimal(0)])
+    for o in rows("orders"):
+        a = acc[o["o_orderpriority"]]
+        if o["o_totalprice"] > 200000:
+            a[0] += 1
+        else:
+            a[1] += 1
+        if o["o_orderstatus"] == "F":
+            a[2] += dec4(o["o_totalprice"])
+    assert_equal(spark, "q_case_agg", [
+        {"o_orderpriority": k, "big_orders": v[0], "small_orders": v[1],
+         "finished_value": float(v[2])}
+        for k, v in acc.items()
+    ])
+
+
+def test_replay_q_pivot(spark):
+    acc: dict = defaultdict(lambda: {"F": 0, "O": 0, "P": 0})
+    for o in rows("orders"):
+        acc[o["o_orderpriority"]][o["o_orderstatus"]] += 1
+    assert_equal(spark, "q_pivot", [
+        {"o_orderpriority": k, "f": v["F"], "o": v["O"], "p": v["P"]}
+        for k, v in acc.items()
+    ])
+
+
+def _quantile_cont(sorted_vals: list[float], q: float) -> float:
+    n = len(sorted_vals)
+    pos = (n - 1) * q
+    lo = math.floor(pos)
+    hi = math.ceil(pos)
+    if lo == hi:
+        return sorted_vals[lo]
+    return (sorted_vals[lo] * (hi - pos) + sorted_vals[hi] * (pos - lo))
+
+
+def test_replay_q_percentiles(spark):
+    qty: dict = defaultdict(list)
+    price: dict = defaultdict(list)
+    for li in rows("lineitem"):
+        qty[li["l_returnflag"]].append(li["l_quantity"])
+        price[li["l_returnflag"]].append(li["l_extendedprice"])
+    out = []
+    for f in qty:
+        qs, ps = sorted(qty[f]), sorted(price[f])
+        out.append({
+            "l_returnflag": f,
+            "median_qty": rnd(_quantile_cont(qs, 0.5), 4),
+            "p90_qty": rnd(_quantile_cont(qs, 0.9), 4),
+            "median_price": rnd(_quantile_cont(ps, 0.5), 4),
+        })
+    assert_equal(spark, "q_percentiles", out)
+
+
+def test_replay_q_unpivot(spark):
+    out = []
+    for p in rows("part"):
+        out.append({"p_partkey": p["p_partkey"], "metric": "size",
+                    "metric_value": float(p["p_size"])})
+        out.append({"p_partkey": p["p_partkey"], "metric": "retailprice",
+                    "metric_value": p["p_retailprice"]})
+    assert_equal(spark, "q_unpivot", out)
+
+
+def test_replay_q_semi_anti_join(spark):
+    with_orders = {o["o_custkey"] for o in rows("orders")}
+    n_has = sum(1 for c in rows("customer") if c["c_custkey"] in with_orders)
+    n_not = sum(1 for c in rows("customer")
+                if c["c_custkey"] not in with_orders)
+    assert_equal(spark, "q_semi_anti_join", [
+        {"tag": "has_orders", "n": n_has},
+        {"tag": "no_orders", "n": n_not},
+    ])
+
+
+def test_replay_q_outer_join_agg(spark):
+    cnt: dict = defaultdict(int)
+    tot: dict = defaultdict(Decimal)
+    for o in rows("orders"):
+        cnt[o["o_custkey"]] += 1
+        tot[o["o_custkey"]] += dec4(o["o_totalprice"])
+    assert_equal(spark, "q_outer_join_agg", [
+        {"c_custkey": c["c_custkey"],
+         "order_count": cnt.get(c["c_custkey"], 0),
+         "total_spent": float(tot.get(c["c_custkey"], Decimal(0)))}
+        for c in rows("customer")
+    ])
+
+
+def test_replay_q_salted_join_agg(spark):
+    pri = {o["o_orderkey"]: o["o_orderpriority"] for o in rows("orders")}
+    n: dict = defaultdict(int)
+    tot: dict = defaultdict(Decimal)
+    for li in rows("lineitem"):
+        p = pri.get(li["l_orderkey"])
+        if p is None:
+            continue
+        n[p] += 1
+        tot[p] += dec4(li["l_extendedprice"])
+    assert_equal(spark, "q_salted_join_agg", [
+        {"o_orderpriority": k, "n_items": n[k], "total_price": float(tot[k])}
+        for k in n
+    ])
+
+
+def test_replay_q_set_operations(spark):
+    building = {c["c_custkey"] for c in rows("customer")
+                if c["c_mktsegment"] == "BUILDING"}
+    rich = {c["c_custkey"] for c in rows("customer")
+            if c["c_acctbal"] > 5000}
+    out = [{"tag": "both", "c_custkey": k} for k in building & rich]
+    out += [{"tag": "building_only", "c_custkey": k} for k in building - rich]
+    assert_equal(spark, "q_set_operations", out)
+
+
+def test_replay_q_scalar_string_math(spark):
+    out = []
+    for p in rows("part"):
+        out.append({
+            "p_partkey": p["p_partkey"],
+            "name_lower": p["p_name"].lower(),
+            "brand_upper": p["p_brand"].upper(),
+            "name_len": len(p["p_name"]),
+            "type_prefix": p["p_type"][:5],
+            "brand_type": f"{p['p_brand']}:{p['p_type']}",
+            "size_dist": abs(p["p_size"] - 25),
+            "price_ceil": math.ceil(p["p_retailprice"]),
+            "price_floor": math.floor(p["p_retailprice"]),
+            "size_sqrt": rnd(math.sqrt(p["p_size"]), 4),
+        })
+    assert_equal(spark, "q_scalar_string_math", out)
+
+
+def test_replay_q_date_functions(spark):
+    n: dict = defaultdict(int)
+    tot: dict = defaultdict(Decimal)
+    for o in rows("orders"):
+        k = (o["o_orderdate"].year, o["o_orderdate"].month)
+        n[k] += 1
+        tot[k] += dec4(o["o_totalprice"])
+    assert_equal(spark, "q_date_functions", [
+        {"order_year": k[0], "order_month": k[1], "n_orders": n[k],
+         "month_value": float(tot[k])}
+        for k in n
+    ])
+
+
+def test_replay_q_json_extract(spark):
+    sums: dict = defaultdict(int)
+    n: dict = defaultdict(int)
+    for e in rows("events"):
+        t = e["event_type"]
+        n[t] += 1
+        sums[t] += int(json.loads(e["props"])["k"])
+    assert_equal(spark, "q_json_extract", [
+        {"event_type": t, "sum_k": sums[t], "n": n[t]} for t in n
+    ])
+
+
+# ---------------------------------------------------------------------------
+# Window plans
+# ---------------------------------------------------------------------------
+
+
+def test_replay_q_window_running_sum(spark):
+    per_cust: dict = defaultdict(list)
+    for o in rows("orders"):
+        per_cust[o["o_custkey"]].append(o)
+    out = []
+    for ck, os_ in per_cust.items():
+        os_.sort(key=lambda o: (o["o_orderdate"], o["o_orderkey"]))
+        run = Decimal(0)
+        prev = None
+        for o in os_:
+            run += dec4(o["o_totalprice"])
+            out.append({"o_custkey": ck, "o_orderkey": o["o_orderkey"],
+                        "running_total": float(run),
+                        "prev_orderkey": prev})
+            prev = o["o_orderkey"]
+    assert_equal(spark, "q_window_running_sum", out)
+
+
+def test_replay_q_window_topk_per_group(spark):
+    per_cust: dict = defaultdict(list)
+    for o in rows("orders"):
+        per_cust[o["o_custkey"]].append(o)
+    out = []
+    for ck, os_ in per_cust.items():
+        os_.sort(key=lambda o: (-o["o_totalprice"], o["o_orderkey"]))
+        for rn, o in enumerate(os_[:3], start=1):
+            out.append({"c_custkey": ck, "o_orderkey": o["o_orderkey"],
+                        "o_totalprice": o["o_totalprice"], "rn": rn})
+    assert_equal(spark, "q_window_topk_per_group", out)
+
+
+def test_replay_q_window_ntile(spark):
+    per_user: dict = defaultdict(Decimal)
+    for e in rows("events"):
+        per_user[(e["event_type"], e["user_id"])] += dec4(e["value"])
+    groups: dict = defaultdict(list)
+    for (t, u), v in per_user.items():
+        groups[t].append((u, v))
+    out = []
+    for t, members in groups.items():
+        members.sort(key=lambda m: (-m[1], m[0]))
+        n = len(members)
+        # RANK with ties on (-value, user) order: ties impossible
+        # on user, so rank == row number except equal values with
+        # equal sort keys (never: user breaks ties)
+        base, rem = divmod(n, 4)
+        tile_sizes = [base + (1 if i < rem else 0) for i in range(4)]
+        tiles = []
+        for i, sz in enumerate(tile_sizes, start=1):
+            tiles.extend([i] * sz)
+        # rank: position of first member with the same total_value
+        first_at: dict = {}
+        for idx, (u, v) in enumerate(members):
+            first_at.setdefault(v, idx)
+        n_le = {v: sum(1 for _, w in members if float(w) <= float(v))
+                for _, v in members}
+        for idx, (u, v) in enumerate(members):
+            rnk = first_at[v] + 1
+            # sort is value-desc: cume_dist = fraction with value >= v
+            n_ge = sum(1 for _, w in members if float(w) >= float(v))
+            out.append({
+                "event_type": t, "user_id": u, "total_value": float(v),
+                "rnk": rnk, "quartile": tiles[idx],
+                "pct_rank": rnd((rnk - 1) / (n - 1), 6) if n > 1 else 0.0,
+                "cume": rnd(n_ge / n, 6),
+            })
+    assert_equal(spark, "q_window_ntile", out)
+
+
+def test_replay_q_window_range_frame(spark):
+    per_user: dict = defaultdict(list)
+    for e in rows("events"):
+        us = int(e["ts"].timestamp() * 1_000_000)
+        per_user[e["user_id"]].append((us, e))
+    out = []
+    hour = 3_600_000_000
+    for evs in per_user.values():
+        evs.sort(key=lambda p: p[0])
+        for us, e in evs:
+            frame = [x for t, x in evs if us - hour <= t <= us]
+            out.append({
+                "event_id": e["event_id"],
+                "n_last_hour": len(frame),
+                "max_last_hour": max(x["value"] for x in frame),
+            })
+    assert_equal(spark, "q_window_range_frame", out)
+
+
+# ---------------------------------------------------------------------------
+# Events plans
+# ---------------------------------------------------------------------------
+
+
+def test_replay_q_events_hourly(spark):
+    n: dict = defaultdict(int)
+    tot: dict = defaultdict(Decimal)
+    for e in rows("events"):
+        h = e["ts"].replace(minute=0, second=0, microsecond=0)
+        k = (h.strftime("%Y-%m-%d %H:%M:%S"), e["event_type"])
+        n[k] += 1
+        tot[k] += dec4(e["value"])
+    assert_equal(spark, "q_events_hourly", [
+        {"hour": k[0], "event_type": k[1], "n_events": n[k],
+         "total_value": float(tot[k])}
+        for k in n
+    ])
+
+
+def test_replay_q_events_sessionize(spark):
+    per_user: dict = defaultdict(list)
+    for e in rows("events"):
+        per_user[e["user_id"]].append(e)
+    out = []
+    for u, evs in per_user.items():
+        evs.sort(key=lambda e: (e["ts"], e["event_id"]))
+        sid = 0
+        prev_us = None
+        sessions: dict = defaultdict(list)
+        for e in evs:
+            us = int(e["ts"].timestamp() * 1_000_000)
+            if prev_us is None or us - prev_us >= 1_800_000_000:
+                sid += 1
+            sessions[sid].append(e)
+            prev_us = us
+        for sid_, ses in sessions.items():
+            out.append({
+                "user_id": u, "session_id": sid_, "n_events": len(ses),
+                "session_start": min(e["ts"] for e in ses)
+                .strftime("%Y-%m-%d %H:%M:%S"),
+                "session_end": max(e["ts"] for e in ses)
+                .strftime("%Y-%m-%d %H:%M:%S"),
+            })
+    assert_equal(spark, "q_events_sessionize", out)
+
+
+def test_replay_q_event_funnel(spark):
+    per_user: dict = defaultdict(list)
+    for e in rows("events"):
+        us = int(e["ts"].timestamp() * 1_000_000)
+        per_user[e["user_id"]].append((us, e["event_type"]))
+    t1: dict = {}
+    t2: dict = {}
+    t3: dict = {}
+    for u, evs in per_user.items():
+        views = [t for t, ty in evs if ty == "view"]
+        if not views:
+            continue
+        t1[u] = min(views)
+        clicks = [t for t, ty in evs if ty == "click" and t > t1[u]]
+        if not clicks:
+            continue
+        t2[u] = min(clicks)
+        buys = [t for t, ty in evs if ty == "purchase" and t > t2[u]]
+        if buys:
+            t3[u] = min(buys)
+    assert_equal(spark, "q_event_funnel", [
+        {"step": 1, "step_name": "view", "n_users": len(t1)},
+        {"step": 2, "step_name": "click", "n_users": len(t2)},
+        {"step": 3, "step_name": "purchase", "n_users": len(t3)},
+    ])
+
+
+def test_replay_q_value_histogram(spark):
+    n: dict = defaultdict(int)
+    tot: dict = defaultdict(Decimal)
+    for e in rows("events"):
+        v = dec4(e["value"])
+        b = int(math.floor(float(v / 25)))
+        k = (e["event_type"], b)
+        n[k] += 1
+        tot[k] += v
+    assert_equal(spark, "q_value_histogram", [
+        {"event_type": k[0], "bucket": k[1], "lo": k[1] * 25,
+         "n_events": n[k], "total_value": float(tot[k])}
+        for k in n
+    ])
+
+
+def test_replay_q_asof_join(spark):
+    clicks: dict = defaultdict(list)
+    for e in rows("events"):
+        if e["event_type"] == "click":
+            clicks[e["user_id"]].append(e)
+    out = []
+    for e in rows("events"):
+        if e["event_type"] != "purchase":
+            continue
+        prior = [c for c in clicks.get(e["user_id"], ())
+                 if c["ts"] < e["ts"]]
+        best = max(prior, key=lambda c: (c["ts"], c["event_id"]),
+                   default=None)
+        out.append({
+            "event_id": e["event_id"], "user_id": e["user_id"],
+            "ts": e["ts"].strftime("%Y-%m-%d %H:%M:%S"),
+            "prev_event_id": best["event_id"] if best else None,
+            "prev_ts": best["ts"].strftime("%Y-%m-%d %H:%M:%S")
+            if best else None,
+        })
+    assert_equal(spark, "q_asof_join", out)
