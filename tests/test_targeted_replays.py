@@ -806,3 +806,528 @@ def test_replay_q_asof_join(spark):
             if best else None,
         })
     assert_equal(spark, "q_asof_join", out)
+
+
+# ---------------------------------------------------------------------------
+# CDC / SCD / MV plans
+# ---------------------------------------------------------------------------
+
+
+def test_replay_q_cdc_merge(spark):
+    base = {o["o_orderkey"]: o for o in rows("orders")
+            if o["o_orderkey"] % 3 != 0}
+    changes = {o["o_orderkey"]: o for o in rows("orders")
+               if o["o_orderkey"] % 2 == 0}
+    out = []
+    for k in set(base) | set(changes):
+        c = changes.get(k)
+        b = base.get(k)
+        if c is not None and k % 10 == 0:
+            continue  # delete op (delete-of-absent also drops)
+        if c is None:
+            out.append({"o_orderkey": k,
+                        "o_orderstatus": b["o_orderstatus"],
+                        "price": float(dec4(b["o_totalprice"])),
+                        "change": "kept"})
+        else:
+            newp = (dec4(c["o_totalprice"]) * Decimal("1.10")).quantize(
+                D0001, rounding=ROUND_HALF_UP)
+            out.append({"o_orderkey": k,
+                        "o_orderstatus": c["o_orderstatus"],
+                        "price": float(newp),
+                        "change": "inserted" if b is None else "updated"})
+    assert_equal(spark, "q_cdc_merge", out)
+
+
+def test_replay_q_scd2_history(spark):
+    per_user: dict = defaultdict(list)
+    for e in rows("events"):
+        per_user[e["user_id"]].append(e)
+    out = []
+    for u, evs in per_user.items():
+        evs.sort(key=lambda e: (e["ts"], e["event_id"]))
+        changes = []
+        prev = None
+        for e in evs:
+            if prev is None or e["event_type"] != prev:
+                changes.append(e)
+            prev = e["event_type"]
+        for i, e in enumerate(changes):
+            nxt = changes[i + 1]["ts"] if i + 1 < len(changes) else None
+            out.append({
+                "user_id": u, "version_n": i + 1,
+                "event_type": e["event_type"],
+                "valid_from": e["ts"].strftime("%Y-%m-%d %H:%M:%S"),
+                "valid_to": nxt.strftime("%Y-%m-%d %H:%M:%S") if nxt else None,
+                "is_current": 1 if nxt is None else 0,
+            })
+    assert_equal(spark, "q_scd2_history", out)
+
+
+def test_replay_q_mv_incremental(spark):
+    n: dict = defaultdict(int)
+    tot: dict = defaultdict(Decimal)
+    for o in rows("orders"):
+        n[o["o_orderpriority"]] += 1
+        tot[o["o_orderpriority"]] += dec4(o["o_totalprice"])
+    assert_equal(spark, "q_mv_incremental", [
+        {"o_orderpriority": k, "n_orders": n[k], "total_price": float(tot[k])}
+        for k in n
+    ])
+
+
+# ---------------------------------------------------------------------------
+# Behavioral analytics plans
+# ---------------------------------------------------------------------------
+
+
+def _monday(d):
+    from datetime import timedelta
+    return d - timedelta(days=d.weekday())
+
+
+def test_replay_q_retention_cohorts(spark):
+    first: dict = {}
+    for e in rows("events"):
+        u = e["user_id"]
+        if u not in first or e["ts"] < first[u]:
+            first[u] = e["ts"]
+    active: dict = defaultdict(set)
+    for e in rows("events"):
+        cw = _monday(first[e["user_id"]].date())
+        week_n = (e["ts"].date() - cw).days // 7
+        active[(cw.strftime("%Y-%m-%d"), week_n)].add(e["user_id"])
+    assert_equal(spark, "q_retention_cohorts", [
+        {"cohort_week": k[0], "week_n": k[1], "n_active": len(v)}
+        for k, v in active.items()
+    ])
+
+
+def test_replay_q_top_paths(spark):
+    per_user: dict = defaultdict(list)
+    for e in rows("events"):
+        per_user[e["user_id"]].append(e)
+    cnt: dict = defaultdict(int)
+    for evs in per_user.values():
+        evs.sort(key=lambda e: (e["ts"], e["event_id"]))
+        types = [e["event_type"] for e in evs]
+        for i in range(len(types) - 2):
+            cnt[" > ".join(types[i:i + 3])] += 1
+    out = [{"path": p, "n": n} for p, n in cnt.items()]
+    out.sort(key=lambda r: (-r["n"], r["path"]))
+    assert_equal(spark, "q_top_paths", out[:20])
+
+
+def test_replay_q_engagement_gaps(spark):
+    per_user: dict = defaultdict(list)
+    for e in rows("events"):
+        per_user[e["user_id"]].append(e)
+    dist: dict = defaultdict(int)
+    for evs in per_user.values():
+        evs.sort(key=lambda e: (e["ts"], e["event_id"]))
+        if len(evs) < 2:
+            continue
+        us = [int(e["ts"].timestamp() * 1_000_000) for e in evs]
+        mx = max(b - a for a, b in zip(us, us[1:]))
+        dist[mx // 86_400_000_000] += 1
+    assert_equal(spark, "q_engagement_gaps", [
+        {"gap_days": k, "n_users": v} for k, v in dist.items()
+    ])
+
+
+def _round_cents(v: float) -> int:
+    return int(Decimal(str(v * 100)).quantize(
+        Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def test_replay_q_new_vs_returning(spark):
+    first_day: dict = {}
+    for e in rows("events"):
+        d = e["ts"].date()
+        u = e["user_id"]
+        if u not in first_day or d < first_day[u]:
+            first_day[u] = d
+    n: dict = defaultdict(int)
+    cents: dict = defaultdict(int)
+    for e in rows("events"):
+        if e["event_type"] != "purchase":
+            continue
+        d = e["ts"].date()
+        cohort = "new" if d == first_day[e["user_id"]] else "returning"
+        n[(d, cohort)] += 1
+        cents[(d, cohort)] += _round_cents(e["value"])
+    assert_equal(spark, "q_new_vs_returning", [
+        {"day": k[0], "cohort": k[1], "n_purchases": n[k],
+         "revenue": rnd(cents[k] / 100.0, 2)}
+        for k in n
+    ])
+
+
+def test_replay_q_stickiness(spark):
+    day_users: dict = defaultdict(set)
+    month_users: dict = defaultdict(set)
+    for e in rows("events"):
+        d = e["ts"].date()
+        m = d.replace(day=1)
+        day_users[(m, d)].add(e["user_id"])
+        month_users[m].add(e["user_id"])
+    agg: dict = defaultdict(lambda: [0, 0])
+    for (m, _), us in day_users.items():
+        agg[m][0] += len(us)
+        agg[m][1] += 1
+    out = []
+    for m, (dau_sum, n_days) in agg.items():
+        mau = len(month_users[m])
+        out.append({
+            "month": m.strftime("%Y-%m"), "n_days": n_days, "mau": mau,
+            "avg_dau": rnd(dau_sum / n_days, 2),
+            "stickiness": rnd(dau_sum / n_days / mau, 6),
+        })
+    assert_equal(spark, "q_stickiness", out)
+
+
+def test_replay_q_single_source_risk(spark):
+    supps: dict = defaultdict(set)
+    cents: dict = defaultdict(int)
+    for li in rows("lineitem"):
+        supps[li["l_partkey"]].add(li["l_suppkey"])
+        cents[li["l_partkey"]] += _round_cents(li["l_extendedprice"])
+    singles = [k for k, v in supps.items() if len(v) == 1]
+    assert_equal(spark, "q_single_source_risk", [{
+        "n_single_source": len(singles),
+        # SUM over an empty relation is NULL in both engines
+        "revenue_at_risk": rnd(sum(cents[k] for k in singles) / 100.0, 2)
+        if singles else None,
+    }])
+
+
+def test_replay_q_attribution_position(spark):
+    per_user: dict = defaultdict(list)
+    for e in rows("events"):
+        per_user[e["user_id"]].append(e)
+    credit: dict = defaultdict(int)
+    touches_n: dict = defaultdict(int)
+    direct_cr = 0
+    direct_n = 0
+    for u, evs in per_user.items():
+        evs.sort(key=lambda e: (e["ts"], e["event_id"]))
+        jid = 0
+        journeys: dict = defaultdict(lambda: {"touch": [], "purch": None})
+        for e in evs:
+            if e["event_type"] == "purchase":
+                journeys[jid]["purch"] = _round_cents(e["value"])
+                jid += 1
+            else:
+                journeys[jid]["touch"].append(e["event_type"])
+        for j in journeys.values():
+            cents, touch = j["purch"], j["touch"]
+            if cents is None:
+                continue
+            k = len(touch)
+            if k == 0:
+                direct_cr += cents
+                direct_n += 1
+                continue
+            if k == 1:
+                base = [cents]
+            elif k == 2:
+                base = [cents * 500000 // 1000000] * 2
+            else:
+                mid = cents * (200000 // (k - 2)) // 1000000
+                end = cents * 400000 // 1000000
+                base = [end] + [mid] * (k - 2) + [end]
+            base[-1] = cents - sum(base[:-1])
+            for t, cr in zip(touch, base):
+                credit[t] += cr
+                touches_n[t] += 1
+    out = [
+        {"touch_type": t, "n_touches": touches_n[t],
+         "credited_revenue": rnd(credit[t] / 100.0, 2)}
+        for t in credit
+    ]
+    if direct_n:
+        out.append({"touch_type": "direct", "n_touches": direct_n,
+                    "credited_revenue": rnd(direct_cr / 100.0, 2)})
+    assert_equal(spark, "q_attribution_position", out)
+
+
+def _sessions_30min():
+    per_user: dict = defaultdict(list)
+    for e in rows("events"):
+        per_user[e["user_id"]].append(e)
+    out = []
+    for u, evs in per_user.items():
+        evs.sort(key=lambda e: (e["ts"], e["event_id"]))
+        cur: list = []
+        prev_us = None
+        for e in evs:
+            us = int(e["ts"].timestamp() * 1_000_000)
+            if prev_us is not None and us - prev_us < 1_800_000_000:
+                cur.append(e)
+            else:
+                if cur:
+                    out.append((u, cur))
+                cur = [e]
+            prev_us = us
+        if cur:
+            out.append((u, cur))
+    return out
+
+
+def test_replay_q_bounce_rate(spark):
+    n: dict = defaultdict(int)
+    bounce: dict = defaultdict(int)
+    for _, ses in _sessions_30min():
+        day = min(e["ts"] for e in ses).strftime("%Y-%m-%d")
+        n[day] += 1
+        if len(ses) == 1:
+            bounce[day] += 1
+    assert_equal(spark, "q_bounce_rate", [
+        {"day": d, "n_sessions": n[d], "n_bounces": bounce[d],
+         "bounce_rate": rnd(bounce[d] / n[d], 4)}
+        for d in n
+    ])
+
+
+def test_replay_q_concurrent_sessions(spark):
+    from datetime import timedelta
+    cnt: dict = defaultdict(int)
+    for _, ses in _sessions_30min():
+        lo = min(e["ts"] for e in ses).replace(
+            minute=0, second=0, microsecond=0)
+        hi = (max(e["ts"] for e in ses) + timedelta(minutes=30)).replace(
+            minute=0, second=0, microsecond=0)
+        h = lo
+        while h <= hi:
+            cnt[h.strftime("%Y-%m-%d %H:%M:%S")] += 1
+            h += timedelta(hours=1)
+    assert_equal(spark, "q_concurrent_sessions", [
+        {"hour": h, "n_active_sessions": v} for h, v in cnt.items()
+    ])
+
+
+def test_replay_q_timed_funnel(spark):
+    from datetime import timedelta
+    per_user: dict = defaultdict(list)
+    users = set()
+    for e in rows("events"):
+        users.add(e["user_id"])
+        per_user[e["user_id"]].append(e)
+    n_view = n_click = n_purchase = 0
+    for evs in per_user.values():
+        views = [e["ts"] for e in evs if e["event_type"] == "view"]
+        if not views:
+            continue
+        n_view += 1
+        tv = min(views)
+        clicks = [e["ts"] for e in evs if e["event_type"] == "click"
+                  and tv < e["ts"] <= tv + timedelta(minutes=60)]
+        if not clicks:
+            continue
+        n_click += 1
+        tc = min(clicks)
+        buys = [e["ts"] for e in evs if e["event_type"] == "purchase"
+                and tc < e["ts"] <= tc + timedelta(minutes=60)]
+        if buys:
+            n_purchase += 1
+    assert_equal(spark, "q_timed_funnel", [{
+        "n_users": len(users), "reached_view": n_view,
+        "reached_click": n_click, "reached_purchase": n_purchase,
+        "view_to_click_pct": rnd(100.0 * n_click / n_view, 4),
+        "click_to_purchase_pct": rnd(100.0 * n_purchase / n_click, 4),
+    }])
+
+
+def test_replay_q_event_transitions(spark):
+    per_user: dict = defaultdict(list)
+    for e in rows("events"):
+        per_user[e["user_id"]].append(e)
+    trans: dict = defaultdict(int)
+    for evs in per_user.values():
+        evs.sort(key=lambda e: (e["ts"], e["event_id"]))
+        for a, b in zip(evs, evs[1:]):
+            trans[(a["event_type"], b["event_type"])] += 1
+    outs: dict = defaultdict(int)
+    for (a, _), v in trans.items():
+        outs[a] += v
+    assert_equal(spark, "q_event_transitions", [
+        {"from_type": k[0], "to_type": k[1], "n": v,
+         "p_transition": rnd(v / outs[k[0]], 4)}
+        for k, v in trans.items()
+    ])
+
+
+def test_replay_q_event_cooccurrence(spark):
+    ut: dict = defaultdict(set)
+    users = set()
+    for e in rows("events"):
+        ut[e["event_type"]].add(e["user_id"])
+        users.add(e["user_id"])
+    n = len(users)
+    types = sorted(ut)
+    out = []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            both = len(ut[a] & ut[b])
+            if not both:
+                continue
+            out.append({
+                "type_a": a, "type_b": b, "n_both": both,
+                "support": rnd(both / n, 4),
+                "confidence_a_to_b": rnd(both / len(ut[a]), 4),
+                "lift": rnd(both * n / (len(ut[a]) * len(ut[b])), 4),
+            })
+    assert_equal(spark, "q_event_cooccurrence", out)
+
+
+def test_replay_q_user_journeys(spark):
+    per_user: dict = defaultdict(list)
+    for e in rows("events"):
+        per_user[e["user_id"]].append(e)
+    cnt: dict = defaultdict(int)
+    for evs in per_user.values():
+        evs.sort(key=lambda e: (e["ts"], e["event_id"]))
+        cnt[">".join(e["event_type"] for e in evs[:5])] += 1
+    out = [{"journey": j, "n_users": v} for j, v in cnt.items()]
+    out.sort(key=lambda r: (-r["n_users"], r["journey"]))
+    assert_equal(spark, "q_user_journeys", out[:20])
+
+
+def test_replay_q_signup_retention(spark):
+    from datetime import date, timedelta
+    signup: dict = {}
+    for e in rows("events"):
+        if e["event_type"] != "signup":
+            continue
+        u = e["user_id"]
+        if u not in signup or e["ts"] < signup[u]:
+            signup[u] = e["ts"]
+    anchor = date(2024, 1, 1)
+    cohort: dict = {}
+    for u, ts in signup.items():
+        d = ts.date()
+        cohort[u] = d - timedelta(days=(d - anchor).days % 7)
+    sizes: dict = defaultdict(int)
+    for cw in cohort.values():
+        sizes[cw] += 1
+    active: dict = defaultdict(set)
+    for e in rows("events"):
+        cw = cohort.get(e["user_id"])
+        if cw is None or e["ts"].date() < cw:
+            continue
+        week_n = (e["ts"].date() - cw).days // 7
+        active[(cw, week_n)].add(e["user_id"])
+    assert_equal(spark, "q_signup_retention", [
+        {"cohort_week": k[0], "week_n": k[1], "n_active": len(v),
+         "cohort_size": sizes[k[0]],
+         "retention_e4": 10000 * len(v) // sizes[k[0]]}
+        for k, v in active.items()
+    ])
+
+
+# ---------------------------------------------------------------------------
+# Profiling / data-quality plans
+# ---------------------------------------------------------------------------
+
+
+def test_replay_q_iqr_outliers(spark):
+    v4 = sorted(
+        int(Decimal(str(e["value"] * 10000)).quantize(
+            Decimal(1), rounding=ROUND_HALF_UP))
+        for e in rows("events") if e["value"] is not None
+    )
+    n = len(v4)
+
+    def interp(q):
+        pos = (n - 1) * q
+        lo = v4[math.floor(pos)]
+        hi = v4[min(math.floor(pos) + 1, n - 1)]
+        return lo + (hi - lo) * (pos - math.floor(pos))
+
+    q1c, q3c = interp(0.25), interp(0.75)
+    iqr_c = q3c - q1c
+    lo_f, hi_f = q1c - 1.5 * iqr_c, q3c + 1.5 * iqr_c
+    assert_equal(spark, "q_iqr_outliers", [{
+        "n_values": n,
+        "q1": rnd(q1c / 10000.0, 4), "q3": rnd(q3c / 10000.0, 4),
+        "iqr": rnd(iqr_c / 10000.0, 4),
+        "n_low_outliers": sum(1 for v in v4 if v < lo_f),
+        "n_high_outliers": sum(1 for v in v4 if v > hi_f),
+    }])
+
+
+def test_replay_q_skew_profile(spark):
+    cnt: dict = defaultdict(int)
+    for o in rows("orders"):
+        cnt[o["o_custkey"]] += 1
+    n_rows = sum(cnt.values())
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    top10 = sum(c for _, c in ranked[:10])
+    assert_equal(spark, "q_skew_profile", [{
+        "n_keys": len(cnt), "n_rows": n_rows,
+        "max_c": max(cnt.values()), "min_c": min(cnt.values()),
+        "top10_rows": top10,
+        "max_skew_ratio": rnd(max(cnt.values()) * len(cnt) / n_rows, 4),
+        "top10_share": rnd(top10 / n_rows, 4),
+    }])
+
+
+def test_replay_q_join_cardinality_estimate(spark):
+    co: dict = defaultdict(int)
+    for o in rows("orders"):
+        co[o["o_custkey"]] += 1
+    cc: dict = defaultdict(int)
+    for c in rows("customer"):
+        cc[c["c_custkey"]] += 1
+    est = sum(co[k] * cc[k] for k in co if k in cc)
+    actual = sum(co[k] * cc[k] for k in co if k in cc)  # same: equi-join
+    assert_equal(spark, "q_join_cardinality_estimate", [{
+        "est_rows": est, "actual_rows": actual, "est_error": est - actual,
+    }])
+
+
+def test_replay_q_dq_checks(spark):
+    orders_ = rows("orders")
+    li = rows("lineitem")
+    cust = {c["c_custkey"] for c in rows("customer")}
+    okeys = {o["o_orderkey"] for o in orders_}
+    okey_cnt: dict = defaultdict(int)
+    for o in orders_:
+        okey_cnt[o["o_orderkey"]] += 1
+    checks = {
+        "lineitem_orphans": sum(
+            1 for x in li if x["l_orderkey"] not in okeys),
+        "orders_orphans": sum(
+            1 for o in orders_ if o["o_custkey"] not in cust),
+        "orders_nonpositive_price": sum(
+            1 for o in orders_ if o["o_totalprice"] <= 0),
+        "orders_null_keys": sum(
+            1 for o in orders_
+            if o["o_orderkey"] is None or o["o_custkey"] is None),
+        "orders_dup_pk": sum(c - 1 for c in okey_cnt.values() if c > 1),
+        "lineitem_qty_range": sum(
+            1 for x in li if x["l_quantity"] < 1 or x["l_quantity"] > 50),
+    }
+    assert_equal(spark, "q_dq_checks", [
+        {"check_name": k, "n_violations": v} for k, v in checks.items()
+    ])
+
+
+def test_replay_q_brand_markup(spark):
+    part = {p["p_partkey"]: p for p in rows("part")}
+    acc: dict = defaultdict(list)
+    for li in rows("lineitem"):
+        p = part.get(li["l_partkey"])
+        if p is None or li["l_quantity"] <= 0 or p["p_retailprice"] <= 0:
+            continue
+        r = (li["l_extendedprice"] / li["l_quantity"]) / p["p_retailprice"]
+        r_e6 = int(Decimal(str(1000000.0 * r)).quantize(
+            Decimal(1), rounding=ROUND_HALF_UP))
+        acc[p["p_brand"]].append(r_e6)
+    assert_equal(spark, "q_brand_markup", [
+        {"brand": b, "n_lineitems": len(v),
+         "avg_markup_ratio": rnd(sum(v) / len(v) / 1000000.0, 6),
+         "min_markup_ratio": rnd(min(v) / 1000000.0, 6),
+         "max_markup_ratio": rnd(max(v) / 1000000.0, 6)}
+        for b, v in acc.items()
+    ])
