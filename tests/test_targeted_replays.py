@@ -1331,3 +1331,446 @@ def test_replay_q_brand_markup(spark):
          "max_markup_ratio": rnd(max(v) / 1000000.0, 6)}
         for b, v in acc.items()
     ])
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline text / dedup / similarity plans
+# ---------------------------------------------------------------------------
+
+
+def _md5(s: str) -> str:
+    import hashlib
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in text.lower().split(" ") if t != ""]
+
+
+def _shingles(toks: list[str], w: int) -> list[str]:
+    return [" ".join(toks[i:i + w]) for i in range(len(toks) - w + 1)]
+
+
+def _bucket(salt: str, key) -> int:
+    h = _md5(f"{salt}:{key}")
+    nib = "0123456789abcdef"
+    return (nib.index(h[0]) * 4096 + nib.index(h[1]) * 256
+            + nib.index(h[2]) * 16 + nib.index(h[3])) % 1000
+
+
+def test_replay_q_token_count(spark):
+    import re
+    out = []
+    for d in rows("documents"):
+        low = d["text"].lower()
+        out.append({
+            "doc_id": d["doc_id"],
+            "n_ws_tokens": len(_toks(d["text"])),
+            "n_re_tokens": len(re.findall(r"[a-z]+|[0-9]+", low)),
+        })
+    assert_equal(spark, "q_token_count", out)
+
+
+def test_replay_q_text_quality(spark):
+    out = []
+    punct = set(".,!?;:")
+    stop = {"the", "a", "of", "and", "to"}
+    for d in rows("documents"):
+        toks = _toks(d["text"])
+        n_p = sum(1 for ch in d["text"] if ch in punct)
+        out.append({
+            "doc_id": d["doc_id"],
+            "n_chars_m": len(d["text"]),
+            "n_tokens": len(toks),
+            "avg_token_len": rnd(sum(len(t) for t in toks) / len(toks), 4)
+            if toks else None,
+            "punct_ratio": rnd(n_p / len(d["text"]), 4)
+            if d["text"] else None,
+            "stopword_ratio": rnd(
+                sum(1 for t in toks if t in stop) / len(toks), 4)
+            if toks else None,
+        })
+    assert_equal(spark, "q_text_quality", out)
+
+
+def test_replay_q_normalize_text(spark):
+    import re
+    out = []
+    for d in rows("documents"):
+        norm = re.sub(r"[.,!?;:]", "", d["text"])
+        norm = re.sub(r" +", " ", norm).strip().lower()
+        out.append({
+            "doc_id": d["doc_id"],
+            "norm_hash": _md5(norm),
+            "n_chars_norm": len(norm),
+            "n_tokens_norm": len([t for t in norm.split(" ") if t != ""]),
+        })
+    assert_equal(spark, "q_normalize_text", out)
+
+
+def test_replay_q_corpus_clean(spark):
+    docs = rows("documents")
+    q = [d for d in docs if len(_toks(d["text"])) >= 30]
+    keep: dict = {}
+    for d in q:
+        h = _md5(d["text"])
+        if h not in keep or d["doc_id"] < keep[h]:
+            keep[h] = d["doc_id"]
+    out = [
+        {"doc_id": d["doc_id"], "n_tokens": len(_toks(d["text"]))}
+        for d in q
+        if d["lang"] == "en" and keep[_md5(d["text"])] == d["doc_id"]
+    ]
+    assert_equal(spark, "q_corpus_clean", out)
+
+
+_LANG_STOPS = {
+    "de": {"der", "die", "das", "und", "ist"},
+    "en": {"the", "a", "of", "and", "to"},
+    "es": {"el", "los", "las", "y", "es"},
+    "fr": {"le", "la", "les", "et", "est"},
+    "zh": {"de5", "le5", "shi4", "zai4", "he2"},
+}
+
+
+def test_replay_q_langid_eval(spark):
+    conf: dict = defaultdict(int)
+    for d in rows("documents"):
+        toks = _toks(d["text"])
+        scores = {
+            cand: sum(1 for t in toks if t in stops)
+            for cand, stops in _LANG_STOPS.items()
+        }
+        pred = min(scores, key=lambda c: (-scores[c], c))
+        conf[(d["lang"], pred)] += 1
+    actual: dict = defaultdict(int)
+    for (lang, _), n in conf.items():
+        actual[lang] += n
+    assert_equal(spark, "q_langid_eval", [
+        {"actual": k[0], "predicted": k[1], "n_docs": v,
+         "row_pct": rnd(100.0 * v / actual[k[0]], 4)}
+        for k, v in conf.items()
+    ])
+
+
+def test_replay_q_quality_floor(spark):
+    scored: dict = defaultdict(list)
+    for d in rows("documents"):
+        toks = _toks(d["text"])
+        if not toks:
+            continue
+        stops = _LANG_STOPS.get(d["lang"], set())
+        ratio = sum(1 for t in toks if t in stops) / len(toks)
+        scored[d["lang"]].append((d["doc_id"], ratio))
+    out = []
+    for lang, members in scored.items():
+        members.sort(key=lambda m: (m[1], m[0]))
+        n = len(members)
+        for idx, (doc, ratio) in enumerate(members):
+            pr = idx / (n - 1) if n > 1 else 0.0
+            if pr >= 0.25:
+                out.append({"doc_id": doc, "lang": lang,
+                            "stopword_ratio": rnd(ratio, 4),
+                            "pr": rnd(pr, 4)})
+    assert_equal(spark, "q_quality_floor", out)
+
+
+def _jaccard_pairs(w: int, thresh: float):
+    """Distinct-shingle Jaccard pairs over the corpus (hot shingles
+    in >1000 docs excluded), as (doc_a, doc_b) -> jaccard."""
+    sh: dict = {}
+    for d in rows("documents"):
+        sh[d["doc_id"]] = set(_shingles(_toks(d["text"]), w))
+    cnt: dict = defaultdict(int)
+    for s in sh.values():
+        for g in s:
+            cnt[g] += 1
+    hot = {g for g, c in cnt.items() if c > 1000}
+    shp = {doc: s - hot for doc, s in sh.items()}
+    ids = sorted(shp)
+    pairs = {}
+    by_shingle: dict = defaultdict(list)
+    for doc in ids:
+        for g in shp[doc]:
+            by_shingle[g].append(doc)
+    inter: dict = defaultdict(int)
+    for docs_ in by_shingle.values():
+        for i, a in enumerate(docs_):
+            for b in docs_[i + 1:]:
+                inter[(min(a, b), max(a, b))] += 1
+    for (a, b), ni in inter.items():
+        j = rnd(ni / (len(shp[a]) + len(shp[b]) - ni), 4)
+        if j >= thresh:
+            pairs[(a, b)] = j
+    return pairs, shp
+
+
+def test_replay_q_ngram_jaccard(spark):
+    pairs, _ = _jaccard_pairs(5, 0.2)
+    assert_equal(spark, "q_ngram_jaccard", [
+        {"doc_a": a, "doc_b": b, "jaccard": j}
+        for (a, b), j in pairs.items()
+    ])
+
+
+def _components(pairs) -> dict:
+    """doc -> min-doc-id of its connected component over ALL docs."""
+    adj: dict = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    cluster: dict = {}
+    for d in rows("documents"):
+        doc = d["doc_id"]
+        if doc in cluster:
+            continue
+        comp = {doc}
+        stack = [doc]
+        while stack:
+            x = stack.pop()
+            for y in adj[x]:
+                if y not in comp:
+                    comp.add(y)
+                    stack.append(y)
+        m = min(comp)
+        for x in comp:
+            cluster[x] = m
+    return cluster
+
+
+def test_replay_q_dup_clusters(spark):
+    pairs, _ = _jaccard_pairs(5, 0.2)
+    cluster = _components(pairs)
+    assert_equal(spark, "q_dup_clusters", [
+        {"doc_id": doc, "cluster_id": c} for doc, c in cluster.items()
+    ])
+
+
+def test_replay_q_dedup_keep_best(spark):
+    pairs, _ = _jaccard_pairs(5, 0.2)
+    cluster = _components(pairs)
+    nchars = {d["doc_id"]: d["n_chars"] for d in rows("documents")}
+    members: dict = defaultdict(list)
+    for doc, c in cluster.items():
+        members[c].append(doc)
+    out = []
+    for c, docs_ in members.items():
+        docs_.sort(key=lambda d: (-nchars[d], d))
+        out.append({"cluster_id": c, "kept_doc_id": docs_[0],
+                    "kept_n_chars": nchars[docs_[0]],
+                    "n_members": len(docs_)})
+    assert_equal(spark, "q_dedup_keep_best", out)
+
+
+def test_replay_q_dup_rate_by_source(spark):
+    n: dict = defaultdict(int)
+    hashes: dict = defaultdict(set)
+    for d in rows("documents"):
+        n[d["source"]] += 1
+        hashes[d["source"]].add(_md5(d["text"]))
+    assert_equal(spark, "q_dup_rate_by_source", [
+        {"source": s, "n_docs": n[s], "n_distinct": len(hashes[s]),
+         "n_dups": n[s] - len(hashes[s]),
+         "dup_rate": rnd((n[s] - len(hashes[s])) / n[s], 6)}
+        for s in n
+    ])
+
+
+def test_replay_q_dedup_savings(spark):
+    docs = rows("documents")
+    keep: dict = {}
+    for d in docs:
+        h = _md5(d["text"])
+        if h not in keep or d["doc_id"] < keep[h]:
+            keep[h] = d["doc_id"]
+    agg: dict = defaultdict(lambda: [0, 0, 0, 0])
+    for d in docs:
+        a = agg[d["source"]]
+        nt = len(_toks(d["text"]))
+        dup = keep[_md5(d["text"])] != d["doc_id"]
+        a[0] += 1
+        a[1] += 1 if dup else 0
+        a[2] += nt
+        a[3] += nt if dup else 0
+    assert_equal(spark, "q_dedup_savings", [
+        {"source": s, "n_docs": a[0], "n_dup_docs": a[1],
+         "tokens_total": a[2], "tokens_saved": a[3],
+         "savings_pct": rnd(100.0 * a[3] / a[2], 4) if a[2] else None}
+        for s, a in agg.items()
+    ])
+
+
+def test_replay_q_incremental_dedup(spark):
+    docs = rows("documents")
+    is_old = {d["doc_id"]: _bucket("inc", d["doc_id"]) % 10 < 8
+              for d in docs}
+    sh = {d["doc_id"]: set(_shingles(_toks(d["text"]), 5)) for d in docs}
+    old_cnt: dict = defaultdict(int)
+    for doc, s in sh.items():
+        if is_old[doc]:
+            for g in s:
+                old_cnt[g] += 1
+    hot = {g for g, c in old_cnt.items() if c > 1000}
+    out = []
+    for d in docs:
+        nd = d["doc_id"]
+        if is_old[nd]:
+            continue
+        ns = sh[nd] - hot
+        best = None
+        for od in sh:
+            if not is_old[od]:
+                continue
+            os_ = sh[od] - hot
+            ni = len(ns & os_)
+            if not ni:
+                continue
+            j = rnd(ni / (len(ns) + len(os_) - ni), 4)
+            if j >= 0.5 and (best is None or (-j, od) < (-best[1], best[0])):
+                best = (od, j)
+        out.append({
+            "doc_id": nd, "is_dup": 1 if best else 0,
+            "best_match": best[0] if best else None,
+            "best_jaccard": best[1] if best else None,
+        })
+    assert_equal(spark, "q_incremental_dedup", out)
+
+
+def test_replay_q_minhash_near_dups(spark):
+    sh = {d["doc_id"]: set(_shingles(_toks(d["text"]), 3))
+          for d in rows("documents")}
+    bands: dict = defaultdict(list)
+    for doc, s in sh.items():
+        if not s:
+            continue
+        sig = [min(_md5(f"{seed}#{g}") for g in s) for seed in range(16)]
+        for band in range(8):
+            bh = _md5("".join(sig[band * 2:band * 2 + 2]))
+            bands[(band, bh)].append(doc)
+    cands = set()
+    for docs_ in bands.values():
+        for i, a in enumerate(sorted(docs_)):
+            for b in sorted(docs_)[i + 1:]:
+                if a < b:
+                    cands.add((a, b))
+    out = []
+    for a, b in cands:
+        ni = len(sh[a] & sh[b])
+        j = rnd(ni / (len(sh[a]) + len(sh[b]) - ni), 4)
+        if j >= 0.5:
+            out.append({"doc_a": a, "doc_b": b, "jaccard": j})
+    assert_equal(spark, "q_minhash_near_dups", out)
+
+
+def test_replay_q_dup_size_hist(spark):
+    fp: dict = defaultdict(int)
+    for d in rows("documents"):
+        fp[_md5(" ".join(sorted(set(_toks(d["text"])))))] += 1
+    hist: dict = defaultdict(int)
+    for sz in fp.values():
+        hist[sz] += 1
+    assert_equal(spark, "q_dup_size_hist", [
+        {"cluster_size": sz, "n_clusters": n, "n_docs": sz * n,
+         "removable_docs": (sz - 1) * n}
+        for sz, n in hist.items()
+    ])
+
+
+def test_replay_q_ngram_novelty(spark):
+    docs = rows("documents")
+    seen = set()
+    for d in docs:
+        if _bucket("inc", d["doc_id"]) % 10 < 8:
+            for g in _shingles(_toks(d["text"]), 8):
+                seen.add(_md5(g)[:16])
+    out = []
+    for d in docs:
+        if _bucket("inc", d["doc_id"]) % 10 < 8:
+            continue
+        grams = [_md5(g)[:16] for g in _shingles(_toks(d["text"]), 8)]
+        if not grams:
+            continue
+        novel = sum(1 for g in grams if g not in seen)
+        out.append({
+            "doc_id": d["doc_id"], "n_grams": len(grams), "n_novel": novel,
+            "novelty": rnd(novel / max(len(grams), 1), 6),
+        })
+    assert_equal(spark, "q_ngram_novelty", out)
+
+
+def test_replay_q_unigram_logprob(spark):
+    docs = rows("documents")
+    uni: dict = defaultdict(int)
+    for d in docs:
+        for t in _toks(d["text"]):
+            uni[t] += 1
+    tot = sum(uni.values())
+    out = []
+    for d in docs:
+        toks = _toks(d["text"])
+        lp = sum(
+            int(Decimal(str(math.log(uni[t] / tot) * 10000)).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP))
+            for t in toks
+        )
+        out.append({"doc_id": d["doc_id"], "n_tokens": len(toks),
+                    "logprob_tenk": lp})
+    assert_equal(spark, "q_unigram_logprob", out)
+
+
+def test_replay_q_bigram_topk(spark):
+    cnt: dict = defaultdict(int)
+    for d in rows("documents"):
+        toks = _toks(d["text"])
+        for a, b in zip(toks, toks[1:]):
+            cnt[f"{a} {b}"] += 1
+    out = [{"bigram": k, "n": v} for k, v in cnt.items()]
+    out.sort(key=lambda r: (-r["n"], r["bigram"]))
+    assert_equal(spark, "q_bigram_topk", out[:50])
+
+
+def test_replay_q_cosine_topk(spark):
+    embs = {e["vec_id"]: [float(x) for x in e["embedding"]]
+            for e in rows("embeddings")}
+    nrm = {k: math.sqrt(sum(x * x for x in v)) for k, v in embs.items()}
+    out = []
+    for qid in sorted(k for k in embs if k <= 5):
+        scored = []
+        for vid, v in embs.items():
+            if vid == qid:
+                continue
+            cos = rnd(sum(a * b for a, b in zip(embs[qid], v))
+                      / (nrm[qid] * nrm[vid]), 4)
+            scored.append((cos, vid))
+        scored.sort(key=lambda s: (-s[0], s[1]))
+        for rk, (cos, vid) in enumerate(scored[:5], start=1):
+            out.append({"query_id": qid, "vec_id": vid, "cosine": cos,
+                        "rank": rk})
+    assert_equal(spark, "q_cosine_topk", out)
+
+
+def test_replay_q_embedding_norm(spark):
+    out = []
+    for e in rows("embeddings"):
+        n = math.sqrt(sum(float(x) * float(x) for x in e["embedding"]))
+        out.append({"vec_id": e["vec_id"], "l2_norm": rnd(n, 6)})
+    assert_equal(spark, "q_embedding_norm", out)
+
+
+def test_replay_q_grouped_zscore(spark):
+    groups: dict = defaultdict(list)
+    for o in rows("orders"):
+        groups[o["o_custkey"]].append(
+            (o["o_orderkey"], _round_cents(o["o_totalprice"])))
+    out = []
+    for ck, members in groups.items():
+        n = len(members)
+        if n <= 1:
+            continue
+        s1 = sum(c for _, c in members)
+        s2 = sum(c * c for _, c in members)
+        sd = math.sqrt((s2 - s1 * s1 / n) / (n - 1))
+        for ok, c in members:
+            out.append({"o_orderkey": ok, "o_custkey": ck,
+                        "z": rnd((c - s1 / n) / sd, 4)})
+    assert_equal(spark, "q_grouped_zscore", out)
