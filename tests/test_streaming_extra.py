@@ -97,6 +97,54 @@ def test_rocksdb_state_store_env_gate(monkeypatch):
     )
 
 
+def test_rocksdb_provider_output_invariance(spark):
+    """q_stream_minhash_dedup (the family's heaviest stateful op)
+    produces the IDENTICAL row set under the RocksDB state-store
+    provider as under the default HDFS-backed one. The RocksDB arm
+    runs in a fresh subprocess because the provider class is a
+    session-builder conf (SPARK_GRAFT_STATE_STORE env gate); the
+    default arm reuses this session. Scale twin: tools/rocksdb_ab.py
+    runs the same assertion at x10 state volume."""
+    import os
+    import subprocess
+    import sys
+
+    from mapreduce_server_development_spark.plans import QUERIES
+
+    def canon(rows_):
+        return sorted(
+            "|".join(f"{k}={r[k]!r}" for k in sorted(r.asDict()))
+            for r in rows_
+        )
+
+    default_rows = canon(
+        QUERIES["q_stream_minhash_dedup"](spark, SF_SMOKE).collect()
+    )
+    child = (
+        "import sys, json\n"
+        "sys.path.insert(0, %r)\n"
+        "import __spark_entry__ as e\n"
+        "from mapreduce_server_development_spark.session import get_spark\n"
+        "spark = get_spark(app_name='rocksdb-invariance')\n"
+        "rows = e.queries()['q_stream_minhash_dedup'](spark, %r).collect()\n"
+        "canon = sorted('|'.join(f'{k}={r[k]!r}' for k in sorted(r.asDict()))"
+        " for r in rows)\n"
+        "print('ROWS_JSON:' + json.dumps(canon))\n"
+    ) % (str(__import__("pathlib").Path(__file__).resolve().parent.parent),
+         SF_SMOKE)
+    env = dict(os.environ, SPARK_GRAFT_STATE_STORE="rocksdb")
+    proc = subprocess.run(
+        [sys.executable, "-c", child], env=env,
+        capture_output=True, text=True, timeout=600,
+    )
+    lines = [ln for ln in proc.stdout.splitlines()
+             if ln.startswith("ROWS_JSON:")]
+    assert lines, proc.stderr[-3000:]
+    import json as _json
+    rocks_rows = _json.loads(lines[0][len("ROWS_JSON:"):])
+    assert rocks_rows == default_rows
+
+
 def test_stream_metrics_progress_rows(spark):
     """q_stream_metrics yields >= 1 per-batch progress row with the
     documented stable schema; the data batch reports its input rows and
