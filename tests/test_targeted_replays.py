@@ -1774,3 +1774,389 @@ def test_replay_q_grouped_zscore(spark):
             out.append({"o_orderkey": ok, "o_custkey": ck,
                         "z": rnd((c - s1 / n) / sd, 4)})
     assert_equal(spark, "q_grouped_zscore", out)
+
+
+# ---------------------------------------------------------------------------
+# Graph / retrieval-fusion / stats / sampling plans
+# ---------------------------------------------------------------------------
+
+
+def test_replay_q_degree_distribution(spark):
+    po: dict = defaultdict(set)
+    for li in rows("lineitem"):
+        po[li["l_orderkey"]].add(li["l_partkey"])
+    edges = set()
+    for parts in po.values():
+        if len(parts) > 256:
+            continue
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                edges.add((a, b))
+    deg: dict = defaultdict(int)
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    binned: dict = defaultdict(list)
+    for d in deg.values():
+        binned[d.bit_length() - 1].append(d)
+    assert_equal(spark, "q_degree_distribution", [
+        {"log2_degree": b, "n_nodes": len(ds), "min_degree": min(ds),
+         "max_degree": max(ds), "edge_endpoints": sum(ds)}
+        for b, ds in binned.items()
+    ])
+
+
+def test_replay_q_pagerank(spark):
+    pairs, _ = _jaccard_pairs(5, 0.2)
+    edges = []
+    for a, b in pairs:
+        edges.append((a, b))
+        edges.append((b, a))
+    deg: dict = defaultdict(int)
+    for a, _ in edges:
+        deg[a] += 1
+    all_docs = [d["doc_id"] for d in rows("documents")]
+    r = {doc: 1_000_000 for doc in all_docs}
+    for _ in range(10):
+        inflow: dict = defaultdict(int)
+        for a, b in edges:
+            inflow[b] += r[a] // deg[a]
+        r = {doc: 150_000 + (85 * inflow.get(doc, 0)) // 100
+             for doc in all_docs}
+    assert_equal(spark, "q_pagerank", [
+        {"doc_id": doc, "rank_micro": v} for doc, v in r.items()
+    ])
+
+
+def test_replay_q_rrf_fusion(spark):
+    docs = rows("documents")
+    toks = {d["doc_id"]: _toks(d["text"]) for d in docs}
+    dl = {doc: len(t) for doc, t in toks.items()}
+    d_toks = {doc: len(set(t)) for doc, t in toks.items()}
+    n = len(dl)
+    avgdl = sum(dl.values()) / n
+    terms = ("filter", "window", "stream")
+    tf: dict = defaultdict(dict)
+    for doc, t in toks.items():
+        for term in terms:
+            c = t.count(term)
+            if c:
+                tf[term][doc] = c
+    bm: dict = defaultdict(int)
+    for term, per_doc in tf.items():
+        df = len(per_doc)
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        for doc, f in per_doc.items():
+            contrib = (idf * f * 2.2
+                       / (f + 1.2 * (0.25 + 0.75 * dl[doc] / avgdl)))
+            bm[doc] += int(Decimal(str(contrib * 1000000)).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP))
+    r1 = {doc: rk for rk, (s, doc) in enumerate(
+        sorted(((s, doc) for doc, s in bm.items()),
+               key=lambda p: (-p[0], p[1]))[:100], start=1)}
+    qual = {doc: 1_000_000 * d_toks[doc] // dl[doc]
+            for doc in dl if dl[doc] > 0}
+    r2 = {doc: rk for rk, (q, doc) in enumerate(
+        sorted(((q, doc) for doc, q in qual.items()),
+               key=lambda p: (-p[0], p[1]))[:100], start=1)}
+    out = []
+    for doc in set(r1) | set(r2):
+        rrf = ((1.0 / (60 + r1[doc]) if doc in r1 else 0.0)
+               + (1.0 / (60 + r2[doc]) if doc in r2 else 0.0))
+        out.append({"doc_id": doc, "r_bm25": r1.get(doc),
+                    "r_quality": r2.get(doc), "rrf_score": rnd(rrf, 6)})
+    out.sort(key=lambda r_: (-r_["rrf_score"], r_["doc_id"]))
+    assert_equal(spark, "q_rrf_fusion", out[:20])
+
+
+def test_replay_q_retrieval_mrr(spark):
+    docs = rows("documents")
+    toks = {d["doc_id"]: _toks(d["text"]) for d in docs}
+    dl = {doc: len(t) for doc, t in toks.items()}
+    n = len(dl)
+    avgdl = sum(dl.values()) / n
+    tfc: dict = defaultdict(dict)
+    for doc, t in toks.items():
+        for term in t:
+            tfc[term][doc] = tfc[term].get(doc, 0) + 1
+    dfc = {term: len(per) for term, per in tfc.items()}
+
+    def i_rnd(x, nd=0):
+        q = Decimal(1).scaleb(-nd)
+        return Decimal(str(x)).quantize(q, rounding=ROUND_HALF_UP)
+
+    qids = sorted(doc for doc in dl if doc <= 5)
+    lex: dict = {}
+    for qid in qids:
+        scored_terms = sorted(
+            ((float(i_rnd(c * math.log(n / dfc[t]), 6)), t)
+             for t, c in ((t, tfc[t][qid]) for t in set(toks[qid]))),
+            key=lambda p: (-p[0], p[1]))
+        qterms = [t for _, t in scored_terms[:8]]
+        scores: dict = defaultdict(int)
+        for term in qterms:
+            df = dfc[term]
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            for doc, f in tfc[term].items():
+                if doc == qid:
+                    continue
+                c = int(i_rnd(idf * f * 2.2
+                              / (f + 1.2 * (0.25 + 0.75 * dl[doc] / avgdl))
+                              * 1000000))
+                scores[doc] += c
+        ranked = sorted(
+            ((rnd(s / 1000000.0, 4), doc) for doc, s in scores.items()),
+            key=lambda p: (-p[0], p[1]))
+        lex[qid] = {doc: rk for rk, (_, doc) in
+                    enumerate(ranked[:20], start=1)}
+    embs = {e["vec_id"]: [float(x) for x in e["embedding"]]
+            for e in rows("embeddings")}
+    nrm = {k: math.sqrt(sum(x * x for x in v)) for k, v in embs.items()}
+    vqids = sorted(k for k in embs if k <= 5)
+    vec: dict = {}
+    truth: dict = {}
+    for qid in vqids:
+        ranked = sorted(
+            ((rnd(sum(a * b for a, b in zip(embs[qid], embs[v]))
+                  / (nrm[qid] * nrm[v]), 4), v)
+             for v in embs if v != qid),
+            key=lambda p: (-p[0], p[1]))
+        vec[qid] = {doc: rk for rk, (_, doc) in
+                    enumerate(ranked[:20], start=1)}
+        truth[qid] = ranked[0][1]
+    fused_rank: dict = {}
+    for qid in set(lex) | set(vec):
+        cand = set(lex.get(qid, {})) | set(vec.get(qid, {}))
+        scored = []
+        for doc in cand:
+            nano = 0
+            if doc in lex.get(qid, {}):
+                nano += int(i_rnd(1e9 / (60 + lex[qid][doc])))
+            if doc in vec.get(qid, {}):
+                nano += int(i_rnd(1e9 / (60 + vec[qid][doc])))
+            scored.append((nano, doc))
+        scored.sort(key=lambda p: (-p[0], p[1]))
+        fused_rank[qid] = {doc: rk for rk, (_, doc) in
+                           enumerate(scored, start=1)}
+    rr = []
+    for qid in truth:
+        fr = fused_rank.get(qid, {}).get(truth[qid])
+        hit = fr is not None and fr <= 10
+        rr.append({"query_id": qid, "truth_doc": truth[qid],
+                   "rank_in_fused": fr if hit else None,
+                   "rr_micro": 1_000_000 // fr if hit else 0})
+    mrr = sum(r_["rr_micro"] for r_ in rr) // len(rr)
+    for r_ in rr:
+        r_["mrr_micro"] = mrr
+    assert_equal(spark, "q_retrieval_mrr", rr)
+
+
+def test_replay_q_abc_analysis(spark):
+    cents: dict = defaultdict(int)
+    for li in rows("lineitem"):
+        cents[li["l_partkey"]] += _round_cents(li["l_extendedprice"])
+    ranked = sorted(cents.items(), key=lambda kv: (-kv[1], kv[0]))
+    tot = sum(cents.values())
+    agg: dict = defaultdict(lambda: [0, 0])
+    cum = 0
+    for _, c in ranked:
+        cum += c
+        cls = "A" if 100 * cum <= 80 * tot else (
+            "B" if 100 * cum <= 95 * tot else "C")
+        agg[cls][0] += 1
+        agg[cls][1] += c
+    assert_equal(spark, "q_abc_analysis", [
+        {"abc_class": k, "n_parts": v[0], "revenue": rnd(v[1] / 100.0, 2)}
+        for k, v in agg.items()
+    ])
+
+
+def _pearson(pts):
+    n = float(len(pts))
+    sx = float(sum(x for x, _ in pts))
+    sy = float(sum(y for _, y in pts))
+    sxx = float(sum(x * x for x, _ in pts))
+    syy = float(sum(y * y for _, y in pts))
+    sxy = float(sum(x * y for x, y in pts))
+    den = math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return (n * sxy - sx * sy) / den if den else None
+
+
+def test_replay_q_feature_corr(spark):
+    feats = []
+    for li in rows("lineitem"):
+        feats.append({
+            "disc_c": _round_cents(li["l_discount"]),
+            "price_c": _round_cents(li["l_extendedprice"]),
+            "qty": int(li["l_quantity"]),
+            "tax_c": _round_cents(li["l_tax"]),
+        })
+    names = ["disc_c", "price_c", "qty", "tax_c"]
+    out = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            c = _pearson([(f[a], f[b]) for f in feats])
+            out.append({"feat_a": a, "feat_b": b,
+                        "corr": rnd(c, 6) if c is not None else None})
+    assert_equal(spark, "q_feature_corr", out)
+
+
+def test_replay_q_group_corr(spark):
+    brand = {p["p_partkey"]: p["p_brand"] for p in rows("part")}
+    pts: dict = defaultdict(list)
+    for li in rows("lineitem"):
+        b = brand.get(li["l_partkey"])
+        if b is not None:
+            pts[b].append((_round_cents(li["l_discount"]),
+                           int(li["l_quantity"])))
+    out = []
+    for b, p in pts.items():
+        c = _pearson(p)
+        out.append({"brand": b, "n_lines": len(p),
+                    "corr_discount_qty": rnd(c, 6) if c is not None
+                    else None})
+    assert_equal(spark, "q_group_corr", out)
+
+
+def test_replay_q_group_trend(spark):
+    nat = {n["n_nationkey"]: n["n_name"] for n in rows("nation")}
+    cnat = {c["c_custkey"]: nat[c["c_nationkey"]] for c in rows("customer")}
+    monthly: dict = defaultdict(int)
+    for o in rows("orders"):
+        d = o["o_orderdate"]
+        m = (d.year - 1992) * 12 + (d.month - 1)
+        monthly[(cnat[o["o_custkey"]], m)] += _round_cents(o["o_totalprice"])
+    per_nat: dict = defaultdict(list)
+    for (nm, m), rev in monthly.items():
+        per_nat[nm].append((m, rev))
+    out = []
+    for nm, pts in per_nat.items():
+        n = len(pts)
+        sx = sum(m for m, _ in pts)
+        sy = sum(r for _, r in pts)
+        sxx = sum(m * m for m, _ in pts)
+        sxy = sum(m * r for m, r in pts)
+        slope = ((n * float(sxy) - float(sx) * float(sy))
+                 / (n * float(sxx) - float(sx) * float(sx)))
+        intercept = (float(sy) - slope * float(sx)) / n
+        out.append({"nation": nm, "n_months": n,
+                    "slope_per_month": rnd(slope / 100.0, 4),
+                    "intercept": rnd(intercept / 100.0, 4)})
+    assert_equal(spark, "q_group_trend", out)
+
+
+def test_replay_q_simpson_flip(spark):
+    pts: dict = defaultdict(list)
+    for li in rows("lineitem"):
+        pts[li["l_returnflag"]].append(
+            (_round_cents(li["l_discount"]), int(li["l_quantity"])))
+    pooled = [p for v in pts.values() for p in v]
+    cp = _pearson(pooled)
+    out = []
+    for f, v in pts.items():
+        cg = _pearson(v)
+        out.append({
+            "stratum": f, "n_rows": len(v),
+            "corr_group": rnd(cg, 6) if cg is not None else None,
+            "corr_pooled": rnd(cp, 6) if cp is not None else None,
+            "sign_flipped": 1 if (cg is not None and cp is not None
+                                  and cg * cp < 0) else 0,
+        })
+    assert_equal(spark, "q_simpson_flip", out)
+
+
+def test_replay_q_dataset_mix(spark):
+    agg: dict = defaultdict(lambda: [0, 0])
+    for d in rows("documents"):
+        rate = 200 + 50 * (int(d["source"][3:]) % 10)
+        a = agg[(d["source"], rate)]
+        a[0] += 1
+        if _bucket("mix", d["doc_id"]) < rate:
+            a[1] += 1
+    assert_equal(spark, "q_dataset_mix", [
+        {"source": k[0], "rate_permille": k[1], "n_docs": v[0],
+         "n_kept": v[1]}
+        for k, v in agg.items()
+    ])
+
+
+def test_replay_q_train_test_split(spark):
+    agg: dict = defaultdict(int)
+    for d in rows("documents"):
+        b = _bucket("split", d["doc_id"])
+        split = "train" if b < 800 else ("val" if b < 900 else "test")
+        agg[(d["lang"], split)] += 1
+    assert_equal(spark, "q_train_test_split", [
+        {"lang": k[0], "split": k[1], "n_docs": v} for k, v in agg.items()
+    ])
+
+
+def test_replay_q_weighted_sample(spark):
+    nib = "0123456789abcdef"
+    keyed = []
+    for d in rows("documents"):
+        h = _md5(f"wrs:{d['doc_id']}")
+        h32 = int(h[:8], 16)
+        assert sum(nib.index(c) * 16 ** (7 - i)
+                   for i, c in enumerate(h[:8])) == h32
+        ikey = int(Decimal(str(
+            -math.log((h32 + 1) / 4294967297.0)
+            / max(d["n_chars"], 1) * 1_000_000_000
+        )).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+        keyed.append((ikey, d["doc_id"], d["n_chars"]))
+    keyed.sort(key=lambda p: (p[0], p[1]))
+    assert_equal(spark, "q_weighted_sample", [
+        {"doc_id": doc, "n_chars": nc} for _, doc, nc in keyed[:100]
+    ])
+
+
+def test_replay_q_dataset_card(spark):
+    agg: dict = defaultdict(lambda: [0, set(), 0])
+    for d in rows("documents"):
+        a = agg[(d["source"], d["lang"])]
+        a[0] += 1
+        a[1].add(_md5(d["text"]))
+        # raw-text whitespace tokens (NOT lowercased)
+        a[2] += len([t for t in d["text"].split(" ") if t != ""])
+    assert_equal(spark, "q_dataset_card", [
+        {"source": k[0], "lang": k[1], "n_docs": v[0],
+         "n_distinct_texts": len(v[1]), "total_tokens": v[2],
+         "avg_tokens": rnd(v[2] / v[0], 4)}
+        for k, v in agg.items()
+    ])
+
+
+def test_replay_q_decontaminate(spark):
+    docs = rows("documents")
+    sh: dict = {}
+    cnt: dict = defaultdict(int)
+    for d in docs:
+        s = set(_shingles(_toks(d["text"]), 8))
+        sh[d["doc_id"]] = s
+        for g in s:
+            cnt[g] += 1
+    hot = {g for g, c in cnt.items() if c > 1000}
+    split = {}
+    for d in docs:
+        b = _bucket("split", d["doc_id"])
+        split[d["doc_id"]] = ("train" if b < 800
+                              else ("val" if b < 900 else "test"))
+    test_docs_of: dict = defaultdict(set)
+    for doc, s in sh.items():
+        if split[doc] == "test":
+            for g in s - hot:
+                test_docs_of[g].add(doc)
+    out = []
+    for doc, s in sh.items():
+        if split[doc] != "train":
+            continue
+        shared = {g for g in s - hot if g in test_docs_of}
+        if not shared:
+            continue
+        tdocs = set()
+        for g in shared:
+            tdocs |= test_docs_of[g]
+        out.append({"doc_id": doc, "n_shared_shingles": len(shared),
+                    "n_test_docs": len(tdocs)})
+    assert_equal(spark, "q_decontaminate", out)
