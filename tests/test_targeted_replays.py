@@ -2160,3 +2160,353 @@ def test_replay_q_decontaminate(spark):
         out.append({"doc_id": doc, "n_shared_shingles": len(shared),
                     "n_test_docs": len(tdocs)})
     assert_equal(spark, "q_decontaminate", out)
+
+
+# ---------------------------------------------------------------------------
+# Similarity / cell / tokenizer / packing / classifier plans
+# ---------------------------------------------------------------------------
+
+
+def test_replay_q_lsh_ann(spark):
+    import re
+
+    from mapreduce_server_development_spark.plans import ORACLE
+
+    # the +/-1 plane matrix is a literal in the oracle — parse the
+    # spec rather than importing the implementation's constant
+    planes = [
+        [float(x) for x in m.split(",")]
+        for m in re.findall(r"\[([-0-9., ]+)\]::DOUBLE\[\]",
+                            ORACLE["q_lsh_ann"])
+    ]
+    assert len(planes) == 8 and all(len(p) == 64 for p in planes)
+    embs = {e["vec_id"]: [float(x) for x in e["embedding"]]
+            for e in rows("embeddings")}
+    nrm = {k: math.sqrt(sum(x * x for x in v)) for k, v in embs.items()}
+
+    def bucket(v):
+        return "".join(
+            "1" if rnd(sum(a * b for a, b in zip(v, p)), 6) > 0 else "0"
+            for p in planes)
+    bk = {vid: bucket(v) for vid, v in embs.items()}
+    out = []
+    for qid in sorted(k for k in embs if k <= 5):
+        cands = [
+            (rnd(sum(a * b for a, b in zip(embs[qid], embs[v]))
+                 / (nrm[qid] * nrm[v]), 4), v)
+            for v in embs if v != qid and bk[v] == bk[qid]
+        ]
+        cands.sort(key=lambda p: (-p[0], p[1]))
+        for rk, (cos, vid) in enumerate(cands[:3], start=1):
+            out.append({"query_id": qid, "vec_id": vid, "cosine": cos,
+                        "rank": rk})
+    assert_equal(spark, "q_lsh_ann", out)
+
+
+def _minhash_sigs(w: int = 3):
+    sh = {d["doc_id"]: set(_shingles(_toks(d["text"]), w))
+          for d in rows("documents")}
+    sig = {doc: [min(_md5(f"{seed}#{g}") for g in s)
+                 for seed in range(16)]
+           for doc, s in sh.items() if s}
+    return sh, sig
+
+
+def _band_cands(sig, rows_per_band: int):
+    bands: dict = defaultdict(list)
+    n_bands = 16 // rows_per_band
+    for doc, s in sig.items():
+        for band in range(n_bands):
+            bh = _md5("".join(
+                s[band * rows_per_band:(band + 1) * rows_per_band]))
+            bands[(band, bh)].append(doc)
+    cands = set()
+    for docs_ in bands.values():
+        ds = sorted(docs_)
+        for i, a in enumerate(ds):
+            for b in ds[i + 1:]:
+                cands.add((a, b))
+    return cands
+
+
+def test_replay_q_lsh_tuning(spark):
+    _, sig = _minhash_sigs()
+    docs = sorted(sig)
+    truth = set()
+    for i, a in enumerate(docs):
+        for b in docs[i + 1:]:
+            if sum(1 for s in range(16) if sig[a][s] == sig[b][s]) >= 12:
+                truth.add((a, b))
+    out = []
+    for rpb in (1, 2, 4):
+        cands = _band_cands(sig, rpb)
+        caught = len(cands & truth)
+        out.append({
+            "rows_per_band": rpb, "n_bands": 16 // rpb,
+            "n_candidates": len(cands), "n_true_caught": caught,
+            "n_true": len(truth),
+            "recall": 1.0 if not truth else rnd(caught / len(truth), 6),
+        })
+    assert_equal(spark, "q_lsh_tuning", out)
+
+
+def test_replay_q_minhash_estimate_audit(spark):
+    sh, sig = _minhash_sigs()
+    out = []
+    for a, b in _band_cands(sig, 2):
+        n_match = sum(1 for s in range(16) if sig[a][s] == sig[b][s])
+        ni = len(sh[a] & sh[b])
+        est = rnd(n_match / 16, 4)
+        jac = rnd(ni / (len(sh[a]) + len(sh[b]) - ni), 4)
+        out.append({"doc_a": a, "doc_b": b, "n_match": n_match,
+                    "est_jaccard": est, "jaccard": jac,
+                    "est_error": rnd(abs(est - jac), 4)})
+    assert_equal(spark, "q_minhash_estimate_audit", out)
+
+
+def test_replay_q_label_purity(spark):
+    es = rows("embeddings")
+    embs = {e["vec_id"]: [float(x) for x in e["embedding"]] for e in es}
+    label = {e["vec_id"]: e["label"] for e in es}
+    nrm = {k: math.sqrt(sum(x * x for x in v)) for k, v in embs.items()}
+
+    def ccos(a, b):
+        return rnd(sum(x * y for x, y in zip(embs[a], embs[b]))
+                   / (nrm[a] * nrm[b]), 4)
+    cents = sorted(k for k in embs if k <= 16)
+    assign = {}
+    for vid in embs:
+        best = min(((-ccos(vid, c), c) for c in cents))
+        assign[vid] = best[1]
+    members: dict = defaultdict(list)
+    for vid, cid in assign.items():
+        members[cid].append(vid)
+    agg: dict = defaultdict(lambda: [0, 0])
+    for vid, cid in assign.items():
+        nbrs = [(-ccos(vid, b), b) for b in members[cid] if b != vid]
+        if not nbrs:
+            continue  # inner join drops cells of one
+        nb = min(nbrs)[1]
+        a = agg[label[vid]]
+        a[0] += 1
+        if label[nb] == label[vid]:
+            a[1] += 1
+    assert_equal(spark, "q_label_purity", [
+        {"label": lb, "n_vecs": v[0], "n_pure": v[1],
+         "purity": rnd(v[1] / v[0], 4)}
+        for lb, v in agg.items()
+    ])
+
+
+def test_replay_q_mix_planner(spark):
+    agg: dict = defaultdict(lambda: [0, 0, 0])
+    for d in rows("documents"):
+        toks = _toks(d["text"])
+        a = agg[d["source"]]
+        a[0] += 1
+        a[1] += len(toks)
+        a[2] += len(set(toks))
+    ranked = sorted(
+        ((1_000_000 * a[2] // a[1], s, a) for s, a in agg.items()
+         if a[1] > 0),
+        key=lambda p: (-p[0], p[1]))
+    budget = sum(a[1] for a in agg.values()) // 2
+    out = []
+    cum = 0
+    for rk, (q, s, a) in enumerate(ranked, start=1):
+        out.append({"source": s, "rank": rk, "n_docs": a[0],
+                    "avail_tokens": a[1], "quality_e6": q,
+                    "alloc_tokens": max(0, min(a[1], budget - cum))})
+        cum += a[1]
+    assert_equal(spark, "q_mix_planner", out)
+
+
+def test_replay_q_logreg_gd(spark):
+    d = [([float(e["embedding"][0]), float(e["embedding"][1]),
+           float(e["embedding"][2])],
+          0.0 if e["label"] % 2 == 0 else 1.0)
+         for e in rows("embeddings")]
+    n = float(len(d))
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(5):
+        g = [0.0, 0.0, 0.0, 0.0]
+        for x, y in d:
+            p = 1.0 / (1.0 + math.exp(-(w[0] + w[1] * x[0]
+                                        + w[2] * x[1] + w[3] * x[2])))
+            g[0] += p - y
+            g[1] += (p - y) * x[0]
+            g[2] += (p - y) * x[1]
+            g[3] += (p - y) * x[2]
+        w = [w[i] - g[i] / n for i in range(4)]
+    wr = [rnd(v, 4) for v in w]
+    n_right = sum(
+        1 for x, y in d
+        if (1.0 if 1.0 / (1.0 + math.exp(-(wr[0] + wr[1] * x[0]
+                                           + wr[2] * x[1] + wr[3] * x[2])))
+            >= 0.5 else 0.0) == y
+    )
+    assert_equal(spark, "q_logreg_gd", [{
+        "bias": rnd(w[0], 4), "c1": rnd(w[1], 4), "c2": rnd(w[2], 4),
+        "c3": rnd(w[3], 4), "n_correct": n_right, "n_rows": len(d),
+    }])
+
+
+def test_replay_q_quality_classifier(spark):
+    import re
+    agg: dict = defaultdict(lambda: [0, 0])
+    stops = {"the", "and", "of", "to", "in", "is", "for", "on",
+             "with", "as"}
+    for d in rows("documents"):
+        low = d["text"].lower()
+        toks = _toks(d["text"])
+        n_ws = len(toks)
+        n_alpha = len(re.findall(r"[a-z]+", low))
+        n_num = len(re.findall(r"[0-9]+", low))
+        n_stop = sum(1 for t in toks if t in stops)
+        score = int(Decimal(str(
+            (40.0 * n_ws + 25.0 * n_alpha - 30.0 * n_num + 10.0 * n_stop)
+            * 1000.0 / d["n_chars"]
+        )).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+        cls = ("high" if score >= 9000
+               else ("medium" if score >= 7000 else "low"))
+        a = agg[(d["source"], cls)]
+        a[0] += 1
+        a[1] += score
+    assert_equal(spark, "q_quality_classifier", [
+        {"source": k[0], "quality_class": k[1], "n_docs": v[0],
+         "avg_score_milli": rnd(v[1] / v[0], 4)}
+        for k, v in agg.items()
+    ])
+
+
+def test_replay_q_bpe_encode(spark):
+    wfreq: dict = defaultdict(int)
+    for d in rows("documents"):
+        for t in _toks(d["text"]):
+            wfreq[t] += 1
+    seqs = {w: list(w) + ["</w>"] for w in wfreq}
+    for _ in range(6):
+        pc: dict = defaultdict(int)
+        for w, s in seqs.items():
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += wfreq[w]
+        if not pc:
+            break
+        best = min(((-c, a, b) for (a, b), c in pc.items()))
+        first, second = best[1], best[2]
+        for w, s in seqs.items():
+            out = []
+            for t in s:
+                if out and out[-1] == first and t == second:
+                    out[-1] = first + second
+                else:
+                    out.append(t)
+            seqs[w] = out
+    n_sub = {w: len(s) - 1 for w, s in seqs.items()}
+    out_rows = []
+    for d in rows("documents"):
+        toks = _toks(d["text"])
+        out_rows.append({
+            "doc_id": d["doc_id"], "n_words": len(toks),
+            "n_subwords": sum(n_sub[t] for t in toks),
+        })
+    assert_equal(spark, "q_bpe_encode", out_rows)
+
+
+def test_replay_q_seq_packing(spark):
+    docs = sorted(rows("documents"), key=lambda d: d["doc_id"])
+    out = []
+    cum = 0
+    for d in docs:
+        nt = len([t for t in d["text"].split(" ") if t != ""])
+        out.append({"doc_id": d["doc_id"], "n_tokens": nt,
+                    "seq_bin": cum // 2048,
+                    "bin_offset": cum - (cum // 2048) * 2048})
+        cum += nt
+    assert_equal(spark, "q_seq_packing", out)
+
+
+def test_replay_q_udtf_chunk(spark):
+    out = []
+    for d in rows("documents"):
+        toks = _toks(d["text"])
+        for i in range(math.ceil(len(toks) / 32)):
+            out.append({
+                "doc_id": d["doc_id"], "chunk_id": i,
+                "chunk_len": min(32, len(toks) - i * 32),
+                "first_token": toks[i * 32],
+            })
+    assert_equal(spark, "q_udtf_chunk", out)
+
+
+def test_replay_q_dup_clusters_star(spark):
+    """The star-contraction implementation must produce the identical
+    min-id component labeling as the BFS reference."""
+    pairs, _ = _jaccard_pairs(5, 0.2)
+    cluster = _components(pairs)
+    assert_equal(spark, "q_dup_clusters_star", [
+        {"doc_id": doc, "cluster_id": c} for doc, c in cluster.items()
+    ])
+
+
+def test_replay_q_multimodal_metadata(spark):
+    import binascii
+    out = []
+    for d in rows("documents"):
+        magic = ("IMG1", "AUD1", "VID1")[d["doc_id"] % 3]
+        w = 16 + d["doc_id"] % 48
+        h = 16 + (d["doc_id"] * 7) % 48
+        media = f"{magic}:{w}x{h}:{d['text']}".encode()
+        out.append({
+            "doc_id": d["doc_id"], "n_bytes": len(media),
+            "content_hash": _md5(
+                binascii.hexlify(media).decode().upper()),
+            "magic": magic,
+            "modality": {"IMG1": "image", "AUD1": "audio",
+                         "VID1": "video"}[magic],
+        })
+    assert_equal(spark, "q_multimodal_metadata", out)
+
+
+def test_replay_q_tensor_stats(spark):
+    out = []
+    for e in rows("embeddings"):
+        vv = [float(x) for x in e["embedding"]]
+        out.append({
+            "vec_id": e["vec_id"], "n_dims": len(vv),
+            "l2_norm": rnd(math.sqrt(sum(x * x for x in vv)), 4),
+            "mean": rnd(sum(vv) / len(vv), 4),
+            "vmin": rnd(min(vv), 4), "vmax": rnd(max(vv), 4),
+        })
+    assert_equal(spark, "q_tensor_stats", out)
+
+
+def test_replay_q_hot_cell_split(spark):
+    embs = {e["vec_id"]: [float(x) for x in e["embedding"]]
+            for e in rows("embeddings")}
+    nrm = {k: math.sqrt(sum(x * x for x in v)) for k, v in embs.items()}
+    n = len(embs)
+    k = math.ceil(math.sqrt(n))
+    cents = sorted(embs)[:k]
+
+    def ccos(a, c):
+        return rnd(sum(x * y for x, y in zip(embs[a], embs[c]))
+                   / (nrm[a] * nrm[c]), 4)
+    assign = {vid: min(((-ccos(vid, c), c) for c in cents))[1]
+              for vid in embs}
+    cellcnt: dict = defaultdict(int)
+    for cid in assign.values():
+        cellcnt[cid] += 1
+    sub = {vid: vid % math.ceil(cellcnt[cid] / (0.25 * k))
+           for vid, cid in assign.items()}
+    subcnt: dict = defaultdict(int)
+    for vid, cid in assign.items():
+        subcnt[(cid, sub[vid])] += 1
+    assert_equal(spark, "q_hot_cell_split", [{
+        "n_cells": len(cellcnt), "n_subcells": len(subcnt),
+        "max_cell": max(cellcnt.values()),
+        "max_subcell": max(subcnt.values()),
+        "pairs_uncapped": sum(c * (c - 1) for c in cellcnt.values()),
+        "pairs_capped": sum(c * (c - 1) for c in subcnt.values()),
+        "pairs_joined": sum(c * (c - 1) for c in subcnt.values()),
+    }])
