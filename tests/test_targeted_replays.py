@@ -2510,3 +2510,187 @@ def test_replay_q_hot_cell_split(spark):
         "pairs_capped": sum(c * (c - 1) for c in subcnt.values()),
         "pairs_joined": sum(c * (c - 1) for c in subcnt.values()),
     }])
+
+
+# ---------------------------------------------------------------------------
+# IVF / multiprobe / quantizer-train / media-plumbing / pipeline plans
+# ---------------------------------------------------------------------------
+
+
+def _emb_cos():
+    embs = {e["vec_id"]: [float(x) for x in e["embedding"]]
+            for e in rows("embeddings")}
+    nrm = {k: math.sqrt(sum(x * x for x in v)) for k, v in embs.items()}
+
+    def ccos(a, b):
+        return rnd(sum(x * y for x, y in zip(embs[a], embs[b]))
+                   / (nrm[a] * nrm[b]), 4)
+    return embs, nrm, ccos
+
+
+def test_replay_q_ivf_ann(spark):
+    embs, nrm, ccos = _emb_cos()
+    cents = sorted(k for k in embs if k <= 16)
+    assign = {vid: min(((-ccos(vid, c), c) for c in cents))[1]
+              for vid in embs}
+    out = []
+    for qid in sorted(k for k in embs if k <= 5):
+        probed = [c for _, c in sorted((-ccos(qid, c), c) for c in cents)[:2]]
+        cands = {v for v, c in assign.items() if c in probed and v != qid}
+        ranked = sorted(((ccos(qid, v), v) for v in cands),
+                        key=lambda p: (-p[0], p[1]))
+        for rk, (cos, vid) in enumerate(ranked[:3], start=1):
+            out.append({"query_id": qid, "vec_id": vid, "cosine": cos,
+                        "rank": rk})
+    assert_equal(spark, "q_ivf_ann", out)
+
+
+def test_replay_q_lsh_ann_multiprobe(spark):
+    import re
+
+    from mapreduce_server_development_spark.plans import ORACLE
+
+    planes = [
+        [float(x) for x in m.split(",")]
+        for m in re.findall(r"\[([-0-9., ]+)\]::DOUBLE\[\]",
+                            ORACLE["q_lsh_ann_multiprobe"])
+    ]
+    assert len(planes) == 4
+    embs, nrm, ccos = _emb_cos()
+
+    def bucket(v):
+        return "".join(
+            "1" if rnd(sum(a * b for a, b in zip(v, p)), 6) > 0 else "0"
+            for p in planes)
+    bk = {vid: bucket(v) for vid, v in embs.items()}
+    out = []
+    for qid in sorted(k for k in embs if k <= 5):
+        qb = bk[qid]
+        probes = {qb} | {
+            qb[:i] + ("1" if qb[i] == "0" else "0") + qb[i + 1:]
+            for i in range(4)
+        }
+        cands = {v for v in embs if v != qid and bk[v] in probes}
+        ranked = sorted(((ccos(qid, v), v) for v in cands),
+                        key=lambda p: (-p[0], p[1]))
+        for rk, (cos, vid) in enumerate(ranked[:3], start=1):
+            out.append({"query_id": qid, "vec_id": vid, "cosine": cos,
+                        "rank": rk})
+    assert_equal(spark, "q_lsh_ann_multiprobe", out)
+
+
+def test_replay_q_cell_quantizer_train(spark):
+    embs, _, _ = _emb_cos()
+    n = len(embs)
+    k = math.ceil(math.sqrt(n))
+    dims = len(next(iter(embs.values())))
+
+    def norm(v):
+        return math.sqrt(sum(x * x for x in v))
+
+    def argmax(cents):
+        assign = {}
+        for vid, v in embs.items():
+            nv = norm(v)
+            best = min(
+                (-rnd(sum(a * b for a, b in zip(v, cv)) / (nv * cn), 4), cid)
+                for cid, (cv, cn) in cents.items()
+            )
+            assign[vid] = (best[1], -best[0])
+        return assign
+
+    def refit(assign):
+        members: dict = defaultdict(list)
+        for vid, (cid, _) in assign.items():
+            members[cid].append(embs[vid])
+        cents = {}
+        for cid, vs in members.items():
+            cv = [float(rnd(sum(v[i] for v in vs) / len(vs), 6))
+                  for i in range(dims)]
+            cents[cid] = (cv, norm(cv))
+        return cents
+
+    cents0 = {c: (embs[c], norm(embs[c])) for c in sorted(embs)[:k]}
+    stages = [argmax(cents0)]
+    for _ in range(2):
+        stages.append(argmax(refit(stages[-1])))
+    out = []
+    prev = None
+    for st, assign in enumerate(stages):
+        cnt: dict = defaultdict(int)
+        for cid, _ in assign.values():
+            cnt[cid] += 1
+        s_e4 = sum(
+            int(Decimal(str(c * 10000)).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP))
+            for _, c in assign.values())
+        moved = (0 if prev is None else sum(
+            1 for vid in assign if assign[vid][0] != prev[vid][0]))
+        out.append({"stage": st, "n_cells": len(cnt),
+                    "max_cell": max(cnt.values()),
+                    "sum_ccos_e4": s_e4, "n_moved": moved})
+        prev = assign
+    assert_equal(spark, "q_cell_quantizer_train", out)
+
+
+def test_replay_q_frame_sample(spark):
+    out = []
+    for d in rows("documents"):
+        if d["doc_id"] % 3 != 2:
+            continue
+        for f in range(0, 8 + d["doc_id"] % 16, 4):
+            out.append({"doc_id": d["doc_id"], "frame_idx": f})
+    assert_equal(spark, "q_frame_sample", out)
+
+
+def test_replay_q_image_patches(spark):
+    out = []
+    for d in rows("documents"):
+        if d["doc_id"] % 3 != 0:
+            continue
+        w = 16 + d["doc_id"] % 48
+        h = 16 + (d["doc_id"] * 7) % 48
+        nr, nc = math.ceil(h / 16.0), math.ceil(w / 16.0)
+        for p in range(nr * nc):
+            out.append({"doc_id": d["doc_id"], "patch_row": p // nc,
+                        "patch_col": p % nc, "x0": (p % nc) * 16,
+                        "y0": (p // nc) * 16})
+    assert_equal(spark, "q_image_patches", out)
+
+
+def test_replay_q_media_decode(spark):
+    out = []
+    for d in rows("documents"):
+        out.append({
+            "doc_id": d["doc_id"],
+            "modality": ("IMG1", "AUD1", "VID1")[d["doc_id"] % 3],
+            "width": 16 + d["doc_id"] % 48,
+            "height": 16 + (d["doc_id"] * 7) % 48,
+            "n_payload_bytes": len(d["text"].encode()),
+        })
+    assert_equal(spark, "q_media_decode", out)
+
+
+def test_replay_q_pipeline_e2e(spark):
+    docs = rows("documents")
+    keep: dict = {}
+    for d in docs:
+        h = _md5(d["text"])
+        if h not in keep or d["doc_id"] < keep[h]:
+            keep[h] = d["doc_id"]
+    clean = sorted(
+        (d for d in docs if keep[_md5(d["text"])] == d["doc_id"]),
+        key=lambda d: d["doc_id"])
+    out = []
+    cum = 0
+    for d in clean:
+        nt = len([t for t in d["text"].split(" ") if t != ""])
+        b = _bucket("split", d["doc_id"])
+        split = "train" if b < 800 else ("val" if b < 900 else "test")
+        seq_bin = None
+        if split == "train":
+            seq_bin = cum // 2048
+            cum += nt
+        out.append({"doc_id": d["doc_id"], "split": split,
+                    "n_tokens": nt, "seq_bin": seq_bin})
+    assert_equal(spark, "q_pipeline_e2e", out)
