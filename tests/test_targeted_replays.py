@@ -2694,3 +2694,20 @@ def test_replay_q_pipeline_e2e(spark):
         out.append({"doc_id": d["doc_id"], "split": split,
                     "n_tokens": nt, "seq_bin": seq_bin})
     assert_equal(spark, "q_pipeline_e2e", out)
+
+
+def test_replay_q_media_decode_real(spark):
+    """The REAL stdlib codec round-trip (PNG chunk-walk/inflate, BMP,
+    PPM — encoded and decoded inside the query) must land exactly on
+    the analytically-known pixel sums of the synthetic gradient."""
+    out = []
+    for d in rows("documents"):
+        did = d["doc_id"]
+        w, h = 4 + did % 9, 4 + (did * 3) % 7
+        fmt = ("png", "bmp", "ppm")[did % 3]
+        channels = 1 if did % 3 == 0 else 3
+        gsum = sum((did + 3 * x + 7 * y) % 256
+                   for x in range(w) for y in range(h))
+        out.append({"doc_id": did, "fmt": fmt, "width": w, "height": h,
+                    "channels": channels, "pixel_sum": channels * gsum})
+    assert_equal(spark, "q_media_decode_real", out)
