@@ -2711,3 +2711,21 @@ def test_replay_q_media_decode_real(spark):
         out.append({"doc_id": did, "fmt": fmt, "width": w, "height": h,
                     "channels": channels, "pixel_sum": channels * gsum})
     assert_equal(spark, "q_media_decode_real", out)
+
+
+def test_replay_q_session_window(spark):
+    """Native session_window(30 min) must equal the hand-rolled
+    gaps-and-islands sessionization (end = last event + 30 min)."""
+    from datetime import timedelta
+    out = []
+    for u, ses in _sessions_30min():
+        out.append({
+            "user_id": u,
+            "session_start": min(e["ts"] for e in ses)
+            .strftime("%Y-%m-%d %H:%M:%S"),
+            "session_end": (max(e["ts"] for e in ses)
+                            + timedelta(minutes=30))
+            .strftime("%Y-%m-%d %H:%M:%S"),
+            "n_events": len(ses),
+        })
+    assert_equal(spark, "q_session_window", out)
