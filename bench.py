@@ -7,8 +7,18 @@ Runs each query from ``__spark_entry__.queries()`` against
     {"metric": "total_query_seconds", "value": N, "unit": "sec",
      "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
 
-Each query is driven to completion with a count-style action (foreach
-noop) so results are computed but never collected to the driver.
+Each query is driven to completion with the built-in no-op sink
+(``df.write.format("noop")``, optimization guide §1.4): every column of
+every row is computed JVM-side and discarded — nothing is collected to
+the driver and nothing crosses the Python row boundary. Rounds 1-10
+used ``df.foreach(lambda _: None)``, which converts the result to
+RDD[Row] and pickles every output row into Python workers; the r11
+action A/B (BENCH_AB.json ``bench_action_ab``) measured that at a flat
+~0.15-0.25s per small query (q6 0.35->0.18s, q_window_running_sum
+0.51->0.29s, q_outer_join_agg 0.66->0.46s) and ~0 on compute-bound
+queries (q_item_cf 5.19 vs 5.26s) — pure measurement-harness cost, not
+query cost. Methodology switch recorded in OPTIMIZATION_r11.md with
+both before/after numbers.
 All Spark chatter goes to stderr; the JSON line is the only stdout.
 
 Measurement discipline (round-10 verdict asks #1/#7; supersedes the
@@ -100,10 +110,12 @@ def main() -> int:
         seq = seq_counter[0]
         t0 = time.time()
         try:
-            # foreach forces full evaluation on executors; nothing is
-            # shipped to the driver (collect would skew the timing and
-            # break at scale).
-            queries[name](spark, sf_dir).foreach(lambda _: None)
+            # noop sink: full JVM-side evaluation of every column of
+            # every row, result discarded (guide §1.4). No driver
+            # collect, no Python row boundary.
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
             return round(time.time() - t0, 2), seq
         except Exception as e:  # noqa: BLE001
             print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
@@ -133,7 +145,9 @@ def main() -> int:
     warmed = set(warmups)
     for w in warmups:
         try:
-            queries[w](spark, sf_dir).foreach(lambda _: None)
+            queries[w](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
         except Exception:  # noqa: BLE001 - warmup is best-effort
             pass
     # Warmup may persist intermediates; the first TIMED query is that
