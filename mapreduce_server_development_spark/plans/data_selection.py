@@ -1597,16 +1597,27 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str):
 
     emb = load_table(spark, sf_dir, "embeddings")
     # assign feeds five branches (residuals, queries, cellmates, exact,
-    # cell sizes): persist the small panel so the centroid-argmax chain
-    # runs once, not per branch.
-    assign = _cell_assign(emb, extra=()).persist()
+    # cell sizes): localCheckpoint the small panel so the
+    # centroid-argmax chain runs once AND its lineage is truncated —
+    # with a lazy persist every downstream reference re-inlined the
+    # full argmax subtree into the plan (r11 before-plan:
+    # q_ivfpq_ann 558 Exchanges / 175 parquet scans, ~0.5 MB of plan
+    # text; after: see plans/r11/q_ivfpq_ann_after.txt).
+    assign = _cell_assign(emb, extra=()).localCheckpoint(eager=True)
     v = assign.select("vid", "vv")
     # Residual encoding (Jegou et al. 2011 sec. V): PQ quantizes
     # v - centroid(cell(v)). The centroid panel is the rank-seed
     # vectors — ~sqrt(n) rows, broadcast; deterministic (no mean).
+    # Checkpointed: it is re-read by the residual join, every probe's
+    # query-residual join, and the ADC LUTs — lazily it re-ran the
+    # scan + repartition + top-k per reference.
     base, _ = cell_base(emb)
     k = seed_k(base)
-    cent = rank_seed_centroids(base, k).select("cid", "cv", "cnrm")
+    cent = (
+        rank_seed_centroids(base, k)
+        .select("cid", "cv", "cnrm")
+        .localCheckpoint(eager=True)
+    )
     rv = assign.join(F.broadcast(cent.select("cid", "cv")), "cid").select(
         "vid", F.zip_with("vv", "cv", lambda x, y: x - y).alias("rv")
     )
@@ -1645,7 +1656,9 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str):
         "m",
         F.col("sv").alias("cv"),
         F.col("sn").alias("cn"),
-    ).persist()  # 2048-row codebook, broadcast into enc AND lut
+    ).localCheckpoint(eager=True)  # 2048-row codebook, broadcast into
+    # enc AND lut; checkpointed (not persisted) so the training chain
+    # is materialized once and cut from every downstream plan
 
     # Nearest codeword per (vid, m): a map-side-combinable min_by
     # aggregate over the broadcast codebook join, NOT a window — the
@@ -1686,9 +1699,13 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str):
             "m", "pcid", F.transform(F.col("pm"), lambda s: s["mu"]).alias("cv")
         )
         .withColumn("cn", _pq_udot("cv", "cv"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    enc = _nearest(sub, cb1)
+    # Corpus codes: n x M rows (tiny relative to the n x M x 256
+    # candidate relation that produced them). Checkpointed — the ADC
+    # consumers (one per probe in the nprobe curve) otherwise each
+    # re-inline the whole encode subtree.
+    enc = _nearest(sub, cb1).localCheckpoint(eager=True)
     q = assign.filter(
         (F.col("vid") % 97 == 3) & (F.col("vid") < 1000)
     ).select(
