@@ -36,11 +36,13 @@ def hash_bucket(salt: str, key: Column, buckets: int = 1000) -> Column:
     hex alphabet reproduces it.
     """
     h = F.md5(F.concat(F.lit(salt + ":"), key.cast("string")))
-
-    def nib(d: int) -> Column:
-        return F.conv(F.substring(h, d + 1, 1), 16, 10).cast("long")
-
-    return (nib(0) * 4096 + nib(1) * 256 + nib(2) * 16 + nib(3)) % buckets
+    # ONE conv over the 4-nibble prefix == the positional
+    # nib0*4096 + nib1*256 + nib2*16 + nib3 decode bit-for-bit, but
+    # evaluates the md5 child once instead of four times — decisive
+    # inside higher-order-function lambdas, which are interpreted with
+    # NO common-subexpression elimination (r11: q_mlm_masking evaluates
+    # this per token position; 4x md5 -> 1x md5 there).
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % buckets
 
 
 def _bucket_sql(salt: str, key_expr: str, buckets: int = 1000) -> str:

@@ -216,29 +216,38 @@ def q_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col("text")
 
-    def flag(i):  # i is the 0-based lambda index; hash keys are 1-based
+    def flag(pos):  # pos is the 1-based position (hash keys are 1-based)
         key = F.concat(
             F.col("doc_id").cast("string"),
             F.lit(":"),
-            (i + 1).cast("string"),
+            pos.cast("string"),
         )
         return hash_bucket("mlm", key) < MLM_RATE_PERMILLE
 
+    # The per-position hash-Bernoulli flag is the dominant cost (one
+    # md5 per token position, interpreted inside the HOF lambda).
+    # Compute the flags array ONCE and derive both n_masked and the
+    # masked text from it — the n_masked filter and the masking
+    # transform each re-evaluated the md5 chain per position before
+    # (r11: 6.96s -> see OPTIMIZATION_r11.md; results bit-identical).
+    flags = F.transform("toks", lambda t, i: flag(i + 1))
     return (
         docs.select(
             "doc_id",
             toks.alias("toks"),
         )
+        .select("doc_id", "toks", flags.alias("flags"))
         .select(
             "doc_id",
             F.size("toks").cast("long").alias("n_tokens"),
-            F.size(F.filter("toks", lambda t, i: flag(i)))
-            .cast("long")
-            .alias("n_masked"),
+            F.size(F.filter("flags", lambda f: f)).cast("long").alias(
+                "n_masked"
+            ),
             F.array_join(
-                F.transform(
+                F.zip_with(
                     "toks",
-                    lambda t, i: F.when(flag(i), F.lit("[MASK]")).otherwise(t),
+                    "flags",
+                    lambda t, f: F.when(f, F.lit("[MASK]")).otherwise(t),
                 ),
                 " ",
             ).alias("masked_text"),
