@@ -938,11 +938,18 @@ def _nb_scored(spark: SparkSession, sf_dir: str):
             "toks"
         ),
     )
+    # toks feeds the count model AND the held-out scoring fan-out;
+    # counts feeds totals/vocab/lp/dflt. Checkpoint both so the eight
+    # _nb_scored consumers' downstream aggregates read materialized
+    # relations instead of re-running scan+tokenize+explode(+count)
+    # per branch (r11 checkpoint discipline; results unchanged).
     toks = split.select(
         "doc_id", "source", "is_train", F.explode("toks").alias("tok")
-    )
+    ).localCheckpoint(eager=True)
     train_toks = toks.filter("is_train")
-    counts = train_toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    counts = train_toks.groupBy("source", "tok").agg(
+        F.count("*").alias("c")
+    ).localCheckpoint(eager=True)
     totals = counts.groupBy("source").agg(F.sum("c").alias("tot"))
     vocab = counts.agg(F.countDistinct("tok").alias("v"))
     lp = (
@@ -2534,10 +2541,18 @@ def q_nb_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "toks"
         ),
     )
-    toks = split.select("doc_id", "source", "fold", F.explode("toks").alias("tok"))
+    # toks feeds the count model AND the scoring fan-out; tokc feeds
+    # SEVEN downstream aggregates (glob/tcf/tcg/tk/tkf/excl + scoring).
+    # Checkpoint both so each consumer reads the materialized relation
+    # instead of re-running the scan+tokenize+explode(+count) subtree —
+    # the r11 before-plan showed 28 duplicated parquet scans and 112
+    # exchanges in this one query.
+    toks = split.select(
+        "doc_id", "source", "fold", F.explode("toks").alias("tok")
+    ).localCheckpoint(eager=True)
     tokc = toks.groupBy("fold", "source", "tok").agg(
         F.count("*").cast("long").alias("cf")
-    )
+    ).localCheckpoint(eager=True)
     glob = tokc.groupBy("source", "tok").agg(F.sum("cf").cast("long").alias("cg"))
     tcf = tokc.groupBy("fold", "source").agg(F.sum("cf").alias("tf"))
     tcg = glob.groupBy("source").agg(F.sum("cg").alias("tg"))
@@ -2933,9 +2948,13 @@ def q_nb_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_bucket("nblc", F.col("doc_id"), 10).alias("dec"),
         tokens_col(F.lower(F.col("text"))).alias("toks"),
     )
+    # toks feeds the decile count model and the held-out scoring;
+    # tokc/cf feed several downstream aggregates. Checkpoint the three
+    # (r11 checkpoint discipline) so each consumer reads materialized
+    # rows instead of re-running the tokenize/explode/count subtrees.
     toks = toks0.select(
         "doc_id", "source", "dec", F.explode("toks").alias("tok")
-    )
+    ).localCheckpoint(eager=True)
     fr = docs.sparkSession.createDataFrame(
         [(f,) for f in _NBLC_FRACS], "f long"
     )
@@ -2943,11 +2962,13 @@ def q_nb_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.filter(F.col("dec") < 9)
         .groupBy("dec", "source", "tok")
         .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
     )
     cf = (
         tokc.join(F.broadcast(fr), tokc["dec"] < fr["f"])
         .groupBy("f", "source", "tok")
         .agg(F.sum("c").alias("c"))
+        .localCheckpoint(eager=True)
     )
     tot = cf.groupBy("f", "source").agg(F.sum("c").alias("tot"))
     voc = (
