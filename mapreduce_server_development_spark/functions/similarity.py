@@ -238,9 +238,13 @@ def embedding_near_dup_pairs(
     """
     sig_bits = num_bands * bits_per_band
     base = _spread(emb).select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
+    # base feeds the band explode AND both exact-verify sides; its
+    # 32-plane signature + norm chain is the expensive projection, so
+    # materialize it once instead of once per consumer (r11 checkpoint
+    # discipline; no shared exchange exists to reuse across them).
     base = base.withColumn("nrm", _norm(F.col("v"))).withColumn(
         "sig", lsh_signature(F.col("v"), sig_bits, dim)
-    )
+    ).localCheckpoint(eager=True)
     bands = base.select(
         "vid",
         F.explode(

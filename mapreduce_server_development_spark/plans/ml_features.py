@@ -308,11 +308,16 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ib", "bx", "by", F.col("cell.gcx").alias("gcx"), F.col("cell.gcy").alias("gcy"))
     )
     d2 = (F.col("px") - F.col("bx")) ** 2 + (F.col("py") - F.col("by")) ** 2
+    # neigh feeds THREE consumers (core degrees, core-core edges,
+    # border assignment) through broadcast joins with no shared
+    # exchange to reuse — checkpoint it so the 9-cell probe join runs
+    # once (r11 checkpoint discipline).
     neigh = (
         pts.withColumnRenamed("vec_id", "ia")
         .join(b, (F.col("cx") == F.col("gcx")) & (F.col("cy") == F.col("gcy")))
         .filter(d2 <= F.lit(_EPS * _EPS))
         .select("ia", "ib")
+        .localCheckpoint(eager=True)
     )
     core = (
         neigh.groupBy("ia")
