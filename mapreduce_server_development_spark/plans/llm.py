@@ -2400,7 +2400,7 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dedup import _doc_shingles, minhash_band_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = _doc_shingles(docs, "text", "doc_id", 3).persist()
+    sh = _doc_shingles(docs, "text", "doc_id", 3)
     from ..functions.dedup import minhash_signatures
 
     sig = minhash_signatures(
@@ -2444,11 +2444,21 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b")
             .distinct()
         )
-        counts = cand.agg(
-            F.count("*").cast("long").alias("n_candidates")
-        ).crossJoin(
-            cand.join(truth, ["doc_a", "doc_b"])
-            .agg(F.count("*").cast("long").alias("n_true_caught"))
+        # ONE pass over cand: the candidate count and the truth
+        # intersection come from a single left-semi-flagged aggregate
+        # instead of two separate consumptions of the band-join subtree
+        # (r11; the md5 band-signature agg is the scheme's dominant
+        # cost and ran twice before).
+        counts = (
+            cand.join(
+                truth.withColumn("t_", F.lit(1)), ["doc_a", "doc_b"], "left"
+            )
+            .agg(
+                F.count("*").cast("long").alias("n_candidates"),
+                F.sum(F.coalesce("t_", F.lit(0))).cast("long").alias(
+                    "n_true_caught"
+                ),
+            )
         )
         rows.append(
             counts.selectExpr(
