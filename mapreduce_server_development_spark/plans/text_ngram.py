@@ -579,10 +579,13 @@ def _xs_g2(spark: SparkSession, sf_dir: str):
         .filter((F.col("c") <= _XS_HOT) & (F.col("d0") != F.col("d1")))
         .select("gh")
     )
-    # g2 feeds both sides of the pair self-join — persist so the
-    # gram+filter pipeline runs once (duplicated-gram relation is
-    # vocabulary-scale, far below the corpus).
-    return toks, grams.join(keep, "gh").persist()
+    # g2 feeds both sides of the pair self-join — materialize it
+    # once (duplicated-gram relation is vocabulary-scale, far below
+    # the corpus). r11: eager localCheckpoint instead of lazy persist
+    # — the lazy cache lookup was unreliable under the AQE +
+    # DSv2(noop)-write path (see tokenizer._merge_rounds), and the
+    # checkpoint also truncates the gram lineage.
+    return toks, grams.join(keep, "gh").localCheckpoint(eager=True)
 
 
 def _xs_spans(spark: SparkSession, sf_dir: str):
@@ -1137,7 +1140,8 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("c") <= _XS_HOT) & (F.col("ct") > 0) & (F.col("cr") > 0))
         .select("gh")
     )
-    g2 = gs.join(keep, "gh").persist()
+    # r11: eager checkpoint, not lazy persist (see _xs_g2 note)
+    g2 = gs.join(keep, "gh").localCheckpoint(eager=True)
     ev = g2.filter(F.col("split") == "test").select(
         "gh", F.col("doc").alias("ta"), F.col("pos").alias("pa")
     )
@@ -1598,7 +1602,7 @@ def q_exact_substring_incremental_indexed(
             ),
         )
         .select("doc", "pos", F.substring(F.md5("gram"), 1, 16).alias("gh"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     stats_new = grams_new.groupBy("gh").agg(
         F.count("*").alias("c_new"),
@@ -1619,7 +1623,7 @@ def q_exact_substring_incremental_indexed(
         .filter((F.col("c") <= _XS_HOT) & (F.col("d0") != F.col("d1")))
         .select("gh")
     )
-    g2_new = grams_new.join(keep, "gh").persist()
+    g2_new = grams_new.join(keep, "gh").localCheckpoint(eager=True)
     # settled postings narrowed to the ARRIVAL batch's kept gram keys
     # before pairing — the index scan is the only settled-side cost
     new_keys = g2_new.select("gh").distinct()

@@ -38,7 +38,6 @@ additive LLM-pipeline depth per the build brief.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -142,10 +141,15 @@ def _merge_rounds(
         # Each round's state is consumed twice (next round's pair agg +
         # next fold) and the merge chain is a narrow projection
         # ReuseExchange cannot share, so the recompute compounds per
-        # round. Persisting the vocab-scale state is a measured 3.6x
-        # win (7.7s -> 2.2s at sf0.1, round 5 A/B); released by the
-        # next same-key invocation's _gc_previous_persists.
-        w = w.persist(StorageLevel.MEMORY_AND_DISK)
+        # round (~3^rounds). Round 5 fixed this with a lazy
+        # MEMORY_AND_DISK persist (3.6x); r11 switched to an EAGER
+        # localCheckpoint: the lazy persist's cache lookup was
+        # unreliable under the AQE + DSv2(noop)-write execution path
+        # (q_tokenizer_fertility 2.6s -> 7-13.7s, recompute
+        # compounding), while the checkpoint materializes each
+        # vocab-scale round exactly once, truncates the lineage, and
+        # needs no cross-invocation unpersist bookkeeping.
+        w = w.localCheckpoint(eager=True)
         persisted.append(w)
     _record_persists(persist_key, persisted)
     return w, merges
