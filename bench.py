@@ -89,7 +89,10 @@ def main() -> int:
     only = set(sys.argv[1:])
 
     import __spark_entry__ as entrymod
-    from mapreduce_server_development_spark.session import get_spark
+    from mapreduce_server_development_spark.session import (
+        get_spark,
+        release_checkpoints,
+    )
 
     queries = entrymod.queries()
     unknown = only - set(queries)
@@ -123,8 +126,19 @@ def main() -> int:
         finally:
             # A failed query's persisted intermediates must not stay
             # cached and inflate (or deflate) later queries' timings —
-            # clear unconditionally, success or failure.
+            # clear unconditionally, success or failure. clearCache()
+            # only empties the SQL CacheManager: eager localCheckpoint
+            # blocks (the engine's multi-consumer materializations) are
+            # RDD-level and would otherwise accumulate across the ~390-
+            # query sweep (disk + GC pressure drifting later timings —
+            # r11 ADVICE bench.py:127). Both calls run OUTSIDE the
+            # timed window (the return value is computed before this
+            # block), and every run still creates and pays for its own
+            # checkpoints INSIDE the timer — this is block hygiene, not
+            # caching: no run can reuse a previous run's blocks either
+            # way (fresh RDDs each invocation).
             spark.catalog.clearCache()
+            release_checkpoints(spark)
 
     # JVM/codegen warmup so the first timed query isn't charged for it.
     # Beyond the generic first-query warmup, exercise the expression

@@ -199,6 +199,14 @@ def serve(
             except Exception as e:  # noqa: BLE001 — daemon must survive bad jobs
                 print(f"job failed: {type(e).__name__}: {e}",
                       file=sys.stderr, flush=True)
+            finally:
+                # Long-lived session hygiene: reclaim any localCheckpoint
+                # blocks the finished job materialized (clearCache does
+                # not touch RDD-level blocks; see session.release_
+                # checkpoints). The job's outputs are already written.
+                from .session import release_checkpoints
+
+                release_checkpoints(spark)
 
     runner = threading.Thread(target=worker, name="job-runner")
     stop_evt = threading.Event()

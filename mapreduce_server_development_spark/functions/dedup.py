@@ -273,18 +273,23 @@ def minhash_near_dups(
     Jaccard over the candidate pairs only (never all pairs) filters
     false positives. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
 
-    The (doc, shingle) relation feeds BOTH the signature computation
-    and the verification join, so it is computed once and persisted
-    (spill-safe MEMORY_AND_DISK): at 100 TB the tokenize+shingle+
-    distinct pass over the corpus is the dominant cost and must not
-    run twice. The cache is evictable storage memory; it is dropped
-    under pressure or with spark.catalog.clearCache().
+    The (doc, shingle) relation feeds FOUR consumers (the signature
+    computation, the sizes aggregate, and both exact-verify join
+    sides), so it is materialized once with an EAGER localCheckpoint:
+    at 100 TB the tokenize+shingle+distinct pass over the corpus is
+    the dominant cost and must not run twice. r11 used a lazy
+    MEMORY_AND_DISK persist here, but lazy cache lookups were measured
+    unreliable under the AQE + DSv2(noop)-write path (the tokenizer
+    _merge_rounds root cause, OPTIMIZATION_r11.md change 9): the r11
+    full sweeps showed exactly this family regressing while solo probes
+    read fine — an intermittent sweep-context cache miss recomputing
+    the shingle pass per consumer (r11 VERDICT "What's wrong" #1). The
+    eager checkpoint computes the subtree exactly once, always.
+    Lifecycle: blocks are reclaimed between queries via
+    session.release_checkpoints; executor-loss semantics at cluster
+    scale documented in SCALE.md "Local checkpoints".
     """
-    from pyspark import StorageLevel
-
-    sh = _doc_shingles(df, text_col, id_col, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh = _doc_shingles(df, text_col, id_col, shingle_n).localCheckpoint(eager=True)
     cand = minhash_band_pairs(
         df, text_col, id_col, num_hashes, rows_per_band, shingle_n, shingles=sh
     ).select("doc_a", "doc_b")

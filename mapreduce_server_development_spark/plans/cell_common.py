@@ -187,13 +187,26 @@ def cell_assign_stages(
     cent: DataFrame,
     extra_out: tuple[str, ...],
     train_iters: int = 0,
+    materialize=None,
 ) -> list[DataFrame]:
     """Per-stage assignments [seed, iter1, ..., iterT]; stage r+1
-    reassigns against the Lloyd-refit centroids of stage r."""
-    stages = [_argmax_assign(base, cent, extra_out)]
+    reassigns against the Lloyd-refit centroids of stage r.
+
+    ``materialize`` (optional, DataFrame -> DataFrame) wraps each
+    stage as it is built. A caller that consumes SEVERAL stages (the
+    quantizer-train ledger reads every stage 3-4 times: counts, fit
+    stats, and the move diff against the next stage) passes an eager
+    ``localCheckpoint`` here — otherwise each consumer re-inlines the
+    whole argmax -> Lloyd -> argmax chain and the per-stage subtree is
+    re-evaluated multiplicatively (q_cell_quantizer_train before-plan:
+    147 stages / 1554 tasks for 3 Lloyd stages). Callers that consume
+    only the LAST stage (cell_assign) leave it None — there the chain
+    is evaluated once and a checkpoint would only add job boundaries."""
+    fix = materialize if materialize is not None else (lambda df: df)
+    stages = [fix(_argmax_assign(base, cent, extra_out))]
     for _ in range(train_iters):
         cent = _lloyd_centroids(stages[-1])
-        stages.append(_argmax_assign(base, cent, extra_out))
+        stages.append(fix(_argmax_assign(base, cent, extra_out)))
     return stages
 
 

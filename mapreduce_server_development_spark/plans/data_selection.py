@@ -2992,7 +2992,20 @@ def q_cell_quantizer_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, _ = cell_base(emb, ())
     k = seed_k(base)
     cent = rank_seed_centroids(base, k)
-    stages = cell_assign_stages(base, cent, (), train_iters=_CQT_ITERS)
+    # Every stage is consumed 3-4 times (counts, fit stats, move diff
+    # vs the adjacent stage) and each later stage's plan embeds every
+    # earlier one through the Lloyd chain — materialize each stage
+    # once (r12; before-plan: 147 stages / 1554 tasks, after: see
+    # plans/r12/q_cell_quantizer_train_after.txt). The checkpointed
+    # relation is the n-row assignment panel; blocks are released
+    # between queries (session.release_checkpoints).
+    stages = cell_assign_stages(
+        base,
+        cent,
+        (),
+        train_iters=_CQT_ITERS,
+        materialize=lambda df: df.localCheckpoint(eager=True),
+    )
     out = None
     for r, st in enumerate(stages):
         cnts = st.groupBy("cid").agg(F.count("*").cast("long").alias("cnt"))

@@ -64,6 +64,26 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cores, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesce floor (default 1m). At small per-stage data the
+        # engine's compute-dense aggregates (SimHash's 64-vote agg, the
+        # CF pair agg, anomaly scoring) compress to well under 1 MB of
+        # shuffle bytes, so the default floor merged them to ONE
+        # post-shuffle partition — q_simhash_pairs ran 27 stages with 27
+        # total tasks on local[32] (single-threaded execution behind
+        # 32-way scheduling; the r11 "8 cores beats 32" inversion). A
+        # 256k floor keeps byte-tiny/CPU-dense stages parallel
+        # (target = max(bytes/parallelism, floor) — still fully
+        # AQE-adaptive, no hard-coded task count), measured -20..-42% on
+        # the CF/simhash/anomaly/ANN head at BOTH 32 and 8 cores
+        # (BENCH_AB.json overhead_ab; the "fewer tasks" direction,
+        # parallelismFirst=false, measured 2-3x WORSE and is rejected
+        # there). On a cluster real partitions sit far above either
+        # floor, so the setting is inert at 100 TB; env-overridable for
+        # deployments that want the stock 1m.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "256k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -84,6 +104,42 @@ def get_spark(
     if os.environ.get("SPARK_GRAFT_WARMUP", "") == "1":
         warmup_expressions(spark)
     return spark
+
+
+def release_checkpoints(spark: SparkSession) -> int:
+    """Drop every RDD-level persisted block in the session — including
+    ``localCheckpoint`` blocks, which ``spark.catalog.clearCache()``
+    does NOT touch (it only clears the SQL CacheManager).
+
+    The engine materializes multi-consumer intermediates with eager
+    ``localCheckpoint`` (plans/, functions/ — see SCALE.md "Local
+    checkpoints"); those blocks are only reclaimed when the Python
+    DataFrame is garbage-collected, so a long-lived session running
+    many queries (the bench sweep, the daemon) accumulates dead blocks
+    in the block manager — disk + GC pressure that drifts later
+    queries' timings (round-11 ADVICE bench.py:127 / corpus_stats.py
+    :947). Call this BETWEEN queries, after the previous query's
+    result is fully consumed.
+
+    Hazard (by design): unpersisting a lineage-truncated checkpoint
+    destroys its only data copy — a retained DataFrame from a previous
+    invocation must never be re-executed afterwards (it would fail
+    with "checkpoint block not found", not silently recompute). Every
+    in-repo caller (bench.py, daemon job loop) consumes results fully
+    before releasing. Returns the number of RDDs unpersisted.
+    """
+    try:
+        jrdds = list(spark.sparkContext._jsc.getPersistentRDDs().values())
+    except Exception:  # noqa: BLE001 — introspection is best-effort
+        return 0
+    n = 0
+    for jrdd in jrdds:
+        try:
+            jrdd.unpersist(False)
+            n += 1
+        except Exception:  # noqa: BLE001 — a concurrently-freed RDD is fine
+            pass
+    return n
 
 
 def warmup_expressions(spark: SparkSession, rows: int = 8_000) -> list[str]:

@@ -1,12 +1,12 @@
 """Capture .explain("formatted") output for registered queries.
 
-Writes plans/r11/<query>_<tag>.txt for each named query (or a default
-set) so the optimization round's plan claims are auditable without
-running Spark.
+Writes plans/<round>/<query>_<tag>.txt for each named query so the
+optimization round's plan claims are auditable without running Spark.
 
 Usage: python tools/capture_plans.py <tag> [query ...]
   tag: "before" or "after" (file suffix)
 Environment: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+             SPARK_GRAFT_PLAN_DIR (default r12)
 """
 
 from __future__ import annotations
@@ -38,7 +38,7 @@ def main() -> int:
         print(f"unknown: {unknown}")
         return 2
     spark = get_spark(app_name="capture-plans")
-    out_dir = REPO / "plans" / "r11"
+    out_dir = REPO / "plans" / os.environ.get("SPARK_GRAFT_PLAN_DIR", "r12")
     out_dir.mkdir(parents=True, exist_ok=True)
     for name in names:
         try:
