@@ -2541,17 +2541,25 @@ def q_nb_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "toks"
         ),
     )
-    # toks feeds the count model AND the scoring fan-out; tokc feeds
-    # SEVEN downstream aggregates (glob/tcf/tcg/tk/tkf/excl + scoring).
-    # Checkpoint both so each consumer reads the materialized relation
-    # instead of re-running the scan+tokenize+explode(+count) subtree —
-    # the r11 before-plan showed 28 duplicated parquet scans and 112
-    # exchanges in this one query.
-    toks = split.select(
-        "doc_id", "source", "fold", F.explode("toks").alias("tok")
-    ).localCheckpoint(eager=True)
-    tokc = toks.groupBy("fold", "source", "tok").agg(
-        F.count("*").cast("long").alias("cf")
+    # The token relation feeds the count model AND the scoring fan-out;
+    # tokc feeds SEVEN downstream aggregates (glob/tcf/tcg/tk/tkf/excl
+    # + scoring). Checkpoint both so each consumer reads the
+    # materialized relation instead of re-running the scan+tokenize+
+    # explode(+count) subtree — the r11 before-plan showed 28
+    # duplicated parquet scans and 112 exchanges in this one query.
+    # r12: materialize the (doc, tok) COUNT panel instead of the raw
+    # exploded tokens (2.33x smaller at sf0.1; scoring weights each
+    # (doc, tok) row by its count — identical scores by integer
+    # linearity; the r11 ADVICE ask to not checkpoint the full
+    # exploded relation).
+    tokn = (
+        split.select("doc_id", "source", "fold", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "source", "fold", "tok")
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    tokc = tokn.groupBy("fold", "source", "tok").agg(
+        F.sum("n").cast("long").alias("cf")
     ).localCheckpoint(eager=True)
     glob = tokc.groupBy("source", "tok").agg(F.sum("cf").cast("long").alias("cg"))
     tcf = tokc.groupBy("fold", "source").agg(F.sum("cf").alias("tf"))
@@ -2604,7 +2612,7 @@ def q_nb_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cls = split.select(F.col("source").alias("cand")).distinct()
     scored = (
-        toks.select("doc_id", "fold", "tok")
+        tokn.select("doc_id", "fold", "tok", "n")
         .crossJoin(F.broadcast(cls))
         .join(
             glob.select(F.col("source").alias("cand"), "tok", "cg"),
@@ -2628,6 +2636,7 @@ def q_nb_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "CAST(round(ln((COALESCE(cg, 0) - COALESCE(cf, 0) + 1.0)"
                     " / (tot_train + v)) * 1000000) AS BIGINT)"
                 )
+                * F.col("n")
             ).alias("tok_lp")
         )
     )

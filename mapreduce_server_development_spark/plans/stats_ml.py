@@ -960,6 +960,13 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("k").cast("string"),
         )
     )
+    # r12 note: a pivoted 64-column per-block aggregate (no 32-way row
+    # explode) was tried and REVERTED — CollapseProject inlines the h
+    # projection into every aggregate expression, so the md5 ran 64x
+    # per row (plan text 9k -> 151k chars) and the solo median read
+    # 4.51 s vs 1.93 s for this explode form. The explode keeps ONE
+    # md5 per (order, block) row with the decode fanned out as rows,
+    # which codegen handles well.
     d = F.conv(F.expr("substring(h, j + 1, 1)"), 16, 10).cast("int").alias("d")
     wt = (
         F.when(F.col("d") < 6, 0)

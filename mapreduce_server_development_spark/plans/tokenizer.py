@@ -147,8 +147,16 @@ def _merge_rounds(
         # unreliable under the AQE + DSv2(noop)-write execution path
         # (q_tokenizer_fertility 2.6s -> 7-13.7s, recompute
         # compounding), while the checkpoint materializes each
-        # vocab-scale round exactly once, truncates the lineage, and
-        # needs no cross-invocation unpersist bookkeeping.
+        # vocab-scale round exactly once and truncates the lineage.
+        # The _record_persists/_gc bookkeeping below stays load-bearing
+        # for block RELEASE: the next invocation of the same query
+        # unpersists the previous one's checkpoint blocks (and
+        # session.release_checkpoints drops them session-wide between
+        # queries). Hazard, by design: unpersisting a lineage-truncated
+        # checkpoint destroys its only data copy, so a RETAINED frame
+        # from a previous invocation must never be re-executed after
+        # the GC ran — it fails hard with "checkpoint block not found"
+        # rather than silently recomputing (r11 ADVICE tokenizer:152).
         w = w.localCheckpoint(eager=True)
         persisted.append(w)
     _record_persists(persist_key, persisted)

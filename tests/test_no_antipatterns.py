@@ -189,13 +189,29 @@ def test_detector_flags_global_window(spark):
 # ---------------------------------------------------------------------------
 
 
-def _execution_plans(spark) -> dict[int, str]:
-    """executionId -> formatted physical plan from the SQL status store."""
+def _latest_execution_id(spark) -> int:
+    """Highest executionId in the SQL status store (-1 when empty)."""
     seq = spark._jsparkSession.sharedState().statusStore().executionsList()
-    out = {}
-    for i in range(seq.size()):
+    n = seq.size()
+    return seq.apply(n - 1).executionId() if n else -1
+
+
+def _plans_since(spark, floor: int) -> dict[int, str]:
+    """executionId -> formatted physical plan for every execution with
+    id > floor. Walks the store from the END and stops at the floor:
+    the store holds the whole session's history (thousands of entries
+    late in a suite run) and each physicalPlanDescription() is a large
+    string crossing py4j, so the previous fetch-everything form cost
+    ~20 s PER TEST by the time the streaming sweep ran (measured,
+    r12) — the plans are the same either way."""
+    seq = spark._jsparkSession.sharedState().statusStore().executionsList()
+    out: dict[int, str] = {}
+    for i in range(seq.size() - 1, -1, -1):
         e = seq.apply(i)
-        out[e.executionId()] = e.physicalPlanDescription() or ""
+        eid = e.executionId()
+        if eid <= floor:
+            break
+        out[eid] = e.physicalPlanDescription() or ""
     return out
 
 
@@ -215,11 +231,10 @@ def _plans_during(spark, run) -> dict[int, str]:
     caused (ids are monotonically increasing, so eviction of old
     entries cannot hide a new one)."""
     _drain_listener_bus(spark)
-    before = _execution_plans(spark)
-    floor = max(before) if before else -1
+    floor = _latest_execution_id(spark)
     run()
     _drain_listener_bus(spark)
-    return {k: v for k, v in _execution_plans(spark).items() if k > floor}
+    return _plans_since(spark, floor)
 
 
 def _streaming_names():

@@ -54,14 +54,21 @@ def main() -> int:
         names = [n for n in DEFAULT_SAMPLE if n in queries]
     spark = get_spark(app_name="action-ab")
 
-    def t_foreach(df) -> float:
+    from mapreduce_server_development_spark.session import release_checkpoints
+
+    # The query is CONSTRUCTED inside the timer (r11 ADVICE
+    # action_ab.py:78): construction runs any eager localCheckpoint
+    # jobs, so building the frame outside excluded that cost from both
+    # arms and understated checkpoint-heavy queries — bench.py times
+    # construction too, and this tool must measure what the bench does.
+    def t_foreach(fn) -> float:
         t0 = time.time()
-        df.foreach(lambda _: None)
+        fn(spark, sf_dir).foreach(lambda _: None)
         return round(time.time() - t0, 3)
 
-    def t_noop(df) -> float:
+    def t_noop(fn) -> float:
         t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return round(time.time() - t0, 3)
 
     out: dict[str, dict] = {}
@@ -74,12 +81,15 @@ def main() -> int:
             out[name] = {"err": f"{type(e).__name__}: {e}"}
             continue
         spark.catalog.clearCache()
+        release_checkpoints(spark)
         rec: dict[str, list[float]] = {"foreach": [], "noop": []}
         for _ in range(3):
-            rec["foreach"].append(t_foreach(fn(spark, sf_dir)))
+            rec["foreach"].append(t_foreach(fn))
             spark.catalog.clearCache()
-            rec["noop"].append(t_noop(fn(spark, sf_dir)))
+            release_checkpoints(spark)
+            rec["noop"].append(t_noop(fn))
             spark.catalog.clearCache()
+            release_checkpoints(spark)
         out[name] = {
             "foreach_med": sorted(rec["foreach"])[1],
             "noop_med": sorted(rec["noop"])[1],
