@@ -68,6 +68,9 @@ VARIANTS: dict[str, dict[str, str]] = {
     "minpart64k": {
         "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     },
+    "minpart1m": {
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1m",
+    },
     "minpart512k": {
         "spark.sql.adaptive.coalescePartitions.minPartitionSize": "512k",
     },
